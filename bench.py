@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run every registered engine query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced to full materialization with the `noop` sink —
+``df.count()`` would let Catalyst prune the projected columns and
+under-measure — so the number is end-to-end plan execution: scan,
+shuffle, codegen, everything.
+
+Writes only the summary line to stdout; Spark noise goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # derive sf from the dir name (e.g. .../sf0.1 -> 0.1)
+    tail = Path(sf_dir).name
+    try:
+        sf = float(tail[2:]) if tail.startswith("sf") else None
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry_mod
+    from etl_geonames_spark.session import get_spark
+
+    spark = get_spark("etl-geonames-spark-bench")
+
+    qs = entry_mod.queries()
+
+    # JVM/codegen warm-up on one tiny plan so query #1 isn't charged
+    # session start-up costs.
+    from etl_geonames_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Scalar function surface (SURVEY.md §2.7, §2.9).
+
+Every scalar the reference applies per-row in JS (parseFloat, string
+concat/replace/slice, truthy-map lookup, array compaction) re-expressed
+as built-in JVM expressions — whole-stage-codegen'd, never a Python
+UDF. Plus the date/JSON/math built-ins the reference never needed but
+any analytics engine must have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.geonames.pipeline import resolve_type
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+
+@query(
+    "fn_cast_double",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_reparsed
+    FROM lineitem
+    """,
+)
+def fn_cast_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string → double parse (parseFloat, geonames.js:144-145). try_cast
+    yields null on garbage where parseFloat yields NaN — same rows
+    survive for well-formed input."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_reparsed"),
+    )
+
+
+@query(
+    "fn_concat_ws",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT_WS('.', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS composite_key
+    FROM customer
+    """,
+)
+def fn_concat_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator join building composite lookup keys (codes.join('.'),
+    geonames.js:105,108)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            ".", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("composite_key"),
+    )
+
+
+@query(
+    "fn_concat",
+    oracle="""
+    SELECT c_custkey,
+           'http://sws.geonames.org/' || CAST(c_custkey AS VARCHAR) AS uri
+    FROM customer
+    """,
+)
+def fn_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URI construction by prefix concat (baseUri + geonameid,
+    geonames.js:113-114, 138)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("http://sws.geonames.org/"), F.col("c_custkey").cast("string")
+        ).alias("uri"),
+    )
+
+
+@query(
+    "fn_replace",
+    oracle="""
+    SELECT c_custkey, REPLACE(c_name, 'Customer#', '') AS bare_id
+    FROM customer
+    """,
+)
+def fn_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal substring replace (URI → bare id, geonames.js:235)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("")).alias("bare_id"),
+    )
+
+
+_BRAND_TYPES = {"Brand#1": "family-one", "Brand#3": "family-three"}
+
+
+@query(
+    "fn_prefix_match",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CASE WHEN p_brand LIKE 'Brand#3%' THEN 'family-three'
+                WHEN p_brand LIKE 'Brand#1%' THEN 'family-one'
+           END AS brand_family
+    FROM part
+    """,
+)
+def fn_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix map match (geonames.js:127-132) as a fixed-depth
+    COALESCE chain — nulls preserved for misses (the unfiltered form
+    of filter_typed)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        resolve_type(F.col("p_brand"), _BRAND_TYPES).alias("brand_family"),
+    )
+
+
+@query(
+    "fn_array_compact",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(
+             list_filter([o_orderstatus, o_orderpriority,
+                          CASE WHEN o_totalprice > 300000 THEN 'BIG' ELSE '' END],
+                         x -> x <> ''), '.') AS codes,
+           len(list_filter([o_orderstatus, o_orderpriority,
+                            CASE WHEN o_totalprice > 300000 THEN 'BIG' ELSE '' END],
+                           x -> x <> '')) AS n_codes
+    FROM orders
+    """,
+)
+def fn_array_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array of non-empty values (R.filter(R.identity, ...),
+    geonames.js:103) — the codes-array primitive behind the
+    exactly-3-codes relation gate."""
+    arr = F.filter(
+        F.array(
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.when(F.col("o_totalprice") > 300000, F.lit("BIG")).otherwise(
+                F.lit("")
+            ),
+        ),
+        lambda x: x != "",
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.array_join(arr, ".").alias("codes"),
+        F.size(arr).cast("bigint").alias("n_codes"),
+    )
+
+
+@query(
+    "fn_map_lookup",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE c_mktsegment
+             WHEN 'BUILDING' THEN 'b'
+             WHEN 'AUTOMOBILE' THEN 'a'
+             WHEN 'MACHINERY' THEN 'm'
+           END AS segment_code
+    FROM customer
+    """,
+)
+def fn_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map lookup (config.types[x] / extraUris[x],
+    geonames.js:130, 181) via create_map — broadcast-free constant
+    lookup, null on miss."""
+    m = F.create_map(
+        F.lit("BUILDING"), F.lit("b"),
+        F.lit("AUTOMOBILE"), F.lit("a"),
+        F.lit("MACHINERY"), F.lit("m"),
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        m[F.col("c_mktsegment")].alias("segment_code"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           ABS(l_discount - 0.05) AS disc_dev,
+           FLOOR(l_quantity) AS qty_floor,
+           CEIL(l_quantity / 7) AS qty_ceil7,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins (the reference's only math is parseFloat; an
+    engine needs the full surface). Transcendentals rounded to 6dp —
+    libm implementations may differ in the last ulp across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # 4dp = the true decimal grid of a 2dp×2dp product: rounding at
+        # the value's own grid never sits on a half-boundary, so Spark's
+        # decimal-repr ROUND and DuckDB's binary ROUND agree.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@query(
+    "fn_date_trunc",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar truncation + aggregation — the partition-key pattern for
+    time-organized 100 TB data (write partitioned by month, prune on
+    read)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (the events.props
+    property bag)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").try_cast("bigint").alias("k_value"),
+    )

@@ -1,0 +1,643 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.12).
+
+First-class engine extensions over the ``documents`` (text) and
+``embeddings`` (vector) tables: exact + near deduplication (MinHash
+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
+(brute-force and LSH-bucketed ANN), and text analysis (language-ID
+heuristic, quality scoring, token counting, fingerprinting).
+
+Scale design notes:
+  - Everything pairwise is *blocked* — by LSH band, hash bucket, or
+    key — so candidate generation is a hash-partitioned equi-join,
+    never an O(n²) cross join. That is the difference between "works
+    on 60k docs" and "works on 10B docs".
+  - Hashing uses xxhash64/md5 built-ins (JVM, codegen'd,
+    deterministic across runs and engines).
+  - The only Python on these paths is the SimHash bit-packer, an
+    Arrow-vectorized pandas UDF (64-way bit math per token is the one
+    shape Spark expressions express badly).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id
+    (deterministic, unlike dropDuplicates). Scale: one shuffle on
+    text-hash; for very long documents group on xxhash64(text) instead
+    and verify within buckets."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "text", "n_copies")
+    )
+
+
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 4  # 4 bands × 4 rows
+
+
+def _shingles(tok_col: str, k: int = 3):
+    """k-word shingles via sequence+slice (pure built-ins)."""
+    return F.expr(
+        f"transform(sequence(1, size({tok_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {k})))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFrame:
+    """doc_id → minhash signature array (one xxhash64 family per
+    'permutation', seeded by prefixing the salt)."""
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = toks.select("doc_id", _shingles("toks").alias("shingles"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
+                )
+            )
+            for i in range(num_perms)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+@query("llm_dedup_minhash")  # LSH banding not SQL-expressible → rows-only
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding:
+    shingle → 16 minhashes → 4 bands of 4 → equi-join on
+    (band_idx, band_hash). Deterministic (xxhash64). Scale: the
+    band join is hash-partitioned; no pair of non-colliding docs is
+    ever materialized — this is the linear-ish path to dedup at
+    billions of documents."""
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@pandas_udf(LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens.
+
+    blake2b(token)[:8] gives a deterministic 64-bit token hash; the
+    signature bit b is the sign of the sum over tokens of ±1 at bit b.
+    Arrow-vectorized; the per-token hashing is the one step Spark
+    expressions can't express compactly (64-way bit unpack + sum).
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for row, t in enumerate(text):
+        counts = np.zeros(64, dtype=np.int64)
+        for tok in t.split(" "):
+            if not tok:
+                continue
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            counts += 2 * bits - 1
+        sig = np.uint64(0)
+        for bit in np.nonzero(counts > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(bit)
+        out[row] = np.int64(sig)  # wrap to signed for Spark LongType
+    return pd.Series(out)
+
+
+@query("llm_dedup_simhash")  # token hashing engine-specific → rows-only
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures plus banded candidate pairs
+    (4 × 16-bit chunks; Hamming-close docs share ≥1 exact chunk).
+    Output: candidate pairs with hamming distance ≤ 8."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _simhash_udf(F.col("text")).alias("simhash")
+    )
+    chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(0xFFFF)  # noqa: E731
+    chunks = docs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[chunk("simhash", i) for i in range(4)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(str_split(text, ' ')) - 1),
+               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+             ))) AS g
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-bigram) Jaccard over candidate pairs, fully
+    SQL-expressible: explode distinct bigrams → equi-join on gram →
+    |A∩B| / (|A|+|B|−|A∩B|). Bounded to doc_id < 200 here; at scale
+    you run this only on LSH candidates (llm_dedup_minhash) — gram
+    join on the full corpus is the quadratic trap."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles("toks", 2))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector similarity
+# ---------------------------------------------------------------------------
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<double> columns — sequential
+    double accumulation, matching DuckDB's list_dot_product order."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "llm_sim_topk",
+    oracle="""
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(list_dot_product(q.emb, c.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) /
+                        (sqrt(list_dot_product(q.emb, q.emb)) *
+                         sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                        c.vec_id) AS rn
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE vec_id < 5) q
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings) c
+        ON c.vec_id <> q.vec_id
+    ) t WHERE rn <= 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact-ANN baseline. Query side
+    broadcasts (few vectors) against the full corpus; per-query top-k
+    via window. Scale: exact search is O(|q|·n) — fine for small |q|;
+    for large |q| switch to llm_ann_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
+    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .withColumn("_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", F.round(F.col("_sim"), 6).alias("cos_sim"))
+    )
+
+
+_LSH_BITS = 8
+
+
+def _hyperplane_sign_bucket(emb_col: str, dim: int = 64, bits: int = _LSH_BITS):
+    """Deterministic random-hyperplane LSH bucket id (no RNG state:
+    plane m, dim d weight = ((d*31 + m*17 + 7) % 101)/50 - 1)."""
+    bucket = F.lit(0)
+    for m in range(bits):
+        weights = F.array(
+            *[F.lit(((d * 31 + m * 17 + 7) % 101) / 50.0 - 1.0) for d in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << m)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("llm_ann_lsh")  # approximate by design → rows-only
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: random-hyperplane sign buckets →
+    candidates share a bucket → exact cosine re-rank within bucket.
+    Scale path for similarity search: the bucket join is a
+    hash-partitioned equi-join; recall tunes via bits/multi-probe."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    bucketed = emb.withColumn("bucket", _hyperplane_sign_bucket("emb"))
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .withColumn("_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", F.round(F.col("_sim"), 6).alias("cos_sim"))
+    )
+
+
+@query("llm_dedup_embedding")  # LSH blocking engine-specific → rows-only
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket blocking + exact cosine ≥
+    0.9 within buckets. Same blocking discipline as minhash dedup —
+    never materializes non-candidate pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    bucketed = emb.withColumn("bucket", _hyperplane_sign_bucket("emb"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(str_split(text, ' ')) AS word FROM documents
+    ) t WHERE word <> '' GROUP BY word
+    """,
+)
+def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word histogram — explode + hash aggregate. The shuffle
+    carries only (word, partial count) thanks to map-side combine."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+             AS n_distinct_words,
+           ROUND(CAST(list_sum(list_transform(str_split(text, ' '),
+                                              w -> length(w))) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: word/distinct-word counts, mean word length
+    — all array built-ins, no explode, no shuffle."""
+    toks = F.split(F.col("text"), " ")
+    word_lens = F.transform(toks, F.length)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
+        F.round(
+            F.aggregate(
+                word_lens, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "llm_lang_dist",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def llm_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slicing by language × source."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_PROFILE_DATA = ["data", "row", "query", "table", "join"]
+_PROFILE_SPARK = ["spark", "filter", "merge", "batch", "shuffle"]
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(str_split(text, ' '),
+                     w -> list_contains({_PROFILE_DATA!r}, w))) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS score_data,
+           ROUND(CAST(len(list_filter(str_split(text, ' '),
+                     w -> list_contains({_PROFILE_SPARK!r}, w))) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS score_spark,
+           CASE
+             WHEN len(list_filter(str_split(text, ' '),
+                      w -> list_contains({_PROFILE_DATA!r}, w))) >
+                  len(list_filter(str_split(text, ' '),
+                      w -> list_contains({_PROFILE_SPARK!r}, w)))
+               THEN 'data-ish'
+             WHEN len(list_filter(str_split(text, ' '),
+                      w -> list_contains({_PROFILE_SPARK!r}, w))) >
+                  len(list_filter(str_split(text, ' '),
+                      w -> list_contains({_PROFILE_DATA!r}, w)))
+               THEN 'spark-ish'
+             ELSE 'unknown'
+           END AS predicted
+    FROM documents
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-profile language-ID heuristic: stopword-hit ratio per
+    profile, argmax wins. (Real LID swaps the word lists for per-
+    language frequency profiles; the dataflow — array_contains filter
+    counts, no shuffle — is the production shape.)"""
+    toks = F.split(F.col("text"), " ")
+    hits = lambda words: F.size(  # noqa: E731
+        F.filter(
+            toks,
+            lambda w: F.array_contains(F.array(*[F.lit(x) for x in words]), w),
+        )
+    )
+    h_data, h_spark = hits(_PROFILE_DATA), hits(_PROFILE_SPARK)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(h_data.cast("double") / F.size(toks), 6).alias("score_data"),
+        F.round(h_spark.cast("double") / F.size(toks), 6).alias("score_spark"),
+        F.when(h_data > h_spark, F.lit("data-ish"))
+        .when(h_spark > h_data, F.lit("spark-ish"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id,
+           FLOOR((0.4 * LEAST(1.0, len(str_split(text, ' ')) / 100.0)
+               + 0.3 * (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                        / len(str_split(text, ' ')))
+               + 0.3 * LEAST(1.0,
+                   (CAST(list_sum(list_transform(str_split(text, ' '),
+                                                 w -> length(w))) AS DOUBLE)
+                    / len(str_split(text, ' '))) / 8.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    word-length saturation. All expression-level; at 100 TB this is a
+    free rider on whatever scan already touches the text."""
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words
+    avg_wl = (
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        / n_words
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(F.lit(1.0), avg_wl / 8.0)
+    )
+    from etl_geonames_spark.functions import qround
+
+    # qround (floor-form), not ROUND: the score's rational terms can
+    # sit exactly on decimal half-boundaries where Spark's decimal-repr
+    # ROUND and DuckDB's binary ROUND disagree.
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", qround(quality, 6).alias("quality")
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS bpe_estimate
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the chars/4 BPE estimate
+    (the standard budget heuristic when the real tokenizer is too
+    expensive to run corpus-wide)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("bpe_estimate"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_fp,
+           md5(substr(text, 1, 64)) AS prefix_fp
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 — engine-portable and deterministic,
+    hence oracle-checkable; xxhash64 is the cheaper engine-internal
+    choice used by the minhash path)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_fp"),
+        F.md5(F.substring(F.col("text"), 1, 64).cast("binary")).alias("prefix_fp"),
+    )

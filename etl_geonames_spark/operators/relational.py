@@ -1,0 +1,777 @@
+"""Relational operator surface: scans, filters, joins, aggregations,
+windows, sorts/limits, set operations.
+
+Each query re-expresses one operator from SURVEY.md §2 over the
+fixture star schema. The reference's operators (filter semantics,
+broadcast lookup joins, allowlists — geonames.js citations inline) are
+mapped onto the TPC-H-shaped tables so the DuckDB oracle can check
+them; the geonames-shaped originals are exercised verbatim in
+``tests/test_geonames_parity.py``.
+
+Scale notes are attached per operator: which side broadcasts, where
+the shuffle lands, why the plan survives a 100×/1000× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_geonames_spark.geonames.pipeline import filters_predicate
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# scans (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_tsv",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           l_shipdate
+    FROM lineitem
+    """,
+)
+def scan_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact scan with explicit schema (geonames.js:239-242 maps the
+    raw TSV to named columns; here Parquet column metadata plays that
+    role). Scale: a pure scan — Catalyst prunes to the requested
+    columns; at 100 TB the read parallelism is one task per Parquet
+    split."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+
+
+@query(
+    "scan_dim",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_name IS NOT NULL
+    """,
+)
+def scan_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension scan + empty-row drop (readAdminCodes ``.compact()``,
+    geonames.js:69-80)."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isNotNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_whereeq",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+)
+def filter_whereeq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality predicate (R.whereEq, geonames.js:180-182),
+    compiled by the same predicate builder the geonames pipeline uses.
+    Scale: pushed to the Parquet scan (PushedFilters) — no row ever
+    leaves the reader."""
+    pred = filters_predicate([{"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}])
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(pred)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice")
+    )
+
+
+@query(
+    "filter_any_of",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+       OR (o_orderstatus = 'O' AND o_orderpriority = '5-LOW')
+    """,
+)
+def filter_any_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction over a filter list (R.any over config.filters,
+    geonames.js:243-245)."""
+    pred = filters_predicate(
+        [
+            {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+            {"o_orderstatus": "O", "o_orderpriority": "5-LOW"},
+        ]
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(pred)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "filter_extra_uris",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+       OR o_orderkey IN (7, 42, 99, 1234)
+    """,
+)
+def filter_extra_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ∨ broadcast allowlist (extraUris, geonames.js:181,
+    232-237). For list-sized allowlists ``isin`` folds into the scan
+    filter; a large allowlist would become a broadcast left-semi join
+    union'd with the filter branch — same semantics, still
+    shuffle-free."""
+    pred = filters_predicate([{"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}])
+    allow = [7, 42, 99, 1234]
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(pred | F.col("o_orderkey").isin(allow))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_BRAND_TYPES = {"Brand#1": "family-one", "Brand#3": "family-three"}
+_BRAND_CASE = """
+    CASE WHEN p_brand LIKE 'Brand#3%' THEN 'family-three'
+         WHEN p_brand LIKE 'Brand#1%' THEN 'family-one'
+    END
+"""
+
+
+@query(
+    "filter_typed",
+    oracle=f"""
+    SELECT p_partkey, p_brand, brand_family FROM (
+      SELECT p_partkey, p_brand, {_BRAND_CASE} AS brand_family FROM part
+    ) t WHERE brand_family IS NOT NULL
+    """,
+)
+def filter_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix type match + drop-if-untyped (geonames.js:127-134,
+    175-177) applied to part brands: 'Brand#13' resolves via its
+    'Brand#1' prefix, brands outside the map are dropped — the same
+    coalesce-chain operator the geonames pipeline uses."""
+    from etl_geonames_spark.geonames.pipeline import resolve_type
+
+    return (
+        load_table(spark, sf_dir, "part")
+        .withColumn("brand_family", resolve_type(F.col("p_brand"), _BRAND_TYPES))
+        .filter(F.col("brand_family").isNotNull())
+        .select("p_partkey", "p_brand", "brand_family")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_admin2",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_admin2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash lookup join, fact ⋈ small dim (the admin2 probe,
+    geonames.js:100-123: dict build = broadcast build side, per-row
+    probe = hash join probe). Scale: part stays MB-sized relative to
+    lineitem → explicit broadcast keeps the plan shuffle-free at any
+    fact size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "inner")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand")
+    )
+
+
+@query(
+    "join_self_parent_fallback",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN c.c_custkey % 25 = n.n_nationkey THEN r.r_name
+                ELSE n.n_name END AS parent_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_self_parent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional parent fallback across two broadcast joins — the
+    self-parent quirk (geonames.js:107-109: when the row is its own
+    admin2 parent, re-probe admin1). Here: when a customer 'is its
+    own nation' (custkey ≡ nationkey mod 25), the parent resolves one
+    level up to the region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 25 == F.col("n_nationkey"), F.col("r_name"))
+            .otherwise(F.col("n_name"))
+            .alias("parent_name"),
+        )
+    )
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join. Scale: customer ≪ orders here → broadcast; at
+    comparable sizes AQE picks sort-merge on the shuffled key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched build rows (null-tolerant —
+    the behavior the reference *lacks*: its probe miss crashes,
+    geonames.js:105-107)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — existence check without duplication (the
+    allowlist membership shape, geonames.js:181, at join scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the complement of the allowlist."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+             AS days_to_ship
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join (band predicate on event time). Scale: the
+    equi key carries the shuffle; the range predicate evaluates
+    post-match, so this stays a hash/sort-merge join, never a
+    nested-loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] <= o["o_orderdate"] + F.expr("INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days_to_ship"
+        ),
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT n.n_name, r.r_name FROM nation n
+    JOIN region r ON n.n_regionkey < r.r_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join — broadcast nested loop over a
+    dimension pair. Scale rule: only ever theta-join when one side
+    broadcasts; an unbounded theta over two fact tables is a plan
+    smell, not an operator."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n["n_regionkey"] < r["r_regionkey"], "inner"
+    ).select("n_name", "r_name")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, c.event_id AS c_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it, per user. Spark lacks a native ASOF operator; the scalable
+    decomposition is union → single window pass (one shuffle on
+    user_id, no range-join explosion):
+
+      tag clicks 0 / purchases 1 → sort by (ts, tag) within user →
+      last non-null click id over rows-unbounded-preceding.
+
+    This is exactly how the reference's streaming model would express
+    it (carry-forward state), and it scales linearly: one shuffle, no
+    pairwise candidate blowup. DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id"),
+        F.lit(None).cast("long").alias("p_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("c_event_id"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("c_event_id").isNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("c_id", F.last("c_event_id", ignorenulls=True).over(w))
+        .filter(F.col("p_event_id").isNotNull())
+        .select(
+            F.col("p_event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "c_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregate (TPC-H Q1 shape). Scale: partial
+    aggregation runs map-side, only |groups| rows shuffle — the
+    canonical 100 TB-safe aggregation. Float sums are rounded on both
+    engines so accumulation order cannot flip the comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty,
+           ROUND(AVG(l_discount), 6) AS avg_discount
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregate — partials from every partition
+    reduce to one row; no data shuffle beyond the single-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct = group-by-all-columns; shuffles only the key pair."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting; Spark expands to a two-phase aggregate.
+    At 100 TB prefer agg_approx_distinct (HLL) when ±2% is tolerable."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # non-deterministic vs oracle → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale answer to
+    count-distinct: fixed-size sketches merge associatively, so the
+    shuffle carries KBs instead of the key universe."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations over two keys."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio. The unique-key tiebreak (c_custkey) makes
+    row_number deterministic across engines. Scale: one shuffle on
+    the partition key; skewed partitions are the hazard — mitigate by
+    pre-filtering or two-level top-k."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets over per-user event time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-framed running aggregate."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           COUNT(*) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+           AS peers_within_500
+    FROM customer
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: peers whose acctbal is within 500
+    below the current row's."""
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("peers_within_500"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / set ops (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_orderby",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey
+    """,
+)
+def sort_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort — range-partitioned exchange + per-partition sort.
+    At scale, only sort when an order is actually consumed."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no global sort, O(k) driver transfer. The only sane 'ORDER BY +
+    LIMIT' at 100 TB."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union by name — no shuffle, pure concatenation of partitions."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.lit("customer").alias("side"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL) — multiplicity-aware."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)

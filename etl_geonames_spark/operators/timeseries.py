@@ -1,0 +1,137 @@
+"""Event-time window operators (SURVEY.md §2.10).
+
+The reference is a pure batch job; these are the engine extensions for
+event-time analytics over the ``events`` stream table. All three
+window shapes (tumbling, sliding, session) use Spark's native window
+operators, which run identically under batch and Structured Streaming
+— the streaming-mode variants (watermarks, stateful dedup) live in
+``etl_geonames_spark.streaming`` and are smoke-tested there.
+
+Scale: every query here shuffles once on (window/session, key) with
+map-side partial aggregation. Session windows additionally sort
+within user partitions — the 100 TB hazard is hot users, mitigated by
+AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — epoch-aligned, so the window
+    start equals date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT unnest(generate_series(
+               time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+               time_bucket(INTERVAL '15 minutes', ts),
+               INTERVAL '15 minutes')) AS window_start,
+             event_type, value
+      FROM events
+    ) t
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h size, 15 min slide): each event lands in 4
+    overlapping windows. The oracle reconstructs Spark's window
+    assignment by exploding each event to its 4 window starts —
+    both grids are epoch-aligned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute inactivity gap) per user. Spark's
+    session_window merges gap-connected events; its ``end`` is
+    last-event + gap. The oracle derives identical sessions with the
+    gaps-and-islands idiom — this op IS SQL-expressible, just not as
+    one built-in."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,135 @@
+"""The UDF surface (SURVEY.md §2.11): Arrow-vectorized Pandas UDFs.
+
+The reference's per-row JS functions all decompose into built-ins, so
+the geonames pipeline ships zero UDFs. This module declares the
+engine's extension surface for when built-ins genuinely run out:
+scalar pandas UDF, grouped-map (applyInPandas), grouped-agg pandas
+UDF, and the 1→N (UDTF) shape via explode.
+
+Every UDF here is Arrow-batched (~10-100× the throughput of
+row-at-a-time Python UDFs); none is used on the reference-parity hot
+path. The computations are deterministic so the DuckDB oracle can
+mirror them in SQL — proving the UDF results, not just their shapes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+
+@pandas_udf(DoubleType())
+def _quality_udf(n_chars: pd.Series) -> pd.Series:
+    """Vectorized scalar: a toy doc-quality score (sigmoid; numpy)."""
+    import numpy as np
+
+    x = n_chars.astype("float64")
+    return 1.0 / (1.0 + np.exp(-x / 1000.0)) + 0.1 * np.sqrt(x)
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           FLOOR((1.0 / (1.0 + exp(-(n_chars / 1000.0))) + 0.1 * sqrt(n_chars))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (series → series, Arrow transfer)."""
+    from etl_geonames_spark.functions import qround
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", qround(_quality_udf(F.col("n_chars")), 6).alias("score")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map: z-score n_chars within each language (ddof=0 to
+    match SQL STDDEV_POP)."""
+    mu = pdf["n_chars"].mean()
+    sd = pdf["n_chars"].std(ddof=0)
+    z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z}
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(CASE WHEN sd > 0 THEN (n_chars - mu) / sd ELSE 0.0 END, 4)
+             AS z_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             AVG(n_chars) OVER (PARTITION BY lang) AS mu,
+             STDDEV_POP(n_chars) OVER (PARTITION BY lang) AS sd
+      FROM documents
+    ) t
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-group arbitrary pandas transform (here a
+    per-language z-score; the oracle proves it equals the windowed-SQL
+    formulation). Scale: one shuffle on the group key; each group must
+    fit a worker's memory — for huge groups prefer window functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.groupBy("lang").applyInPandas(
+        _zscore_group, schema="doc_id long, lang string, z_chars double"
+    )
+    return out.select("doc_id", "lang", F.round("z_chars", 4).alias("z_chars"))
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg_udf(price: pd.Series, qty: pd.Series) -> float:
+    return float((price * qty).sum() / qty.sum())
+
+
+@query(
+    "udf_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (series → scalar per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("weighted_avg_price")
+    )
+
+
+@query(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id, word FROM (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 100
+    ) t WHERE word <> ''
+    """,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N row generation (UDTF shape) via explode over an
+    array-returning expression — the set-returning idiom that stays
+    JVM-side (a Python UDTF would be the slow path)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )

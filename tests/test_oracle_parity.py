@@ -1,0 +1,96 @@
+"""Differential correctness harness: every registered query runs on
+Spark AND (where an oracle exists) on DuckDB over the same Parquet,
+then row counts, schemas, and order-insensitive values are compared —
+a local mirror of the driver's t2 gate, so regressions surface in
+pytest before the driver sees them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            # decimal/HUGEINT leakage etc.
+            try:
+                df[c] = pd.to_numeric(df[c])
+                df[c] = df[c].astype("int64")
+            except (ValueError, TypeError):
+                pass
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) < 1e-9
+    if pd.isna(a) and pd.isna(b):
+        return True
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query(name, spark, sf_dir, ddb):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only check (mirrors the driver's weaker gate):
+        # deterministic row count across two runs
+        again = QUERIES[name](spark, sf_dir).toPandas()
+        assert len(spark_pd) == len(again), f"{name}: non-deterministic row count"
+        return
+    duck_pd = ddb.sql(ORACLES[name]).df()
+    assert len(spark_pd) == len(duck_pd), (
+        f"{name}: row count spark={len(spark_pd)} duckdb={len(duck_pd)}"
+    )
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns), (
+        f"{name}: columns spark={sorted(spark_pd.columns)} "
+        f"duckdb={sorted(duck_pd.columns)}"
+    )
+    s = _normalize(spark_pd)
+    d = _normalize(duck_pd)
+    mismatches = []
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not _values_equal(a, b):
+                mismatches.append((col, i, a, b))
+                if len(mismatches) > 5:
+                    break
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
