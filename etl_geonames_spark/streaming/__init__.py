@@ -1,0 +1,19 @@
+from etl_geonames_spark.streaming.pipeline import (
+    geonames_pits_stream,
+    read_events_stream,
+    run_available_now,
+    streaming_dedup,
+    streaming_running_totals,
+    streaming_session,
+    streaming_tumbling,
+)
+
+__all__ = [
+    "geonames_pits_stream",
+    "read_events_stream",
+    "run_available_now",
+    "streaming_dedup",
+    "streaming_running_totals",
+    "streaming_session",
+    "streaming_tumbling",
+]

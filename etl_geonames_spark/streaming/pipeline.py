@@ -1,0 +1,190 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's Highland pipe (geonames.js:239-252) gives incremental,
+bounded-memory execution with no event-time semantics. The engine's
+streaming surface is the genuine upgrade: the *same declarative
+transformations* run under ``spark.readStream`` unchanged (stateless
+ops like the geonames pipeline), and event-time operators — watermarked
+windows, stateful dedup, arbitrary per-key state — cover what a pull
+stream never could: out-of-order data with bounded state.
+
+Everything here is exercised by ``tests/test_streaming.py`` with
+``availableNow`` triggers against the fixture tables, asserting
+streaming results equal their batch equivalents (the strongest check a
+bounded source allows).
+
+Scale notes:
+  - State stores are per-key (user_id / event_id): partitioned by the
+    shuffle on the grouping key, RocksDB-backed on a real cluster.
+  - Watermarks bound state: without one, a windowed agg on an
+    unbounded stream retains every window forever.
+  - ``availableNow`` is also the production backfill trigger — one
+    command replays history with the same query that serves live data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_geonames_spark.session import apply_runtime_confs
+
+# With spark.sql.legacy.parquet.nanosAsLong=true the events file's
+# TIMESTAMP(NANOS) column arrives as int64 nanos (see sources.tables).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same
+    nanos→TIMESTAMP_NTZ conversion as the batch reader — one codebase,
+    two execution modes."""
+    apply_runtime_confs(spark)
+    # glob, not a bare file path — the file streaming source requires a
+    # directory or glob (it derives basePath from it)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    # TIMESTAMP (ltz), not NTZ: watermarks only accept TIMESTAMP, and
+    # under the engine's pinned UTC session timezone the two carry the
+    # same wall clock; outputs cast back to NTZ to match the batch
+    # reader.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate. The watermark caps state:
+    windows older than max(event time) − watermark are finalized and
+    evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows (30-minute gap) per user — the
+    merging-window state shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id, state bounded by the watermark —
+    the streaming analog of llm_dedup_exact."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_TOTALS_OUT = "user_id LONG, n_events LONG, total_value DOUBLE"
+_TOTALS_STATE = "n LONG, total DOUBLE"
+
+
+def _running_totals_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running (count, sum) carried
+    in the state store across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def streaming_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running totals — the engine's escape hatch for operators with no
+    built-in streaming form. State is one (long, double) per user:
+    bounded, partitioned, store-backed."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def geonames_pits_stream(
+    spark: SparkSession,
+    all_countries_path: str,
+    config,
+) -> DataFrame:
+    """The reference's transform as a *stream*: readStream over the TSV
+    → identical declarative pipeline (filter → typed → PIT projection).
+
+    Stateless, so the batch plan runs verbatim under streaming — this
+    is the engine's replacement for the reference's incremental
+    Highland pipe (geonames.js:239-252), with restart/exactly-once via
+    checkpointing instead of rerun-from-scratch."""
+    from etl_geonames_spark.geonames.pipeline import build_pits, filters_predicate
+    from etl_geonames_spark.schemas import ALL_COUNTRIES_SCHEMA
+
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(ALL_COUNTRIES_SCHEMA)
+        .option("sep", "\t")
+        .option("quote", "")
+        .csv(all_countries_path)
+    )
+    filtered = raw.filter(filters_predicate(config.filters, config.extra_ids()))
+    return build_pits(filtered, config)
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded stream through the memory sink and return the
+    result table. ``availableNow`` processes everything currently in
+    the source then stops — the test/backfill trigger."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,89 @@
+"""Physical-plan contracts: pin the plan properties that matter at
+100 TB so a regression (broadcast→shuffle, lost pushdown, lost column
+pruning, full-sort top-k) fails here before it burns a cluster.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from etl_geonames_spark.plans import (
+    wholestage_codegen_count,
+    explain_str,
+    has_broadcast_hash_join,
+    has_node,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_exchange_count,
+)
+
+QUERIES = entry_mod.queries()
+
+
+def test_pit_pipeline_is_shuffle_free(spark, sf_dir):
+    """The flagship reference dataflow: scan → filter/project → two
+    broadcast joins. Zero shuffle exchanges at any fact size."""
+    df = QUERIES["pit_pipeline"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert shuffle_exchange_count(df) == 0
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_join_admin2_broadcasts_the_dim(spark, sf_dir):
+    df = QUERIES["join_admin2"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert shuffle_exchange_count(df) == 0
+
+
+def test_filter_whereeq_pushes_to_scan(spark, sf_dir):
+    df = QUERIES["filter_whereeq"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "o_orderstatus" in pf and "o_orderpriority" in pf
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """scan_tsv projects 11 of lineitem's 16 columns — the scan must
+    read only those (Catalyst column pruning reaching Parquet)."""
+    df = QUERIES["scan_tsv"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert 0 < len(cols) <= 11
+    assert "l_comment" not in cols
+
+
+def test_sort_limit_is_topk_not_global_sort(spark, sf_dir):
+    df = QUERIES["sort_limit"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    # a global range-partitioned sort would be an Exchange rangepartitioning
+    assert shuffle_exchange_count(df) == 0
+
+
+def test_agg_group_single_shuffle_with_partial_agg(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial agg, ONE shuffle of partials."""
+    df = QUERIES["agg_group"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = QUERIES["agg_group"](spark, sf_dir)
+    assert wholestage_codegen_count(df) >= 2  # scan+partial, final
+
+
+def test_llm_dedup_exact_single_shuffle(spark, sf_dir):
+    df = QUERIES["llm_dedup_exact"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_geonames_relations_shuffle_free(spark, tmp_path):
+    """build_relations: both dim probes must be broadcast joins."""
+    from etl_geonames_spark.geonames import GeonamesConfig
+    from etl_geonames_spark.geonames.pipeline import run_pipeline
+    from etl_geonames_spark.schemas import ADMIN_CODE_SCHEMA, ALL_COUNTRIES_SCHEMA
+
+    fact = spark.createDataFrame([], ALL_COUNTRIES_SCHEMA)
+    dim = spark.createDataFrame([], ADMIN_CODE_SCHEMA)
+    cfg = GeonamesConfig(types={"PPL": "x"}, filters=[{"countryCode": "NL"}])
+    pits, rels = run_pipeline(fact, dim, dim, cfg)
+    assert shuffle_exchange_count(pits) == 0
+    assert shuffle_exchange_count(rels) == 0
+    assert not has_node(rels, "SortMergeJoin")

@@ -1,0 +1,118 @@
+"""Structured Streaming checks: each streaming operator drains the
+bounded fixture source with an availableNow trigger and must equal its
+batch equivalent — the strongest equivalence a bounded source allows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.operators.timeseries import stream_session, stream_tumbling
+from etl_geonames_spark.sources import load_table
+from etl_geonames_spark.streaming import (
+    geonames_pits_stream,
+    read_events_stream,
+    run_available_now,
+    streaming_dedup,
+    streaming_running_totals,
+    streaming_tumbling,
+    streaming_session,
+)
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    # complete mode: every window in the final table, late or not
+    result = run_available_now(
+        streaming_tumbling(ev), "t_tumbling", output_mode="complete"
+    )
+    batch = stream_tumbling(spark, sf_dir)
+    assert _sorted_rows(result, "window_start", "event_type") == _sorted_rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        streaming_session(ev), "t_session", output_mode="complete"
+    )
+    batch = stream_session(spark, sf_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert _sorted_rows(result, "user_id", "session_start") == _sorted_rows(
+        batch, "user_id", "session_start"
+    )
+
+
+def test_streaming_dedup(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    # the fixture has unique event_ids: dedup must be a no-op on count
+    result = run_available_now(streaming_dedup(ev), "t_dedup")
+    expected = load_table(spark, sf_dir, "events").count()
+    assert result.count() == expected
+
+
+def test_streaming_running_totals_equals_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        streaming_running_totals(ev), "t_totals", output_mode="update"
+    )
+    # update mode re-emits a row per user per micro-batch; the LAST
+    # emission per user is the final state
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, _total) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(_total, abs=0.05)
+
+
+def test_geonames_pipeline_as_stream(spark, tmp_path):
+    """The reference's transform runs unchanged under readStream."""
+    from etl_geonames_spark.geonames import GeonamesConfig
+
+    rows = [
+        ["1001", "Amsterdam", "Amsterdam", "", "52.37", "4.89", "P", "PPLA",
+         "NL", "", "07", "0363", "", "", "0", "", "", "", ""],
+        ["1003", "Berlin", "Berlin", "", "52.52", "13.40", "P", "PPLC",
+         "DE", "", "16", "00", "", "", "0", "", "", "", ""],
+        ["1004", "SomeHill", "SomeHill", "", "52.0", "5.0", "T", "HLL",
+         "NL", "", "09", "0344", "", "", "0", "", "", "", ""],
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "allCountries.txt").write_text(
+        "\n".join("\t".join(r) for r in rows) + "\n"
+    )
+    cfg = GeonamesConfig(
+        types={"PPL": "hg:Place"}, filters=[{"countryCode": "NL"}]
+    )
+    pits = geonames_pits_stream(spark, str(src), cfg)
+    assert pits.isStreaming
+    result = run_available_now(pits, "t_geonames_pits")
+    rows_out = result.collect()
+    # NL + typed only: Amsterdam passes, Berlin (DE) and SomeHill (HLL) drop
+    assert [r["uri"] for r in rows_out] == ["http://sws.geonames.org/1001"]
+    assert rows_out[0]["geometry"]["coordinates"] == [4.89, 52.37]
