@@ -17,8 +17,9 @@ Design principles (SURVEY.md §7.0):
     use explicit ``F.broadcast`` / literal maps: at 100 TB fact scale
     the dimensions stay small.
   - Pandas (Arrow-vectorized) UDFs only where built-ins genuinely
-    cannot express the semantics (SimHash bit-packing, multimodal
-    decode).
+    cannot express the semantics (multimodal decode, arbitrary
+    stateful streaming) — even SimHash decomposes into JVM bitwise
+    expressions.
 """
 
 __version__ = "0.1.0"

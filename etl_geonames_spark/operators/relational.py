@@ -409,6 +409,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi join — the skew-mitigation pattern for when
+    one join key carries a disproportionate share of the fact rows and
+    AQE's skew splitting isn't available (e.g. the build side must
+    shuffle too).
+
+    Fact side: deterministic salt = xxhash64(orderkey) mod N appended
+    to the key. Build side: exploded N× with every salt value. The
+    shuffle then spreads each hot key over N partitions. Semantics are
+    exactly the unsalted join (oracle: plain join) — salting changes
+    the partitioning, never the result. At 100 TB, N scales with the
+    observed skew factor; AQE skew-join handles the common case
+    without code, this is the explicit fallback."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(_SALT_BUCKETS)).cast("int"),
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+        )
+    )
+    # shuffle_hash hint: without it the small fixture dim would
+    # auto-broadcast and the salted shuffle this op demonstrates would
+    # never materialize (in the real skew scenario the build side is
+    # too big to broadcast by definition).
+    return (
+        o.join(
+            c.hint("shuffle_hash"),
+            (o["o_custkey"] == c["c_custkey"]) & (o["_salt"] == c["_salt"]),
+        )
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
