@@ -236,6 +236,31 @@ def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_date_extract",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar field extraction + interval arithmetic."""
+    o = F.col("o_orderdate")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(o).cast("int").alias("y"),
+        F.month(o).cast("int").alias("m"),
+        F.dayofmonth(o).cast("int").alias("d"),
+        F.quarter(o).cast("int").alias("q"),
+        (o + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
     "fn_json_extract",
     oracle="""
     SELECT event_id, event_type,

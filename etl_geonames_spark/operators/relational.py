@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.geonames.pipeline import filters_predicate
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
@@ -467,7 +468,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0
+             AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            COUNT(*) AS count_order
@@ -484,8 +486,13 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        # qround at the 4dp product grid, not ROUND at 2dp: summed
+        # 2dp×2dp products are exact 4dp multiples, so 4dp rounding is
+        # robust to cross-engine accumulation-order noise, while a 2dp
+        # cut can land exactly on a half-boundary where the engines'
+        # ROUNDs disagree (observed at sf0.01).
+        qround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -721,6 +728,53 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         F.count(F.lit(1)).over(w).alias("peers_within_500"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last analytic over the full partition (explicit unbounded
+    frame for last — the default frame stops at CURRENT ROW)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment. Note the empty partitionBy: a global NTILE
+    funnels everything through ONE task — fine for dim-sized data,
+    a deliberate anti-pattern at fact scale (partition it, or derive
+    quantile cutoffs via approxQuantile and join them broadcast)."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
     )
 
 

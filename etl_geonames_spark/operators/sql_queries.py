@@ -1,0 +1,143 @@
+"""The SQL-string interface: the engine's second front door.
+
+Every DataFrame operator in this package has an equivalent through
+``spark.sql`` over registered views — same Catalyst plans, same
+physical execution. These queries prove the SQL surface end-to-end
+with TPC-H-shaped analytics (multi-join star queries, correlated
+IN-subquery with HAVING, GROUPING SETS) whose oracles are nearly
+verbatim the same SQL run by DuckDB.
+
+Scale notes: identical to the DataFrame forms — Catalyst sees one
+logical plan either way. Join order here is left to the optimizer
+(CBO + AQE), which is the point: declarative SQL means the 100 TB
+plan improves with statistics, not code changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+from etl_geonames_spark.sources.tables import TABLE_NAMES
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the fixture tables as temp views for spark.sql use."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "sql_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+                 / 10000.0 AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to the fixture columns):
+    segment filter → 3-way join → grouped revenue."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_orderkey,
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+                 / 10000.0 AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP_NTZ '1996-03-15'
+          AND l_shipdate > TIMESTAMP_NTZ '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate
+    """)
+
+
+@query(
+    "sql_tpch_q5",
+    oracle="""
+    SELECT n_name, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+                 / 10000.0 AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table star join with a
+    same-nation constraint. The two dims broadcast; the fact joins
+    shuffle on their keys — all optimizer-chosen."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+                 / 10000.0 AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+        GROUP BY n_name
+    """)
+
+
+@query(
+    "sql_tpch_q18",
+    oracle="""
+    SELECT c_name, o_orderkey, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): IN-subquery with HAVING —
+    planned as a left-semi join against the pre-aggregated subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_name, o_orderkey, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, o_orderkey, o_totalprice
+    """)
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) —
+    one Expand + single aggregate, not three scans."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)

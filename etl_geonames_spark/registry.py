@@ -32,6 +32,7 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.relational",
+    "etl_geonames_spark.operators.sql_queries",
     "etl_geonames_spark.operators.functions",
     "etl_geonames_spark.operators.timeseries",
     "etl_geonames_spark.operators.udfs",
