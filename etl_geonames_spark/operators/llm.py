@@ -414,6 +414,120 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_cluster")  # iterative fixpoint → rows-only
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash
+    candidate-pair graph, so each near-dup *group* keeps exactly one
+    canonical document (pairwise dedup alone can't pick a survivor
+    from A~B, B~C chains).
+
+    Iterative min-label propagation on DataFrames: each round, every
+    doc adopts the smallest label among itself and its neighbors; the
+    loop runs until no label changes (checked via a count — cheap,
+    since the frontier shrinks geometrically). Each round is one
+    shuffle on doc_id. At billions of docs this exact loop holds —
+    it's the standard large-graph CC algorithm (HashToMin); rounds
+    grow with component *diameter*, and dup clusters are shallow.
+
+    Output: (doc_id, cluster_id, is_canonical)."""
+    edges = llm_dedup_minhash(spark, sf_dir)  # (doc_a < doc_b)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("label", F.col("doc_id"))
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()  # pin the edge set; it is reused every round
+    for _ in range(10):  # bound >> observed dup-cluster diameter
+        neighbor_min = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: iterative plans blow up
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND doc_id % 10 < 5)
+       OR (lang <> 'en' AND doc_id % 10 < 2)
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (50% of 'en', 20% of the rest)
+    via key-mod buckets instead of RNG — reproducible across runs,
+    engines, and partitionings, which is what a training-data pipeline
+    needs for auditable mixtures. Pure scan-side filter: no shuffle,
+    pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate_bucket = F.when(F.col("lang") == "en", F.lit(5)).otherwise(F.lit(2))
+    return docs.filter(F.col("doc_id") % 10 < rate_bucket).select("doc_id", "lang")
+
+
+_CTX_WINDOW = 512
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, lang, ws_tokens,
+           CAST(FLOOR((cum - ws_tokens) / {_CTX_WINDOW}.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS ws_tokens,
+             SUM(len(str_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ) t
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (context windows) by cumulative token count within each language —
+    the contiguous-packing strategy for pretraining batch construction.
+    One window shuffle on lang; deterministic doc_id order makes packs
+    reproducible. (True greedy bin-packing is inherently sequential;
+    contiguous packing is the scalable standard.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        toks.cast("bigint").alias("ws_tokens"),
+        F.floor((F.sum(toks).over(w) - toks) / _CTX_WINDOW).alias("pack_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
