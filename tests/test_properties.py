@@ -1,0 +1,112 @@
+"""Property-based tests (Hypothesis): the reference's row-level
+semantics, checked against independent pure-Python models on randomized
+inputs — hundreds of generated cases per run instead of a handful of
+hand-picked ones.
+
+Strategy: generate random rows/configs, compute expected output with a
+direct transliteration of the reference's JS logic (the model), run the
+engine's Column expressions over the same rows via a local DataFrame,
+compare exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.geonames.pipeline import filters_predicate, resolve_type
+
+# ---------------------------------------------------------------------------
+# models: direct transliterations of the reference's JS
+# ---------------------------------------------------------------------------
+
+
+def _model_resolve_type(code: str, types: dict[str, str]) -> str | None:
+    """geonames.js:127-132 — truncate until map hit, longest wins."""
+    while code:
+        if code in types:
+            return types[code]
+        code = code[:-1]
+    return None
+
+
+def _model_filter(row: dict, filters: list[dict], extra_ids: set[str]) -> bool:
+    """geonames.js:180-182, 243-245 — any(whereEq ∨ allowlisted);
+    empty filter list ⇒ False (R.any over [])."""
+    return any(
+        all(row.get(k) == v for k, v in flt.items())
+        or row.get("geonameid") in extra_ids
+        for flt in filters
+    )
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+_code = st.text(alphabet="ABC", min_size=0, max_size=5)
+_types = st.dictionaries(
+    st.text(alphabet="ABC", min_size=1, max_size=5),
+    st.sampled_from(["t1", "t2", "t3"]),
+    max_size=6,
+)
+_val = st.sampled_from(["NL", "DE", "US", ""])
+_row = st.fixed_dictionaries(
+    {
+        "geonameid": st.sampled_from(["1", "2", "3"]),
+        "countryCode": _val,
+        "featureClass": st.sampled_from(["P", "T", "A"]),
+    }
+)
+_filters = st.lists(
+    st.dictionaries(
+        st.sampled_from(["countryCode", "featureClass"]), _val, max_size=2
+    ),
+    max_size=3,
+)
+_extra = st.sets(st.sampled_from(["1", "2", "3"]), max_size=2)
+
+_slow = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# properties
+# ---------------------------------------------------------------------------
+
+
+@_slow
+@given(codes=st.lists(_code, min_size=1, max_size=8), types=_types)
+def test_resolve_type_matches_reference_model(spark, codes, types):
+    df = spark.createDataFrame([(c,) for c in codes], "code string")
+    got = [
+        r["t"]
+        for r in df.select(
+            resolve_type(F.col("code"), types).alias("t")
+        ).collect()
+    ]
+    want = [_model_resolve_type(c, types) for c in codes]
+    assert got == want
+
+
+@_slow
+@given(rows=st.lists(_row, min_size=1, max_size=8), filters=_filters, extra=_extra)
+def test_filters_predicate_matches_reference_model(spark, rows, filters, extra):
+    df = spark.createDataFrame(
+        [(r["geonameid"], r["countryCode"], r["featureClass"]) for r in rows],
+        "geonameid string, countryCode string, featureClass string",
+    )
+    pred = filters_predicate(filters, sorted(extra))
+    got = {
+        r["geonameid"]
+        for r in df.filter(pred).select("geonameid").collect()
+    }
+    want = {
+        r["geonameid"] for r in rows if _model_filter(r, filters, extra)
+    }
+    assert got == want
