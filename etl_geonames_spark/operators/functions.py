@@ -236,6 +236,81 @@ def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_string_ops",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_name) AS name_lower,
+           TRIM(p_type) AS type_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           SUBSTRING(p_name, 1, 5) AS name_head,
+           CAST(length(p_name) AS INT) AS name_len,
+           (p_type LIKE '%BRASS%') AS is_brass
+    FROM part
+    """,
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string surface: case, trim, pad, substring, length, LIKE."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+           regexp_matches(c_name, '^Customer') AS is_customer
+    FROM customer
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction / replacement / match — JVM-side regex, still
+    codegen'd (the reference's string surgery was plain replace;
+    geonames.js:235)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("name_masked"),
+        F.col("c_name").rlike("^Customer").alias("is_customer"),
+    )
+
+
+@query(
+    "fn_null_ops",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           (s_acctbal IS NULL) AS bal_missing,
+           IFNULL(NULLIF(s_acctbal, 0.0), -1.0) AS bal_or_flag
+    FROM supplier
+    """,
+)
+def fn_null_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce, nullif, is-null, ifnull —
+    the tools for the reference's truthy/empty-string conventions."""
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_default"
+        ),
+        F.isnull("s_acctbal").alias("bal_missing"),
+        F.ifnull(F.nullif(F.col("s_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "bal_or_flag"
+        ),
+    )
+
+
+@query(
     "fn_date_extract",
     oracle="""
     SELECT o_orderkey,

@@ -362,6 +362,21 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product — legitimate only when one side is
+    tiny (here both are dims; Spark plans a broadcast nested loop).
+    A fact×fact cross is a plan bug, not an operator."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@query(
     "join_asof",
     oracle="""
     SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, c.event_id AS c_id
@@ -621,6 +636,85 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(STDDEV_SAMP(l_quantity) * 1000000.0 + 0.5) / 1000000.0
+             AS sd_qty,
+           FLOOR(VAR_SAMP(l_discount) * 1000000000.0 + 0.5) / 1000000000.0
+             AS var_disc,
+           FLOOR(CORR(l_quantity, l_extendedprice) * 1000000.0 + 0.5)
+             / 1000000.0 AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation) — one-pass
+    moment accumulators, same partial+final shape as sum/avg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qround(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        qround(F.var_samp("l_discount"), 9).alias("var_disc"),
+        qround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           CAST(len(list(DISTINCT n_name)) AS INT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation — collect_set sorted for determinism
+    (collect_list order is partition-dependent by design; never
+    compare an unsorted collect), serialized for the flat-column
+    comparison gate."""
+    sets = F.sort_array(F.collect_set("n_name"))
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(sets, ",").alias("nations"),
+            F.size(sets).cast("int").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS building,
+           COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+           COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS machinery
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list — without one,
+    Spark must first scan for distinct keys; always pin the columns at
+    scale."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["BUILDING", "AUTOMOBILE", "MACHINERY"])
+        .count()
+        .select(
+            "c_nationkey",
+            F.coalesce("BUILDING", F.lit(0)).alias("building"),
+            F.coalesce("AUTOMOBILE", F.lit(0)).alias("automobile"),
+            F.coalesce("MACHINERY", F.lit(0)).alias("machinery"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # window functions (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -652,6 +746,30 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions (percent_rank, cume_dist) within
+    nation-partitioned balance order."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        qround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        qround(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
