@@ -38,11 +38,20 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # JVM/codegen warm-up on one tiny plan so query #1 isn't charged
-    # session start-up costs.
+    # Warm-up: one tiny JVM plan plus one trivial Arrow round-trip, so
+    # query #1 isn't charged session start-up and the first pandas-UDF
+    # query isn't charged the Python-worker pool spawn (both one-time
+    # session costs, not query costs).
     from etl_geonames_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "region").count()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    # first use of case-mapping/regex string functions loads ICU
+    # collation machinery (~5 s, once per session)
+    spark.sql(
+        "SELECT upper('a'), lower('B'), lpad('1', 2, '0'), "
+        "regexp_extract('a1', '([0-9])', 1)"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -52,3 +52,21 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     got = scan.count()
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert got == want > 0
+
+
+def test_ndjson_round_trip(spark, sf_dir, tmp_path):
+    """PIT documents written as NDJSON read back intact with an
+    explicit schema — the staged-pipeline loop the reference leaves to
+    Histograph."""
+    from etl_geonames_spark.operators.pit import flagship_nested
+    from etl_geonames_spark.schemas import PIT_SCHEMA
+    from etl_geonames_spark.sources import read_ndjson, write_ndjson
+
+    pits = flagship_nested(spark, sf_dir)
+    path = str(tmp_path / "pits_ndjson")
+    write_ndjson(pits, path)
+    back = read_ndjson(spark, path, PIT_SCHEMA)
+    assert back.count() == pits.count() > 0
+    assert {r["uri"] for r in back.select("uri").collect()} == {
+        r["uri"] for r in pits.select("uri").collect()
+    }
