@@ -46,11 +46,13 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").count()
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
-    # first use of case-mapping/regex string functions loads ICU
-    # collation machinery (~5 s, once per session)
+    # first *runtime* use of case-mapping string functions loads the
+    # collation machinery (seconds, once per session) — must run over
+    # a column: literal forms constant-fold away before execution
     spark.sql(
-        "SELECT upper('a'), lower('B'), lpad('1', 2, '0'), "
-        "regexp_extract('a1', '([0-9])', 1)"
+        "SELECT upper(cast(id AS STRING)) u, lower(cast(id AS STRING)) l, "
+        "regexp_extract(cast(id AS STRING), '([0-9])', 1) r "
+        "FROM range(10)"
     ).count()
 
     timings: dict[str, float] = {}
