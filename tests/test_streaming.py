@@ -116,3 +116,38 @@ def test_geonames_pipeline_as_stream(spark, tmp_path):
     # NL + typed only: Amsterdam passes, Berlin (DE) and SomeHill (HLL) drop
     assert [r["uri"] for r in rows_out] == ["http://sws.geonames.org/1001"]
     assert rows_out[0]["geometry"]["coordinates"] == [4.89, 52.37]
+
+
+def test_streaming_checkpoint_exactly_once(spark, tmp_path):
+    """Checkpointed restart: a second availableNow run over a grown
+    source processes ONLY the new files — no reprocessing, no
+    duplicates. This (plus idempotent sinks) is the exactly-once story
+    the reference's rerun-from-scratch model lacks."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long").json(str(src))
+            .writeStream.format("json")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "batch1.json").write_text(
+        "\n".join(f'{{"id": {i}}}' for i in range(10)) + "\n"
+    )
+    run_once()
+    (src / "batch2.json").write_text(
+        "\n".join(f'{{"id": {i}}}' for i in range(10, 20)) + "\n"
+    )
+    run_once()
+
+    result = spark.read.schema("id long").json(out)
+    assert result.count() == 20  # each row exactly once
+    assert result.select("id").distinct().count() == 20
