@@ -114,6 +114,48 @@ def resolve_type(code: Column, types: dict[str, str]) -> Column:
     return F.coalesce(*probes)
 
 
+def resolve_type_join(
+    df: DataFrame, types_df: DataFrame, code_col: str = "featureCode"
+) -> DataFrame:
+    """Longest-prefix match via prefix-expansion join — SURVEY §2.9
+    option 2, for when the types map is too large to inline as a
+    literal (the coalesce chain in :func:`resolve_type` embeds the map
+    in the plan; fine for dozens of keys, wrong for millions).
+
+    Explode each code into all its prefixes, broadcast-join the types
+    table, keep the longest hit per row. ``types_df``: (prefix, type).
+    Scales to unbounded key sets and key lengths; costs one explode +
+    one broadcast join + one per-row max instead of a pure projection.
+    """
+    code = F.col(code_col)
+    # explode_outer + greatest(len,1): empty/null codes keep their row
+    # (yielding a null type), matching the coalesce chain exactly
+    with_prefixes = df.withColumn(
+        "_prefix",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(code), F.lit(1))),
+                lambda n: F.substring(code, 1, n),
+            )
+        ),
+    )
+    t = F.broadcast(
+        types_df.select(
+            F.col("prefix").alias("_t_prefix"), F.col("type").alias("_t_type")
+        )
+    )
+    joined = with_prefixes.join(t, F.col("_prefix") == F.col("_t_prefix"), "left")
+    # longest matching prefix wins: max by prefix length per input row
+    best = F.max_by(
+        F.col("_t_type"),
+        F.when(F.col("_t_type").isNotNull(), F.length("_t_prefix")).otherwise(
+            F.lit(-1)
+        ),
+    )
+    group_cols = [F.col(c) for c in df.columns]
+    return joined.groupBy(*group_cols).agg(best.alias("type"))
+
+
 def _codes_array() -> Column:
     """Non-empty admin-key values, in column order.
 

@@ -70,3 +70,55 @@ def test_ndjson_round_trip(spark, sf_dir, tmp_path):
     assert {r["uri"] for r in back.select("uri").collect()} == {
         r["uri"] for r in pits.select("uri").collect()
     }
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files compact to the computed target count and the data
+    survives byte-for-byte (row count + checksum)."""
+    import glob
+
+    from etl_geonames_spark.sources.maintenance import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 64
+    before = ev.count()
+
+    n = compact_parquet(spark, path, target_file_bytes=256 * 1024)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n < 64
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert {r["event_id"] for r in after_df.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+
+
+def test_binary_file_source_feeds_decode(spark, tmp_path):
+    """Real media ingestion path: spark.read.format('binaryFile') over
+    a directory of opaque blobs → the mapInPandas decode pipeline.
+    The codec is stubbed; the source, binary transfer, and batch
+    plumbing are real."""
+    from etl_geonames_spark.operators.multimodal import _decode_batches
+
+    from pyspark.sql import functions as F
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.bin": bytes(range(10 + i)) for i in range(5)}
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+
+    raw = spark.read.format("binaryFile").load(str(media))
+    blobs = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("content").alias("blob"),
+    )
+    decoded = blobs.select("doc_id", "blob").mapInPandas(
+        _decode_batches,
+        schema="doc_id long, n_bytes long, width int, height int, n_frames int",
+    )
+    got = {r["n_bytes"] for r in decoded.collect()}
+    assert got == {len(b) for b in payloads.values()}

@@ -110,3 +110,29 @@ def test_filters_predicate_matches_reference_model(spark, rows, filters, extra):
         r["geonameid"] for r in rows if _model_filter(r, filters, extra)
     }
     assert got == want
+
+
+@_slow
+@given(codes=st.lists(_code, min_size=1, max_size=8), types=_types)
+def test_resolve_type_join_equals_coalesce_chain(spark, codes, types):
+    """SURVEY §2.9's two strategies — literal coalesce chain vs
+    prefix-expansion broadcast join — must agree on every input."""
+    from etl_geonames_spark.geonames.pipeline import resolve_type_join
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "id int, featureCode string"
+    )
+    chain = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", resolve_type(F.col("featureCode"), types).alias("t")
+        ).collect()
+    }
+    types_df = spark.createDataFrame(
+        list(types.items()) or [("\x00never", "x")], "prefix string, type string"
+    )
+    join = {
+        r["id"]: r["type"]
+        for r in resolve_type_join(df, types_df).collect()
+    }
+    assert join == chain
