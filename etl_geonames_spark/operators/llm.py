@@ -436,6 +436,51 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_verified")  # candidate set is LSH-derived → rows-only
+def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition: MinHash-LSH candidate pairs →
+    exact bigram-Jaccard verification on ONLY those pairs.
+
+    This is how near-dedup actually runs at corpus scale: candidate
+    generation is linear-ish (banded LSH), and the quadratic exact
+    comparison collapses to the candidate set. Contrast llm_dedup_ngram,
+    which exact-joins grams corpus-wide and must be bounded. Per pair,
+    Jaccard is computed with array intersection on the two token-bigram
+    sets — no explode, no second shuffle beyond the two text lookups.
+
+    Output: (doc_a, doc_b, jaccard) for verified pairs (jaccard ≥ 0.3)."""
+    pairs = llm_dedup_minhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id", F.array_distinct(_shingles("toks", 2)).alias("grams")
+        )
+        .withColumn("n_grams", F.size("grams"))
+    )
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("na"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    from etl_geonames_spark.functions import qround
+
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", qround(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 @query("llm_dedup_cluster")  # iterative fixpoint → rows-only
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the MinHash

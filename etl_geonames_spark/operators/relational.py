@@ -637,6 +637,26 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_median",
+    oracle="""
+    SELECT c_nationkey,
+           FLOOR(MEDIAN(c_acctbal) * 100.0 + 0.5) / 100.0 AS median_bal,
+           FLOOR(quantile_cont(c_acctbal, 0.9) * 100.0 + 0.5) / 100.0 AS p90_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous quantile. Exact percentiles buffer the
+    group's values — at 100 TB use approx_percentile (t-digest
+    sketches, fixed memory, mergeable) unless exactness is contractual."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        qround(F.median("c_acctbal"), 2).alias("median_bal"),
+        qround(F.percentile("c_acctbal", F.lit(0.9)), 2).alias("p90_bal"),
+    )
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
