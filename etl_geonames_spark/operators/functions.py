@@ -336,6 +336,27 @@ def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_variant_get",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_variant
+    FROM events
+    """,
+)
+def fn_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse once into the
+    binary variant encoding, then typed path extraction — at scale this
+    beats per-access string re-parsing (get_json_object) whenever more
+    than one field is read."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "bigint"
+        ).alias("k_via_variant"),
+    )
+
+
+@query(
     "fn_json_extract",
     oracle="""
     SELECT event_id, event_type,

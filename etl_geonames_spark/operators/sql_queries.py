@@ -123,6 +123,100 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_tpch_q6",
+    oracle="""
+    SELECT FLOOR(SUM(l_extendedprice * l_discount) * 10000.0 + 0.5) / 10000.0
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan + pushed
+    predicates + global agg — the query whose entire cost IS the scan,
+    i.e. the purest test of pushdown and column pruning."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(FLOOR(SUM(l_extendedprice * l_discount) * 10000.0 + 0.5)
+                    / 10000.0 AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
+@query(
+    "sql_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes/priority): join + conditional
+    counting via SUM(CASE...)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+        GROUP BY l_returnflag
+    """)
+
+
+@query(
+    "sql_tpch_q14",
+    oracle="""
+    SELECT FLOOR(
+             100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+                    / SUM(l_extendedprice * (1 - l_discount))
+             * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): fact ⋈ broadcast dim + conditional
+    ratio aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(FLOOR(
+                 100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                        / SUM(l_extendedprice * (1 - l_discount))
+                 * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP_NTZ '1996-09-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1996-10-01'
+    """)
+
+
+@query(
     "sql_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,

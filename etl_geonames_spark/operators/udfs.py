@@ -113,6 +113,53 @@ def udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_bigram_udtf():
+    """Python UDTF (Spark 3.5+/4): genuine 1→N table function in
+    Python. Built lazily — decorating at import would bind a worker
+    requirement every module load."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):  # noqa: D401
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(len(words) - 1):
+                yield i, f"{words[i]} {words[i + 1]}"
+
+    return Bigrams
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(str_split(text, ' ')) - 2))
+                AS INT) AS pos,
+           unnest(list_transform(
+             generate_series(1, len(str_split(text, ' ')) - 1),
+             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]
+           )) AS bigram
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF via LATERAL join — the escape hatch when a 1→N
+    op can't decompose to explode. Slow path by design (Python worker
+    round-trip per batch); the oracle proves the results, and
+    udtf_explode shows the JVM-side form to prefer."""
+    Bigrams = _make_bigram_udtf()
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM docs_for_udtf d, LATERAL bigrams_udtf(d.text) b
+        """
+    )
+
+
 @query(
     "udtf_explode",
     oracle="""
