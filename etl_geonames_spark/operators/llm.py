@@ -601,6 +601,61 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 100
+      ) t WHERE word <> '' GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             FLOOR(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) * 1000000.0 + 0.5)
+               / 1000000.0 AS tfidf
+      FROM tf, df, n WHERE tf.word = df.word
+    )
+    SELECT doc_id, word, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    ) x WHERE rn <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc × inverse document frequency,
+    top-3 terms per document. Three hash aggregates + one broadcast of
+    the (word → df) side + a per-doc top-k window — each stage
+    map-side-combined; the df table is vocabulary-sized, so it
+    broadcasts at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()  # scalar, driver-side
+    from etl_geonames_spark.functions import qround
+
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        qround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+@query(
     "llm_wordcount",
     oracle="""
     SELECT word, COUNT(*) AS n FROM (

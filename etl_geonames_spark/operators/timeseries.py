@@ -91,6 +91,62 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+               AS bucket
+      FROM bounds
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN agg a
+      ON g.event_type = a.event_type AND g.bucket = a.bucket
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: empty buckets appear as
+    zero rows (plain window aggs silently omit them). The dense grid is
+    generated with sequence+explode per key — grid size is
+    (key-cardinality × buckets), independent of event count, so it
+    stays tiny even when events are 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
     "stream_session",
     oracle="""
     WITH flagged AS (

@@ -51,6 +51,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query name {name!r} — a dict overwrite would "
+                "silently drop one implementation from the driver contract"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
