@@ -57,8 +57,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        df = qs[name](spark, sf_dir)
+        # construction is INSIDE the timed window: iterative queries
+        # (dedup clustering) and scalar-subquery queries (tfidf's
+        # doc count) execute real work eagerly at build time — timing
+        # only the write would hide it
         t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

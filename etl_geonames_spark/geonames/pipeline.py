@@ -131,6 +131,8 @@ def resolve_type_join(
     # explode_outer + greatest(len,1): empty/null codes keep their row
     # (yielding a null type), matching the coalesce chain exactly
     with_prefixes = df.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).withColumn(
         "_prefix",
         F.explode_outer(
             F.transform(
@@ -145,15 +147,24 @@ def resolve_type_join(
         )
     )
     joined = with_prefixes.join(t, F.col("_prefix") == F.col("_t_prefix"), "left")
-    # longest matching prefix wins: max by prefix length per input row
+    # longest matching prefix wins: max by prefix length per input ROW —
+    # grouped on a per-row surrogate id, not on df's columns, so
+    # duplicate input rows survive (groupBy over the columns would
+    # collapse them, diverging from the resolve_type projection)
     best = F.max_by(
         F.col("_t_type"),
         F.when(F.col("_t_type").isNotNull(), F.length("_t_prefix")).otherwise(
             F.lit(-1)
         ),
     )
-    group_cols = [F.col(c) for c in df.columns]
-    return joined.groupBy(*group_cols).agg(best.alias("type"))
+    return (
+        joined.groupBy("_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in df.columns],
+            best.alias("type"),
+        )
+        .drop("_rid")
+    )
 
 
 def _codes_array() -> Column:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.geonames.pipeline import resolve_type
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
@@ -89,16 +90,13 @@ def fn_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BRAND_TYPES = {"Brand#1": "family-one", "Brand#3": "family-three"}
+from etl_geonames_spark.operators.brand_map import _BRAND_CASE, _BRAND_TYPES
 
 
 @query(
     "fn_prefix_match",
-    oracle="""
-    SELECT p_partkey, p_brand,
-           CASE WHEN p_brand LIKE 'Brand#3%' THEN 'family-three'
-                WHEN p_brand LIKE 'Brand#1%' THEN 'family-one'
-           END AS brand_family
+    oracle=f"""
+    SELECT p_partkey, p_brand, {_BRAND_CASE} AS brand_family
     FROM part
     """,
 )
@@ -184,8 +182,8 @@ def fn_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(l_discount - 0.05) AS disc_dev,
            FLOOR(l_quantity) AS qty_floor,
            CEIL(l_quantity / 7) AS qty_ceil7,
-           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
-           ROUND(LN(l_extendedprice), 6) AS price_ln
+           FLOOR((SQRT(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
+           FLOOR((LN(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_ln
     FROM lineitem
     """,
 )
@@ -206,8 +204,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        qround(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        qround(F.log("l_extendedprice"), 6).alias("price_ln"),
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -60,10 +61,17 @@ _MINHASH_BANDS = 4  # 4 bands × 4 rows
 
 
 def _shingles(tok_col: str, k: int = 3):
-    """k-word shingles via sequence+slice (pure built-ins)."""
+    """k-word shingles via sequence+slice (pure built-ins).
+
+    Guarded for size < k: Spark's sequence(1, 0) counts DOWN ([1, 0])
+    and slice(_, 0, k) throws — so a single short document would kill
+    the whole job. Short docs yield an empty shingle array instead
+    (matching SQL generate_series(1, 0) = empty semantics)."""
     return F.expr(
-        f"transform(sequence(1, size({tok_col}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({tok_col}, i, {k})))"
+        f"IF(size({tok_col}) >= {k},"
+        f"   transform(sequence(1, size({tok_col}) - {k - 1}),"
+        f"     i -> concat_ws(' ', slice({tok_col}, i, {k}))),"
+        f"   array())"
     )
 
 
@@ -505,7 +513,8 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()  # pin the edge set; it is reused every round
-    for _ in range(10):  # bound >> observed dup-cluster diameter
+    changed = 0
+    for _ in range(30):  # bound ≫ any plausible dup-cluster diameter
         neighbor_min = (
             sym.join(labels, sym["doc_b"] == labels["doc_id"])
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -530,6 +539,13 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # never return silently-wrong (split) clusters
+        raise RuntimeError(
+            f"llm_dedup_cluster: label propagation not converged after 30 "
+            f"rounds ({changed} labels still changing) — component diameter "
+            "pathological for a dup graph; raise the bound or inspect edges"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -682,9 +698,9 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
            CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
              AS n_distinct_words,
-           ROUND(CAST(list_sum(list_transform(str_split(text, ' '),
+           FLOOR((CAST(list_sum(list_transform(str_split(text, ' '),
                                               w -> length(w))) AS DOUBLE)
-                 / len(str_split(text, ' ')), 6) AS avg_word_len
+                 / len(str_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len
     FROM documents
     """,
 )
@@ -712,7 +728,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_lang_dist",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 4) AS avg_chars,
+           FLOOR((AVG(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, source
     """,
@@ -724,7 +740,7 @@ def llm_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            qround(F.avg("n_chars"), 4).alias("avg_chars"),
             F.sum("n_chars").alias("total_chars"),
         )
     )

@@ -143,12 +143,9 @@ def filter_extra_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BRAND_TYPES = {"Brand#1": "family-one", "Brand#3": "family-three"}
-_BRAND_CASE = """
-    CASE WHEN p_brand LIKE 'Brand#3%' THEN 'family-three'
-         WHEN p_brand LIKE 'Brand#1%' THEN 'family-one'
-    END
-"""
+# single source of truth for the brand→family example mapping (its SQL
+# CASE mirror lives beside it) — also used by fn_prefix_match
+from etl_geonames_spark.operators.brand_map import _BRAND_CASE, _BRAND_TYPES  # noqa: E402,F401
 
 
 @query(
@@ -408,9 +405,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_event_id"),
     )
     tagged = clicks.unionByName(purchases)
+    # c_event_id as the final sort key: two clicks with identical ts
+    # would otherwise resolve by partition order (nondeterministic
+    # run-to-run). The engine pins highest-id-wins; DuckDB's ASOF keeps
+    # its own arbitrary choice on exact ties — a documented divergence
+    # that the equal-ts-free fixture never exercises.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("c_event_id").isNull().cast("int"))
+        .orderBy(
+            F.col("ts"),
+            F.col("c_event_id").isNull().cast("int"),
+            F.col("c_event_id"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -485,8 +491,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
            FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0
              AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           FLOOR((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -509,8 +515,8 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        qround(F.avg("l_quantity"), 4).alias("avg_qty"),
+        qround(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -522,7 +528,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2) AS sum_price,
            ROUND(MIN(l_quantity), 2) AS min_qty,
            ROUND(MAX(l_quantity), 2) AS max_qty,
-           ROUND(AVG(l_discount), 6) AS avg_discount
+           FLOOR((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_discount
     FROM lineitem
     """,
 )
@@ -535,7 +541,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        qround(F.avg("l_discount"), 6).alias("avg_discount"),
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -67,7 +68,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "udf_grouped_map",
     oracle="""
     SELECT doc_id, lang,
-           ROUND(CASE WHEN sd > 0 THEN (n_chars - mu) / sd ELSE 0.0 END, 4)
+           FLOOR((CASE WHEN sd > 0 THEN (n_chars - mu) / sd ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0
              AS z_chars
     FROM (
       SELECT doc_id, lang, n_chars,
@@ -86,7 +87,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.groupBy("lang").applyInPandas(
         _zscore_group, schema="doc_id long, lang string, z_chars double"
     )
-    return out.select("doc_id", "lang", F.round("z_chars", 4).alias("z_chars"))
+    return out.select("doc_id", "lang", qround(F.col("z_chars"), 4).alias("z_chars"))
 
 
 @pandas_udf(DoubleType())
@@ -98,7 +99,7 @@ def _weighted_avg_udf(price: pd.Series, qty: pd.Series) -> float:
     "udf_agg",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           FLOOR((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) * 10000.0 + 0.5) / 10000.0
              AS weighted_avg_price
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -107,7 +108,7 @@ def udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (series → scalar per group)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
+        qround(
             _weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
         ).alias("weighted_avg_price")
     )
@@ -133,13 +134,16 @@ def _make_bigram_udtf():
     "udtf_python",
     oracle="""
     SELECT doc_id,
-           CAST(unnest(generate_series(0, len(str_split(text, ' ')) - 2))
-                AS INT) AS pos,
+           CAST(unnest(generate_series(0, len(words) - 2)) AS INT) AS pos,
            unnest(list_transform(
-             generate_series(1, len(str_split(text, ' ')) - 1),
-             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]
+             generate_series(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i + 1]
            )) AS bigram
-    FROM documents WHERE doc_id < 50
+    FROM (
+      SELECT doc_id,
+             list_filter(str_split(text, ' '), w -> w <> '') AS words
+      FROM documents WHERE doc_id < 50
+    ) t
     """,
 )
 def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:

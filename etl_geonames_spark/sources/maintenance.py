@@ -33,6 +33,12 @@ def compact_parquet(
     cluster the swap is a metastore/table-format operation — Iceberg
     or Delta `rewrite_data_files`; plain directories get rename.)
     """
+    import shutil
+
+    backup = path.rstrip("/") + "._precompact"
+    if os.path.exists(backup) and not os.path.exists(path):
+        # recover from a crash between the two renames of a prior run
+        os.rename(backup, path)
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     staging = path.rstrip("/") + "._compacting"
     (
@@ -41,10 +47,11 @@ def compact_parquet(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    backup = path.rstrip("/") + "._precompact"
     os.rename(path, backup)
-    os.rename(staging, path)
-    import shutil
-
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # restore the canonical path
+        raise
     shutil.rmtree(backup)
     return n_files

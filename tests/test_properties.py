@@ -136,3 +136,31 @@ def test_resolve_type_join_equals_coalesce_chain(spark, codes, types):
         for r in resolve_type_join(df, types_df).collect()
     }
     assert join == chain
+
+
+def test_resolve_type_join_preserves_duplicate_rows(spark):
+    """Regression: the join form must NOT collapse identical input rows
+    (it aggregates on a per-row surrogate, not on the data columns)."""
+    from etl_geonames_spark.geonames.pipeline import resolve_type_join
+
+    df = spark.createDataFrame(
+        [("PPLA",), ("PPLA",), ("",), (None,)], "featureCode string"
+    )
+    types_df = spark.createDataFrame(
+        [("PPL", "place"), ("PPLA", "capital")], "prefix string, type string"
+    )
+    out = resolve_type_join(df, types_df).collect()
+    assert len(out) == 4
+    assert sorted((r["type"] or "-") for r in out) == ["-", "-", "capital", "capital"]
+
+
+def test_shingles_survive_short_documents(spark):
+    """Regression: a sub-k-token document must yield an empty shingle
+    array, not a slice() crash (Spark sequence(1,0) counts DOWN)."""
+    from etl_geonames_spark.operators.llm import _shingles
+
+    df = spark.createDataFrame(
+        [("hello",), ("",), ("a b",), ("a b c d",)], "text string"
+    ).select(F.split("text", " ").alias("toks"))
+    rows = df.select(_shingles("toks", 3).alias("sh")).collect()
+    assert [len(r["sh"]) for r in rows] == [0, 0, 0, 2]

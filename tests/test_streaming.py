@@ -65,12 +65,15 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
         streaming_running_totals(ev), "t_totals", output_mode="update"
     )
     # update mode re-emits a row per user per micro-batch; the LAST
-    # emission per user is the final state
+    # emission per user is the final state. n_events is monotone, so
+    # the final row is the one with max n_events — total_value comes
+    # from THAT row (max_by), not an independent max, which would be
+    # wrong the moment values can be negative
     final = (
         result.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+            F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
     batch = (
