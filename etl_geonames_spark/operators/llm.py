@@ -553,6 +553,22 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_canonical")  # cluster ids are engine-derived → rows-only
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final product: the corpus with near-dup
+    cluster members removed, keeping each cluster's canonical (lowest
+    doc_id) document. Composition: LSH candidates → connected
+    components → semi-join on canonicals. This is the table a training
+    run actually reads."""
+    clusters = llm_dedup_cluster(spark, sf_dir)
+    keep = clusters.filter(F.col("is_canonical")).select("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 @query(
     "llm_sample_stratified",
     oracle="""

@@ -662,6 +662,28 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile")  # sketch-based → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (t-digest-style sketch): fixed-memory,
+    mergeable partials — the 100 TB replacement for agg_median's exact
+    buffering. Deterministic for a given dataset + accuracy."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "price_p50_p90_p99"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("price_p50_p90_p99")[0].alias("p50"),
+            F.col("price_p50_p90_p99")[1].alias("p90"),
+            F.col("price_p50_p90_p99")[2].alias("p99"),
+        )
+    )
+
+
 @query(
     "agg_stats",
     oracle="""
