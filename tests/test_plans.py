@@ -87,3 +87,26 @@ def test_geonames_relations_shuffle_free(spark, tmp_path):
     assert shuffle_exchange_count(pits) == 0
     assert shuffle_exchange_count(rels) == 0
     assert not has_node(rels, "SortMergeJoin")
+
+
+def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
+    """When the build side exceeds the broadcast threshold (simulated
+    by disabling auto-broadcast and dropping the hint), the SAME
+    logical join plans as a shuffled sort-merge join — the correct
+    fact-to-fact strategy. Proves both physical paths work."""
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_name"
+        )
+        assert has_node(j, "SortMergeJoin") or has_node(j, "ShuffledHashJoin")
+        assert not has_broadcast_hash_join(j)
+        assert shuffle_exchange_count(j) == 2  # both sides shuffle on the key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
