@@ -164,3 +164,31 @@ def test_shingles_survive_short_documents(spark):
     ).select(F.split("text", " ").alias("toks"))
     rows = df.select(_shingles("toks", 3).alias("sh")).collect()
     assert [len(r["sh"]) for r in rows] == [0, 0, 0, 2]
+
+
+def test_dedup_cluster_on_synthetic_groups(spark, tmp_path):
+    """Hand-made corpus: three identical docs + one near-dup chain hop
+    + one unrelated doc → one 3-member cluster with the lowest id
+    canonical, the unrelated doc its own singleton."""
+    import etl_geonames_spark.operators.llm as llm
+    from etl_geonames_spark.sources import tables
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, base, "en", "s", len(base)),
+        (9, "totally different words nothing shared here at all folks okay",
+         "en", "s", 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "synth")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in llm.llm_dedup_cluster(spark, d).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[9]["cluster_id"] == 9 and out[9]["is_canonical"]
+    kept = {r["doc_id"] for r in llm.llm_dedup_canonical(spark, d).collect()}
+    assert kept == {1, 9}
