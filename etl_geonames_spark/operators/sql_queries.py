@@ -217,6 +217,93 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): correlated EXISTS — planned
+    as a left-semi join, never a per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+    FROM part, lineitem, supplier
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND p_brand <> 'Brand#1'
+      AND p_size IN (5, 10, 15, 20)
+      AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counting): NOT-IN subquery (null-aware
+    anti join) + distinct aggregation over a 3-way join."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, p_type, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+        FROM part, lineitem, supplier
+        WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+          AND p_brand <> 'Brand#1'
+          AND p_size IN (5, 10, 15, 20)
+          AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+    """)
+
+
+@query(
+    "sql_tpch_q19",
+    oracle="""
+    SELECT FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+             / 10000.0 AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+            AND l_quantity >= 10 AND l_quantity <= 40))
+    """,
+)
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of conjunctive
+    range predicates across BOTH join sides — the optimizer must split
+    the single-side conjuncts out of the OR to push them below the
+    join."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0
+                          + 0.5) / 10000.0 AS DOUBLE) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 1 AND l_quantity <= 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+                AND l_quantity >= 10 AND l_quantity <= 40))
+    """)
+
+
+@query(
     "sql_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
