@@ -662,6 +662,33 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest record per key (CDC compaction / snapshot-from-
+    changelog): row_number over (key, time desc) = 1. One shuffle on
+    the key; at 100 TB prefer max_by when only a few columns are
+    needed (single aggregate, no full-row sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 @query("agg_approx_percentile")  # sketch-based → rows-only check
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (t-digest-style sketch): fixed-memory,
