@@ -91,6 +91,79 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, MIN(ts) AS purchase_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COUNT(*) AS n_signed_up,
+           COUNT(CASE WHEN p.purchase_ts > s.signup_ts THEN 1 END)
+             AS n_converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: users who signed up, and of those, users whose
+    first purchase came strictly after their first signup. Two grouped
+    mins + one key join — each stage map-side combined; no window, no
+    per-user state."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count(
+            F.when(F.col("purchase_ts") > F.col("signup_ts"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts))
+                AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day offset. The cohort table is user-cardinality (small
+    relative to events) → broadcast; one shuffle for the distinct-user
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
     "ts_gap_fill",
     oracle="""
     WITH bounds AS (
