@@ -489,24 +489,14 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_cluster")  # iterative fixpoint → rows-only
-def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clustering: connected components over the MinHash
-    candidate-pair graph, so each near-dup *group* keeps exactly one
-    canonical document (pairwise dedup alone can't pick a survivor
-    from A~B, B~C chains).
-
-    Iterative min-label propagation on DataFrames: each round, every
-    doc adopts the smallest label among itself and its neighbors; the
-    loop runs until no label changes (checked via a count — cheap,
-    since the frontier shrinks geometrically). Each round is one
-    shuffle on doc_id. At billions of docs this exact loop holds —
-    it's the standard large-graph CC algorithm (HashToMin); rounds
-    grow with component *diameter*, and dup clusters are shallow.
-
-    Output: (doc_id, cluster_id, is_canonical)."""
-    edges = llm_dedup_minhash(spark, sf_dir)  # (doc_a < doc_b)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def connected_components(
+    docs: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: (doc_id) × (doc_a, doc_b)
+    edges → (doc_id, label) where label = smallest doc_id in the
+    component. Each round is one shuffle on doc_id; lineage is
+    truncated per round with localCheckpoint. Raises rather than
+    returning unconverged (silently split) components."""
     labels = docs.withColumn("label", F.col("doc_id"))
     sym = edges.unionByName(
         edges.select(
@@ -514,7 +504,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()  # pin the edge set; it is reused every round
     changed = 0
-    for _ in range(30):  # bound ≫ any plausible dup-cluster diameter
+    for _ in range(max_rounds):  # bound ≫ any plausible dup-cluster diameter
         neighbor_min = (
             sym.join(labels, sym["doc_b"] == labels["doc_id"])
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -540,12 +530,33 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # never return silently-wrong (split) clusters
         raise RuntimeError(
-            f"llm_dedup_cluster: label propagation not converged after 30 "
-            f"rounds ({changed} labels still changing) — component diameter "
-            "pathological for a dup graph; raise the bound or inspect edges"
+            f"connected_components: not converged after {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds or "
+            "inspect the edge graph"
         )
+    return labels
+
+
+@query("llm_dedup_cluster")  # iterative fixpoint → rows-only
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash
+    candidate-pair graph, so each near-dup *group* keeps exactly one
+    canonical document (pairwise dedup alone can't pick a survivor
+    from A~B, B~C chains).
+
+    Iterative min-label propagation on DataFrames: each round, every
+    doc adopts the smallest label among itself and its neighbors; the
+    loop runs until no label changes (checked via a count — cheap,
+    since the frontier shrinks geometrically). Each round is one
+    shuffle on doc_id. At billions of docs this exact loop holds —
+    it's the standard large-graph CC algorithm (HashToMin); rounds
+    grow with component *diameter*, and dup clusters are shallow.
+
+    Output: (doc_id, cluster_id, is_canonical)."""
+    edges = llm_dedup_minhash(spark, sf_dir)  # (doc_a < doc_b)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, edges)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -565,7 +576,7 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .join(keep, "doc_id", "left_semi")
-        .select("doc_id", "lang", "source", "n_chars")
+        .select("doc_id", "text", "lang", "source", "n_chars")
     )
 
 

@@ -144,15 +144,17 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, activity
-    counted per day offset. The cohort table is user-cardinality (small
-    relative to events) → broadcast; one shuffle for the distinct-user
-    count."""
+    counted per day offset. The cohort table is user-cardinality —
+    small for this fixture but unbounded in general, so the join
+    strategy is left to the optimizer/AQE (a forced broadcast would
+    blow past the broadcast limit at billions of users); one shuffle
+    for the distinct-user count."""
     ev = load_table(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
     )
     return (
-        ev.join(F.broadcast(first), "user_id")
+        ev.join(first, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))

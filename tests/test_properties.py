@@ -167,11 +167,12 @@ def test_shingles_survive_short_documents(spark):
 
 
 def test_dedup_cluster_on_synthetic_groups(spark, tmp_path):
-    """Hand-made corpus: three identical docs + one near-dup chain hop
-    + one unrelated doc → one 3-member cluster with the lowest id
-    canonical, the unrelated doc its own singleton."""
+    """Hand-made corpus: three identical docs (a full LSH clique) + one
+    unrelated doc → one 3-member cluster with the lowest id canonical,
+    the unrelated doc its own singleton. Chain transitivity (clusters
+    connected only through intermediate hops) is pinned separately by
+    test_connected_components_chain."""
     import etl_geonames_spark.operators.llm as llm
-    from etl_geonames_spark.sources import tables
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [
@@ -179,7 +180,7 @@ def test_dedup_cluster_on_synthetic_groups(spark, tmp_path):
         (2, base, "en", "s", len(base)),
         (3, base, "en", "s", len(base)),
         (9, "totally different words nothing shared here at all folks okay",
-         "en", "s", 60),
+         "en", "s", 61),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -192,3 +193,20 @@ def test_dedup_cluster_on_synthetic_groups(spark, tmp_path):
     assert out[9]["cluster_id"] == 9 and out[9]["is_canonical"]
     kept = {r["doc_id"] for r in llm.llm_dedup_canonical(spark, d).collect()}
     assert kept == {1, 9}
+
+
+def test_connected_components_chain(spark):
+    """Multi-hop propagation: a pure path graph 1-2-3-4-5 (diameter 4,
+    NO direct edge between the ends) must collapse to one component —
+    this is the case a clique fixture cannot exercise — plus an
+    isolated vertex and a disjoint pair."""
+    from etl_geonames_spark.operators.llm import connected_components
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 20, 21]],
+                                 "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["label"] for r in connected_components(docs, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 20: 20, 21: 20}
