@@ -304,6 +304,94 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t GROUP BY c_count
+    """,
+)
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT JOIN with an
+    extra join-side predicate (NOT a post-filter — customers with zero
+    matching orders must survive with count 0) + double aggregation."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) t GROUP BY c_count
+    """)
+
+
+@query(
+    "sql_tpch_q17",
+    oracle="""
+    SELECT CAST(FLOOR(SUM(l_extendedprice) / 7.0 * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated SCALAR
+    subquery — Catalyst de-correlates it into an aggregate + join, not
+    a per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(FLOOR(SUM(l_extendedprice) / 7.0 * 10000.0 + 0.5)
+                    / 10000.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
+@query(
+    "sql_tpch_q22",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(FLOOR(SUM(c_acctbal) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+             AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+    ) t GROUP BY cntrycode
+    """,
+)
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): uncorrelated scalar
+    subquery in a filter + NOT EXISTS anti join + derived grouping
+    key."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(FLOOR(SUM(c_acctbal) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+                 AS totacctbal
+        FROM (
+          SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+          FROM customer c
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)
+        ) t GROUP BY cntrycode
+    """)
+
+
+@query(
     "sql_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
