@@ -22,8 +22,8 @@ Documented divergences from the reference (all deliberate):
   - the reference writes one interleaved NDJSON stream of
     ``{type, obj}`` envelopes (geonames.js:160-174); the engine's
     native outputs are two typed DataFrames (the idiomatic Spark
-    shape), with :func:`tagged_envelope` reproducing the exact
-    envelope stream when byte-parity is wanted.
+    shape), with :func:`tagged_envelope` reproducing the envelope
+    stream structurally (parsed-object parity, not byte parity).
 """
 
 from __future__ import annotations
@@ -294,7 +294,11 @@ def run_pipeline(
 def tagged_envelope(pits: DataFrame, relations: DataFrame) -> DataFrame:
     """Reproduce the reference's interleaved ``{type, obj}`` NDJSON
     stream (geonames.js:160-170) as a one-column DataFrame of JSON
-    lines, for byte-level output parity."""
+    lines — *structural* parity (same keys, same nesting, same values),
+    not byte parity: Spark's to_json serializes integral doubles as
+    ``52.0`` where JS JSON.stringify emits ``52``, and omits null struct
+    fields where JS emits ``null``. Consumers should compare parsed
+    objects, which is what tests/test_geonames_parity.py pins."""
     pit_lines = pits.select(
         F.to_json(
             F.struct(F.lit("pit").alias("type"), F.struct("*").alias("obj"))

@@ -315,9 +315,10 @@ def cosine(a, b):
     oracle="""
     SELECT q_id, c_id, cos_sim FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             ROUND(list_dot_product(q.emb, c.emb) /
-                   (sqrt(list_dot_product(q.emb, q.emb)) *
-                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim,
+             FLOOR((list_dot_product(q.emb, c.emb) /
+                    (sqrt(list_dot_product(q.emb, q.emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb)))) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_dot_product(q.emb, c.emb) /
@@ -352,7 +353,9 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sim", sim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .select("q_id", "c_id", F.round(F.col("_sim"), 6).alias("cos_sim"))
+        # qround: similarities are ratios — plain ROUND can flip on
+        # half-boundary values between engines (rounding invariant)
+        .select("q_id", "c_id", qround(F.col("_sim"), 6).alias("cos_sim"))
     )
 
 
@@ -408,7 +411,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sim", sim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .select("q_id", "c_id", F.round(F.col("_sim"), 6).alias("cos_sim"))
+        .select("q_id", "c_id", qround(F.col("_sim"), 6).alias("cos_sim"))
     )
 
 
@@ -438,7 +441,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket_a") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("cos_sim", qround(sim, 6))
         .filter(F.col("cos_sim") >= 0.9)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -680,15 +683,22 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()  # scalar, driver-side
-    from etl_geonames_spark.functions import qround
-
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        qround(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate, NOT a driver-side
+    # .count(): keeps the whole query one lazy plan (an eager count here
+    # ran the corpus twice — once to embed a literal, once for real)
+    n_docs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            qround(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (
@@ -741,7 +751,10 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(toks).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
-        F.round(
+        # qround, not ROUND: the oracle uses the floor-form, and the
+        # average is a ratio that can sit on decimal half-boundaries
+        # where Spark's decimal-repr ROUND disagrees by one ulp
+        qround(
             F.aggregate(
                 word_lens, F.lit(0.0), lambda acc, x: acc + x.cast("double")
             )
@@ -781,12 +794,14 @@ _PROFILE_SPARK = ["spark", "filter", "merge", "batch", "shuffle"]
     "llm_lang_id",
     oracle=f"""
     SELECT doc_id,
-           ROUND(CAST(len(list_filter(str_split(text, ' '),
+           FLOOR((CAST(len(list_filter(str_split(text, ' '),
                      w -> list_contains({_PROFILE_DATA!r}, w))) AS DOUBLE)
-                 / len(str_split(text, ' ')), 6) AS score_data,
-           ROUND(CAST(len(list_filter(str_split(text, ' '),
+                 / len(str_split(text, ' '))) * 1000000.0 + 0.5)
+             / 1000000.0 AS score_data,
+           FLOOR((CAST(len(list_filter(str_split(text, ' '),
                      w -> list_contains({_PROFILE_SPARK!r}, w))) AS DOUBLE)
-                 / len(str_split(text, ' ')), 6) AS score_spark,
+                 / len(str_split(text, ' '))) * 1000000.0 + 0.5)
+             / 1000000.0 AS score_spark,
            CASE
              WHEN len(list_filter(str_split(text, ' '),
                       w -> list_contains({_PROFILE_DATA!r}, w))) >
@@ -816,10 +831,12 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h_data, h_spark = hits(_PROFILE_DATA), hits(_PROFILE_SPARK)
+    # qround on both sides: stopword-hit ratios like k/640 sit exactly on
+    # half-boundaries where Spark ROUND and DuckDB ROUND disagree
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.round(h_data.cast("double") / F.size(toks), 6).alias("score_data"),
-        F.round(h_spark.cast("double") / F.size(toks), 6).alias("score_spark"),
+        qround(h_data.cast("double") / F.size(toks), 6).alias("score_data"),
+        qround(h_spark.cast("double") / F.size(toks), 6).alias("score_spark"),
         F.when(h_data > h_spark, F.lit("data-ish"))
         .when(h_spark > h_data, F.lit("spark-ish"))
         .otherwise(F.lit("unknown"))

@@ -959,10 +959,62 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile assignment. Note the empty partitionBy: a global NTILE
-    funnels everything through ONE task — fine for dim-sized data,
-    a deliberate anti-pattern at fact scale (partition it, or derive
-    quantile cutoffs via approxQuantile and join them broadcast)."""
+    """Quartile assignment with exact global-NTILE semantics, computed
+    *distributed* — a naive ``Window.orderBy`` with no partitionBy
+    funnels every row through ONE task (see :func:`win_ntile_global`,
+    kept only as the semantic test fixture).
+
+    Decomposition (the standard distributed global-rank pattern):
+
+    1. range-repartition on the sort key — each partition holds a
+       contiguous key range, partition ids follow the global order;
+    2. per-partition ``row_number`` (window partitioned by partition
+       id — every partition ranks in parallel);
+    3. per-partition counts → cumulative offsets (one tiny window over
+       #partitions rows — metadata-sized at any scale) broadcast back;
+    4. global rank = local row_number + partition offset, then exact
+       NTILE arithmetic: the first ``N mod n`` tiles get
+       ``floor(N/n)+1`` rows, the rest ``floor(N/n)``.
+
+    Every stage over the fact table is parallel; the only single-task
+    step touches one row per partition."""
+    key = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    parts = cust.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_offset")
+    )
+    total = cust.agg(F.count(F.lit(1)).alias("_total"))
+    w_pid = Window.partitionBy("_pid").orderBy(*key)
+    ranked = (
+        parts.withColumn("_rn", F.row_number().over(w_pid))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_grn", F.col("_rn") + F.col("_offset"))
+    )
+    n = F.lit(4)
+    base = F.floor(F.col("_total") / n)  # small-tile size
+    big = F.col("_total") % n  # number of big tiles (size base+1)
+    cut = big * (base + 1)  # rows covered by the big tiles
+    tile = F.when(
+        F.col("_grn") <= cut, F.floor((F.col("_grn") - 1) / (base + 1)) + 1
+    ).otherwise(
+        big + F.floor((F.col("_grn") - cut - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    return ranked.select(
+        "c_custkey", "c_acctbal", tile.cast("int").alias("balance_quartile")
+    )
+
+
+def win_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook one-liner — UNREGISTERED: the empty partitionBy is
+    a global single-task window, a straight scale-killer at fact size.
+    Kept as the semantic oracle for win_ntile's decomposition in
+    tests/test_plans.py."""
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -41,6 +41,42 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.pit",
 ]
 
+# The differential driver records correctness rows for the FIRST 50
+# queries in ``queries()`` dict order each round. Round 1's window
+# covered the 42 relational queries + 8 sql_queries entries (all green
+# except sql_tpch_q12, whose oracle cast is now fixed). This list puts
+# the not-yet-driver-verified queries — plus q12 for re-verification —
+# at the front so round 2's window covers them; everything already
+# proven green rides in the back (still guarded by the local
+# tests/test_oracle_parity.py suite, which checks ALL queries).
+# udfs/multimodal sit at positions 51-57: first in line for round 3.
+_DRIVER_PRIORITY = [
+    "sql_tpch_q12",  # r1 hash-fail (DuckDB HUGEINT vs BIGINT) — re-verify
+    # functions (15)
+    "fn_cast_double", "fn_concat_ws", "fn_concat", "fn_replace",
+    "fn_prefix_match", "fn_array_compact", "fn_map_lookup", "fn_math",
+    "fn_date_trunc", "fn_string_ops", "fn_regexp", "fn_null_ops",
+    "fn_date_extract", "fn_variant_get", "fn_json_extract",
+    # llm (20)
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
+    "llm_dedup_ngram", "llm_sim_topk", "llm_ann_lsh", "llm_dedup_embedding",
+    "llm_dedup_verified", "llm_dedup_cluster", "llm_dedup_canonical",
+    "llm_sample_stratified", "llm_pack_sequences", "llm_tfidf_top_terms",
+    "llm_wordcount", "llm_text_stats", "llm_lang_dist", "llm_lang_id",
+    "llm_quality_score", "llm_token_count", "llm_fingerprint",
+    # pit (3)
+    "project_pit", "rel_liesin", "pit_pipeline",
+    # timeseries (6)
+    "stream_tumbling", "stream_sliding", "ts_funnel",
+    "ts_cohort_retention", "ts_gap_fill", "stream_session",
+    # sql_queries not in r1's window (5) — completes the 50-row window
+    "sql_tpch_q19", "sql_tpch_q13", "sql_tpch_q17", "sql_tpch_q22",
+    "sql_grouping_sets",
+    # round-3 front-runners
+    "udf_scalar", "udf_grouped_map", "udf_agg", "udtf_python",
+    "udtf_explode", "mm_decode_stub", "mm_frame_sample",
+]
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query implementation and (optionally) its SQL oracle.
@@ -67,4 +103,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
-    return QUERIES, ORACLES
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    if missing:
+        raise ValueError(
+            f"_DRIVER_PRIORITY names unregistered queries: {missing} — "
+            "a typo here would silently shrink driver coverage"
+        )
+    prioritized = set(_DRIVER_PRIORITY)
+    order = _DRIVER_PRIORITY + [n for n in QUERIES if n not in prioritized]
+    queries = {n: QUERIES[n] for n in order}
+    oracles = {n: ORACLES[n] for n in order if n in ORACLES}
+    return queries, oracles

@@ -81,6 +81,23 @@ def test_query(name, spark, sf_dir, ddb):
         f"{name}: columns spark={sorted(spark_pd.columns)} "
         f"duckdb={sorted(duck_pd.columns)}"
     )
+    # dtype-KIND parity before normalization: the driver's value hash is
+    # typed, so DuckDB returning HUGEINT (→ float64/object in pandas)
+    # where Spark returns BIGINT fails the gate even when every value is
+    # numerically identical (bit us on sql_tpch_q12 in round 1 — the
+    # int64 coercion in _normalize masked it locally). Signed/unsigned
+    # int widths are fine; int-vs-float or numeric-vs-object is not.
+    _KIND = {"u": "i"}
+    for col in spark_pd.columns:
+        sk = _KIND.get(spark_pd[col].dtype.kind, spark_pd[col].dtype.kind)
+        dk = _KIND.get(duck_pd[col].dtype.kind, duck_pd[col].dtype.kind)
+        if "O" in (sk, dk):  # object columns (strings, arrays) — the
+            continue  # value comparison below covers them
+        assert sk == dk, (
+            f"{name}.{col}: dtype kind spark={spark_pd[col].dtype} "
+            f"duckdb={duck_pd[col].dtype} — engines disagree on the "
+            "result type; cast the oracle (HUGEINT→BIGINT?) or the query"
+        )
     s = _normalize(spark_pd)
     d = _normalize(duck_pd)
     mismatches = []

@@ -89,6 +89,37 @@ def test_geonames_relations_shuffle_free(spark, tmp_path):
     assert not has_node(rels, "SortMergeJoin")
 
 
+def test_win_ntile_is_distributed_not_single_task(spark, sf_dir):
+    """The registered NTILE must never plan the fact table through a
+    global single-task window: the sort is a rangepartitioning
+    exchange, the fact-side row_number window is partitioned (by the
+    range-partition id), and no ntile-over-empty-partition node
+    exists. The only permitted SinglePartition step is the cumulative
+    offset over per-partition counts (one row per partition)."""
+    df = QUERIES["win_ntile"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(_pid" in plan  # fact window is partitioned
+    assert "ntile(" not in plan  # global ntile replaced by rank arithmetic
+
+
+def test_win_ntile_matches_global_semantics(spark, sf_dir):
+    """The distributed decomposition must agree row-for-row with the
+    textbook global NTILE (which stays unregistered — it is the
+    single-task anti-pattern)."""
+    from etl_geonames_spark.operators.relational import win_ntile_global
+
+    got = {
+        (r.c_custkey, r.balance_quartile)
+        for r in QUERIES["win_ntile"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.c_custkey, r.balance_quartile)
+        for r in win_ntile_global(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
     """When the build side exceeds the broadcast threshold (simulated
     by disabling auto-broadcast and dropping the hint), the SAME
