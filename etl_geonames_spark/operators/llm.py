@@ -492,20 +492,33 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(
-    docs: DataFrame, edges: DataFrame, max_rounds: int = 30
-) -> DataFrame:
-    """Min-label propagation to a fixpoint: (doc_id) × (doc_a, doc_b)
-    edges → (doc_id, label) where label = smallest doc_id in the
-    component. Each round is one shuffle on doc_id; lineage is
-    truncated per round with localCheckpoint. Raises rather than
-    returning unconverged (silently split) components."""
-    labels = docs.withColumn("label", F.col("doc_id"))
+def _propagate_min_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Min-label propagation over the vertices OF THE EDGE SET only:
+    (doc_a, doc_b) pairs → (doc_id, label) for every doc that appears
+    in at least one edge; label = smallest doc_id in its component.
+
+    The iterative work scales with the *dup graph* (edge vertices),
+    never the corpus — singleton documents don't enter the loop at
+    all, which is the difference between iterating over a few million
+    near-dup members and iterating over 100 TB of corpus per round.
+
+    Per round: one join+aggregate for each vertex's neighborhood min,
+    one left join to fold it in, one localCheckpoint to truncate
+    lineage. The convergence check rides on the checkpointed frame
+    (the old label is carried as a column, so "did anything change" is
+    a filter-count over cached blocks — no extra join job). Raises
+    rather than returning unconverged (silently split) components."""
     sym = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()  # pin the edge set; it is reused every round
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(max_rounds):  # bound ≫ any plausible dup-cluster diameter
         neighbor_min = (
@@ -513,23 +526,19 @@ def connected_components(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate lineage: iterative plans blow up
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("_prev")).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:
@@ -539,6 +548,24 @@ def connected_components(
             "inspect the edge graph"
         )
     return labels
+
+
+def connected_components(
+    docs: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(doc_id) × (doc_a, doc_b) edges → (doc_id, label) for EVERY doc,
+    label = smallest doc_id in the component. The fixpoint loop runs
+    only over edge vertices (:func:`_propagate_min_labels`); docs with
+    no edges are singletons by construction and are attached afterwards
+    with one anti-join — at corpus scale the dup graph is a small
+    fraction of the table, so the iterative part stays tiny."""
+    member_labels = _propagate_min_labels(edges, max_rounds)
+    singletons = (
+        docs.select("doc_id")
+        .join(member_labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("label", F.col("doc_id"))
+    )
+    return member_labels.unionByName(singletons)
 
 
 @query("llm_dedup_cluster")  # iterative fixpoint → rows-only
@@ -572,13 +599,20 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final product: the corpus with near-dup
     cluster members removed, keeping each cluster's canonical (lowest
     doc_id) document. Composition: LSH candidates → connected
-    components → semi-join on canonicals. This is the table a training
-    run actually reads."""
-    clusters = llm_dedup_cluster(spark, sf_dir)
-    keep = clusters.filter(F.col("is_canonical")).select("doc_id")
+    components over edge vertices → ANTI-join the corpus against the
+    non-canonical members. This is the table a training run reads.
+
+    Scale shape: the right side of the anti-join is only the documents
+    being *dropped* (cluster members minus canonicals — a small
+    fraction even at high dup rates), so the corpus-sized side makes
+    one pass through a hash anti-join (broadcast when the drop set
+    fits), instead of semi-joining corpus against a corpus-sized keep
+    set. The corpus never enters the CC loop."""
+    labels = _propagate_min_labels(llm_dedup_minhash(spark, sf_dir))
+    drop = labels.filter(F.col("label") != F.col("doc_id")).select("doc_id")
     return (
         load_table(spark, sf_dir, "documents")
-        .join(keep, "doc_id", "left_semi")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
 
