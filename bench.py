@@ -67,15 +67,39 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
+    # The full ~106-query map made round 1's stdout line exceed the
+    # driver's capture (BENCH_r01 recorded "parsed": null) — so the
+    # summary line stays compact (top-10 slowest only) and the complete
+    # per-query map goes to BENCH_DETAIL.json next to this script.
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "total_wall_all_queries",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
-            }
+            },
+            indent=1,
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": top,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -15,8 +15,10 @@ two broadcast hash joins → sink.
 Documented divergences from the reference (all deliberate):
   - join-miss on the admin2 probe *crashes* the reference
     (`parentObj.geonameid` on undefined, geonames.js:105-107); the
-    engine drops the relation (inner-join semantics) — strictness can
-    be restored by counting drops and failing the job.
+    engine defaults to dropping the relation, with drop counts
+    observable on the same action (``observation=``) and the
+    reference's fail-fast behavior available via ``on_miss="fail"``
+    (see :func:`build_relations`).
   - parseFloat('garbage') yields NaN (serialized as null); the engine
     uses try_cast → null. Identical for well-formed input.
   - the reference writes one interleaved NDJSON stream of
@@ -220,6 +222,8 @@ def build_relations(
     admin1: DataFrame,
     admin2: DataFrame,
     config: GeonamesConfig,
+    on_miss: str = "drop",
+    observation=None,
 ) -> DataFrame:
     """Derive liesIn edges via broadcast lookups (geonames.js:100-123).
 
@@ -235,10 +239,26 @@ def build_relations(
       - no admin1 → country edges (the reference's TODO at
         geonames.js:120 is intentionally unimplemented).
 
+    Join-miss handling (``on_miss``):
+      - ``"drop"`` (default): a probe miss drops the relation — the
+        engine's documented divergence from the reference, which
+        *crashes* (``parentObj.geonameid`` on undefined,
+        geonames.js:105-107). Pass a :class:`pyspark.sql.Observation`
+        as ``observation`` to have the drop counts recorded on the
+        same action (metrics ``a2_misses``, ``a1_misses``,
+        ``gated_rows``) — a CollectMetrics node in the plan, zero
+        extra passes over the data.
+      - ``"fail"``: restore the reference's strictness — the first
+        probe miss raises (executor-side ``raise_error`` expression
+        naming the offending key), failing the job exactly where the
+        reference would crash. No extra pass, no driver round-trip.
+
     Both dimension joins are explicit broadcasts: at full scale the
     fact side is the 100 TB table, admin1/admin2 stay a few MB, so the
     physical plan is two BroadcastHashJoins with zero shuffle.
     """
+    if on_miss not in ("drop", "fail"):
+        raise ValueError(f"on_miss must be 'drop' or 'fail', got {on_miss!r}")
     typed = with_resolved_type(df, config).filter(F.col("type").isNotNull())
     gated = (
         typed.withColumn("_codes", _codes_array())
@@ -256,21 +276,49 @@ def build_relations(
             F.col("code").alias("_a1_code"), F.col("geonameid").alias("_a1_id")
         )
     )
-    joined = (
-        # inner: a probe miss drops the row (the reference would crash
-        # here — divergence documented in the module docstring).
-        gated.join(a2, gated["_key3"] == a2["_a2_code"], "inner")
-        .join(a1, gated["_key2"] == a1["_a1_code"], "left")
-        .withColumn(
-            "_parent_id",
-            F.when(F.col("geonameid") == F.col("_a2_id"), F.col("_a1_id"))
-            .otherwise(F.col("_a2_id")),
-        )
-        # self-parent fallback that misses admin1 would crash the
-        # reference; the engine drops it.
-        .filter(F.col("_parent_id").isNotNull())
+    a2_miss = F.col("_a2_id").isNull()
+    # self-parent fallback that misses admin1 (only decidable on a2 hit)
+    a1_miss = (
+        F.col("_a2_id").isNotNull()
+        & (F.col("geonameid") == F.col("_a2_id"))
+        & F.col("_a1_id").isNull()
     )
-    return joined.select(
+    joined = gated.join(a2, gated["_key3"] == a2["_a2_code"], "left").join(
+        a1, gated["_key2"] == a1["_a1_code"], "left"
+    )
+    if observation is not None:
+        one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+        joined = joined.observe(
+            observation,
+            one_if(a2_miss).alias("a2_misses"),
+            one_if(a1_miss).alias("a1_misses"),
+            F.count(F.lit(1)).alias("gated_rows"),
+        )
+    if on_miss == "fail":
+        parent = F.when(
+            a2_miss,
+            F.raise_error(
+                F.concat(F.lit("admin2 probe miss for key "), F.col("_key3"))
+            ).cast("string"),
+        ).when(
+            F.col("geonameid") == F.col("_a2_id"),
+            F.when(
+                F.col("_a1_id").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("admin1 probe miss for key "), F.col("_key2")
+                    )
+                ).cast("string"),
+            ).otherwise(F.col("_a1_id")),
+        ).otherwise(F.col("_a2_id"))
+    else:
+        parent = F.when(
+            F.col("geonameid") == F.col("_a2_id"), F.col("_a1_id")
+        ).otherwise(F.col("_a2_id"))
+    resolved = joined.withColumn("_parent_id", parent).filter(
+        F.col("_parent_id").isNotNull()
+    )
+    return resolved.select(
         F.concat(F.lit(config.base_uri), F.col("geonameid")).alias("from"),
         F.concat(F.lit(config.base_uri), F.col("_parent_id")).alias("to"),
         F.lit(config.lies_in).alias("type"),
@@ -282,12 +330,21 @@ def run_pipeline(
     admin1: DataFrame,
     admin2: DataFrame,
     config: GeonamesConfig,
+    on_miss: str = "drop",
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full transform step (geonames.js:223-254): filter → (pits, relations)."""
+    """Full transform step (geonames.js:223-254): filter → (pits, relations).
+
+    ``on_miss`` / ``observation`` configure join-miss strictness and
+    drop accounting for the relations branch — see
+    :func:`build_relations`."""
     filtered = df.filter(filters_predicate(config.filters, config.extra_ids()))
     return (
         build_pits(filtered, config),
-        build_relations(filtered, admin1, admin2, config),
+        build_relations(
+            filtered, admin1, admin2, config, on_miss=on_miss,
+            observation=observation,
+        ),
     )
 
 

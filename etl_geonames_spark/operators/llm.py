@@ -197,8 +197,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 @query("llm_dedup_simhash")  # token hashing engine-specific → rows-only
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures plus banded candidate pairs
-    (4 × 16-bit chunks; Hamming-close docs share ≥1 exact chunk).
-    Output: candidate pairs with hamming distance ≤ 8."""
+    (4 × 16-bit chunks; candidates share ≥1 exact chunk), post-filtered
+    to hamming ≤ 8.
+
+    Recall contract (pinned by tests/test_dedup_recall.py): pigeonhole
+    over 4 chunks makes candidate generation *complete* for hamming ≤ 3
+    (3 flipped bits cannot touch all 4 chunks); between 4 and 8 it is
+    probabilistic (a clean chunk usually survives, but flips can land
+    in all four). Catching hamming ≤ 8 *exhaustively* would need ≥ 9
+    narrower bands, whose per-band collision rate (2^-7 vs 2^-16) makes
+    the candidate join quadratic on random data — the wrong trade at
+    corpus scale. Docs with small edits relative to length sit well
+    inside the guarantee."""
     docs = simhash_signatures(load_table(spark, sf_dir, "documents"))
     chunk = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(0xFFFF)  # noqa: E731
     chunks = docs.select(

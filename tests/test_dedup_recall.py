@@ -1,0 +1,156 @@
+"""Recall/precision bounds for the near-dup candidate generators.
+
+The flagship dedup ops (llm_dedup_minhash, llm_dedup_simhash) are
+rows-only at the driver gate — no SQL oracle can express LSH banding.
+This is their real correctness check: a synthetic corpus with KNOWN
+near-dup pairs (one-token edits of seeded base docs) and known
+non-pairs (disjoint vocabulary families), with asserted bounds on
+candidate recall and cross-family false positives.
+
+Everything is deterministic: the fixture is seeded, and both
+signature schemes hash with xxhash64 — so for a fixed fixture the
+candidate set is a pure function of the implementation constants. The
+asserted bounds leave headroom so retuning (e.g. 16→32 permutations)
+doesn't flake the suite, while a real regression (banding broken,
+signature order scrambled, hash non-determinism) lands far outside
+them.
+
+Theory anchor for the minhash bound: with 4 bands x 4 rows, a pair
+with shingle-Jaccard s collides with probability 1-(1-s^4)^4; the
+one-token-edit variants sit at s ~= 0.9 (p ~= 0.95+), the appended
+variants at s ~= 0.93 (p ~= 0.99).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+import etl_geonames_spark.operators.llm as llm
+
+N_FAMILIES = 2
+N_BASE = 20  # base docs per family
+DOC_WORDS = 30
+
+
+def _make_corpus():
+    """(doc_id, text, lang, source, n_chars) rows + the true dup pairs.
+
+    Family f draws from vocabulary {f}w000..{f}w199 (disjoint across
+    families → cross-family similarity is exactly 0). Each base doc
+    gets one near-dup variant: a single mid-document token replaced
+    for even ids, one token appended for odd ids.
+    """
+    rng = random.Random(42)
+    rows, true_pairs = [], []
+    for fam in range(N_FAMILIES):
+        vocab = [f"f{fam}w{i:03d}" for i in range(200)]
+        for b in range(N_BASE):
+            doc_id = fam * 1000 + b
+            words = rng.sample(vocab, DOC_WORDS)
+            text = " ".join(words)
+            rows.append((doc_id, text))
+            var_id = doc_id + 500
+            if b % 2 == 0:
+                mutated = list(words)
+                mutated[15] = f"f{fam}mut{b:03d}"  # one-token replace
+                rows.append((var_id, " ".join(mutated)))
+            else:
+                rows.append((var_id, text + f" f{fam}tail{b:03d}"))
+            true_pairs.append((doc_id, var_id))
+    return (
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        set(true_pairs),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    rows, true_pairs = _make_corpus()
+    d = str(tmp_path_factory.mktemp("dedup_recall") / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    return d, true_pairs
+
+
+def _family(doc_id: int) -> int:
+    return doc_id // 1000
+
+
+def test_minhash_recall_and_precision(spark, corpus_dir):
+    d, true_pairs = corpus_dir
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm.llm_dedup_minhash(spark, d).collect()
+    }
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.8, f"minhash candidate recall {recall:.2f} < 0.8"
+    cross_family = [p for p in got if _family(p[0]) != _family(p[1])]
+    assert not cross_family, (
+        f"minhash flagged cross-family (Jaccard=0) pairs: {cross_family[:5]}"
+    )
+    # candidates beyond the planted pairs must at least share a family
+    # (same-family base docs can legitimately collide — they sample the
+    # same 200-word vocabulary — but should be rare)
+    extras = got - true_pairs
+    assert len(extras) <= len(true_pairs) // 2, (
+        f"{len(extras)} unplanted candidate pairs vs {len(true_pairs)} "
+        "planted — banding is over-generating"
+    )
+
+
+def test_simhash_recall_and_precision(spark, corpus_dir):
+    """Pin llm_dedup_simhash's stated recall contract against the TRUE
+    hamming distances (recomputed from the signatures): complete for
+    hamming <= 3 (pigeonhole over the 4 banded chunks), probabilistic
+    but strong for 4..8, and every emitted hamming must agree with the
+    recomputation. One-token edits on 30-token docs land at hamming
+    1-9 here, straddling the guarantee boundary on purpose."""
+    from etl_geonames_spark.sources import load_table
+
+    d, true_pairs = corpus_dir
+    docs = load_table(spark, d, "documents")
+    mask = (1 << 64) - 1  # Spark longs arrive signed; popcount needs u64
+    sigs = {
+        r["doc_id"]: r["simhash"] & mask
+        for r in llm.simhash_signatures(docs).collect()
+    }
+    ham = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1") for a, b in true_pairs
+    }
+    got_rows = llm.llm_dedup_simhash(spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    guaranteed = {p for p, h in ham.items() if h <= 3}
+    missed = guaranteed - got
+    assert guaranteed and not missed, (
+        f"pairs inside the hamming<=3 completeness guarantee missed: {missed}"
+    )
+    catchable = {p for p, h in ham.items() if h <= 8}
+    recall = len(got & catchable) / len(catchable)
+    assert recall >= 0.7, (
+        f"simhash recall on hamming<=8 pairs {recall:.2f} < 0.7"
+    )
+    cross_family = [p for p in got if _family(p[0]) != _family(p[1])]
+    assert not cross_family, (
+        f"simhash flagged cross-family pairs: {cross_family[:5]}"
+    )
+    # emitted hamming values must agree with the signature recomputation
+    for r in got_rows:
+        p = (r["doc_a"], r["doc_b"])
+        if p in ham:
+            assert r["hamming"] == ham[p], f"{p}: {r['hamming']} != {ham[p]}"
+
+
+def test_verified_composition_confirms_planted_pairs(spark, corpus_dir):
+    """LSH candidates -> exact bigram-Jaccard verification: the planted
+    pairs that survive are exactly those with true Jaccard >= 0.3, and
+    every surviving pair's Jaccard is a genuine high-similarity value."""
+    d, true_pairs = corpus_dir
+    rows = llm.llm_dedup_verified(spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    confirmed = set(got) & true_pairs
+    assert len(confirmed) / len(true_pairs) >= 0.8
+    # one-token edits on 30-word docs: bigram Jaccard ~= 27/33 ~ 0.8+
+    assert all(j >= 0.5 for p, j in got.items() if p in true_pairs)

@@ -137,6 +137,54 @@ def test_relations(outputs):
     )
 
 
+def test_join_miss_drop_is_counted(spark, paths):
+    """Default drop mode with an Observation: the 1009 row (admin2 key
+    NL.07.9999 has no admin2 entry) is dropped AND counted — metrics
+    ride the same action as the output, no extra pass."""
+    from pyspark.sql import Observation
+
+    fact = read_all_countries(spark, paths["allCountries.txt"])
+    a1 = read_admin_codes(spark, paths["admin1CodesASCII.txt"])
+    a2 = read_admin_codes(spark, paths["admin2Codes.txt"])
+    obs = Observation("relation_misses")
+    _, rels = run_pipeline(fact, a1, a2, CONFIG, observation=obs)
+    got = {r["from"].rsplit("/", 1)[-1] for r in rels.collect()}
+    assert "1009" not in got
+    metrics = obs.get
+    assert metrics["a2_misses"] == 1  # exactly the 1009 row
+    assert metrics["a1_misses"] == 0
+    assert metrics["gated_rows"] == 5  # 1001, 2002, 1005, 1008, 1009
+
+
+def test_join_miss_fail_mode_raises(spark, paths):
+    """on_miss='fail' restores the reference's crash (geonames.js:
+    105-107): the job fails on the first admin2 probe miss, naming the
+    offending key."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    fact = read_all_countries(spark, paths["allCountries.txt"])
+    a1 = read_admin_codes(spark, paths["admin1CodesASCII.txt"])
+    a2 = read_admin_codes(spark, paths["admin2Codes.txt"])
+    _, rels = run_pipeline(fact, a1, a2, CONFIG, on_miss="fail")
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        rels.collect()
+    assert "admin2 probe miss for key NL.07.9999" in str(exc.value)
+
+
+def test_join_miss_fail_mode_clean_data_passes(spark, paths):
+    """fail mode is not fail-always: with the miss row filtered out
+    upstream, strict mode produces the same edges as drop mode."""
+    fact = read_all_countries(spark, paths["allCountries.txt"]).filter(
+        F.col("geonameid") != "1009"
+    )
+    a1 = read_admin_codes(spark, paths["admin1CodesASCII.txt"])
+    a2 = read_admin_codes(spark, paths["admin2Codes.txt"])
+    _, rels = run_pipeline(fact, a1, a2, CONFIG, on_miss="fail")
+    got = sorted(r["from"].rsplit("/", 1)[-1] for r in rels.collect())
+    assert got == ["1001", "1005", "1008", "2002"]
+
+
 def test_empty_filters_quirk(spark, paths):
     """R.any over [] is false ⇒ empty output, even for allowlisted ids
     (geonames.js:243-245)."""
