@@ -180,8 +180,8 @@ def fn_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
            ABS(l_discount - 0.05) AS disc_dev,
-           FLOOR(l_quantity) AS qty_floor,
-           CEIL(l_quantity / 7) AS qty_ceil7,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil7,
            FLOOR((SQRT(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
            FLOOR((LN(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_ln
     FROM lineitem
