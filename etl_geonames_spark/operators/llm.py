@@ -256,7 +256,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -293,7 +293,9 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # qround, not ROUND: jaccard is a ratio — plain ROUND can flip on
+        # half-boundary values between engines (rounding invariant)
+        .select("doc_a", "doc_b", qround(jac, 6).alias("jaccard"))
     )
 
 

@@ -410,3 +410,448 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (completing 22/22 coverage). The fixture
+# schema has no partsupp table and lineitem lacks commitdate/receiptdate,
+# so Q2/Q9/Q11/Q20 bridge part->supplier through lineitem and Q21 defines
+# "late" as shipping >60 days after the order date; every shape's defining
+# plan feature (correlated MIN, two-sided nation pairing, ratio-of-sums
+# market share, HAVING vs scalar subquery, grouped-IN, double-correlated
+# EXISTS/NOT EXISTS) is preserved.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+             / 10000.0 AS sum_disc_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 * 10000.0 + 0.5) / 10000.0 AS sum_charge,
+           FLOOR((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           FLOOR((AVG(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical scan + grouped
+    aggregate. One partial-agg map-side pass, |groups| rows shuffled —
+    the same plan contract tests/test_plans.py pins for agg_group."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount))
+                          * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax)) * 10000.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS sum_charge,
+               CAST(FLOOR((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS avg_qty,
+               CAST(FLOOR((AVG(l_extendedprice)) * 10000.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS avg_price,
+               CAST(FLOOR((AVG(l_discount)) * 10000.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+@query(
+    "sql_tpch_q2",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, lineitem, supplier, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 5 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM lineitem l2, supplier s2, nation n2, region r2
+                       WHERE l2.l_partkey = p_partkey
+                         AND s2.s_suppkey = l2.l_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+    """,
+)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    over a multi-table join, equality-matched back to the outer row.
+    Adapted: part->supplier bridged via lineitem (no partsupp table),
+    min acctbal stands in for min supplycost; raw-column equality is
+    bit-exact on both engines (no arithmetic on the compared value)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part, lineitem, supplier, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 5 AND p_type = 'STANDARD'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                           FROM lineitem l2, supplier s2, nation n2, region r2
+                           WHERE l2.l_partkey = p_partkey
+                             AND s2.s_suppkey = l2.l_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')
+    """)
+
+
+@query(
+    "sql_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           FLOOR(SUM(volume) * 10000.0 + 0.5) / 10000.0 AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): two broadcast-able nation dims
+    joined under a cross-pair disjunction, revenue per year. The
+    nation filter disjunction cannot be pushed to either scan alone —
+    the optimizer must keep it above both dimension joins."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(FLOOR(SUM(volume) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                 AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+                AND l_shipdate < TIMESTAMP_NTZ '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+@query(
+    "sql_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           FLOOR((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  / SUM(volume)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND p_type = 'PROMO') all_nations
+    GROUP BY o_year
+    """,
+)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-table star join, conditional
+    ratio-of-sums per year. Ratio is qround'd (floor-form) — the
+    rounding invariant for non-grid-aligned values."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_year,
+               CAST(FLOOR((SUM(CASE WHEN nation = 'NATION_3'
+                                    THEN volume ELSE 0 END) / SUM(volume))
+                          * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+                 AS mkt_share
+        FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+                AND o_orderdate < TIMESTAMP_NTZ '1998-01-01'
+                AND p_type = 'PROMO') all_nations
+        GROUP BY o_year
+    """)
+
+
+@query(
+    "sql_tpch_q9",
+    oracle="""
+    SELECT nation, o_year,
+           FLOOR(SUM(amount) * 10000.0 + 0.5) / 10000.0 AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim,
+    profit = revenue - cost per (nation, year). Adapted: cost proxy is
+    0.1 * p_retailprice * quantity (no partsupp.ps_supplycost); the
+    substring filter on the part name and the 5-table join shape are
+    the plan features that matter."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT nation, o_year,
+               CAST(FLOOR(SUM(amount) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                 AS sum_profit
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - 0.1 * p_retailprice * l_quantity AS amount
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%widget%') profit
+        GROUP BY nation, o_year
+    """)
+
+
+@query(
+    "sql_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+             / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): top-20 customers by lost revenue —
+    join + group + TakeOrdered top-k (no global sort materialized).
+    c_custkey tiebreak keeps the LIMIT edge deterministic; ORDER BY
+    resolves the *rounded* alias so both engines rank identical
+    values."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount))
+                          * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1996-04-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "sql_tpch_q11",
+    oracle="""
+    SELECT l_partkey,
+           FLOOR(SUM(l_extendedprice * l_quantity) * 10000.0 + 0.5)
+             / 10000.0 AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_5'
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+      SELECT SUM(l_extendedprice * l_quantity) * 0.001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_5')
+    """,
+)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped value vs an
+    uncorrelated scalar-subquery threshold in HAVING — the subquery
+    plans as a one-row broadcast, not a per-group re-scan. Adapted:
+    part value flows through lineitem (no partsupp)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_partkey,
+               CAST(FLOOR(SUM(l_extendedprice * l_quantity)
+                          * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                 AS part_value
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_5'
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice * l_quantity) > (
+          SELECT SUM(l_extendedprice * l_quantity) * 0.001
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_5')
+    """)
+
+
+@query(
+    "sql_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           FLOOR(total_revenue * 10000.0 + 0.5) / 10000.0 AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE referenced twice — once as the
+    join input, once reduced to a scalar MAX. The argmax-by-equality
+    compares each engine's own aggregate against its own max, so
+    accumulation-order noise cannot flip membership."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+            AND l_shipdate < TIMESTAMP_NTZ '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(FLOOR(total_revenue * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                 AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """)
+
+
+@query(
+    "sql_tpch_q20",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    """,
+)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion): nested IN — the inner IN
+    prunes parts by prefix, the outer IN carries a grouped HAVING.
+    Both plan as semi-joins; the grouped subquery aggregates before
+    joining (no row explosion). Adapted: availability threshold reads
+    shipped quantity off lineitem (no partsupp.ps_availqty)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+              AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 50)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    """)
+
+
+@query(
+    "sql_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+    GROUP BY s_name
+    """,
+)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS, both correlated on the order key — a semi join stacked
+    on an anti join over the same fact. Adapted: "late" is shipping
+    >60 days after the order date (no commitdate/receiptdate); the
+    inner NOT EXISTS re-joins orders so its correlation stays a pure
+    equality (planner-friendly on both engines)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3
+                            ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                                + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        GROUP BY s_name
+    """)
