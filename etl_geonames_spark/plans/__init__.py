@@ -1,6 +1,7 @@
 from etl_geonames_spark.plans.inspect import (
     count_nodes,
     explain_str,
+    global_windows,
     has_broadcast_hash_join,
     has_node,
     pushed_filters,
@@ -12,6 +13,7 @@ from etl_geonames_spark.plans.inspect import (
 __all__ = [
     "count_nodes",
     "explain_str",
+    "global_windows",
     "has_broadcast_hash_join",
     "has_node",
     "pushed_filters",

@@ -63,6 +63,28 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     )
 
 
+def global_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the optimized logical plan whose partitionSpec
+    is EMPTY — i.e. windows that funnel every row through one task.
+    An un-partitioned window is the canonical single-node scale trap
+    (the reason win_ntile is a decomposition, not ``F.ntile`` over a
+    bare ``Window.orderBy``); tests/test_plans.py sweeps every
+    registered query and asserts this list is empty."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            bad.append(node.simpleString(120))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())  # noqa: SLF001
+    return bad
+
+
 def pushed_filters(df: DataFrame) -> str:
     """Concatenated PushedFilters entries from every scan in the plan."""
     plan = explain_str(df)
