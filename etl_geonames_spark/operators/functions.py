@@ -370,3 +370,45 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object(F.col("props"), "$.k").try_cast("bigint").alias("k_value"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           FLOOR(list_sum(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) * 10000.0 + 0.5)
+             / 10000.0 AS l1_norm,
+           FLOOR(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0 AS sq_norm,
+           FLOOR(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) * 1000000.0 + 0.5)
+             / 1000000.0 AS linf_norm
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions — transform/filter/aggregate with
+    lambdas, fully JVM-side (codegen'd NewInstance loops, no Python).
+    The same primitives the cosine/dedup paths build on, exercised
+    standalone: count-if, L1/L2^2 via sequential-fold aggregate
+    (matching DuckDB's list_sum order), and max via array_max."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_pos"),
+        qround(fold(absd), 4).alias("l1_norm"),
+        qround(fold(sq), 4).alias("sq_norm"),
+        qround(F.array_max(absd), 6).alias("linf_norm"),
+    )

@@ -395,8 +395,16 @@ def _hyperplane_sign_bucket(emb_col: str, dim: int = 64, bits: int = _LSH_BITS):
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN: random-hyperplane sign buckets →
     candidates share a bucket → exact cosine re-rank within bucket.
-    Scale path for similarity search: the bucket join is a
-    hash-partitioned equi-join; recall tunes via bits/multi-probe."""
+    The bucket join is a hash-partitioned equi-join; recall tunes via
+    bits/multi-probe.
+
+    Regime note (measured, tests/test_ann_recall.py): sign-LSH recall
+    is p^bits with p = 1 - theta/pi per plane — high for genuinely
+    close vectors (cos >= 0.9 → p ~= 0.86), but on corpora whose true
+    neighbors sit at cos 0.2-0.4 (e.g. the fixture embeddings) it
+    collapses to ~p^8 ~= 2% by construction. For cluster-structured
+    embeddings prefer llm_ann_ivf, whose coarse cells track the
+    cluster geometry (recall@10 ~= 0.9 on the same fixture)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
@@ -420,6 +428,79 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_bucket") == F.col("c_bucket"))
             & (F.col("c_id") != F.col("q_id")),
         )
+        .withColumn("_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", qround(F.col("_sim"), 6).alias("cos_sim"))
+    )
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+@query("llm_ann_ivf")  # approximate by design → rows-only
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize every vector to its
+    nearest centroid cell, probe only the query's ``nprobe`` nearest
+    cells, exact cosine re-rank within the probed cells.
+
+    The other scale path for similarity search (vs llm_ann_lsh):
+    centroids here are the ``_IVF_CELLS`` lowest-id vectors (a
+    deterministic seed codebook — production would train k-means||
+    offline and broadcast the codebook the same way). Cell assignment
+    is a 1-row broadcast crossJoin + array expressions (no shuffle,
+    no UDF); the candidate join is a hash-partitioned equi-join on
+    cell id, never all-pairs. Recall tunes via cells/nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("cents")
+    )
+
+    def cell_ranking(vec):
+        # array<struct<dist,cid>> sorted ascending: lexicographic
+        # struct order ranks by cosine distance, cid tiebreak
+        return F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (F.lit(1.0) - cosine(vec, c["emb"])).alias("dist"),
+                    c["vec_id"].alias("cid"),
+                ),
+            )
+        )
+
+    assigned = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "emb", cell_ranking(F.col("emb"))[0]["cid"].alias("cell")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        cell_ranking(F.col("emb")), lambda s: s["cid"]
+                    ),
+                    1,
+                    _IVF_NPROBE,
+                )
+            ).alias("cell"),
+        )
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "cell"
+    )
+    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, ["cell"])
+        .filter(F.col("c_id") != F.col("q_id"))
         .withColumn("_sim", sim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)

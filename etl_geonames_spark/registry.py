@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     # round-3 front-runners
     "udf_scalar", "udf_grouped_map", "udf_agg", "udtf_python",
     "udtf_explode", "mm_decode_stub", "mm_frame_sample",
+    "fn_higher_order", "llm_ann_ivf",
 ]
 
 

@@ -1,0 +1,36 @@
+"""Recall bound for the approximate-NN scale path.
+
+llm_ann_ivf is rows-only at the driver gate (no SQL can express the
+probe schedule); its real correctness check is recall against the
+exact brute-force top-k (llm_sim_topk) on the same corpus.
+
+Measured on the fixture embeddings: IVF(16 cells, nprobe=2) recall@10
+is 0.82 at sf0.001 and 0.90 at sf0.01. The bound below (0.70) leaves
+headroom for retuning cells/nprobe while catching real regressions
+(wrong cell assignment, probe schedule off-by-one, candidate-join key
+mix-ups all land near zero).
+
+Sign-LSH (llm_ann_lsh) is intentionally NOT bounded here: the fixture
+vectors are weakly correlated (true top-10 neighbors sit at cosine
+0.24-0.40), a regime where 8-bit hyperplane collision probability is
+p^8 with p = 1 - theta/pi ~= 0.6, i.e. ~2% per bucket BY MATH, not by
+bug. Its docstring points to IVF as the scale path for this regime.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_ivf_recall_at_10(spark, sf_dir):
+    exact = {
+        (r.q_id, r.c_id) for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.q_id, r.c_id) for r in QUERIES["llm_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert exact, "exact top-k returned nothing — fixture broken"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.70, f"IVF recall@10 {recall:.2f} < 0.70"
