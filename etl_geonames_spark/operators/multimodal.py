@@ -116,3 +116,118 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_idx"
         ),
     )
+
+
+def _resize_box(width: int, height: int, box: int = 128) -> tuple[int, int]:
+    """Aspect-preserving fit into a box×box target (integer floor,
+    min 1px) — the arithmetic a real thumbnailer would do; pure
+    integer math so the DuckDB oracle can mirror it exactly."""
+    scale_num = box
+    scale_den = max(width, height)
+    return (
+        max(1, width * scale_num // scale_den),
+        max(1, height * scale_num // scale_den),
+    )
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the resize stage: decode (stub) → compute
+    target geometry → emit a fake thumbnail payload (truncated source
+    bytes — a real codec would emit re-encoded pixels)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            meta = decode_blob(blob)
+            rw, rh = _resize_box(meta["width"], meta["height"])
+            rows.append(
+                (doc_id, meta["width"], meta["height"], rw, rh,
+                 bytes(blob)[: rw * rh % 64 + 1])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height",
+                     "resized_w", "resized_h", "thumb"],
+        )
+
+
+@query(
+    "mm_resize_stub",
+    oracle="""
+    SELECT doc_id, width, height,
+           CAST(GREATEST(1, width * 128 // GREATEST(width, height)) AS INT)
+             AS resized_w,
+           CAST(GREATEST(1, height * 128 // GREATEST(width, height)) AS INT)
+             AS resized_h,
+           CAST(LEAST(n_bytes,
+                GREATEST(1, width * 128 // GREATEST(width, height))
+                * GREATEST(1, height * 128 // GREATEST(width, height))
+                % 64 + 1) AS BIGINT) AS thumb_bytes
+    FROM (SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_bytes,
+                 CAST(length(text) * 7 % 640 + 1 AS INT) AS width,
+                 CAST(length(text) * 13 % 480 + 1 AS INT) AS height
+          FROM documents)
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing via mapInPandas (STUB codec): binary in,
+    aspect-preserving target geometry + thumbnail payload out. The
+    oracle mirrors the integer geometry math and checks the emitted
+    payload length — proving the binary column made the round trip
+    through the Python worker with the right batch shape."""
+    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    resized = blobs.select("doc_id", "blob").mapInPandas(
+        _resize_batches,
+        schema=(
+            "doc_id long, width int, height int, "
+            "resized_w int, resized_h int, thumb binary"
+        ),
+    )
+    return resized.select(
+        "doc_id", "width", "height", "resized_w", "resized_h",
+        F.length("thumb").cast("bigint").alias("thumb_bytes"),
+    )
+
+
+_FEAT_DIM = 8
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for feature extraction: blob → fixed-dim
+    float vector (STUB: integer arithmetic on the byte length — a real
+    model would run an image/audio encoder here). Exact rationals of
+    small integers, so Spark and DuckDB produce bit-identical doubles."""
+    for pdf in batches:
+        feats = [
+            [((len(b) * (i + 1)) % 97) / 97.0 for i in range(_FEAT_DIM)]
+            for b in pdf["blob"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+
+@query(
+    "mm_feature_extract_stub",
+    oracle="""
+    SELECT doc_id,
+           [CAST((length(text) * 1) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 2) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 3) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 4) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 5) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 6) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 7) % 97 AS DOUBLE) / 97.0,
+            CAST((length(text) * 8) % 97 AS DOUBLE) / 97.0] AS features
+    FROM documents
+    """,
+)
+def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (STUB encoder, real Arrow path):
+    binary column → fixed-dim array<double> via mapInPandas — the
+    embed-the-corpus shape. Output schema matches the embeddings
+    table's layout so downstream ANN ops (llm_ann_ivf / llm_sim_topk)
+    compose directly."""
+    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    return blobs.select("doc_id", "blob").mapInPandas(
+        _feature_batches,
+        schema="doc_id long, features array<double>",
+    )

@@ -49,7 +49,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = pd.to_numeric(df[c])
                 df[c] = df[c].astype("int64")
             except (ValueError, TypeError):
-                pass
+                # array-valued cells (Spark array<...> / DuckDB LIST)
+                # arrive as ndarrays or lists — unhashable, which breaks
+                # the row sort below; tuples sort and compare fine
+                df[c] = df[c].map(
+                    lambda v: tuple(v)
+                    if isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+                    else v
+                )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
