@@ -62,7 +62,10 @@ def main() -> None:
     # a column: literal forms constant-fold away before execution
     spark.sql(
         "SELECT upper(cast(id AS STRING)) u, lower(cast(id AS STRING)) l, "
-        "regexp_extract(cast(id AS STRING), '([0-9])', 1) r "
+        "regexp_extract(cast(id AS STRING), '([0-9])', 1) r, "
+        "trim(cast(id AS STRING)) t, lpad(cast(id AS STRING), 4, '0') p, "
+        "substring(cast(id AS STRING), 1, 2) s, initcap(cast(id AS STRING)) i, "
+        "cast(id AS STRING) LIKE '%1%' k "
         "FROM range(10)"
     ).count()
 

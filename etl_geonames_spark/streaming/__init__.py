@@ -3,6 +3,8 @@ from etl_geonames_spark.streaming.pipeline import (
     read_events_stream,
     run_available_now,
     streaming_dedup,
+    streaming_enrich,
+    streaming_interval_join,
     streaming_running_totals,
     streaming_session,
     streaming_tumbling,
@@ -13,6 +15,8 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "streaming_dedup",
+    "streaming_enrich",
+    "streaming_interval_join",
     "streaming_running_totals",
     "streaming_session",
     "streaming_tumbling",

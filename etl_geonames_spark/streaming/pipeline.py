@@ -147,6 +147,49 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension snapshot. The static side is re-planned per micro-batch
+    (so a dim refresh lands without restarting the query) and, being
+    dim-sized, broadcasts — the streaming analog of join_admin2's
+    broadcast-probe discipline. Stateless: no watermark needed."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on user_id within an event-time band:
+    right.ts ∈ [left.ts − gap, left.ts]. BOTH sides carry watermarks
+    and the join predicate bounds event time on both sides — that pair
+    of constraints is what lets Spark evict buffered rows and keep
+    state finite on unbounded streams (an unconstrained stream-stream
+    join would buffer forever)."""
+    l = left.select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("event_id").alias("l_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("event_id").alias("r_id"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (l["user_id"] == r["r_user_id"])
+        & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {gap}"))
+        & (r["r_ts"] <= l["l_ts"])
+    )
+    return l.join(r, cond).select(
+        "user_id", "l_id", "r_id", "l_ts", "r_ts"
+    )
+
+
 def geonames_pits_stream(
     spark: SparkSession,
     all_countries_path: str,

@@ -154,3 +154,58 @@ def test_streaming_checkpoint_exactly_once(spark, tmp_path):
     result = spark.read.schema("id long").json(out)
     assert result.count() == 20  # each row exactly once
     assert result.select("id").distinct().count() == 20
+
+
+def test_streaming_enrich_equals_batch(spark, sf_dir):
+    """Stream-static broadcast join == the same join run in batch."""
+    from etl_geonames_spark.streaming import streaming_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    ev = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        streaming_enrich(ev, dim).select("event_id", "user_id", "tier"),
+        "t_enrich",
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+    )
+    assert _sorted_rows(result, "event_id") == _sorted_rows(batch, "event_id")
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream event-time interval join == the batch range join
+    with the same band, on the bounded fixture."""
+    from etl_geonames_spark.streaming import streaming_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    result = run_available_now(
+        streaming_interval_join(clicks, buys), "t_ssjoin"
+    )
+    b = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # ltz, matching the stream reader
+    )
+    bl = b.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    br = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    batch = bl.join(
+        br,
+        (bl["user_id"] == br["r_user_id"])
+        & (br["r_ts"] >= bl["l_ts"] - F.expr("INTERVAL 30 minutes"))
+        & (br["r_ts"] <= bl["l_ts"]),
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+    assert result.count() > 0, "fixture produced no click->purchase pairs"
+    assert _sorted_rows(result, "l_id", "r_id") == _sorted_rows(batch, "l_id", "r_id")
