@@ -1053,3 +1053,80 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("content_fp"),
         F.md5(F.substring(F.col("text"), 1, 64).cast("binary")).alias("prefix_fp"),
     )
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4]))) AS g
+      FROM toks),
+    test_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50)
+    SELECT a.doc_id, COUNT(*) AS n_hits
+    FROM grams a JOIN test_grams USING (g)
+    WHERE a.doc_id >= 50
+    GROUP BY a.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out test set (docs with doc_id < 50 stand in
+    for the benchmark). The standard n-gram-overlap decontamination
+    pass every training corpus needs before release.
+
+    Scale: the test-set gram table is benchmark-sized (thousands of
+    docs, not billions) — it BROADCASTS, so the corpus-side pass is
+    one scan + map-side semi-ish join + one aggregation shuffle on
+    doc_id; the corpus is never re-partitioned by gram. Per-doc gram
+    sets are pre-deduped (array_distinct), so COUNT(*) after the join
+    equals the distinct-shared-gram count on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles("toks", 5))).alias("g"),
+    )
+    test_grams = (
+        grams.filter(F.col("doc_id") < 50).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(test_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "llm_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 100
+    """,
+)
+def llm_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source at 100 documents — the
+    per-domain quota pass that keeps one crawl domain from dominating
+    a training mix. Deterministic priority order (doc_id) so reruns
+    keep the same survivors; swap the ORDER BY for a salted hash to
+    make the cap sample-like instead of prefix-like.
+
+    Scale: one window shuffle partitioned by source. Skewed sources
+    (one domain = half the corpus) sort more rows in that partition;
+    for pathological skew, pre-filter with an approximate per-source
+    count and only window the sources over quota."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "source")
+    )

@@ -1121,3 +1121,35 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.exceptAll(s)
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / ((600000.0 - 0) / 20))
+                          AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (SQL-standard bucket
+    semantics: 0 below range, n_buckets+1 above) + grouped count —
+    the distribution-profiling primitive. One partial-agg shuffle of
+    at most n_buckets+2 rows. DuckDB 1.0 has no width_bucket, so the
+    oracle mirrors Spark's exact double arithmetic
+    (floor((v-lo)/((hi-lo)/n))+1, clamped)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(20))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
