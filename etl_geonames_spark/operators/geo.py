@@ -1,0 +1,327 @@
+"""Geospatial operators (SURVEY.md §2.14 — engine extension).
+
+The reference is a geocoding ETL: it carries every place's
+``[lon, lat]`` through to GeoJSON (geonames.js:142-147) but never
+computes a spatial predicate itself — downstream consumers do. A
+standalone engine replacing it at 100 TB needs those predicates
+in-engine: bounding-box pruning, great-circle distance, space-filling-
+curve bucketing for layout, cell-blocked spatial joins, and per-row
+nearest-neighbour ranking.
+
+The synthetic testdata has no coordinate columns, so every operator
+derives deterministic lat/lon from integer keys with *pure integer/
+double arithmetic* that DuckDB replays bit-identically (no RNG, no
+engine-specific hash). The geometry math itself is the real thing.
+
+Scale notes (100 TB posture):
+
+- all coordinate derivation and geometry is whole-stage-codegen'd JVM
+  expressions — zero Python, zero shuffles beyond the declared join/
+  window keys;
+- the spatial join is *cell-blocked*: equi-join on a grid cell id
+  carries the shuffle (hash partitioned, AQE-skew-safe), the distance
+  predicate only refines within a cell — never a nested-loop/cartesian
+  plan (pinned in tests/test_plans.py);
+- Morton (Z-order) codes are the standard data-layout primitive:
+  writing a 100 TB point table sorted by ``morton`` makes bbox scans
+  prune to O(touched cells) row groups via parquet min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+# Deterministic synthetic coordinates: key -> (lat, lon) on a 0.01°
+# grid. Multiplicative spread by two primes, modulo the degree grid —
+# identical BIGINT arithmetic in Spark and DuckDB.
+_LAT_SQL = "(((({k}) * 7919) % 18000) / 100.0 - 90.0)"
+_LON_SQL = "(((({k}) * 104729) % 36000) / 100.0 - 180.0)"
+
+
+def _lat(key: Column) -> Column:
+    return ((key * 7919) % 18000) / 100.0 - 90.0
+
+
+def _lon(key: Column) -> Column:
+    return ((key * 104729) % 36000) / 100.0 - 180.0
+
+
+# ---------------------------------------------------------------------------
+# bbox filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geo_bbox_filter",
+    oracle=f"""
+    SELECT c_custkey,
+           {_LAT_SQL.format(k="c_custkey")} AS lat,
+           {_LON_SQL.format(k="c_custkey")} AS lon
+    FROM customer
+    WHERE {_LAT_SQL.format(k="c_custkey")} BETWEEN -45.0 AND 45.0
+      AND {_LON_SQL.format(k="c_custkey")} BETWEEN -90.0 AND 90.0
+    """,
+)
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment — the workhorse spatial predicate.
+
+    Two range comparisons on scalar columns: Catalyst pushes both to
+    the scan (PushedFilters) and, over a Z-ordered table, parquet
+    min/max stats prune whole row groups. At 100 TB this is the
+    difference between a full scan and touching ~(box area / cell
+    area) of the files.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    return (
+        c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+        .where(F.col("lat").between(-45.0, 45.0) & F.col("lon").between(-90.0, 90.0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# haversine distance
+# ---------------------------------------------------------------------------
+
+# NYPL, 476 5th Ave — the reference project's home institution.
+_REF_LAT, _REF_LON = 40.7531, -73.9822
+
+
+@query(
+    "geo_haversine",
+    oracle=f"""
+    SELECT c_custkey,
+           {sql_qround(
+               f"2.0 * 6371.0088 * ASIN(SQRT("
+               f"  SIN(RADIANS(({_LAT_SQL.format(k='c_custkey')}) - ({_REF_LAT})) / 2)"
+               f"  * SIN(RADIANS(({_LAT_SQL.format(k='c_custkey')}) - ({_REF_LAT})) / 2)"
+               f"  + COS(RADIANS({_REF_LAT})) * COS(RADIANS({_LAT_SQL.format(k='c_custkey')}))"
+               f"  * SIN(RADIANS(({_LON_SQL.format(k='c_custkey')}) - ({_REF_LON})) / 2)"
+               f"  * SIN(RADIANS(({_LON_SQL.format(k='c_custkey')}) - ({_REF_LON})) / 2)"
+               f"))",
+               2,
+           )} AS dist_km
+    FROM customer
+    """,
+)
+def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance to a fixed point (haversine, mean Earth
+    radius 6371.0088 km), rounded to 10 m.
+
+    All-JVM trig inside one codegen stage — a map-only plan with zero
+    shuffles, so it streams at scan speed regardless of table size.
+    Trig libms can differ by ulps across engines, so the compared
+    column is qround'd two decimals (~10 m) — verified stable on the
+    deterministic gate data.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    dphi = F.radians(lat - F.lit(_REF_LAT)) / 2
+    dlmb = F.radians(lon - F.lit(_REF_LON)) / 2
+    hav = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.lit(_REF_LAT))) * F.cos(F.radians(lat))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = 2.0 * 6371.0088 * F.asin(F.sqrt(hav))
+    return c.select("c_custkey", qround(dist, 2).alias("dist_km"))
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) cell codes
+# ---------------------------------------------------------------------------
+
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread(col: Column) -> Column:
+    """Interleave zeros between the bits of a 16-bit int (JVM side)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _spread_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`_spread` — same steps, same masks."""
+    x = f"(({expr}) & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
+
+
+_IX_SQL = f"CAST(LEAST(FLOOR((({_LON_SQL.format(k='c_custkey')}) + 180.0) / 360.0 * 65536.0), 65535) AS BIGINT)"
+_IY_SQL = f"CAST(LEAST(FLOOR((({_LAT_SQL.format(k='c_custkey')}) + 90.0) / 180.0 * 65536.0), 65535) AS BIGINT)"
+
+
+@query(
+    "geo_morton_cell",
+    oracle=f"""
+    SELECT c_custkey,
+           (({_spread_sql(_IX_SQL)}) | (({_spread_sql(_IY_SQL)}) << 1)) AS morton
+    FROM customer
+    """,
+)
+def geo_morton_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit Morton (Z-order) code from 16-bit-quantized lon/lat.
+
+    The space-filling-curve layout primitive: ``df.repartitionByRange
+    ("morton").sortWithinPartitions("morton").write...`` clusters
+    spatially-near points into the same parquet row groups, so bbox
+    predicates (see :func:`geo_bbox_filter`) prune via min/max stats.
+    The interleave is four shift-or-mask rounds per axis — pure
+    codegen'd integer ops, no shuffle, no UDF.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    ix = F.least(F.floor((lon + 180.0) / 360.0 * 65536.0), F.lit(65535)).cast("long")
+    iy = F.least(F.floor((lat + 90.0) / 180.0 * 65536.0), F.lit(65535)).cast("long")
+    morton = _spread(ix).bitwiseOR(F.shiftleft(_spread(iy), 1))
+    return c.select("c_custkey", morton.alias("morton"))
+
+
+# ---------------------------------------------------------------------------
+# cell-blocked spatial join
+# ---------------------------------------------------------------------------
+
+_CELL_SQL = (
+    "(CAST(FLOOR((({lat}) + 90.0) / 10.0) AS BIGINT) * 36"
+    " + CAST(FLOOR((({lon}) + 180.0) / 10.0) AS BIGINT))"
+)
+
+
+def _cell(lat: Column, lon: Column) -> Column:
+    return (
+        F.floor((lat + 90.0) / 10.0).cast("long") * 36
+        + F.floor((lon + 180.0) / 10.0).cast("long")
+    )
+
+
+@query(
+    "geo_grid_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               {_LAT_SQL.format(k="c_custkey")} AS clat,
+               {_LON_SQL.format(k="c_custkey")} AS clon
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               {_LAT_SQL.format(k="s_suppkey")} AS slat,
+               {_LON_SQL.format(k="s_suppkey")} AS slon
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           {sql_qround("(clat - slat) * (clat - slat) + (clon - slon) * (clon - slon)", 6)} AS dist2
+    FROM c JOIN s
+      ON {_CELL_SQL.format(lat="clat", lon="clon")} = {_CELL_SQL.format(lat="slat", lon="slon")}
+    WHERE (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) <= 25.0
+    """,
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join by grid-cell blocking: pair customers with
+    suppliers in the same 10° cell, refine to squared degree-space
+    distance ≤ 25 (≈5° radius inside the cell).
+
+    The 100 TB shape: the *equi-join on cell id* carries the shuffle —
+    hash-partitioned, sort-merge/AQE-eligible — and the quadratic
+    refinement is confined to one cell's occupants. The plan is pinned
+    as a non-cartesian equi-join in tests/test_plans.py. Candidate
+    pairs missed across cell borders are out of scope by definition
+    (the declared semantics are within-cell neighbours; a border-safe
+    variant unions the 9-cell neighbourhood, same plan shape).
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("clat"),
+        _lon(F.col("c_custkey")).alias("clon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat(F.col("s_suppkey")).alias("slat"),
+        _lon(F.col("s_suppkey")).alias("slon"),
+    )
+    dist2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    return (
+        c.join(
+            s,
+            _cell(F.col("clat"), F.col("clon"))
+            == _cell(F.col("slat"), F.col("slon")),
+        )
+        .where(dist2 <= 25.0)
+        .select("c_custkey", "s_suppkey", qround(dist2, 6).alias("dist2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbour ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geo_knn",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT c_custkey, s_suppkey,
+               (({_LAT_SQL.format(k="c_custkey")}) - ({_LAT_SQL.format(k="s_suppkey")}))
+             * (({_LAT_SQL.format(k="c_custkey")}) - ({_LAT_SQL.format(k="s_suppkey")}))
+             + (({_LON_SQL.format(k="c_custkey")}) - ({_LON_SQL.format(k="s_suppkey")}))
+             * (({_LON_SQL.format(k="c_custkey")}) - ({_LON_SQL.format(k="s_suppkey")})) AS d2
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    ), ranked AS (
+        SELECT c_custkey, s_suppkey, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey ORDER BY d2, s_suppkey
+               ) AS rank
+        FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, rank, {sql_qround("d2", 6)} AS dist2
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 3 nearest suppliers, candidate set blocked by an
+    equi-key (same nation) — the scalable kNN recipe.
+
+    The nation equi-join carries the shuffle; the per-customer window
+    ranks only that customer's candidates (partitioned window — the
+    global-window sweep in tests/test_plans.py forbids anything else).
+    Distance is pure degree-space arithmetic, bit-identical across
+    engines, so (d2, s_suppkey) ordering — and therefore the row set —
+    is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _lat(F.col("c_custkey")).alias("clat"),
+        _lon(F.col("c_custkey")).alias("clon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        _lat(F.col("s_suppkey")).alias("slat"),
+        _lon(F.col("s_suppkey")).alias("slon"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    w = Window.partitionBy("c_custkey").orderBy(F.col("d2"), F.col("s_suppkey"))
+    return (
+        c.join(s, F.col("c_nationkey") == F.col("s_nationkey"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_custkey", "s_suppkey", "rank", qround(F.col("d2"), 6).alias("dist2"))
+    )

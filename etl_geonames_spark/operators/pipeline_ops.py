@@ -1,0 +1,280 @@
+"""Table-maintenance / dataset-curation operators (SURVEY.md §2.15 —
+engine extension).
+
+The reference regenerates its whole output NDJSON from scratch every
+run (geonames.js:151-163 — full transform per country file). At
+100 TB a full rewrite per update is not an option; a production engine
+needs *incremental* table maintenance — CDC merge/upsert, slowly-
+changing-dimension history — plus the dataset-curation primitives a
+training-data pipeline runs constantly: deterministic splits,
+per-key bounded sampling, and column profiling.
+
+All operators are pure JVM expressions (no Python UDFs), shuffle only
+on their declared keys, and carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS custkey,
+               ROUND(SUM(o_totalprice), 2) AS delta
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT c_custkey + 1000000 AS custkey,
+               ROUND(c_acctbal, 2) AS delta
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(c.c_custkey, ch.custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN ch.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           ROUND(COALESCE(c.c_acctbal, 0.0) + COALESCE(ch.delta, 0.0), 2)
+               AS balance
+    FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.custkey
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a full-outer join: apply a changeset to
+    a base table — matched rows update, unmatched changes insert,
+    untouched base rows pass through, each tagged with its action.
+
+    The changeset is derived deterministically (per-customer order
+    totals as updates; a keyed subset re-keyed past the base's key
+    range as inserts). The 100 TB shape: ONE shuffle, both sides hash-
+    partitioned on the merge key (AQE handles skew); with a
+    lakehouse table format the same plan becomes file-level MERGE
+    INTO — this operator is the engine-side core of it. Sums of 2dp
+    inputs round at their own 2dp grid (CLAUDE.md invariant).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("delta")
+    )
+    inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("custkey"),
+        F.round(F.col("c_acctbal"), 2).alias("delta"),
+    )
+    changes = updates.unionByName(inserts)
+    base = cust.select("c_custkey", "c_acctbal")
+    return base.join(
+        changes, base["c_custkey"] == changes["custkey"], "full_outer"
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.round(
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0))
+            + F.coalesce(F.col("delta"), F.lit(0.0)),
+            2,
+        ).alias("balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id,
+           ROW_NUMBER() OVER w AS version,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current,
+           value AS balance
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream into
+    versioned validity intervals — each purchase opens a version
+    effective until the user's next one; the last version per user is
+    current.
+
+    One partitioned window (user_id) — the shuffle is the partition
+    key, every user's history ranks in parallel, and the global-window
+    sweep in tests/test_plans.py guarantees no degenerate single-task
+    plan. This interval form is what makes point-in-time joins
+    (:mod:`~etl_geonames_spark.operators.pit`) and as-of joins exact.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.col("value").alias("balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id,
+           (doc_id * 2654435761) % 100 AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by multiplicative key hash
+    (Knuth's 2654435761), not RNG — re-running on grown data never
+    reassigns an existing document, the property a training pipeline
+    needs to avoid silent train/test leakage across snapshots.
+
+    Map-only: a scan-speed projection with zero shuffles, and the
+    split predicate pushes down when a consumer filters one split.
+    """
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-key bounded deterministic sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_per_key",
+    oracle="""
+    SELECT source, doc_id, rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 40503) % 65536, doc_id
+               ) AS rank
+        FROM documents
+    ) WHERE rank <= 5
+    """,
+)
+def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-key uniform sample, deterministically: rank each
+    key's rows by a multiplicative hash of the row id and keep the
+    first k — a reservoir sample whose 'random' order is replayable.
+
+    One partitioned window (the key carries the shuffle). Unlike
+    ``df.sampleBy`` this bounds every key at exactly k — the per-
+    source cap a curation pipeline uses to stop one crawl dominating
+    the corpus (complements llm_cap_per_source's fraction capping).
+    """
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * 40503) % 65536, F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num,
+               CAST(MAX({c}) AS DOUBLE) AS max_num
+        FROM orders
+        """
+        for c in _PROFILE_NUM
+    )
+    + " UNION ALL "
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num
+        FROM orders
+        """
+        for c in _PROFILE_STR
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile — null count, exact NDV, numeric
+    min/max — in ONE aggregation pass, unpivoted to a row per column.
+
+    The single groupBy().agg computes every column's stats together
+    (Catalyst plans the multi-count-distinct via one Expand, partial
+    aggregation map-side); profiling a 100 TB table is then one
+    logical pass, not one job per column. Exact NDV is the honest
+    baseline — the sketch path is agg_approx_distinct.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        is_num = c in _PROFILE_NUM
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"{c}__min"
+            ),
+            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"{c}__max"
+            ),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_NUM + _PROFILE_STR
+    )
+    n_cols = len(_PROFILE_NUM + _PROFILE_STR)
+    return wide.select(
+        F.expr(
+            f"stack({n_cols}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_num, max_num)"
+        )
+    )

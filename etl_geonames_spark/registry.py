@@ -39,6 +39,8 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.llm",
     "etl_geonames_spark.operators.multimodal",
     "etl_geonames_spark.operators.pit",
+    "etl_geonames_spark.operators.geo",
+    "etl_geonames_spark.operators.pipeline_ops",
 ]
 
 # The differential driver records correctness rows for the FIRST 50

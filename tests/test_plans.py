@@ -163,3 +163,45 @@ def test_no_registered_query_has_global_window(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"global (un-partitioned) windows: {offenders}"
+
+
+def test_geo_grid_join_is_blocked_equi_join_not_cartesian(spark, sf_dir):
+    """The spatial join must join on the grid-cell equi-key (hash/
+    broadcast/SMJ) with the distance predicate as a post-join filter —
+    never a nested-loop or cartesian plan, which is O(|C|·|S|) at any
+    scale."""
+    df = QUERIES["geo_grid_join"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_map_only_ops_are_shuffle_free(spark, sf_dir):
+    """bbox filter, haversine, and Morton encoding are projections/
+    filters — a single codegen'd map stage, zero exchanges, so they
+    stream at scan speed on any input size."""
+    for name in ("geo_bbox_filter", "geo_haversine", "geo_morton_cell"):
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_exchange_count(df) == 0, name
+        assert wholestage_codegen_count(df) >= 1, name
+
+
+def test_cdc_merge_is_single_pass_shuffled_join(spark, sf_dir):
+    """MERGE shape: full-outer join hash-partitioned on the merge key.
+    Full outer cannot broadcast, so the contract is: a real shuffled
+    join (SMJ or shuffled-hash), no nested-loop fallback."""
+    df = QUERIES["cdc_merge_upsert"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_node(df, "SortMergeJoin") or has_node(df, "ShuffledHashJoin")
+
+
+def test_profile_columns_is_one_scan(spark, sf_dir):
+    """The multi-column profile must read the table ONCE: Catalyst
+    plans the n× count-distinct via a single Expand over one scan,
+    not one job per column."""
+    df = QUERIES["profile_columns"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") == 1
+    assert "Expand" in plan
