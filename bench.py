@@ -68,19 +68,40 @@ def main() -> None:
         "cast(id AS STRING) LIKE '%1%' k "
         "FROM range(10)"
     ).count()
+    # first sketch aggregate (HLL++ / ApproximatePercentile) initializes
+    # the ObjectHashAggregate path (~3 s, once per session) — without
+    # this, the two alphabetically-first queries agg_approx_distinct /
+    # agg_approx_percentile absorb it (measured 14.5 s vs 0.6 s steady)
+    spark.range(100).agg(
+        F.approx_count_distinct("id", rsd=0.02),
+        F.percentile_approx("id", F.lit(0.5), F.lit(100)),
+        F.collect_list("id"),
+    ).count()
+    # first noop-sink write resolves the datasource (once per session)
+    spark.range(10).write.format("noop").mode("overwrite").save()
 
+    # Two passes: pass 1 warms (JVM C2-compiles the codegen'd scan/agg
+    # loops, parquet column decoders, Python worker pool — tiny warmups
+    # above can't reach these: count(*) never even decodes columns);
+    # pass 2 is the recorded steady-state number. At 100 TB steady-state
+    # IS the metric — JIT warm-up is a fixed cost amortized over hours,
+    # and charging it to whichever queries sort alphabetically first
+    # made round-2 numbers swing 0.6 s ↔ 14.5 s run to run.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in sorted(qs):
-        # construction is INSIDE the timed window: iterative queries
-        # (dedup clustering) and scalar-subquery queries (tfidf's
-        # doc count) execute real work eagerly at build time — timing
-        # only the write would hide it
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for pass_timings in (cold, timings):
+        for name in sorted(qs):
+            # construction is INSIDE the timed window: iterative queries
+            # (dedup clustering) and scalar-subquery queries (tfidf's
+            # doc count) execute real work eagerly at build time — timing
+            # only the write would hide it
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            pass_timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    cold_total = round(sum(cold.values()), 4)
     # The full ~106-query map made round 1's stdout line exceed the
     # driver's capture (BENCH_r01 recorded "parsed": null) — so the
     # summary line stays compact (top-10 slowest only) and the complete
@@ -96,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_value": cold_total,
                 "n_queries": len(timings),
                 "sf": sf,
             },
