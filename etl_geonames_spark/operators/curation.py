@@ -1,0 +1,314 @@
+"""Text-curation operators for LLM training-data pipelines (SURVEY.md
+§2.12 extension set — engine additions beyond the reference surface).
+
+The reference normalizes nothing — it passes GeoNames fields through
+verbatim (geonames.js:125-178). A training-data engine runs text
+canonicalization, PII redaction, repetition scoring, and domain-mix
+weighting over every document at 100 TB, so they must be JVM-side
+expressions (regexp / aggregate codegen), never Python UDFs.
+
+The ``documents`` fixture is clean lowercase word-salad, so the
+normalize / redact operators first synthesize a deterministic "dirty"
+form (case noise, punctuation wrappers, synthetic emails / phone
+numbers derived from ``doc_id``) — built with IDENTICAL expressions on
+the Spark and DuckDB sides — and then clean it. The cleaning logic is
+the real operator; the dirt is just a reproducible fixture transform.
+
+Dialect notes (cost time once already — see CLAUDE.md):
+- DuckDB ``regexp_replace`` replaces the FIRST match unless passed the
+  ``'g'`` flag; Spark's is global by default. Every oracle here passes
+  ``'g'``.
+- DuckDB ``SUM(int)`` returns HUGEINT → always ``CAST(... AS BIGINT)``.
+- Ratios/averages round with qround (floor-form) on BOTH sides.
+- Global totals on the Spark side use a broadcast 1-row crossJoin, not
+  an un-partitioned window (plan-contract sweep bans those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_normalize_text",
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END
+                || '  <<' || CAST(doc_id AS VARCHAR) || '>>!!') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(raw), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(
+               regexp_replace(lower(raw), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM dirty
+    """,
+)
+def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the pass every dedup / quality op runs first
+    so near-dup hashing is case- and punctuation-invariant.
+
+    100 TB shape: pure map-side regexp codegen, zero shuffles, zero
+    Python; the whole pass pipelines inside one WholeStageCodegen over
+    the scan. The deterministic "dirt" (case flips + punctuation
+    wrapper) exists only because the fixture is already clean.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+        F.lit("  <<"),
+        F.col("doc_id").cast("string"),
+        F.lit(">>!!"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               (text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com tel 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(raw, '{_PHONE_RE}'))
+                AS BIGINT) AS n_pii
+    FROM dirty
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone-shaped digit runs) with a
+    per-document redaction count — the compliance pass a corpus runs
+    before training. Patterns are deliberately simple; production
+    swaps in a richer pattern set, the plan shape is identical.
+
+    100 TB shape: map-only regexp codegen over the scan, no shuffle.
+    The synthetic email/phone suffix is deterministic from doc_id so
+    both engines construct — and redact — the exact same bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    # idx=0 (whole match): Spark defaults the group index to 1, DuckDB
+    # to 0 — these patterns have no capture groups, so 0 on both sides
+    n_pii = (
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
+    ).cast("long")
+    return docs.select(
+        "doc_id", clean.alias("clean"), n_pii.alias("n_pii")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_repetition_ratio",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, word, COUNT(*) AS n
+        FROM words WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           {sql_qround("CAST(MAX(n) AS DOUBLE) / SUM(n)", 6)}
+               AS top_word_share
+    FROM counts GROUP BY doc_id
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-word share per document — the repetition filter
+    from Gopher-style quality rules (docs dominated by one token are
+    boilerplate/spam). Two hash aggregates, both map-side combined;
+    the shuffle carries (doc_id, word, partial n) then (doc_id,
+    partials) — never raw text.
+
+    qround (floor-form), not ROUND: the share is a ratio (e.g. 7/40)
+    that can sit exactly on a rounding boundary (CLAUDE.md invariant).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        qround(F.max("n").cast("double") / F.sum("n"), 6).alias(
+            "top_word_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_mix_weights",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    )
+    SELECT source, toks,
+           {sql_qround("SQRT(toks) / _tot", 6)} AS weight
+    FROM src
+    CROSS JOIN (SELECT SUM(SQRT(toks)) AS _tot FROM src) t
+    """,
+)
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights: w_s ∝ n_s^0.5
+    (alpha=0.5 flattens the source distribution, the standard
+    pretraining-mixture trick). Output feeds `llm_sample_stratified` /
+    `llm_cap_per_source` as the target mixture.
+
+    100 TB shape: one map-side-combined aggregate down to |sources|
+    rows, then a broadcast 1-row crossJoin for the normalizer — NOT an
+    un-partitioned window (banned by the plan-contract sweep) and NOT
+    a driver-side collect. The whole thing is one lazy plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = src.agg(F.sum(F.sqrt("toks")).alias("_tot"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "toks",
+            qround(F.sqrt("toks") / F.col("_tot"), 6).alias("weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when a
+    user's inter-event gap exceeds 4 hours — the batch twin of the
+    streaming ``stream_session`` (session_window) operator, via the
+    classic lag-flag + running-sum decomposition.
+
+    100 TB shape: ONE shuffle on user_id serves both windows AND the
+    final group-by (same partitioning — Catalyst reuses the exchange);
+    per-user state is a sort, never a cross product. Skewed power
+    users are bounded by their own event count, and AQE handles the
+    stragglers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 4 HOURS")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

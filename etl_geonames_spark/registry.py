@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.pit",
     "etl_geonames_spark.operators.geo",
     "etl_geonames_spark.operators.pipeline_ops",
+    "etl_geonames_spark.operators.curation",
 ]
 
 # The differential driver records correctness rows for the FIRST 50
