@@ -244,6 +244,66 @@ def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL parsing / canonicalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               ('https://www.shop' || CAST(o_custkey % 50 AS VARCHAR)
+                || '.example.com/cat/' || CAST(o_orderkey % 97 AS VARCHAR)
+                || '?utm_source=src' || CAST(o_orderkey % 7 AS VARCHAR)
+                || '&id=' || CAST(o_orderkey AS VARCHAR)) AS url
+        FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param,
+           regexp_extract(url, '^https://([^/]+)', 1)
+               || regexp_extract(url, '^https://[^/]+([^?]*)', 1)
+               AS canonical
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural parsing + canonicalization — the web-corpus
+    curation primitive (URL-level dedup keys on host+path with
+    tracking params stripped). Spark side uses the built-in
+    ``parse_url`` (JVM java.net.URI-backed); the oracle replays the
+    same extraction with anchored regexes — identical on well-formed
+    URLs, which the deterministic synthesis guarantees.
+
+    100 TB shape: map-only expression chain over the scan, no shuffle,
+    no Python. URLs are synthesized from order keys because the
+    fixtures carry no URL column.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.shop"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example.com/cat/"),
+        (F.col("o_orderkey") % 97).cast("string"),
+        F.lit("?utm_source=src"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&id="),
+        F.col("o_orderkey").cast("string"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.parse_url(url, F.lit("PATH"))
+    return orders.select(
+        "o_orderkey",
+        host.alias("host"),
+        path.alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.concat(host, path).alias("canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch sessionization
 # ---------------------------------------------------------------------------
 

@@ -1,6 +1,7 @@
 from etl_geonames_spark.streaming.pipeline import (
     geonames_pits_stream,
     read_events_stream,
+    read_upsert_state,
     run_available_now,
     streaming_dedup,
     streaming_enrich,
@@ -8,11 +9,13 @@ from etl_geonames_spark.streaming.pipeline import (
     streaming_running_totals,
     streaming_session,
     streaming_tumbling,
+    streaming_upsert,
 )
 
 __all__ = [
     "geonames_pits_stream",
     "read_events_stream",
+    "read_upsert_state",
     "run_available_now",
     "streaming_dedup",
     "streaming_enrich",
@@ -20,4 +23,5 @@ __all__ = [
     "streaming_running_totals",
     "streaming_session",
     "streaming_tumbling",
+    "streaming_upsert",
 ]

@@ -205,3 +205,41 @@ def test_profile_columns_is_one_scan(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") == 1
     assert "Expand" in plan
+
+
+def test_runtime_bloom_filter_prunes_large_join_side(spark, sf_dir):
+    """At 100 TB a selective dim-side filter should become a bloom
+    filter applied to the fact scan BEFORE the shuffle (Spark's
+    InjectRuntimeFilter). The fixture scan is below the 10 GB
+    application-side threshold, so the test lowers it to 0 — at real
+    scale the default threshold passes naturally."""
+    from etl_geonames_spark.sources import load_table
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # no broadcast: force the shuffled-join path the filter protects
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            "o_totalprice > 400000"
+        )
+        joined = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).select("l_orderkey", "o_totalprice")
+        plan = explain_str(joined)
+        assert "might_contain" in plan.lower(), (
+            "runtime bloom filter was not injected on the fact side"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)

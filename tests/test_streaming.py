@@ -209,3 +209,61 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
     assert result.count() > 0, "fixture produced no click->purchase pairs"
     assert _sorted_rows(result, "l_id", "r_id") == _sorted_rows(batch, "l_id", "r_id")
+
+
+def test_streaming_upsert_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch CDC upsert: two availableNow runs over a growing
+    source — run 2 processes ONLY the new file and merges it into the
+    versioned state chain. Final state must equal batch keep-latest
+    over the union of both files."""
+    import shutil
+
+    from etl_geonames_spark.streaming import (
+        read_upsert_state,
+        streaming_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # split the fixture into two "arrival" files on even/odd event_id
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(str(src / "wave1"))
+    second.write.parquet(str(src / "wave2_staging"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/wave*/")
+        )
+        streaming_upsert(stream, state, ckpt)
+
+    # wave 2 hidden during run 1 (glob matches wave1 only after rename)
+    shutil.move(str(src / "wave2_staging"), str(tmp_path / "held"))
+    run_once()
+    state1 = read_upsert_state(spark, state)
+    n_users_wave1 = first.select("user_id").distinct().count()
+    assert state1.count() == n_users_wave1
+
+    shutil.move(str(tmp_path / "held"), str(src / "wave2"))
+    run_once()
+    final = read_upsert_state(spark, state)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = {(r["user_id"], r["event_id"]) for r in final.collect()}
+    want = {(r["user_id"], r["event_id"]) for r in expected.collect()}
+    assert got == want
