@@ -55,3 +55,33 @@ def compact_parquet(
         raise
     shutil.rmtree(backup)
     return n_files
+
+
+def cluster_parquet_by(
+    spark,
+    path: str,
+    out_path: str,
+    cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Rewrite a Parquet directory range-clustered on ``cols``:
+    ``repartitionByRange`` splits the key space into disjoint file
+    ranges, ``sortWithinPartitions`` orders rows inside each file, so
+    every row group's min/max stats cover a narrow slice and a point
+    or range predicate on ``cols`` skips whole files/row-groups at
+    scan time (parquet stats pruning — the poor man's Z-order for a
+    single clustering axis; use geo_morton_cell codes as the cluster
+    key for two axes).
+
+    At 100 TB this is THE difference between scanning a table and
+    scanning a partition's worth of it: clustering by the dominant
+    filter column makes parquet min/max do partition pruning's job at
+    file granularity without a partition column explosion.
+    """
+    (
+        spark.read.parquet(path)
+        .repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

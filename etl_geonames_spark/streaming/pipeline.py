@@ -287,9 +287,14 @@ def _keep_latest(df: DataFrame) -> DataFrame:
     )
 
 
-def read_upsert_state(spark: SparkSession, state_root: str) -> DataFrame | None:
-    """Read the newest state snapshot, or None before the first batch.
-    Driver-side directory listing is metadata-scale, not data-scale."""
+def read_upsert_state(
+    spark: SparkSession, state_root: str, version: int | None = None
+) -> DataFrame | None:
+    """Read a state snapshot: the newest by default, or a specific
+    ``version`` (batch_id) — time travel over the upsert chain, the
+    same AS OF read a lakehouse table format offers. Returns None
+    before the first batch. Driver-side directory listing is
+    metadata-scale, not data-scale."""
     import os
 
     if not os.path.isdir(state_root):
@@ -299,4 +304,11 @@ def read_upsert_state(spark: SparkSession, state_root: str) -> DataFrame | None:
     )
     if not versions:
         return None
+    if version is not None:
+        name = f"v{version:05d}"
+        if name not in versions:
+            raise ValueError(
+                f"no snapshot {name} under {state_root}; have {versions}"
+            )
+        return spark.read.parquet(f"{state_root}/{name}")
     return spark.read.parquet(f"{state_root}/{versions[-1]}")

@@ -122,3 +122,50 @@ def test_binary_file_source_feeds_decode(spark, tmp_path):
     )
     got = {r["n_bytes"] for r in decoded.collect()}
     assert got == {len(b) for b in payloads.values()}
+
+
+def test_cluster_parquet_by_produces_disjoint_file_ranges(
+    spark, sf_dir, tmp_path
+):
+    """Range-clustering must leave each output file covering a narrow,
+    non-overlapping key slice (checked in the parquet footers via
+    pyarrow) — that is what lets min/max stats skip whole files for a
+    point/range predicate at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_geonames_spark.sources.maintenance import cluster_parquet_by
+
+    src = str(tmp_path / "orders_src")
+    out = str(tmp_path / "orders_clustered")
+    load_table(spark, sf_dir, "orders").write.parquet(src)
+    cluster_parquet_by(spark, src, out, ["o_totalprice"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [
+            md.schema.column(i).name for i in range(md.num_columns)
+        ].index("o_totalprice")
+        lo = min(
+            md.row_group(g).column(col_idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(col_idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+    # and the selective predicate reaches the scan as a pushed filter
+    df = spark.read.parquet(out).filter(F.col("o_totalprice") < 1000.0)
+    assert "o_totalprice" in explain_str(df)
+    # row count is preserved exactly
+    assert spark.read.parquet(out).count() == load_table(
+        spark, sf_dir, "orders"
+    ).count()

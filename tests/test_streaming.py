@@ -267,3 +267,44 @@ def test_streaming_upsert_foreachbatch(spark, sf_dir, tmp_path):
     got = {(r["user_id"], r["event_id"]) for r in final.collect()}
     want = {(r["user_id"], r["event_id"]) for r in expected.collect()}
     assert got == want
+
+
+def test_upsert_state_time_travel(spark, sf_dir, tmp_path):
+    """Specific-version reads over the upsert snapshot chain: v0 must
+    still show wave-1 state after wave 2 lands (AS OF semantics)."""
+    import shutil
+
+    from etl_geonames_spark.streaming import (
+        read_upsert_state,
+        streaming_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(str(src / "wave1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .parquet(f"{src}/wave*/")
+        )
+        streaming_upsert(stream, state, ckpt)
+
+    run_once()
+    v0_count = read_upsert_state(spark, state, version=0).count()
+    second.write.parquet(str(src / "wave2"))
+    run_once()
+
+    # v0 is immutable history; latest reflects both waves
+    assert read_upsert_state(spark, state, version=0).count() == v0_count
+    latest = read_upsert_state(spark, state)
+    assert latest.count() == ev.select("user_id").distinct().count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_upsert_state(spark, state, version=99)
