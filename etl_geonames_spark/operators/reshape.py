@@ -1,0 +1,152 @@
+"""Reshape, error-safe arithmetic, and mergeable-sketch operators
+(engine extension — SURVEY.md §2 additions).
+
+The reference's output shape is fixed NDJSON (geonames.js:151-163);
+an analytics engine also needs wide↔long reshaping (unpivot/melt),
+positional flattening (posexplode), ANSI-safe try_* arithmetic
+(Spark 4 runs ANSI mode ON — engine code must not throw on bad rows),
+and mergeable sketches — the 100 TB aggregation currency: a sketch
+per partition/group merges associatively, so rollups never rescan.
+
+Dialect notes: DuckDB UNPIVOT is statement-syntax (not a function);
+zipped ``unnest`` of equal-length lists replays posexplode; DuckDB
+``TRY_CAST`` mirrors Spark's, and guarded CASE replays try_divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+    UNPIVOT (
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 2) AS price,
+               CAST(o_custkey AS DOUBLE) AS custkey
+        FROM orders
+    ) ON price, custkey INTO NAME measure VALUE val
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: each order row becomes one row per measure —
+    the inverse of agg_pivot. Map-only (Expand node, no shuffle);
+    output is 2× input rows but narrower, the standard trade for
+    measure-generic downstream aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["price", "custkey"], "measure", "val")
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, len(str_split(text, ' ')) - 1))
+               AS pos,
+           unnest(str_split(text, ' ')) AS word
+    FROM documents
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional flatten: 1→N with the element index preserved —
+    what sequence-order-sensitive consumers (n-gram windows, token
+    position features) need that plain explode loses. Map-only
+    Generate node, no shuffle. The oracle zips two equal-length
+    unnests (DuckDB zips parallel unnests positionally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").alias("word"),
+    )
+
+
+@query(
+    "fn_try_arith",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_qround(
+               "CASE WHEN l_quantity = 25 THEN NULL "
+               "ELSE l_extendedprice / (l_quantity - 25) END", 4)}
+               AS price_per_offset,
+           TRY_CAST(CASE WHEN l_orderkey % 2 = 0
+                         THEN CAST(l_orderkey AS VARCHAR)
+                         ELSE 'x' || CAST(l_orderkey AS VARCHAR)
+                    END AS BIGINT) AS parsed_key
+    FROM lineitem
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: Spark 4 runs ANSI mode ON, so
+    division by zero / bad casts THROW unless routed through try_* —
+    this is the engine's row-level error-tolerance contract (bad rows
+    yield NULL, the job survives). try_divide hits a real zero
+    denominator (quantity=25) and try_cast a non-numeric string.
+
+    qround on the ratio (CLAUDE.md invariant); NULLs pass through
+    qround as NULL on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qround(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25),
+            4,
+        ).alias("price_per_offset"),
+        F.try_to_number(
+            F.when(
+                F.col("l_orderkey") % 2 == 0,
+                F.col("l_orderkey").cast("string"),
+            ).otherwise(
+                F.concat(F.lit("x"), F.col("l_orderkey").cast("string"))
+            ),
+            F.lit("999999999999"),
+        )
+        .cast("long")
+        .alias("parsed_key"),
+    )
+
+
+@query("agg_sketch_hll")  # sketch binary → rows-only; accuracy pinned in pytest
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable HLL rollup (Apache DataSketches, Spark 4
+    built-ins): sketch customer keys per NATION, then UNION the
+    nation sketches up to REGION and estimate — the rollup never
+    rescans the fact table. That mergeability is the whole point at
+    100 TB: partial sketches travel in the shuffle (bytes, not rows),
+    and any higher grouping level is a cheap sketch-union away.
+    Accuracy vs exact distinct counts is pinned in
+    tests/test_sketches.py (rows-only at the driver: sketch estimates
+    are engine-specific, DuckDB's HLL differs by design)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            )
+        )
+        .select("n_regionkey", "approx_customers")
+    )

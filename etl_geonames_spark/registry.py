@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.pipeline_ops",
     "etl_geonames_spark.operators.curation",
     "etl_geonames_spark.operators.graph",
+    "etl_geonames_spark.operators.reshape",
 ]
 
 # The differential driver records correctness rows for the FIRST 50
