@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Dedup-stack scale probe: 10x-replicated sf0.1 documents (50k docs,
+every doc in a 10-copy exact-dup clique — adversarially dup-heavy, so
+candidate generation faces maximal cliques).
+
+Writes the replicated corpus to a temp dir shaped like a fixture dir,
+then times each dedup operator end-to-end (noop sink, steady-state
+second run not used here: the probe measures the cold cost a real
+one-shot dedup pass pays). Results go to stdout as one JSON line;
+paste into BASELINE.md when they move.
+
+Usage: python benchmarks/dedup_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC_SF = "/root/testdata/sf0.1"
+N_COPIES = 10
+OPS = [
+    "llm_dedup_minhash",
+    "llm_dedup_verified",
+    "llm_dedup_cluster",
+    "llm_dedup_canonical",
+    "llm_dedup_simhash",
+    "llm_dedup_exact",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark import get_spark
+    from etl_geonames_spark.registry import collect
+    from etl_geonames_spark.sources import load_table
+
+    spark = get_spark("dedup-scale-probe")
+    qs, _ = collect()
+
+    tmp = tempfile.mkdtemp(prefix="dedup_probe_")
+    docs = load_table(spark, SRC_SF, "documents")
+    replicated = None
+    for i in range(N_COPIES):
+        part = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+        )
+        replicated = part if replicated is None else replicated.union(part)
+    replicated.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
+
+    timings: dict[str, dict] = {}
+    for name in OPS:
+        t0 = time.perf_counter()
+        df = qs[name](spark, tmp)
+        df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        rows = df.count()
+        timings[name] = {"wall_s": wall, "rows": rows}
+        print(f"# {name}: {wall}s, {rows} rows", file=sys.stderr)
+
+    print(json.dumps({"n_docs": n_docs, "ops": timings}))
+
+
+if __name__ == "__main__":
+    main()
