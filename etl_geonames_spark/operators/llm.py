@@ -552,13 +552,25 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is computed with array intersection on the two token-bigram
     sets — no explode, no second shuffle beyond the two text lookups.
 
+    The bigram sets are xxhash64'd to longs before the pair join: the
+    intersection then compares 8-byte integers instead of ~100-char
+    strings (and ships far fewer bytes through the join shuffle). A
+    64-bit collision would merge two distinct bigrams — at ~100
+    grams/doc the per-pair odds are ~1e-15, far below the 1e-6
+    rounding grid of the reported jaccard. The intersection size is
+    materialized in its own projection so it is computed once, not
+    re-expanded inside the union-size denominator.
+
     Output: (doc_a, doc_b, jaccard) for verified pairs (jaccard ≥ 0.3)."""
     pairs = llm_dedup_minhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .select(
-            "doc_id", F.array_distinct(_shingles("toks", 2)).alias("grams")
+            "doc_id",
+            F.array_distinct(
+                F.transform(_shingles("toks", 2), lambda s: F.xxhash64(s))
+            ).alias("grams"),
         )
         .withColumn("n_grams", F.size("grams"))
     )
@@ -572,14 +584,20 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grams").alias("grams_b"),
         F.col("n_grams").alias("nb"),
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     from etl_geonames_spark.functions import qround
 
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("jaccard", qround(jac, 6))
+        .withColumn("_inter", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard",
+            qround(
+                F.col("_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("_inter")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
     )
