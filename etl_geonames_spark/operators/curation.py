@@ -372,3 +372,188 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 50  # tokens per chunk
+_CHUNK_STRIDE = 40  # overlap = size - stride = 10
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    n AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(floor((len(toks) - 11) / 40.0) AS BIGINT) + 1)
+                 AS n_chunks
+        FROM t
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[(i-1)*40+1 : (i-1)*40+50], ' ') AS chunk_text,
+           CAST(len(toks[(i-1)*40+1 : (i-1)*40+50]) AS BIGINT) AS n_tokens
+    FROM n, unnest(generate_series(1, n_chunks)) AS u(i)
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking: split each document into
+    50-token chunks with a 40-token stride (10-token overlap), the
+    standard pre-tokenization step for fixed-context-window training
+    and for embedding long documents.
+
+    Chunk count is pure integer arithmetic —
+    ``max(1, floor((n_tokens - overlap - 1) / stride) + 1)`` — never
+    ``ceil(log/division)`` floats, so Spark and the oracle can't
+    disagree by one ulp at a chunk boundary. ``slice`` clamps at the
+    array end on both engines, so the last chunk is naturally short.
+
+    100 TB shape: explode(sequence(1, n_chunks)) is a narrow map-side
+    op — no shuffle at all; output rows ≈ input tokens / stride. The
+    generated chunk inherits the parent's partitioning, so a
+    downstream embed/tokenize stage starts co-located."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = t.withColumn(
+        "n_chunks",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                (F.size("toks") - F.lit(_CHUNK_SIZE - _CHUNK_STRIDE + 1))
+                / F.lit(float(_CHUNK_STRIDE))
+            )
+            + 1,
+        ).cast("int"),
+    )
+    chunk = F.expr(
+        f"slice(toks, (chunk_idx-1)*{_CHUNK_STRIDE}+1, {_CHUNK_SIZE})"
+    )
+    return (
+        n.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequencies
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_counts",
+    oracle="""
+    WITH g AS (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(str_split(text, ' ')) - 2),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1] || ' ' ||
+                      str_split(text, ' ')[i+2])) AS gram
+        FROM documents
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus word-trigrams — the n-gram frequency table behind
+    contamination screens, boilerplate detection, and classic LM
+    smoothing baselines.
+
+    Occurrence counts (NOT per-doc distinct): every trigram instance
+    counts. Ties broken by gram text so the top-k is deterministic.
+
+    100 TB shape: explode → hash aggregate with map-side combine (the
+    shuffle carries (gram, partial_count), a tiny fraction of the
+    exploded stream), then TakeOrdered top-k on the driver — no global
+    sort of the full frequency table."""
+    from etl_geonames_spark.operators.llm import _shingles
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(F.explode(_shingles("toks", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
+
+
+@query(
+    "llm_bucket_by_length",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(str_split(text, ' ')) AS nt FROM documents
+    ),
+    b AS (
+        SELECT doc_id, nt,
+               CASE WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                    WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                    WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+                    WHEN nt <= 4096 THEN 4096 ELSE 8192 END AS bucket
+        FROM t
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           FLOOR((1.0 - CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def llm_bucket_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: assign each document to the smallest
+    power-of-two context bucket that holds it, and report per-bucket
+    document count, token total, and padding waste (the fraction of a
+    padded batch that would be pad tokens).
+
+    The bucket is a CASE chain over the fixed bucket ladder, NOT
+    ``2^ceil(log2(nt))`` — floating-point log2 can land one ulp below
+    an exact power and flip the bucket differently per engine.
+
+    100 TB shape: one hash aggregate over ≤8 groups — map-side combine
+    reduces each partition to ≤8 rows before the (trivial) shuffle."""
+    nt = F.size(F.split("text", " "))
+    bucket = F.lit(8192)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(nt <= b, b).otherwise(bucket)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(nt.alias("nt"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "pad_waste",
+            qround(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket")),
+                6,
+            ),
+        )
+        .select("bucket", "n_docs", "total_tokens", "pad_waste")
+    )
