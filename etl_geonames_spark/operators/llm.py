@@ -1148,3 +1148,119 @@ def llm_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding clustering (k-means)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 2
+_KMEANS_DIM = 64
+
+
+def _km_assign_sql(cent: str) -> str:
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {_KMEANS_DIM}), "
+        f"i -> (p.emb[i] - c.cent[i]) * (p.emb[i] - c.cent[i])))"
+    )
+    return (
+        f"SELECT vec_id, cluster FROM ("
+        f" SELECT p.vec_id, c.cluster,"
+        f" ROW_NUMBER() OVER (PARTITION BY p.vec_id"
+        f"   ORDER BY {d2}, c.cluster) AS rn"
+        f" FROM pts p, {cent} c) WHERE rn = 1"
+    )
+
+
+def _km_update_sql(asg: str) -> str:
+    return (
+        f"SELECT cluster,"
+        f" list(FLOOR(m * 1000000.0 + 0.5) / 1000000.0 ORDER BY pos) AS cent"
+        f" FROM (SELECT a.cluster, i AS pos, avg(p.emb[i]) AS m"
+        f" FROM {asg} a JOIN pts p USING (vec_id),"
+        f" unnest(generate_series(1, {_KMEANS_DIM})) AS d(i)"
+        f" GROUP BY a.cluster, i) GROUP BY cluster"
+    )
+
+
+@query(
+    "llm_kmeans",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
+           FROM pts WHERE vec_id < {_KMEANS_K}),
+    a0 AS ({_km_assign_sql("c0")}),
+    c1 AS ({_km_update_sql("a0")}),
+    a1 AS ({_km_assign_sql("c1")}),
+    c2 AS ({_km_update_sql("a1")}),
+    a2 AS ({_km_assign_sql("c2")})
+    SELECT vec_id, cluster FROM a2
+    """,
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration k-means over the embedding column (k=4, 2
+    update rounds, deterministic init = the first k vec_ids), the
+    engine's iterative-ML representative alongside graph_pagerank.
+
+    Output is (vec_id, cluster) — integers only. Cross-engine FP
+    safety: centroid means are qround-quantized to the 1e-6 grid
+    EVERY round on both sides, so accumulation-order drift between
+    engines cannot compound across rounds; per-point distances use
+    sequential left-to-right accumulation (zip_with + aggregate,
+    matching DuckDB list_sum order); argmin ties break on cluster id
+    (min_by struct ordering = ROW_NUMBER ORDER BY d2, cluster).
+
+    100 TB shape: assignment is map-side only — the k×dim centroid
+    table is broadcast, each point computes k distances in one
+    codegen'd projection (min_by hash agg on vec_id collapses the
+    k-fan-out before any exchange). The centroid update shuffles only
+    (cluster, pos, partial-avg) — k·dim groups, map-side combined.
+    The whole 2-round fit is ONE lazy plan; for many rounds, collect
+    the (tiny) k×dim centroids per round or localCheckpoint — the
+    data-sized lineage stays flat either way."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    cents = pts.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("emb").alias("cent"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            pts.crossJoin(F.broadcast(c))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "cluster", F.struct(d2.alias("d"), F.col("cluster"))
+                ).alias("cluster")
+            )
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        per_dim = (
+            a.join(pts, "vec_id")
+            .select("cluster", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(qround(F.avg("val"), 6).alias("m"))
+        )
+        return per_dim.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+
+    c = cents
+    for _ in range(_KMEANS_ROUNDS):
+        c = update(assign(c))
+    return assign(c)
