@@ -412,3 +412,36 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(fold(sq), 4).alias("sq_norm"),
         qround(F.array_max(absd), 6).alias("linf_norm"),
     )
+
+
+@query(
+    "fn_bit_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 1431655765) AS toggled,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — the
+    flag-mask idiom (packed feature flags, bitmap memberships). All
+    codegen'd JVM intrinsics; the filter pushes to the scan."""
+    k = F.col("o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 1000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1431655765)).alias("toggled"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 3).alias("shr3"),
+            F.bit_count(k).alias("popcount"),
+        )
+    )

@@ -1153,3 +1153,45 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n
+    FROM (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) — NOT the built-in
+    ``F.mode``, whose tie-break is nondeterministic across runs and
+    engines. Decomposed as count-per-value then a min_by argmin over
+    the (-count, value) struct: larger counts win, and on equal
+    counts the smallest value wins, identically on both engines.
+
+    100 TB shape: two hash aggregates, both map-side combined — the
+    first shuffles (group, value, partial-count), the second only
+    (group, best-so-far). No window over raw rows."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("o_orderstatus").alias("mode_status"),
+                    F.col("n").alias("mode_n"),
+                ),
+                F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderstatus")),
+            ).alias("m")
+        )
+        .select("o_orderpriority", "m.mode_status", "m.mode_n")
+    )

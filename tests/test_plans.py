@@ -243,3 +243,41 @@ def test_runtime_bloom_filter_prunes_large_join_side(spark, sf_dir):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Context chunking is a narrow map-side op: split → sequence →
+    explode → slice. Any exchange here would shuffle the full corpus
+    text for no reason."""
+    df = QUERIES["llm_chunk_documents"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 0
+
+
+def test_ngram_counts_is_topk_with_partial_agg(spark, sf_dir):
+    """Trigram top-20: map-side-combined hash agg (partial+final over
+    one exchange), then TakeOrdered — never a global sort of the full
+    frequency table."""
+    df = QUERIES["llm_ngram_counts"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert shuffle_exchange_count(df) == 1
+    assert explain_str(df).count("HashAggregate") >= 2
+
+
+def test_bucket_by_length_single_shuffle(spark, sf_dir):
+    """Length bucketing collapses to ≤8 groups: one exchange of
+    map-side partials."""
+    df = QUERIES["llm_bucket_by_length"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert explain_str(df).count("HashAggregate") >= 2
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """k-means: every per-round assignment joins the k-row centroid
+    table by broadcast (BroadcastNestedLoopJoin over the crossJoin) —
+    the 100 TB point side must never shuffle for it. The only
+    exchanges are the (cluster, dim)-grouped centroid updates and the
+    final per-point argmin aggregation."""
+    df = QUERIES["llm_kmeans"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not has_node(df, "CartesianProduct")
