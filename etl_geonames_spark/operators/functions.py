@@ -445,3 +445,78 @@ def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(k).alias("popcount"),
         )
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy pair matching on a dimension — the
+    reconciliation idiom (near-identical entity names). The self-join
+    is a broadcast theta join: fine on a dim, and at fact scale the
+    pattern is the same join *blocked* by a cheap equi key first
+    (soundex bucket / length band / first-k prefix) so levenshtein only
+    runs inside blocks. Spark also has the early-exit threshold form
+    ``levenshtein(l, r, k)`` (returns -1 past k) which bounds the DP to
+    a 2k-wide band — use it when k << len.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 6)
+        .select("name_a", "name_b", dist.alias("dist"))
+    )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_slice(str_split(text, ' '), 1, 12) AS a,
+             list_slice(str_split(text, ' '), 7, 18) AS b
+      FROM documents WHERE len(str_split(text, ' ')) >= 18
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(a || b)) AS u,
+           list_sort(list_distinct(list_intersect(a, b))) AS i,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS e,
+           CAST(len(list_distinct(a || b)) AS INT) AS n_union
+    FROM toks
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except) over token
+    slices — the collection vocabulary for shingle/feature overlap.
+    All JVM codegen'd, map-only, zero shuffle. Results are
+    ``array_sort``-ed on BOTH engines: Spark's set functions preserve
+    first-appearance order while DuckDB's list_* have their own, so
+    unsorted output would hash-mismatch despite equal sets (the same
+    trap as FP accumulation order, in array form).
+    """
+    toks = F.split("text", " ")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 18)
+        .select(
+            "doc_id",
+            F.slice(toks, 1, 12).alias("a"),
+            F.slice(toks, 7, 12).alias("b"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_intersect("a", "b")).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("e"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+    )

@@ -1195,3 +1195,33 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "m.mode_status", "m.mode_n")
     )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: count_if + bool_and /
+    bool_or — the data-quality assertion idiom (``bool_and(valid)``
+    over a partition is the distributed ALL()). One map-side-combined
+    hash aggregate; booleans fold per-partition to a byte each, so the
+    shuffle carries 5 groups x a few bytes regardless of fact size.
+
+    Oracle note: DuckDB's count_if returns HUGEINT — CAST to BIGINT
+    (the sql_tpch_q12 lesson, pinned here too).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count(F.lit(1)).alias("n"),
+    )

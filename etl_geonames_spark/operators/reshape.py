@@ -150,3 +150,39 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_regionkey", "approx_customers")
     )
+
+
+@query("agg_sketch_kll")  # sketch binary → rows-only; accuracy pinned in pytest
+def agg_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable KLL quantile rollup (Apache DataSketches,
+    Spark 4 built-ins) — the sketch sibling of agg_sketch_hll for
+    ORDER statistics: sketch l_extendedprice per return flag, then
+    MERGE the flag sketches into an ALL row and query p50/p95 from
+    both levels. Like HLL, the rollup never rescans the fact table —
+    partial sketches (KB each, fixed size) travel the shuffle, so a
+    100 TB quantile-by-anything cube is one pass + cheap merges.
+    Contrast percentile_approx which also merges but can't be stored /
+    re-merged across queries as a column. Accuracy vs exact
+    percentiles is pinned in tests/test_sketches.py (rows-only at the
+    driver: sketch estimates are engine-specific by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flag_rows = per_flag.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("p95"),
+        "n",
+    )
+    all_row = per_flag.agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n").alias("n"),
+    ).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("p95"),
+        "n",
+    )
+    return flag_rows.unionByName(all_row)

@@ -36,3 +36,28 @@ def test_hll_two_level_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_kll_rollup_quantile_accuracy(spark, sf_dir):
+    """Per-flag AND merged-ALL KLL quantile estimates must land within
+    the exact [p-3%, p+3%] rank band (k=200 default → ~1.65% rank
+    error at 99% confidence; 3% is a deterministic fixture bound)."""
+    from etl_geonames_spark.sources import load_table
+
+    rows = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["n"])
+        for r in QUERIES["agg_sketch_kll"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    groups = {"ALL": li}
+    for flag in li.select("l_returnflag").distinct().toPandas()["l_returnflag"]:
+        groups[flag] = li.filter(li["l_returnflag"] == flag)
+    assert set(rows) == set(groups)
+    for flag, df in groups.items():
+        p50, p95, n = rows[flag]
+        assert n == df.count()
+        for est, q in ((p50, 0.5), (p95, 0.95)):
+            lo, hi = df.stat.approxQuantile(
+                "l_extendedprice", [max(0.0, q - 0.03), min(1.0, q + 0.03)], 0.0
+            )
+            assert lo <= est <= hi, (flag, q, est, lo, hi)
