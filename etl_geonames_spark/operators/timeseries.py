@@ -15,9 +15,10 @@ AQE skew handling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -264,5 +265,185 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.end").alias("session_end"),
             "n_events",
             "sum_value",
+        )
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  time_bucket(INTERVAL '15 minutes', ts)
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  time_bucket(INTERVAL '15 minutes', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to 15-minute OHLC bars per event type — the
+    resampling idiom (market bars, metric rollups). ONE map-side-
+    combined hash aggregate: open/close are min_by/max_by over a
+    lexicographic (ts, event_id) string key — deterministic under ts
+    ties, no window over raw events, so the shuffle carries only
+    per-bucket partials (the oracle's row_number form is the
+    single-node equivalent; a window here would sort the full fact).
+    open/high/low/close are picked raw values (exact equality);
+    sum_value accumulates 2dp doubles, so qround(2) on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "15 minutes").start.alias("bucket")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            qround(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, ts, value,
+             AVG(value) OVER win AS mu,
+             STDDEV_SAMP(value) OVER win AS sigma,
+             COUNT(*) OVER win AS n_win
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts, value,
+           FLOOR((value - mu) / sigma * 10000 + 0.5) / 10000 AS z,
+           ABS((value - mu) / sigma) > 3.0 AS is_anomaly
+    FROM w WHERE n_win = 20 AND sigma > 1e-12
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each point scored against
+    the mean/stddev of the PREVIOUS 20 points of its series (the
+    trailing frame excludes the current row, so an outlier can't mask
+    itself). Partial-frame head rows are dropped — a 19-point baseline
+    isn't comparable to a 20-point one.
+
+    100 TB shape: one shuffle on the series key, per-series sort
+    within partitions; frames are ROWS-bounded so window state is
+    O(20) per series regardless of fact size. z is a ratio of
+    accumulated doubles — qround(4) on both sides (stddev accumulation
+    order differs across engines)."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter((F.col("n_win") == 20) & (F.col("sigma") > 1e-12))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        qround(z, 4).alias("z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type, MIN(ts) AS lo, MAX(ts) AS hi
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+           GREATEST(a.lo, b.lo) AS overlap_start,
+           LEAST(a.hi, b.hi) AS overlap_end,
+           epoch_us(LEAST(a.hi, b.hi)) - epoch_us(GREATEST(a.lo, b.lo))
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per-user activity spans per event
+    type, paired where the spans intersect — the temporal-overlap
+    family (validity intervals, reservation conflicts). The equi key
+    (user_id) carries the shuffle/partitioning; the overlap band and
+    the type ordering are post-match predicates — stays a hash/SMJ
+    equi-join, never a nested loop (same discipline as join_range).
+    Overlap length is computed in exact integer microseconds
+    (unix_micros / epoch_us) — no float timestamp arithmetic."""
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    a = iv.select(
+        F.col("user_id"),
+        F.col("event_type").alias("type_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    start = F.greatest("lo_a", "lo_b")
+    end = F.least("hi_a", "hi_b")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("type_a") < F.col("type_b"))
+            & (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a")),
+        )
+        .select(
+            "user_id",
+            "type_a",
+            "type_b",
+            start.alias("overlap_start"),
+            end.alias("overlap_end"),
+            # unix_micros requires ltz; ts is NTZ — the cast is wall-clock
+            # identity in this engine's pinned UTC session
+            (
+                F.unix_micros(end.cast("timestamp"))
+                - F.unix_micros(start.cast("timestamp"))
+            ).alias("overlap_us"),
         )
     )
