@@ -1264,3 +1264,88 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KMEANS_ROUNDS):
         c = update(assign(c))
     return assign(c)
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle="""
+    WITH g AS (
+      SELECT MAX(n_chars * 100000000 - doc_id) AS k,
+             MAX(n_chars) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY text
+    )
+    SELECT n_chars * 100000000 - k AS doc_id, n_chars, n_copies FROM g
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted exact dedup: within each duplicate group keep
+    the BEST copy, not the lowest id — real corpora carry the same
+    text at different quality (truncation, encoding damage), and
+    keep-first throws the good copy away. "Best" = longest copy
+    (n_chars), doc_id ascending tie-break, encoded as ONE bigint
+    argmax key (n_chars * 1e8 - doc_id) whose winner decodes back to
+    doc_id arithmetically.
+
+    The encoding is a PLAN choice, not just a determinism trick:
+    ``max_by`` (and max-of-struct) with a string payload carries a
+    variable-size aggregation buffer, which Spark can't hash-aggregate
+    — the plan degrades to SortAggregate, sorting every partition by
+    full document text. Pure bigint MAX keeps the fixed-size buffer →
+    HashAggregate with map-side partials, one shuffle (pinned in
+    tests/test_plans.py). Recover dropped payload columns (source, …)
+    by joining the kept doc_ids back to the corpus — a second cheap
+    hash join, not a corpus-wide sort."""
+    d = load_table(spark, sf_dir, "documents")
+    best_key = F.col("n_chars") * F.lit(100_000_000) - F.col("doc_id")
+    g = d.groupBy("text").agg(
+        F.max(best_key).alias("k"),
+        F.max("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return g.select(
+        (F.col("n_chars") * F.lit(100_000_000) - F.col("k")).alias("doc_id"),
+        "n_chars",
+        "n_copies",
+    )
+
+
+@query(
+    "llm_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 2147483647) * 48271 % 2147483647 AS shuffle_key,
+           ((doc_id % 2147483647) * 48271 % 2147483647) // 33554432
+             AS shard
+    FROM documents
+    """,
+)
+def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: a Lehmer LCG
+    (h = key * 48271 mod 2^31-1 — multiplier from Park-Miller) maps
+    doc_id to a pseudo-random but REPLAYABLE sort key, plus a
+    range-contiguous 64-way shard id (h div ceil(p/64)). No RNG, no
+    rand(): the order survives re-runs, partial failures, and corpus
+    growth (new docs interleave without reshuffling old ones).
+    Arithmetic stays within 2^47 so both engines compute it exactly
+    in int64 — the reason for an LCG over xxhash64 (no DuckDB
+    equivalent) or rand() (not replayable).
+
+    The query itself is map-only, pushdown-friendly. The writer
+    pattern at 100 TB:
+    ``df.repartitionByRange(N, "shuffle_key").sortWithinPartitions(
+    "shuffle_key").write...`` — a single range exchange gives
+    globally shuffled, globally ordered output files; never a
+    row_number over an unpartitioned window (single-task) and never
+    orderBy on the driver."""
+    p = F.lit(2_147_483_647)
+    h = (F.col("doc_id") % p) * F.lit(48_271) % p
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", h.alias("shuffle_key"))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            F.expr("shuffle_key DIV 33554432").alias("shard"),
+        )
+    )

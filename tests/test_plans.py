@@ -281,3 +281,19 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert not has_node(df, "CartesianProduct")
+
+
+def test_shuffle_order_is_map_only(spark, sf_dir):
+    """The training-order shuffle KEY assignment is pure map-side
+    arithmetic — the one range exchange belongs to the writer
+    (repartitionByRange), never to key computation."""
+    df = QUERIES["llm_shuffle_order"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 0
+
+
+def test_dedup_keep_best_single_exchange(spark, sf_dir):
+    """Keep-best exact dedup is one hash aggregate over content with
+    map-side partials — same contract as llm_dedup_exact."""
+    df = QUERIES["llm_dedup_keep_best"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
+    assert explain_str(df).count("HashAggregate") >= 2
