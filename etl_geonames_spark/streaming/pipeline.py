@@ -35,36 +35,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from etl_geonames_spark.session import apply_runtime_confs
 
-# With spark.sql.legacy.parquet.nanosAsLong=true the events file's
-# TIMESTAMP(NANOS) column arrives as int64 nanos (see sources.tables).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with the same
-    nanos→TIMESTAMP_NTZ conversion as the batch reader — one codebase,
-    two execution modes."""
+    timestamp canonicalization as the batch reader — one codebase,
+    two execution modes.
+
+    The file streaming source requires an explicit schema, so we probe
+    the footer with a batch read and mirror whatever the batch path
+    sees: TIMESTAMP(NANOS) fixtures arrive as int64 under
+    ``nanosAsLong`` and are floor-divided to micros; TIMESTAMP(MICROS)
+    fixtures read natively (the driver has shipped both encodings
+    across rounds — the reader must not assume one).
+    """
     apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_nanos_long = dict(
+        (f.name, f.dataType.simpleString()) for f in batch_schema
+    ).get("ts") == "bigint"
     # glob, not a bare file path — the file streaming source requires a
     # directory or glob (it derives basePath from it)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
     # TIMESTAMP (ltz), not NTZ: watermarks only accept TIMESTAMP, and
     # under the engine's pinned UTC session timezone the two carry the
     # same wall clock; outputs cast back to NTZ to match the batch
     # reader.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
