@@ -557,3 +557,52 @@ def llm_bucket_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n_docs", "total_tokens", "pad_waste")
     )
+
+
+@query(
+    "llm_token_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           FLOOR(
+             (LN(CAST(SUM(c) AS DOUBLE))
+              - SUM(c * LN(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the classic low-diversity filter: word-salad scores high, repeated
+    boilerplate ("click here click here ...") scores near zero, and it
+    complements the top-word share of ``llm_repetition_ratio`` by
+    seeing the WHOLE distribution, not just the mode.
+
+    Algebra: −Σ (c/n)·ln(c/n)  =  ln n − (Σ c·ln c)/n, which needs no
+    per-term division — two map-side-combined hash aggregates (token
+    counts, then one row per doc), no window, no broadcast. The ln-sum
+    accumulates in engine-dependent order, so the result is qround-
+    quantized on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        qround(
+            F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy"),
+    )

@@ -447,3 +447,117 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+@query(
+    "ts_rollup_hierarchy",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', hour) AS day, event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           FLOOR(SUM(sum_value) * 100.0 + 0.5) / 100.0 AS sum_value,
+           MAX(max_value) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hourly_partials
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    pattern): daily aggregates computed FROM the hourly partials, never
+    from raw events.
+
+    This is the incremental-maintenance shape that matters at 100 TB:
+    count/sum/max are mergeable, so each coarser level re-aggregates
+    the level below — the raw table is scanned exactly once to build
+    the finest level, and a late-arriving hour only invalidates its own
+    day, not the whole history. (Median-style holistic aggregates can't
+    ride this; use the mergeable KLL sketch rollup ``agg_sketch_kll``.)
+
+    The hourly sum is qround-quantized before the day-level merge so
+    both engines sum identical 2-dp values; the day sum re-rounds on
+    the same grid (near-integer after scaling, so the floor-form is
+    stable against accumulation-order ulps).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        qround(F.sum("value"), 2).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        qround(F.sum("sum_value"), 2).alias("sum_value"),
+        F.max("max_value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_hourly_partials"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, value,
+             LAG(value, 1) OVER w AS l1,
+             LAG(value, 2) OVER w AS l2,
+             LAG(value, 3) OVER w AS l3,
+             LAG(value, 4) OVER w AS l4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           FLOOR(
+             ((value
+               + 0.5 * COALESCE(l1, 0.0)
+               + 0.25 * COALESCE(l2, 0.0)
+               + 0.125 * COALESCE(l3, 0.0)
+               + 0.0625 * COALESCE(l4, 0.0))
+              / (1.0
+                 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+                 + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+                 + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+                 + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END))
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM lagged
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) over the 4
+    trailing observations per user, normalized over the weights of the
+    lags actually present (series heads use fewer terms rather than
+    decaying toward a phantom zero history).
+
+    A true infinite-history EWMA is a linear recurrence — not
+    expressible as a window aggregate without a recursive/sequential
+    scan. The truncated form is the distributed-friendly equivalent
+    (weights below 0.0625 contribute <1e-6 at this alpha... the tail
+    is cut where it stops mattering) and keeps O(1) state per row:
+    four LAGs in ONE window pass, single shuffle on user_id.
+
+    The weighted sum is written as one fixed left-associated expression
+    chain on both engines, so the arithmetic is bit-identical before
+    the qround quantization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = {f"l{j}": F.lag("value", j).over(w) for j in (1, 2, 3, 4)}
+    lagged = ev.select("event_id", "user_id", "value",
+                       *[c.alias(n) for n, c in lags.items()])
+    weights = {"l1": 0.5, "l2": 0.25, "l3": 0.125, "l4": 0.0625}
+    num = F.col("value")
+    den = F.lit(1.0)
+    for n, wgt in weights.items():
+        num = num + F.lit(wgt) * F.coalesce(F.col(n), F.lit(0.0))
+        den = den + F.when(F.col(n).isNull(), F.lit(0.0)).otherwise(F.lit(wgt))
+    return lagged.select(
+        "event_id", "user_id", qround(num / den, 6).alias("ewma")
+    )

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.curation",
     "etl_geonames_spark.operators.graph",
     "etl_geonames_spark.operators.reshape",
+    "etl_geonames_spark.operators.search",
 ]
 
 # The differential driver records correctness rows for the FIRST 50
@@ -81,6 +82,8 @@ _DRIVER_PRIORITY = [
     "udf_scalar", "udf_grouped_map", "udf_agg", "udtf_python",
     "udtf_explode", "mm_decode_stub", "mm_frame_sample",
     "fn_higher_order", "llm_ann_ivf",
+    "llm_bm25_topk", "llm_inverted_index", "llm_token_entropy",
+    "ts_rollup_hierarchy", "ts_ewma",
 ]
 
 

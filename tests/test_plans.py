@@ -297,3 +297,32 @@ def test_dedup_keep_best_single_exchange(spark, sf_dir):
     df = QUERIES["llm_dedup_keep_best"](spark, sf_dir)
     assert shuffle_exchange_count(df) == 1
     assert explain_str(df).count("HashAggregate") >= 2
+
+
+def test_bm25_topk_is_takeordered_with_broadcast_stats(spark, sf_dir):
+    """BM25: df table and 1-row corpus stats broadcast; the final
+    top-10 is TakeOrderedAndProject, never a global sort exchange."""
+    df = QUERIES["llm_bm25_topk"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert has_broadcast_hash_join(df)
+
+
+def test_rollup_hierarchy_scans_raw_events_once(spark, sf_dir):
+    """The daily level aggregates the hourly partials, not the raw
+    table — exactly one scan of events in the whole plan."""
+    df = QUERIES["ts_rollup_hierarchy"](spark, sf_dir)
+    # formatted explain shows each node twice (tree + detail section):
+    # count the numbered detail entries
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", explain_str(df))) == 1
+
+
+def test_ewma_is_one_window_pass(spark, sf_dir):
+    """Four trailing LAGs share ONE window (single shuffle on user_id)
+    — a per-lag window would multiply the exchange count."""
+    df = QUERIES["ts_ewma"](spark, sf_dir)
+    import re
+
+    assert shuffle_exchange_count(df) == 1
+    assert len(re.findall(r"\(\d+\) Window", explain_str(df))) == 1
