@@ -606,3 +606,108 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_BOILER = "subscribe to our newsletter click here to continue reading now"
+
+
+@query(
+    "llm_dedup_paragraphs",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BOILER} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM dirty),
+    chunks AS (
+      SELECT doc_id, i,
+             array_to_string(toks[(i-1)*10+1 : i*10], ' ') AS chunk
+      FROM t, unnest(generate_series(1, (len(toks)+9)//10)) AS u(i)
+    ),
+    boiler AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.chunk, ' ' ORDER BY k.i), '') AS clean_text,
+           CAST(COUNT(k.chunk) AS BIGINT) AS n_chunks_kept
+    FROM dirty d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def llm_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level boilerplate removal (the C4/RefinedWeb
+    pass): split every document into non-overlapping 10-token chunks,
+    drop any chunk that appears in ≥2 distinct documents, and rebuild
+    the document from its surviving chunks in order.
+
+    This catches what document-level dedup can't: navigation chrome,
+    cookie banners, license headers glued onto otherwise-unique pages.
+    The fixture is unique word-salad, so a deterministic boilerplate
+    sentence is prepended to every third document (same expression on
+    both engines); the removal logic is the real operator.
+
+    Scale shape: ONE shuffle of (chunk → doc counts); the repeated-
+    chunk set is tiny relative to the corpus (boilerplate by
+    definition concentrates), so it broadcasts into a left-anti join —
+    the corpus-side chunk stream never shuffles again. Rebuild is a
+    per-doc hash aggregate over struct-sorted chunks. At 100 TB, hash
+    chunks to 64-bit before the frequency count so the shuffle carries
+    longs, not text (the ``llm_dedup_verified`` discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = dirty.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.expr("(size(toks) + 9) div 10"))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr("array_join(slice(toks, (i-1)*10+1, 10), ' ')").alias("chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(boiler), "chunk", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+    )
+    return (
+        dirty.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks_kept", F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks_kept"),
+        )
+    )

@@ -561,3 +561,45 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "event_id", "user_id", qround(num / den, 6).alias("ewma")
     )
+
+
+@query(
+    "ts_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           FLOOR(GREATEST(b.lo, LEAST(b.hi, e.value)) * 100.0 + 0.5)
+             / 100.0 AS value_winsorized
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each value into its group's [p5, p95] band —
+    the outlier-robust normalization pass before any mean-based
+    downstream statistic.
+
+    Exact percentiles here (they buffer per-group values); the group
+    cardinality is event-type-sized, so the band table broadcasts and
+    the fact side stays map-only after its one aggregate pass. At
+    100 TB swap the exact percentile for ``approx_percentile``
+    (t-digest, mergeable) — the join shape is unchanged. Clipped
+    values are qround-quantized: the band endpoints are interpolated
+    doubles, where engine ulps could otherwise differ.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return ev.join(F.broadcast(bands), "event_type").select(
+        "event_id",
+        "event_type",
+        qround(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))), 2
+        ).alias("value_winsorized"),
+    )

@@ -83,7 +83,8 @@ _DRIVER_PRIORITY = [
     "udtf_explode", "mm_decode_stub", "mm_frame_sample",
     "fn_higher_order", "llm_ann_ivf",
     "llm_bm25_topk", "llm_inverted_index", "llm_token_entropy",
-    "ts_rollup_hierarchy", "ts_ewma",
+    "ts_rollup_hierarchy", "ts_ewma", "llm_dedup_paragraphs",
+    "ts_winsorize",
 ]
 
 

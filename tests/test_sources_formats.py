@@ -107,3 +107,66 @@ def test_parquet_merge_schema_evolution(spark, sf_dir, tmp_path):
         merged.filter(F.col("quality").isNull()).count()
         == docs.filter(F.col("doc_id") % 2 == 0).count()
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource: the geonames dump format as a custom connector
+# ---------------------------------------------------------------------------
+
+_GN_ROWS = [
+    ["1001", "Haarlem", "Haarlem", "", "52.38", "4.63", "P", "PPL", "NL",
+     "", "07", "0392", "", "", "150000", "", "2", "Europe/Amsterdam",
+     "2017-01-01"],
+    ["1007", "Berlin", "Berlin", "", "52.52", "13.40", "P", "PPL", "DE",
+     "", "01", "002", "", "", "", "", "", "", ""],
+    # embedded quote exercises the no-quote-handling contract
+    ['1008', 'Brus"sels', 'Brus"sels', "", "50.85", "4.35", "P", "PPL",
+     "BE", "", "BRU", "21", "", "", "", "", "", "", ""],
+]
+
+
+@pytest.fixture(scope="module")
+def gn_dump_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gn_dump")
+    (d / "part1.txt").write_text(
+        "\n".join("\t".join(r) for r in _GN_ROWS[:2]) + "\n"
+    )
+    (d / "part2.txt").write_text("\t".join(_GN_ROWS[2]) + "\n")
+    return str(d)
+
+
+def test_geonames_datasource_matches_csv_reader(spark, gn_dump_dir):
+    """The Python DataSource and the built-in CSV scan read the same
+    dump identically: 19 string columns, empty→NULL, quotes verbatim,
+    one partition per file."""
+    from etl_geonames_spark.sources.geonames_datasource import (
+        register_geonames_source,
+    )
+    from etl_geonames_spark.sources.tsv import read_all_countries
+
+    register_geonames_source(spark)
+    ds = spark.read.format("geonames").load(gn_dump_dir)
+    csv = read_all_countries(spark, gn_dump_dir + "/*.txt")
+    assert ds.schema == csv.schema
+    assert ds.rdd.getNumPartitions() == 2
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, csv.collect()))
+
+
+def test_geonames_datasource_pushes_equality_filter(spark, gn_dump_dir):
+    """countryCode = 'NL' is consumed by pushFilters and applied
+    vectorized inside the scan: the executed plan keeps only the
+    isnotnull residual, and results stay correct."""
+    from etl_geonames_spark.sources.geonames_datasource import (
+        register_geonames_source,
+    )
+
+    register_geonames_source(spark)
+    flt = (
+        spark.read.format("geonames").load(gn_dump_dir)
+        .filter("countryCode = 'NL'")
+    )
+    rows = flt.collect()
+    assert [r["geonameid"] for r in rows] == ["1001"]
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan geonames" in plan
+    assert "= NL" not in plan  # the EqualTo never re-runs Spark-side
