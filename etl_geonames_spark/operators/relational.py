@@ -1225,3 +1225,152 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, epoch_us(ts) AS m,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    scanned AS (
+      SELECT user_id, ts, m, p_id,
+             LAST_VALUE(CASE WHEN c_id IS NOT NULL THEN m END IGNORE NULLS)
+               OVER wb AS prev_m,
+             LAST_VALUE(c_id IGNORE NULLS) OVER wb AS prev_id,
+             FIRST_VALUE(CASE WHEN c_id IS NOT NULL THEN m END IGNORE NULLS)
+               OVER wf AS next_m,
+             FIRST_VALUE(c_id IGNORE NULLS) OVER wf AS next_id
+      FROM tagged
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY m, (c_id IS NULL), c_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY m, (c_id IS NULL), c_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT p_id, user_id, ts AS p_ts,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN (m - prev_m) <= (next_m - m) THEN prev_id
+                ELSE next_id
+           END AS c_id
+    FROM scanned WHERE p_id IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each purchase matched to the
+    temporally CLOSEST click per user, before or after (ties go to the
+    earlier click). The 'nearest' direction completes the as-of family
+    — :func:`join_asof` is the backward form.
+
+    Same scalable decomposition as join_asof (union + window carry,
+    one shuffle on user_id, no candidate pair blowup), run in BOTH
+    directions inside the same window pass: last-non-null behind,
+    first-non-null ahead, then an arithmetic pick on the epoch-micros
+    distance. DuckDB has no nearest ASOF, so the oracle replays the
+    identical window construction (IGNORE NULLS is the dialect-shared
+    primitive)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        m.alias("m"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "p_id"
+        ),
+    )
+    order = [F.col("m"), F.col("c_id").isNull().cast("int"), F.col("c_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    c_m = F.when(F.col("c_id").isNotNull(), F.col("m"))
+    scanned = tagged.select(
+        "user_id",
+        "ts",
+        "m",
+        "p_id",
+        F.last(c_m, ignorenulls=True).over(wb).alias("prev_m"),
+        F.last("c_id", ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(c_m, ignorenulls=True).over(wf).alias("next_m"),
+        F.first("c_id", ignorenulls=True).over(wf).alias("next_id"),
+    )
+    pick = (
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(
+            (F.col("m") - F.col("prev_m")) <= (F.col("next_m") - F.col("m")),
+            F.col("prev_id"),
+        )
+        .otherwise(F.col("next_id"))
+    )
+    return scanned.filter(F.col("p_id").isNotNull()).select(
+        F.col("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        pick.alias("c_id"),
+    )
+
+
+@query(
+    "profile_skew",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM k
+    )
+    SELECT key, n,
+           FLOOR(n / t.total * 1000000.0 + 0.5) / 1000000.0 AS share,
+           t.n_keys
+    FROM k, t
+    ORDER BY n DESC, key LIMIT 10
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top-10 heaviest keys with their
+    share of the table, plus the distinct-key count — the numbers you
+    read before choosing a salting factor or trusting AQE's skew
+    split (a key with share ≫ 1/shuffle-partitions is the hazard).
+
+    Shape: one map-side-combined count per key, a 1-row broadcast
+    (total, n_keys) crossJoin, TakeOrdered top-10 with a deterministic
+    (count desc, key) tie-break. The key-count table is the only
+    shuffle; the hot path never sorts globally."""
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = k.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            qround(F.col("n") / F.col("total"), 6).alias("share"),
+            "n_keys",
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )

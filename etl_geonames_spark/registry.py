@@ -84,7 +84,7 @@ _DRIVER_PRIORITY = [
     "fn_higher_order", "llm_ann_ivf",
     "llm_bm25_topk", "llm_inverted_index", "llm_token_entropy",
     "ts_rollup_hierarchy", "ts_ewma", "llm_dedup_paragraphs",
-    "ts_winsorize",
+    "ts_winsorize", "join_asof_nearest", "profile_skew",
 ]
 
 
