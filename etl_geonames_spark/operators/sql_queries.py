@@ -855,3 +855,76 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
         GROUP BY s_name
     """)
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM chain WHERE cur > 0
+    )
+    SELECT node, CAST(MAX(depth) AS INT) AS depth_to_root
+    FROM chain GROUP BY node
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): walk each
+    customer up a derived parent chain (parent = key div 10 — a
+    deterministic tree the fixture schema lacks) and report the depth
+    to the root.
+
+    The recursion is the genuine iterate-until-empty dataflow —
+    Spark's recursive CTE re-plans each step on the previous step's
+    output, the SQL-level cousin of the engine's
+    :func:`~etl_geonames_spark.operators.llm.connected_components`
+    loop. Termination is value-driven (cur > 0), depth ≤ 6 at any
+    fixture scale since keys are < 10^7. The per-step plan is a
+    map-only projection — the single shuffle is the final group-by."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM customer
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT node, CAST(MAX(depth) AS INT) AS depth_to_root
+        FROM chain GROUP BY node
+    """)
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+    customers by balance per nation — per-group top-k in pure SQL,
+    identical text on both engines.
+
+    Catalyst de-correlates this into a window-rank over the customer
+    side rather than running the subquery per outer row; the
+    DataFrame twin is the `row_number ≤ k` pattern used throughout
+    (`llm_tfidf_top_terms`, `geo_knn`). Deterministic under the
+    (balance, name) tie-break."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+    """)
