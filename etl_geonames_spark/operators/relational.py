@@ -1374,3 +1374,48 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(10)
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM (SELECT n_name,
+                 CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                      ELSE n_regionkey END AS k
+          FROM nation) n
+    JOIN (SELECT r_name,
+                 CASE WHEN r_regionkey = 0 THEN NULL
+                      ELSE r_regionkey END AS k
+          FROM region) r
+      ON n.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys instead of vanishing — the semantics CDC and
+    SCD pipelines need when the merge key is legitimately nullable.
+
+    The plan property that matters: `<=>` is still an EQUI key to
+    Catalyst, so this stays a (broadcast) hash join — unlike a general
+    theta predicate, which would degrade to nested-loop. NULL-key
+    fan-out is the 100 TB hazard (every NULL matches every NULL):
+    acceptable only when one side's NULL set is dim-sized, else
+    pre-split the NULL partition like a skew key. Both derived keys
+    here are deterministic fixture transforms (the schema has no
+    nullable join keys)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .alias("nk"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit(None))
+        .otherwise(F.col("r_regionkey"))
+        .alias("rk"),
+    )
+    return nation.join(
+        F.broadcast(region), F.col("nk").eqNullSafe(F.col("rk"))
+    ).select("n_name", "r_name")

@@ -184,3 +184,67 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
     )
+
+
+def _l2_normalize_batches(batches):
+    """Arrow-native batch transform: L2-normalize embeddings without a
+    pandas round-trip. Math in float64, per-element floor-form 6-dp
+    round mirroring the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_id = batch.column("vec_id")
+        emb = batch.column("embedding")
+        # straight off the Arrow buffers: flatten the list values and
+        # reshape (fixture embeddings are fixed-dim, no nulls)
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        n = len(batch)
+        if n == 0:
+            continue
+        if len(vals) % n:
+            raise ValueError("embeddings must be fixed-dimension, non-null")
+        arr = vals.reshape(n, len(vals) // n)
+        norms = np.sqrt((arr * arr).sum(axis=1, keepdims=True))
+        out = np.floor(arr / norms * 1e6 + 0.5) / 1e6
+        dim = arr.shape[1]
+        unit = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype="int32")),
+            pa.array(out.ravel(), type=pa.float64()),
+        )
+        yield pa.RecordBatch.from_arrays([vec_id, unit], ["vec_id", "unit_embedding"])
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM s
+    )
+    SELECT vec_id,
+           list_transform(e, x -> FLOOR(x / nrm * 1000000.0 + 0.5)
+                                  / 1000000.0) AS unit_embedding
+    FROM n
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python batch path — RecordBatch
+    in, RecordBatch out, no pandas conversion on either side. Used
+    here to L2-normalize the embedding column (numpy on the Arrow
+    buffers); the DuckDB oracle replays the math with list lambdas.
+
+    When Python is genuinely needed over array/tensor columns, this
+    beats mapInPandas (which materializes a pandas object column per
+    list) and is the template the multimodal decode stubs graduate to.
+    Map-only: zero shuffles, pipelined with the scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        _l2_normalize_batches, "vec_id LONG, unit_embedding ARRAY<DOUBLE>"
+    )

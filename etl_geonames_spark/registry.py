@@ -85,7 +85,8 @@ _DRIVER_PRIORITY = [
     "llm_bm25_topk", "llm_inverted_index", "llm_token_entropy",
     "ts_rollup_hierarchy", "ts_ewma", "llm_dedup_paragraphs",
     "ts_winsorize", "join_asof_nearest", "profile_skew",
-    "sql_recursive_cte", "sql_lateral_topk",
+    "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
+    "udf_map_in_arrow",
 ]
 
 

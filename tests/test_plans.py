@@ -326,3 +326,17 @@ def test_ewma_is_one_window_pass(spark, sf_dir):
 
     assert shuffle_exchange_count(df) == 1
     assert len(re.findall(r"\(\d+\) Window", explain_str(df))) == 1
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """`<=>` is an equi key to Catalyst: the null-safe join must plan
+    as a (broadcast) hash join, never nested-loop."""
+    df = QUERIES["join_null_safe"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_map_in_arrow_is_map_only(spark, sf_dir):
+    """The Arrow batch transform pipelines with the scan: no shuffle."""
+    df = QUERIES["udf_map_in_arrow"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 0
