@@ -711,3 +711,53 @@ def llm_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chunks_kept"),
         )
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH wne AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> ''
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM wne GROUP BY word
+    ),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id,
+           FLOOR(AVG(LN(v.c / t.total)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logprob
+    FROM wne w JOIN vocab v USING (word), t
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score: per-document mean log-probability
+    under the corpus unigram distribution — the cheap stand-in for the
+    KenLM-style perplexity filter every pretraining pipeline runs
+    (docs far below the corpus-typical score are boilerplate, far
+    above are degenerate repetition).
+
+    Shape: one token-count aggregate builds the vocabulary (vocab-
+    sized → broadcasts), total mass is a 1-row broadcast, and the
+    scoring pass is a map-side join + per-doc mean — the corpus
+    shuffles once for the vocab and once for the per-doc aggregate.
+    A real KenLM UDF slots in behind the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    wne = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = wne.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        wne.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            qround(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            )
+        )
+    )

@@ -520,3 +520,29 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except("a", "b")).alias("e"),
         F.size(F.array_union("a", "b")).alias("n_union"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (new in Spark 4): UTF8_LCASE makes
+    case-insensitivity a property of the comparison itself instead of
+    a lower() wrapped around every operand — at scale that matters
+    because collation-aware equality stays sargable and hash-joinable
+    where expression-wrapped keys can defeat stats and pushdown.
+    DuckDB mirrors with the lower() form (its NOCASE collation has
+    different ICU semantics; ASCII fixture data makes them agree).
+
+    First runtime (non-constant-folded) collation use loads the ICU
+    machinery once per session (~seconds) — a known fixed cost, see
+    CLAUDE.md."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(
+        F.expr("collate(c_mktsegment, 'UTF8_LCASE') = 'BuIlDiNg'")
+    ).select("c_custkey", "c_mktsegment")

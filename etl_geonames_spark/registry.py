@@ -86,7 +86,7 @@ _DRIVER_PRIORITY = [
     "ts_rollup_hierarchy", "ts_ewma", "llm_dedup_paragraphs",
     "ts_winsorize", "join_asof_nearest", "profile_skew",
     "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
-    "udf_map_in_arrow",
+    "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
 ]
 
 

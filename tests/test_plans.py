@@ -340,3 +340,43 @@ def test_map_in_arrow_is_map_only(spark, sf_dir):
     """The Arrow batch transform pipelines with the scan: no shuffle."""
     df = QUERIES["udf_map_in_arrow"](spark, sf_dir)
     assert shuffle_exchange_count(df) == 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling, observed on the EXECUTED plan: a hot
+    key that dwarfs every other shuffle partition is split at runtime
+    (the final sort-merge join reports skew=true). This is the
+    no-code-change answer to moderate skew; ``join_skew_salted`` is
+    the explicit-salt fallback for the extreme tail."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # half the left side lands on ONE key; everything else spreads
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("pad-"), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right, "k")
+        # execute THIS DataFrame's plan (count() would build a separate
+        # query execution, leaving j's adaptive plan unfinalized)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
