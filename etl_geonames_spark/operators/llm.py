@@ -1349,3 +1349,55 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shuffle_key DIV 33554432").alias("shard"),
         )
     )
+
+
+@query(
+    "llm_quantize_embeddings",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM s
+    )
+    SELECT vec_id,
+           FLOOR(max_abs * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           list_transform(
+             e, x -> CAST(FLOOR(x / max_abs * 127.0 + 0.5) AS INT)
+           ) AS q
+    FROM m
+    """,
+)
+def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    absmax scale, elements mapped to round(x/scale·127) — 4× smaller
+    vectors, which at 100 TB is the difference between an ANN index
+    that fits executor memory and one that doesn't (dot products
+    decode-free in int arithmetic, exact re-rank on the fp32 originals
+    for the shortlist only).
+
+    Pure array lambdas (transform/array_max) — map-only, codegen'd,
+    zero shuffles; the floor-form round is written identically on both
+    engines so every quantized integer matches exactly. The absmax
+    scale is reported qround'd for the comparison; quantized values
+    use the raw scale on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_max = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    return with_max.select(
+        "vec_id",
+        qround(F.col("max_abs"), 6).alias("scale"),
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(x / F.col("max_abs") * F.lit(127.0) + F.lit(0.5))
+            .cast("int"),
+        ).alias("q"),
+    )
