@@ -278,3 +278,63 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, n_distinct, min_num, max_num)"
         )
     )
+
+
+@query(
+    "llm_curate_pipeline",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, norm_text,
+             CAST(len(str_split(norm_text, ' ')) AS BIGINT) AS n_tokens
+      FROM norm
+    )
+    SELECT doc_id, source, n_tokens,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM toks
+    WHERE n_tokens BETWEEN 50 AND 10000
+    """,
+)
+def llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate as ONE plan: normalize → token-count →
+    length-gate → deterministic split assignment, composed lazily with
+    no intermediate materialization.
+
+    This is the composition property the whole operator surface is
+    built for — each stage is a pure expression, so Catalyst fuses the
+    entire gate into a single WholeStageCodegen map stage over the
+    scan: ZERO shuffles at any corpus size (plan-pinned). At 100 TB
+    this runs at scan speed, and writing the result partitioned by
+    `split` feeds the trainer directly. Dedup/mixing stages (which do
+    shuffle) slot between the gate and the writer; keeping the gate
+    shuffle-free means they shuffle already-filtered data only."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n_tokens = F.size(F.split(norm, " ")).cast("bigint")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .filter(F.col("n_tokens").between(50, 10000))
+    )

@@ -87,7 +87,7 @@ _DRIVER_PRIORITY = [
     "ts_winsorize", "join_asof_nearest", "profile_skew",
     "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
     "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
-    "llm_quantize_embeddings",
+    "llm_quantize_embeddings", "llm_curate_pipeline",
 ]
 
 

@@ -380,3 +380,11 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_curate_pipeline_is_one_codegen_stage(spark, sf_dir):
+    """normalize → count → gate → split composes into a single
+    shuffle-free map stage over the scan."""
+    df = QUERIES["llm_curate_pipeline"](spark, sf_dir)
+    assert shuffle_exchange_count(df) == 0
+    assert wholestage_codegen_count(df) >= 1
