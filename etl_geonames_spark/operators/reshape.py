@@ -186,3 +186,35 @@ def agg_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return flag_rows.unionByName(all_row)
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(text, ' '), w -> len(w) > 8) AS longs
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+             AS long_word
+    FROM t
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving 1→N flatten (`explode_outer`): documents whose
+    filtered array is EMPTY survive as a single NULL row instead of
+    vanishing — the left-join semantics of lateral expansion, and the
+    difference between "no attributes" and "row silently dropped" in
+    an entity-expansion pipeline (plain explode is an inner join
+    against the array). DuckDB has no outer unnest; the oracle
+    substitutes the documented `[NULL]`-sentinel rewrite, which is
+    exactly how explode_outer is defined."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    longs = F.filter(
+        F.split("text", " "), lambda w: F.length(w) > F.lit(8)
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(longs).alias("long_word")
+    )

@@ -55,7 +55,15 @@ _OPERATOR_MODULES = [
 # at the front so round 2's window covers them; everything already
 # proven green rides in the back (still guarded by the local
 # tests/test_oracle_parity.py suite, which checks ALL queries).
-# udfs/multimodal sit at positions 51-57: first in line for round 3.
+#
+# ROUND-3 ROTATION PLAN (do this first thing next round): once
+# CORRECTNESS_r02 confirms the first 50 green, move them to the back
+# and promote, in order: (a) the round-3 front-runners below
+# (positions 51+ — udfs, multimodal, session-2 additions), then
+# (b) the never-driver-checked round-1 modules: geo, pipeline_ops,
+# curation, graph, reshape + the ten session-1 TPC-H shapes
+# (q1/q2/q7-q11/q15/q20/q21). That fills round 3's 50-row window
+# entirely with first-time verifications again.
 _DRIVER_PRIORITY = [
     "sql_tpch_q12",  # r1 hash-fail (DuckDB HUGEINT vs BIGINT) — re-verify
     # functions (15)
@@ -87,7 +95,7 @@ _DRIVER_PRIORITY = [
     "ts_winsorize", "join_asof_nearest", "profile_skew",
     "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
     "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
-    "llm_quantize_embeddings", "llm_curate_pipeline",
+    "llm_quantize_embeddings", "llm_curate_pipeline", "fn_explode_outer",
 ]
 
 
