@@ -9,6 +9,7 @@ from etl_geonames_spark.streaming.pipeline import (
     streaming_running_totals,
     streaming_session,
     streaming_tumbling,
+    streaming_rollup_maintenance,
     streaming_upsert,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "streaming_running_totals",
     "streaming_session",
     "streaming_tumbling",
+    "streaming_rollup_maintenance",
     "streaming_upsert",
 ]

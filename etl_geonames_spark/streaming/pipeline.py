@@ -312,3 +312,52 @@ def read_upsert_state(
             )
         return spark.read.parquet(f"{state_root}/{name}")
     return spark.read.parquet(f"{state_root}/{versions[-1]}")
+
+
+def streaming_rollup_maintenance(
+    events: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Incremental materialized-view maintenance via ``foreachBatch``:
+    the hourly (hour, event_type) rollup is kept current by MERGING
+    each micro-batch's partial aggregates into the snapshot — count
+    and sum are mergeable, so a batch costs O(batch + touched hours),
+    never a rescan of history. The streaming complement of the batch
+    :func:`~etl_geonames_spark.operators.timeseries.ts_rollup_hierarchy`
+    (whose daily level re-aggregates these same hourly partials).
+
+    Snapshots are versioned per batch_id like :func:`streaming_upsert`
+    (idempotent retries, AS OF reads). A late event lands in its own
+    hour's partial and merges into that one row — the
+    invalidate-one-bucket property that makes continuous aggregates
+    viable at 100 TB.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        cur = read_upsert_state(spark, state_root)
+        if cur is not None:
+            partial = (
+                cur.unionByName(partial)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -308,3 +308,60 @@ def test_upsert_state_time_travel(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_upsert_state(spark, state, version=99)
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental continuous-aggregate maintenance: two availableNow
+    runs over a growing source merge per-batch hourly partials into the
+    snapshot chain; the final snapshot must equal the batch hourly
+    rollup over everything (count exact, sum to 2dp)."""
+    import shutil
+
+    from etl_geonames_spark.streaming import (
+        read_upsert_state,
+        streaming_rollup_maintenance,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(str(src / "wave1"))
+    second.write.parquet(str(src / "wave2_staging"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/wave*/")
+        )
+        streaming_rollup_maintenance(stream, state, ckpt)
+
+    shutil.move(str(src / "wave2_staging"), str(tmp_path / "held"))
+    run_once()
+    shutil.move(str(tmp_path / "held"), str(src / "wave2"))
+    run_once()
+
+    final = read_upsert_state(spark, state)
+    batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in final.collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(s, abs=0.02), k
