@@ -546,3 +546,42 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.filter(
         F.expr("collate(c_mktsegment, 'UTF8_LCASE') = 'BuIlDiNg'")
     ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           '<order><k>' || CAST(o_orderkey AS VARCHAR) || '</k><p>'
+             || o_orderpriority || '</p></order>' AS xml,
+           o_orderkey AS k_parsed,
+           o_orderpriority AS p_parsed
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parse surface (new in Spark 4): construct a deterministic
+    XML payload per row, parse it back with ``from_xml`` against an
+    explicit struct schema, and surface the extracted fields. The
+    oracle verifies the extraction against the source columns directly
+    — DuckDB has no XML type, so correctness is the roundtrip identity
+    (parsed field ≡ original value), which is exactly what an XML
+    ingest must guarantee. Map-only; the typical 100 TB use is a raw
+    XML column landed from an upstream feed, parsed once at ingest."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 100
+    )
+    xml = F.concat(
+        F.lit("<order><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></order>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, p STRING")
+    return orders.select(
+        "o_orderkey",
+        xml.alias("xml"),
+        parsed.getField("k").alias("k_parsed"),
+        parsed.getField("p").alias("p_parsed"),
+    )

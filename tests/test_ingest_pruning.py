@@ -169,3 +169,33 @@ def test_cluster_parquet_by_produces_disjoint_file_ranges(
     assert spark.read.parquet(out).count() == load_table(
         spark, sf_dir, "orders"
     ).count()
+
+
+def test_dynamic_partition_pruning_from_joined_dim(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the partition-column predicate
+    lives on the DIM side of a join (not on the fact scan), Spark
+    injects a runtime subquery that prunes fact partitions before the
+    scan — at 100 TB this is the difference between reading one
+    partition and all of them, with no code change. The plan must show
+    a dynamicpruningexpression inside the fact's PartitionFilters."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_dpp")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    dim = spark.createDataFrame(
+        [("purchase", 1.0)], ["event_type", "weight"]
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        fact = spark.read.parquet(path)
+        j = fact.join(dim.filter(F.col("weight") > 0), "event_type")
+        plan = explain_str(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        got = j.count()
+        want = ev.filter(F.col("event_type") == "purchase").count()
+        assert got == want > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
