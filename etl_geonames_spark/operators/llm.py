@@ -1401,3 +1401,110 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         ).alias("q"),
     )
+
+
+@query(
+    "llm_dedup_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+           FLOOR((1.0 - COUNT(DISTINCT text) / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source document counts, distinct-text
+    counts, and the implied duplicate ratio — the report a curation
+    run publishes so source-level contamination (a crawler looping, a
+    dump ingested twice) is visible BEFORE the expensive near-dup
+    passes run.
+
+    COUNT(DISTINCT text) over full text is exact here; at 100 TB swap
+    the measure for approx_count_distinct over xxhash64(text) — same
+    one-aggregate shape, sketch-mergeable, and the report tolerates
+    approximation by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.count_distinct("text").alias("n_unique"),
+        qround(
+            F.lit(1.0) - F.count_distinct("text") / n.cast("double"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "llm_bigram_f1",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             list_transform(
+               generate_series(1, len(str_split(text, ' ')) - 1),
+               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+             ) AS bigrams
+      FROM documents WHERE doc_id < 200
+    ),
+    sides AS (
+      SELECT pair_id, side, bigrams FROM grams
+    ),
+    paired AS (
+      SELECT a.pair_id,
+             len(list_intersect(a.bigrams, b.bigrams)) AS overlap,
+             len(list_distinct(a.bigrams)) AS n_a,
+             len(list_distinct(b.bigrams)) AS n_b
+      FROM (SELECT * FROM sides WHERE side = 0) a
+      JOIN (SELECT * FROM sides WHERE side = 1) b USING (pair_id)
+    )
+    SELECT pair_id,
+           CAST(overlap AS BIGINT) AS overlap,
+           FLOOR(CASE WHEN overlap = 0 THEN 0.0
+                 ELSE 2.0 * (overlap / CAST(n_a AS DOUBLE))
+                       * (overlap / CAST(n_b AS DOUBLE))
+                      / (overlap / CAST(n_a AS DOUBLE)
+                         + overlap / CAST(n_b AS DOUBLE)) END
+                 * 1000000.0 + 0.5) / 1000000.0 AS f1
+    FROM paired
+    """,
+)
+def llm_bigram_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style bigram F1 between paired documents (doc 2k vs
+    2k+1) — the eval-metric shape: overlap of distinct bigram sets as
+    precision/recall, harmonic mean, zero-overlap guarded.
+
+    Set arithmetic stays in array built-ins (array_intersect /
+    array_distinct — the llm_dedup_verified discipline, no explode of
+    the pair side). Pairing is an equi join on pair_id: at eval scale
+    (reference vs candidate corpora) this is a co-partitioned join on
+    the example id, never a cross join. Bounded to doc_id < 200 like
+    the other pairwise-text queries."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    grams = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+        ).alias("bigrams"),
+    )
+    a = grams.filter(F.col("side") == 0).select(
+        "pair_id", F.col("bigrams").alias("ba")
+    )
+    b = grams.filter(F.col("side") == 1).select(
+        "pair_id", F.col("bigrams").alias("bb")
+    )
+    paired = a.join(b, "pair_id").select(
+        "pair_id",
+        F.size(F.array_intersect("ba", "bb")).cast("bigint").alias("overlap"),
+        F.size(F.array_distinct("ba")).alias("n_a"),
+        F.size(F.array_distinct("bb")).alias("n_b"),
+    )
+    p = F.col("overlap") / F.col("n_a").cast("double")
+    r = F.col("overlap") / F.col("n_b").cast("double")
+    f1 = F.when(F.col("overlap") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * p * r / (p + r)
+    )
+    return paired.select("pair_id", "overlap", qround(f1, 6).alias("f1"))

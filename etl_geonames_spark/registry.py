@@ -96,7 +96,7 @@ _DRIVER_PRIORITY = [
     "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
     "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
     "llm_quantize_embeddings", "llm_curate_pipeline", "fn_explode_outer",
-    "fn_xml_roundtrip",
+    "fn_xml_roundtrip", "llm_dedup_report", "llm_bigram_f1",
 ]
 
 
