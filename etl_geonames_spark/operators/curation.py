@@ -761,3 +761,35 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+           FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 10000.0 + 0.5)
+             / 10000.0 AS avg_chars
+    FROM documents
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships with: document
+    and source/language cardinalities, total token count, average
+    document length — the headline numbers of a data statement.
+
+    Single aggregation pass (Catalyst's Expand handles the two
+    DISTINCTs in one scan); at 100 TB swap the exact DISTINCTs for
+    approx_count_distinct — the row stays one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+            "total_tokens"
+        ),
+        qround(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )

@@ -585,3 +585,28 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_parsed"),
         parsed.getField("p").alias("p_parsed"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS name_roundtrip
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption (`aes_encrypt`/`aes_decrypt`): the PII-
+    at-rest primitive — encrypt on write, decrypt on authorized read,
+    keys supplied per job, ciphertext opaque to everything between.
+    ECB mode here because the oracle needs determinism (production
+    uses GCM, whose random IV makes ciphertext non-reproducible by
+    design). DuckDB has no AES, so correctness is the roundtrip
+    identity decrypt(encrypt(x)) ≡ x — the property an encrypted
+    column must guarantee. Map-only, JVM intrinsics (AES-NI)."""
+    key = F.lit("0123456789abcdef")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    )
+    ct = F.aes_encrypt(F.col("c_name"), key, F.lit("ECB"))
+    pt = F.aes_decrypt(ct, key, F.lit("ECB")).cast("string")
+    return cust.select("c_custkey", pt.alias("name_roundtrip"))

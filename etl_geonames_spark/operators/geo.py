@@ -325,3 +325,68 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("c_custkey", "s_suppkey", "rank", qround(F.col("d2"), 6).alias("dist2"))
     )
+
+
+@query(
+    "geo_polyline_length",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {_LAT_SQL.format(k="event_id")} AS lat,
+             {_LON_SQL.format(k="event_id")} AS lon
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS plat,
+             LAG(lon) OVER w AS plon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(plat) AS BIGINT) AS n_segments,
+           FLOOR(SUM(CASE WHEN plat IS NULL THEN 0.0 ELSE
+             2.0 * 6371.0088 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2)
+                 * sin(radians(lon - plon) / 2)))
+             END) * 100.0 + 0.5) / 100.0 AS path_km
+    FROM seg GROUP BY user_id
+    """,
+)
+def geo_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory length per user: order each user's events by time,
+    sum haversine segment distances between consecutive points — the
+    GPS-track / movement-analytics aggregate (coordinates derived from
+    event ids, same deterministic grid as the rest of the geo module).
+
+    One window pass for the LAGged previous point (single shuffle on
+    user_id), then a map-side-combined sum — O(points) work, O(1)
+    state per row. Trig ulps across engines are absorbed by the 2-dp
+    (≈10 m) qround on the summed length."""
+    ev = load_table(spark, sf_dir, "events")
+    lat, lon = _lat(F.col("event_id")), _lon(F.col("event_id"))
+    pts = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+    hav = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.col("plat"))) * F.cos(F.radians(F.col("lat")))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = F.when(F.col("plat").isNull(), F.lit(0.0)).otherwise(
+        2.0 * 6371.0088 * F.asin(F.sqrt(hav))
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("plat").alias("n_segments"),
+        qround(F.sum(dist), 2).alias("path_km"),
+    )

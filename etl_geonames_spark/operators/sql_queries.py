@@ -928,3 +928,41 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_name LIMIT 2
         ) c
     """)
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                                   THEN o_totalprice END), 0.0)
+                 * 100.0 + 0.5) / 100.0 AS sum_o,
+           FLOOR(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                                   THEN o_totalprice END), 0.0)
+                 * 100.0 + 0.5) / 100.0 AS sum_f,
+           FLOOR(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                                   THEN o_totalprice END), 0.0)
+                 * 100.0 + 0.5) / 100.0 AS sum_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (explicit value list — the scalable form: an
+    implicit list would need a blocking distinct scan to discover
+    columns). Same Expand+aggregate plan as the DataFrame
+    `agg_pivot`; DuckDB's PIVOT dialect differs, so the oracle uses
+    the CASE-aggregation desugaring, which is also exactly what
+    Catalyst lowers PIVOT to."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(FLOOR(COALESCE(o, 0.0) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS sum_o,
+               CAST(FLOOR(COALESCE(f, 0.0) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS sum_f,
+               CAST(FLOOR(COALESCE(p, 0.0) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS sum_p
+        FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+        PIVOT (SUM(o_totalprice)
+               FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+    """)

@@ -97,6 +97,8 @@ _DRIVER_PRIORITY = [
     "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
     "llm_quantize_embeddings", "llm_curate_pipeline", "fn_explode_outer",
     "fn_xml_roundtrip", "llm_dedup_report", "llm_bigram_f1",
+    "geo_polyline_length", "llm_dataset_card", "sql_pivot",
+    "fn_aes_roundtrip",
 ]
 
 
