@@ -161,3 +161,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+      FROM edges GROUP BY src
+    )
+    SELECT out_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY out_deg
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram: degree per node, then node count per
+    degree — the first diagnostic run on any graph (a heavy-tailed
+    distribution predicts skewed joins in every downstream traversal;
+    pagerank/triangle docstrings key their skew strategy off it).
+
+    Two map-side-combined hash aggregates; the second input is
+    node-sized and the output degree-distinct-sized — each stage
+    strictly smaller. The same shape at 100 TB, with the edge list
+    bucketed by src so the first aggregate is exchange-free."""
+    deg = (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    return deg.groupBy("out_deg").agg(F.count(F.lit(1)).alias("n_nodes"))

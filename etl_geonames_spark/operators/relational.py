@@ -1419,3 +1419,42 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), F.col("nk").eqNullSafe(F.col("rk"))
     ).select("n_name", "r_name")
+
+
+@query(
+    "win_distinct_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+             AS distinct_types_20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct count: how many distinct event types each user
+    produced across their trailing 20 events — the sliding-variety
+    signal (bot detection, engagement breadth) that plain rolling
+    counts can't see.
+
+    Neither engine supports COUNT(DISTINCT) as a window frame
+    aggregate; both compose it as collect-over-frame → distinct → size
+    (`collect_set`/`size` in Spark, `list`/`list_distinct` in DuckDB).
+    One shuffle on user_id, O(frame) state per row — frame-bounded, so
+    memory is constant regardless of history length. An unbounded
+    variant should switch to the monotone first-seen-flag + running
+    sum pattern instead of an ever-growing set."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("distinct_types_20"),
+    )

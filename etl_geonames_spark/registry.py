@@ -98,7 +98,7 @@ _DRIVER_PRIORITY = [
     "llm_quantize_embeddings", "llm_curate_pipeline", "fn_explode_outer",
     "fn_xml_roundtrip", "llm_dedup_report", "llm_bigram_f1",
     "geo_polyline_length", "llm_dataset_card", "sql_pivot",
-    "fn_aes_roundtrip",
+    "fn_aes_roundtrip", "graph_degree_distribution", "win_distinct_rolling",
 ]
 
 
