@@ -103,3 +103,31 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     mergeSchema for discovery.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema'd NDJSON scan with the same bad-record policy dial as
+    :func:`read_csv` — the engine's own sink format read back as a
+    source (round-trip with ``sources.sinks.write_ndjson``), and the
+    landing format of most scraped/LLM corpora.
+
+    Same quarantine semantics: PERMISSIVE + ``_corrupt_record`` +
+    :func:`split_corrupt` routes unparseable lines to a dead letter;
+    DROPMALFORMED drops; FAILFAST raises. Explicit schema always — at
+    100 TB, JSON inference is a full extra pass over every byte."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in schema.names:
+        schema = schema.add(CORRUPT_COL, StringType(), True)
+    return spark.read.json(
+        path,
+        schema=schema,
+        mode=mode.upper(),
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    )

@@ -170,3 +170,35 @@ def test_geonames_datasource_pushes_equality_filter(spark, gn_dump_dir):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan geonames" in plan
     assert "= NL" not in plan  # the EqualTo never re-runs Spark-side
+
+
+@pytest.fixture(scope="module")
+def dirty_ndjson(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ndjson")
+    p = d / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this line is not json\n"
+        '{"doc_id": "not-a-number", "text": "beta"}\n'
+        '{"doc_id": 3, "text": "gamma"}\n'
+    )
+    return str(p)
+
+
+def test_json_permissive_quarantines_bad_lines(spark, dirty_ndjson):
+    from etl_geonames_spark.sources.formats import read_json, split_corrupt
+
+    df = read_json(spark, dirty_ndjson, "doc_id BIGINT, text STRING")
+    clean, bad = split_corrupt(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 3}
+    assert bad.count() == 2  # non-JSON line + type-mismatched doc_id
+
+
+def test_json_failfast_raises(spark, dirty_ndjson):
+    from etl_geonames_spark.sources.formats import read_json
+
+    df = read_json(
+        spark, dirty_ndjson, "doc_id BIGINT, text STRING", mode="FAILFAST"
+    )
+    with pytest.raises(Exception):
+        df.collect()
