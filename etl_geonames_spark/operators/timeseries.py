@@ -603,3 +603,67 @@ def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))), 2
         ).alias("value_winsorized"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, epoch_us(ts) / 1000000.0) AS BIGINT)
+             AS n,
+           FLOOR(regr_slope(value, epoch_us(ts) / 1000000.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS slope,
+           FLOOR(regr_intercept(value, epoch_us(ts) / 1000000.0)
+                 * 10000.0 + 0.5) / 10000.0 AS intercept,
+           FLOOR(regr_r2(value, epoch_us(ts) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS aggregates (`regr_slope/intercept/r2`): the
+    trend-per-series primitive (is `value` drifting over time per
+    event type?) without collecting anything — the regression moments
+    (Σx, Σy, Σxy, Σx²) are mergeable, so this is ONE map-side-combined
+    hash aggregate at any scale, same shape as a plain sum.
+
+    x = epoch seconds (µs/1e6 — identical arithmetic both engines).
+    Slope is qround'd at 1e-9 (its natural units are value-per-second
+    over a ~2-month span: tiny magnitudes), intercept/r2 at their own
+    grids — moment accumulation order differs across engines, so every
+    derived statistic gets the floor-form treatment."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        qround(F.regr_slope(y, x), 9).alias("slope"),
+        qround(F.regr_intercept(y, x), 4).alias("intercept"),
+        qround(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the baseline
+    matrix anomaly detection normalizes against (compare an
+    observation to its (type, hour) cell, not the global mean).
+    One hash aggregate over ≤ types×24 cells; the profile table is
+    broadcast-sized forever, which is what makes seasonal
+    normalization cheap downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        qround(F.avg("value"), 4).alias("avg_value"),
+    )
