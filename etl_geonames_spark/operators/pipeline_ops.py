@@ -338,3 +338,81 @@ def llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens").between(50, 10000))
     )
+
+
+@query(
+    "dq_contract_check",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 END), 0)
+                AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_quantity_in_1_50',
+           CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  THEN 1 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_non_negative',
+           CAST(COALESCE(SUM(CASE WHEN value < 0 THEN 1 END), 0) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract: one row per rule with its violation
+    count — the dbt-test / Great-Expectations shape as a single
+    DataFrame (0 = pass; a scheduler gates downstream jobs on
+    ``max(violations) == 0``).
+
+    Four rule kinds in one result: not-null, referential integrity
+    (anti join against the dim — broadcast, so the fact never
+    shuffles), numeric range, and domain sanity. Each rule is a
+    map-side-combined aggregate over its own scan; at 100 TB the rule
+    set runs as one job whose cost is the union of the scans, and
+    per-rule filters push down to each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def rule(name, df):
+        return df.select(
+            F.lit(name).alias("rule"),
+            F.coalesce(F.col("violations"), F.lit(0))
+            .cast("bigint")
+            .alias("violations"),
+        )
+
+    r1 = rule(
+        "orders_custkey_not_null",
+        orders.agg(
+            F.count_if(F.col("o_custkey").isNull()).alias("violations")
+        ),
+    )
+    r2 = rule(
+        "orders_orphan_custkey",
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    r3 = rule(
+        "lineitem_quantity_in_1_50",
+        li.agg(
+            F.count_if(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).alias("violations")
+        ),
+    )
+    r4 = rule(
+        "events_value_non_negative",
+        ev.agg(F.count_if(F.col("value") < 0).alias("violations")),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

@@ -99,7 +99,7 @@ _DRIVER_PRIORITY = [
     "fn_xml_roundtrip", "llm_dedup_report", "llm_bigram_f1",
     "geo_polyline_length", "llm_dataset_card", "sql_pivot",
     "fn_aes_roundtrip", "graph_degree_distribution", "win_distinct_rolling",
-    "agg_regression", "ts_seasonal_profile",
+    "agg_regression", "ts_seasonal_profile", "dq_contract_check",
 ]
 
 
