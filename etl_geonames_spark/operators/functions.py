@@ -610,3 +610,38 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = F.aes_encrypt(F.col("c_name"), key, F.lit("ECB"))
     pt = F.aes_decrypt(ct, key, F.lit("ECB")).cast("string")
     return cust.select("c_custkey", pt.alias("name_roundtrip"))
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+           date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+             - INTERVAL 1 DAY AS month_end,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '1996-01-01') AS BIGINT)
+             AS days_to_1996
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond extract/trunc: month-shifted dates
+    (calendar-aware — adding 3 months to Nov 30 lands Feb 28/29, not a
+    fixed 90 days), end-of-month via trunc+interval (the dialect-
+    portable form of last_day), and signed day differences. All
+    interval arithmetic on both engines; pure map stage."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+        (
+            F.date_trunc("month", d)
+            + F.expr("INTERVAL 1 MONTH")
+            - F.expr("INTERVAL 1 DAY")
+        ).alias("month_end"),
+        F.datediff(F.lit("1996-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_1996"),
+    )

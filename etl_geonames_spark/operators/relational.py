@@ -1458,3 +1458,33 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_types_20"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition (each order row annotated with
+    its customer's SECOND order id; NULL for single-order customers) —
+    completes the positional window family beside first/last/lag/lead.
+    The frame must be explicitly unbounded on both ends: the default
+    frame stops at CURRENT ROW, which would make rows before the
+    second order see NULL."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
