@@ -1508,3 +1508,104 @@ def llm_bigram_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0) * p * r / (p + r)
     )
     return paired.select("pair_id", "overlap", qround(f1, 6).alias("f1"))
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    SELECT q_id, c_id, q_label, c_label, cos_sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             q.label AS q_label, c.label AS c_label,
+             FLOOR((list_dot_product(q.emb, c.emb) /
+                    (sqrt(list_dot_product(q.emb, q.emb)) *
+                     sqrt(list_dot_product(c.emb, c.emb)))) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) /
+                        (sqrt(list_dot_product(q.emb, q.emb)) *
+                         sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                        c.vec_id) AS rn
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE vec_id < 5) q
+      JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings) c
+        ON c.label <> q.label
+    ) t WHERE rn <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most similar vectors with a DIFFERENT label —
+    the near-misses that make embedding models actually learn
+    boundaries (random negatives are too easy to carry gradient).
+
+    Same plan as brute-force top-k with the label-disequality folded
+    into the join predicate (the filter runs before scoring, not
+    after, so the window ranks only true negatives). At corpus scale,
+    swap the candidate side for the IVF/LSH shortlist and keep this
+    exact label-aware re-rank on the shortlist only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("emb").alias("c_emb"),
+    )
+    sim = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("c_label") != F.col("q_label"))
+        .withColumn("_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id", "c_id", "q_label", "c_label",
+            qround(F.col("_sim"), 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "llm_class_balance",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT MAX(n) AS max_n, CAST(SUM(n) AS DOUBLE) AS total FROM counts)
+    SELECT label, n,
+           FLOOR(n / t.total * 1000000.0 + 0.5) / 1000000.0 AS share,
+           FLOOR(CAST(t.max_n AS DOUBLE) / n * 10000.0 + 0.5)
+             / 10000.0 AS imbalance
+    FROM counts, t
+    """,
+)
+def llm_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution report: per-class counts, corpus share, and
+    imbalance factor (majority/this) — read before choosing class
+    weights or resampling for classifier training. One hash aggregate
+    plus a 1-row broadcast; the class table is tiny forever."""
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = counts.agg(
+        F.max("n").alias("max_n"), F.sum("n").cast("double").alias("total")
+    )
+    return counts.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        qround(F.col("n") / F.col("total"), 6).alias("share"),
+        qround(F.col("max_n").cast("double") / F.col("n"), 4).alias(
+            "imbalance"
+        ),
+    )

@@ -667,3 +667,39 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         qround(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "ts_max_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps
+    FROM gaps GROUP BY user_id
+    """,
+)
+def ts_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest silence per user: max inter-event gap in exact integer
+    microseconds — the liveness/outage signal (a monitoring stream's
+    max gap IS its worst blackout). One LAG window pass + a
+    map-side-combined max; integer µs arithmetic is drift-free on
+    both engines, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        (m - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))).alias(
+            "gap_us"
+        ),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.max("gap_us").alias("max_gap_us"),
+        F.count("gap_us").alias("n_gaps"),
+    )
