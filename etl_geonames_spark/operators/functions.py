@@ -645,3 +645,28 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_to_1996"),
     )
+
+
+@query(
+    "fn_crypto_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def fn_crypto_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content digests (md5 / sha2-256, hex): the
+    cross-system content-addressing primitive — manifests, cache keys,
+    and exact-dedup fingerprints that must agree with OTHER engines,
+    which the engine-internal xxhash64 (used on dedup hot paths for
+    speed) deliberately does not. Standard algorithms, so Spark and
+    DuckDB agree byte-for-byte with no rounding discipline needed.
+    Map-only JVM intrinsics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+    )

@@ -966,3 +966,39 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (SUM(o_totalprice)
                FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
     """)
+
+
+@query(
+    "sql_window_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(FLOOR(SUM(o_totalprice) OVER wf * 100.0 + 0.5) / 100.0
+                AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: one spec shared by several functions —
+    beyond syntax hygiene, a single named spec guarantees both
+    functions land in ONE Window node over ONE exchange (divergent
+    inline specs can silently double the shuffles). Identical text on
+    both engines (Spark accepts named-window REFERENCES only — no
+    inline frame extension of a named spec — so the framed variant is
+    its own named window); the running sum pins its frame explicitly
+    because default frames with ORDER BY are RANGE-to-current, which
+    double-counts ties."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(FLOOR(SUM(o_totalprice) OVER wf * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)

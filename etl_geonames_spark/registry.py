@@ -101,7 +101,8 @@ _DRIVER_PRIORITY = [
     "fn_aes_roundtrip", "graph_degree_distribution", "win_distinct_rolling",
     "agg_regression", "ts_seasonal_profile", "dq_contract_check",
     "win_nth_value", "fn_date_arith", "llm_hard_negatives",
-    "llm_class_balance", "ts_max_gap",
+    "llm_class_balance", "ts_max_gap", "fn_crypto_hash",
+    "sql_window_clause",
 ]
 
 
