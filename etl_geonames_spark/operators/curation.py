@@ -793,3 +793,105 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         qround(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "llm_mask_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             list_transform(
+               toks,
+               (x, i) -> CASE WHEN ((doc_id * 31 + i) * 2654435761) % 10 = 0
+                              THEN '<mask>' ELSE x END
+             ) AS masked
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(masked, ' ') AS masked_text,
+           CAST(len(list_filter(masked, x -> x = '<mask>')) AS BIGINT)
+             AS n_masked
+    FROM m
+    """,
+)
+def llm_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token masking (the BERT/T5 denoising-objective
+    prep): ~10% of positions masked by a multiplicative hash of
+    (doc_id, position) — no RNG, so the same corpus always yields the
+    same masks (reproducible training, resumable preprocessing).
+
+    Positional array lambdas on both engines (Spark's transform index
+    is 0-based, DuckDB's 1-based — aligned explicitly). Map-only,
+    zero shuffles; the mask decision never leaves the codegen stage.
+    Fixture tokens are lowercase alphanumeric, so the '<mask>'
+    sentinel cannot collide with content."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    masked = F.transform(
+        toks,
+        lambda x, i: F.when(
+            ((F.col("doc_id") * 31 + (i + 1)) * 2654435761) % 10 == 0,
+            F.lit("<mask>"),
+        ).otherwise(x),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.size(F.filter(masked, lambda x: x == "<mask>"))
+        .cast("bigint")
+        .alias("n_masked"),
+    )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> '' GROUP BY word
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM vocab),
+    top AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top20_tokens
+      FROM (SELECT c FROM vocab ORDER BY c DESC, word LIMIT 20) x
+    )
+    SELECT total.total_tokens, top.top20_tokens,
+           FLOOR(top.top20_tokens / CAST(total.total_tokens AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS coverage
+    FROM total, top
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: what fraction of all corpus tokens the 20
+    most frequent words account for — the tokenizer-design metric (a
+    vocab's coverage curve decides its size / OOV rate trade-off).
+
+    The top-k is sort+limit (TakeOrdered — deliberately NOT a global
+    row_number window, which the plan-contract sweep bans); both
+    reductions are vocabulary-sized after the one corpus-wide count.
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    top = (
+        vocab.orderBy(F.col("c").desc(), "word")
+        .limit(20)
+        .agg(F.sum("c").cast("bigint").alias("top20_tokens"))
+    )
+    return (
+        total.crossJoin(F.broadcast(top))
+        .select(
+            "total_tokens",
+            "top20_tokens",
+            qround(
+                F.col("top20_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -102,7 +102,7 @@ _DRIVER_PRIORITY = [
     "agg_regression", "ts_seasonal_profile", "dq_contract_check",
     "win_nth_value", "fn_date_arith", "llm_hard_negatives",
     "llm_class_balance", "ts_max_gap", "fn_crypto_hash",
-    "sql_window_clause",
+    "sql_window_clause", "llm_mask_tokens", "llm_vocab_coverage",
 ]
 
 
