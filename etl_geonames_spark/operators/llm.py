@@ -1609,3 +1609,42 @@ def llm_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance"
         ),
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 3000
+    ),
+    incoming AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 3000
+    )
+    SELECT i.doc_id
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: admit only incoming documents whose
+    content hash is NOT already in the existing corpus — the
+    OPERATIONAL dedup shape (a crawler delta against a curated
+    corpus), distinct from the batch self-dedup family: history is
+    never re-deduped, only probed.
+
+    Anti join on the md5 content digest (the cross-system digest, so
+    the existing side can be a precomputed manifest from another
+    engine). At 100 TB the existing-hash side is exactly the
+    manifest an exact-dedup run already produces — bucket both sides
+    by hash and the probe is exchange-free; a bloom filter on the
+    manifest prunes the incoming scan before the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") < 3000)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= 3000).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return incoming.join(existing, "h", "left_anti").select("doc_id")

@@ -703,3 +703,52 @@ def ts_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.count("gap_us").alias("n_gaps"),
     )
+
+
+@query(
+    "ts_weekly_active",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT day + TO_DAYS(CAST(o AS INT)) AS obs_day, user_id
+      FROM du, unnest(generate_series(0, 6)) AS g(o)
+    ),
+    days AS (SELECT DISTINCT day AS obs_day FROM du)
+    SELECT c.obs_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days d ON c.obs_day = d.obs_day
+    GROUP BY c.obs_day
+    """,
+)
+def ts_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active users per day (trailing 7-day distinct count) via
+    the explode-to-window pattern: each (day, user) activity
+    contributes itself to the 7 observation days it keeps the user
+    "active" for, then one distinct-count per observation day.
+
+    This is THE scalable rolling-distinct shape: no per-day set
+    union, no window over users — a 7× row expansion of the already-
+    deduped (day, user) table (tiny vs raw events), one exchange for
+    the final count-distinct. Days with no activity in the prior week
+    are absent by the semi join against observed days (a calendar
+    gap-fill composes via ts_gap_fill)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "user_id",
+    ).select(
+        (F.col("day") + F.make_interval(days=F.col("o"))).alias("obs_day"),
+        "user_id",
+    )
+    days = du.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        contrib.join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
