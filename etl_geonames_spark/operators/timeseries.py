@@ -752,3 +752,65 @@ def ts_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "ts_funnel_windowed",
+    oracle="""
+    WITH paired AS (
+      SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM paired
+    WHERE c_ts IS NOT NULL
+      AND epoch_us(p_ts) - epoch_us(c_ts) <= 3600000000
+    GROUP BY user_id
+    """,
+)
+def ts_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: purchases that convert a click within ONE HOUR
+    (attribution-window semantics — an unbounded funnel like
+    `ts_funnel` credits clicks from arbitrarily long ago). Per-user
+    conversion counts.
+
+    Same single-shuffle as-of decomposition as `join_asof` (union +
+    window carry-forward of the latest click time), then a pure
+    arithmetic gap filter — the attribution window adds zero plan
+    cost. The carried value is the click's epoch-micros, so the gap
+    test is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", m.alias("c_m"),
+        F.col("event_id").alias("c_id"),
+        F.lit(None).cast("long").alias("p_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("c_m"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.col("event_id").alias("p_id"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            F.col("c_id").isNull().cast("int"),
+            F.col("c_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    paired = tagged.withColumn(
+        "last_c_m", F.last("c_m", ignorenulls=True).over(w)
+    ).filter(F.col("p_id").isNotNull())
+    m_p = F.unix_micros(F.col("ts").cast("timestamp"))
+    converted = paired.filter(
+        F.col("last_c_m").isNotNull()
+        & ((m_p - F.col("last_c_m")) <= F.lit(3600000000))
+    )
+    return converted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )

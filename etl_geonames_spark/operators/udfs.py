@@ -14,6 +14,8 @@ mirror them in SQL — proving the UDF results, not just their shapes.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -247,4 +249,36 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(
         _l2_normalize_batches, "vec_id LONG, unit_embedding ARRAY<DOUBLE>"
+    )
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+    SELECT doc_id,
+           FLOOR((1.0 / (1.0 + exp(-(n_chars / 1000.0))) + 0.1 * sqrt(n_chars))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM documents
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (``Iterator[Series] →
+    Iterator[Series]``): same math as `udf_scalar`, but the function
+    body runs ONCE per partition around the batch loop — the pattern
+    for amortizing expensive per-worker setup (loading a model,
+    opening a tokenizer) across every Arrow batch instead of paying
+    it per batch. The setup here is a trivial constant to keep the
+    oracle exact; a real model slots into the same two lines."""
+    @pandas_udf("double")
+    def scored(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        scale = 1000.0  # stands in for per-worker init (model load)
+        for n_chars in batches:
+            x = n_chars.astype("float64")
+            yield 1.0 / (1.0 + np.exp(-x / scale)) + 0.1 * np.sqrt(x)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", qround(scored(F.col("n_chars")), 6).alias("score")
     )

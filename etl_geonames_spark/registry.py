@@ -103,7 +103,8 @@ _DRIVER_PRIORITY = [
     "win_nth_value", "fn_date_arith", "llm_hard_negatives",
     "llm_class_balance", "ts_max_gap", "fn_crypto_hash",
     "sql_window_clause", "llm_mask_tokens", "llm_vocab_coverage",
-    "llm_dedup_incremental", "ts_weekly_active",
+    "llm_dedup_incremental", "ts_weekly_active", "ts_funnel_windowed",
+    "udf_scalar_iter",
 ]
 
 
