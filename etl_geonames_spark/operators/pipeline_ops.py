@@ -416,3 +416,64 @@ def dq_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.agg(F.count_if(F.col("value") < 0).alias("violations")),
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS version,
+             ts AS eff_from,
+             LEAD(ts) OVER w AS eff_to,
+             value AS balance
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, h.version, h.balance
+    FROM probe p JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.eff_from
+     AND (h.eff_to IS NULL OR p.ts < h.eff_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against SCD2 validity intervals: each
+    click resolves the purchase-version that was current AT ITS
+    TIMESTAMP — the warehouse PIT-correctness pattern (training-data
+    pipelines use exactly this to avoid feature leakage: join
+    features as-of the label's time, never the latest version).
+
+    Interval semantics guarantee ≤1 match per probe, so the join
+    can't fan out. Plan discipline is `join_range`'s: user_id is the
+    equi key carrying the shuffle; the half-open interval predicate
+    evaluates post-match — hash/SMJ, never nested-loop. Clicks before
+    a user's first version drop (inner); a LEFT variant would keep
+    them with NULLs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("eff_from"),
+            F.lead("ts").over(w).alias("eff_to"),
+            F.col("value").alias("balance"),
+        )
+        .withColumnRenamed("user_id", "h_user_id")
+    )
+    probe = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (probe["user_id"] == hist["h_user_id"])
+        & (probe["ts"] >= hist["eff_from"])
+        & (hist["eff_to"].isNull() | (probe["ts"] < hist["eff_to"]))
+    )
+    return probe.join(hist, cond).select(
+        "event_id", "user_id", "version", "balance"
+    )
