@@ -191,3 +191,46 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("out_deg"))
     )
     return deg.groupBy("out_deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    recip AS (
+      SELECT COUNT(*) AS n_recip FROM edges a
+      WHERE EXISTS (SELECT 1 FROM edges b
+                    WHERE b.src = a.dst AND b.dst = a.src)
+    ),
+    total AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT CAST(total.n_edges AS BIGINT) AS n_edges,
+           CAST(recip.n_recip AS BIGINT) AS n_reciprocal,
+           FLOOR(recip.n_recip / CAST(total.n_edges AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS reciprocity
+    FROM total, recip
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity: the fraction of directed edges whose reverse
+    also exists — the mutual-follow / bidirectional-link rate, and the
+    sanity check before treating a directed graph as undirected (the
+    connected-components dedup path symmetrizes edges; reciprocity
+    says how much that symmetrization invents).
+
+    One semi join of the edge list against its own transpose on the
+    (dst, src) equi key — hash-partitioned, no fan-out (semi join
+    emits each left edge at most once) — then two tiny counts joined
+    by a 1-row broadcast."""
+    e = _edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return total.crossJoin(F.broadcast(recip)).select(
+        "n_edges",
+        "n_reciprocal",
+        qround(
+            F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
+        ).alias("reciprocity"),
+    )

@@ -1488,3 +1488,36 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 200
+    GROUP BY n_nationkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): member names
+    per nation, comma-joined in sorted order. collect_list order is
+    partition-arrival order — nondeterministic — so the engine form is
+    sort_array → array_join, which is also the only portable way to
+    match another engine's ORDER BY clause byte-for-byte.
+
+    Scale note: the concatenated string is O(group size) — fine for
+    dim-sized groups (labels, codes), a memory trap on fact-sized
+    ones; there, keep the array form and explode downstream."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("c_name")), ","
+            ).alias("members")
+        )
+    )

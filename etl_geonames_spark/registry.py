@@ -104,7 +104,8 @@ _DRIVER_PRIORITY = [
     "llm_class_balance", "ts_max_gap", "fn_crypto_hash",
     "sql_window_clause", "llm_mask_tokens", "llm_vocab_coverage",
     "llm_dedup_incremental", "ts_weekly_active", "ts_funnel_windowed",
-    "udf_scalar_iter", "scd2_asof_lookup",
+    "udf_scalar_iter", "scd2_asof_lookup", "agg_string_concat",
+    "graph_reciprocity",
 ]
 
 

@@ -388,3 +388,17 @@ def test_curate_pipeline_is_one_codegen_stage(spark, sf_dir):
     df = QUERIES["llm_curate_pipeline"](spark, sf_dir)
     assert shuffle_exchange_count(df) == 0
     assert wholestage_codegen_count(df) >= 1
+
+
+def test_no_registered_query_plans_cartesian(spark, sf_dir):
+    """Sweep EVERY registered query's plan: no CartesianProduct node —
+    an unconstrained cross product is quadratic at any scale. The one
+    allowed entry is join_cross itself (two 5-row dims, registered
+    precisely to demonstrate the operator)."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name == "join_cross":
+            continue
+        if has_node(fn(spark, sf_dir), "CartesianProduct"):
+            offenders.append(name)
+    assert not offenders, f"cartesian plans: {offenders}"
