@@ -670,3 +670,37 @@ def fn_crypto_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5_hex"),
         F.sha2("text", 256).alias("sha256_hex"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, md5('ord|' || CAST(o_orderkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+             || substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-'
+             || substr(hx, 21, 12) AS sk
+    FROM h
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate key: UUID-shaped id derived from an
+    md5 of the namespaced natural key (the UUIDv3 idea) — stable
+    across runs, engines, and systems, unlike `uuid()`/`monotonically_
+    increasing_id()` which mint different ids every execution and
+    silently break incremental joins against yesterday's output.
+    Map-only string ops over the digest."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    hx = F.md5(F.concat(F.lit("ord|"), F.col("o_orderkey").cast("string")))
+    sk = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.substring(hx, 13, 4),
+        F.substring(hx, 17, 4),
+        F.substring(hx, 21, 12),
+    )
+    return o.select("o_orderkey", sk.alias("sk"))

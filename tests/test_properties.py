@@ -210,3 +210,37 @@ def test_connected_components_chain(spark):
     )
     out = {r["doc_id"]: r["label"] for r in connected_components(docs, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 20: 20, 21: 20}
+
+
+def test_qround_is_cross_engine_exact(spark):
+    """The rounding invariant itself: qround (floor-form half-up) must
+    produce BIT-IDENTICAL doubles in Spark and DuckDB for arbitrary
+    inputs — including half-boundary values where the engines' native
+    ROUNDs disagree (the reason qround exists; see CLAUDE.md)."""
+    import duckdb
+
+    from etl_geonames_spark.functions import qround, sql_qround
+
+    vals = [
+        0.0325125, 0.0325135, 0.0328125, 4.0296875, 1e-7, 123.4567895,
+        -0.0325125, -4.0296875, 0.9999995, 1.0000005, 2579 / 640, 1 / 3,
+        2 / 3, 0.1 + 0.2, 1234567.891234, 5.5e-7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [
+        r["q"]
+        for r in df.select(qround(df["x"], 6).alias("q"))
+        .orderBy("q")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = sql_qround("x", 6)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} AS q FROM (SELECT unnest(?::DOUBLE[]) AS x) "
+            "ORDER BY q",
+            [vals],
+        ).fetchall()
+    ]
+    assert got == want  # exact ==, no tolerance: the invariant is bitwise
