@@ -895,3 +895,64 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "llm_apply_mix_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    persrc AS (
+      SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS src_tokens
+      FROM tok GROUP BY source
+    ),
+    norm AS (
+      SELECT source, sqrt(src_tokens) /
+             (SELECT SUM(sqrt(src_tokens)) FROM persrc) AS w
+      FROM persrc
+    )
+    SELECT t.doc_id, t.source,
+           FLOOR(n.w * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM tok t JOIN norm n USING (source)
+    WHERE (t.doc_id * 2654435761) % 1000000 < n.w * 1000000.0
+    """,
+)
+def llm_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the domain-mixture weights: keep each document with
+    probability proportional to its source's w ∝ √tokens weight via a
+    deterministic hash threshold — the end of the mixing pipeline
+    (`llm_mix_weights` computes the weights; this samples with them,
+    RNG-free so reruns and resumed jobs keep identical corpora).
+
+    Per-source token mass is one aggregate (source-sized →
+    broadcast); the keep decision is a scan-side predicate on the
+    hashed key against the broadcast threshold — the corpus never
+    shuffles. Same Knuth multiplicative hash as split_train_test, so
+    mixture sampling and split assignment stay independent (different
+    modulus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    persrc = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("double").alias("src_tokens")
+    )
+    tot = persrc.agg(
+        F.sum(F.sqrt("src_tokens")).alias("z")
+    )
+    norm = persrc.crossJoin(F.broadcast(tot)).select(
+        "source", (F.sqrt("src_tokens") / F.col("z")).alias("w")
+    )
+    return (
+        tok.join(F.broadcast(norm), "source")
+        .filter(
+            (F.col("doc_id") * 2654435761) % 1000000
+            < F.col("w") * F.lit(1000000.0)
+        )
+        .select("doc_id", "source", qround(F.col("w"), 6).alias("weight"))
+    )

@@ -814,3 +814,59 @@ def ts_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return converted.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
+
+
+@query(
+    "ts_sli_availability",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+               AS hours_active,
+             (CAST(date_diff('hour', date_trunc('hour', MIN(ts)),
+                             date_trunc('hour', MAX(ts))) AS BIGINT) + 1)
+               AS hours_span
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, hours_active, hours_span,
+           FLOOR(hours_active / CAST(hours_span AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS availability
+    FROM b
+    """,
+)
+def ts_sli_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability SLI per series: the fraction of hours in each
+    event type's observed span that saw at least one event — the
+    "was it reporting" uptime measure (a silent hour IS the incident
+    for a heartbeat stream).
+
+    One aggregate computes active-hour distinct count and the span
+    endpoints together — no hour-grid materialization (contrast
+    ts_gap_fill, which builds the dense grid when the gaps themselves
+    are the output). distinct-hours is bounded by the span, not the
+    row count, so the shuffle stays calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    b = ev.groupBy("event_type").agg(
+        F.count_distinct(hr).alias("hours_active"),
+        (
+            (
+                F.unix_micros(F.date_trunc("hour", F.max("ts")).cast("timestamp"))
+                - F.unix_micros(
+                    F.date_trunc("hour", F.min("ts")).cast("timestamp")
+                )
+            )
+            / F.lit(3600000000)
+            + 1
+        )
+        .cast("bigint")
+        .alias("hours_span"),
+    )
+    return b.select(
+        "event_type",
+        "hours_active",
+        "hours_span",
+        qround(
+            F.col("hours_active") / F.col("hours_span").cast("double"), 6
+        ).alias("availability"),
+    )

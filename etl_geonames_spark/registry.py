@@ -105,7 +105,8 @@ _DRIVER_PRIORITY = [
     "sql_window_clause", "llm_mask_tokens", "llm_vocab_coverage",
     "llm_dedup_incremental", "ts_weekly_active", "ts_funnel_windowed",
     "udf_scalar_iter", "scd2_asof_lookup", "agg_string_concat",
-    "graph_reciprocity", "fn_surrogate_key",
+    "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
+    "llm_apply_mix_weights",
 ]
 
 
