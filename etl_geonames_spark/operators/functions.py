@@ -704,3 +704,29 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(hx, 21, 12),
     )
     return o.select("o_orderkey", sk.alias("sk"))
+
+
+@query(
+    "fn_printf",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%08d/%s', o_orderkey, o_orderstatus) AS order_code,
+           printf('%.2f', o_totalprice) AS price_str
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (`format_string` / `printf`): padded
+    business keys and fixed-width renderings — the export/labeling
+    formatter. The %.2f case is deliberate: printf formatting is
+    round-half-EVEN on both JVMs and C libs for floats, so the
+    rendered strings agree where naive decimal math might not.
+    Map-only."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "ORD-%08d/%s", F.col("o_orderkey"), F.col("o_orderstatus")
+        ).alias("order_code"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+    )

@@ -1002,3 +1002,36 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """)
+
+
+@query(
+    "sql_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(FLOOR(COALESCE(SUM(o_totalprice)
+                  FILTER (WHERE o_orderstatus = 'F'), 0.0)
+                * 100.0 + 0.5) / 100.0 AS DOUBLE) AS finished_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-SQL FILTER clause on aggregates — per-aggregate
+    predicates in one pass over one scan (the declarative form of the
+    CASE-WHEN-inside-SUM idiom the TPC-H Q12/pivot queries desugar
+    to). Identical text on both engines; Catalyst compiles it to the
+    same conditional-aggregate plan, so there is no second scan no
+    matter how many FILTERed aggregates the query stacks."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_finished,
+               CAST(FLOOR(COALESCE(SUM(o_totalprice)
+                      FILTER (WHERE o_orderstatus = 'F'), 0.0)
+                    * 100.0 + 0.5) / 100.0 AS DOUBLE) AS finished_total
+        FROM orders GROUP BY o_orderpriority
+    """)

@@ -106,7 +106,7 @@ _DRIVER_PRIORITY = [
     "llm_dedup_incremental", "ts_weekly_active", "ts_funnel_windowed",
     "udf_scalar_iter", "scd2_asof_lookup", "agg_string_concat",
     "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
-    "llm_apply_mix_weights",
+    "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
 ]
 
 
