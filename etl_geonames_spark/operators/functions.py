@@ -730,3 +730,36 @@ def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_code"),
         F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
     )
+
+
+@query(
+    "fn_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS b64,
+           text AS decoded
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode + decode roundtrip — the binary-in-text transport
+    for NDJSON/CSV payload columns (the multimodal tables ship bytes
+    this way).
+
+    Dialect trap pinned here: Spark's ``base64`` emits RFC 2045 MIME
+    with a CRLF every 76 chars; DuckDB's is unwrapped RFC 4648. The
+    newline strip makes the encodings byte-equal (same alphabet and
+    padding otherwise) — strip BEFORE comparing or hashing base64
+    across systems. ``unbase64`` accepts both forms, so the decode
+    side needs no normalization."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    b64 = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+    )
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.unbase64(F.base64(F.col("text").cast("binary")))
+        .cast("string")
+        .alias("decoded"),
+    )

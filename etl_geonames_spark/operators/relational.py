@@ -1521,3 +1521,64 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members")
         )
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             AVG(l_quantity) AS mu,
+             AVG(l_quantity * l_quantity) AS m2r,
+             AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           FLOOR((m2r - mu * mu) * 1000000.0 + 0.5) / 1000000.0
+             AS var_pop,
+           FLOOR(((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                  / power(m2r - mu * mu, 1.5)) * 1000000.0 + 0.5)
+             / 1000000.0 AS skewness,
+           FLOOR(((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                   - 3 * mu * mu * mu * mu)
+                  / power(m2r - mu * mu, 2.0) - 3.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from raw moments — the
+    distribution-shape statistics that tell a pipeline whether a
+    column is salting-worthy-skewed or heavy-tailed before any
+    percentile pass.
+
+    Written as explicit E[Xᵏ] aggregates + central-moment algebra
+    rather than the built-ins, because `skewness`/`kurtosis`
+    DEFINITIONS differ across engines (population vs sample bias
+    correction — a classic silent cross-system mismatch); raw moments
+    are definition-free and map-side combinable, so this stays ONE
+    hash aggregate. Numerical caveat at extreme scale: raw-moment
+    subtraction loses precision when |mu| ≫ σ; the streaming-safe
+    alternative is Welford/merge-by-pairs, which Spark's own built-in
+    uses internally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.avg(q).alias("mu"),
+        F.avg(q * q).alias("m2r"),
+        F.avg(q * q * q).alias("m3r"),
+        F.avg(q * q * q * q).alias("m4r"),
+    )
+    mu, m2r, m3r, m4r = (F.col(c) for c in ("mu", "m2r", "m3r", "m4r"))
+    var_pop = m2r - mu * mu
+    skew = (m3r - 3 * mu * m2r + 2 * mu * mu * mu) / F.pow(var_pop, 1.5)
+    kurt = (
+        m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu
+    ) / F.pow(var_pop, 2.0) - 3.0
+    return m.select(
+        "l_returnflag",
+        qround(var_pop, 6).alias("var_pop"),
+        qround(skew, 6).alias("skewness"),
+        qround(kurt, 6).alias("excess_kurtosis"),
+    )
