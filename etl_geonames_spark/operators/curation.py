@@ -956,3 +956,66 @@ def llm_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", qround(F.col("w"), 6).alias("weight"))
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    cbi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bi GROUP BY w1, w2),
+    cun AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM bi GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(AVG(LN(cbi.c12 / CAST(cun.c1 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+    FROM bi b
+    JOIN cbi ON b.w1 = cbi.w1 AND b.w2 = cbi.w2
+    JOIN cun ON b.w1 = cun.w1
+    GROUP BY b.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score: per-document mean conditional
+    log-probability ln p(w2|w1) = ln(c(w1,w2)/c(w1)) under corpus
+    counts — one order up from `llm_unigram_logprob` and the actual
+    KenLM shape (conditional, not marginal): repetitive continuations
+    score high, incoherent ones low, independent of raw word rarity.
+
+    Three hash aggregates over the exploded bigram stream (bigram
+    counts, left-context counts, per-doc mean) + two equi joins back
+    onto it. The bigram table is the big side at corpus scale — it
+    hash-partitions on (w1, w2); the unigram table broadcasts.
+    Self-scoring means every observed bigram has a count (no backoff
+    branch); scoring a HELD-OUT doc adds the unigram-backoff coalesce
+    on the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cbi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cun = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bi.join(cbi, ["w1", "w2"])
+        .join(F.broadcast(cun), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            qround(
+                F.avg(F.log(F.col("c12") / F.col("c1").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored

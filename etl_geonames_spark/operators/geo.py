@@ -390,3 +390,45 @@ def geo_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("plat").alias("n_segments"),
         qround(F.sum(dist), 2).alias("path_km"),
     )
+
+
+@query(
+    "geo_extent_by_group",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_nationkey,
+             {_LAT_SQL.format(k="c_custkey")} AS lat,
+             {_LON_SQL.format(k="c_custkey")} AS lon
+      FROM customer
+    )
+    SELECT c_nationkey,
+           MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+           MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+           FLOOR((MAX(lat) - MIN(lat)) * (MAX(lon) - MIN(lon))
+                 * 10000.0 + 0.5) / 10000.0 AS bbox_area_deg2,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts GROUP BY c_nationkey
+    """,
+)
+def geo_extent_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial extent per group: the bounding box (and its area proxy)
+    of each nation's points — the summary a spatial optimizer keeps
+    per partition/file (the same min/max stats `cluster_parquet_by`
+    materializes in parquet footers, surfaced as a query). Min/max
+    are mergeable, so this is ONE map-side-combined hash aggregate;
+    the derived-coordinate arithmetic is the module's exact-integer
+    grid, so min/max agree bit-for-bit across engines without
+    rounding (only the area product is quantized)."""
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    pts = c.select("c_nationkey", lat.alias("lat"), lon.alias("lon"))
+    return pts.groupBy("c_nationkey").agg(
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+        qround(
+            (F.max("lat") - F.min("lat")) * (F.max("lon") - F.min("lon")), 4
+        ).alias("bbox_area_deg2"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

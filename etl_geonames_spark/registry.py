@@ -107,7 +107,8 @@ _DRIVER_PRIORITY = [
     "udf_scalar_iter", "scd2_asof_lookup", "agg_string_concat",
     "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
     "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
-    "fn_base64_roundtrip", "agg_higher_moments",
+    "fn_base64_roundtrip", "agg_higher_moments", "llm_bigram_logprob",
+    "geo_extent_by_group",
 ]
 
 
