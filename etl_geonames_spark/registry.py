@@ -48,67 +48,54 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Round 1's window
-# covered the 42 relational queries + 8 sql_queries entries (all green
-# except sql_tpch_q12, whose oracle cast is now fixed). This list puts
-# the not-yet-driver-verified queries — plus q12 for re-verification —
-# at the front so round 2's window covers them; everything already
-# proven green rides in the back (still guarded by the local
-# tests/test_oracle_parity.py suite, which checks ALL queries).
-#
-# ROUND-3 ROTATION PLAN (do this first thing next round): once
-# CORRECTNESS_r02 confirms the first 50 green, move them to the back
-# and promote, in order: (a) the round-3 front-runners below
-# (positions 51+ — udfs, multimodal, session-2 additions), then
-# (b) the never-driver-checked round-1 modules: geo, pipeline_ops,
-# curation, graph, reshape + the ten session-1 TPC-H shapes
-# (q1/q2/q7-q11/q15/q20/q21). That fills round 3's 50-row window
-# entirely with first-time verifications again.
+# queries in ``queries()`` dict order each round. Rounds 1+2 verified
+# 99 distinct queries (CORRECTNESS_r01 + r02: every row green or
+# rows-only-by-design). This round-3 rotation moves those 99 to the
+# back and promotes all 116 never-driver-checked queries, oracle-backed
+# first (each yields a full {rows,schema,hash} row), the four no-oracle
+# sketch/ANN/multimodal entries after them. Round 3's window = the
+# first 50 below; ROUND-4 PLAN: rotate again — drop whatever names
+# appear in CORRECTNESS_r03 to the back and promote positions 51+
+# (plus any newly registered queries) so the window is always
+# first-time verifications. Everything already proven green stays
+# guarded by tests/test_oracle_parity.py, which checks ALL queries.
 _DRIVER_PRIORITY = [
-    "sql_tpch_q12",  # r1 hash-fail (DuckDB HUGEINT vs BIGINT) — re-verify
-    # functions (15)
-    "fn_cast_double", "fn_concat_ws", "fn_concat", "fn_replace",
-    "fn_prefix_match", "fn_array_compact", "fn_map_lookup", "fn_math",
-    "fn_date_trunc", "fn_string_ops", "fn_regexp", "fn_null_ops",
-    "fn_date_extract", "fn_variant_get", "fn_json_extract",
-    # llm (20)
-    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_simhash",
-    "llm_dedup_ngram", "llm_sim_topk", "llm_ann_lsh", "llm_dedup_embedding",
-    "llm_dedup_verified", "llm_dedup_cluster", "llm_dedup_canonical",
-    "llm_sample_stratified", "llm_pack_sequences", "llm_tfidf_top_terms",
-    "llm_wordcount", "llm_text_stats", "llm_lang_dist", "llm_lang_id",
-    "llm_quality_score", "llm_token_count", "llm_fingerprint",
-    # pit (3)
-    "project_pit", "rel_liesin", "pit_pipeline",
-    # timeseries (6)
-    "stream_tumbling", "stream_sliding", "ts_funnel",
-    "ts_cohort_retention", "ts_gap_fill", "stream_session",
-    # sql_queries not in r1's window (5) — completes the 50-row window
-    "sql_tpch_q19", "sql_tpch_q13", "sql_tpch_q17", "sql_tpch_q22",
-    "sql_grouping_sets",
-    # round-3 front-runners
     "udf_scalar", "udf_grouped_map", "udf_agg", "udtf_python",
-    "udtf_explode", "mm_decode_stub", "mm_frame_sample",
-    "fn_higher_order", "llm_ann_ivf",
-    "llm_bm25_topk", "llm_inverted_index", "llm_token_entropy",
-    "ts_rollup_hierarchy", "ts_ewma", "llm_dedup_paragraphs",
-    "ts_winsorize", "join_asof_nearest", "profile_skew",
-    "sql_recursive_cte", "sql_lateral_topk", "join_null_safe",
-    "udf_map_in_arrow", "llm_unigram_logprob", "fn_collation",
-    "llm_quantize_embeddings", "llm_curate_pipeline", "fn_explode_outer",
-    "fn_xml_roundtrip", "llm_dedup_report", "llm_bigram_f1",
-    "geo_polyline_length", "llm_dataset_card", "sql_pivot",
+    "udtf_explode", "mm_decode_stub", "fn_higher_order", "llm_bm25_topk",
+    "llm_inverted_index", "llm_token_entropy", "ts_rollup_hierarchy",
+    "ts_ewma", "llm_dedup_paragraphs", "ts_winsorize", "join_asof_nearest",
+    "profile_skew", "sql_recursive_cte", "sql_lateral_topk",
+    "join_null_safe", "udf_map_in_arrow", "llm_unigram_logprob",
+    "fn_collation", "llm_quantize_embeddings", "llm_curate_pipeline",
+    "fn_explode_outer", "fn_xml_roundtrip", "llm_dedup_report",
+    "llm_bigram_f1", "geo_polyline_length", "llm_dataset_card", "sql_pivot",
     "fn_aes_roundtrip", "graph_degree_distribution", "win_distinct_rolling",
     "agg_regression", "ts_seasonal_profile", "dq_contract_check",
     "win_nth_value", "fn_date_arith", "llm_hard_negatives",
-    "llm_class_balance", "ts_max_gap", "fn_crypto_hash",
-    "sql_window_clause", "llm_mask_tokens", "llm_vocab_coverage",
-    "llm_dedup_incremental", "ts_weekly_active", "ts_funnel_windowed",
-    "udf_scalar_iter", "scd2_asof_lookup", "agg_string_concat",
-    "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
-    "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
-    "fn_base64_roundtrip", "agg_higher_moments", "llm_bigram_logprob",
-    "geo_extent_by_group",
+    "llm_class_balance", "ts_max_gap", "fn_crypto_hash", "sql_window_clause",
+    "llm_mask_tokens", "llm_vocab_coverage", "llm_dedup_incremental",
+    "ts_weekly_active", "ts_funnel_windowed", "udf_scalar_iter",
+    "scd2_asof_lookup", "agg_string_concat", "graph_reciprocity",
+    "fn_surrogate_key", "ts_sli_availability", "llm_apply_mix_weights",
+    "fn_printf", "sql_filter_clause", "fn_base64_roundtrip",
+    "agg_higher_moments", "llm_bigram_logprob", "geo_extent_by_group",
+    "agg_histogram", "agg_mode", "agg_conditional", "sql_tpch_q1",
+    "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+    "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15", "sql_tpch_q20",
+    "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein", "fn_array_setops",
+    "ts_resample_ohlc", "ts_anomaly_zscore", "join_interval_overlap",
+    "llm_decontaminate", "llm_cap_per_source", "llm_kmeans",
+    "llm_dedup_keep_best", "llm_shuffle_order", "mm_resize_stub",
+    "mm_feature_extract_stub", "geo_bbox_filter", "geo_haversine",
+    "geo_morton_cell", "geo_grid_join", "geo_knn", "cdc_merge_upsert",
+    "scd2_history", "split_train_test", "sample_per_key", "profile_columns",
+    "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
+    "llm_mix_weights", "fn_url_parse", "ts_sessionize",
+    "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
+    "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
+    "fn_try_arith",
+    # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
+    "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
 ]
 
 
