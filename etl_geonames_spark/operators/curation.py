@@ -996,12 +996,19 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same plan."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # Guard size(t) < 2: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # (unlike DuckDB's empty generate_series), and under ANSI mode the
+    # resulting t[1] access on a 1-element array throws
+    # INVALID_ARRAY_INDEX — a single-token doc would crash the query.
     bi = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "CASE WHEN size(t) > 1 THEN"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                " ELSE cast(array() AS array<struct<w1:string,w2:string>>)"
+                " END"
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))

@@ -1367,7 +1367,8 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            FLOOR(max_abs * 1000000.0 + 0.5) / 1000000.0 AS scale,
            list_transform(
-             e, x -> CAST(FLOOR(x / max_abs * 127.0 + 0.5) AS INT)
+             e, x -> CAST(FLOOR(x / greatest(max_abs, 1e-12) * 127.0 + 0.5)
+                          AS INT)
            ) AS q
     FROM m
     """,
@@ -1384,7 +1385,10 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles; the floor-form round is written identically on both
     engines so every quantized integer matches exactly. The absmax
     scale is reported qround'd for the comparison; quantized values
-    use the raw scale on both sides."""
+    use the raw scale on both sides. The divisor is clamped to 1e-12
+    (identically in the oracle) so an all-zero vector quantizes to
+    all-zero ints instead of 0/0 → NaN, where the engines' NaN/cast
+    semantics would diverge."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     with_max = emb.select(
@@ -1392,12 +1396,13 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("e"),
         F.array_max(F.transform(e, lambda x: F.abs(x))).alias("max_abs"),
     )
+    safe_scale = F.greatest(F.col("max_abs"), F.lit(1e-12))
     return with_max.select(
         "vec_id",
         qround(F.col("max_abs"), 6).alias("scale"),
         F.transform(
             F.col("e"),
-            lambda x: F.floor(x / F.col("max_abs") * F.lit(127.0) + F.lit(0.5))
+            lambda x: F.floor(x / safe_scale * F.lit(127.0) + F.lit(0.5))
             .cast("int"),
         ).alias("q"),
     )
@@ -1485,9 +1490,14 @@ def llm_bigram_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
+        # size < 2 guard: sequence(1, 0) is descending [1, 0] in Spark
+        # and the out-of-bounds [i] access throws under ANSI mode (see
+        # llm_bigram_logprob) — a single-token doc must yield [] here.
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            "CASE WHEN size(split(text, ' ')) > 1 THEN"
+            " transform(sequence(1, size(split(text, ' ')) - 1),"
             " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+            " ELSE cast(array() AS array<string>) END"
         ).alias("bigrams"),
     )
     a = grams.filter(F.col("side") == 0).select(

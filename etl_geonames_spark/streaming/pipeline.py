@@ -288,13 +288,18 @@ def _keep_latest(df: DataFrame) -> DataFrame:
 
 
 def read_upsert_state(
-    spark: SparkSession, state_root: str, version: int | None = None
+    spark: SparkSession,
+    state_root: str,
+    version: int | None = None,
+    before: int | None = None,
 ) -> DataFrame | None:
-    """Read a state snapshot: the newest by default, or a specific
+    """Read a state snapshot: the newest by default, a specific
     ``version`` (batch_id) — time travel over the upsert chain, the
-    same AS OF read a lakehouse table format offers. Returns None
-    before the first batch. Driver-side directory listing is
-    metadata-scale, not data-scale."""
+    same AS OF read a lakehouse table format offers — or, with
+    ``before``, the newest snapshot strictly older than that batch_id
+    (the predecessor read an additive merge needs for idempotent
+    retries). Returns None before the first batch. Driver-side
+    directory listing is metadata-scale, not data-scale."""
     import os
 
     if not os.path.isdir(state_root):
@@ -302,6 +307,8 @@ def read_upsert_state(
     versions = sorted(
         d for d in os.listdir(state_root) if d.startswith("v")
     )
+    if before is not None:
+        versions = [d for d in versions if int(d[1:]) < before]
     if not versions:
         return None
     if version is not None:
@@ -333,26 +340,7 @@ def streaming_rollup_maintenance(
     """
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = batch.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
-        cur = read_upsert_state(spark, state_root)
-        if cur is not None:
-            partial = (
-                cur.unionByName(partial)
-                .groupBy("hour", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
+        _rollup_merge_batch(batch, batch_id, state_root)
 
     q = (
         events.writeStream.foreachBatch(_merge)
@@ -361,3 +349,36 @@ def streaming_rollup_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def _rollup_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of continuous-aggregate maintenance. Merges the
+    batch's hourly partial aggregates into the PREDECESSOR snapshot
+    (newest version < batch_id), never the latest: a retry after the
+    snapshot write but before the checkpoint commit would otherwise
+    re-add the batch on top of its own v{batch_id} output. Count/sum
+    are additive, so unlike ``streaming_upsert``'s last-wins merge
+    this one is only idempotent if the retry overwrites from the same
+    base. Module-level so tests can replay a batch_id directly."""
+    spark = batch.sparkSession
+    partial = batch.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    cur = read_upsert_state(spark, state_root, before=batch_id)
+    if cur is not None:
+        partial = (
+            cur.unionByName(partial)
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )

@@ -1,0 +1,123 @@
+"""Adversarial-input regressions: run registered queries against a
+synthetic sf dir whose rows hit the edge cases the driver fixtures
+don't — single-token/empty documents (Spark's sequence(1, 0) is
+DESCENDING and out-of-bounds t[i] THROWS under ANSI mode) and all-zero
+embeddings (absmax 0 → x/0 NaN divergence). Each case runs the actual
+registry query AND its DuckDB oracle over the same Parquet, so the fix
+is pinned differentially, not just "doesn't crash".
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3, 4, 5], dtype="int64"),
+            "text": [
+                "single",            # 1 token: no bigrams, ANSI crash bait
+                "",                  # split('') = [''] — also 1 token
+                "the cat sat on the mat",
+                "the cat sat on a mat",
+                "alpha beta gamma alpha beta",
+                "alpha beta gamma delta",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["edge"] * 6,
+            "n_chars": pd.array([6, 0, 22, 20, 27, 22], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 1, 2], dtype="int64"),
+            "embedding": [
+                [0.0, 0.0, 0.0, 0.0],  # absmax 0: x/0 → NaN without clamp
+                [1.0, -2.0, 0.5, 0.25],
+                [0.1, 0.2, -0.3, 0.4],
+            ],
+            "label": pd.array([0, 1, 1], dtype="int32"),
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(
+        emb,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_ddb(edge_sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_bigram_logprob", "llm_bigram_f1", "llm_quantize_embeddings"]
+)
+def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
+    spark_pd = QUERIES[name](spark, edge_sf_dir).toPandas()
+    duck_pd = edge_ddb.sql(ORACLES[name]).df()
+    assert len(spark_pd) == len(duck_pd), name
+    key = spark_pd.columns[0]
+    s = spark_pd.sort_values(key, ignore_index=True)
+    o = duck_pd.sort_values(key, ignore_index=True)
+    assert sorted(s.columns) == sorted(o.columns), name
+    for col in sorted(s.columns):
+        for i, (a, b) in enumerate(zip(s[col], o[col])):
+            if hasattr(a, "tolist"):
+                a = list(a)
+            if hasattr(b, "tolist"):
+                b = list(b)
+            assert a == pytest.approx(b, abs=1e-9), (name, col, i)
+
+
+def test_single_token_doc_does_not_inflate_context_counts(
+    spark, edge_sf_dir
+):
+    """The descending-sequence junk row (w1='single', w2=NULL) used to
+    survive into the left-context counts; with the guard, docs 0 and 1
+    contribute nothing anywhere and every avg_logprob is exact."""
+    out = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in QUERIES["llm_bigram_logprob"](spark, edge_sf_dir).collect()
+    }
+    assert 0 not in out and 1 not in out
+    assert out[2] == 5 and out[3] == 5
+
+
+def test_zero_vector_quantizes_to_zero_ints(spark, edge_sf_dir):
+    rows = {
+        r["vec_id"]: (r["scale"], list(r["q"]))
+        for r in QUERIES["llm_quantize_embeddings"](
+            spark, edge_sf_dir
+        ).collect()
+    }
+    assert rows[0] == (0.0, [0, 0, 0, 0])
+    assert rows[1][1][0] == 64  # 1.0/2.0*127 = 63.5 → floor(+0.5) = 64

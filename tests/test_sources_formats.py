@@ -154,8 +154,11 @@ def test_geonames_datasource_matches_csv_reader(spark, gn_dump_dir):
 
 def test_geonames_datasource_pushes_equality_filter(spark, gn_dump_dir):
     """countryCode = 'NL' is consumed by pushFilters and applied
-    vectorized inside the scan: the executed plan keeps only the
-    isnotnull residual, and results stay correct."""
+    vectorized inside the scan: any Spark-side Filter node may keep
+    only the isnotnull residual on countryCode — never the equality,
+    however a future plan rendering chooses to format it."""
+    import re
+
     from etl_geonames_spark.sources.geonames_datasource import (
         register_geonames_source,
     )
@@ -169,7 +172,24 @@ def test_geonames_datasource_pushes_equality_filter(spark, gn_dump_dir):
     assert [r["geonameid"] for r in rows] == ["1001"]
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan geonames" in plan
-    assert "= NL" not in plan  # the EqualTo never re-runs Spark-side
+    # Anchor on the Filter operator nodes themselves: collect every
+    # countryCode reference inside them and require each one to be an
+    # isnotnull residual. Substring checks like `'= NL' not in plan`
+    # go stale if equality renders as EqualTo(...)/equal(...); this
+    # fails on ANY non-isnotnull countryCode predicate regardless of
+    # rendering.
+    filter_lines = [
+        ln for ln in plan.splitlines() if re.search(r"\bFilter\b", ln)
+    ]
+    assert filter_lines, "expected the isnotnull residual Filter node"
+    for ln in filter_lines:
+        assert "countryCode" in ln
+        assert re.search(r"isnotnull\(countryCode", ln), ln
+        stripped = re.sub(r"isnotnull\(countryCode[^)]*\)", "", ln)
+        assert "countryCode" not in stripped, (
+            "non-isnotnull countryCode predicate survived Spark-side: "
+            + ln
+        )
 
 
 @pytest.fixture(scope="module")

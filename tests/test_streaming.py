@@ -365,3 +365,36 @@ def test_streaming_rollup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     for k, (n, s) in want.items():
         assert got[k][0] == n, k
         assert got[k][1] == pytest.approx(s, abs=0.02), k
+
+
+def test_streaming_rollup_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """A micro-batch retried AFTER its snapshot write but BEFORE the
+    checkpoint commit must not double-count: the merge reads the
+    predecessor snapshot (newest version < batch_id), so replaying the
+    same batch_id overwrites v{batch_id} from the same base instead of
+    adding the batch onto its own output."""
+    from etl_geonames_spark.streaming import read_upsert_state
+    from etl_geonames_spark.streaming.pipeline import _rollup_merge_batch
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+
+    _rollup_merge_batch(b0, 0, state)
+    _rollup_merge_batch(b1, 1, state)
+    once = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in read_upsert_state(spark, state).collect()
+    }
+    # crash-retry: batch 1 replays after its own v00001 already exists
+    _rollup_merge_batch(b1, 1, state)
+    retried = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in read_upsert_state(spark, state).collect()
+    }
+    assert retried == once
+    # and batch 0 retried from an empty predecessor stays batch-0-only
+    _rollup_merge_batch(b0, 0, state)
+    v0 = read_upsert_state(spark, state, version=0)
+    assert v0.agg(F.sum("n_events")).collect()[0][0] == b0.count()
