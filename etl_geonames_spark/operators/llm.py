@@ -508,14 +508,14 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_embedding")  # LSH blocking engine-specific → rows-only
-def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket blocking + exact cosine ≥
-    0.9 within buckets. Same blocking discipline as minhash dedup —
-    never materializes non-candidate pairs."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
-    )
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup pairs over a (vec_id, emb) frame: LSH-bucket
+    blocking + exact cosine ≥ threshold within buckets. Same blocking
+    discipline as minhash dedup — the bucket equi-join never
+    materializes non-candidate pairs. Recall/precision pinned on a
+    planted corpus in tests/test_dedup_recall.py."""
     bucketed = emb.withColumn("bucket", _hyperplane_sign_bucket("emb"))
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
@@ -535,9 +535,34 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cos_sim", qround(sim, 6))
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query("llm_dedup_embedding")  # LSH blocking engine-specific → rows-only
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`embedding_near_dup_pairs` demo corpus: the fixture
+    embeddings PLUS deterministic planted probes — every vec_id
+    divisible by 100 gets a perturbed copy (id + 1,000,000; per-dim
+    offset 0.002·((i mod 7) − 3), cosine ≈ 0.9995 to its source). The
+    fixture alone has no pair above 0.51 cosine, so without the plants
+    this query returns 0 rows and its driver check is vacuous — a
+    WHERE false bug would be indistinguishable from correct. With
+    them, the expected output is exactly the planted (v, v+1,000,000)
+    pairs that share an LSH bucket; the count is pinned in
+    tests/test_dedup_recall.py."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    probes = base.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "emb",
+            lambda x, i: x + (i % F.lit(7) - F.lit(3)) * F.lit(0.002),
+        ).alias("emb"),
+    )
+    return embedding_near_dup_pairs(base.unionByName(probes))
 
 
 @query("llm_dedup_verified")  # candidate set is LSH-derived → rows-only
