@@ -23,7 +23,9 @@ At 100 TB: each iteration shuffles on src (join) then dst (agg) —
 partitioning the edge list once by src and reusing that layout
 (bucketing) removes the join-side exchange from EVERY round; ranks
 (|nodes| rows, ≪ |edges|) is the natural broadcast side when the node
-set fits. Convergence-checked variants belong in a driver loop with
+set fits. That layout is implemented by :func:`pagerank_bucketed`
+(one shuffle per round, plan-pinned in tests/test_plans.py).
+Convergence-checked variants belong in a driver loop with
 localCheckpoint per round (see llm.py connected components — same
 pattern, measured 35.6s → 2.7s by keeping rounds cheap).
 """
@@ -108,6 +110,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", qround(F.col("rank"), 6).alias("rank"))
+
+
+def pagerank_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "pr_edges_by_src",
+    path: str | None = None,
+    n_buckets: int = 8,
+    n_iter: int = _N_ITER,
+) -> DataFrame:
+    """The 100 TB PageRank layout :func:`graph_pagerank`'s docstring
+    promises: the edge list is written ONCE bucketed by ``src``, and
+    every iteration reuses that layout so the only shuffle per round
+    is the unavoidable contribution aggregation on ``dst``.
+
+    Per-round plan shape (pinned in tests/test_plans.py):
+      - ``edges ⋈ outdeg`` on src: both sides read the same bucketed
+        table — zero exchange (outdeg's aggregate also consumes the
+        bucket layout).
+      - ranks joins are broadcasts: ranks/contribs are node-sized
+        (≪ edges), the natural broadcast side.
+      - ``groupBy(dst)``: the one real shuffle — contributions must
+        move to their destination node; no layout avoids it without
+        also bucketing a dst-copy of the edges (2× storage, the
+        classic Pregel trade).
+    ``nodes`` is localCheckpointed (node-sized) so the per-round plan
+    does not re-derive its distinct — the same lineage-truncation
+    pattern as the connected-components loop in llm.py.
+
+    Results are identical to :func:`graph_pagerank` (asserted in the
+    plan test); only the physical strategy differs."""
+    writer = (
+        _edges(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    edges = spark.table(table)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
             (

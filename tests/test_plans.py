@@ -402,3 +402,40 @@ def test_no_registered_query_plans_cartesian(spark, sf_dir):
         if has_node(fn(spark, sf_dir), "CartesianProduct"):
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_pagerank_bucketed_one_shuffle_per_round(spark, sf_dir, tmp_path):
+    """The bucketed PageRank layout: edges written once bucketed by
+    src, so per round the ONLY shuffle exchange is the contribution
+    aggregation on dst — the src-side join exchange is consumed by the
+    bucket layout and the rank/contrib joins are broadcasts. With 3
+    rounds the whole plan holds exactly 3 shuffle exchanges; an
+    un-bucketed round carries 3+ each. Results must equal the plain
+    graph_pagerank to 1e-6 (same dataflow, different physical plan)."""
+    from etl_geonames_spark.operators.graph import pagerank_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # keep broadcasts available (ranks/contribs are hinted anyway) but
+    # pin AQE off-path conversions from masking a src-side exchange
+    try:
+        df = pagerank_bucketed(
+            spark,
+            sf_dir,
+            table="pr_edges_by_src_test",
+            path=str(tmp_path / "pr_edges"),
+        )
+        n_shuffles = shuffle_exchange_count(df)
+        assert n_shuffles == 3, (
+            f"expected exactly one shuffle per round (3 total), got "
+            f"{n_shuffles}:\n{explain_str(df)}"
+        )
+        got = {r["node"]: r["rank"] for r in df.collect()}
+        want = {
+            r["node"]: r["rank"]
+            for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+        }
+        assert got.keys() == want.keys()
+        assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pr_edges_by_src_test")
