@@ -1,0 +1,89 @@
+"""Golden-output pins for the rows-only dedup family.
+
+These queries have no SQL oracle by design (LSH banding is not
+SQL-expressible), so their driver rows are rows-only. Deterministic
+hashing (xxhash64 + fixed permutation constants) makes their outputs a
+pure function of the fixture — so the exact counts ARE assertable, and
+a silently broken banding/refine stage can no longer hide behind
+"ran, produced some rows". Counts were measured on the round-2/3
+driver fixtures; if the driver ever regenerates fixtures with a new
+seed these pins fail loudly, which is the correct signal to re-record.
+
+Cross-invariants (subset/partition/canonical-label arithmetic) hold on
+ANY fixture and run regardless of the golden table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+# measured on the driver-generated fixtures (stable r2 → r3)
+GOLDEN = {
+    "sf0.001": {
+        "llm_dedup_minhash": 28,
+        "llm_dedup_simhash": 401,
+        "llm_dedup_verified": 28,
+        "llm_dedup_cluster": 500,
+        "llm_dedup_canonical": 476,
+        "llm_ann_lsh": 26,
+        "llm_dedup_embedding": 5,
+    },
+    "sf0.01": {
+        "llm_dedup_minhash": 27,
+        "llm_dedup_simhash": 384,
+        "llm_dedup_verified": 25,
+        "llm_dedup_cluster": 500,
+        "llm_dedup_canonical": 474,
+        "llm_ann_lsh": 49,
+        "llm_dedup_embedding": 5,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN["sf0.001"]))
+def test_rows_only_query_count_is_pinned(name, spark, sf_dir):
+    sf_key = os.path.basename(os.path.normpath(sf_dir))
+    if sf_key not in GOLDEN:
+        pytest.skip(f"no golden counts recorded for {sf_key}")
+    got = QUERIES[name](spark, sf_dir).count()
+    assert got == GOLDEN[sf_key][name], (
+        f"{name} at {sf_key}: {got} rows != pinned "
+        f"{GOLDEN[sf_key][name]} — either a regression or the driver "
+        "regenerated fixtures (re-record after verifying which)"
+    )
+
+
+def test_verified_pairs_are_a_subset_of_minhash_candidates(spark, sf_dir):
+    """llm_dedup_verified = exact-Jaccard filter over the minhash LSH
+    candidate set — so its pairs must be a subset, on any fixture."""
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_dedup_minhash"](spark, sf_dir).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["llm_dedup_verified"](spark, sf_dir).collect()
+    }
+    assert verified <= cand, sorted(verified - cand)[:5]
+
+
+def test_cluster_is_a_partition_and_canonical_counts_labels(spark, sf_dir):
+    """Every document gets exactly one cluster label; the canonical
+    corpus keeps exactly one representative per label — so
+    |canonical| == |distinct labels|, on any fixture."""
+    from pyspark.sql import functions as F
+
+    cluster = QUERIES["llm_dedup_cluster"](spark, sf_dir)
+    n_docs = cluster.count()
+    assert cluster.select("doc_id").distinct().count() == n_docs
+    n_labels = cluster.select("cluster_id").distinct().count()
+    n_marked = cluster.filter(F.col("is_canonical")).count()
+    assert n_marked == n_labels  # exactly one representative per cluster
+    n_canonical = QUERIES["llm_dedup_canonical"](spark, sf_dir).count()
+    assert n_canonical == n_labels
