@@ -3,12 +3,20 @@ as opaque binary columns with typed metadata).
 
 The Spark-side machinery is real and tested: binary columns, typed
 metadata structs, Arrow-batched ``mapInPandas`` decode with an explicit
-output schema, partition-friendly batch shapes. The *codec* itself is
-STUBBED — the container ships no image/audio libraries — behind
-:func:`decode_blob`: by default a clearly-marked deterministic fake
-(metadata derived arithmetically from the byte length, so the DuckDB
-oracle can verify the plumbing end-to-end); a real decoder drops in by
-replacing that one function.
+output schema, partition-friendly batch shapes. Codecs come in two
+tiers:
+
+- REAL (operators/codecs.py): pure-stdlib BMP (24bpp) and PPM (P6)
+  encode/decode/resize over actual pixel bytes — the
+  ``mm_decode_image`` / ``mm_resize_image`` queries run a full
+  encode → binary column → Arrow batch → decode → pixel-stat pipeline
+  whose DuckDB oracle recomputes the same pixel arithmetic, so a
+  wrong stride/padding/channel-order anywhere breaks the hash.
+- STUB fallback (:func:`decode_blob`): deterministic fake metadata
+  from the byte length, for payload formats the container cannot
+  decode (JPEG/PNG/audio — no PIL/ffmpeg here). The ``*_stub``
+  queries keep that plumbing verified; a PIL-style decoder drops in
+  by replacing the one function.
 """
 
 from __future__ import annotations
@@ -20,6 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_geonames_spark.operators.codecs import (
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+)
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -186,6 +200,163 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "width", "height", "resized_w", "resized_h",
         F.length("thumb").cast("bigint").alias("thumb_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec queries: synth pixels → encode → binary column → decode →
+# pixel stats, with the oracle replaying the pixel arithmetic in SQL.
+# Image geometry and content derive deterministically from doc_id:
+#   w = doc_id % 8 + 2, h = doc_id % 6 + 2
+#   channel value at (x, y, c) = (x*3 + y*5 + doc_id + c*11) % 256
+# Even doc_ids encode as BMP (bottom-up BGR, padded rows), odd as PPM
+# (top-down raw) — decode dispatches on the magic, so both codecs are
+# exercised in every run and any stride/padding/channel-order bug
+# lands as a hash mismatch, not a silent wrong thumbnail.
+# ---------------------------------------------------------------------------
+
+
+def _synth_rgb(doc_id: int, w: int, h: int) -> bytes:
+    return bytes(
+        (x * 3 + y * 5 + doc_id + c * 11) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def _image_blob_rows(pdf: pd.DataFrame) -> list[tuple[int, bytes]]:
+    out = []
+    for doc_id in pdf["doc_id"]:
+        doc_id = int(doc_id)
+        w, h = doc_id % 8 + 2, doc_id % 6 + 2
+        rgb = _synth_rgb(doc_id, w, h)
+        blob = (
+            encode_bmp(w, h, rgb) if doc_id % 2 == 0 else encode_ppm(w, h, rgb)
+        )
+        out.append((doc_id, blob))
+    return out
+
+
+def _decode_image_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            decoded = decode_image(blob)
+            assert decoded is not None, f"magic sniff failed for doc {doc_id}"
+            w, h, rgb = decoded
+            rows.append((doc_id, w, h, sum(rgb)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "pix_sum"]
+        )
+
+
+_PIX_RULE_SQL = """
+      SELECT d.doc_id, d.w, d.h,
+             SUM((gx.x * 3 + gy.y * 5 + d.doc_id + gc.c * 11) % 256)
+               AS pix_sum
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+      GROUP BY d.doc_id, d.w, d.h
+"""
+
+
+@query(
+    "mm_decode_image",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    px AS ({_PIX_RULE_SQL})
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(pix_sum AS BIGINT) AS pix_sum
+    FROM px
+    """,
+)
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: per document a deterministic bitmap is
+    rendered, encoded (BMP for even ids / PPM for odd), shipped as a
+    binary column through an Arrow batch, decoded by the pure-stdlib
+    codec, and reduced to (width, height, sum of all channel bytes).
+    The oracle recomputes the pixel sum from the generation rule — a
+    byte-order, row-padding, or bottom-up bug in either codec breaks
+    the value hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _decode_image_batches,
+        schema="doc_id long, width int, height int, pix_sum long",
+    )
+
+
+_RESIZE_BOX = 4
+
+
+def _resize_image_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            w, h, rgb = decode_image(blob)
+            rw, rh = _resize_box(w, h, box=_RESIZE_BOX)
+            small = resize_nearest(rgb, w, h, rw, rh)
+            rows.append((doc_id, w, h, rw, rh, sum(small)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height",
+                "resized_w", "resized_h", "resized_sum",
+            ],
+        )
+
+
+@query(
+    "mm_resize_image",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, w, h,
+             GREATEST(1, w * 4 // GREATEST(w, h)) AS rw,
+             GREATEST(1, h * 4 // GREATEST(w, h)) AS rh
+      FROM dims
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.rw, g.rh,
+             SUM(((gx.x * g.w // g.rw) * 3 + (gy.y * g.h // g.rh) * 5
+                  + g.doc_id + gc.c * 11) % 256) AS resized_sum
+      FROM geo g,
+           LATERAL unnest(generate_series(0, g.rw - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, g.rh - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+      GROUP BY g.doc_id, g.w, g.h, g.rw, g.rh
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(rw AS INT) AS resized_w, CAST(rh AS INT) AS resized_h,
+           CAST(resized_sum AS BIGINT) AS resized_sum
+    FROM px
+    """,
+)
+def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnail pipeline: encode → decode → nearest-neighbor
+    resize into a 4×4 box (aspect-preserving integer geometry) → sum
+    of resized channel bytes. The oracle replays the exact
+    source-index arithmetic (x*w//rw, y*h//rh) on the generation
+    rule, pinning the resampler's index math byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _resize_image_batches,
+        schema=(
+            "doc_id long, width int, height int, "
+            "resized_w int, resized_h int, resized_sum long"
+        ),
     )
 
 

@@ -94,6 +94,8 @@ _DRIVER_PRIORITY = [
     "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
     "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
     "fn_try_arith",
+    # session-3 additions (oracle-backed, never driver-checked)
+    "mm_decode_image", "mm_resize_image",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
 ]
