@@ -65,6 +65,41 @@ def config_to_pipeline(cfg: dict) -> GeonamesConfig:
     )
 
 
+def dataset_descriptor(cfg: dict) -> dict:
+    """The dataset card a Histograph-style consumer reads beside the
+    NDJSON outputs — field-for-field parity with the reference's
+    ``geonames.dataset.json:1-21`` (id/title/license/description/
+    author/website/editor + the JSON-LD ``@context`` typing the
+    featureClass/featureCode data fields), with config overrides for
+    mirrors that re-publish a subset."""
+    gn = "http://www.geonames.org/ontology#"
+    return {
+        "id": cfg.get("id", "geonames"),
+        "title": cfg.get("title", "GeoNames"),
+        "license": "CC BY 3.0",
+        "description": (
+            "The GeoNames geographical database covers all countries "
+            "and contains over eight million placenames that are "
+            "available for download free of charge."
+        ),
+        "author": "GeoNames",
+        "website": "http://www.geonames.org/",
+        "editor": cfg.get("editor", "Histograph"),
+        "@context": {
+            "xsd": "http://www.w3.org/2001/XMLSchema#",
+            "gn": gn,
+            "featureClass": {
+                "@id": "gn:featureClass",
+                "@type": "xsd:string",
+            },
+            "featureCode": {
+                "@id": "gn:featureCode",
+                "@type": "xsd:string",
+            },
+        },
+    }
+
+
 def download_step(cfg: dict, work_dir: str) -> dict[str, str]:
     """Step 1 (geonames.js:184-221): land the dump + dims."""
     return download(
@@ -90,6 +125,12 @@ def transform_step(cfg: dict, work_dir: str, spark: SparkSession) -> None:
         write_ndjson_lines(
             tagged_envelope(pits, rels), os.path.join(out, "envelope")
         )
+    # the dataset card the reference ships beside its outputs
+    # (geonames.dataset.json) — driver-side metadata, not a Spark job
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "geonames.dataset.json"), "w") as f:
+        json.dump(dataset_descriptor(cfg), f, indent=2)
+        f.write("\n")
 
 
 # the reference's module contract (geonames.js:258-261)

@@ -60,3 +60,24 @@ def test_job_end_to_end(spark, tmp_path):
     ).count() == 1
     envelope = spark.read.text(f"{out}/envelope")
     assert envelope.count() == pits.count() + rels.count()
+
+    # dataset card: field-for-field parity with the reference's
+    # geonames.dataset.json (id, licensing, and the JSON-LD @context
+    # a Histograph-style consumer uses to type the data fields)
+    with open(f"{out}/geonames.dataset.json") as f:
+        card = json.load(f)
+    assert card["id"] == "geonames"
+    assert card["license"] == "CC BY 3.0"
+    assert card["author"] == "GeoNames"
+    assert card["website"] == "http://www.geonames.org/"
+    assert card["editor"] == "Histograph"
+    ctx = card["@context"]
+    assert ctx["gn"] == "http://www.geonames.org/ontology#"
+    assert ctx["featureClass"] == {
+        "@id": "gn:featureClass",
+        "@type": "xsd:string",
+    }
+    assert ctx["featureCode"] == {
+        "@id": "gn:featureCode",
+        "@type": "xsd:string",
+    }
