@@ -102,13 +102,6 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
-    # The full ~106-query map made round 1's stdout line exceed the
-    # driver's capture (BENCH_r01 recorded "parsed": null) — so the
-    # summary line stays compact (top-10 slowest only) and the complete
-    # per-query map goes to BENCH_DETAIL.json next to this script.
-    top = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
         json.dumps(
@@ -125,16 +118,25 @@ def main() -> None:
             indent=1,
         )
     )
+    # ONE line with the COMPLETE per-query map (round-1's data loss —
+    # the driver artifact kept only a 2000-char stdout tail — must not
+    # recur). Key order is deliberate: "queries" first sorted FASTEST
+    # to slowest, headline metric/value last — so if a capture ever
+    # truncates from the front again, the surviving tail still holds
+    # the slowest queries and the totals. BENCH_DETAIL.json keeps the
+    # same map (plus cold-pass timings) on disk as a second copy.
+    ascending = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
             {
-                "metric": "total_wall_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": top,
+                "queries": ascending,
+                "cold_value": cold_total,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "unit": "sec",
+                "metric": "total_wall_all_queries",
+                "value": total,
             },
             separators=(",", ":"),
         )
