@@ -160,3 +160,93 @@ def resize_nearest(
             d = (y * new_w + x) * 3
             out[d : d + 3] = rgb[s : s + 3]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16 mono/stereo) — RIFF container, fmt + data chunks
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(
+    sample_rate: int, samples: list[int], channels: int = 1
+) -> bytes:
+    """Canonical 16-bit PCM WAV: RIFF header, fmt chunk, data chunk.
+    ``samples`` are interleaved signed ints in [-32768, 32767]."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,  # PCM
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        16,  # bits/sample
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_size = 4 + len(fmt) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data_chunk
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, list[int]]:
+    """Decode PCM16 WAV to (sample_rate, channels, samples). Walks the
+    chunk list (tolerating LIST/INFO and other chunks before data),
+    like a real parser must."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = channels = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", body, 0
+            )
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{size // 2}h", body[: size & ~1]))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# Minimal frame container ("VID0"): length-prefixed image frames —
+# the shape of real video work (demux → per-frame decode) without a
+# compressed codec in the container.
+# ---------------------------------------------------------------------------
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Concatenate encoded image frames behind a tiny demuxable
+    header: magic, frame count, then u32-length-prefixed payloads."""
+    out = bytearray(struct.pack("<4sI", b"VID0", len(frames)))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def decode_video(blob: bytes) -> list[bytes]:
+    """Demux the frame container back into encoded image payloads."""
+    if blob[:4] != b"VID0":
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack_from("<I", blob, 4)
+    frames = []
+    pos = 8
+    for _ in range(n):
+        (size,) = struct.unpack_from("<I", blob, pos)
+        frames.append(blob[pos + 4 : pos + 4 + size])
+        pos += 4 + size
+    if pos != len(blob):
+        raise ValueError("trailing bytes after last frame")
+    return frames

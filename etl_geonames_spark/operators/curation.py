@@ -1026,3 +1026,159 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality gate + perplexity bucketing (session-3 additions)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "for", "on", "with",
+)
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "llm_gopher_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             str_split(text, ' ') AS t,
+             len(str_split(text, ' ')) AS n_words,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             (CAST(n_chars AS DOUBLE) - (n_words - 1)) / n_words
+               AS mean_wl,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS DOUBLE) / n_words AS alpha_frac,
+             CAST(len(list_filter(t, w -> list_contains([{_STOP_SQL}], w)))
+                  AS BIGINT) AS n_stop
+      FROM s
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+           FLOOR(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_frac,
+           n_stop,
+           (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+            AND alpha_frac >= 0.7 AND n_stop >= 1) AS passes
+    FROM m
+    """,
+)
+def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (the public heuristic set
+    of Rae et al. 2021 §A1.1, thresholds adapted to the fixture's
+    short synthetic docs): word count, mean word length inside a sane
+    band, fraction of words containing an alphabetic character, and
+    stop-word presence — the cheap first-pass filter every
+    pretraining pipeline runs before any model-based scoring.
+
+    All map-side string/array expressions (mean word length comes
+    from total chars minus separators — no explode at all); one
+    whole-stage-codegen'd pass over the scan, trivially 100 TB-shaped."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_words = F.size(t)
+    mean_wl = (
+        F.length("text").cast("double") - (n_words - F.lit(1))
+    ) / n_words
+    alpha_frac = (
+        F.expr(
+            "size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))"
+        ).cast("double")
+        / n_words
+    )
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({stop_list})))"
+    ).cast("bigint")
+    passes = (
+        (n_words >= 10)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (alpha_frac >= 0.7)
+        & (n_stop >= 1)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        qround(mean_wl, 6).alias("mean_word_len"),
+        qround(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        passes.alias("passes"),
+    )
+
+
+@query(
+    "llm_perplexity_buckets",
+    oracle="""
+    WITH wne AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> ''
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM wne GROUP BY word
+    ),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, AVG(LN(v.c / t.total)) AS lp
+      FROM wne w JOIN vocab v USING (word), t
+      GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id, lp,
+             NTILE(3) OVER (ORDER BY lp, doc_id) AS tercile
+      FROM scored
+    )
+    SELECT doc_id,
+           FLOOR(lp * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+           CASE tercile WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM b
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the cheap unigram LM (llm_unigram_logprob's
+    plan), then split the corpus into head / middle / tail terciles
+    by score — the standard way to keep a quality signal as a COLUMN
+    (train on head, sample middle, drop tail) instead of a hard gate.
+
+    NTILE over (score, doc_id) is deterministic across engines, and
+    runs through the distributed_ntile decomposition (range
+    repartition + per-partition rank + broadcast offsets) — never an
+    un-partitioned window, per the repo-wide plan sweep. At 100 TB
+    the tercile boundaries could also come from approx-quantile
+    cutpoints (two numbers broadcast); the exact form costs one
+    range exchange over doc-count-sized rows."""
+    from etl_geonames_spark.operators.relational import distributed_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    wne = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = wne.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        wne.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.col("total"))).alias("lp"))
+    )
+    b = distributed_ntile(
+        scored, [F.col("lp"), F.col("doc_id")], 3, "tercile"
+    )
+    bucket = (
+        F.when(F.col("tercile") == 3, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return b.select(
+        "doc_id",
+        qround(F.col("lp"), 6).alias("avg_logprob"),
+        bucket.alias("bucket"),
+    )

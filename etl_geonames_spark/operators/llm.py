@@ -299,6 +299,69 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_containment",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(str_split(text, ' ')) - 1),
+               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+             ))) AS g
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           FLOOR((CAST(i AS DOUBLE) / LEAST(sa.n, sb.n)) * 1000000.0 + 0.5)
+             / 1000000.0 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.3
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: |A∩B| over the SMALLER bigram set — the
+    near-SUBSET detector Jaccard misses (a doc quoted whole inside a
+    10× longer one scores containment ≈ 1 but Jaccard ≈ 0.1; the
+    approximate form of the exact-substring dedup of Lee et al. 2022).
+    Same bounded gram equi-join shape as llm_dedup_ngram; at corpus
+    scale run it on LSH candidates only, like llm_dedup_verified."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles("toks", 2))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("i").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(containment >= 0.3)
+        .select("doc_a", "doc_b", qround(containment, 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # vector similarity
 # ---------------------------------------------------------------------------
@@ -1431,6 +1494,54 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         ).alias("q"),
     )
+
+
+@query(
+    "llm_embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, gi.i - 1 AS pos,
+             CAST(embedding[gi.i] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS gi(i)
+    ),
+    per AS (SELECT label, pos, AVG(val) AS a FROM e GROUP BY label, pos),
+    counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label, c.n_vecs,
+           list(FLOOR(p.a * 1000000.0 + 0.5) / 1000000.0
+                ORDER BY p.pos) AS centroid
+    FROM per p JOIN counts c USING (label)
+    GROUP BY p.label, c.n_vecs
+    """,
+)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the class
+    prototype used for centroid-seeded clustering (llm_kmeans starts
+    here), nearest-centroid labeling, and embedding-drift monitoring
+    between corpus snapshots.
+
+    posexplode → (label, dim) mean → re-assemble in dim order via
+    array_sort(collect_list(struct)) — all JVM built-ins. The shuffle
+    key is (label, dim): |labels|·|dims| cells regardless of corpus
+    size, so the aggregate is map-side combined and the result is
+    broadcast-sized — exactly how a 100 TB corpus reduces to a
+    per-class summary in one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "val")
+    )
+    per = e.groupBy("label", "pos").agg(F.avg("val").alias("a"))
+    cent = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("a")))),
+            lambda s: qround(s["a"], 6),
+        ).alias("centroid")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return counts.join(cent, "label").select("label", "n_vecs", "centroid")
 
 
 @query(

@@ -30,8 +30,12 @@ from pyspark.sql import functions as F
 
 from etl_geonames_spark.operators.codecs import (
     decode_image,
+    decode_video,
+    decode_wav,
     encode_bmp,
     encode_ppm,
+    encode_video,
+    encode_wav_pcm16,
     resize_nearest,
 )
 from etl_geonames_spark.registry import query
@@ -356,6 +360,152 @@ def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, width int, height int, "
             "resized_w int, resized_h int, resized_sum long"
+        ),
+    )
+
+
+def _audio_samples(doc_id: int, n: int) -> list[int]:
+    return [((doc_id * 31 + i * 97) % 65536) - 32768 for i in range(n)]
+
+
+def _decode_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            rate = 8000 + (doc_id % 3) * 4000
+            n = doc_id % 50 + 10
+            blob = encode_wav_pcm16(rate, _audio_samples(doc_id, n))
+            got_rate, channels, samples = decode_wav(blob)
+            rows.append(
+                (
+                    doc_id,
+                    got_rate,
+                    channels,
+                    len(samples),
+                    sum(abs(s) for s in samples),
+                    max(abs(s) for s in samples),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "channels",
+                "n_samples", "sum_abs", "peak",
+            ],
+        )
+
+
+@query(
+    "mm_decode_audio",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             doc_id % 50 + 10 AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.rate, d.n,
+             SUM(ABS((d.doc_id * 31 + gi.i * 97) % 65536 - 32768))
+               AS sum_abs,
+             MAX(ABS((d.doc_id * 31 + gi.i * 97) % 65536 - 32768)) AS peak
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.n - 1)) AS gi(i)
+      GROUP BY d.doc_id, d.rate, d.n
+    )
+    SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_samples,
+           CAST(sum_abs AS BIGINT) AS sum_abs, CAST(peak AS INT) AS peak
+    FROM px
+    """,
+)
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per document a deterministic PCM16 waveform
+    is synthesized, encoded as RIFF/WAVE by the pure-stdlib codec,
+    shipped through an Arrow batch as a binary column, chunk-walked
+    back out, and reduced to loudness stats (sum|s|, peak). The
+    oracle replays the sample arithmetic — a header-size, chunk
+    offset, or endianness bug breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _decode_audio_batches,
+        schema=(
+            "doc_id long, sample_rate int, channels int, "
+            "n_samples int, sum_abs long, peak int"
+        ),
+    )
+
+
+def _video_frame_blobs(doc_id: int) -> bytes:
+    w, h = doc_id % 4 + 2, 2
+    frames = []
+    for f in range(doc_id % 3 + 1):
+        rgb = bytes(
+            (x * 3 + y * 5 + doc_id + f * 7 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        frames.append(encode_bmp(w, h, rgb))
+    return encode_video(frames)
+
+
+def _video_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            for idx, payload in enumerate(decode_video(_video_frame_blobs(doc_id))):
+                w, h, rgb = decode_image(payload)
+                rows.append((doc_id, idx, w, h, sum(rgb)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_idx", "width", "height", "pix_sum"],
+        )
+
+
+@query(
+    "mm_video_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 4 + 2 AS w, 2 AS h, doc_id % 3 + 1 AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, gf.f AS frame_idx, d.w, d.h,
+             SUM((gx.x * 3 + gy.y * 5 + d.doc_id + gf.f * 7 + gc.c * 11)
+                 % 256) AS pix_sum
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.nf - 1)) AS gf(f),
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+      GROUP BY d.doc_id, gf.f, d.w, d.h
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(pix_sum AS BIGINT) AS pix_sum
+    FROM px
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction: per document a multi-frame container
+    (length-prefixed BMP frames) is built, demuxed, and every frame
+    decoded to pixel stats — one output row per frame, the
+    video-preprocessing fan-out shape (contrast mm_frame_sample,
+    which explodes stub metadata). The oracle replays the per-frame
+    pixel rule; a demux offset or frame-order bug breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _video_frame_batches,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "pix_sum long"
         ),
     )
 

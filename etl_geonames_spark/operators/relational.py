@@ -980,7 +980,22 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     step touches one row per partition."""
     key = [F.col("c_acctbal").desc(), F.col("c_custkey")]
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    parts = cust.repartitionByRange(*key).withColumn(
+    return distributed_ntile(cust, key, 4, "balance_quartile").select(
+        "c_custkey", "c_acctbal", "balance_quartile"
+    )
+
+
+def distributed_ntile(
+    df: DataFrame, key: list, n: int, out_col: str
+) -> DataFrame:
+    """Exact global-NTILE semantics without a global window (the
+    :func:`win_ntile` decomposition, reusable): range-repartition on
+    the sort key, per-partition row_number, cumulative partition
+    offsets (a window over one row PER PARTITION — metadata-sized),
+    then exact tile arithmetic on the reconstructed global rank. The
+    plan sweep in tests/test_plans.py whitelists exactly this
+    offsets window by its _pid/_n bookkeeping columns."""
+    parts = df.repartitionByRange(*key).withColumn(
         "_pid", F.spark_partition_id()
     )
     sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -988,7 +1003,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = sizes.select(
         "_pid", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_offset")
     )
-    total = cust.agg(F.count(F.lit(1)).alias("_total"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
     w_pid = Window.partitionBy("_pid").orderBy(*key)
     ranked = (
         parts.withColumn("_rn", F.row_number().over(w_pid))
@@ -996,17 +1011,17 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .withColumn("_grn", F.col("_rn") + F.col("_offset"))
     )
-    n = F.lit(4)
-    base = F.floor(F.col("_total") / n)  # small-tile size
-    big = F.col("_total") % n  # number of big tiles (size base+1)
+    nn = F.lit(n)
+    base = F.floor(F.col("_total") / nn)  # small-tile size
+    big = F.col("_total") % nn  # number of big tiles (size base+1)
     cut = big * (base + 1)  # rows covered by the big tiles
     tile = F.when(
         F.col("_grn") <= cut, F.floor((F.col("_grn") - 1) / (base + 1)) + 1
     ).otherwise(
         big + F.floor((F.col("_grn") - cut - 1) / F.greatest(base, F.lit(1))) + 1
     )
-    return ranked.select(
-        "c_custkey", "c_acctbal", tile.cast("int").alias("balance_quartile")
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "_pid", "_rn", "_offset", "_total", "_grn"
     )
 
 

@@ -95,7 +95,9 @@ _DRIVER_PRIORITY = [
     "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
     "fn_try_arith",
     # session-3 additions (oracle-backed, never driver-checked)
-    "mm_decode_image", "mm_resize_image",
+    "mm_decode_image", "mm_resize_image", "mm_decode_audio",
+    "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
+    "llm_dedup_containment", "llm_embedding_centroids",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
 ]

@@ -95,3 +95,47 @@ def test_resize_nearest_upscale_2x2_to_4x4():
 def test_resize_nearest_downscale_4x4_to_2x2():
     big = resize_nearest(RGB_2X2, 2, 2, 4, 4)
     assert resize_nearest(big, 4, 4, 2, 2) == RGB_2X2
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from etl_geonames_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 100, -100, 32767, -32768]
+    blob = encode_wav_pcm16(8000, samples)
+    assert decode_wav(blob) == (8000, 1, samples)
+    # a LIST chunk before data must be skipped, and odd-sized chunks
+    # are word-aligned per RIFF
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + extra + blob[12:]
+    assert decode_wav(spliced) == (8000, 1, samples)
+
+
+def test_wav_rejects_non_pcm16():
+    from etl_geonames_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    blob = bytearray(encode_wav_pcm16(8000, [1, 2, 3]))
+    struct.pack_into("<H", blob, 20, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_wav(bytes(blob))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio")
+
+
+def test_video_container_roundtrip():
+    from etl_geonames_spark.operators.codecs import (
+        decode_video,
+        encode_video,
+    )
+
+    frames = [encode_bmp(2, 2, RGB_2X2), encode_ppm(2, 2, RGB_2X2), b""]
+    assert decode_video(encode_video(frames)) == frames
+    with pytest.raises(ValueError, match="VID0"):
+        decode_video(b"AVI whatever")
+    with pytest.raises(ValueError, match="trailing"):
+        decode_video(encode_video(frames) + b"junk")
