@@ -139,3 +139,87 @@ def test_video_container_roundtrip():
         decode_video(b"AVI whatever")
     with pytest.raises(ValueError, match="trailing"):
         decode_video(encode_video(frames) + b"junk")
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips: hundreds of random images/waveforms per
+# run — the hand-picked layouts above pin known quirks, these sweep
+# the input space (odd widths exercising padding, extreme samples,
+# 1-pixel images)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=12))
+    rgb = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    return w, h, rgb
+
+
+@given(_images())
+@settings(max_examples=200, deadline=None)
+def test_bmp_roundtrip_property(img):
+    w, h, rgb = img
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@given(_images())
+@settings(max_examples=200, deadline=None)
+def test_ppm_roundtrip_property(img):
+    w, h, rgb = img
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+@given(
+    st.integers(min_value=1, max_value=192000),
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=256,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_property(rate, samples):
+    from etl_geonames_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    assert decode_wav(encode_wav_pcm16(rate, samples)) == (rate, 1, samples)
+
+
+@given(st.lists(st.binary(max_size=64), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_video_container_roundtrip_property(frames):
+    from etl_geonames_spark.operators.codecs import (
+        decode_video,
+        encode_video,
+    )
+
+    assert decode_video(encode_video(frames)) == frames
+
+
+@given(
+    _images(),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_resize_nearest_property(img, tw, th):
+    """Every output pixel of a nearest-neighbor resample must equal
+    its arithmetically-determined source pixel."""
+    w, h, rgb = img
+    out = resize_nearest(rgb, w, h, tw, th)
+    assert len(out) == tw * th * 3
+    for y in range(th):
+        for x in range(tw):
+            sx, sy = x * w // tw, y * h // th
+            s = (sy * w + sx) * 3
+            d = (y * tw + x) * 3
+            assert out[d : d + 3] == rgb[s : s + 3]
