@@ -1182,3 +1182,48 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("lp"), 6).alias("avg_logprob"),
         bucket.alias("bucket"),
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, gi.i, 2) AS pair
+      FROM words,
+           LATERAL unnest(generate_series(1, length(w) - 1)) AS gi(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies (with word multiplicity), top-20 — the
+    pair the first merge rule would fuse. Iterated training re-runs
+    this count after each merge; the per-iteration plan is exactly
+    this one.
+
+    Explode to (word, offset) → substr pair → ONE map-side-combined
+    hash aggregate over a pair-cardinality-sized key space (≤ |Σ|²) →
+    TakeOrdered top-k, never a global sort. Ties at the cut break on
+    the pair string identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.expr(
+            "explode(transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2)))"
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -870,3 +870,85 @@ def ts_sli_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hours_active") / F.col("hours_span").cast("double"), 6
         ).alias("availability"),
     )
+
+
+@query(
+    "ts_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 600000000 AS hi
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, lo, hi,
+             CASE WHEN lo > MAX(hi) OVER (
+                    PARTITION BY user_id ORDER BY lo, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, lo, hi,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY lo, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           CAST(MIN(lo) AS BIGINT) AS start_us,
+           CAST(MAX(hi) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(hi) - MIN(lo) AS BIGINT) AS span_us
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals (each event spans 10
+    minutes) into maximal disjoint islands — the gaps-and-islands
+    classic behind meeting-room coalescing, validity-interval
+    compaction, and downtime merging. Distinct from ts_sessionize:
+    sessions break on inactivity GAPS, islands break only when the
+    running interval frontier is cleared.
+
+    One window pass computes the island flag (lo > running max hi
+    over PRECEDING rows), a running sum turns flags into island ids,
+    one hash aggregate folds each island — the whole thing is a
+    single user-partitioned exchange at any scale, in exact integer
+    microseconds. NULL-start semantics (first row's empty frame)
+    fold to island 0 identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("lo"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 600_000_000).alias(
+            "hi"
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("lo") > F.max("hi").over(w_prev), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("lo").alias("start_us"),
+        F.max("hi").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("hi") - F.min("lo")).alias("span_us"),
+    )
