@@ -131,3 +131,23 @@ def read_json(
         mode=mode.upper(),
         columnNameOfCorruptRecord=CORRUPT_COL,
     )
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read a directory of media files through Spark's built-in
+    ``binaryFile`` source: one row per file with (path,
+    modificationTime, length, content) — the real ingestion path for
+    image/audio corpora (each file an opaque binary column, decoded
+    downstream by the operators/codecs.py mapInPandas stages).
+
+    At 100 TB: binaryFile parallelizes by file, so millions of small
+    media files want a compaction pass into Parquet binary columns
+    first (sources/maintenance.compact_parquet — same listing-cost
+    argument as small-file Parquet); pathGlobFilter prunes by
+    extension at listing time, before any byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
