@@ -432,3 +432,79 @@ def geo_extent_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bbox_area_deg2"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash encoding
+# ---------------------------------------------------------------------------
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_PRECISION = 6  # 6 base32 chars = 30 bits (15 lon + 15 lat)
+
+_GH_IX_SQL = (
+    "CAST(LEAST(FLOOR(((" + _LON_SQL.format(k="c_custkey") + ") + 180.0)"
+    " / 360.0 * 32768.0), 32767) AS BIGINT)"
+)
+_GH_IY_SQL = (
+    "CAST(LEAST(FLOOR(((" + _LAT_SQL.format(k="c_custkey") + ") + 90.0)"
+    " / 180.0 * 32768.0), 32767) AS BIGINT)"
+)
+# lat bits land at even positions, lon at odd — so the MSB (bit 29)
+# is lon's top bit, the standard geohash bit order
+_GH_CODE_SQL = (
+    f"(({_spread_sql(_GH_IY_SQL)}) | (({_spread_sql(_GH_IX_SQL)}) << 1))"
+)
+_GH_CHARS_SQL = " || ".join(
+    f"substr('{_GEOHASH_ALPHABET}',"
+    f" CAST((({_GH_CODE_SQL}) >> {25 - 5 * j}) & 31 AS INT) + 1, 1)"
+    for j in range(_GH_PRECISION)
+)
+
+
+@query(
+    "geo_geohash",
+    oracle=f"""
+    SELECT c_custkey, ({_GH_CHARS_SQL}) AS geohash
+    FROM customer
+    """,
+)
+def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard 6-character geohash (the public base32 cell id of
+    Niemeyer's geohash.org scheme): 15-bit quantized lon/lat,
+    lon-leading bit interleave (the same _spread rounds as the Morton
+    code — geohash IS a Z-order curve with a textual alphabet), five
+    bits per character. Prefix-sharing = spatial containment, so
+    LIKE 'u09%' predicates prune by cell and the string sorts in
+    Z-order — the join/layout key format shared with external geo
+    systems, where the integer morton code stays engine-internal.
+
+    Pure codegen'd integer/substring expressions; map-only, no
+    shuffle, no UDF — identical arithmetic on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    return c.select("c_custkey", geohash_col(lat, lon).alias("geohash"))
+
+
+def geohash_col(lat: Column, lon: Column) -> Column:
+    """6-char geohash of (lat, lon) columns — canonical test vectors
+    (u4pruy, s00000, 6gkzwg) pinned in tests/test_properties.py, so
+    the encoding is checked against the PUBLIC scheme, not merely
+    self-consistent with the oracle's identical arithmetic."""
+    ix = F.least(
+        F.floor((lon + 180.0) / 360.0 * 32768.0), F.lit(32767)
+    ).cast("long")
+    iy = F.least(
+        F.floor((lat + 90.0) / 180.0 * 32768.0), F.lit(32767)
+    ).cast("long")
+    code = _spread(iy).bitwiseOR(F.shiftleft(_spread(ix), 1))
+    parts = [
+        F.substring(
+            F.lit(_GEOHASH_ALPHABET),
+            (
+                F.shiftright(code, 25 - 5 * j).bitwiseAND(F.lit(31)) + 1
+            ).cast("int"),
+            1,
+        )
+        for j in range(_GH_PRECISION)
+    ]
+    return F.concat(*parts)

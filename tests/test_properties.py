@@ -244,3 +244,26 @@ def test_qround_is_cross_engine_exact(spark):
         ).fetchall()
     ]
     assert got == want  # exact ==, no tolerance: the invariant is bitwise
+
+
+def test_geohash_matches_public_scheme(spark):
+    """geo_geohash's encoding checked against canonical geohash.org
+    vectors — the oracle shares the query's arithmetic, so only an
+    external vector proves this is THE geohash, not a lookalike."""
+    from etl_geonames_spark.operators.geo import geohash_col
+
+    rows = [
+        (57.64911, 10.40744, "u4pruy"),   # the classic example
+        (0.0, 0.0, "s00000"),
+        (-25.382708, -49.265506, "6gkzwg"),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in rows], "lat double, lon double"
+    )
+    got = [
+        r["gh"]
+        for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon")).alias("gh")
+        ).collect()
+    ]
+    assert got == [want for _, _, want in rows]
