@@ -1597,3 +1597,44 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(skew, 6).alias("skewness"),
         qround(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count, Spark 3.5+): keys bucket into 32768-bit bitmaps,
+    each bucket ORs map-side into one 4 KB value, bucket popcounts sum
+    to the exact distinct count. The oracle is plain COUNT(DISTINCT) —
+    same answer, different physics.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) shuffles every distinct
+    (group, key) pair through an Expand; the bitmap form shuffles at
+    most one 4 KB bitmap per (group, bucket) REGARDLESS of row count —
+    fully mergeable (partial aggregation works), so a 10^9-key group
+    moves ~30k bitmaps instead of 10^9 rows. The same bitmaps persist
+    as a rollup-able distinct sketch with EXACT semantics, where HLL
+    trades exactness for even less space."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("_bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(o_custkey)))"
+            ).alias("_cnt")
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("_cnt").cast("bigint").alias("n_customers")
+    )
