@@ -398,3 +398,63 @@ def test_streaming_rollup_retry_is_idempotent(spark, sf_dir, tmp_path):
     _rollup_merge_batch(b0, 0, state)
     v0 = read_upsert_state(spark, state, version=0)
     assert v0.agg(F.sum("n_events")).collect()[0][0] == b0.count()
+
+
+def test_streaming_media_decode_equals_batch(spark, tmp_path):
+    """Multimodal under Structured Streaming: a stream of binary image
+    blobs (Parquet binary column) decoded by the REAL codec inside
+    mapInPandas must equal the batch decode of the same files — the
+    continuous-ingest form of the mm_decode_image pipeline (new media
+    arriving in object storage, decoded incrementally)."""
+    from etl_geonames_spark.operators.codecs import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+    from etl_geonames_spark.streaming import run_available_now
+
+    rows = []
+    for i in range(24):
+        w, h = i % 5 + 1, i % 3 + 1
+        rgb = bytes(
+            (x * 7 + y * 11 + i) % 256
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        blob = encode_bmp(w, h, rgb) if i % 2 == 0 else encode_ppm(w, h, rgb)
+        rows.append((i, blob))
+    src = str(tmp_path / "media")
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    df.write.parquet(src)
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, rgb = decode_image(bytes(blob))
+                out.append((int(mid), w, h, sum(rgb)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "pix_sum"]
+            )
+
+    schema = "media_id long, width int, height int, pix_sum long"
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .mapInPandas(_decode, schema=schema)
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["pix_sum"])
+        for r in run_available_now(stream, "t_media_decode").collect()
+    }
+    want = {
+        r["media_id"]: (r["width"], r["height"], r["pix_sum"])
+        for r in spark.read.parquet(src)
+        .mapInPandas(_decode, schema=schema)
+        .collect()
+    }
+    assert got == want and len(got) == 24
