@@ -1638,3 +1638,34 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum("_cnt").cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5)
+             / 1000000.0 AS qty_price_corr,
+           FLOOR(covar_pop(l_quantity, l_discount) * 1000000.0 + 0.5)
+             / 1000000.0 AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group — the
+    relationship summary statistics profiling runs alongside
+    agg_regression's fitted line. Both are mergeable moment
+    accumulators (Σx, Σy, Σxy, Σx², Σy²), so the plan is ONE
+    map-side-combined hash aggregate at any scale — the same physics
+    as a plain SUM, never a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        qround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        qround(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar"
+        ),
+    )
