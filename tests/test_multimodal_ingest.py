@@ -102,3 +102,23 @@ def test_sharded_manifest_export_roundtrips(spark, sf_dir, tmp_path):
     assert {k: v["checksum"] for k, v in m1["shards"].items()} == {
         k: v["checksum"] for k, v in m2["shards"].items()
     }
+
+
+def test_write_with_metrics_observes_in_flight(spark, sf_dir, tmp_path):
+    """Observation metrics must match independently computed values —
+    and they were produced by the write's own scan, not a second
+    pass."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.pipeline_ops import write_with_metrics
+    from etl_geonames_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = write_with_metrics(docs, str(tmp_path / "out"), "doc_id")
+    assert got["n_rows"] == docs.count()
+    assert got["null_keys"] == 0
+    lo, hi = docs.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).collect()[0]
+    assert (got["key_min"], got["key_max"]) == (lo, hi)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == got["n_rows"]
