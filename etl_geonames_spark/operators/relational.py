@@ -1669,3 +1669,97 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_disc_covar"
         ),
     )
+
+
+@query(
+    "agg_skew_two_phase",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed group
+    keys (o_orderstatus has ~3 values — every row of a 100 TB table
+    funnels into 3 reducers in a naive plan): phase 1 groups on
+    (key, salt) spreading each hot key over 16 partitions, phase 2
+    merges the 16 partials per key — count and sum are mergeable, so
+    the result is exact. Same answer as the plain groupBy (the
+    oracle), different worst-case physics.
+
+    Note Spark's own partial aggregation already handles MODERATE
+    skew (map-side combine); explicit salting is for the regime where
+    even the combined partials of one key exceed a reducer —
+    the groupBy analog of join_skew_salted."""
+    orders = load_table(spark, sf_dir, "orders")
+    salted = orders.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16))
+    )
+    partial = salted.groupBy("o_orderstatus", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("o_totalprice").alias("_sum"),
+    )
+    return partial.groupBy("o_orderstatus").agg(
+        F.sum("_n").alias("n_orders"),
+        qround(F.sum("_sum"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "join_fuzzy_name",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, substr(lower(c_name), 10) AS suffix FROM customer
+      WHERE c_custkey < 300
+    ),
+    s AS (
+      SELECT s_suppkey, substr(lower(s_name), 10) AS suffix FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(levenshtein(c.suffix, s.suffix) AS BIGINT) AS edit_dist
+    FROM c JOIN s
+      ON substr(c.suffix, 1, 6) = substr(s.suffix, 1, 6)
+     AND ABS(length(c.suffix) - length(s.suffix)) <= 2
+    WHERE levenshtein(c.suffix, s.suffix) <= 1
+    """,
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join — entity resolution's standard
+    block-then-refine shape. Matching runs on the entity's numeric
+    suffix (the fixture's ``Customer#``/``Supplier#`` prefixes are
+    type tags, not identity — prefix-matching them yields ZERO pairs,
+    a vacuous demo): block on the first 6 suffix chars + a length
+    band, refine with exact Levenshtein ≤ 1, so records whose numbers
+    differ by one digit edit match. The equi block carries the
+    shuffle as a plain hash join; the O(mn) edit-distance runs only
+    on candidates, never corpus×corpus (the LSH dedup family's
+    discipline; at 100 TB swap the prefix block for q-gram LSH to
+    survive edits inside the blocking key)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.expr("substring(lower(c_name), 10)").alias("c_sfx"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("substring(lower(s_name), 10)").alias("s_sfx"),
+    )
+    cand = c.join(
+        s,
+        (F.substring("c_sfx", 1, 6) == F.substring("s_sfx", 1, 6))
+        & (F.abs(F.length("c_sfx") - F.length("s_sfx")) <= 2),
+    )
+    dist = F.levenshtein("c_sfx", "s_sfx")
+    return (
+        cand.filter(dist <= 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -98,7 +98,7 @@ _DRIVER_PRIORITY = [
     "mm_decode_image", "mm_resize_image", "mm_decode_audio",
     "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
     "llm_dedup_containment", "llm_embedding_centroids", "ts_interval_union",
-    "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar", "geo_point_in_polygon",
+    "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar", "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
 ]
