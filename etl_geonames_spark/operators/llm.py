@@ -118,17 +118,14 @@ def minhash_signatures(docs: DataFrame, num_perms: int = _MINHASH_PERMS) -> Data
     return base.select("doc_id", sig.alias("sig"))
 
 
-@query("llm_dedup_minhash")  # LSH banding not SQL-expressible → rows-only
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash + LSH banding:
-    shingle → 16 minhashes → 4 bands of 4 → equi-join on
-    (band_idx, band_hash). Deterministic (xxhash64). Scale: the
-    band join is hash-partitioned; no pair of non-colliding docs is
-    ever materialized — this is the linear-ish path to dedup at
-    billions of documents."""
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band_idx, band_hash): the LSH banding
+    step, shared by the batch dedup query and the streaming dedup
+    maintenance (streaming/pipeline.py) so both index the SAME bucket
+    space — a streaming store built with these bands is directly
+    joinable against any batch run's bands."""
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -147,6 +144,18 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+@query("llm_dedup_minhash")  # LSH banding not SQL-expressible → rows-only
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding:
+    shingle → 16 minhashes → 4 bands of 4 → equi-join on
+    (band_idx, band_hash). Deterministic (xxhash64). Scale: the
+    band join is hash-partitioned; no pair of non-colliding docs is
+    ever materialized — this is the linear-ish path to dedup at
+    billions of documents."""
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

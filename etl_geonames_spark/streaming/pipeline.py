@@ -382,3 +382,157 @@ def _rollup_merge_batch(
     partial.write.mode("overwrite").parquet(
         f"{state_root}/v{batch_id:05d}"
     )
+
+
+def _read_versioned(
+    spark: SparkSession, root: str, before: int
+) -> DataFrame | None:
+    """Newest snapshot under ``root`` strictly older than batch_id
+    ``before`` (predecessor read — same retry-idempotency argument as
+    :func:`_rollup_merge_batch`)."""
+    import os
+
+    if not os.path.isdir(root):
+        return None
+    versions = sorted(
+        d for d in os.listdir(root) if d.startswith("v") and int(d[1:]) < before
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(f"{root}/{versions[-1]}")
+
+
+def streaming_index_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Incremental inverted-index maintenance: each micro-batch's
+    (word → postings) partial merges into the versioned index
+    snapshot — postings are sets, so the merge is
+    union + distinct + re-sort per touched word, never a corpus
+    rescan. The streaming complement of ``llm_inverted_index``
+    (search.py): after draining a bounded stream the snapshot equals
+    the batch index exactly (pinned in tests/test_streaming.py).
+
+    At 100 TB the snapshot partitions by word hash and a batch only
+    rewrites touched partitions; head terms (stopwords touch every
+    batch) want the same skew handling as the batch BM25 docstring
+    describes."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .distinct()
+            .groupBy("word")
+            .agg(F.collect_list("doc_id").alias("postings"))
+        )
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = (
+                prev.select("word", "postings")
+                .unionByName(partial)
+                .groupBy("word")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(F.collect_list("postings"))
+                        )
+                    ).alias("postings")
+                )
+            )
+        else:
+            partial = partial.select(
+                "word",
+                F.array_sort(F.array_distinct("postings")).alias("postings"),
+            )
+        partial.select(
+            "word",
+            F.size("postings").cast("bigint").alias("df"),
+            "postings",
+        ).write.mode("overwrite").parquet(f"{state_root}/v{batch_id:05d}")
+
+    q = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_dedup_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuous MinHash-LSH near-dup detection: each micro-batch's
+    band hashes (a) self-join for within-batch candidate pairs,
+    (b) equi-join against the ACCUMULATED band store for pairs
+    against everything already ingested, then append to the store.
+    New docs only ever compare against colliding bucket entries —
+    the corpus is never rescanned and non-colliding pairs are never
+    materialized, so continuous dedup stays linear-ish exactly like
+    the batch path (llm.py's llm_dedup_minhash, whose banding
+    function is shared so bucket spaces are identical).
+
+    Emitted pairs land in ``<state_root>/pairs/v{batch_id}``; the
+    band store snapshots under ``<state_root>/bands/v{batch_id}``
+    with predecessor-read retry idempotency. After draining a bounded
+    stream, the union of emitted pairs equals the batch
+    llm_dedup_minhash pair set (pinned in tests/test_streaming.py)."""
+    from etl_geonames_spark.operators.llm import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bands = minhash_bands(minhash_signatures(batch)).localCheckpoint(
+            eager=True
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        store = _read_versioned(spark, f"{state_root}/bands", batch_id)
+        if store is not None:
+            s = store.alias("s")
+            cross = bands.alias("n").join(
+                s,
+                (F.col("n.band_idx") == F.col("s.band_idx"))
+                & (F.col("n.band_hash") == F.col("s.band_hash")),
+            ).select(
+                F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias(
+                    "doc_b"
+                ),
+            ).filter(F.col("doc_a") != F.col("doc_b"))
+            pairs = within.unionByName(cross)
+        else:
+            pairs = within
+        pairs.distinct().write.mode("overwrite").parquet(
+            f"{state_root}/pairs/v{batch_id:05d}"
+        )
+        new_store = (
+            store.unionByName(bands).distinct()
+            if store is not None
+            else bands
+        )
+        new_store.write.mode("overwrite").parquet(
+            f"{state_root}/bands/v{batch_id:05d}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

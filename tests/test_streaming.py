@@ -458,3 +458,64 @@ def test_streaming_media_decode_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 24
+
+
+def _two_wave_docs_stream(spark, sf_dir, tmp_path):
+    """The documents fixture split into two parquet files, streamed
+    one file per micro-batch."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(src / "w1"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(str(src / "w2"))
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/w*/"),
+        docs,
+    )
+
+
+def test_streaming_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained inverted index == the batch index
+    after draining the corpus in waves."""
+    from etl_geonames_spark.streaming import streaming_index_maintenance
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "index_state")
+    streaming_index_maintenance(stream, state, str(tmp_path / "ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {
+        r["word"]: (r["df"], list(r["postings"])) for r in final.collect()
+    }
+    import __spark_entry__ as entry_mod
+
+    batch = entry_mod.queries()["llm_inverted_index"](spark, sf_dir)
+    want = {
+        r["word"]: (r["df"], list(r["postings"])) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous LSH dedup: the union of per-batch emitted pairs
+    (within-batch + against-store) == the batch llm_dedup_minhash
+    candidate set — no pair missed across the wave boundary, none
+    invented."""
+    from etl_geonames_spark.streaming import streaming_dedup_maintenance
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "dedup_state")
+    streaming_dedup_maintenance(stream, state, str(tmp_path / "ckpt2"))
+
+    pairs = spark.read.parquet(f"{state}/pairs/v*")
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    import __spark_entry__ as entry_mod
+
+    batch = entry_mod.queries()["llm_dedup_minhash"](spark, sf_dir)
+    want = {(r["doc_a"], r["doc_b"]) for r in batch.collect()}
+    assert got == want
