@@ -1227,3 +1227,164 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+           {sql_qround(
+               "SUM(len(str_split(text, ' ')))"
+               " / CAST(SUM(n_chars) AS DOUBLE) * 100.0",
+               4,
+           )} AS tokens_per_100_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens emitted per 100 source
+    characters) — the first thing you audit when a tokenizer is
+    suspected of over-segmenting one language (CJK blowing up to
+    byte-fallback, say): fertility spikes show exactly where the token
+    budget is being burned.
+
+    Whitespace tokens over the repo's standard ``split(text, ' ')``
+    tokenizer vs the stored ``n_chars``; ratio of two SUMs, not an AVG
+    of ratios, so long documents weigh in proportionally.
+
+    100 TB shape: one map-side-combined hash aggregate to ≤ |langs|
+    rows — the shuffle carries three partial sums per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("bigint").alias("total_tokens"),
+        qround(
+            F.sum(nt) / F.sum("n_chars").cast("double") * F.lit(100.0), 4
+        ).alias("tokens_per_100_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_span_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(tk) - 7),
+                   i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        FROM t WHERE len(tk) >= 8
+    )
+    SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 50
+    """,
+)
+def llm_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram spans — the substring-level
+    dup signal behind span-dedup of training corpora (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    span repeated across documents is boilerplate/template text that
+    whole-document dedup never sees. Doc-level MinHash (llm_dedup_minhash)
+    misses a license header pasted into thousands of otherwise-distinct
+    files; this query surfaces exactly those spans.
+
+    Fixed n=8 whitespace-token windows (the paper's 50-token threshold
+    scaled to the fixture doc lengths), ``_shingles``-guarded for short
+    docs (ANSI: sequence(1,0) counts DOWN — see llm.py). Spans kept when
+    seen in ≥ 2 distinct documents; top-50 by (n_docs, n_occ, gram) so
+    the cut is deterministic.
+
+    100 TB shape: explode → one hash aggregate (map-side combine makes
+    the shuffle carry (gram, partial) pairs, tiny vs the exploded
+    stream) → TakeOrdered top-k on the driver. At full scale the gram
+    string is replaced by xxhash64(gram) so the shuffle moves 8 bytes
+    per span — same plan, narrower rows."""
+    from etl_geonames_spark.operators.llm import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.explode(_shingles("toks", 8)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram")
+        .limit(50)
+    )
+
+
+@query(
+    "llm_source_overlap",
+    oracle="""
+    WITH t AS (SELECT source, str_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   generate_series(1, len(tk) - 7),
+                   i -> array_to_string(tk[i:i+7], ' '))) AS gram
+        FROM t WHERE len(tk) >= 8
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every source
+    pair, how many distinct 8-gram spans they share. The
+    mixture-design companion to llm_decontaminate — before weighting
+    sources (llm_mix_weights) you want to know which "independent"
+    sources are actually mirrors of each other.
+
+    DISTINCT (source, gram) first, THEN the gram self-join: the join
+    fan-out per gram is bounded by |sources|, never by occurrence
+    counts — a span repeated 10^6 times in two crawls still
+    contributes one candidate pair. Equi-join on the gram key (hash
+    partitioned), source_a < source_b halves the matrix and kills
+    self-pairs.
+
+    100 TB shape: the distinct is one shuffle keyed on (source, gram);
+    the self-join shuffles once on gram; with |sources| in the
+    hundreds the pair aggregate is broadcast-sized. Hash the gram to
+    8 bytes at scale, same plan."""
+    from etl_geonames_spark.operators.llm import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.split("text", " ").alias("toks"))
+        .select("source", F.explode(_shingles("toks", 8)).alias("gram"))
+        .distinct()
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

@@ -302,3 +302,75 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
         ).alias("reciprocity"),
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    common AS (
+        SELECT ed.src AS src, ed.dst AS dst, COUNT(*) AS n_common
+        FROM e ed
+        JOIN e ea ON ea.src = ed.src
+        JOIN e eb ON eb.src = ed.dst AND eb.dst = ea.dst
+        GROUP BY ed.src, ed.dst
+    )
+    SELECT c.src, c.dst, CAST(c.n_common AS BIGINT) AS n_common,
+           {sql_qround(
+               "c.n_common / CAST(du.d + dv.d - c.n_common AS DOUBLE)", 6
+           )} AS jaccard
+    FROM common c
+    JOIN deg du ON c.src = du.src
+    JOIN deg dv ON c.dst = dv.src
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard similarity — |out(u) ∩ out(v)| /
+    |out(u) ∪ out(v)| for every edge (u,v) with at least one common
+    out-neighbor. The classic link-prediction / community-strength
+    score: an edge whose endpoints share most of their neighborhoods
+    is intra-community; a bridge scores ~0.
+
+    Same dataflow as triangle counting (graph_triangle_count), plus a
+    degree normalizer: edges ⋈ edges on the shared-src key enumerates
+    u's neighbors per edge, a second equi-join checks each against
+    v's out-list, and one hash aggregate counts matches; inclusion-
+    exclusion turns counts into the union size without ever building
+    neighbor sets in memory.
+
+    100 TB shape: two hash-partitioned equi-joins (on src, then on
+    (src,dst)) + one aggregate — never an all-pairs product; fan-out
+    is Σ deg(u) over edges, the same frontier triangle counting pays.
+    Hub-heavy graphs cap it by degree-thresholding (drop u with
+    deg > K before the self-join) or salting the hub keys — the
+    standard mitigation, applied upstream of this exact plan."""
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ea = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    eb = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    common = (
+        ed.join(ea, "u")
+        .join(eb, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            qround(
+                F.col("n_common")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

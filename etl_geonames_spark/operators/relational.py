@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_geonames_spark.functions import qround
+from etl_geonames_spark.functions import sql_qround as qround_sql
 from etl_geonames_spark.geonames.pipeline import filters_predicate
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
@@ -1139,6 +1140,31 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL) — each value survives
+    min(multiplicity_left, multiplicity_right) times, the multiset
+    dual of set_except's EXCEPT ALL. Spark plans it as a
+    count-compare aggregate over both inputs (one shuffle on the
+    value key, partial counts map-side) — no join fan-out, so a key
+    appearing 10^6 times on each side still moves two partial counts,
+    not 10^12 pairs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@query(
     "agg_histogram",
     oracle="""
     SELECT CASE WHEN o_totalprice < 0 THEN 0
@@ -1761,5 +1787,117 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "s_suppkey",
             dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "agg_ab_ttest",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, user_id % 2 AS grp,
+               COUNT(*) AS n, AVG(value) AS m, var_samp(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           {qround_sql("(a.m - b.m) / SQRT(a.v / a.n + b.v / b.n)", 6)}
+             AS t_stat
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+    """,
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic per event type, comparing the
+    even-user cohort against the odd-user cohort — the A/B-test
+    primitive an experimentation pipeline runs over every metric.
+    (The statistic only; p-values need the t CDF, which belongs in
+    the caller — the expensive distributed part is the moments.)
+
+    One grouped aggregate computes (n, mean, sample variance) per
+    (event_type, cohort) — all mergeable moments, map-side combined —
+    then a self-join on event_type pairs the two cohort rows. The
+    aggregate output is |types|×2 rows, so the join is broadcast-size
+    at any input scale: the whole query costs exactly one shuffle of
+    partial moments no matter how many events stream in.
+
+    qround at 1e-6: mean/variance accumulation order differs across
+    engines; the statistic is O(1)-magnitude so ulp drift sits far
+    below the grid."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.where(F.col("grp") == 0).alias("a")
+    b = s.where(F.col("grp") == 1).alias("b")
+    t = (F.col("a.m") - F.col("b.m")) / F.sqrt(
+        F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    )
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        qround(t, 6).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_chi_square",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, user_id % 2 AS grp,
+               CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(obs) AS n FROM o),
+    rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+    ct AS (SELECT grp, SUM(obs) AS c FROM o GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {qround_sql(
+               "SUM((o.obs - rt.r * ct.c / tot.n)"
+               " * (o.obs - rt.r * ct.c / tot.n)"
+               " / (rt.r * ct.c / tot.n))",
+               6,
+           )} AS chi2
+    FROM o, tot
+    JOIN rt ON o.event_type = rt.event_type
+    JOIN ct ON o.grp = ct.grp
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of event_type ×
+    user-parity cohort — the categorical-drift detector (is the event
+    mix shifting between cohorts / days / dataset versions?).
+
+    The contingency table is ONE grouped count (the only pass over
+    the data); row totals, column totals, and the grand total are
+    re-aggregations of that ≤ |types|×2-row table, all
+    broadcast-joined back onto it. Expected = r·c/n per cell,
+    χ² = Σ (obs-exp)²/exp. Everything after the first aggregate
+    operates on driver-trivial cardinalities, so the query is one
+    shuffle end-to-end at any scale.
+
+    The 1-row grand total joins via broadcast crossJoin (the
+    sanctioned 1-row normalizer pattern, see llm_tfidf)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("grp").agg(F.sum("obs").alias("c"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    cell = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            qround(F.sum(cell), 6).alias("chi2"),
         )
     )

@@ -1035,3 +1035,35 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 100.0 + 0.5) / 100.0 AS DOUBLE) AS finished_total
         FROM orders GROUP BY o_orderpriority
     """)
+
+
+@query(
+    "sql_relational_division",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) =
+        (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers whose orders span
+    EVERY order priority that exists anywhere. The one classic
+    relational-algebra operator with no SQL keyword — Codd's ÷ —
+    expressed the scalable way: count-distinct per group compared to
+    a global count-distinct scalar, instead of the textbook
+    double-NOT-EXISTS (which plans as two correlated anti-joins and
+    re-probes the divisor per group).
+
+    Identical text on both engines. Catalyst runs the scalar subquery
+    once, broadcasts the single value into the HAVING predicate, and
+    the whole query is one map-side-combined aggregate on o_custkey —
+    a single shuffle at any scale. The double-NOT-EXISTS phrasing
+    would instead shuffle orders × priorities twice."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(DISTINCT o_orderpriority) =
+            (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround
+from etl_geonames_spark.functions import qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -951,4 +951,96 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi").alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
         (F.max("hi") - F.min("lo")).alias("span_us"),
+    )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH l AS (
+        SELECT event_type, value,
+               LAG(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+           {sql_qround("corr(value, prev)", 6)} AS acf1
+    FROM l GROUP BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (Pearson r between each value
+    and its predecessor in event order) — the is-this-series-noise-or-
+    momentum diagnostic that decides whether EWMA smoothing
+    (ts_ewma) or plain means are appropriate, and the standard check
+    before fitting any AR model.
+
+    LAG over a (ts, event_id)-ordered per-type window — event_id
+    breaks timestamp ties so the pairing is deterministic across
+    engines — then one grouped corr. Pearson r is a ratio of moments,
+    so the sample-vs-population scaling cancels and both engines agree
+    to libm ulps; qround at 1e-6 absorbs those.
+
+    100 TB shape: one shuffle keying the window by event_type, then a
+    map-side-combined moment aggregate (Σx, Σy, Σxy, Σx², Σy² are all
+    mergeable) — same cost as ts_ewma's scan. Skewed series (one type
+    = half the data) would range-partition by (event_type, ts) and
+    chain the boundary row per partition, the ts_gap_fill pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev").alias("n_pairs"),
+        qround(F.corr("value", "prev"), 6).alias("acf1"),
+    )
+
+
+@query(
+    "ts_cusum_drift",
+    oracle=f"""
+    WITH m AS (SELECT event_type, AVG(value) AS mu FROM events GROUP BY 1),
+    c AS (
+        SELECT e.event_type,
+               SUM(e.value - m.mu) OVER (
+                   PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ) AS cusum
+        FROM events e JOIN m ON e.event_type = m.event_type
+    )
+    SELECT event_type,
+           {sql_qround("MAX(ABS(cusum))", 4)} AS max_abs_cusum
+    FROM c GROUP BY 1
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift magnitude per series: the maximum absolute running
+    sum of deviations from the series mean, in (ts, event_id) order —
+    the change-point screening statistic (Page's CUSUM): a series
+    whose level shifts mid-stream accumulates a large |Σ(x-μ)| even
+    when ts_anomaly_zscore sees no single outlying point.
+
+    Two passes by necessity (μ must exist before deviations do): one
+    hash aggregate for per-type means (broadcast back — the mean
+    table is |types| rows), then a per-type ordered window running
+    sum and a final max. Window and final agg share the event_type
+    partitioning, so the plan is mean-shuffle + ONE data shuffle that
+    both the window sort and the max reuse.
+
+    Both engines accumulate the running sum in the same deterministic
+    (ts, event_id) order, so the only cross-engine drift is μ's
+    summation-order ulps (amplified ≤ n×): qround at 1e-4 sits
+    orders of magnitude above it."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.sum(F.col("value") - F.col("mu")).over(w).alias("cusum"),
+    )
+    return c.groupBy("event_type").agg(
+        qround(F.max(F.abs("cusum")), 4).alias("max_abs_cusum")
     )

@@ -282,3 +282,54 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", qround(scored(F.col("n_chars")), 6).alias("score")
     )
+
+
+@pandas_udf(DoubleType())
+def _zlib_ratio_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched zlib compression ratio (compressed/raw bytes).
+
+    zlib (DEFLATE, level 6) has no JVM-expression equivalent in Spark
+    SQL — this is the genuine Pandas-UDF case, and zlib's output is
+    bit-deterministic for a given (input, level), so tests pin exact
+    values computed by the very same library.
+    """
+    import zlib
+
+    def ratio(s: str) -> float:
+        raw = s.encode("utf-8")
+        if not raw:
+            return 1.0
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return text.map(ratio).astype("float64")
+
+
+@query("llm_compression_ratio", oracle=None)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio + per-source aggregate —
+    the Gopher/FineWeb-style quality signal llm_repetition_ratio
+    approximates with n-grams, computed exactly: highly repetitive or
+    templated text compresses far below ~0.4, near-random text sits
+    near 1.0. Filtering on this is standard in web-corpus curation
+    (Rae et al. 2021 use the same signal family).
+
+    No DuckDB oracle: SQL has no DEFLATE. Verification is stronger
+    than rows-only anyway — tests/test_oracle_parity-adjacent pins in
+    tests/test_edge_inputs.py recompute ratios with the identical
+    stdlib zlib and assert exact equality, and the per-source means
+    below are deterministic for the fixture.
+
+    100 TB shape: map-only Arrow-batched UDF over the scan (the
+    sanctioned slow path — §2.11), then one tiny hash aggregate to
+    |sources| rows; compression cost is linear in bytes and
+    embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", _zlib_ratio_udf(F.col("text")).alias("ratio")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        qround(F.avg("ratio"), 6).alias("avg_ratio"),
+        qround(F.min("ratio"), 6).alias("min_ratio"),
+        qround(F.max("ratio"), 6).alias("max_ratio"),
+    )

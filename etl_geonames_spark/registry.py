@@ -99,8 +99,13 @@ _DRIVER_PRIORITY = [
     "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
     "llm_dedup_containment", "llm_embedding_centroids", "ts_interval_union",
     "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar", "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
+    "set_intersect_all", "sql_relational_division", "ts_autocorr",
+    "graph_jaccard_neighbors", "llm_tokenizer_fertility",
+    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
+    "agg_chi_square", "ts_cusum_drift",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
+    "llm_compression_ratio",
 ]
 
 

@@ -121,3 +121,50 @@ def test_zero_vector_quantizes_to_zero_ints(spark, edge_sf_dir):
     }
     assert rows[0] == (0.0, [0, 0, 0, 0])
     assert rows[1][1][0] == 64  # 1.0/2.0*127 = 63.5 → floor(+0.5) = 64
+
+
+def test_compression_ratio_matches_stdlib_zlib_exactly(spark, sf_dir):
+    """llm_compression_ratio has no SQL oracle (DEFLATE isn't SQL);
+    instead pin it bit-exactly against the SAME stdlib zlib the UDF
+    uses, recomputed in-process over the raw parquet. Catches a
+    broken/reordered UDF the driver's rows-only row never would."""
+    import zlib
+
+    import numpy as np
+
+    got = (
+        entry_mod.queries()["llm_compression_ratio"](spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def ratio(s: str) -> float:
+        raw = s.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+
+    docs = docs.assign(ratio=docs["text"].map(ratio))
+
+    def q6(x: float) -> float:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    exp = (
+        docs.groupby("source")
+        .agg(
+            n_docs=("ratio", "size"),
+            avg_ratio=("ratio", lambda s: q6(s.mean())),
+            min_ratio=("ratio", lambda s: q6(s.min())),
+            max_ratio=("ratio", lambda s: q6(s.max())),
+        )
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert got["avg_ratio"].tolist() == pytest.approx(
+        exp["avg_ratio"].tolist(), abs=1e-9
+    )
+    assert got["min_ratio"].tolist() == exp["min_ratio"].tolist()
+    assert got["max_ratio"].tolist() == exp["max_ratio"].tolist()
