@@ -552,3 +552,91 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _feature_batches,
         schema="doc_id long, features array<double>",
     )
+
+
+def _feature_wave(doc_id: int, n: int) -> list[int]:
+    """Fast-striding synthetic waveform for the feature op: stride
+    9973 wraps the 16-bit range every ~6.6 samples, so sign changes
+    actually occur (the decode op's slow ramp never crosses zero
+    inside its ≤59-sample clips — a ZCR over it would be vacuously
+    zero and verify nothing)."""
+    return [((doc_id * 31 + i * 9973) % 65536) - 32768 for i in range(n)]
+
+
+def _audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = doc_id % 50 + 10
+            blob = encode_wav_pcm16(16000, _feature_wave(doc_id, n))
+            _, _, s = decode_wav(blob)
+            rms = math.sqrt(sum(float(v) * float(v) for v in s) / len(s))
+            zc = sum(
+                1
+                for a, b in zip(s, s[1:])
+                if (a >= 0) != (b >= 0)
+            )
+            rows.append((doc_id, len(s), rms, zc))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "rms", "n_zero_cross"]
+        )
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, gi.i,
+             CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768 AS DOUBLE)
+               AS v
+      FROM dims d, LATERAL unnest(generate_series(0, d.n - 1)) AS gi(i)
+    ),
+    l AS (
+      SELECT doc_id, n, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_samples,
+           FLOOR(SQRT(AVG(v * v)) * 10000.0 + 0.5) / 10000.0 AS rms,
+           CAST(COUNT(*) FILTER (
+               WHERE pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+           ) AS BIGINT) AS n_zero_cross
+    FROM l GROUP BY doc_id, n
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: RMS loudness + zero-crossing
+    count per clip — the two features every speech/music curation
+    pipeline computes first (silence gating on RMS, voiced/unvoiced
+    and noisiness screens on ZCR). The waveform goes through the full
+    RIFF/WAVE encode → binary column → Arrow batch → chunk-walk
+    decode roundtrip, so a codec regression (offset, endianness,
+    chunk-size) breaks the value hash, not just a synthetic shortcut.
+
+    The oracle replays the PCM arithmetic sample-for-sample in SQL
+    (LATERAL series + LAG for the sign-change pairing); RMS is
+    qround'd at 1e-4 — ≤ 59-term sums leave ulp drift far below it.
+
+    100 TB shape: map-only Arrow-batched mapInPandas over the blob
+    column, one row out per clip — embarrassingly parallel, zero
+    shuffles; clips >> RAM stream through chunked frame reads in the
+    codec, and the feature table is a tiny fraction of blob bytes."""
+    from etl_geonames_spark.functions import qround
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = docs.mapInPandas(
+        _audio_feature_batches,
+        schema="doc_id long, n_samples int, rms double, n_zero_cross long",
+    )
+    return feats.select(
+        "doc_id", "n_samples", qround(F.col("rms"), 4).alias("rms"),
+        "n_zero_cross",
+    )

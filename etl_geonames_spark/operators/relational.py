@@ -1901,3 +1901,81 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum(cell), 6).alias("chi2"),
         )
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, user_id % 2 AS grp,
+               RANK() OVER (PARTITION BY event_type ORDER BY value)
+                 + (COUNT(*) OVER (PARTITION BY event_type, value) - 1)
+                   / 2.0 AS midrank
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE grp = 0) AS n_a,
+               COUNT(*) FILTER (WHERE grp = 1) AS n_b,
+               SUM(midrank) FILTER (WHERE grp = 0) AS ra
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           {qround_sql("ra - n_a * (n_a + 1) / 2.0", 2)} AS u_a,
+           {qround_sql(
+               "((ra - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)"
+               " / SQRT(n_a * n_b * (n_a + n_b + 1) / 12.0)",
+               6,
+           )} AS z
+    FROM s
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event type, even-user
+    cohort vs odd-user cohort — the NON-parametric sibling of
+    agg_ab_ttest: rank-based, so heavy-tailed metrics (latencies,
+    revenue) don't need the t-test's normality leap. U_A from midrank
+    sums; z is the large-sample normal approximation (the fixture
+    cohorts are ~10³, far past the n≈20 rule of thumb).
+
+    Midranks the standard way: ties-low RANK plus (tie_count−1)/2 —
+    two windows that share one (event_type)-keyed exchange (the
+    per-(type,value) count partitions BY a superset key, so Catalyst
+    plans it on the same sort). Exact halves in doubles: the rank
+    arithmetic is bit-identical across engines; only the z quotient
+    needs a qround grid.
+
+    100 TB shape: one shuffle for the ranking sort, then a map-side-
+    combined aggregate to |types| rows. Global ranks per type are the
+    honest cost of a rank statistic; a skewed type would go through
+    relational.distributed_ntile's range-repartition + offsets
+    pattern instead of a single sort partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_ties = Window.partitionBy("event_type", "value")
+    r = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("midrank"))).alias("ra"),
+    )
+    u_a = F.col("ra") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    z = (u_a - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(
+        F.col("n_a") * F.col("n_b") * (F.col("n_a") + F.col("n_b") + 1)
+        / 12.0
+    )
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        qround(u_a, 2).alias("u_a"),
+        qround(z, 6).alias("z"),
+    )

@@ -33,9 +33,11 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from etl_geonames_spark.schemas import ALL_COUNTRIES_COLUMNS, ALL_COUNTRIES_SCHEMA
@@ -56,6 +58,17 @@ class GeonamesDataSource(DataSource):
         if not path:
             raise ValueError("geonames datasource requires a path")
         return GeonamesReader(path)
+
+    def writer(self, schema, overwrite: bool) -> "GeonamesArrowWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("geonames datasource requires a path")
+        if list(schema.fieldNames()) != ALL_COUNTRIES_COLUMNS:
+            raise ValueError(
+                "geonames writer needs the 19 dump columns in dump order; "
+                f"got {schema.fieldNames()}"
+            )
+        return GeonamesArrowWriter(path, overwrite)
 
 
 class GeonamesReader(DataSourceReader):
@@ -123,3 +136,90 @@ def register_geonames_source(spark) -> None:
     # implementing pushFilters requires opting in (off by default in 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GeonamesDataSource)
+
+
+class GeonamesCommit(WriterCommitMessage):
+    """Per-task commit record: the temp file a task wrote + row count.
+
+    Must be picklable (travels executor → driver)."""
+
+    def __init__(self, tmp_file: str, rows: int) -> None:
+        self.tmp_file = tmp_file
+        self.rows = rows
+
+
+class GeonamesArrowWriter(DataSourceArrowWriter):
+    """TSV dump writer: Arrow batches → tab-separated text, one part
+    file per task, two-phase commit.
+
+    Tasks write to hidden ``.part-<uuid>.txt.tmp`` names; only
+    :meth:`commit` (driver, after ALL tasks succeed) renames them to
+    visible ``part-*.txt`` — a speculative/retried task that loses
+    the race leaves at most an orphaned ``.tmp`` that ``abort``
+    or the next overwrite sweeps, never a half-visible file. This is
+    the same rename-on-commit protocol Spark's FileFormatWriter uses
+    (valid on any filesystem with atomic rename; object stores swap
+    in a manifest commit instead, same message flow).
+    """
+
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> GeonamesCommit:
+        import os
+        import uuid
+
+        import pyarrow.compute as pc
+
+        os.makedirs(self._path, exist_ok=True)
+        name = f".part-{uuid.uuid4().hex}.txt.tmp"
+        tmp = os.path.join(self._path, name)
+        rows = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                # Vectorized line assembly (NULL → empty field, the
+                # reader's null_values=[""] convention). pyarrow's CSV
+                # writer refuses raw '"' under quoting_style="none"
+                # (RFC4180), but the GeoNames dump format is quote-less
+                # TSV with literal quotes in names — so the tab join
+                # happens in Arrow compute, not a CSV writer.
+                cols = [
+                    pc.fill_null(batch.column(i), "")
+                    for i in range(batch.num_columns)
+                ]
+                lines = pc.binary_join_element_wise(*cols, "\t")
+                fh.write("\n".join(lines.to_pylist()))
+                fh.write("\n")
+                rows += batch.num_rows
+        return GeonamesCommit(name, rows)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "part-*.txt")):
+                os.remove(old)
+        total = 0
+        for m in messages:
+            final = m.tmp_file.removeprefix(".").removesuffix(".tmp")
+            os.replace(
+                os.path.join(self._path, m.tmp_file),
+                os.path.join(self._path, final),
+            )
+            total += m.rows
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self._path, m.tmp_file))

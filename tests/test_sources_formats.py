@@ -222,3 +222,34 @@ def test_json_failfast_raises(spark, dirty_ndjson):
     )
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_geonames_datasource_writer_roundtrip(spark, gn_dump_dir, tmp_path):
+    """Write path of the Python DataSource: read the dump, write it
+    back out via format("geonames"), read THAT, and require the exact
+    same row multiset — NULL↔empty-field and raw-quote conventions
+    must survive a full roundtrip. Also checks the two-phase commit
+    left a _SUCCESS marker and no .tmp orphans."""
+    import os
+
+    from etl_geonames_spark.sources.geonames_datasource import (
+        register_geonames_source,
+    )
+
+    register_geonames_source(spark)
+    src = spark.read.format("geonames").load(gn_dump_dir)
+    out = str(tmp_path / "dump_out")
+    src.write.format("geonames").mode("append").save(out)
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = spark.read.format("geonames").load(out)
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) == 3
+
+    # overwrite replaces, not appends
+    src.limit(1).write.format("geonames").mode("overwrite").save(out)
+    again = spark.read.format("geonames").load(out)
+    assert again.count() == 1
