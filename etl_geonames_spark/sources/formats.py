@@ -151,3 +151,50 @@ def read_media_dir(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    *,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """Write via Spark 4's native XML source (built-in since 4.0 —
+    the spark-xml package absorbed into core). One element per row
+    under ``rootTag``, nested structs become nested elements."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str = "row",
+    schema=None,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read XML with the same bad-record policy surface as read_csv:
+    PERMISSIVE (corrupt rows → ``_corrupt_record``), DROPMALFORMED,
+    or FAILFAST. Attributes surface as ``_attrname`` columns,
+    repeated child elements as arrays — XML's answer to schema
+    evolution is the same explicit-schema discipline as JSON.
+
+    At 100 TB: XML files split by row boundaries only when the source
+    can find ``rowTag`` delimiters — deeply nested single-document
+    files do NOT parallelize; shred them to one-document-per-file (or
+    convert to Parquet on landing, sources/maintenance) before the
+    heavy queries, same argument as the NDJSON-vs-JSON-array rule."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).option(
+        "mode", mode.upper()
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

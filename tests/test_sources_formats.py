@@ -253,3 +253,144 @@ def test_geonames_datasource_writer_roundtrip(spark, gn_dump_dir, tmp_path):
     src.limit(1).write.format("geonames").mode("overwrite").save(out)
     again = spark.read.format("geonames").load(out)
     assert again.count() == 1
+
+
+def test_xml_roundtrip_and_bad_record_policy(spark, tmp_path):
+    """Native XML source (Spark 4 core): write→read roundtrip
+    preserves values and nested structs; a malformed row lands in
+    _corrupt_record under PERMISSIVE and vanishes under
+    DROPMALFORMED — the same tri-state policy as CSV/JSON."""
+    from pyspark.sql import Row
+
+    from etl_geonames_spark.sources.formats import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name='quo"ted', geo=Row(lat=52.37, lon=4.89)),
+            Row(id=2, name="plain & free", geo=Row(lat=40.71, lon=-74.0)),
+        ]
+    )
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, row_tag="place", root_tag="places")
+    back = read_xml(spark, out, row_tag="place")
+    got = sorted(
+        (r["id"], r["name"], r["geo"]["lat"], r["geo"]["lon"])
+        for r in back.collect()
+    )
+    assert got == [
+        (1, 'quo"ted', 52.37, 4.89),
+        (2, "plain & free", 40.71, -74.0),
+    ]
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        "<rows><row><id>1</id><name>ok</name></row>"
+        "<row><id>not_a_number</id><name>bad</name></row></rows>"
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    perm = read_xml(spark, str(bad), schema=schema)
+    rows = perm.collect()
+    assert len(rows) == 2
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    strict_schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    dropped = read_xml(
+        spark, str(bad), schema=strict_schema, mode="DROPMALFORMED"
+    )
+    assert [r["id"] for r in dropped.collect()] == [1]
+
+
+def test_tsv_sink_batch_write_and_overwrite(spark, tmp_path):
+    """Custom write-only DataSource, batch half: tab-joined lines,
+    NULL → empty field, _SUCCESS on commit, no .tmp orphans,
+    overwrite replaces rather than appends."""
+    from pyspark.sql import Row
+
+    from etl_geonames_spark.sources.tsv_sink import register_tsv_sink
+
+    register_tsv_sink(spark)
+    df = spark.createDataFrame(
+        [Row(a=1, b="x\ty".replace("\t", " "), c=None),
+         Row(a=2, b='quo"te', c=3.5)]
+    )
+    out = str(tmp_path / "tsv_out")
+    df.write.format("tsv_sink").mode("append").save(out)
+
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    lines = sorted(
+        ln
+        for f in os.listdir(out)
+        if f.startswith("part-")
+        for ln in open(os.path.join(out, f)).read().splitlines()
+    )
+    assert lines == ["1\tx y\t", '2\tquo"te\t3.5']
+
+    df.limit(1).write.format("tsv_sink").mode("overwrite").save(out)
+    lines2 = [
+        ln
+        for f in os.listdir(out)
+        if f.startswith("part-")
+        for ln in open(os.path.join(out, f)).read().splitlines()
+    ]
+    assert len(lines2) == 1
+
+
+def test_tsv_sink_streaming_epochs_match_batch(spark, sf_dir, tmp_path):
+    """Streaming half: drain the events fixture through the custom
+    sink with availableNow; the union of epoch files must equal the
+    batch projection exactly, and the _epochs log must account for
+    every row once (exactly-once bookkeeping)."""
+    import os
+
+    from etl_geonames_spark.sources.tsv_sink import register_tsv_sink
+    from etl_geonames_spark.streaming.pipeline import read_events_stream
+
+    register_tsv_sink(spark)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    q = (
+        ev.writeStream.format("tsv_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        ln
+        for f in os.listdir(out)
+        if f.startswith("part-b")
+        for ln in open(os.path.join(out, f)).read().splitlines()
+    )
+    from etl_geonames_spark.sources import load_table
+
+    exp = sorted(
+        f"{r['event_id']}\t{r['event_type']}\t{r['user_id']}"
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+    assert got == exp
+    epochs = open(os.path.join(out, "_epochs")).read().splitlines()
+    assert sum(int(ln.split("\t")[1]) for ln in epochs) == len(exp)
