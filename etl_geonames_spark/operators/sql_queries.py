@@ -1067,3 +1067,76 @@ def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(DISTINCT o_orderpriority) =
             (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
     """)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(AVG(o_totalprice) * 100.0 + 0.5) / 100.0
+                AS DOUBLE) AS avg_price
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VAR): the query's
+    thresholds live in typed session state instead of string-spliced
+    literals — the parameterization path for SQL-first pipelines
+    (dbt-style) where the same text runs at many thresholds.
+    EXECUTE IMMEDIATE (also 4.0) is the dynamic-SQL sibling;
+    sql_parameterized covers the API-level binding.
+
+    Variables constant-fold at plan time, so the physical plan is
+    IDENTICAL to the literal query — the filter still pushes into the
+    parquet scan; there is no runtime lookup. The oracle inlines the
+    same constants, proving exactly that.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE status STRING DEFAULT 'O'")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(AVG(o_totalprice) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS avg_price
+        FROM orders
+        WHERE o_totalprice >= price_floor AND o_orderstatus = status
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers + args dict, Spark
+    4): values bind server-side as typed literals, never by string
+    concatenation — the SQL-injection-proof API surface every
+    programmatic caller should use.
+
+    Binding happens before optimization, so pushdown/top-k planning
+    see real literals: this plans the same TakeOrderedAndProject over
+    a filtered scan as the inlined text (which is exactly what the
+    oracle runs)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = :prio AND o_totalprice > :floor
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT :k
+        """,
+        args={"prio": "1-URGENT", "floor": 200000.0, "k": 15},
+    )

@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -168,7 +170,8 @@ class TsvStreamWriter(DataSourceStreamArrowWriter):
 
 
 class TsvSinkDataSource(DataSource):
-    """``format("tsv_sink")`` — write-only custom connector."""
+    """``format("tsv_sink")`` — custom connector: batch write,
+    streaming write, and streaming read (tail the epoch log)."""
 
     @classmethod
     def name(cls) -> str:
@@ -180,12 +183,91 @@ class TsvSinkDataSource(DataSource):
             raise ValueError("tsv_sink requires a path")
         return path
 
+    def schema(self) -> str:
+        # Default when the stream reader gets no explicit schema:
+        # whole lines, unsplit (TSV itself is untyped).
+        return "line string"
+
     def writer(self, schema, overwrite: bool) -> TsvBatchWriter:
         return TsvBatchWriter(self._path(), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> TsvStreamWriter:  # noqa: N802
         return TsvStreamWriter(self._path())
 
+    def streamReader(self, schema) -> "TsvStreamReader":  # noqa: N802
+        return TsvStreamReader(self._path(), len(schema.fieldNames()))
+
 
 def register_tsv_sink(spark) -> None:
     spark.dataSource.register(TsvSinkDataSource)
+
+
+class _EpochPartition(InputPartition):
+    def __init__(self, epoch: int, files: list[str]) -> None:
+        self.epoch = epoch
+        self.files = files
+
+
+class TsvStreamReader(DataSourceStreamReader):
+    """Streaming READ half — tails the sink's ``_epochs`` commit log.
+
+    Offsets are ``{"epoch": n}`` = "all epochs ≤ n consumed"; the
+    commit log (not a directory listing) is the source of truth, so a
+    half-renamed crash window can never surface uncommitted files.
+    ``partitions(start, end)`` emits one InputPartition per newly
+    committed epoch carrying its file list — epochs scan in parallel
+    and replaying a micro-batch re-reads exactly the same files
+    (offsets pin the work, the idempotent-read contract).
+
+    The directory therefore becomes a durable, replayable queue:
+    writer and reader coordinate only through _epochs appends, the
+    same log-compaction-free pattern as a file-based message bus.
+    The schema is fixed string columns (c0..cN-1 for ``ncols``) —
+    TSV carries no types; readers cast downstream."""
+
+    def __init__(self, path: str, ncols: int) -> None:
+        self._path = path
+        self._ncols = ncols
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"epoch": -1}
+
+    def _committed(self) -> list[int]:
+        log = os.path.join(self._path, "_epochs")
+        if not os.path.exists(log):
+            return []
+        out = []
+        for ln in open(log).read().splitlines():
+            if ln.strip():
+                out.append(int(ln.split("\t")[0]))
+        return out
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        eps = self._committed()
+        return {"epoch": max(eps) if eps else -1}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for e in self._committed():
+            if start["epoch"] < e <= end["epoch"]:
+                files = sorted(
+                    glob.glob(os.path.join(self._path, f"part-b{e}-*.tsv"))
+                )
+                parts.append(_EpochPartition(e, files))
+        # Spark requires ≥1 partition per batch; an empty epoch range
+        # yields one no-file partition (reads nothing).
+        return parts or [_EpochPartition(end["epoch"], [])]
+
+    def read(self, partition: _EpochPartition):
+        for f in partition.files:
+            with open(f, encoding="utf-8") as fh:
+                for ln in fh.read().splitlines():
+                    if self._ncols == 1:
+                        yield (ln,)
+                        continue
+                    cells = ln.split("\t")
+                    cells += [""] * (self._ncols - len(cells))
+                    yield tuple(cells[: self._ncols])
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -394,3 +394,57 @@ def test_tsv_sink_streaming_epochs_match_batch(spark, sf_dir, tmp_path):
     assert got == exp
     epochs = open(os.path.join(out, "_epochs")).read().splitlines()
     assert sum(int(ln.split("\t")[1]) for ln in epochs) == len(exp)
+
+
+def test_tsv_sink_stream_reader_tails_epoch_log(spark, sf_dir, tmp_path):
+    """Full custom-connector loop: events → tsv_sink (streaming
+    write) → tsv_sink stream READER (offsets = epoch log) → memory
+    sink. The re-read multiset must equal the original projection —
+    proving offset planning reads every committed epoch exactly
+    once and the log (not directory listing) drives visibility."""
+    import os
+
+    from etl_geonames_spark.sources.tsv_sink import register_tsv_sink
+    from etl_geonames_spark.streaming.pipeline import read_events_stream
+
+    register_tsv_sink(spark)
+    out = str(tmp_path / "queue")
+    (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "user_id")
+        .writeStream.format("tsv_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_w"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert os.path.exists(os.path.join(out, "_epochs"))
+
+    back = (
+        spark.readStream.format("tsv_sink")
+        .schema("event_id string, event_type string, user_id string")
+        .option("path", out)
+        .load()
+    )
+    q = (
+        back.writeStream.format("memory")
+        .queryName("tsv_back")
+        .option("checkpointLocation", str(tmp_path / "ck_r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["event_type"], r["user_id"])
+        for r in spark.sql("SELECT * FROM tsv_back").collect()
+    )
+    from etl_geonames_spark.sources import load_table
+
+    exp = sorted(
+        (str(r["event_id"]), r["event_type"], str(r["user_id"]))
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+    assert got == exp
