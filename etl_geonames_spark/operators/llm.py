@@ -1803,3 +1803,86 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("h")
     )
     return incoming.join(existing, "h", "left_anti").select("doc_id")
+
+
+_SEMDEDUP_TAU = 0.40
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
+           FROM pts WHERE vec_id < {_KMEANS_K}),
+    a0 AS ({_km_assign_sql("c0")}),
+    c1 AS ({_km_update_sql("a0")}),
+    a1 AS ({_km_assign_sql("c1")}),
+    c2 AS ({_km_update_sql("a1")}),
+    a2 AS ({_km_assign_sql("c2")}),
+    cells AS (SELECT a2.vec_id, a2.cluster, p.emb
+              FROM a2 JOIN pts p ON a2.vec_id = p.vec_id),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE FLOOR((list_dot_product(a.emb, b.emb) /
+                     (sqrt(list_dot_product(a.emb, a.emb)) *
+                      sqrt(list_dot_product(b.emb, b.emb))))
+                    * 1000000.0 + 0.5) / 1000000.0 >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster
+    FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by embedding —
+    k-means cells as blocking, then within-cell cosine pairs; a
+    vector is dropped when a LOWER-id vector in its cell is ≥ τ
+    similar (τ=0.40, calibrated so the fixture yields a meaningful
+    drop rate — real corpora tune τ per model). Transitive chains
+    collapse without a connected-components pass: "drop if any
+    smaller similar neighbor" needs only the pair join, because the
+    kept set is exactly the per-chain minima.
+
+    Reuses llm_kmeans verbatim for the cell assignment (same code
+    path, same unrolled-CTE oracle, so the two queries can never
+    drift), joins embeddings back, and self-joins WITHIN cells only —
+    the all-pairs product never forms (plan-swept). Cosine is
+    qround'd to the 1e-6 grid on both engines BEFORE the τ compare,
+    the cross-engine-threshold discipline.
+
+    100 TB shape: pair fan-out is Σ|cell|², controlled by k (more
+    cells → smaller cells); the published recipe uses k ≈ √n. The
+    join shuffles once on cluster; everything upstream is the
+    already-scaled kmeans plan."""
+    cells = llm_kmeans(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        ),
+        "vec_id",
+    )
+    a = cells.select(
+        F.col("vec_id").alias("i"),
+        F.col("cluster").alias("cl"),
+        F.col("emb").alias("ea"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("j"),
+        F.col("cluster").alias("cl"),
+        F.col("emb").alias("eb"),
+    )
+    drops = (
+        a.join(b, "cl")
+        .where(F.col("i") < F.col("j"))
+        .where(
+            qround(cosine(F.col("ea"), F.col("eb")), 6)
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(drops, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )

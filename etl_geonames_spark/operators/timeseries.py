@@ -1044,3 +1044,62 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("event_type").agg(
         qround(F.max(F.abs("cusum")), 4).alias("max_abs_cusum")
     )
+
+
+@query(
+    "ts_event_regex",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(s) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'v+c')) AS INT) AS n_conversions
+    FROM seq
+    """,
+)
+def ts_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-over-event-sequences — the poor man's MATCH_RECOGNIZE
+    (SQL:2016 row-pattern matching, which Spark lacks): per user, the
+    time-ordered event stream becomes a string of event initials and
+    a pattern counts non-overlapping occurrences ('v+c' = one-or-more
+    views ending in a click, the browse-then-convert run). Arbitrary
+    CEP patterns (alternation, bounded gaps via {m,n}) ride the same
+    two operators with no new infrastructure.
+
+    Ordering is the deterministic (ts, event_id) sort encoded as
+    array_sort over structs — collect_list order alone is
+    partition-arrival order, never comparable across engines.
+
+    100 TB shape: one shuffle keyed on user_id, then map-side regexp
+    per group; per-user sequences are session-sized (the
+    agg_string_concat memory caveat applies — fact-sized groups keep
+    the array and window instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["c"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("int").alias("seq_len"),
+        F.size(F.regexp_extract_all("s", F.lit("v+c"), F.lit(0)))
+        .cast("int")
+        .alias("n_conversions"),
+    )
