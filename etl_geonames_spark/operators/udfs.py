@@ -333,3 +333,96 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.min("ratio"), 6).alias("min_ratio"),
         qround(F.max("ratio"), 6).alias("max_ratio"),
     )
+
+
+def _make_stats_udtf():
+    """Polymorphic UDTF: output schema computed by ``analyze()`` at
+    PLAN time from the call's literal argument (Spark 4's
+    dynamic-schema UDTF API) — one UDTF serves any requested stat
+    list, the schema contract staying fully typed."""
+    from pyspark.sql.functions import AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructType,
+    )
+
+    class DocStats:
+        @staticmethod
+        def analyze(text_arg, stats_arg) -> "AnalyzeResult":
+            wanted = [s.strip() for s in stats_arg.value.split(",")]
+            schema = StructType().add("doc_id", LongType())
+            for name in wanted:
+                schema = schema.add(
+                    name,
+                    LongType() if name in ("n_tokens", "n_chars")
+                    else DoubleType(),
+                )
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self):
+            self._wanted = None
+
+        def eval(self, row, stats):
+            wanted = [s.strip() for s in stats.split(",")]
+            toks = [w for w in row["text"].split(" ") if w]
+            vals = {
+                "n_tokens": len(toks),
+                "n_chars": len(row["text"]),
+                "avg_token_len": (
+                    sum(len(w) for w in toks) / len(toks) if toks else 0.0
+                ),
+            }
+            yield tuple([row["doc_id"]] + [vals[w] for w in wanted])
+
+    return udtf(DocStats)
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(str_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS n_tokens,
+           FLOOR(
+             CASE WHEN len(list_filter(str_split(text, ' '),
+                                       w -> w <> '')) = 0 THEN 0.0
+                  ELSE CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                       / len(list_filter(str_split(text, ' '),
+                                         w -> w <> ''))
+             END * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with ``analyze()`` (Spark 4 polymorphic UDTF): the output
+    schema is derived at plan time from the literal stats list in the
+    SQL call — ask for ('n_tokens', 'avg_token_len') and exactly
+    those typed columns exist; no VARIANT blob, no re-parse
+    downstream. This is §2.11's last surface: scalar, grouped-map,
+    grouped-agg, iterator, Arrow-map, fixed-schema UDTF, and now
+    schema-from-arguments.
+
+    avg_token_len is recomputed relationally by the oracle (total
+    non-space chars / token count — the same quantity the Python side
+    sums per token), qround'd in the engine and floor-rounded in SQL
+    to the shared 1e-6 grid."""
+    DocStats = _make_stats_udtf()
+    spark.udtf.register("doc_stats_udtf", DocStats)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    ).createOrReplaceTempView("docs_for_analyze_udtf")
+    raw = spark.sql(
+        """
+        SELECT s.doc_id, s.n_tokens, s.avg_token_len
+        FROM docs_for_analyze_udtf d,
+             LATERAL doc_stats_udtf(
+                 struct(d.doc_id, d.text), 'n_tokens, avg_token_len'
+             ) s
+        """
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        qround(F.col("avg_token_len"), 6).alias("avg_token_len"),
+    )

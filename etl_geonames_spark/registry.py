@@ -104,7 +104,7 @@ _DRIVER_PRIORITY = [
     "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
     "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
     "mm_audio_features", "sql_session_variables", "sql_parameterized",
-    "llm_semdedup", "ts_event_regex",
+    "llm_semdedup", "ts_event_regex", "udtf_analyze",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
     "llm_compression_ratio",
