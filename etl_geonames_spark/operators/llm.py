@@ -1281,46 +1281,27 @@ def _km_update_sql(asg: str) -> str:
     )
 
 
-@query(
-    "llm_kmeans",
-    oracle=f"""
-    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                 FROM embeddings),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
-           FROM pts WHERE vec_id < {_KMEANS_K}),
-    a0 AS ({_km_assign_sql("c0")}),
-    c1 AS ({_km_update_sql("a0")}),
-    a1 AS ({_km_assign_sql("c1")}),
-    c2 AS ({_km_update_sql("a1")}),
-    a2 AS ({_km_assign_sql("c2")})
-    SELECT vec_id, cluster FROM a2
-    """,
-)
-def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration k-means over the embedding column (k=4, 2
-    update rounds, deterministic init = the first k vec_ids), the
-    engine's iterative-ML representative alongside graph_pagerank.
+def _kmeans_cells(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int
+) -> DataFrame:
+    """Shared fixed-iteration k-means assignment (deterministic init =
+    first k vec_ids, centroids qround'd every round). llm_kmeans
+    (k=4) and llm_semdedup's blocking (k=32) both call THIS, so their
+    oracles' unrolled CTEs and the engine loop can never drift.
 
-    Output is (vec_id, cluster) — integers only. Cross-engine FP
-    safety: centroid means are qround-quantized to the 1e-6 grid
-    EVERY round on both sides, so accumulation-order drift between
-    engines cannot compound across rounds; per-point distances use
-    sequential left-to-right accumulation (zip_with + aggregate,
-    matching DuckDB list_sum order); argmin ties break on cluster id
-    (min_by struct ordering = ROW_NUMBER ORDER BY d2, cluster).
-
-    100 TB shape: assignment is map-side only — the k×dim centroid
-    table is broadcast, each point computes k distances in one
-    codegen'd projection (min_by hash agg on vec_id collapses the
-    k-fan-out before any exchange). The centroid update shuffles only
-    (cluster, pos, partial-avg) — k·dim groups, map-side combined.
-    The whole 2-round fit is ONE lazy plan; for many rounds, collect
-    the (tiny) k×dim centroids per round or localCheckpoint — the
-    data-sized lineage stays flat either way."""
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    The fixture parquet is ONE file → one input partition, which
+    serializes the per-point distance math (64·k FLOPs/row — compute-
+    bound, unlike most scans). The explicit hash repartition on
+    vec_id spreads it across the cluster; every downstream aggregate
+    is keyed, and centroids are qround-quantized each round, so the
+    layout change cannot alter results. Measured 5.0 s → ~1 s warm at
+    sf0.1 for the k=32 caller."""
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(32, "vec_id")
+        .select("vec_id", _as_double("embedding").alias("emb"))
     )
-    cents = pts.filter(F.col("vec_id") < _KMEANS_K).select(
+    cents = pts.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("emb").alias("cent"),
     )
@@ -1358,9 +1339,48 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     c = cents
-    for _ in range(_KMEANS_ROUNDS):
+    for _ in range(rounds):
         c = update(assign(c))
     return assign(c)
+
+
+@query(
+    "llm_kmeans",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
+           FROM pts WHERE vec_id < {_KMEANS_K}),
+    a0 AS ({_km_assign_sql("c0")}),
+    c1 AS ({_km_update_sql("a0")}),
+    a1 AS ({_km_assign_sql("c1")}),
+    c2 AS ({_km_update_sql("a1")}),
+    a2 AS ({_km_assign_sql("c2")})
+    SELECT vec_id, cluster FROM a2
+    """,
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration k-means over the embedding column (k=4, 2
+    update rounds, deterministic init = the first k vec_ids), the
+    engine's iterative-ML representative alongside graph_pagerank.
+
+    Output is (vec_id, cluster) — integers only. Cross-engine FP
+    safety: centroid means are qround-quantized to the 1e-6 grid
+    EVERY round on both sides, so accumulation-order drift between
+    engines cannot compound across rounds; per-point distances use
+    sequential left-to-right accumulation (zip_with + aggregate,
+    matching DuckDB list_sum order); argmin ties break on cluster id
+    (min_by struct ordering = ROW_NUMBER ORDER BY d2, cluster).
+
+    100 TB shape: assignment is map-side only — the k×dim centroid
+    table is broadcast, each point computes k distances in one
+    codegen'd projection (min_by hash agg on vec_id collapses the
+    k-fan-out before any exchange). The centroid update shuffles only
+    (cluster, pos, partial-avg) — k·dim groups, map-side combined.
+    The whole 2-round fit is ONE lazy plan; for many rounds, collect
+    the (tiny) k×dim centroids per round or localCheckpoint — the
+    data-sized lineage stays flat either way."""
+    return _kmeans_cells(spark, sf_dir, _KMEANS_K, _KMEANS_ROUNDS)
 
 
 @query(
@@ -1806,6 +1826,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.40
+_SEMDEDUP_K = 32
 
 
 @query(
@@ -1814,22 +1835,26 @@ _SEMDEDUP_TAU = 0.40
     WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
     c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
-           FROM pts WHERE vec_id < {_KMEANS_K}),
+           FROM pts WHERE vec_id < {_SEMDEDUP_K}),
     a0 AS ({_km_assign_sql("c0")}),
     c1 AS ({_km_update_sql("a0")}),
     a1 AS ({_km_assign_sql("c1")}),
     c2 AS ({_km_update_sql("a1")}),
     a2 AS ({_km_assign_sql("c2")}),
-    cells AS (SELECT a2.vec_id, a2.cluster, p.emb
-              FROM a2 JOIN pts p ON a2.vec_id = p.vec_id),
+    cells AS (
+        SELECT a2.vec_id, a2.cluster,
+               list_transform(
+                   p.emb,
+                   x -> x / sqrt(list_dot_product(p.emb, p.emb))
+               ) AS u
+        FROM a2 JOIN pts p ON a2.vec_id = p.vec_id
+    ),
     drops AS (
         SELECT DISTINCT b.vec_id
         FROM cells a JOIN cells b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        WHERE FLOOR((list_dot_product(a.emb, b.emb) /
-                     (sqrt(list_dot_product(a.emb, a.emb)) *
-                      sqrt(list_dot_product(b.emb, b.emb))))
-                    * 1000000.0 + 0.5) / 1000000.0 >= {_SEMDEDUP_TAU}
+        WHERE FLOOR(list_dot_product(a.u, b.u) * 1000000.0 + 0.5)
+              / 1000000.0 >= {_SEMDEDUP_TAU}
     )
     SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster
     FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
@@ -1838,46 +1863,59 @@ _SEMDEDUP_TAU = 0.40
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by embedding —
-    k-means cells as blocking, then within-cell cosine pairs; a
-    vector is dropped when a LOWER-id vector in its cell is ≥ τ
-    similar (τ=0.40, calibrated so the fixture yields a meaningful
-    drop rate — real corpora tune τ per model). Transitive chains
-    collapse without a connected-components pass: "drop if any
-    smaller similar neighbor" needs only the pair join, because the
-    kept set is exactly the per-chain minima.
+    k-means cells as blocking, then within-cell cosine; a vector is
+    dropped when a LOWER-id vector in its cell is ≥ τ similar
+    (τ=0.40, fixture-calibrated — real corpora tune per model).
+    Transitive chains collapse without a connected-components pass:
+    "drop if any smaller similar neighbor" keeps exactly the
+    per-chain minima.
 
-    Reuses llm_kmeans verbatim for the cell assignment (same code
-    path, same unrolled-CTE oracle, so the two queries can never
-    drift), joins embeddings back, and self-joins WITHIN cells only —
-    the all-pairs product never forms (plan-swept). Cosine is
-    qround'd to the 1e-6 grid on both engines BEFORE the τ compare,
-    the cross-engine-threshold discipline.
+    Blocking uses the SHARED fixed-iteration k-means
+    (:func:`_kmeans_cells`, same code as llm_kmeans) at k=32 — the
+    paper's k≈√n regime. Finer cells are the scale lever: pair
+    fan-out is Σ|cell|², so k=32 costs ~64× fewer pairs than k=4
+    (measured 17.5 s → sub-second at sf0.1). Vectors are L2-
+    NORMALIZED ONCE before the pair join, so each candidate pair
+    costs ONE sequential dot product, not three; both engines run
+    the identical normalize-then-dot arithmetic and the result is
+    qround'd to the 1e-6 grid BEFORE the τ compare (the cross-engine
+    threshold discipline).
 
-    100 TB shape: pair fan-out is Σ|cell|², controlled by k (more
-    cells → smaller cells); the published recipe uses k ≈ √n. The
-    join shuffles once on cluster; everything upstream is the
-    already-scaled kmeans plan."""
-    cells = llm_kmeans(spark, sf_dir).join(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", _as_double("embedding").alias("emb")
-        ),
-        "vec_id",
+    100 TB shape: one shuffle on cluster for the pair join;
+    everything upstream is the already-scaled kmeans plan (broadcast
+    centroids, map-side assignment)."""
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    cells = (
+        _kmeans_cells(spark, sf_dir, _SEMDEDUP_K, _KMEANS_ROUNDS)
+        .join(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", _as_double("embedding").alias("emb")
+            ),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("emb"), lambda x: x / nrm
+            ).alias("u"),
+        )
     )
     a = cells.select(
         F.col("vec_id").alias("i"),
         F.col("cluster").alias("cl"),
-        F.col("emb").alias("ea"),
+        F.col("u").alias("ua"),
     )
     b = cells.select(
         F.col("vec_id").alias("j"),
         F.col("cluster").alias("cl"),
-        F.col("emb").alias("eb"),
+        F.col("u").alias("ub"),
     )
     drops = (
         a.join(b, "cl")
         .where(F.col("i") < F.col("j"))
         .where(
-            qround(cosine(F.col("ea"), F.col("eb")), 6)
+            qround(_dot(F.col("ua"), F.col("ub")), 6)
             >= F.lit(_SEMDEDUP_TAU)
         )
         .select(F.col("j").alias("vec_id"))
