@@ -374,3 +374,63 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _hop_sql(prev: str) -> str:
+    return (
+        f"SELECT DISTINCT seed, node FROM ("
+        f"SELECT seed, node FROM {prev} "
+        f"UNION ALL "
+        f"SELECT p.seed, e.dst AS node FROM {prev} p "
+        f"JOIN e ON p.node = e.src)"
+    )
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+    r0 AS (SELECT seed, seed AS node FROM seeds),
+    r1 AS ({_hop_sql("r0")}),
+    r2 AS ({_hop_sql("r1")}),
+    r3 AS ({_hop_sql("r2")})
+    SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reachable
+    FROM r3 GROUP BY seed
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed 3-hop reachability count — bounded BFS, the blast-
+    radius / influence-set primitive (how much of the graph can a
+    node touch in k steps?). Shortest paths, k-hop neighborhoods for
+    GNN sampling, and contamination spread all ride this frontier
+    shape.
+
+    (seed, node) frontier labels expand through one edge equi-join
+    per hop with a DISTINCT between hops — the distinct is what keeps
+    the frontier a SET, so multiplicities never explode along
+    parallel paths (without it the row count is path-count, which is
+    exponential). Three unrolled hops in ONE lazy plan, the
+    graph_pagerank pattern; the oracle unrolls the identical CTEs.
+
+    100 TB shape: each hop shuffles the frontier on node and the
+    dedup on (seed, node) — frontier-linear, never path-count.
+    Unbounded k moves to a driver loop with localCheckpoint and a
+    convergence count, exactly the llm.py connected-components
+    recipe; edge-bucketed layout (pagerank_bucketed) removes the
+    edge-side exchange per hop here too."""
+    e = _edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("seed"))
+        .where(F.col("seed") < 10)
+        .distinct()
+    )
+    r = seeds.select("seed", F.col("seed").alias("node"))
+    for _ in range(3):
+        step = r.join(
+            e, r["node"] == e["src"]
+        ).select("seed", F.col("dst").alias("node"))
+        r = r.unionByName(step).distinct()
+    return r.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_reachable")
+    )

@@ -218,3 +218,125 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(longs).alias("long_word")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (exact-replay construction)
+# ---------------------------------------------------------------------------
+
+_CMS_P = 2_147_483_647  # 2^31 - 1, the minhash family's prime
+_CMS_W = 256
+_CMS_PARAMS = [
+    (i, 2 * i * 1_000_003 + 1, i * 998_244_353 + 12_345) for i in range(4)
+]
+_CMS_PROBES = [1, 7, 42, 999, 123456]
+
+
+@query(
+    "agg_sketch_cms",
+    oracle=f"""
+    WITH depth(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, a, b in _CMS_PARAMS
+    )}),
+    cells AS (
+        SELECT d.i, ((d.a * o.o_custkey + d.b) % {_CMS_P}) % {_CMS_W} AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o CROSS JOIN depth d
+        GROUP BY d.i, c
+    ),
+    probes(k) AS (VALUES {", ".join(
+        f"(CAST({k} AS BIGINT))" for k in _CMS_PROBES
+    )}),
+    truth AS (
+        SELECT p.k, CAST(COUNT(o.o_custkey) AS BIGINT) AS true_count
+        FROM probes p LEFT JOIN orders o ON o.o_custkey = p.k
+        GROUP BY p.k
+    ),
+    est AS (
+        SELECT p.k, MIN(c.n) AS cms_estimate
+        FROM probes p JOIN depth d ON TRUE
+        JOIN cells c ON c.i = d.i
+          AND c.c = ((d.a * p.k + d.b) % {_CMS_P}) % {_CMS_W}
+        GROUP BY p.k
+    )
+    SELECT t.k AS probe_key, t.true_count, e.cms_estimate
+    FROM truth t JOIN est e ON t.k = e.k
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, built and probed entirely in relational ops —
+    the frequency-estimation sketch completing the family (HLL =
+    cardinality, KLL = quantiles, bitmap = exact distinct, CMS =
+    per-key counts). The sketch is the d×w counter table itself:
+    explode each key through d universal hashes ((a·x+b) mod P mod w
+    — the minhash family, so both engines replay it bit-identically),
+    ONE hash aggregate builds all rows, and a probe's estimate is the
+    MIN over its d cells. Unlike Spark's opaque-binary
+    count_min_sketch(), every intermediate here is inspectable and
+    the DuckDB oracle replays construction AND probing exactly —
+    estimates are deterministic, not sampled, so this gets a full
+    value-hash check where the HLL/KLL entries are rows-only.
+
+    Output exposes the CMS contract: estimate ≥ true count always,
+    within εN with probability 1−δ (ε = e/w ≈ 0.011, δ = e^-d ≈
+    0.018); tests/test_sketches.py pins both bounds.
+
+    100 TB shape: the d-way explode costs d× map rows but the
+    aggregate is map-side combined into ≤ d·w cells — a 4 KB
+    mergeable summary crossing the shuffle regardless of input size,
+    the same argument as agg_bitmap_distinct; probes broadcast
+    against it."""
+    depth = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("bigint").alias("a"),
+                F.lit(b).cast("bigint").alias("b"),
+            )
+            for i, a, b in _CMS_PARAMS
+        ]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(F.col("o_custkey").alias("k"), F.explode(depth).alias("d"))
+        .select(
+            F.col("d.i").alias("i"),
+            (
+                ((F.col("d.a") * F.col("k") + F.col("d.b")) % _CMS_P)
+                % _CMS_W
+            ).alias("c"),
+        )
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = spark.createDataFrame(
+        [(int(k),) for k in _CMS_PROBES], "k bigint"
+    )
+    probe_cells = probes.select(
+        "k", F.explode(depth).alias("d")
+    ).select(
+        "k",
+        F.col("d.i").alias("i"),
+        (
+            ((F.col("d.a") * F.col("k") + F.col("d.b")) % _CMS_P) % _CMS_W
+        ).alias("c"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["i", "c"])
+        .groupBy("k")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    truth = (
+        probes.alias("p")
+        .join(
+            orders.select(F.col("o_custkey").alias("k")).alias("o"),
+            "k",
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count(F.col("o.k")).alias("true_count"))
+    )
+    return truth.join(est, "k").select(
+        F.col("k").alias("probe_key"), "true_count", "cms_estimate"
+    )

@@ -61,3 +61,25 @@ def test_kll_rollup_quantile_accuracy(spark, sf_dir):
                 "l_extendedprice", [max(0.0, q - 0.03), min(1.0, q + 0.03)], 0.0
             )
             assert lo <= est <= hi, (flag, q, est, lo, hi)
+
+
+def test_cms_bounds(spark, sf_dir):
+    """CMS contract on the real fixture: estimate ≥ true count for
+    every probe (never undercounts), and overcount ≤ εN with
+    ε = e/w — the depth-4 failure probability is e^-4 ≈ 1.8%, far
+    below the deterministic fixture's margin."""
+    import math
+
+    import __spark_entry__ as entry_mod
+    from etl_geonames_spark.operators.reshape import _CMS_W
+
+    rows = (
+        entry_mod.queries()["agg_sketch_cms"](spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 5
+    n_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    eps_n = math.e / _CMS_W * n_total
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+        assert r["cms_estimate"] - r["true_count"] <= eps_n, (r, eps_n)
