@@ -232,6 +232,37 @@ _CMS_PARAMS = [
 _CMS_PROBES = [1, 7, 42, 999, 123456]
 
 
+def cms_cells(df: DataFrame, key: str) -> DataFrame:
+    """(i, c, n) counter cells of the count-min sketch over ``df[key]``
+    — the mergeable form: cells from disjoint batches SUM to the
+    cells of the union (additive counters), which is what
+    streaming_cms_maintenance exploits. Shared by the batch query
+    below and the streaming maintenance path so the two can never
+    hash different cells."""
+    depth = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("bigint").alias("a"),
+                F.lit(b).cast("bigint").alias("b"),
+            )
+            for i, a, b in _CMS_PARAMS
+        ]
+    )
+    return (
+        df.select(F.col(key).alias("k"), F.explode(depth).alias("d"))
+        .select(
+            F.col("d.i").alias("i"),
+            (
+                ((F.col("d.a") * F.col("k") + F.col("d.b")) % _CMS_P)
+                % _CMS_W
+            ).alias("c"),
+        )
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query(
     "agg_sketch_cms",
     oracle=f"""
@@ -298,18 +329,7 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     orders = load_table(spark, sf_dir, "orders")
-    cells = (
-        orders.select(F.col("o_custkey").alias("k"), F.explode(depth).alias("d"))
-        .select(
-            F.col("d.i").alias("i"),
-            (
-                ((F.col("d.a") * F.col("k") + F.col("d.b")) % _CMS_P)
-                % _CMS_W
-            ).alias("c"),
-        )
-        .groupBy("i", "c")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    cells = cms_cells(orders, "o_custkey")
     probes = spark.createDataFrame(
         [(int(k),) for k in _CMS_PROBES], "k bigint"
     )

@@ -536,3 +536,47 @@ def streaming_dedup_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_cms_maintenance(
+    events: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuously maintained count-min sketch: each micro-batch's
+    CMS cells (operators/reshape.cms_cells — the SAME expression as
+    the batch query) merge into the versioned snapshot by per-cell
+    SUM. CMS counters are additive, so partial-sketch + merge is
+    EXACT — the drained snapshot equals the batch sketch cell-for-
+    cell (pinned in tests/test_streaming.py), unlike approximate
+    merges there is no drift to bound.
+
+    Retry safety follows the rollup-maintenance rule: merge reads the
+    PREDECESSOR snapshot (strictly older than this batch_id), so a
+    replayed batch rewrites v{batch_id} from the same base instead of
+    double-counting itself.
+
+    At 100 TB the snapshot is ≤ d·w rows — the whole point of
+    sketches: per-key frequency queries over an unbounded stream in
+    4 KB of mergeable state, no per-key state store at all."""
+    from etl_geonames_spark.operators.reshape import cms_cells
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = cms_cells(batch, "user_id")
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("i", "c")
+                .agg(F.sum("n").alias("n"))
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

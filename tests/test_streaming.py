@@ -519,3 +519,28 @@ def test_streaming_dedup_maintenance_equals_batch(spark, sf_dir, tmp_path):
     batch = entry_mod.queries()["llm_dedup_minhash"](spark, sf_dir)
     want = {(r["doc_a"], r["doc_b"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_cms_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Continuously maintained CMS == the batch sketch cell-for-cell
+    after draining the events stream: CMS counters are additive, so
+    the per-batch partial + SUM merge is exact, not approximate."""
+    from etl_geonames_spark.operators.reshape import cms_cells
+    from etl_geonames_spark.sources import load_table
+    from etl_geonames_spark.streaming import (
+        read_events_stream,
+        streaming_cms_maintenance,
+    )
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream = read_events_stream(spark, sf_dir).select("user_id")
+    state = str(tmp_path / "cms_state")
+    streaming_cms_maintenance(stream, state, str(tmp_path / "ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {(r["i"], r["c"]): r["n"] for r in final.collect()}
+    batch = cms_cells(
+        load_table(spark, sf_dir, "events").select("user_id"), "user_id"
+    )
+    want = {(r["i"], r["c"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
