@@ -1979,3 +1979,34 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(u_a, 2).alias("u_a"),
         qround(z, 6).alias("z"),
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (SQL-standard WITHIN GROUP syntax): the
+    smallest actual data value whose cumulative distribution reaches
+    p — no interpolation, so the result is always a real observation
+    (what latency SLOs want: "a request that actually happened took
+    this long") and, unlike the continuous form (agg_median,
+    interpolated doubles), it is bit-exact across engines with NO
+    rounding grid at all.
+
+    One grouped sort-based aggregate; at scale the approximate path
+    is agg_approx_percentile (KLL) — this is the exact anchor it is
+    validated against."""
+    register = load_table(spark, sf_dir, "events")
+    register.createOrReplaceTempView("events_for_pdisc")
+    return spark.sql("""
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+        FROM events_for_pdisc GROUP BY event_type
+    """)

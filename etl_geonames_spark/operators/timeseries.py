@@ -1103,3 +1103,61 @@ def ts_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_conversions"),
     )
+
+
+@query(
+    "ts_calendar_dim",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                      MAX(CAST(ts AS DATE)) AS hi FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                    AS day FROM b),
+    daily AS (SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(EXTRACT(month FROM d.day) AS INT) AS month,
+           CAST(EXTRACT(quarter FROM d.day) AS INT) AS quarter,
+           CAST(EXTRACT(dow FROM d.day) AS INT) AS dow,
+           EXTRACT(dow FROM d.day) IN (0, 6) AS is_weekend,
+           COALESCE(dy.n, 0) AS n_events
+    FROM days d LEFT JOIN daily dy ON d.day = dy.day
+    """,
+)
+def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the fact table's date
+    range — the warehouse utility every BI layer needs (no-event days
+    MUST exist as rows, or weekly averages silently skip them; same
+    hole ts_gap_fill plugs per-series, done here for the date spine
+    itself). sequence(min, max) + explode generates the spine
+    in-engine; daily counts left-join onto it so gaps surface as 0.
+
+    Cross-engine convention trap pinned here: Spark's dayofweek() is
+    1=Sunday..7, DuckDB's EXTRACT(dow) is 0=Sunday..6 — the engine
+    side subtracts 1 rather than hoping the conventions agree.
+
+    100 TB shape: the spine is O(days) from a 2-row aggregate —
+    broadcast-sized forever; daily counts are one map-side-combined
+    aggregate. The join is broadcast, never a shuffle of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    days = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = F.dayofweek("day") - 1
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.month("day").cast("int").alias("month"),
+            F.quarter("day").cast("int").alias("quarter"),
+            dow.cast("int").alias("dow"),
+            dow.isin(0, 6).alias("is_weekend"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

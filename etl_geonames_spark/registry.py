@@ -105,7 +105,8 @@ _DRIVER_PRIORITY = [
     "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
     "mm_audio_features", "sql_session_variables", "sql_parameterized",
     "llm_semdedup", "ts_event_regex", "udtf_analyze",
-    "graph_khop_reachability", "agg_sketch_cms",
+    "graph_khop_reachability", "agg_sketch_cms", "agg_percentile_disc",
+    "ts_calendar_dim",
     # rows-only (no oracle) — weaker driver rows, placed after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
     "llm_compression_ratio",
