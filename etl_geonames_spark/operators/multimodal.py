@@ -640,3 +640,114 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_samples", qround(F.col("rms"), 4).alias("rms"),
         "n_zero_cross",
     )
+
+
+def _phash36(w: int, h: int, rgb: bytes, doc_id: int) -> int:
+    """6×6 average-hash from DECODED pixel bytes, all-integer: bit
+    (i,j) set iff 36·(r+g+b at the sampled pixel) > Σ over the 36
+    samples — the float-free form of 'gray above mean', so Python,
+    Spark, and the SQL oracle can never disagree by a ulp at the
+    threshold (a linear gradient image puts samples EXACTLY at the
+    mean, where float AVG order would decide bits arbitrarily)."""
+    g3 = []
+    for j in range(6):
+        y = (j * h) // 6
+        for i in range(6):
+            x = (i * w) // 6
+            base = (y * w + x) * 3
+            g3.append(rgb[base] + rgb[base + 1] + rgb[base + 2])
+    total = sum(g3)
+    bits = 0
+    for k, v in enumerate(g3):
+        if 36 * v > total:
+            bits |= 1 << k
+    return bits
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            decoded = decode_image(blob)
+            assert decoded is not None
+            w, h, rgb = decoded
+            rows.append((doc_id, w, h, _phash36(w, h, rgb, doc_id)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "phash"]
+        )
+
+
+@query(
+    "mm_image_phash_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    samples AS (
+      SELECT d.doc_id, d.w, d.h, gi.i, gj.j,
+             (CAST(gi.i * d.w AS BIGINT) // 6) * 3
+             + (CAST(gj.j * d.h AS BIGINT) // 6) * 5 + d.doc_id AS a
+      FROM dims d,
+           LATERAL unnest(generate_series(0, 5)) AS gi(i),
+           LATERAL unnest(generate_series(0, 5)) AS gj(j)
+    ),
+    grays AS (
+      SELECT doc_id, w, h, i, j,
+             a % 256 + (a + 11) % 256 + (a + 22) % 256 AS g3
+      FROM samples
+    ),
+    withtot AS (
+      SELECT *, SUM(g3) OVER (PARTITION BY doc_id) AS t3 FROM grays
+    ),
+    hashes AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(CASE WHEN 36 * g3 > t3
+                           THEN CAST(1 AS BIGINT) << (j * 6 + i)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM withtot GROUP BY doc_id, w, h
+    )
+    SELECT phash, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM hashes GROUP BY phash, w, h HAVING COUNT(*) >= 2
+    """,
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: every image is decoded (real BMP/
+    PPM codec roundtrip, same path as mm_decode_image), reduced to a
+    36-bit average-hash over a 6×6 nearest-neighbor resample of
+    integer gray values, and images sharing (phash, dims) group into
+    near-duplicate clusters — the image-corpus analog of
+    llm_dedup_exact's hash-groupBy, and step one of multimodal
+    curation (identical-after-reencode detection without byte
+    equality). 36 bits keeps the hash inside BIGINT; production would
+    widen to 64-bit pHash with DCT, same plan.
+
+    The threshold test is ALL-INTEGER (36·g3 > Σg3) because the
+    synthetic gradients put samples exactly at the mean, where a
+    float AVG would tie-break by summation-order ulps — the oracle
+    replays the identical integer arithmetic from the generation
+    rule, so a codec bug (padding, bottom-up rows, channel order)
+    breaks the hash.
+
+    100 TB shape: map-only Arrow decode+hash (bytes never shuffle),
+    then ONE hash aggregate on the 8-byte (phash, w, h) key — the
+    exact-dedup plan; Hamming-near matches would band the 36 bits
+    into 6-bit keys and equi-join, the SimHash recipe."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(
+        _phash_batches,
+        schema="doc_id long, width int, height int, phash long",
+    )
+    return (
+        hashes.groupBy("phash", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_images") >= 2)
+        .select("phash", "width", "height", "n_images", "doc_ids")
+    )
