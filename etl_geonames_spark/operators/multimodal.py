@@ -751,3 +751,89 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_images") >= 2)
         .select("phash", "width", "height", "n_images", "doc_ids")
     )
+
+
+_SCENE_CUT_THRESHOLD = 400
+
+
+def _scene_cut_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            prev = None
+            for idx, payload in enumerate(
+                decode_video(_video_frame_blobs(doc_id))
+            ):
+                _, _, rgb = decode_image(payload)
+                if prev is not None:
+                    delta = sum(
+                        abs(a - b) for a, b in zip(rgb, prev)
+                    )
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            delta,
+                            delta > _SCENE_CUT_THRESHOLD,
+                        )
+                    )
+                prev = rgb
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "delta", "is_cut"]
+        )
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 4 + 2 AS w, 2 AS h, doc_id % 3 + 1 AS nf
+      FROM documents WHERE doc_id % 3 >= 1
+    ),
+    d AS (
+      SELECT d.doc_id, gf.f AS frame_idx,
+             SUM(ABS(
+                 (gx.x * 3 + gy.y * 5 + d.doc_id + gf.f * 7 + gc.c * 11)
+                   % 256
+               - (gx.x * 3 + gy.y * 5 + d.doc_id + (gf.f - 1) * 7
+                  + gc.c * 11) % 256
+             )) AS delta
+      FROM dims d,
+           LATERAL unnest(generate_series(1, d.nf - 1)) AS gf(f),
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+      GROUP BY d.doc_id, gf.f
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(delta AS BIGINT) AS delta,
+           delta > {_SCENE_CUT_THRESHOLD} AS is_cut
+    FROM d
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL video path: demux the VID0
+    container, decode every frame (BMP codec), and score each
+    consecutive-frame pair by the sum of absolute per-channel pixel
+    differences — the classic pixel-delta cut detector video
+    preprocessing runs before frame sampling (sample within scenes,
+    not across them). All-integer, so the oracle's replay of the
+    frame-generation rule must match bit-for-bit; a demux
+    off-by-one (comparing frame k to k-2) or channel-order bug
+    shifts every delta.
+
+    Single-frame videos emit no pairs (no predecessor) — the
+    WHERE doc_id % 3 >= 1 mirror in the oracle.
+
+    100 TB shape: map-only Arrow decode (frame bytes never leave the
+    task), one row per frame pair; the threshold is a plain codegen
+    filter. Long videos stream frame-at-a-time through the chunked
+    demux — state is two frames, not the clip."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _scene_cut_batches,
+        schema="doc_id long, frame_idx int, delta long, is_cut boolean",
+    )
