@@ -837,3 +837,90 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scene_cut_batches,
         schema="doc_id long, frame_idx int, delta long, is_cut boolean",
     )
+
+
+_VAD_FRAME = 16
+_VAD_ENERGY_T = 5_700_000_000
+
+
+def _vad_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = doc_id % 200 + 64
+            blob = encode_wav_pcm16(16000, _feature_wave(doc_id, n))
+            _, _, s = decode_wav(blob)
+            n_frames = len(s) // _VAD_FRAME
+            start = None
+            for f in range(n_frames + 1):
+                active = False
+                if f < n_frames:
+                    fr = s[f * _VAD_FRAME : (f + 1) * _VAD_FRAME]
+                    active = sum(v * v for v in fr) > _VAD_ENERGY_T
+                if active and start is None:
+                    start = f
+                elif not active and start is not None:
+                    rows.append((doc_id, start, f - 1, f - start))
+                    start = None
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "start_frame", "end_frame", "n_frames"],
+        )
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH dims AS (SELECT doc_id, doc_id % 200 + 64 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, gi.i // {_VAD_FRAME} AS f,
+             CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768 AS BIGINT)
+               AS v
+      FROM dims d,
+           LATERAL unnest(generate_series(
+               0, (d.n // {_VAD_FRAME}) * {_VAD_FRAME} - 1)) AS gi(i)
+    ),
+    e AS (
+      SELECT doc_id, f, SUM(v * v) AS energy FROM s GROUP BY doc_id, f
+    ),
+    act AS (
+      SELECT doc_id, f,
+             f - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY f
+             ) AS grp
+      FROM e WHERE energy > {_VAD_ENERGY_T}
+    )
+    SELECT doc_id, CAST(MIN(f) AS INT) AS start_frame,
+           CAST(MAX(f) AS INT) AS end_frame,
+           CAST(COUNT(*) AS INT) AS n_frames
+    FROM act GROUP BY doc_id, grp
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity segmentation over the REAL audio
+    path: decode the WAV clip, frame it (16 samples), keep frames
+    whose INTEGER energy Σs² clears the gate, and merge consecutive
+    active frames into maximal segments — audio's gaps-and-islands
+    (the ts_interval_union shape on frame indices instead of
+    timestamps). This is the first stage of every speech pipeline:
+    silence trimming before transcription/feature extraction.
+
+    Integer energy (no RMS sqrt) keeps the threshold test exact on
+    both engines; the oracle segments via the classic
+    row_number-difference grouping, the Python side via one linear
+    scan — same maximal runs by construction. Trailing partial
+    frames are dropped on both sides ((n // 16) · 16 samples).
+
+    100 TB shape: map-only decode+segment per clip (state = one open
+    segment), one output row per segment — no shuffle at all; the
+    oracle's window is per-doc_id, bounded by clip length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _vad_batches,
+        schema=(
+            "doc_id long, start_frame int, end_frame int, n_frames int"
+        ),
+    )
