@@ -434,3 +434,72 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("seed").agg(
         F.count(F.lit(1)).alias("n_reachable")
     )
+
+
+def _lpa_round_sql(prev: str) -> str:
+    return (
+        f"SELECT n.node, "
+        f"LEAST(n.label, COALESCE(m.minl, n.label)) AS label "
+        f"FROM {prev} n LEFT JOIN ("
+        f"SELECT u.src AS node, MIN(l.label) AS minl "
+        f"FROM und u JOIN {prev} l ON u.dst = l.node "
+        f"GROUP BY u.src) m ON n.node = m.node"
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    und AS (SELECT src, dst FROM e
+            UNION SELECT dst AS src, src AS dst FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_lpa_round_sql("l0")}),
+    l2 AS ({_lpa_round_sql("l1")}),
+    l3 AS ({_lpa_round_sql("l2")})
+    SELECT node, label FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation, 3 fixed rounds over the symmetrized
+    edge list — the community/connected-component labeling primitive
+    as a REGISTRY query with a full value-hash oracle (the dedup
+    pipeline's converged CC, llm.py, is rows-only by necessity; fixed
+    rounds make labels deterministic and SQL-unrollable, same deal as
+    graph_pagerank). After round k every node holds the minimum label
+    within its k-hop neighborhood, so round counts trade convergence
+    for cost explicitly.
+
+    Each round: one aggregate of neighbor minima (map-side combined)
+    + one broadcast-or-hash left join back to the node set — labels
+    are |nodes| rows, edges only ever feed the aggregate. Converged
+    variants move the loop driver-side with localCheckpoint
+    (llm.py's recipe, 12.5× measured); bucketed edges remove the
+    per-round edge exchange (pagerank_bucketed's plan argument,
+    identical here)."""
+    e = _edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(3):
+        minl = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("minl"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = labels.join(minl, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels
