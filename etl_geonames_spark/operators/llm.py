@@ -1839,15 +1839,13 @@ _SEMDEDUP_K = 32
     a0 AS ({_km_assign_sql("c0")}),
     c1 AS ({_km_update_sql("a0")}),
     a1 AS ({_km_assign_sql("c1")}),
-    c2 AS ({_km_update_sql("a1")}),
-    a2 AS ({_km_assign_sql("c2")}),
     cells AS (
-        SELECT a2.vec_id, a2.cluster,
+        SELECT a1.vec_id, a1.cluster,
                list_transform(
                    p.emb,
                    x -> x / sqrt(list_dot_product(p.emb, p.emb))
                ) AS u
-        FROM a2 JOIN pts p ON a2.vec_id = p.vec_id
+        FROM a1 JOIN pts p ON a1.vec_id = p.vec_id
     ),
     drops AS (
         SELECT DISTINCT b.vec_id
@@ -1871,8 +1869,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-chain minima.
 
     Blocking uses the SHARED fixed-iteration k-means
-    (:func:`_kmeans_cells`, same code as llm_kmeans) at k=32 — the
-    paper's k≈√n regime. Finer cells are the scale lever: pair
+    (:func:`_kmeans_cells`, same code as llm_kmeans) at k=32 with ONE
+    refinement round — the paper's k≈√n regime; blocking needs cell
+    stability, not converged centroids, so extra rounds only buy cost. Finer cells are the scale lever: pair
     fan-out is Σ|cell|², so k=32 costs ~64× fewer pairs than k=4
     (measured 17.5 s → sub-second at sf0.1). Vectors are L2-
     NORMALIZED ONCE before the pair join, so each candidate pair
@@ -1886,7 +1885,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, map-side assignment)."""
     nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
     cells = (
-        _kmeans_cells(spark, sf_dir, _SEMDEDUP_K, _KMEANS_ROUNDS)
+        _kmeans_cells(spark, sf_dir, _SEMDEDUP_K, 1)
         .join(
             load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", _as_double("embedding").alias("emb")
@@ -1900,6 +1899,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("emb"), lambda x: x / nrm
             ).alias("u"),
         )
+        # cells feeds BOTH pair-join sides and the final anti-join;
+        # without truncation the kmeans subplan re-executes three
+        # times (measured ~2/3 of query wall). |vectors| rows —
+        # cheap to pin, same recipe as the CC loop (llm_dedup_cluster).
+        .localCheckpoint()
     )
     a = cells.select(
         F.col("vec_id").alias("i"),
