@@ -122,11 +122,23 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_frame_sample")  # rows-only: explode count derived from stub decode
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames
+               FROM documents)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT)
+             AS frame_idx
+    FROM m
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: decode → explode one row per sampled
-    frame (every 10th), the video-preprocessing shape. Frame indices
-    are deterministic; the decode is the stub."""
+    frame (every 10th), the video-preprocessing shape. The stub
+    decoder's frame count is deterministic byte-length arithmetic, so
+    the oracle replays sampling end-to-end (upgraded from rows-only:
+    generate_series strides match Spark's 3-arg sequence)."""
     decoded = mm_decode_stub(spark, sf_dir)
     return decoded.select(
         "doc_id",
