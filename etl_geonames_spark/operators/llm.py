@@ -1829,6 +1829,61 @@ _SEMDEDUP_TAU = 0.40
 _SEMDEDUP_K = 32
 
 
+def semdedup_keep(
+    spark: SparkSession, sf_dir: str, k: int, tau: float
+) -> DataFrame:
+    """Parameterized SemDeDup core (blocking cells at the caller's k,
+    within-cell cosine ≥ tau drop rule). The registry query pins
+    (k=32, τ=0.40) for the fixture; benchmarks/semdedup_probe.py
+    calls this directly with k≈√n to demonstrate the paper's scaling
+    lever — pair fan-out is Σ|cell|², so k MUST grow with corpus
+    size or within-cell pairs re-approach O(n²)."""
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    cells = (
+        _kmeans_cells(spark, sf_dir, k, 1)
+        .join(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", _as_double("embedding").alias("emb")
+            ),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("emb"), lambda x: x / nrm
+            ).alias("u"),
+        )
+        # cells feeds BOTH pair-join sides and the final anti-join;
+        # without truncation the kmeans subplan re-executes three
+        # times (measured ~2/3 of query wall). |vectors| rows —
+        # cheap to pin, same recipe as the CC loop (llm_dedup_cluster).
+        .localCheckpoint()
+    )
+    a = cells.select(
+        F.col("vec_id").alias("i"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ua"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("j"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ub"),
+    )
+    drops = (
+        a.join(b, "cl")
+        .where(F.col("i") < F.col("j"))
+        .where(
+            qround(_dot(F.col("ua"), F.col("ub")), 6) >= F.lit(tau)
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(drops, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 @query(
     "llm_semdedup",
     oracle=f"""
@@ -1883,48 +1938,4 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle on cluster for the pair join;
     everything upstream is the already-scaled kmeans plan (broadcast
     centroids, map-side assignment)."""
-    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    cells = (
-        _kmeans_cells(spark, sf_dir, _SEMDEDUP_K, 1)
-        .join(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", _as_double("embedding").alias("emb")
-            ),
-            "vec_id",
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            F.transform(
-                F.col("emb"), lambda x: x / nrm
-            ).alias("u"),
-        )
-        # cells feeds BOTH pair-join sides and the final anti-join;
-        # without truncation the kmeans subplan re-executes three
-        # times (measured ~2/3 of query wall). |vectors| rows —
-        # cheap to pin, same recipe as the CC loop (llm_dedup_cluster).
-        .localCheckpoint()
-    )
-    a = cells.select(
-        F.col("vec_id").alias("i"),
-        F.col("cluster").alias("cl"),
-        F.col("u").alias("ua"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("j"),
-        F.col("cluster").alias("cl"),
-        F.col("u").alias("ub"),
-    )
-    drops = (
-        a.join(b, "cl")
-        .where(F.col("i") < F.col("j"))
-        .where(
-            qround(_dot(F.col("ua"), F.col("ub")), 6)
-            >= F.lit(_SEMDEDUP_TAU)
-        )
-        .select(F.col("j").alias("vec_id"))
-        .distinct()
-    )
-    return cells.join(drops, "vec_id", "left_anti").select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster")
-    )
+    return semdedup_keep(spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU)
