@@ -71,7 +71,7 @@ def main() -> None:
 
     k_scaled = 224  # ≈ √50k
     t0 = time.perf_counter()
-    kept_df = semdedup_keep(spark, tmp, k_scaled, 0.40)
+    kept_df = semdedup_keep(spark, tmp, k_scaled, 0.40, arrow_assign=True)
     kept_df.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 2)
     kept = kept_df.count()
@@ -91,7 +91,7 @@ def main() -> None:
     out = {
         "n_vecs": n_vecs,
         "wall_s_k32": wall_k32,
-        "wall_s_k224": wall,
+        "wall_s_k224_arrow": wall,
         "kept": kept,
         "dedup_ratio": round(kept / n_vecs, 4),
         "cliques_with_survivor": stats["cliques_with_survivor"],

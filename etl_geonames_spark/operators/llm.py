@@ -1830,7 +1830,11 @@ _SEMDEDUP_K = 32
 
 
 def semdedup_keep(
-    spark: SparkSession, sf_dir: str, k: int, tau: float
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    tau: float,
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """Parameterized SemDeDup core (blocking cells at the caller's k,
     within-cell cosine ≥ tau drop rule). The registry query pins
@@ -1839,8 +1843,13 @@ def semdedup_keep(
     lever — pair fan-out is Σ|cell|², so k MUST grow with corpus
     size or within-cell pairs re-approach O(n²)."""
     nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    base = (
+        _arrow_cells(spark, sf_dir, k)
+        if arrow_assign
+        else _kmeans_cells(spark, sf_dir, k, 1)
+    )
     cells = (
-        _kmeans_cells(spark, sf_dir, k, 1)
+        base
         .join(
             load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", _as_double("embedding").alias("emb")
@@ -1939,3 +1948,74 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything upstream is the already-scaled kmeans plan (broadcast
     centroids, map-side assignment)."""
     return semdedup_keep(spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU)
+
+def _arrow_cells(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Arrow-batched k-means cell assignment — the documented scale
+    path for large k (BASELINE.md SemDeDup probe: expression-form
+    assignment costs n·k interpreted 64-dim lambdas and overtakes the
+    pair savings past k ≈ 10²; one numpy matmul per Arrow batch does
+    the same distances dense).
+
+    Same algorithm as :func:`_kmeans_cells` with rounds=1:
+    deterministic init (first k vec_ids), one centroid update
+    (JVM-side keyed aggregate — that part is cheap and stays
+    Catalyst), centroids qround'd to the 1e-6 grid, final assignment.
+    Ties break on cluster id (centroid rows sorted by cluster, numpy
+    argmin takes the first minimum — min_by struct order). FP caveat:
+    matmul accumulation order differs from the sequential lambda, so
+    a point EXACTLY equidistant to two centroids beyond the 1e-6
+    centroid grid could flip cells vs the expression path — harmless
+    for blocking, and tests pin full agreement on the fixture."""
+    import numpy as np
+
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(32, "vec_id")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+    )
+
+    def assign_with(cent_rows):
+        cent_rows = sorted(cent_rows, key=lambda r: r[0])
+        ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+        C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                # argmin over ||x-c||²; x² term constant per row — drop
+                d2 = c2[None, :] - 2.0 * (X @ C.T)
+                best = ids[np.argmin(d2, axis=1)]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "cluster": best}
+                )
+
+        return pts.mapInPandas(fn, schema="vec_id long, cluster int")
+
+    init = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in pts.filter(F.col("vec_id") < k).collect()
+    ]
+    a0 = assign_with(init)
+    c1 = (
+        a0.join(pts, "vec_id")
+        .select("cluster", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(qround(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+    )
+    cents = [
+        (int(r["cluster"]), list(r["cent"])) for r in c1.collect()
+    ]
+    return assign_with(cents)
