@@ -2019,3 +2019,91 @@ def _arrow_cells(
         (int(r["cluster"]), list(r["cent"])) for r in c1.collect()
     ]
     return assign_with(cents)
+
+
+def _power_round_sql(vprev: str, out: str) -> str:
+    return f"""
+    s_{out} AS (
+        SELECT p.vec_id, list_dot_product(p.emb, v.vec) AS s
+        FROM pts p CROSS JOIN {vprev} v
+    ),
+    w_{out} AS (
+        SELECT gi.i AS pos, SUM(p.emb[gi.i] * s.s) AS wv
+        FROM pts p
+        JOIN s_{out} s ON p.vec_id = s.vec_id,
+        LATERAL unnest(generate_series(1, 64)) AS gi(i)
+        GROUP BY gi.i
+    ),
+    n_{out} AS (SELECT SQRT(SUM(wv * wv)) AS nrm FROM w_{out}),
+    {out} AS (
+        SELECT list(FLOOR(wv / nrm * 1000000.0 + 0.5) / 1000000.0
+                    ORDER BY pos) AS vec
+        FROM w_{out} CROSS JOIN n_{out}
+    )"""
+
+
+@query(
+    "llm_embedding_power_iter",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    v0 AS (SELECT list_transform(
+               generate_series(1, 64),
+               i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS vec),
+    {_power_round_sql("v0", "v1")},
+    {_power_round_sql("v1", "v2")}
+    SELECT CAST(gi.i AS INT) AS pos, v2.vec[gi.i] AS component
+    FROM v2, LATERAL unnest(generate_series(1, 64)) AS gi(i)
+    """,
+)
+def llm_embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix
+    by two unrolled power-iteration rounds — the spectral primitive
+    behind PCA whitening, ABTT embedding post-processing ("all but
+    the top" dominant-direction removal), and spectral outlier
+    screens. v ← normalize(Σ_x x·(x·v)) from the deterministic e₁
+    start; fixed rounds + a qround re-quantization of the unit
+    vector EVERY round make the whole thing hash-checkable (the
+    graph_pagerank/llm_kmeans recipe for iterative algorithms).
+
+    Per round: the matvec is ONE broadcast of the 64-float vector +
+    a map-side dot per point, then a (pos)-keyed partial-sum
+    aggregate of 64 groups — two tiny shuffles per round no matter
+    how many embeddings stream through; the n×d matrix is never
+    materialized or transposed. More rounds = chain more CTEs/steps;
+    convergence-driven runs collect the 64-float vector per round
+    driver-side (llm.py CC recipe).
+
+    100 TB shape: identical — per-round cost is a scan + 64-row
+    aggregate; the vector state is O(d), broadcast both ways."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    v = spark.range(1).select(
+        F.array(
+            *[F.lit(1.0 if i == 0 else 0.0) for i in range(64)]
+        ).alias("vec")
+    )
+    for _ in range(2):
+        s = pts.crossJoin(F.broadcast(v)).select(
+            "emb", _dot(F.col("emb"), F.col("vec")).alias("s")
+        )
+        w = (
+            s.select(F.posexplode("emb").alias("pos", "val"), "s")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("wv"))
+        )
+        n = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(n))
+            .select("pos", qround(F.col("wv") / F.col("nrm"), 6).alias("c"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("vec")
+            )
+        )
+    return v.select(
+        F.posexplode("vec").alias("pos0", "component")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "component")
