@@ -2042,6 +2042,42 @@ def _power_round_sql(vprev: str, out: str) -> str:
     )"""
 
 
+def _top_direction(spark: SparkSession, sf_dir: str):
+    """(pts, v): embeddings as double arrays + the 2-round power-
+    iteration top direction as a 1-row array DataFrame. Shared by
+    llm_embedding_power_iter and llm_abtt_transform so the two can
+    never disagree about what "the top direction" is."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    v = spark.range(1).select(
+        F.array(
+            *[F.lit(1.0 if i == 0 else 0.0) for i in range(64)]
+        ).alias("vec")
+    )
+    for _ in range(2):
+        s = pts.crossJoin(F.broadcast(v)).select(
+            "emb", _dot(F.col("emb"), F.col("vec")).alias("s")
+        )
+        w = (
+            s.select(F.posexplode("emb").alias("pos", "val"), "s")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("wv"))
+        )
+        n = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(n))
+            .select("pos", qround(F.col("wv") / F.col("nrm"), 6).alias("c"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("vec")
+            )
+        )
+    return pts, v
+
+
 @query(
     "llm_embedding_power_iter",
     oracle=f"""
@@ -2076,6 +2112,55 @@ def llm_embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical — per-round cost is a scan + 64-row
     aggregate; the vector state is O(d), broadcast both ways."""
+    pts, v = _top_direction(spark, sf_dir)
+    return v.select(
+        F.posexplode("vec").alias("pos0", "component")
+    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "component")
+
+
+@query(
+    "llm_abtt_transform",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    v0 AS (SELECT list_transform(
+               generate_series(1, 64),
+               i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS vec),
+    {_power_round_sql("v0", "v1")},
+    {_power_round_sql("v1", "v2")}
+    SELECT p.vec_id,
+           FLOOR(SQRT(list_dot_product(p.emb, p.emb)) * 10000.0 + 0.5)
+             / 10000.0 AS norm_before,
+           FLOOR(list_dot_product(p.emb, v.vec) * 10000.0 + 0.5)
+             / 10000.0 AS projection,
+           FLOOR(SQRT(GREATEST(0.0,
+               list_dot_product(p.emb, p.emb)
+               - list_dot_product(p.emb, v.vec)
+                 * list_dot_product(p.emb, v.vec)
+                 * (2.0 - list_dot_product(v.vec, v.vec))
+           )) * 10000.0 + 0.5) / 10000.0 AS norm_after
+    FROM pts p CROSS JOIN v2 v
+    """,
+)
+def llm_abtt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT ("all-but-the-top", Mu & Viswanath 2018) dominant-
+    direction removal: project out the top principal direction
+    (llm_embedding_power_iter's v, recomputed in-plan so the two
+    queries can never disagree about it) from every embedding and
+    report per-vector (norm_before, projection, norm_after) — the
+    standard isotropy fix that measurably improves cosine-similarity
+    retrieval on anisotropic embedding spaces.
+
+    The residual norm uses the ALGEBRAIC form ‖x−s·v‖² = ‖x‖² −
+    s²·(2−‖v‖²) on BOTH engines (v is qround-quantized so ‖v‖ is
+    only ≈1 — the 2−‖v‖² factor keeps it exact rather than assuming
+    unit norm), clamped at 0 before the sqrt; every published value
+    sits on the 1e-4 qround grid.
+
+    100 TB shape: the direction is O(d) state broadcast to a map-only
+    projection pass — the transform itself adds NOTHING to the scan
+    cost; the power-iteration prefix is two tiny-keyed aggregates
+    (see llm_embedding_power_iter)."""
     pts = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
@@ -2104,6 +2189,17 @@ def llm_embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("vec")
             )
         )
-    return v.select(
-        F.posexplode("vec").alias("pos0", "component")
-    ).select((F.col("pos0") + 1).cast("int").alias("pos"), "component")
+    xx = _dot(F.col("emb"), F.col("emb"))
+    s = _dot(F.col("emb"), F.col("vec"))
+    vv = _dot(F.col("vec"), F.col("vec"))
+    return pts.crossJoin(F.broadcast(v)).select(
+        "vec_id",
+        qround(F.sqrt(xx), 4).alias("norm_before"),
+        qround(s, 4).alias("projection"),
+        qround(
+            F.sqrt(
+                F.greatest(F.lit(0.0), xx - s * s * (F.lit(2.0) - vv))
+            ),
+            4,
+        ).alias("norm_after"),
+    )
