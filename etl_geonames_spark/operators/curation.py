@@ -1388,3 +1388,70 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+@query(
+    "llm_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents
+        ) t WHERE word <> '' GROUP BY word
+    ),
+    r AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           {sql_qround(
+               "regr_slope(ln(CAST(n AS DOUBLE)),"
+               " ln(CAST(rank AS DOUBLE)))",
+               4,
+           )} AS zipf_slope,
+           {sql_qround(
+               "regr_r2(ln(CAST(n AS DOUBLE)),"
+               " ln(CAST(rank AS DOUBLE)))",
+               4,
+           )} AS r2
+    FROM r
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus word-frequency table: OLS slope
+    of log-frequency vs log-rank (natural text sits near −1; the
+    synthetic fixture's flat vocabulary sits near 0 — exactly what
+    the diagnostic exists to expose). Corpus-health check run before
+    tokenizer training: a truncated or template-heavy crawl bends
+    the rank-frequency line visibly.
+
+    Needs a GLOBAL frequency rank, which is banned as a naive global
+    window — this goes through relational.distributed_rank (range
+    repartition + per-partition row_number + broadcast offsets, the
+    whitelisted decomposition), then ONE mergeable regression
+    aggregate over (ln n, ln rank). Ties rank deterministically by
+    (freq DESC, word).
+
+    100 TB shape: the rank machinery is the scalable part — the
+    vocab table range-partitions across the cluster and no partition
+    ever sees more than its share; the regression moments are
+    map-side combined into one row."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = distributed_rank(
+        wc, [F.col("n").desc(), F.col("word")]
+    ).select(
+        F.log(F.col("n").cast("double")).alias("ln_n"),
+        F.log(F.col("_grn").cast("double")).alias("ln_rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        qround(F.regr_slope("ln_n", "ln_rank"), 4).alias("zipf_slope"),
+        qround(F.regr_r2("ln_n", "ln_rank"), 4).alias("r2"),
+    )

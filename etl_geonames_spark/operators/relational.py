@@ -986,16 +986,15 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def distributed_ntile(
-    df: DataFrame, key: list, n: int, out_col: str
-) -> DataFrame:
-    """Exact global-NTILE semantics without a global window (the
-    :func:`win_ntile` decomposition, reusable): range-repartition on
-    the sort key, per-partition row_number, cumulative partition
-    offsets (a window over one row PER PARTITION — metadata-sized),
-    then exact tile arithmetic on the reconstructed global rank. The
-    plan sweep in tests/test_plans.py whitelists exactly this
-    offsets window by its _pid/_n bookkeeping columns."""
+def distributed_rank(df: DataFrame, key: list) -> DataFrame:
+    """Exact GLOBAL row_number without a global window: range-
+    repartition on the sort key, per-partition row_number, cumulative
+    partition offsets (a window over one row PER PARTITION —
+    metadata-sized), reconstructed global rank in ``_grn`` (plus
+    ``_total``). The machinery behind :func:`distributed_ntile`,
+    exposed for rank-hungry analytics (Zipf fits, top-p cutoffs);
+    the plan sweep whitelists exactly this offsets window by its
+    _pid/_n bookkeeping columns."""
     parts = df.repartitionByRange(*key).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -1006,12 +1005,21 @@ def distributed_ntile(
     )
     total = df.agg(F.count(F.lit(1)).alias("_total"))
     w_pid = Window.partitionBy("_pid").orderBy(*key)
-    ranked = (
+    return (
         parts.withColumn("_rn", F.row_number().over(w_pid))
         .join(F.broadcast(offsets), "_pid")
         .crossJoin(F.broadcast(total))
         .withColumn("_grn", F.col("_rn") + F.col("_offset"))
     )
+
+
+def distributed_ntile(
+    df: DataFrame, key: list, n: int, out_col: str
+) -> DataFrame:
+    """Exact global-NTILE semantics without a global window (the
+    :func:`win_ntile` decomposition, reusable): global rank via
+    :func:`distributed_rank`, then exact tile arithmetic."""
+    ranked = distributed_rank(df, key)
     nn = F.lit(n)
     base = F.floor(F.col("_total") / nn)  # small-tile size
     big = F.col("_total") % nn  # number of big tiles (size base+1)
