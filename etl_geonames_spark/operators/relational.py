@@ -2018,3 +2018,64 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
         FROM events_for_pdisc GROUP BY event_type
     """)
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(value) OVER (PARTITION BY event_type) AS s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           {qround_sql(
+               "2.0 * SUM(i * value) / (MAX(n) * MAX(s))"
+               " - (MAX(n) + 1.0) / MAX(n)",
+               6,
+           )} AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of `value` per event type via the rank
+    formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    values — the concentration/inequality diagnostic (revenue
+    concentration, token-frequency imbalance, per-tenant load skew).
+    0 = perfectly equal, →1 = one observation holds everything.
+
+    One (event_type)-keyed sort feeds the rank AND both frame-less
+    window totals (same partitioning, one exchange), then a plain
+    grouped aggregate. Ties order deterministically by (value,
+    event_id) — with the rank formula, tie order does not change G
+    anyway (equal x swap ranks without moving Σi·x... except across
+    ties of DIFFERENT x, which can't happen), but determinism keeps
+    the hash stable.
+
+    100 TB shape: per-group windows shuffle once on event_type; a
+    skewed group would go through distributed_rank per group-shard,
+    the llm_zipf_slope recipe."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("value").over(w_all).alias("s"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        qround(
+            2.0 * F.sum(F.col("i") * F.col("value"))
+            / (F.max("n") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
