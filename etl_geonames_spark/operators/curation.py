@@ -1455,3 +1455,80 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.regr_slope("ln_n", "ln_rank"), 4).alias("zipf_slope"),
         qround(F.regr_r2("ln_n", "ln_rank"), 4).alias("r2"),
     )
+
+
+_TOPP_PS = [0.5, 0.9, 0.99]
+
+
+@query(
+    "llm_topp_vocab",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents
+        ) t WHERE word <> '' GROUP BY word
+    ),
+    c AS (
+        SELECT word, n,
+               SUM(n) OVER (ORDER BY n DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank,
+               SUM(n) OVER () AS total
+        FROM wc
+    ),
+    p(p) AS (VALUES {", ".join(f"({p})" for p in _TOPP_PS)})
+    SELECT p.p AS p, CAST(MIN(c.rank) AS BIGINT) AS cutoff_rank,
+           CAST(MAX(c.total) AS BIGINT) AS total_tokens
+    FROM p JOIN c ON c.cum >= p.p * c.total
+    GROUP BY p.p
+    """,
+)
+def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary cutoffs: the smallest frequency-
+    ranked vocab prefix covering 50 / 90 / 99 % of all token
+    occurrences — the number that decides tokenizer vocab size and
+    how much of the stream a cache of the head covers (Zipf's
+    practical consequence; llm_zipf_slope measures the law, this
+    measures the budget).
+
+    Needs a GLOBAL ordered running sum, which is exactly the banned
+    single-task window — so it runs on
+    relational.distributed_cumsum (range repartition + per-partition
+    prefix sums + broadcast per-partition totals), plus
+    distributed_rank for the rank. One broadcast of 3 p-values turns
+    cutoff selection into a tiny join + MIN aggregate.
+
+    100 TB shape: everything keyed or metadata-sized; no partition
+    ever holds more than its range of the vocab."""
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    key = [F.col("n").desc(), F.col("word")]
+    ranked = distributed_rank(wc, key).withColumnRenamed("_grn", "rank")
+    cum = distributed_cumsum(
+        ranked.select("word", "n", "rank", "_total"), key, "n", "cum"
+    )
+    total = wc.agg(F.sum("n").alias("total_tokens"))
+    ps = spark.createDataFrame(
+        [(float(p),) for p in _TOPP_PS], "p double"
+    )
+    joined = (
+        cum.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(ps),
+            F.col("cum") >= F.col("p") * F.col("total_tokens"),
+        )
+    )
+    return joined.groupBy("p").agg(
+        F.min("rank").cast("bigint").alias("cutoff_rank"),
+        F.max("total_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -2079,3 +2079,31 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def distributed_cumsum(
+    df: DataFrame, key: list, val: str, out_col: str
+) -> DataFrame:
+    """Exact GLOBAL running sum of ``val`` in ``key`` order without a
+    global window — the prefix-sum sibling of :func:`distributed_rank`:
+    range-repartition on the sort key, per-partition running sum
+    (partitioned window), per-partition TOTALS (one row per partition
+    — metadata-sized), cumulative offsets over those totals, add.
+    The offsets window is the same whitelisted _pid-bookkeeping shape
+    as distributed_rank's (sweep: tests/test_plans.py)."""
+    parts = df.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*key)
+    local = parts.withColumn("_lcs", F.sum(val).over(w_local))
+    totals = parts.groupBy("_pid").agg(F.sum(val).alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_lcs") + F.col("_offset"))
+        .drop("_pid", "_lcs", "_offset")
+    )
