@@ -1532,3 +1532,74 @@ def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rank").cast("bigint").alias("cutoff_rank"),
         F.max("total_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+_FH_P = 1_000_003
+_FH_DIMS = 32
+
+
+def poly_hash(word):
+    """Cross-engine deterministic string hash: Horner fold
+    h ← (31·h + codepoint) mod P over the characters — the textbook
+    polynomial rolling hash, expressed with aggregate() so BOTH
+    engines run the identical sequential arithmetic (unlike
+    xxhash64, which only Spark has — this is the building block that
+    lets string-keyed randomized ops be oracle-checked exactly)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.ascii(word.substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _FH_P,
+    )
+
+
+@query(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(word)),
+                           i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % {_FH_P}) AS ph
+        FROM w WHERE word <> ''
+    )
+    SELECT doc_id, CAST(ph % {_FH_DIMS} AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, dim
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-32-dim
+    bag-of-words features per document with NO vocabulary pass —
+    each token maps straight to dim = polyhash(word) mod 32. The
+    no-global-state featurizer for linear probes/classifiers over
+    unbounded vocabularies; collisions are the accepted trade.
+
+    The hash is a Horner polynomial fold both engines replay
+    bit-identically (see :func:`poly_hash`) — so unlike the
+    xxhash64-based dedup family this randomized op gets a FULL
+    value-hash oracle, not a rows-only check.
+
+    100 TB shape: explode → map-side hash → ONE combined aggregate
+    on (doc_id, dim): shuffle rows are bounded by docs×32
+    regardless of document length — the whole point of hashed
+    features vs vocabulary joins."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    ph = poly_hash(F.col("word"))
+    return (
+        w.select("doc_id", (ph % _FH_DIMS).cast("int").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

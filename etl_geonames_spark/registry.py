@@ -109,7 +109,7 @@ _DRIVER_PRIORITY = [
     "ts_calendar_dim", "mm_image_phash_dedup", "geo_tile_pyramid",
     "mm_video_scene_cuts", "mm_audio_vad", "graph_label_propagation",
     "llm_embedding_power_iter", "llm_abtt_transform", "llm_zipf_slope",
-    "agg_gini", "llm_topp_vocab",
+    "agg_gini", "llm_topp_vocab", "llm_feature_hashing",
     # mm_frame_sample upgraded to oracle-backed (r3); the rest are
     # rows-only (no oracle) — weaker driver rows, after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
