@@ -2203,3 +2203,119 @@ def llm_abtt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm_after"),
     )
+
+
+@query(
+    "llm_minhash_verifiable",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        FROM t WHERE len(tk) >= 3
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(gram)),
+                           i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS ph
+        FROM g
+    ),
+    perm(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({2 * i * 1_000_003 + 1} AS BIGINT),"
+        f" CAST({i * 998_244_353 + 12_345} AS BIGINT))"
+        for i in range(4)
+    )}),
+    sig AS (
+        SELECT h.doc_id, p.i, MIN((p.a * h.ph + p.b) % 2147483647) AS m
+        FROM h CROSS JOIN perm p GROUP BY h.doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               MIN(CASE WHEN i % 2 = 0 THEN m END) AS b_lo,
+               MIN(CASE WHEN i % 2 = 1 THEN m END) AS b_hi
+        FROM sig GROUP BY doc_id, i // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.b_lo = b.b_lo AND a.b_hi = b.b_hi
+     AND a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pipeline END-TO-END under a full
+    value-hash oracle — the hash-checked WITNESS for the production
+    dedup family (llm_dedup_minhash), whose xxhash64 base hash DuckDB
+    cannot replay and which is therefore rows-only + recall-pinned.
+    This twin swaps the base hash for the cross-engine Horner
+    polynomial (:func:`curation.poly_hash` arithmetic) and shrinks to
+    3-word shingles / 4 permutations / 2 bands so every
+    intermediate — shingle set, signature matrix, band buckets,
+    candidate pairs — is reproduced exactly by SQL: if the LSH
+    plumbing (banding, min-reduction, bucket join) had a bug, THIS
+    query's hash would break, not just a recall statistic.
+
+    Same physical shape as the production path: distinct shingles →
+    map-side hash → one (doc, perm)-keyed min aggregate → banded
+    equi-join on (band, sig) — candidates only ever meet through
+    bucket equality, never an all-pairs product.
+
+    100 TB: use llm_dedup_minhash (xxhash64 is cheaper than the
+    polynomial fold and 16 perms beat 4); this query exists so the
+    ALGORITHM is verifiable, and it scales identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
+        .distinct()
+    )
+    from etl_geonames_spark.operators.curation import poly_hash
+
+    h = grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(2 * i * 1_000_003 + 1).cast("long").alias("a"),
+                F.lit(i * 998_244_353 + 12_345).cast("long").alias("b"),
+            )
+            for i in range(4)
+        ]
+    )
+    sig = (
+        h.select("doc_id", "ph", F.explode(perms).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            (
+                (F.col("p.a") * F.col("ph") + F.col("p.b")) % 2147483647
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("v").alias("m"))
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("band")
+    ).agg(
+        F.min(F.when(F.col("i") % 2 == 0, F.col("m"))).alias("b_lo"),
+        F.min(F.when(F.col("i") % 2 == 1, F.col("m"))).alias("b_hi"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b_lo") == F.col("b.b_lo"))
+            & (F.col("a.b_hi") == F.col("b.b_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
