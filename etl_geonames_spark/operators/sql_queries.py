@@ -16,6 +16,7 @@ plan improves with statistics, not code changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
@@ -1139,4 +1140,73 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey LIMIT :k
         """,
         args={"prio": "1-URGENT", "floor": 200000.0, "k": 15},
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0
+                AS DOUBLE) AS total
+    FROM orders GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 + DuckDB, identical text): every
+    non-aggregate select item becomes a grouping key — the
+    column-drift-proof form for wide reporting queries (add a
+    dimension to the SELECT and the grouping follows; no silently
+    wrong aggregate when someone forgets to extend GROUP BY).
+    Resolves at analysis time to an ordinary hash aggregate — the
+    physical plan is byte-identical to the explicit-keys query."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS total
+        FROM orders GROUP BY ALL
+    """)
+
+
+@query(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           CAST(o_custkey AS BIGINT) AS custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dialect mapping row: DuckDB/Postgres ``DISTINCT ON``
+    (first row per key in ORDER BY order) has NO Spark keyword — the
+    engine expresses the identical semantics as max_by over a
+    comparison-ordered struct (price DESC, orderkey ASC encoded as
+    (price, -orderkey) so one MAX captures the full tie-break chain),
+    which Catalyst runs as ONE map-side-combined hash aggregate.
+    That beats the textbook row_number()-over-window translation: no
+    per-key sort, no window state — the dedup_latest_per_key argmax
+    trick applied to dialect migration.
+
+    The -orderkey trick needs orderkey ≥ 0 (true by fixture
+    contract); general keys would pack a struct of
+    (price, negated-or-inverted key) per component."""
+    orders = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("nk"),
+        )
+    )
+    return (
+        orders.groupBy(F.col("o_custkey").cast("bigint").alias("custkey"))
+        .agg(best.alias("b"))
+        .select(
+            "custkey",
+            (-F.col("b.nk")).alias("o_orderkey"),
+            F.col("b.p").alias("o_totalprice"),
+        )
     )
