@@ -1161,3 +1161,70 @@ def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "ts_backtest_snaive",
+    oracle=f"""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    lab AS (
+        SELECT e.event_type, EXTRACT(hour FROM e.ts) AS h, e.value,
+               CAST(e.ts AS DATE) - b.d0 AS day
+        FROM events e CROSS JOIN b
+    ),
+    train AS (
+        SELECT event_type, h, AVG(value) AS fc
+        FROM lab WHERE day < 14 GROUP BY 1, 2
+    ),
+    test AS (SELECT * FROM lab WHERE day >= 14)
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           {sql_qround("AVG(ABS(t.value - tr.fc))", 4)} AS mae
+    FROM test t JOIN train tr
+      ON t.event_type = tr.event_type AND t.h = tr.h
+    GROUP BY t.event_type
+    """,
+)
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: fit the (type, hour-of-day)
+    mean on the first 14 days, score it on everything after, report
+    per-series MAE — the baseline every real forecasting model must
+    beat, and the time-split evaluation pattern (train strictly
+    before test, split on event time, never random) that
+    split_train_test's hash split is NOT valid for with temporal
+    data.
+
+    The train/test boundary derives from the data's own min date
+    (1-row broadcast, the sanctioned normalizer crossJoin); the
+    fitted profile is |types|×24 rows, broadcast onto the test scan —
+    so the whole backtest is two aggregates and a broadcast join, no
+    fact-side shuffle beyond the profile fit.
+
+    100 TB shape: identical — the model is metadata-sized by
+    construction (that is what makes seasonal-naive the cheap
+    baseline); rolling-origin evaluation = re-run with a different
+    day cut, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        "value",
+        F.datediff(F.to_date("ts"), F.col("d0")).alias("day"),
+    )
+    train = (
+        lab.where(F.col("day") < 14)
+        .groupBy("event_type", "h")
+        .agg(F.avg("value").alias("fc"))
+    )
+    test = lab.where(F.col("day") >= 14)
+    return (
+        test.join(F.broadcast(train), ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            qround(F.avg(F.abs(F.col("value") - F.col("fc"))), 4).alias(
+                "mae"
+            ),
+        )
+    )
