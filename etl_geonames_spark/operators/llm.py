@@ -2319,3 +2319,180 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "llm_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE
+                 WHEN len(list_filter(str_split(text, ' '),
+                          w -> list_contains({_PROFILE_DATA!r}, w))) >
+                      len(list_filter(str_split(text, ' '),
+                          w -> list_contains({_PROFILE_SPARK!r}, w)))
+                   THEN 'data-ish'
+                 WHEN len(list_filter(str_split(text, ' '),
+                          w -> list_contains({_PROFILE_SPARK!r}, w))) >
+                      len(list_filter(str_split(text, ' '),
+                          w -> list_contains({_PROFILE_DATA!r}, w)))
+                   THEN 'spark-ish'
+                 ELSE 'unknown'
+               END AS predicted
+        FROM documents
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    ground-truth ``lang`` column — the classifier-evaluation pattern
+    every labeling stage needs before its output gates data
+    (per-cell counts; precision/recall/accuracy are row/column
+    ratios of this table). Built on the IDENTICAL predictor
+    expressions as llm_lang_id, so the two queries can never score
+    different classifiers.
+
+    One map-side predict + one hash aggregate over ≤ |langs|×3
+    cells — evaluation is free at any corpus size, which is the
+    argument for always shipping the confusion query alongside the
+    classifier query."""
+    toks = F.split(F.col("text"), " ")
+    hits = lambda words: F.size(  # noqa: E731
+        F.filter(
+            toks,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(x) for x in words]), w
+            ),
+        )
+    )
+    h_data, h_spark = hits(_PROFILE_DATA), hits(_PROFILE_SPARK)
+    pred = (
+        F.when(h_data > h_spark, F.lit("data-ish"))
+        .when(h_spark > h_data, F.lit("spark-ish"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "llm_ndcg_eval",
+    oracle="""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                        label FROM embeddings),
+    q AS (SELECT * FROM pts WHERE vec_id < 10),
+    c AS (SELECT * FROM pts WHERE vec_id >= 10),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               FLOOR((list_dot_product(q.emb, c.emb) /
+                      (sqrt(list_dot_product(q.emb, q.emb)) *
+                       sqrt(list_dot_product(c.emb, c.emb))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos,
+               CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT q_id, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, c_id
+               ) AS rnk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY rel DESC, c_id
+               ) AS ideal_rnk
+        FROM scored
+    ),
+    dcg AS (
+        SELECT q_id,
+               SUM(CASE WHEN rnk <= 5
+                        THEN rel / log2(rnk + 1.0) ELSE 0 END) AS dcg,
+               SUM(CASE WHEN ideal_rnk <= 5
+                        THEN rel / log2(ideal_rnk + 1.0) ELSE 0 END)
+                 AS idcg
+        FROM ranked GROUP BY q_id
+    )
+    SELECT q_id,
+           FLOOR(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END
+                 * 1000000.0 + 0.5) / 1000000.0 AS ndcg5
+    FROM dcg
+    """,
+)
+def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 per query for label-relevance retrieval — the ranking-
+    quality metric that closes the retrieval loop (llm_sim_topk /
+    llm_bm25_topk produce rankings; THIS scores them): relevance = 1
+    when candidate shares the query's label, DCG discounts by
+    log₂(rank+1), normalized by the ideal ordering.
+
+    Ranking ties are the cross-engine trap: ordering by raw cosine
+    would let a libm ulp swap two ranks — so the rank key is the
+    qround'd cosine (then c_id), identical on both engines by the
+    threshold discipline. The ideal ranking reuses the same
+    ROW_NUMBER machinery on (rel DESC, c_id).
+
+    100 TB shape: query side broadcast (10 rows), candidate scan ×
+    |q| scored map-side, per-query windows partitioned on q_id —
+    the exact llm_sim_topk plan plus two O(k) window passes; at real
+    scale the candidate set comes from the ANN shortlist
+    (llm_ann_ivf), same metric on top."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb"), "label"
+    )
+    q = pts.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = pts.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        qround(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        F.when(F.col("q_label") == F.col("c_label"), 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id")
+    )
+    w_ideal = Window.partitionBy("q_id").orderBy(
+        F.col("rel").desc(), F.col("c_id")
+    )
+    ranked = scored.select(
+        "q_id",
+        "rel",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"),
+    )
+    dcg = ranked.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                F.col("rnk") <= 5,
+                F.col("rel") / F.log2(F.col("rnk") + 1.0),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rnk") <= 5,
+                F.col("rel") / F.log2(F.col("ideal_rnk") + 1.0),
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return dcg.select(
+        "q_id",
+        qround(
+            F.when(
+                F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg5"),
+    )
