@@ -1603,3 +1603,105 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "llm_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT str_split(text, ' ') AS tk FROM documents),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(tk) AS w FROM t) x
+        WHERE w <> '' GROUP BY w
+    ),
+    tot_u AS (SELECT SUM(n) AS nu FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT tk[i] AS w1, tk[i+1] AS w2
+            FROM t, unnest(generate_series(1, len(tk) - 1)) g(i)
+            WHERE len(tk) >= 2) x
+        GROUP BY w1, w2
+    ),
+    tot_b AS (SELECT SUM(n) AS nb FROM bi)
+    SELECT b.w1, b.w2, b.n,
+           {sql_qround(
+               "ln((b.n / CAST(tb.nb AS DOUBLE)) /"
+               " ((u1.n / CAST(tu.nu AS DOUBLE))"
+               "  * (u2.n / CAST(tu.nu AS DOUBLE))))",
+               4,
+           )} AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w, tot_u tu, tot_b tb
+    WHERE b.n >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information —
+    log P(w1,w2) / (P(w1)P(w2)) with a min-count-5 support gate (the
+    classic Church & Hanks 1990 recipe): word pairs that co-occur far
+    above chance are multi-word expressions ("new york"), exactly
+    what tokenizer merge rules and phrase-aware dedup want found.
+    The support gate is load-bearing — rare pairs have unboundedly
+    inflated PMI (n=1 pairs dominate otherwise).
+
+    Three frequency tables (unigram, bigram, their totals) from ONE
+    scan family, then broadcast-joined: the unigram table rides onto
+    the bigram aggregate twice. Bigrams are built with the ANSI-
+    guarded element_at pattern (sequence(1,0) counts DOWN — the
+    llm_bigram_logprob trap, CLAUDE.md).
+
+    100 TB shape: two map-side-combined hash aggregates + broadcast
+    of the (post-gate, tiny) dictionary sides; final top-k is
+    TakeOrdered. The n≥5 filter cuts the bigram tail BEFORE the
+    joins — at web scale that's the difference between a dictionary
+    join and a heavy-tail shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pairs = F.expr(
+        "IF(size(split(text, ' ')) >= 2,"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
+        "   i -> struct(element_at(split(text, ' '), i) AS w1,"
+        "              element_at(split(text, ' '), i + 1) AS w2)),"
+        " array())"
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+    uni = (
+        docs.select(F.explode(tk).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("un"))
+    )
+    tot_u = uni.agg(F.sum("un").alias("nu"))
+    # totals over ALL bigrams (pre-gate), mirroring the oracle
+    tot_b = (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1"), F.col("p.w2"))
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(F.sum("bn").alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("un").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("un").alias("n2"))
+    pmi = F.log(
+        (F.col("n") / F.col("nb").cast("double"))
+        / (
+            (F.col("n1") / F.col("nu").cast("double"))
+            * (F.col("n2") / F.col("nu").cast("double"))
+        )
+    )
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select("w1", "w2", "n", qround(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -1228,3 +1228,42 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ts_fano_burstiness",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           {sql_qround("var_samp(n) / AVG(n)", 6)} AS fano
+    FROM m GROUP BY event_type
+    """,
+)
+def ts_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean of per-hour
+    counts) per series — the burstiness diagnostic: a Poisson
+    arrival process sits at 1.0, clustered/bursty traffic above,
+    regular (rate-limited) traffic below. The one-number answer to
+    "can I provision for the mean, or do bursts dominate?".
+
+    OCCUPIED hours only (both engines aggregate the same grouped
+    buckets; a fully-gap-filled variant composes with ts_gap_fill's
+    spine when zero-hours must count). Two stacked mergeable
+    aggregates — hourly counts, then (var, mean) of those — so the
+    shuffle rows are bounded by types×hours, never events.
+
+    100 TB shape: the first aggregate map-side combines per
+    (type, hour); the second runs over a bucket table that is tiny
+    forever."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        qround(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    )
