@@ -624,3 +624,95 @@ def geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zoom", "tile")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+@query(
+    "geo_shoelace_area",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_LAT_SQL.format(k="event_id")} AS lat,
+               {_LON_SQL.format(k="event_id")} AS lon
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, lat, lon,
+               LAG(lat) OVER w AS plat,
+               LAG(lon) OVER w AS plon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    inner_sum AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               SUM(CASE WHEN plat IS NULL THEN 0.0
+                        ELSE plon * lat - lon * plat END) AS s
+        FROM seg GROUP BY user_id
+    ),
+    ends AS (
+        SELECT user_id,
+               first(lat ORDER BY ts, event_id) AS flat,
+               first(lon ORDER BY ts, event_id) AS flon,
+               last(lat ORDER BY ts, event_id) AS llat,
+               last(lon ORDER BY ts, event_id) AS llon
+        FROM pts GROUP BY user_id
+    )
+    SELECT i.user_id, i.n_points,
+           {sql_qround(
+               "ABS(i.s + (e.llon * e.flat - e.flon * e.llat)) / 2.0", 4
+           )} AS area_deg2
+    FROM inner_sum i JOIN ends e ON i.user_id = e.user_id
+    """,
+)
+def geo_shoelace_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace (surveyor's) polygon area of each user's trajectory
+    closed into a ring — ½|Σ(xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)| in planar degree
+    space (the coverage-footprint metric; multiply by the local
+    metric factors for km², or feed true projected coordinates —
+    the dataflow is coordinate-system-agnostic).
+
+    The same single-windowed-pass shape as geo_polyline_length: LAG
+    pairs consecutive vertices for the running cross-product sum, and
+    the ring-closing term comes from arg_min/arg_max endpoint lookups
+    (deterministic (ts, event_id) ordering) — one user-keyed exchange
+    shared by the window and both aggregates, O(1) state per row.
+
+    100 TB shape: identical — no geometry is ever materialized as an
+    object; a polygon with 10⁹ vertices streams through the same
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _lat(F.col("event_id")).alias("lat"),
+        _lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    cross = F.when(F.col("plat").isNull(), F.lit(0.0)).otherwise(
+        F.col("plon") * F.col("lat") - F.col("lon") * F.col("plat")
+    )
+    inner = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(cross).alias("s"),
+    )
+    order_key = F.struct("ts", "event_id")
+    ends = pts.groupBy("user_id").agg(
+        F.min_by("lat", order_key).alias("flat"),
+        F.min_by("lon", order_key).alias("flon"),
+        F.max_by("lat", order_key).alias("llat"),
+        F.max_by("lon", order_key).alias("llon"),
+    )
+    closure = F.col("llon") * F.col("flat") - F.col("flon") * F.col("llat")
+    return inner.join(ends, "user_id").select(
+        "user_id",
+        "n_points",
+        qround(F.abs(F.col("s") + closure) / 2.0, 4).alias("area_deg2"),
+    )
