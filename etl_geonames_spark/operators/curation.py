@@ -1705,3 +1705,83 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "llm_lm_crossentropy",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id, text,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    ELSE 'eval' END AS split
+        FROM documents
+    ),
+    tw AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(str_split(text, ' ')) AS w
+            FROM lab WHERE split = 'train'
+        ) x WHERE w <> '' GROUP BY w
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz, SUM(n) AS tot FROM tw),
+    ev AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS w
+            FROM lab WHERE split = 'eval') x
+        WHERE w <> ''
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_tokens,
+           {sql_qround(
+               "AVG(-log2((COALESCE(tw.n, 0) + 1.0)"
+               " / (v.tot + v.vsz + 1.0)))",
+               4,
+           )} AS cross_entropy_bits
+    FROM ev LEFT JOIN tw ON ev.w = tw.w, v
+    """,
+)
+def llm_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-LM / evaluate-perplexity loop entirely in-engine:
+    add-one-smoothed unigram LM fit on the deterministic 80 % train
+    split (SAME Knuth-hash split rule as llm_curate_pipeline — train
+    and eval can never overlap), cross-entropy in bits per token on
+    the held-out 20 %. 2^(this number) is eval perplexity — the
+    end-to-end health check for any data-mixture change: rerun after
+    reweighting (llm_apply_mix_weights) and the delta IS the effect
+    on a (toy) LM. Unknown eval words get the smoothed floor
+    1/(N+V+1) rather than crashing or clamping — the honest OOV
+    treatment.
+
+    100 TB shape: the LM "training" is one map-side-combined word
+    count; evaluation is a broadcast-or-hash dictionary join + one
+    mergeable average. The whole loop is two aggregates and a join —
+    which is exactly why unigram perplexity is the cheap canary run
+    before real LM training."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        (F.col("doc_id") * 2654435761) % 100 < 80, F.lit("train")
+    ).otherwise(F.lit("eval"))
+    lab = docs.select("doc_id", "text", split.alias("split"))
+    words = lambda df: (  # noqa: E731
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    tw = (
+        words(lab.where(F.col("split") == "train"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    v = tw.agg(
+        F.count(F.lit(1)).alias("vsz"), F.sum("n").alias("tot")
+    )
+    ev = words(lab.where(F.col("split") == "eval"))
+    bits = -F.log2(
+        (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+        / (F.col("tot") + F.col("vsz") + 1.0)
+    )
+    return (
+        ev.join(F.broadcast(tw), "w", "left")
+        .crossJoin(F.broadcast(v))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_tokens"),
+            qround(F.avg(bits), 4).alias("cross_entropy_bits"),
+        )
+    )
