@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_geonames_spark.functions import qround
+from etl_geonames_spark.functions import qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -2495,4 +2495,104 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("ndcg5"),
+    )
+
+
+@query(
+    "llm_kmeans_quality",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
+           FROM pts WHERE vec_id < {_KMEANS_K}),
+    a0 AS ({_km_assign_sql("c0")}),
+    c1 AS ({_km_update_sql("a0")}),
+    a1 AS ({_km_assign_sql("c1")}),
+    c2 AS ({_km_update_sql("a1")}),
+    a2 AS ({_km_assign_sql("c2")}),
+    c3 AS ({_km_update_sql("a2")}),
+    d AS (
+        SELECT p.vec_id, a.cluster AS own, c.cluster AS cl,
+               SQRT(list_sum(list_transform(
+                   generate_series(1, {_KMEANS_DIM}),
+                   i -> (p.emb[i] - c.cent[i])
+                        * (p.emb[i] - c.cent[i])))) AS dist
+        FROM pts p JOIN a2 a USING (vec_id), c3 c
+    ),
+    s AS (
+        SELECT vec_id, own,
+               MIN(CASE WHEN cl = own THEN dist END) AS a_d,
+               MIN(CASE WHEN cl <> own THEN dist END) AS b_d
+        FROM d GROUP BY vec_id, own
+    )
+    SELECT CAST(own AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           {sql_qround(
+               "AVG((b_d - a_d) / GREATEST(a_d, b_d))", 6
+           )} AS avg_silhouette
+    FROM s GROUP BY own
+    """,
+)
+def llm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette quality score per k-means cluster — the
+    simplified (medoid-free) silhouette every clustering run should
+    report: a = distance to own centroid, b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) averaged per cluster.
+    Near 0 ⇒ the cluster boundary is arbitrary (as expected on the
+    isotropic fixture); strongly positive ⇒ real structure. Uses
+    centroid distances, not pairwise point distances, so cost is
+    n·k, never n² — the form that scales.
+
+    Centroids are the post-assignment update of the SAME rounds as
+    llm_kmeans (the c3 = update(a2) CTE; consistent "centroid of the
+    cluster you were assigned to" semantics), qround-quantized like
+    every kmeans round so both engines compare identical values.
+
+    100 TB shape: broadcast k×dim centroids, k distances per point
+    map-side, per-point min/min-other collapse in one combined
+    aggregate, then a k-row average."""
+    asg = _kmeans_cells(spark, sf_dir, _KMEANS_K, _KMEANS_ROUNDS)
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    # c3 = update(a2): mirror of _km_update_sql (qround'd per-dim means)
+    c3 = (
+        asg.join(pts, "vec_id")
+        .select("cluster", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(qround(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("cent")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        pts.join(asg.withColumnRenamed("cluster", "own"), "vec_id")
+        .crossJoin(F.broadcast(c3))
+        .select("vec_id", "own", "cluster", F.sqrt(d2).alias("dist"))
+    )
+    s = d.groupBy("vec_id", "own").agg(
+        F.min(
+            F.when(F.col("cluster") == F.col("own"), F.col("dist"))
+        ).alias("a_d"),
+        F.min(
+            F.when(F.col("cluster") != F.col("own"), F.col("dist"))
+        ).alias("b_d"),
+    )
+    sil = (F.col("b_d") - F.col("a_d")) / F.greatest(
+        F.col("a_d"), F.col("b_d")
+    )
+    return s.groupBy(F.col("own").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        qround(F.avg(sil), 6).alias("avg_silhouette"),
     )

@@ -113,7 +113,7 @@ _DRIVER_PRIORITY = [
     "llm_minhash_verifiable", "sql_group_by_all", "sql_distinct_on",
     "ts_backtest_snaive", "llm_langid_confusion", "llm_ndcg_eval",
     "llm_pmi_collocations", "ts_fano_burstiness", "geo_shoelace_area",
-    "llm_lm_crossentropy",
+    "llm_lm_crossentropy", "llm_kmeans_quality",
     # mm_frame_sample upgraded to oracle-backed (r3); the rest are
     # rows-only (no oracle) — weaker driver rows, after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
