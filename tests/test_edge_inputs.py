@@ -79,15 +79,36 @@ def edge_ddb(edge_sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["llm_bigram_logprob", "llm_bigram_f1", "llm_quantize_embeddings"]
+    "name",
+    [
+        "llm_bigram_logprob",
+        "llm_bigram_f1",
+        "llm_quantize_embeddings",
+        # round-3 bigram/shingle-shaped additions: single-token and
+        # empty docs hit the ANSI sequence(1,0)-descends trap
+        "llm_pmi_collocations",
+        "llm_ngram_span_dedup",
+        "llm_source_overlap",
+        "llm_minhash_verifiable",
+        "llm_feature_hashing",
+        "llm_zipf_slope",
+        "llm_lm_crossentropy",
+    ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
     spark_pd = QUERIES[name](spark, edge_sf_dir).toPandas()
     duck_pd = edge_ddb.sql(ORACLES[name]).df()
     assert len(spark_pd) == len(duck_pd), name
-    key = spark_pd.columns[0]
-    s = spark_pd.sort_values(key, ignore_index=True)
-    o = duck_pd.sort_values(key, ignore_index=True)
+    # sort by ALL (hashable) columns — a first-key-only sort leaves
+    # multi-row-per-key outputs (e.g. feature dims) order-ambiguous
+    keys = [
+        c for c in spark_pd.columns
+        if not spark_pd[c].map(
+            lambda v: isinstance(v, (list, dict)) or hasattr(v, 'tolist')
+        ).any()
+    ] or list(spark_pd.columns[:1])
+    s = spark_pd.sort_values(keys, ignore_index=True)
+    o = duck_pd.sort_values(keys, ignore_index=True)
     assert sorted(s.columns) == sorted(o.columns), name
     for col in sorted(s.columns):
         for i, (a, b) in enumerate(zip(s[col], o[col])):
