@@ -2551,7 +2551,12 @@ def llm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: broadcast k×dim centroids, k distances per point
     map-side, per-point min/min-other collapse in one combined
     aggregate, then a k-row average."""
-    asg = _kmeans_cells(spark, sf_dir, _KMEANS_K, _KMEANS_ROUNDS)
+    # assignments feed the centroid rebuild AND the distance join —
+    # pin them once or the whole kmeans chain re-executes per use
+    # (the llm_semdedup lesson; |vectors| rows, cheap).
+    asg = _kmeans_cells(
+        spark, sf_dir, _KMEANS_K, _KMEANS_ROUNDS
+    ).localCheckpoint()
     pts = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
