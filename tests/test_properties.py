@@ -267,3 +267,90 @@ def test_geohash_matches_public_scheme(spark):
         ).collect()
     ]
     assert got == [want for _, _, want in rows]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distributed_cumsum_and_rank_match_naive(spark, vals):
+    """distributed_cumsum / distributed_rank (the no-global-window
+    decompositions) must equal the naive single-machine prefix sum /
+    row_number over the same deterministic (k, idx) order — on random
+    multisets, any partition-offset bookkeeping bug shows up here
+    before it shows up at scale."""
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+
+    rows = [
+        (i, int(k), float(v)) for i, (k, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "idx long, k long, v double")
+    key = [F.col("k"), F.col("idx")]
+
+    got_rank = {
+        r["idx"]: r["_grn"]
+        for r in distributed_rank(df, key).collect()
+    }
+    got_cum = {
+        r["idx"]: r["cum"]
+        for r in distributed_cumsum(df, key, "v", "cum").collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    run = 0.0
+    for rank0, (idx, _k, v) in enumerate(ordered):
+        run += v
+        assert got_rank[idx] == rank0 + 1, idx
+        assert abs(got_cum[idx] - run) < 1e-9, idx
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_poly_hash_matches_python_model(spark, words):
+    """poly_hash (the cross-engine Horner fold behind feature hashing
+    and the verifiable minhash) must equal the direct Python model on
+    arbitrary ASCII strings — range [0, P), empty string → 0."""
+    from etl_geonames_spark.operators.curation import _FH_P, poly_hash
+
+    def model(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % _FH_P
+        return h
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [
+        r["h"] for r in df.select(poly_hash(F.col("w")).alias("h")).collect()
+    ]
+    assert got == [model(w) for w in words]
+    assert all(0 <= h < _FH_P for h in got)

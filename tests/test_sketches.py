@@ -83,3 +83,31 @@ def test_cms_bounds(spark, sf_dir):
     for r in rows:
         assert r["cms_estimate"] >= r["true_count"], r
         assert r["cms_estimate"] - r["true_count"] <= eps_n, (r, eps_n)
+
+
+def test_approx_distinct_and_percentile_error_bounds(spark, sf_dir):
+    """The two rows-only approximate aggregates get hard accuracy
+    assertions vs their exact counterparts: approx_count_distinct
+    within 3×(default rsd = 5 %), approx_percentile within the rank
+    tolerance implied by its accuracy parameter — so a broken sketch
+    can't hide behind the rows-only driver check."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.select(
+        F.countDistinct("user_id").alias("d")
+    ).collect()[0]["d"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id").alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) <= max(1, 0.15 * exact), (approx, exact)
+
+    rows = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(rows)
+    got = ev.select(
+        F.percentile_approx("value", 0.5, 1000).alias("p")
+    ).collect()[0]["p"]
+    # rank tolerance: accuracy=1000 → error ≤ n/1000 ranks
+    lo = rows[max(0, n // 2 - n // 1000 - 2)]
+    hi = rows[min(n - 1, n // 2 + n // 1000 + 2)]
+    assert lo <= got <= hi, (lo, got, hi)
