@@ -1786,3 +1786,323 @@ def llm_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.avg(bits), 4).alias("cross_entropy_bits"),
         )
     )
+
+
+_WINNOW_K_WINDOW = 4
+
+
+@query(
+    "llm_winnowing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(tk, w ->
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, len(w)),
+                               i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % {_FH_P})) AS hw
+        FROM t
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(hw) >= 3 THEN
+                   list_transform(generate_series(1, len(hw) - 2),
+                       i -> ((hw[i] * 131 + hw[i+1]) % {_FH_P} * 131
+                             + hw[i+2]) % {_FH_P})
+               ELSE CAST([] AS BIGINT[]) END AS g
+        FROM hashed
+    ),
+    fps AS (
+        SELECT doc_id, g,
+               CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(g) < {_WINNOW_K_WINDOW} THEN [list_min(g)]
+                    ELSE list_transform(
+                        generate_series(1, len(g) - {_WINNOW_K_WINDOW - 1}),
+                        j -> list_min(
+                            list_slice(g, j, j + {_WINNOW_K_WINDOW - 1})))
+               END AS f
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(f)) AS BIGINT) AS n_fingerprints,
+           CAST(list_min(f) AS BIGINT) AS fp_min,
+           CAST(list_max(f) AS BIGINT) AS fp_max
+    FROM fps
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram, then
+    keep the MINIMUM hash of each sliding window of 4 consecutive
+    gram hashes. The guarantee: any shared run of ≥ 3+4-1 tokens
+    between two documents yields at least one IDENTICAL selected
+    fingerprint, with only ~2/(4+1) of grams kept — the
+    position-robust local sampling that plain modulo selection (0 mod
+    p) lacks.
+
+    Every hash is the cross-engine Horner polynomial
+    (:func:`poly_hash` arithmetic inlined into array expressions), so
+    unlike the xxhash64 dedup family this fingerprinting op carries a
+    FULL value-hash oracle. Per-doc summary output (gram count,
+    selected-set size, min/max fingerprint) keeps the check exact
+    without exploding rows; the fingerprint → inverted-index join
+    (llm_dedup_ngram's shape) is the downstream pair generator.
+
+    100 TB shape: pure map-side array math — zero shuffles before
+    the final (nothing: it is row-per-doc map only); no UDFs, whole
+    plan stays in codegen. Short docs degrade gracefully (< window:
+    one global min; < gram: empty set) behind CASE guards (ANSI
+    sequence() gotcha, CLAUDE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    P = _FH_P
+    W = _WINNOW_K_WINDOW
+    tk = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    hw = F.transform(tk, poly_hash)
+    d = docs.select("doc_id", hw.alias("hw"))
+    g = F.when(
+        F.size(F.col("hw")) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("hw")) - 2),
+            lambda i: (
+                (
+                    F.element_at(F.col("hw"), i) * 131
+                    + F.element_at(F.col("hw"), i + 1)
+                )
+                % P
+                * 131
+                + F.element_at(F.col("hw"), i + 2)
+            )
+            % P,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = d.select("doc_id", g.alias("g"))
+    f = (
+        F.when(F.size(F.col("g")) == 0, F.array().cast("array<bigint>"))
+        .when(
+            F.size(F.col("g")) < W, F.array(F.array_min(F.col("g")))
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("g")) - (W - 1)),
+                lambda j: F.array_min(F.slice(F.col("g"), j, W)),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct(f)).cast("long").alias("n_fingerprints"),
+        F.array_min(f).cast("long").alias("fp_min"),
+        F.array_max(f).cast("long").alias("fp_max"),
+    )
+
+
+_SHARD_BUDGET_CHARS = 8_000
+
+
+@query(
+    "llm_shard_manifest",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars,
+               CAST(floor((cum - n_chars) / {_SHARD_BUDGET_CHARS}.0)
+                    AS BIGINT) AS shard_id
+        FROM c
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard_id
+    """,
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (WebDataset/tar-shard planning): assign
+    documents to fixed-byte-budget shards by GLOBAL byte offset —
+    shard_id = floor(bytes_before_doc / budget) over the canonical
+    doc_id order — and emit the per-shard manifest (doc count, bytes,
+    first/last doc). This is the writer-planning step every
+    tokenize-and-pack pipeline runs before cutting tar/ArrayRecord
+    shards; offset-based assignment means shard boundaries are a pure
+    function of the prefix sum, so any worker can compute its own
+    shard membership without coordination.
+
+    The global prefix sum uses :func:`relational.distributed_cumsum`
+    (range repartition → per-partition running sum → broadcast
+    per-partition offsets) — the whitelisted primitive, NOT a global
+    window; the oracle states the same semantics with DuckDB's
+    single-node window. Then one grouped aggregate on shard_id.
+
+    100 TB shape: prefix sums scale as one extra metadata-sized
+    exchange (per-partition totals), and the manifest aggregate
+    map-side combines — the whole plan is two small shuffles
+    regardless of corpus size."""
+    from etl_geonames_spark.operators.relational import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    c = distributed_cumsum(docs, ["doc_id"], "n_chars", "cum")
+    s = c.select(
+        "doc_id",
+        "n_chars",
+        F.floor(
+            (F.col("cum") - F.col("n_chars")) / float(_SHARD_BUDGET_CHARS)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+@query(
+    "llm_dpo_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT source, lang, doc_id, n_chars,
+               n_chars * 1000000 + doc_id AS pack
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(MAX(pack) % 1000000 AS BIGINT) AS chosen_doc,
+           CAST(MIN(pack) % 1000000 AS BIGINT) AS rejected_doc,
+           CAST(MAX(pack) // 1000000
+                - MIN(pack) // 1000000 AS BIGINT) AS score_gap,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM scored
+    GROUP BY source, lang
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within
+    each (source, lang) candidate pool, emit one (chosen, rejected)
+    pair — the highest- vs lowest-scoring document (score = n_chars
+    here; any per-doc quality column slots in) plus the score gap
+    that downstream filtering thresholds on. Pools with a single
+    candidate can't form a pair and are dropped (HAVING n ≥ 2).
+
+    Argmax/argmin run as ONE map-side-combined hash aggregate via
+    the packed-key trick (score·10⁶ + doc_id packs the full
+    tie-break chain into a single MAX/MIN — sql_distinct_on's
+    recipe, so ties break identically in both engines: larger doc_id
+    wins chosen, smaller wins rejected). No window, no sort, no
+    join — the cheapest possible shape, and exactly what survives
+    100 TB: pair construction stays a grouped aggregate no matter
+    how many candidates share a pool. Pack headroom: doc_id < 10⁶
+    by fixture contract; wider ids widen the multiplier."""
+    docs = load_table(spark, sf_dir, "documents")
+    pack = F.col("n_chars") * 1_000_000 + F.col("doc_id")
+    s = docs.select("source", "lang", pack.alias("pack"))
+    return (
+        s.groupBy("source", "lang")
+        .agg(
+            (F.max("pack") % 1_000_000).cast("long").alias("chosen_doc"),
+            (F.min("pack") % 1_000_000).cast("long").alias("rejected_doc"),
+            (
+                F.floor(F.max("pack") / 1_000_000)
+                - F.floor(F.min("pack") / 1_000_000)
+            )
+            .cast("long")
+            .alias("score_gap"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+    )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.Example.com/Docs/'
+                   || CAST(doc_id % 13 AS VARCHAR)
+                   || '/?utm_source=feed&ref=' || lang AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(url),
+                               '^https?://', ''),
+                           '^www\\.', ''),
+                       '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+                   '[?/]+$', '') AS curl
+        FROM raw
+    )
+    SELECT curl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon GROUP BY curl HAVING COUNT(*) >= 2
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup stage of every
+    web-crawl corpus pipeline (C4/CCNet shape): lowercase, strip
+    scheme and leading www., drop tracking query params
+    (utm_*/ref), trim trailing slash/?, then group by the canonical
+    URL keeping the smallest doc id. Fixture documents carry no URL
+    column, so a deterministic mixed-case tracking-parameter URL is
+    synthesized from (source, doc_id, lang) IN BOTH ENGINES — the
+    canonicalization regex chain is the behavior under test.
+
+    Spark's regexp_replace is replace-ALL by default; DuckDB needs
+    the explicit 'g' flag — the oracle encodes that dialect
+    difference, which is exactly the kind of silent divergence the
+    differential gate exists to catch.
+
+    100 TB shape: map-side regex chain (codegen, no UDF) into ONE
+    hash aggregate on the canonical string — identical scaling to
+    llm_dedup_exact; the canonical-URL key is near-unique so no
+    skew, and the HAVING keeps only dup groups (the action set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/Docs/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("lang"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "[?&](utm_[a-z]+|ref)=[^&]*",
+            "",
+        ),
+        "[?/]+$",
+        "",
+    )
+    return (
+        docs.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -716,3 +716,103 @@ def geo_shoelace_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         qround(F.abs(F.col("s") + closure) / 2.0, 4).alias("area_deg2"),
     )
+
+
+@query(
+    "geo_bearing_profile",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {_LAT_SQL.format(k="event_id")} AS lat,
+             {_LON_SQL.format(k="event_id")} AS lon
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS plat,
+             LAG(lon) OVER w AS plon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    b AS (
+      SELECT user_id,
+             sin(radians(lon - plon)) * cos(radians(lat)) AS by_,
+             cos(radians(plat)) * sin(radians(lat))
+               - sin(radians(plat)) * cos(radians(lat))
+                 * cos(radians(lon - plon)) AS bx
+      FROM seg WHERE plat IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             by_ / sqrt(bx * bx + by_ * by_) AS e,
+             bx / sqrt(bx * bx + by_ * by_) AS n
+      FROM b WHERE bx * bx + by_ * by_ > 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           {sql_qround("SUM(e)", 4)} AS sum_east,
+           {sql_qround("SUM(n)", 4)} AS sum_north,
+           {sql_qround(
+               "sqrt(SUM(e) * SUM(e) + SUM(n) * SUM(n)) / COUNT(*)", 4
+           )} AS straightness
+    FROM u GROUP BY user_id
+    """,
+)
+def geo_bearing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional trajectory profile: per segment, the initial
+    great-circle bearing (atan2 form), accumulated as UNIT VECTORS
+    per user — the circular-statistics treatment (mean resultant
+    vector), since bearings can't be averaged as scalars (359° and
+    1° average to due north, not 180°). `straightness` is the
+    resultant length R ∈ [0, 1]: 1 = perfectly consistent heading
+    (commuting in a line), → 0 = isotropic wandering. Emitting the
+    resultant COMPONENTS instead of the angle sidesteps the ±180°
+    wraparound that would make an angle output hash-unstable at the
+    grid edge.
+
+    Same single user-window shape as geo_polyline_length (one
+    exchange on user_id, LAG, then a map-side-combined vector sum);
+    trig ulp noise is absorbed by qround(4). Zero-length segments
+    (consecutive events at one grid point) contribute no direction
+    and are excluded in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    lat, lon = _lat(F.col("event_id")), _lon(F.col("event_id"))
+    pts = ev.select(
+        "user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    dl = F.radians(F.col("lon") - F.col("plon"))
+    by = F.sin(dl) * F.cos(F.radians(F.col("lat")))
+    bx = F.cos(F.radians(F.col("plat"))) * F.sin(
+        F.radians(F.col("lat"))
+    ) - F.sin(F.radians(F.col("plat"))) * F.cos(
+        F.radians(F.col("lat"))
+    ) * F.cos(dl)
+    b = seg.select(
+        "user_id", by.alias("by_"), bx.alias("bx")
+    ).filter(F.col("bx") * F.col("bx") + F.col("by_") * F.col("by_") > 0)
+    norm = F.sqrt(F.col("bx") * F.col("bx") + F.col("by_") * F.col("by_"))
+    u = b.select(
+        "user_id",
+        (F.col("by_") / norm).alias("e"),
+        (F.col("bx") / norm).alias("n"),
+    )
+    return u.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        qround(F.sum("e"), 4).alias("sum_east"),
+        qround(F.sum("n"), 4).alias("sum_north"),
+        qround(
+            F.sqrt(
+                F.sum("e") * F.sum("e") + F.sum("n") * F.sum("n")
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("straightness"),
+    )

@@ -504,3 +504,65 @@ def write_with_metrics(
     )
     observed.write.mode(mode).parquet(path)
     return obs.get
+
+
+_BOTTOMK_K = 20
+
+
+@query(
+    "sample_bottom_k",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, event_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           generate_series(1, len(CAST(event_id AS VARCHAR))),
+                           i -> CAST(ascii(substr(
+                               CAST(event_id AS VARCHAR), i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, event_id, hv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY hv, event_id) AS rk
+        FROM h
+    )
+    SELECT event_type, event_id, CAST(hv AS BIGINT) AS hv
+    FROM r WHERE rk <= {_BOTTOMK_K}
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sampling via the BOTTOM-K trick: rank
+    every row by a content hash and keep the k smallest per group —
+    statistically a uniform k-sample (the hash is a random permutation
+    of the keys) but fully REPRODUCIBLE and, unlike reservoir
+    sampling's sequential state, embarrassingly mergeable: bottom-k of
+    a union = bottom-k of each part's bottom-k, so executors sample
+    locally and only k·partitions candidate rows ever shuffle. This
+    is how distributed engines implement "give me a stable 20-row
+    sample per key" without a global pass.
+
+    The hash is the cross-engine Horner polynomial over the stringified
+    event id (:func:`curation.poly_hash`), so the sample — not just
+    its size — is oracle-checked value-for-value; (hash, id) ordering
+    breaks collision ties identically in both engines.
+
+    100 TB shape: per-group window on the group key (one exchange);
+    Spark's TopK-per-partition pre-filter under AQE keeps the sort
+    local, the llm_sim_topk pattern."""
+    from etl_geonames_spark.operators.curation import poly_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "event_id",
+        poly_hash(F.col("event_id").cast("string")).alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BOTTOMK_K)
+        .select("event_type", "event_id", F.col("hv").cast("long").alias("hv"))
+    )

@@ -2107,3 +2107,98 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("_lcs") + F.col("_offset"))
         .drop("_pid", "_lcs", "_offset")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           {qround_sql("MIN(l_extendedprice)", 2)} AS weighted_median,
+           {qround_sql("MAX(totw)", 2)} AS total_weight
+    FROM r
+    WHERE cumw >= totw / 2.0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest value whose CUMULATIVE weight
+    reaches half the group's total weight — here the quantity-weighted
+    median extended price per return flag (the "median dollar", not
+    the median row: what half the shipped volume paid less than).
+    percentile()'s unweighted form can't express this; the exact
+    definition needs a cumulative-weight scan.
+
+    One l_returnflag-keyed sort feeds the running weight AND the
+    frameless group total (same partitioning — one exchange), then a
+    filter + grouped MIN picks the crossing value. Ties order by
+    (price, orderkey, linenumber) so both engines cross at the same
+    row.
+
+    100 TB shape: per-group window over the group's own shard; a
+    single group bigger than one executor's sort budget goes through
+    distributed_cumsum (the prefix-sum primitive above) keyed by
+    (group, value) instead — same crossing filter, no global window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cumw"),
+        F.sum("l_quantity").over(w_tot).alias("totw"),
+    )
+    return (
+        r.filter(F.col("cumw") >= F.col("totw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            qround(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            qround(F.max("totw"), 2).alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with MULTIPLICITY: a customer
+    placing k orders appears k−1 times after one copy is subtracted,
+    whereas set_except's DISTINCT form collapses them. The
+    multiset semantics matter for reconciliation workloads (ledger
+    vs ledger, emitted vs acked) where HOW MANY copies differ is the
+    answer.
+
+    Spark plans exceptAll as a counted aggregate: tag each side
+    ±1, sum per value, re-expand positive counts with a generator —
+    one shuffle on the value, no join. That is exactly the 100 TB
+    shape (bag difference = grouped arithmetic, never a pairwise
+    match); both sides' scans prune to the single compared column.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.exceptAll(c)

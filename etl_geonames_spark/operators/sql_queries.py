@@ -1210,3 +1210,48 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p").alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "sql_qualify",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+           ) AS INT) AS rk
+    FROM customer
+    QUALIFY rk <= 3
+    """,
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dialect mapping row: the ``QUALIFY`` clause
+    (DuckDB/Snowflake/BigQuery — filter on a window result without a
+    derived table) has no Spark keyword; the engine expresses the
+    identical semantics as window → filter, which Catalyst plans as
+    the same single per-key sort the QUALIFY engines run. The oracle
+    side uses DuckDB's native QUALIFY so the mapping itself is what
+    the differential check verifies.
+
+    Top-3 customers by account balance per market segment;
+    deterministic tie-break on custkey.
+
+    100 TB shape: rank-then-filter per segment shuffles once on the
+    partition key; a hot segment goes through distributed_rank (the
+    whitelisted range-repartition recipe) — never a global window.
+    """
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -1267,3 +1267,67 @@ def ts_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         qround(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
     )
+
+
+@query(
+    "ts_gaps_islands",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, hr,
+               hr - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY hr) AS grp
+        FROM h
+    ),
+    isl AS (
+        SELECT user_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS run_hours
+        FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_hours) AS BIGINT) AS longest_run_hours,
+           CAST(SUM(run_hours) AS BIGINT) AS active_hours
+    FROM isl GROUP BY user_id
+    """,
+)
+def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per
+    user (the classic streak/uptime-segment shape — login streaks,
+    sensor uptime, contiguous coverage windows). The standard
+    rank-difference trick: within a user, hour_index − row_number()
+    is constant exactly along a consecutive run, so one grouped count
+    per (user, that difference) materializes every island without any
+    self-join or iteration.
+
+    Per-user summary output (n_islands / longest run / total active
+    hours) keeps the result deterministic and small.
+
+    100 TB shape: one distinct on (user, hour) — map-side combinable
+    — then a user-partitioned window and two grouped aggregates, all
+    sharing the user_id shuffle key, so the whole query is a single
+    exchange; no global window anywhere (the rank is per-user).
+    Extends the reference's relation building (geonames.js:150-170
+    builds liesIn edges pairwise) with the run-length idiom it lacks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        .cast("long")
+        .alias("hr"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    r = h.withColumn("grp", F.col("hr") - F.row_number().over(w))
+    isl = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_hours")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("run_hours").cast("long").alias("longest_run_hours"),
+        F.sum("run_hours").cast("long").alias("active_hours"),
+    )
