@@ -763,3 +763,104 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("decoded"),
     )
+
+
+_CIDR_BLOCKS = [
+    # (name, network-as-int for a.b.0.0, prefix_len)
+    ("corp-east", 10, 0, 15),   # 10.0.0.0/15
+    ("corp-west", 10, 2, 15),   # 10.2.0.0/15
+    ("vpn", 10, 64, 10),        # 10.64.0.0/10
+    ("guest", 10, 128, 9),      # 10.128.0.0/9
+    ("lab", 10, 0, 8),          # 10.0.0.0/8 (catch-all, shortest)
+]
+
+
+@query(
+    "fn_ip_cidr",
+    oracle=f"""
+    WITH ips AS (
+        SELECT user_id,
+               '10.' || CAST((user_id * 7) % 256 AS VARCHAR) || '.'
+                     || CAST((user_id * 13) % 256 AS VARCHAR) || '.'
+                     || CAST(user_id % 256 AS VARCHAR) AS ip
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    parsed AS (
+        SELECT user_id, ip,
+               CAST(str_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(str_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(str_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(str_split(ip, '.')[4] AS BIGINT) AS ip_int
+        FROM ips
+    ),
+    blocks(net_name, net_int, prefix_len) AS (VALUES {", ".join(
+        f"('{n}', CAST({(a * 16777216) + (b * 65536)} AS BIGINT), {p})"
+        for n, a, b, p in _CIDR_BLOCKS
+    )}),
+    m AS (
+        SELECT p.user_id, p.ip, b.net_name, b.prefix_len
+        FROM parsed p JOIN blocks b
+          ON p.ip_int // CAST(pow(2, 32 - b.prefix_len) AS BIGINT)
+             = b.net_int // CAST(pow(2, 32 - b.prefix_len) AS BIGINT)
+    )
+    SELECT user_id, ip,
+           max_by(net_name, prefix_len) AS net_name,
+           CAST(MAX(prefix_len) AS INT) AS prefix_len
+    FROM m GROUP BY user_id, ip
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP parsing + LONGEST-PREFIX CIDR classification — the network
+    enrichment every access-log pipeline needs: dotted-quad → 32-bit
+    int by pure string/arithmetic expressions (no UDF), then match
+    against a routing-table dim where an IP inside several nested
+    blocks takes the MOST SPECIFIC one (max prefix_len — the same
+    longest-prefix-wins contract as the reference's featureCode
+    matching, geonames.js:94-99, applied to networks). IPs are
+    synthesized deterministically from user ids in both engines (the
+    fixture has no IP column); the /8 catch-all guarantees every IP
+    classifies.
+
+    Match = integer right-shift equality (ip >> (32−len) == net >>
+    (32−len), stated as floor-division so both engines run identical
+    arithmetic), then one argmax aggregate picks the winning block.
+
+    100 TB shape: the routing table broadcasts (real ones are ≤ 1M
+    rows); candidate matches are ≤ blocks-per-IP (nesting depth, ~2-3)
+    so the argmax aggregate is near-free; the fact side never
+    shuffles — classification is scan-side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ip = F.concat(
+        F.lit("10."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 13) % 256).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 256).cast("string"),
+    )
+    parts = F.split(F.col("ip"), "\\.")
+    ip_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    parsed = ev.select("user_id", ip.alias("ip")).select(
+        "user_id", "ip", ip_int.alias("ip_int")
+    )
+    blocks = spark.createDataFrame(
+        [
+            (n, (a * 16777216) + (b * 65536), p)
+            for n, a, b, p in _CIDR_BLOCKS
+        ],
+        "net_name string, net_int long, prefix_len int",
+    )
+    shift = F.pow(F.lit(2.0), 32 - F.col("prefix_len")).cast("long")
+    m = parsed.join(
+        F.broadcast(blocks),
+        F.floor(F.col("ip_int") / shift) == F.floor(F.col("net_int") / shift),
+    )
+    return m.groupBy("user_id", "ip").agg(
+        F.max_by("net_name", "prefix_len").alias("net_name"),
+        F.max("prefix_len").cast("int").alias("prefix_len"),
+    )

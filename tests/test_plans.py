@@ -439,3 +439,33 @@ def test_pagerank_bucketed_one_shuffle_per_round(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pr_edges_by_src_test")
+
+
+def test_join_band_time_is_bucketed_equi_join_not_nested_loop(spark, sf_dir):
+    """The pure band join (no equi key) must run as the grid-bucketed
+    rewrite: an equi-join on the time bucket with the |dt| <= B
+    predicate as a post-join filter. A nested-loop/cartesian plan here
+    is O(n*m) over two fact tables — the exact failure mode the
+    bucketing exists to prevent."""
+    df = QUERIES["join_band_time"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_sample_bottom_k_and_shard_manifest_plans(spark, sf_dir):
+    """Bottom-k sampling is one per-group window exchange (never a
+    global sort); the shard manifest rides distributed_cumsum — its
+    only windows are the whitelisted per-partition + offsets pair, no
+    global-partition window over the data."""
+    bk = QUERIES["sample_bottom_k"](spark, sf_dir)
+    assert not has_node(bk, "GlobalLimit"), "bottom-k must not global-sort"
+    plan = explain_str(bk)
+    assert "Window" in plan
+    sm = QUERIES["llm_shard_manifest"](spark, sf_dir)
+    # global-window sweep already covers the unpartitioned-window ban;
+    # pin that the manifest aggregate keeps a partial (map-side) phase
+    assert explain_str(sm).count("HashAggregate") >= 2
