@@ -93,6 +93,13 @@ def edge_ddb(edge_sf_dir):
         "llm_feature_hashing",
         "llm_zipf_slope",
         "llm_lm_crossentropy",
+        # session-3b additions over documents: winnowing's gram/window
+        # CASE guards are exactly the short-doc edge; the others assert
+        # group/dedup logic under degenerate (empty-text) rows
+        "llm_winnowing",
+        "llm_dpo_pairs",
+        "llm_url_dedup",
+        "llm_shard_manifest",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
@@ -116,6 +123,14 @@ def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
                 a = list(a)
             if hasattr(b, "tolist"):
                 b = list(b)
+            both_nan = (
+                isinstance(a, float)
+                and isinstance(b, float)
+                and a != a
+                and b != b
+            )
+            if both_nan:  # NULL aggregate over empty set on both sides
+                continue
             assert a == pytest.approx(b, abs=1e-9), (name, col, i)
 
 
