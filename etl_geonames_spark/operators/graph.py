@@ -479,9 +479,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round edge exchange (pagerank_bucketed's plan argument,
     identical here)."""
     e = _edges(spark, sf_dir)
-    und = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # every round re-reads und (and the label chain re-derives it
+    # transitively) — pin the small symmetrized edge list once so the
+    # unrolled plan doesn't re-run scan+union+distinct per round (the
+    # llm_semdedup subplan-reuse lesson; |edges| rows, cheap)
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(3):
