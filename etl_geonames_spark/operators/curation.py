@@ -2106,3 +2106,104 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_BOOT_REPS = 200
+_BOOT_P = 1_000_003
+
+
+def _boot_k_sql(j: int) -> str:
+    return (
+        f"(CASE WHEN ((doc_id * 48271 + r * 69621 + {j} * 40503) "
+        f"% {_BOOT_P}) % 4 = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+@query(
+    "llm_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT doc_id, n_chars, r,
+               {" + ".join(_boot_k_sql(j) for j in (1, 2, 3, 4))} AS k
+        FROM documents,
+             (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS r)
+    ),
+    m AS (
+        SELECT r,
+               SUM(k * n_chars) / CAST(SUM(k) AS DOUBLE) AS mean_r
+        FROM reps GROUP BY r
+    ),
+    ci AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+               quantile_disc(mean_r, 0.025) AS ci_lo,
+               quantile_disc(mean_r, 0.975) AS ci_hi
+        FROM m
+    ),
+    pt AS (SELECT AVG(n_chars) AS point_mean FROM documents)
+    SELECT n_reps, point_mean, ci_lo, ci_hi FROM ci, pt
+    """,
+)
+def llm_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a corpus statistic (mean doc
+    length), via the POISSON bootstrap — the distributed-systems form
+    of resampling: instead of drawing n docs with replacement per
+    replicate (which needs a global shuffle per replicate), each doc
+    independently enters replicate r with a Binomial(4, ¼) ≈
+    Poisson(1) count, so all 200 replicates compute in ONE grouped
+    aggregate over a doc×replicate expansion. This is how eval
+    pipelines put error bars on corpus metrics without 200 passes.
+
+    Replicate weights come from a deterministic arithmetic hash of
+    (doc, replicate, trial) — both engines replay the identical
+    counts, replicate means are exact-integer ratios (ulp-identical
+    doubles), and the CI bounds are DISCRETE percentiles (actual
+    replicate values, agg_percentile_disc's cross-engine anchor) —
+    so the whole randomized procedure carries a full value-hash
+    oracle.
+
+    100 TB shape: the ×200 expansion is map-side (broadcast replicate
+    spine), the aggregate map-side-combines to 200 rows, and the CI
+    is an aggregate over those — corpus scans once. Replicates tune
+    precision vs cost linearly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("r"))
+    k = None
+    for j in (1, 2, 3, 4):
+        term = F.when(
+            (
+                (
+                    F.col("doc_id") * 48271
+                    + F.col("r") * 69621
+                    + j * 40503
+                )
+                % _BOOT_P
+            )
+            % 4
+            == 0,
+            1,
+        ).otherwise(0)
+        k = term if k is None else k + term
+    expanded = docs.crossJoin(F.broadcast(reps)).select(
+        "r", "n_chars", k.alias("k")
+    )
+    m = expanded.groupBy("r").agg(
+        (
+            F.sum(F.col("k") * F.col("n_chars"))
+            / F.sum("k").cast("double")
+        ).alias("mean_r")
+    )
+    m.createOrReplaceTempView("boot_reps_means")
+    ci = spark.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+               percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_r)
+                   AS ci_lo,
+               percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_r)
+                   AS ci_hi
+        FROM boot_reps_means
+    """)
+    pt = docs.agg(F.avg("n_chars").alias("point_mean"))
+    return ci.crossJoin(F.broadcast(pt)).select(
+        "n_reps", "point_mean", "ci_lo", "ci_hi"
+    )

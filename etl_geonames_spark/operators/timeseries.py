@@ -1331,3 +1331,141 @@ def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_hours").cast("long").alias("longest_run_hours"),
         F.sum("run_hours").cast("long").alias("active_hours"),
     )
+
+
+_LTTB_BUCKET_SECONDS = 129_600  # 36 h — ~20 buckets over the 30-day span
+_LTTB_EPOCH_BASE = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) - {_LTTB_EPOCH_BASE} AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    pb AS (
+        SELECT *, x // {_LTTB_BUCKET_SECONDS} AS bkt FROM pts
+    ),
+    agg AS (
+        SELECT user_id, bkt,
+               SUM(x) AS sx, SUM(y) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pb GROUP BY user_id, bkt
+    ),
+    scored AS (
+        SELECT p.user_id, p.bkt, p.event_id,
+               abs((pr.sx * nx.n - nx.sx * pr.n) * (p.y * pr.n - pr.sy)
+                   - (pr.sx - p.x * pr.n) * (nx.sy * pr.n - pr.sy * nx.n))
+                   AS score
+        FROM pb p
+        JOIN agg pr ON p.user_id = pr.user_id AND pr.bkt = p.bkt - 1
+        JOIN agg nx ON p.user_id = nx.user_id AND nx.bkt = p.bkt + 1
+    ),
+    ranked AS (
+        SELECT user_id, bkt, event_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, bkt
+                   ORDER BY score DESC, event_id DESC) AS rk
+        FROM scored
+    )
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt, event_id,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the visually-faithful time-series reducer every dashboard layer
+    runs: per 36-hour bucket keep the ONE point forming the largest
+    triangle with the neighboring buckets' centroids, preserving
+    spikes and shape where naive avg/first sampling flattens them.
+    This is the parallel bucket-mean variant (neighbors are bucket
+    centroids, not the previously-selected point), which drops the
+    sequential dependency that makes textbook LTTB undistributable —
+    each bucket selects independently.
+
+    EXACT INTEGER arithmetic throughout: x rebased to epoch-seconds
+    from 2024-01-01, y in half-up cents, and the triangle area
+    cross-multiplied by n_prev²·n_next to clear both centroid
+    divisions — so the argmax ranks on a BIGINT and the differential
+    hash cannot be flipped by float accumulation order (CLAUDE.md's
+    prefer-all-integer rule; magnitudes stay < 2^63 by the rebase).
+    Interior buckets only (both neighbors must exist) — endpoint
+    buckets are kept wholesale by real renderers anyway.
+
+    100 TB shape: one (user, bucket) aggregate, two self-joins
+    against the tiny per-bucket table on the SAME user key (no new
+    shuffle partitioning), one per-bucket window. Bucket widths tune
+    output density; everything map-side-combines."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+            .cast("long")
+            - _LTTB_EPOCH_BASE
+        ).alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    pb = pts.withColumn(
+        "bkt", F.floor(F.col("x") / _LTTB_BUCKET_SECONDS).cast("long")
+    )
+    agg = pb.groupBy("user_id", "bkt").agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pr = agg.select(
+        F.col("user_id").alias("p_uid"),
+        (F.col("bkt") + 1).alias("p_bkt"),
+        F.col("sx").alias("p_sx"),
+        F.col("sy").alias("p_sy"),
+        F.col("n").alias("p_n"),
+    )
+    nx = agg.select(
+        F.col("user_id").alias("n_uid"),
+        (F.col("bkt") - 1).alias("n_bkt"),
+        F.col("sx").alias("n_sx"),
+        F.col("sy").alias("n_sy"),
+        F.col("n").alias("n_n"),
+    )
+    scored = (
+        pb.join(
+            pr,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("bkt") == F.col("p_bkt")),
+        )
+        .join(
+            nx,
+            (F.col("user_id") == F.col("n_uid"))
+            & (F.col("bkt") == F.col("n_bkt")),
+        )
+        .select(
+            "user_id",
+            "bkt",
+            "event_id",
+            F.abs(
+                (F.col("p_sx") * F.col("n_n") - F.col("n_sx") * F.col("p_n"))
+                * (F.col("y") * F.col("p_n") - F.col("p_sy"))
+                - (F.col("p_sx") - F.col("x") * F.col("p_n"))
+                * (F.col("n_sy") * F.col("p_n") - F.col("p_sy") * F.col("n_n"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("score").desc(), F.col("event_id").desc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("bkt").cast("long").alias("bkt"),
+            "event_id",
+            F.col("score").cast("long").alias("score"),
+        )
+    )
