@@ -2207,3 +2207,105 @@ def llm_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.crossJoin(F.broadcast(pt)).select(
         "n_reps", "point_mean", "ci_lo", "ci_hi"
     )
+
+
+@query(
+    "llm_metric_spearman",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               n_chars AS x,
+               CAST(len(list_distinct(
+                   list_filter(str_split(text, ' '), t -> t <> '')))
+                   AS BIGINT) AS y
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT)
+                   AS rx,
+               CAST(ROW_NUMBER() OVER (ORDER BY y, doc_id) AS BIGINT)
+                   AS ry
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * ry) AS sxy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM r
+    )
+    SELECT n,
+           (CAST(n * sxy - sx * sy AS DOUBLE))
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+    FROM s
+    """,
+)
+def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-document metrics
+    (length in chars vs vocabulary size) — the monotone-association
+    check quality dashboards run where Pearson (agg_corr_covar)
+    assumes linearity. Ranks are GLOBAL, which is exactly what the
+    global-window ban exists for: both metrics rank through
+    :func:`relational.distributed_rank` (range repartition →
+    per-partition row_number → broadcast offsets), with doc_id as the
+    deterministic tie-break so ranks are an exact permutation in both
+    engines.
+
+    From there everything is EXACT integer moment sums (ranks are
+    ints; every sum fits int64 at any plausible n), combined by the
+    textbook product-moment formula with the two variance factors
+    cast to double only for the final multiply/sqrt — so the output
+    double is bit-identical across engines with no rounding grid at
+    all.
+
+    100 TB shape: two distributed ranks (each one range exchange +
+    metadata window), one join on doc_id, one global moment
+    aggregate — corpus scans once per metric, no global sort ever
+    materializes on one node."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda t: t != F.lit("")
+                )
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    rx = distributed_rank(m.select("doc_id", "x"), ["x", "doc_id"]).select(
+        "doc_id", F.col("_grn").cast("long").alias("rx")
+    )
+    ry = distributed_rank(m.select("doc_id", "y"), ["y", "doc_id"]).select(
+        "doc_id", F.col("_grn").cast("long").alias("ry")
+    )
+    s = (
+        rx.join(ry, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rx").alias("sx"),
+            F.sum("ry").alias("sy"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "n", (num / F.sqrt(vx * vy)).alias("spearman_rho")
+    )

@@ -119,7 +119,7 @@ _DRIVER_PRIORITY = [
     "sql_qualify", "llm_winnowing", "llm_shard_manifest", "llm_dpo_pairs",
     "sample_bottom_k", "geo_bearing_profile", "llm_url_dedup",
     "join_band_time", "fn_ip_cidr", "ts_lttb_downsample",
-    "llm_bootstrap_ci",
+    "llm_bootstrap_ci", "llm_metric_spearman",
     # mm_frame_sample upgraded to oracle-backed (r3); the rest are
     # rows-only (no oracle) — weaker driver rows, after the hash-checkable set
     "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
