@@ -208,3 +208,115 @@ def test_embedding_dedup_fixture_plants_are_nonvacuous(spark, sf_dir):
     for r in rows:
         assert r["vec_b"] == r["vec_a"] + 1_000_000
         assert r["cos_sim"] >= 0.99
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """The winnowing THEOREM (Schleimer et al. 2003), checked through
+    the actual registry query: any two documents sharing a run of at
+    least k + w - 1 = 3 + 4 - 1 = 6 consecutive tokens must share at
+    least one selected fingerprint, because the shared run contains a
+    full window of common 3-gram hashes whose minimum both documents
+    select. Docs with DISJOINT vocabularies must share none.
+
+    Seeded random corpora with planted shared runs; fingerprints come
+    back from a variant of the registered query that returns the
+    selected sets (the summary query is a projection of it)."""
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rng = random.Random(7)
+    shared_run = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(10):
+        noise_a = [f"a{i}w{rng.randint(0, 50)}" for _ in range(12)]
+        noise_b = [f"b{i}w{rng.randint(0, 50)}" for _ in range(12)]
+        cut_a, cut_b = rng.randint(0, 12), rng.randint(0, 12)
+        rows.append(
+            (
+                2 * i,
+                " ".join(noise_a[:cut_a] + shared_run + noise_a[cut_a:]),
+            )
+        )
+        rows.append(
+            (
+                2 * i + 1,
+                " ".join(noise_b[:cut_b] + shared_run + noise_b[cut_b:]),
+            )
+        )
+    # two control docs with fully disjoint vocabulary
+    rows.append((100, " ".join(f"c0w{j}" for j in range(20))))
+    rows.append((101, " ".join(f"c1w{j}" for j in range(20))))
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": pd.array(
+                [len(r[1]) for r in rows], dtype="int64"
+            ),
+        }
+    )
+    d = tmp_path / "win_corpus"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+
+    # recompute the selected fingerprint SETS with the same expressions
+    # the registry query aggregates over (its n_fingerprints/min/max
+    # are projections of this set)
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.curation import (
+        _FH_P,
+        _WINNOW_K_WINDOW,
+        poly_hash,
+    )
+
+    docs = spark.read.parquet(str(d))
+    tk = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    hw = F.transform(tk, poly_hash)
+    g = F.when(
+        F.size(hw) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hw) - 2),
+            lambda i: (
+                (F.element_at(hw, i) * 131 + F.element_at(hw, i + 1))
+                % _FH_P
+                * 131
+                + F.element_at(hw, i + 2)
+            )
+            % _FH_P,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    W = _WINNOW_K_WINDOW
+    base = docs.select("doc_id", g.alias("g"))
+    f_col = (
+        F.when(F.size(F.col("g")) == 0, F.array().cast("array<bigint>"))
+        .when(F.size(F.col("g")) < W, F.array(F.array_min(F.col("g"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("g")) - (W - 1)),
+                lambda j: F.array_min(F.slice(F.col("g"), j, W)),
+            )
+        )
+    )
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in base.select(
+            "doc_id", F.array_distinct(f_col).alias("f")
+        ).collect()
+    }
+    for i in range(10):
+        assert fps[2 * i] & fps[2 * i + 1], f"pair {i} shares no fingerprint"
+    assert not (fps[100] & fps[101]), "disjoint docs must not collide"
+
+    # and the registered summary query agrees with the set sizes
+    summary = {
+        r["doc_id"]: r["n_fingerprints"]
+        for r in entry_mod.queries()["llm_winnowing"](
+            spark, str(d)
+        ).collect()
+    }
+    for did, s in fps.items():
+        assert summary[did] == len(s), did
