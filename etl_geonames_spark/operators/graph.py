@@ -511,3 +511,138 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label"),
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# link prediction & core decomposition (undirected view of the edge list)
+# ---------------------------------------------------------------------------
+
+# Symmetrized, self-loop-free, deduped undirected adjacency — shared
+# by the link-prediction and k-core oracles below.
+_UND_SQL = f"""
+    und AS (
+        SELECT DISTINCT s, t FROM (
+            SELECT src AS s, dst AS t FROM edges
+            UNION ALL
+            SELECT dst AS s, src AS t FROM edges
+        ) WHERE s <> t
+    )
+"""
+
+
+def _und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    fwd = e.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+    rev = e.select(F.col("dst").alias("s"), F.col("src").alias("t"))
+    return fwd.unionAll(rev).filter(F.col("s") != F.col("t")).distinct()
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    wedges AS (
+        SELECT a.t AS na, b.t AS nb, a.s AS z
+        FROM und a JOIN und b ON a.s = b.s AND a.t < b.t
+    )
+    SELECT w.na, w.nb,
+           CAST(COUNT(*) AS BIGINT) AS cn,
+           {sql_qround('SUM(CAST(1 AS DOUBLE) / ln(CAST(deg.d AS DOUBLE)))', 6)}
+               AS adamic_adar
+    FROM wedges w JOIN deg ON deg.s = w.z
+    GROUP BY w.na, w.nb
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: for node pairs sharing ≥ 2 common
+    neighbors, score = Σ_z 1/ln(deg(z)) over the shared neighbors z —
+    rare mutual friends count more (Adamic & Adar 2003). The seed-URL
+    / account-linking heuristic a curation pipeline runs on its
+    domain graph.
+
+    Candidate pairs come from the WEDGE join (adjacency self-joined on
+    the center, t_a < t_b) — output is Σ_z deg(z)², never |V|²; the
+    skew hazard is hub centers, the standard cap being a max-degree
+    filter before wedging (triangle counting's trick, same module).
+    Every wedge center has deg ≥ 2 by construction, so ln(deg) > 0 —
+    no division guard needed. The ≥ 2-common-neighbor gate is an
+    exact integer HAVING; only the emitted score is float (per-pair
+    sum order varies → qround 6).
+    """
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = und.alias("a"), und.alias("b")
+    wedges = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
+    ).select(
+        F.col("a.t").alias("na"), F.col("b.t").alias("nb"),
+        F.col("a.s").alias("z"),
+    )
+    return (
+        wedges.join(deg.withColumnRenamed("s", "z"), "z")
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("_aa"),
+        )
+        .filter(F.col("cn") >= 2)
+        .select("na", "nb", "cn", qround(F.col("_aa"), 6).alias("adamic_adar"))
+    )
+
+
+_KCORE_K = 3
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    d0 AS (SELECT s, COUNT(*) AS d FROM und GROUP BY s),
+    keep1 AS (SELECT s FROM d0 WHERE d >= {_KCORE_K}),
+    e1 AS (
+        SELECT u.s, u.t FROM und u
+        JOIN keep1 a ON u.s = a.s JOIN keep1 b ON u.t = b.s
+    ),
+    d1 AS (SELECT s, COUNT(*) AS d FROM e1 GROUP BY s),
+    keep2 AS (SELECT s FROM d1 WHERE d >= {_KCORE_K}),
+    e2 AS (
+        SELECT u.s, u.t FROM e1 u
+        JOIN keep2 a ON u.s = a.s JOIN keep2 b ON u.t = b.s
+    )
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e2 GROUP BY s
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeling rounds toward the k-core (k = 3): drop nodes with
+    induced degree < k, recompute degrees on the induced subgraph,
+    drop again — the dense-community extractor (and the standard
+    preprocessing that shrinks a graph before expensive triangle /
+    community passes). Fixed-round unrolling keeps the whole thing
+    one lazy differential-checkable plan; the converged variant is
+    the same body in a driver loop with localCheckpoint per round
+    (the connected-components pattern, llm.py).
+
+    Each round is two hash aggregates (degrees) + two semi-join-shaped
+    filters on the surviving-node set — at 100 TB the node list is the
+    broadcast side long before convergence, because peeling only ever
+    shrinks it. All-integer output: node id and its final induced
+    degree.
+    """
+    und = _und(spark, sf_dir)
+    e = und
+    for _ in range(2):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("s")
+        e = (
+            e.join(keep, "s")
+            .join(keep.withColumnRenamed("s", "t"), "t")
+            .select("s", "t")
+        )
+    return e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

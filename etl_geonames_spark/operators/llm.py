@@ -2601,3 +2601,173 @@ def llm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         qround(F.avg(sil), 6).alias("avg_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram first-occurrence analytics (novelty + boilerplate mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 5-gram
+    shingles whose FIRST corpus occurrence (min doc_id — ingestion
+    order) is the doc itself. The "how much new text does this doc
+    add" metric from the dedup literature (the aggregate view of what
+    exact-substring dedup removes): boilerplate-heavy docs score near
+    0, fresh content near 1.
+
+    Two exchanges at any scale: one hash aggregate per shingle for the
+    first-occurrence table, one shingle-keyed join back (both
+    map-side combined; the shingle table is the corpus's distinct
+    5-gram vocabulary, never pairs). novelty = exact int division —
+    deterministic double, no rounding grid.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(_shingles("toks", 5))).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "llm_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+    SELECT g, df FROM df WHERE df >= 3
+    ORDER BY df DESC, g LIMIT 50
+    """,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 5-gram shingles shared by the most
+    documents (document frequency ≥ 3, top-50) — the header/footer/
+    disclaimer phrases a curation pipeline strips before dedup (they
+    inflate every pairwise similarity). One distinct-shingle explode,
+    one hash aggregate, then TakeOrdered(50) on (df desc, gram) —
+    never a global sort; the candidate set after the df ≥ 3 filter is
+    a vocabulary tail, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(_shingles("toks", 5))).alias("g")
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= 3)
+        .orderBy(F.col("df").desc(), "g")
+        .limit(50)
+    )
+
+
+@query(
+    "llm_bpe_pair_step",
+    oracle="""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(word) - 1),
+               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+             wf
+      FROM words
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer iteration at the character level: the 20 most
+    frequent adjacent symbol pairs across the corpus, each word
+    weighted by its corpus frequency (Sennrich et al. 2016's merge
+    candidate selection — the argmax of this table IS the next merge).
+
+    The corpus collapses to the word-frequency table first (one hash
+    aggregate — the standard BPE trick: |vocab| ≪ corpus tokens), so
+    pair extraction runs over distinct words only; a second aggregate
+    sums weighted pair counts and TakeOrdered(20) picks the merge
+    candidates. Spark's sequence(1, 0) counts DOWN for 1-char words —
+    the same descending-sequence trap as _shingles, guarded the same
+    way (DuckDB's generate_series is empty there).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "IF(length(word) >= 2,"
+                "   transform(sequence(1, length(word) - 1),"
+                "     i -> substring(word, i, 2)),"
+                "   array())"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

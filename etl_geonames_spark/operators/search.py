@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround
+from etl_geonames_spark.functions import qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -157,3 +157,130 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", qround(F.col("s"), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_SHORTLIST = 20
+_RRF_TOPK = 10
+
+
+@query(
+    "llm_rrf_fusion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE list_dot_product(
+        CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+    ),
+    j AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_dot_product(q.emb, c.emb) AS dotp,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS coss
+      FROM (SELECT * FROM e WHERE vec_id < 3) q
+      JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ra AS (
+      SELECT q_id, c_id, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY coss DESC, c_id) AS rn_a FROM j
+    ),
+    rb AS (
+      SELECT q_id, c_id, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY dotp DESC, c_id) AS rn_b FROM j
+    ),
+    f AS (
+      SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+             COALESCE(a.c_id, b.c_id) AS c_id,
+             COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + a.rn_a),
+                      CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + b.rn_b),
+                          CAST(0 AS DOUBLE)) AS rrf
+      FROM (SELECT * FROM ra WHERE rn_a <= {_RRF_SHORTLIST}) a
+      FULL JOIN (SELECT * FROM rb WHERE rn_b <= {_RRF_SHORTLIST}) b
+        ON a.q_id = b.q_id AND a.c_id = b.c_id
+    )
+    SELECT q_id, c_id, {sql_qround('rrf', 6)} AS rrf
+    FROM (
+      SELECT q_id, c_id, rrf, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn
+      FROM f
+    ) t WHERE rn <= {_RRF_TOPK}
+    """,
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankers over the embedding corpus — cosine similarity and raw dot
+    product genuinely disagree (norms vary), and RRF is the standard
+    way hybrid search merges lexical + dense lists without score
+    calibration: score = Σ 1/(60 + rank), missing-from-shortlist
+    contributes 0.
+
+    Both rankers rank per query (windows PARTITIONED by q_id — the
+    allowed shape), keep a 20-deep shortlist each, and fuse via a
+    full-outer join on (q_id, c_id) — |q|·20-row tables, metadata-
+    sized regardless of corpus size once the shortlists exist. The
+    fused score is a fixed-order sum of two exact divisions, so
+    ordering is deterministic; qround(6) guards only the emitted
+    value. At scale the brute-force ranking stage swaps for the
+    llm_ann_ivf shortlist; the fusion plan is unchanged — that
+    separation is the point of RRF.
+    """
+    from etl_geonames_spark.operators.llm import _as_double, cosine, _dot
+    from pyspark.sql import Window
+
+    # zero-norm vectors carry no direction: cosine would be an ANSI
+    # divide-by-zero job-kill — both engines drop them up front
+    # (pinned in tests/test_edge_inputs.py)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .filter(_dot(F.col("emb"), F.col("emb")) > 0)
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
+    j = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            _dot(F.col("q_emb"), F.col("c_emb")).alias("dotp"),
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("coss"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("coss").desc(), "c_id")
+    wb = Window.partitionBy("q_id").orderBy(F.col("dotp").desc(), "c_id")
+    ra = (
+        j.withColumn("rn_a", F.row_number().over(wa))
+        .filter(F.col("rn_a") <= _RRF_SHORTLIST)
+        .select("q_id", "c_id", "rn_a")
+    )
+    rb = (
+        j.withColumn("rn_b", F.row_number().over(wb))
+        .filter(F.col("rn_b") <= _RRF_SHORTLIST)
+        .select("q_id", "c_id", "rn_b")
+    )
+    fused = (
+        ra.join(rb, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rn_a")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rn_b")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "c_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _RRF_TOPK)
+        .select("q_id", "c_id", qround(F.col("rrf"), 6).alias("rrf"))
+    )

@@ -1,0 +1,428 @@
+"""Distribution-free statistics over the corpus (engine extension,
+SURVEY.md §2.21).
+
+The reference pipeline emits data for humans to eyeball downstream
+(geonames.js:151-163 writes NDJSON and stops); a 100 TB curation
+engine must *decide* — are two slices of the corpus the same
+distribution, are two labels independent, which of ten thousand
+per-group tests survive multiple-comparison correction. This module
+adds the classic distribution-free tests, built on the repo's
+distributed-rank/prefix-sum primitives so nothing ever funnels
+through a global single-task window (the global-window ban,
+tests/test_plans.py).
+
+Numeric discipline: every statistic is driven to an all-integer core
+(rank sums, cumulative counts, cross-multiplied ECDF gaps, scaled
+p-values) so the differential hash vs DuckDB compares exact integers;
+doubles appear only in final single-expression divisions, which are
+bit-identical IEEE ops on both engines. The one unavoidable
+float *sum* (chi-square's cell terms) is qround-ed on both sides.
+
+100 TB shape notes:
+  - Mann-Whitney / KS rank through ``relational.distributed_rank`` /
+    ``distributed_cumsum`` — one range exchange each, per-partition
+    windows, metadata-sized offset tables broadcast back.
+  - chi-square's contingency table is one hash aggregate; margins are
+    broadcast re-aggregates of the (tiny) cell table, never a second
+    scan of the corpus.
+  - BH-FDR is the distributed-rank pattern again: the m tests rank
+    once, the step-up comparison is a pure integer predicate, and the
+    threshold extraction is a global max aggregate — no sorted
+    collect to the driver at any m.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.registry import query
+from etl_geonames_spark.sources import load_table
+
+
+@query(
+    "stat_mann_whitney",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, n_chars AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    r AS (
+        SELECT g,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT) AS rk
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n1,
+               CAST(SUM(1 - g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN rk ELSE 0 END) AS BIGINT) AS r1
+        FROM r
+    )
+    SELECT n1, n2, r1,
+           r1 - (n1 * (n1 + 1)) // 2 AS u1,
+           n1 * n2 - (r1 - (n1 * (n1 + 1)) // 2) AS u2,
+           CASE WHEN n1 * n2 = 0 THEN NULL
+                ELSE CAST(r1 - (n1 * (n1 + 1)) // 2 AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE) END AS auc
+    FROM s
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U: are English documents longer than the rest,
+    without assuming normality? Pools both groups, ranks globally
+    (``distributed_rank`` — range repartition, per-partition
+    row_number, broadcast offsets; never a global window), and sums
+    ranks per group: U1 = R1 - n1(n1+1)/2, AUC = U1/(n1·n2) — the
+    probability a random English doc outranks a random non-English
+    one.
+
+    Ties break by doc_id (row-number ranks, not midranks) — the same
+    deterministic permutation in both engines, documented rather than
+    tie-averaged: at corpus scale the AUC difference is O(ties/n²)
+    and the differential hash needs an exact integer core.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    ranked = distributed_rank(m, ["x", "doc_id"])
+    s = ranked.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("_grn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("r1"),
+    )
+    u1 = F.expr("r1 - (n1 * (n1 + 1)) div 2")
+    # one-sided corpora (n1·n2 = 0) leave AUC undefined: NULL, not an
+    # ANSI divide-by-zero job-kill (pinned in tests/test_edge_inputs)
+    return s.select(
+        "n1",
+        "n2",
+        "r1",
+        u1.alias("u1"),
+        (F.col("n1") * F.col("n2") - u1).alias("u2"),
+        F.when(
+            F.col("n1") * F.col("n2") != 0,
+            u1.cast("double") / (F.col("n1") * F.col("n2")).cast("double"),
+        ).alias("auc"),
+    )
+
+
+@query(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH m AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    pv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(SUM(1 - g) AS BIGINT) AS c2
+        FROM m GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM pv
+    ),
+    t AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM pv
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT) AS d_num,
+           CASE WHEN t.n1 * t.n2 = 0 THEN NULL
+                ELSE CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS DOUBLE)
+                     / CAST(t.n1 * t.n2 AS DOUBLE) END AS ks_d
+    FROM c, t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between English and non-English
+    length distributions — the drift check a corpus-versioning
+    pipeline runs between snapshots. D = sup_x |F1(x) - F2(x)|,
+    computed on an exact integer grid: per distinct value, per-group
+    counts; cumulative counts via ``distributed_cumsum`` (the
+    prefix-sum primitive — range exchange + per-partition window +
+    broadcast offsets, never a global window); and the supremum as
+    max|cum1·n2 - cum2·n1| so no division happens until the final
+    one-expression D.
+
+    The cumulative table is value-distinct (|distinct metric values|
+    rows, not corpus rows) — at 100 TB the corpus aggregates down
+    before anything is ranked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_geonames_spark.operators.relational import distributed_cumsum
+
+    pv = (
+        docs.select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+        )
+    )
+    cum1 = distributed_cumsum(pv, ["v"], "c1", "cum1").select("v", "cum1")
+    cum2 = distributed_cumsum(pv, ["v"], "c2", "cum2").select("v", "cum2")
+    totals = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    c = cum1.join(cum2, "v").crossJoin(F.broadcast(totals))
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    # same NULL-not-throw contract as stat_mann_whitney's AUC
+    return (
+        c.groupBy("n1", "n2")
+        .agg(F.max(gap).alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.when(
+                F.col("n1") * F.col("n2") != 0,
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+            ).alias("ks_d"),
+        )
+    )
+
+
+@query(
+    "stat_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    cm AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(n.n * cells.o - rm.r * cm.c AS DOUBLE)
+               * CAST(n.n * cells.o - rm.r * cm.c AS DOUBLE)
+               / (CAST(n.n AS DOUBLE) * CAST(rm.r AS DOUBLE)
+                  * CAST(cm.c AS DOUBLE)) AS t
+        FROM cells JOIN rm USING (lang) JOIN cm USING (source), n
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_cols,
+           ((SELECT COUNT(*) FROM rm) - 1)
+               * ((SELECT COUNT(*) FROM cm) - 1) AS dof,
+           {sql_qround('SUM(t)', 6)} AS chi2
+    FROM terms
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between ``lang`` and
+    ``source`` — is the language mix uniform across ingestion
+    sources, or does some source skew the corpus? One hash aggregate
+    builds the contingency table; row/column margins and the grand
+    total are re-aggregates of that (tiny) cell table, broadcast back
+    — the corpus scans exactly once at any scale.
+
+    Per-cell terms use the cross-multiplied form
+    (n·o - r·c)² / (n·r·c): the difference is an exact int64
+    (|n·o| ≤ N², fine to N ≈ 3·10⁹ docs), squared in double so both
+    engines perform the identical IEEE op. The final sum over cells
+    is the module's one order-dependent float aggregate → qround(6)
+    on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    diff = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    term = (diff * diff) / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("t"))
+    )
+    shape = (
+        rm.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(
+            F.broadcast(cm.agg(F.count(F.lit(1)).cast("long").alias("n_cols")))
+        )
+    )
+    return (
+        terms.agg(qround(F.sum("t"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(shape))
+        .select(
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# BH-FDR inputs: a deterministic per-doc "p-value" on a 1/1000003
+# grid — an LCG-style arithmetic hash both engines replay exactly,
+# with every 10th doc planted as a true signal (p ≤ 999/1000003) so
+# the step-up procedure has something real to find at any sf.
+_BH_PRIME = 1000003
+_BH_ALPHA_INV = 20  # alpha = 1/20 = 0.05
+
+
+@query(
+    "stat_bh_fdr",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN ((doc_id * 1103515245 + 12345) % {_BH_PRIME}) % 1000
+                    ELSE (doc_id * 1103515245 + 12345) % {_BH_PRIME}
+               END AS p6
+        FROM documents
+    ),
+    r AS (
+        SELECT p6,
+               CAST(ROW_NUMBER() OVER (ORDER BY p6, doc_id) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    )
+    SELECT m,
+           CAST(COALESCE(MAX(CASE
+               WHEN p6 * m * {_BH_ALPHA_INV} <= k * {_BH_PRIME}
+               THEN k END), 0) AS BIGINT) AS k_rejected,
+           CAST(COALESCE(MAX(CASE
+               WHEN p6 * m * {_BH_ALPHA_INV} <= k * {_BH_PRIME}
+               THEN p6 END), -1) AS BIGINT) AS p6_threshold
+    FROM r GROUP BY m
+    """,
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control at α = 0.05 over m
+    per-document test p-values — the multiple-comparison gate any
+    per-group anomaly sweep needs before alerting. p-values live on
+    an integer grid (p = p6/1000003), so the step-up condition
+    p_(k) ≤ k·α/m becomes the pure int64 predicate
+    p6·m·20 ≤ k·1000003 — no float ever enters the decision.
+
+    k* (the largest rank satisfying the condition — BH rejects all
+    ranks ≤ k*) and the p6 at k* both fall out of one global max
+    aggregate over the ranked table; ranks come from
+    ``distributed_rank`` (range exchange + broadcast offsets), so
+    the procedure never sorts m rows on one node.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    raw = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(
+        _BH_PRIME
+    )
+    p = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, raw % F.lit(1000))
+        .otherwise(raw)
+        .cast("long")
+        .alias("p6"),
+    )
+    r = distributed_rank(p, ["p6", "doc_id"]).select(
+        "p6",
+        F.col("_grn").cast("long").alias("k"),
+        F.col("_total").cast("long").alias("m"),
+    )
+    cond = (
+        F.col("p6") * F.col("m") * F.lit(_BH_ALPHA_INV)
+        <= F.col("k") * F.lit(_BH_PRIME)
+    )
+    return r.groupBy("m").agg(
+        F.coalesce(F.max(F.when(cond, F.col("k"))), F.lit(0))
+        .cast("long")
+        .alias("k_rejected"),
+        F.coalesce(F.max(F.when(cond, F.col("p6"))), F.lit(-1))
+        .cast("long")
+        .alias("p6_threshold"),
+    )
+
+
+@query(
+    "stat_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    t AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def stat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioural fingerprint session-analysis and
+    bot-detection pipelines estimate. Sequencing is a lag window
+    partitioned by user (parallel across users — the allowed window
+    shape); transition counts are one hash aggregate; row-normalising
+    totals are a re-aggregate of the (|types|² row) count table,
+    joined back broadcast. prob = n/tot is one exact-int division —
+    deterministic double, no rounding grid needed.
+
+    At 100 TB the only corpus-sized exchange is the user-keyed one
+    the lag window needs; everything after operates on |types|² rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )

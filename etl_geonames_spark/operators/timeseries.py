@@ -1469,3 +1469,284 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# series diagnostics: autocorrelation, changepoint, robust trend
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "ts_acf",
+    oracle="""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t
+      FROM hc
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sv,
+             CAST(SUM(c * c) AS BIGINT) AS svv
+      FROM idx
+    ),
+    lagged AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+             CAST(SUM(a.c) AS BIGINT) AS sa,
+             CAST(SUM(b.c) AS BIGINT) AS sb
+      FROM (SELECT unnest([1, 2, 3]) AS lag) l
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.t = a.t + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)
+              * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+            + CAST(n_pairs AS DOUBLE) * CAST(sv AS DOUBLE)
+              * CAST(sv AS DOUBLE))
+           / (CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS acf
+    FROM lagged, s
+    ORDER BY lag
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1–3 — the seasonality/momentum diagnostic a forecasting pipeline
+    reads before model choice. Hours index by OBSERVED order (rank via
+    ``distributed_rank``, so calendar gaps don't create phantom
+    zeros), the lag alignment is an equi-join on t = t+L (never a
+    window over the whole series), and every aggregate is an exact
+    int64 sum: the textbook r_L re-arranged as
+    [n²·Σxy − n·S·(Sa+Sb) + (n−L)·S²] / [n·(n·Σx² − S²)] so floats
+    appear only in the final fixed-shape expression (deterministic
+    IEEE, no rounding grid). Casts to double happen *before* the big
+    multiplies — n²·Σxy would overflow int64 on a years-long
+    high-rate series, and ANSI mode would make that a job-killer.
+
+    The series table is |hours| rows — metadata-sized against the
+    corpus; the only fact-scale exchange is the hourly count
+    aggregate itself.
+    """
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    idx = distributed_rank(hc, ["h"]).select(
+        "c", F.col("_grn").cast("long").alias("t")
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("svv"),
+    )
+    lags = spark.range(1, len(_ACF_LAGS) + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    lagged = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("sxy"),
+            F.sum(F.col("a.c")).cast("long").alias("sa"),
+            F.sum(F.col("b.c")).cast("long").alias("sb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = (
+        d("n") * d("n") * d("sxy")
+        - d("n") * d("sv") * (d("sa") + d("sb"))
+        + d("n_pairs") * d("sv") * d("sv")
+    )
+    den = d("n") * (d("n") * d("svv") - d("sv") * d("sv"))
+    return (
+        lagged.crossJoin(F.broadcast(s))
+        .select("lag", "n_pairs", (num / den).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT h,
+             CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t,
+             CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS st,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(c) OVER () AS BIGINT) AS sn
+      FROM hc
+    ),
+    dev AS (
+      SELECT h, t, n, sn, ABS(n * st - t * sn) AS d FROM cum
+    ),
+    mx AS (SELECT MAX(d) AS d_max FROM dev)
+    SELECT dev.n, dev.sn,
+           CAST(mx.d_max AS BIGINT) AS d_num,
+           CAST(MIN(dev.h) AS BIGINT) AS change_hour,
+           CAST(mx.d_max AS DOUBLE)
+             / (CAST(dev.n AS DOUBLE) * CAST(dev.sn AS DOUBLE)) AS cusum_stat
+    FROM dev, mx WHERE dev.d = mx.d_max
+    GROUP BY dev.n, dev.sn, mx.d_max
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-count series:
+    the hour where the cumulative sum deviates most from the uniform
+    trend line — the classic level-shift locator (Page 1954). The
+    deviation S_t − (t/n)·S_n is cross-multiplied to the exact int64
+    |n·S_t − t·S_n| so the argmax is an integer comparison; the
+    normalized statistic divides once at the end.
+
+    Running sum and index come from ``distributed_cumsum`` /
+    ``distributed_rank`` over the |hours|-row series (range exchange +
+    per-partition window + broadcast offsets — no global window); the
+    argmax is a broadcast of the 1-row max joined back, min-hour as
+    the deterministic tie-break.
+    """
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = distributed_rank(hc, ["h"]).select(
+        "h", F.col("_grn").cast("long").alias("t")
+    )
+    st = distributed_cumsum(hc, ["h"], "c", "st").select("h", "st")
+    tot = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sn"),
+    )
+    dev = (
+        t.join(st, "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "h",
+            "n",
+            "sn",
+            F.abs(
+                F.col("n") * F.col("st") - F.col("t") * F.col("sn")
+            ).alias("d"),
+        )
+    )
+    mx = dev.agg(F.max("d").alias("d_max"))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("d_max"))
+        .groupBy("n", "sn", "d_max")
+        .agg(F.min("h").cast("long").alias("change_hour"))
+        .select(
+            "n",
+            "sn",
+            F.col("d_max").cast("long").alias("d_num"),
+            "change_hour",
+            (
+                F.col("d_max").cast("double")
+                / (F.col("n").cast("double") * F.col("sn").cast("double"))
+            ).alias("cusum_stat"),
+        )
+    )
+
+
+@query(
+    "ts_theil_sen_daily",
+    oracle="""
+    WITH hc AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(hour(ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.day,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+      FROM hc a JOIN hc b ON a.day = b.day AND b.h > a.h
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)
+             AS theil_sen_slope
+    FROM slopes GROUP BY day
+    """,
+)
+def ts_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Theil-Sen trend of hourly event counts: the median of
+    all pairwise slopes — the robust "is traffic ramping today"
+    estimator that one outlier hour can't drag (unlike the per-day
+    OLS in agg_regression). Pairs explode WITHIN a day only (≤ 24
+    points → ≤ 276 slopes per group, bounded by the clock, not the
+    data), so the self-join on day is an equi-join whose output is
+    24× the day table — never corpus-quadratic.
+
+    Each slope is one exact-int division (deterministic double); the
+    median is percentile_disc semantics — the element at position
+    ⌈n/2⌉ of the sorted slopes, materialized per-group via
+    sort_array + element_at over the bounded slope list, so both
+    engines pick the SAME actual element and the hash compares a
+    value that exists in the data (no interpolation float).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("long").alias("h"),
+        )
+        .groupBy("day", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a, b = hc.alias("a"), hc.alias("b")
+    slopes = a.join(
+        b, (F.col("a.day") == F.col("b.day")) & (F.col("b.h") > F.col("a.h"))
+    ).select(
+        F.col("a.day").alias("day"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.h") - F.col("a.h")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sort_array(F.collect_list("slope")).alias("ss"),
+        )
+        .select(
+            "day",
+            "n_pairs",
+            F.element_at(
+                F.col("ss"),
+                F.ceil(F.col("n_pairs").cast("double") / 2).cast("int"),
+            ).alias("theil_sen_slope"),
+        )
+    )

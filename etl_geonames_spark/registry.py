@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "etl_geonames_spark.operators.graph",
     "etl_geonames_spark.operators.reshape",
     "etl_geonames_spark.operators.search",
+    "etl_geonames_spark.operators.stats",
 ]
 
 # The differential driver records correctness rows for the FIRST 50
