@@ -816,3 +816,186 @@ def geo_bearing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("straightness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# density-based core-point detection (the DBSCAN building block)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS2 = 4.0  # eps = 2° in squared degree space
+_DBSCAN_MINPTS = 4  # neighbors required (self excluded)
+# 2°-wide cells: eps never spans more than one cell boundary, so the
+# 3×3 neighborhood is COMPLETE — the blocked join exactly equals the
+# brute-force oracle, unlike geo_grid_join's declared within-cell cut.
+_DBSCAN_CELL = 2.0
+
+
+@query(
+    "geo_dbscan_core",
+    oracle=f"""
+    WITH p AS (
+        SELECT c_custkey AS k,
+               {_LAT_SQL.format(k="c_custkey")} AS lat,
+               {_LON_SQL.format(k="c_custkey")} AS lon
+        FROM customer
+    )
+    SELECT a.k AS c_custkey,
+           CAST(COUNT(b.k) AS BIGINT) AS n_neighbors,
+           COUNT(b.k) >= {_DBSCAN_MINPTS} AS is_core
+    FROM p a JOIN p b
+      ON a.k <> b.k
+     AND (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) <= {_DBSCAN_EPS2}
+    GROUP BY a.k
+    """,
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection (Ester et al. 1996's first phase):
+    count each point's ε-neighbors and flag points with ≥ minPts —
+    the density skeleton that seeds cluster expansion. The ORACLE is
+    the brute-force O(n²) distance self-join (the semantics); the
+    Spark plan is the scale shape: block points into ε-sized grid
+    cells, explode each probe point to its 3×3 neighbor cells, and
+    equi-join on cell id — with cell = ε no qualifying pair can span
+    beyond adjacent cells, so the blocked join is provably COMPLETE,
+    not a within-cell approximation. Candidate work is Σ(9·cell
+    occupancy), never n²; the cell id hash-partitions the one
+    shuffle, and skewed dense cells split under AQE.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    cx = F.floor((F.col("lat") + 90.0) / _DBSCAN_CELL).cast("long")
+    cy = F.floor((F.col("lon") + 180.0) / _DBSCAN_CELL).cast("long")
+    # lon spans 360/2 = 180 cells per lat row
+    probe = pts.withColumn(
+        "probe_cell",
+        F.explode(
+            F.array(
+                *[
+                    (cx + dx) * 180 + (cy + dy)
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    home = pts.select(
+        F.col("k").alias("bk"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        (
+            F.floor((F.col("lat") + 90.0) / _DBSCAN_CELL).cast("long") * 180
+            + F.floor((F.col("lon") + 180.0) / _DBSCAN_CELL).cast("long")
+        ).alias("home_cell"),
+    )
+    dist2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
+        F.col("lon") - F.col("blon")
+    ) * (F.col("lon") - F.col("blon"))
+    return (
+        probe.join(home, F.col("probe_cell") == F.col("home_cell"))
+        .filter((F.col("k") != F.col("bk")) & (dist2 <= _DBSCAN_EPS2))
+        .groupBy(F.col("k").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+        .select(
+            "c_custkey",
+            "n_neighbors",
+            (F.col("n_neighbors") >= _DBSCAN_MINPTS).alias("is_core"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# point-in-CONCAVE-polygon (ray casting — the even-odd crossing rule)
+# ---------------------------------------------------------------------------
+
+# Concave pentagon as (lat, lon) vertices: the middle vertex notches
+# inward, so the half-plane test above CANNOT express this region.
+# Coordinates sit at ±.005/.015 offsets — OFF the synthetic points'
+# 0.01° grid — so no test point lies exactly on an edge and the
+# even-odd rule has no boundary ambiguity to disagree about.
+_RAY_POLY = [
+    (-60.005, -120.005),
+    (20.015, -60.005),
+    (-10.005, 0.015),
+    (70.005, 60.015),
+    (-50.005, 150.015),
+]
+
+
+def _ray_terms_sql(lat: str, lon: str) -> str:
+    """Unrolled even-odd crossing count: one CASE term per edge, both
+    engines evaluating identical fixed-literal arithmetic."""
+    terms = []
+    n = len(_RAY_POLY)
+    for i in range(n):
+        y1, x1 = _RAY_POLY[i]
+        y2, x2 = _RAY_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > ({lat})) <> ({y2} > ({lat})))"
+            f" AND (({lon}) < ({x2} - {x1}) * (({lat}) - {y1})"
+            f" / ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ray_crossings(lat: Column, lon: Column) -> Column:
+    total = F.lit(0)
+    n = len(_RAY_POLY)
+    for i in range(n):
+        y1, x1 = _RAY_POLY[i]
+        y2, x2 = _RAY_POLY[(i + 1) % n]
+        cross = (
+            (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        ) & (
+            lon
+            < (F.lit(x2) - F.lit(x1))
+            * (lat - F.lit(y1))
+            / (F.lit(y2) - F.lit(y1))
+            + F.lit(x1)
+        )
+        total = total + F.when(cross, F.lit(1)).otherwise(F.lit(0))
+    return total
+
+
+@query(
+    "geo_point_in_concave_polygon",
+    oracle=f"""
+    WITH p AS (
+        SELECT c_custkey,
+               {_LAT_SQL.format(k="c_custkey")} AS lat,
+               {_LON_SQL.format(k="c_custkey")} AS lon
+        FROM customer
+    )
+    SELECT c_custkey,
+           ({_ray_terms_sql('lat', 'lon')}) % 2 = 1 AS inside
+    FROM p
+    """,
+)
+def geo_point_in_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon by RAY CASTING (even-odd crossing rule) — the
+    general-polygon membership test geo_point_in_polygon's half-plane
+    variant explicitly cannot express: a rightward ray crosses a
+    concave ring's boundary an odd number of times iff the point is
+    inside, regardless of convexity (Shimrat 1962). The fixture ring
+    notches inward, so this query is wrong-by-construction if anyone
+    swaps the half-plane test back in.
+
+    Five unrolled crossing tests on a fixed-literal polygon — one
+    codegen'd map-only expression, zero shuffles, zero Python,
+    identical IEEE arithmetic both engines. Polygon SETS bbox-block
+    first (geo_grid_join), then run this per candidate pair.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        (_ray_crossings(F.col("lat"), F.col("lon")) % 2 == 1).alias("inside"),
+    )

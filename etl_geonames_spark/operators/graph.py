@@ -646,3 +646,74 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    closed AS (
+        SELECT a.s AS z, CAST(COUNT(*) AS BIGINT) AS n_closed
+        FROM und a
+        JOIN und b ON a.s = b.s AND a.t < b.t
+        JOIN und e ON e.s = a.t AND e.t = b.t
+        GROUP BY a.s
+    )
+    SELECT deg.s AS node, deg.d AS degree,
+           CAST(COALESCE(closed.n_closed, 0) AS BIGINT) AS n_closed,
+           CASE WHEN deg.d >= 2
+                THEN CAST(2 * COALESCE(closed.n_closed, 0) AS DOUBLE)
+                     / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN closed ON deg.s = closed.z
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    the fraction of a node's neighbor pairs that are themselves
+    connected — closed wedges / (d choose 2). The per-node community-
+    density score whose average is the small-world statistic, and the
+    node-level refinement of graph_triangle_count's global number.
+
+    Same dataflow as triangle counting, grouped by wedge CENTER: the
+    adjacency self-joins on the center (a.t < b.t dedupes wedge
+    orientation), the closure check is one more equi-join against the
+    edge list, and one aggregate counts closures per center. Degree-1
+    nodes define coeff = 0. Counts and (d choose 2) are exact ints;
+    the coefficient is one exact division — deterministic double.
+    Wedge fan-out Σ deg² is the cost; hub capping bounds it at scale
+    (triangle count's documented trick).
+    """
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b, e = und.alias("a"), und.alias("b"), und.alias("e")
+    closed = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
+        )
+        .join(
+            e,
+            (F.col("e.s") == F.col("a.t")) & (F.col("e.t") == F.col("b.t")),
+        )
+        .groupBy(F.col("a.s").alias("z"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    )
+    return (
+        deg.join(closed, deg["s"] == closed["z"], "left")
+        .select(
+            deg["s"].alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_closed"), F.lit(0))
+            .cast("long")
+            .alias("n_closed"),
+            F.when(
+                F.col("d") >= 2,
+                (2 * F.coalesce(F.col("n_closed"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -2278,3 +2278,46 @@ def join_band_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_sec") - F.col("c_sec")).cast("long").alias("dt_sec"),
         )
     )
+
+
+_COLLECT_SALT = 8
+
+
+@query(
+    "agg_collect_salted",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           list(user_id ORDER BY user_id) AS users
+    FROM du GROUP BY event_type
+    """,
+)
+def agg_collect_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COLLECT — the skew escape for *holistic*
+    aggregates. Algebraic aggs (sum/count/avg) get map-side partial
+    aggregation for free, but collect_list is holistic: one hot key
+    funnels its entire group through a single task's memory. Salting
+    splits each key into 8 sub-groups (phase 1 collects per
+    (key, salt) — 8-way parallel, 1/8 the per-task state), then phase
+    2 merges 8 partial arrays per key with flatten + one sort — the
+    merge task's state is the final array only, and the heavy
+    fan-in happened in parallel upstream (the join_skew_salted idea
+    applied to aggregation).
+
+    Output is the per-type sorted distinct-user roster (posting-list
+    shape); identical to the unsalted form by construction, which is
+    exactly what the oracle checks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    partial = du.groupBy(
+        "event_type", F.pmod("user_id", F.lit(_COLLECT_SALT)).alias("_salt")
+    ).agg(
+        F.collect_list("user_id").alias("_part"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").cast("long").alias("n_users"),
+        F.sort_array(F.flatten(F.collect_list("_part"))).alias("users"),
+    )

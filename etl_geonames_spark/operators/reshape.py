@@ -15,7 +15,7 @@ zipped ``unnest`` of equal-length lists replays posexplode; DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_geonames_spark.functions import qround, sql_qround
@@ -359,4 +359,76 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return truth.join(est, "k").select(
         F.col("k").alias("probe_key"), "true_count", "cms_estimate"
+    )
+
+
+_KMV_K = 64
+_KMV_P = 2_147_483_647  # 2^31 − 1, the hash grid
+
+
+@query(
+    "agg_sketch_kmv",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id,
+               (user_id * 1103515245 + 12345) % {_KMV_P} AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h, user_id) AS rn
+        FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT)
+               AS kth_hash,
+           CASE WHEN COUNT(*) >= {_KMV_K}
+                THEN CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_P}
+                     / MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, the third mergeable
+    sketch next to HLL/KLL — and unlike those, fully differentially
+    checkable: the hash is the deterministic LCG both engines replay,
+    so the sketch *construction itself* is oracle-verified, not just
+    its accuracy. Estimator: D̂ = (k−1)·P/h₍k₎ (Bar-Yossef et al.
+    2002) with the exact-count fallback below k.
+
+    Mergeability is the scale story: the k smallest hashes of a union
+    are the k smallest of the combined bottom-k sets, so partial
+    sketches combine associatively in the shuffle (k values per
+    group, never the distinct set). Here: distinct-pair aggregate →
+    per-group bottom-k via a type-partitioned rank window → one
+    max-filter aggregate. All-integer until the single estimator
+    division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.pmod(
+                F.col("user_id") * F.lit(1103515245) + F.lit(12345),
+                F.lit(_KMV_P),
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        kth.cast("long").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) >= _KMV_K,
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_P) / kth,
+        )
+        .otherwise(F.count(F.lit(1)).cast("double"))
+        .alias("est_distinct"),
     )

@@ -1255,3 +1255,48 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "sql_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def sql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF-JOIN dialect mapping, differentially checked against
+    DuckDB's NATIVE ``ASOF JOIN`` (the same move as sql_qualify: the
+    oracle runs the real dialect feature, so the Spark decomposition
+    is verified against the dialect's own semantics, not our reading
+    of it). Use case: last-touch attribution — each purchase joins
+    the latest prior click of the same user.
+
+    Spark has no ASOF keyword; the mapping is equi-join on the user
+    key + inequality ``c.ts <= p.ts``, then one max aggregate per
+    purchase (argmax-free because only the matched timestamp is
+    emitted — ties at the same ts collapse identically in both
+    engines). The join stays a hash/SMJ equi-join on user_id with the
+    range predicate as a post-join filter; per-user match fan-out is
+    bounded by that user's click history, and the aggregate is
+    map-side combined. Purchases with no prior click drop (inner
+    ASOF).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .groupBy("event_id", "user_id", "p_ts")
+        .agg(F.max("c_ts").alias("click_ts"))
+    )

@@ -426,3 +426,239 @@ def stat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stat_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n1,
+               CAST(SUM(1 - g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(SUM(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q2
+        FROM m
+    ),
+    v AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS mean1,
+               CAST(s2 AS DOUBLE) / n2 AS mean2,
+               (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS se1,
+               (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                   / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS se2
+        FROM s WHERE n1 >= 2 AND n2 >= 2
+        UNION ALL
+        SELECT n1, n2, NULL, NULL, NULL, NULL
+        FROM s WHERE n1 < 2 OR n2 < 2
+    )
+    SELECT n1, n2, mean1, mean2,
+           {sql_qround('(mean1 - mean2) / sqrt(se1 + se2)', 6)} AS t_stat,
+           {sql_qround(
+               '(se1 + se2) * (se1 + se2)'
+               ' / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))', 6
+           )} AS welch_df
+    FROM v
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on English vs non-English
+    document lengths — the parametric sibling of stat_mann_whitney
+    (run both; agreement is the robustness check). One aggregate pass
+    collects the six exact int64 moments (n, Σx, Σx² per group); the
+    t statistic and Welch-Satterthwaite df are fixed-shape double
+    expressions over those ints, qround(6) on both engines because
+    they chain several divisions.
+
+    Degenerate groups (n < 2 — variance undefined) yield NULL
+    statistics rather than an ANSI divide-by-zero job-kill, same
+    contract as the rest of the module (tests/test_edge_inputs.py).
+    One corpus scan, one 1-row moment table — nothing else at any
+    scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    s = m.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("x") * F.col("x")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("x") * F.col("x")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    mean1 = F.col("s1").cast("double") / F.col("n1")
+    mean2 = F.col("s2").cast("double") / F.col("n2")
+    se1 = (
+        (F.col("n1").cast("double") * F.col("q1")
+         - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("n2").cast("double") * F.col("q2")
+         - F.col("s2").cast("double") * F.col("s2"))
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
+        / F.col("n2")
+    )
+    t_stat = (mean1 - mean2) / F.sqrt(se1 + se2)
+    welch_df = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.when(ok, mean1).alias("mean1"),
+        F.when(ok, mean2).alias("mean2"),
+        F.when(ok, qround(t_stat, 6)).alias("t_stat"),
+        F.when(ok, qround(welch_df, 6)).alias("welch_df"),
+    )
+
+
+@query(
+    "stat_levene",
+    oracle=f"""
+    WITH x AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    vc AS (
+        SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY lang, v
+    ),
+    cum AS (
+        SELECT lang, v, c,
+               CAST(SUM(c) OVER (
+                   PARTITION BY lang ORDER BY v) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS ng
+        FROM vc
+    ),
+    med AS (
+        SELECT lang, MIN(v) AS m
+        FROM cum WHERE 2 * cw >= ng GROUP BY lang
+    ),
+    z AS (
+        SELECT x.lang, ABS(x.v - med.m) AS z
+        FROM x JOIN med USING (lang)
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS s,
+               CAST(SUM(z * z) AS BIGINT) AS q
+        FROM z GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               SUM(CAST(s AS DOUBLE) * s / n) AS sb,
+               CAST(SUM(q) AS BIGINT) AS qq
+        FROM g
+    )
+    SELECT k, nn,
+           CASE WHEN k >= 2 AND nn > k AND CAST(qq AS DOUBLE) - sb > 0
+                THEN {sql_qround(
+                    '((sb - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))'
+                    ' / ((CAST(qq AS DOUBLE) - sb) / (nn - k))', 6
+                )} END AS f_stat
+    FROM tot
+    """,
+)
+def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with group MEDIANS — the
+    robust form): do document lengths have equal spread across
+    languages? The third leg of the testing stack — stat_welch_ttest
+    compares means, stat_mann_whitney compares distributions, this
+    compares VARIANCES (the assumption checker for pooled analyses).
+
+    Group medians come from the scale-correct grouped-median shape:
+    per-(group, value) counts, cumulative within group over the
+    value-DISTINCT grid (a window over |distinct values| rows per
+    group, never corpus rows), smallest value with 2·cum ≥ n. The
+    median is an actual integer element, so the deviations z = |x−m|
+    are exact ints and all four moment tables are exact int64 sums.
+    The F statistic — between-group mean square of z over within-group
+    — chains Σs²/n terms whose sum order varies → qround(6) both
+    sides. One corpus scan for counts, one for deviations (joined to
+    the broadcast 5-row median table); everything downstream is
+    metadata-sized.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("lang", F.col("n_chars").cast("long").alias("v"))
+    vc = x.groupBy("lang", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.select(
+        "lang",
+        "v",
+        F.sum("c").over(w_cum).cast("long").alias("cw"),
+        F.sum("c").over(Window.partitionBy("lang")).cast("long").alias("ng"),
+    )
+    med = (
+        cum.filter(2 * F.col("cw") >= F.col("ng"))
+        .groupBy("lang")
+        .agg(F.min("v").alias("m"))
+    )
+    z = x.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("v") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum("q").cast("long").alias("qq"),
+    )
+    # degenerate shapes (one group, zero within-group spread) yield
+    # NULL, never an ANSI divide-by-zero (tests/test_edge_inputs.py)
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("nn") > F.col("k"))
+        & (F.col("qq").cast("double") - F.col("sb") > 0)
+    )
+    between = (
+        F.col("sb") - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+    ) / (F.col("k") - 1)
+    within = (F.col("qq").cast("double") - F.col("sb")) / (
+        F.col("nn") - F.col("k")
+    )
+    return tot.select(
+        "k", "nn", F.when(ok, qround(between / within, 6)).alias("f_stat")
+    )

@@ -1750,3 +1750,63 @@ def ts_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_sen_slope"),
         )
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT event_type, day, c,
+             list(c) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+      FROM dc
+    )
+    SELECT event_type, day, c,
+           CAST(len(win) AS BIGINT) AS n_win,
+           CAST(list_sort(win)[CAST(ceil(len(win) / 2.0) AS INT)]
+                AS BIGINT) AS rolling_median
+    FROM fr
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling MEDIAN of daily event counts per type —
+    the robust smoother monitoring dashboards overlay (a single spike
+    day can't move it, unlike win_running_sum's mean family). Median
+    is a holistic aggregate with no built-in windowed form on either
+    engine, so both materialize the bounded frame explicitly:
+    collect_list over a ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+    frame (≤ 7 elements — per-row state bounded by the frame, not the
+    data), sort, take the percentile_disc element at ⌈n/2⌉. The
+    window partitions by event_type — parallel across keys, the
+    allowed shape; counts are ints, so the median is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    fr = dc.withColumn("win", F.collect_list("c").over(w))
+    return fr.select(
+        "event_type",
+        "day",
+        "c",
+        F.size("win").cast("long").alias("n_win"),
+        F.element_at(
+            F.sort_array("win"),
+            F.ceil(F.size("win").cast("double") / 2).cast("int"),
+        )
+        .cast("long")
+        .alias("rolling_median"),
+    )

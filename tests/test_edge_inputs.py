@@ -113,6 +113,8 @@ def edge_ddb(edge_sf_dir):
         "stat_ks_two_sample",
         "stat_chi2_independence",
         "stat_bh_fdr",
+        "stat_welch_ttest",
+        "stat_levene",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

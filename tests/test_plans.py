@@ -469,3 +469,45 @@ def test_sample_bottom_k_and_shard_manifest_plans(spark, sf_dir):
     # global-window sweep already covers the unpartitioned-window ban;
     # pin that the manifest aggregate keeps a partial (map-side) phase
     assert explain_str(sm).count("HashAggregate") >= 2
+
+
+def test_collect_salted_is_two_phase_with_salted_exchange(spark, sf_dir):
+    """agg_collect_salted's contract: the holistic collect runs in TWO
+    aggregate phases — a (key, salt)-keyed phase that parallelizes the
+    hot key 8 ways, then a key-only merge of partial arrays. Visible in
+    the plan as an exchange hash-partitioned on (event_type, _salt)
+    before one partitioned on event_type alone; losing the salted
+    exchange would mean one task re-collects every hot-key row."""
+    df = QUERIES["agg_collect_salted"](spark, sf_dir)
+    plan = explain_str(df)
+    # the salt expression itself (Catalyst renames the alias to
+    # _groupingexpression, so anchor on the pmod computation)
+    assert "pmod(user_id" in plan, "salted phase-1 grouping key disappeared"
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    salted = [
+        e for e in exchanges
+        if "event_type" in e and "_groupingexpression" in e
+    ]
+    merge = [
+        e for e in exchanges
+        if "event_type" in e
+        and "_groupingexpression" not in e
+        and "user_id" not in e
+    ]
+    assert salted, exchanges
+    assert merge, exchanges
+    # holistic collect runs as ObjectHashAggregate in both phases
+    assert plan.count("ObjectHashAggregate") >= 2, plan[:500]
+
+
+def test_dbscan_core_is_blocked_equi_join(spark, sf_dir):
+    """geo_dbscan_core must join on the grid-cell equi-key — a
+    nested-loop/cartesian distance join is the n² trap the blocking
+    exists to avoid (and with cell = eps the blocked form is complete,
+    so there is no accuracy excuse for the cartesian)."""
+    df = QUERIES["geo_dbscan_core"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
