@@ -717,3 +717,72 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    de AS (
+        SELECT da.d AS j, db.d AS k
+        FROM und u JOIN deg da ON u.s = da.s JOIN deg db ON u.t = db.s
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+               CAST(SUM(j * k) AS BIGINT) AS sjk,
+               CAST(SUM(j + k) AS BIGINT) AS sj,
+               CAST(SUM(j * j + k * k) AS BIGINT) AS sq
+        FROM de
+    )
+    SELECT mm,
+           (CAST(mm AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj / 4.0)
+           / (CAST(mm AS DOUBLE) * sq / 2.0
+              - CAST(sj AS DOUBLE) * sj / 4.0) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees across edges — positive means hubs link to hubs
+    (social nets), negative means hubs link to leaves (the web, and
+    most crawl graphs; it decides whether hub-capping before wedge
+    joins loses head or tail structure). Both directions of every
+    undirected edge are in the symmetrized list, which IS the
+    standard remaining-degree symmetrization.
+
+    One degree aggregate, two broadcast-eligible joins decorating
+    edges with endpoint degrees, one moment aggregate: Σjk, Σ(j+k),
+    Σ(j²+k²) are exact int64, and r = [M·Σjk − (Σ(j+k))²/4] /
+    [M·Σ(j²+k²)/2 − (Σ(j+k))²/4] is one fixed-shape double
+    expression — deterministic, no rounding grid.
+    """
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.withColumnRenamed("s", "u_s").withColumnRenamed("d", "j")
+    db = deg.withColumnRenamed("s", "u_t").withColumnRenamed("d", "k")
+    de = (
+        und.withColumnRenamed("s", "u_s")
+        .withColumnRenamed("t", "u_t")
+        .join(da, "u_s")
+        .join(db, "u_t")
+        .select("j", "k")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("long").alias("mm"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("sj"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("sq"),
+    )
+    num = (
+        F.col("mm").cast("double") * F.col("sjk")
+        - F.col("sj").cast("double") * F.col("sj") / 4.0
+    )
+    den = (
+        F.col("mm").cast("double") * F.col("sq") / 2.0
+        - F.col("sj").cast("double") * F.col("sj") / 4.0
+    )
+    return m.select("mm", (num / den).alias("assortativity"))

@@ -2816,3 +2816,86 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("zero_frac"),
     )
+
+
+@query(
+    "llm_mrr_eval",
+    oracle="""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                        label FROM embeddings),
+    q AS (SELECT * FROM pts WHERE vec_id < 10),
+    c AS (SELECT * FROM pts WHERE vec_id >= 10),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               FLOOR((list_dot_product(q.emb, c.emb) /
+                      (sqrt(list_dot_product(q.emb, q.emb)) *
+                       sqrt(list_dot_product(c.emb, c.emb))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos,
+               CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT q_id, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, c_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT q_id,
+           CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+               AS first_rel_rank,
+           CASE WHEN MIN(CASE WHEN rel = 1 THEN rnk END) <= 10
+                THEN CAST(1 AS DOUBLE)
+                     / MIN(CASE WHEN rel = 1 THEN rnk END)
+                ELSE CAST(0 AS DOUBLE) END AS rr10
+    FROM ranked GROUP BY q_id
+    """,
+)
+def llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 per query — the "how fast does the user hit
+    something relevant" companion to llm_ndcg_eval (nDCG weighs the
+    whole list; RR only the first hit — a ranker can win one and lose
+    the other, which is why eval suites report both; the mean over
+    q_id is MRR). Same base as ndcg: label-relevance over the
+    broadcast query side, rank key = the qround'd cosine so a libm
+    ulp can't swap ranks cross-engine, per-q_id windows. RR is one
+    exact integer reciprocal; queries with no relevant candidate in
+    the top-10 score 0 (the standard convention), keeping the output
+    total regardless of label coverage.
+    """
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb"), "label"
+    )
+    q = pts.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = pts.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "q_id",
+            "c_id",
+            qround(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+            F.when(F.col("q_label") == F.col("c_label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    ranked = scored.select(
+        "q_id", "rel", F.row_number().over(w).alias("rnk")
+    )
+    first_rel = F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+    return ranked.groupBy("q_id").agg(
+        first_rel.cast("long").alias("first_rel_rank"),
+        F.when(first_rel <= 10, F.lit(1.0) / first_rel)
+        .otherwise(F.lit(0.0))
+        .alias("rr10"),
+    )

@@ -662,3 +662,200 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "k", "nn", F.when(ok, qround(between / within, 6)).alias("f_stat")
     )
+
+
+_BDIFF_REPS = 200
+_BDIFF_P = 1_000_003
+
+
+def _bdiff_k_sql(j: int) -> str:
+    return (
+        f"(CASE WHEN ((doc_id * 48271 + r * 69621 + {j} * 40503) "
+        f"% {_BDIFF_P}) % 4 = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+@query(
+    "stat_bootstrap_diff",
+    oracle=f"""
+    WITH reps AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, r,
+               {" + ".join(_bdiff_k_sql(j) for j in (1, 2, 3, 4))} AS k
+        FROM documents,
+             (SELECT unnest(generate_series(0, {_BDIFF_REPS - 1})) AS r)
+    ),
+    m AS (
+        SELECT r,
+               CASE WHEN SUM(k * g) > 0 AND SUM(k * (1 - g)) > 0
+                    THEN SUM(k * g * n_chars)
+                           / CAST(SUM(k * g) AS DOUBLE)
+                         - SUM(k * (1 - g) * n_chars)
+                           / CAST(SUM(k * (1 - g)) AS DOUBLE)
+               END AS diff_r
+        FROM reps GROUP BY r
+    )
+    SELECT CAST(COUNT(diff_r) AS BIGINT) AS n_reps,
+           quantile_disc(diff_r, 0.025) AS ci_lo,
+           quantile_disc(diff_r, 0.975) AS ci_hi
+    FROM m
+    """,
+)
+def stat_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the DIFFERENCE in
+    mean document length between English and the rest — the A/B-test
+    error bar (a CI excluding 0 is the significance call
+    stat_welch_ttest makes parametrically; run both). Same replicate
+    machinery as llm_bootstrap_ci: each doc enters replicate r
+    Binomial(4,¼) ≈ Poisson(1) times via the deterministic arithmetic
+    hash, so all 200 replicates compute in ONE grouped aggregate, and
+    the per-replicate diff is a fixed-shape expression over exact
+    integer sums (ulp-identical across engines). CI bounds are
+    discrete percentiles — actual replicate values. Replicates where
+    either group draws zero weight yield NULL and drop from the
+    percentile (both engines ignore NULLs identically).
+
+    100 TB shape: map-side ×200 expansion against a broadcast
+    replicate spine, one map-side-combined aggregate to 200 rows —
+    the corpus scans once regardless of replicate count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    reps = spark.range(_BDIFF_REPS).select(F.col("id").alias("r"))
+    k = None
+    for j in (1, 2, 3, 4):
+        term = F.when(
+            (
+                (F.col("doc_id") * 48271 + F.col("r") * 69621 + j * 40503)
+                % _BDIFF_P
+            )
+            % 4
+            == 0,
+            1,
+        ).otherwise(0)
+        k = term if k is None else k + term
+    expanded = docs.crossJoin(F.broadcast(reps)).select(
+        "r", "n_chars", "g", k.alias("k")
+    )
+    kg = F.col("k") * F.col("g")
+    kr = F.col("k") * (F.lit(1) - F.col("g"))
+    m = expanded.groupBy("r").agg(
+        F.sum(kg * F.col("n_chars")).alias("_sg"),
+        F.sum(kg).alias("_ng"),
+        F.sum(kr * F.col("n_chars")).alias("_sr"),
+        F.sum(kr).alias("_nr"),
+    ).select(
+        "r",
+        F.when(
+            (F.col("_ng") > 0) & (F.col("_nr") > 0),
+            F.col("_sg") / F.col("_ng").cast("double")
+            - F.col("_sr") / F.col("_nr").cast("double"),
+        ).alias("diff_r"),
+    )
+    m.createOrReplaceTempView("boot_diff_reps")
+    return spark.sql("""
+        SELECT CAST(COUNT(diff_r) AS BIGINT) AS n_reps,
+               percentile_disc(0.025) WITHIN GROUP (ORDER BY diff_r)
+                   AS ci_lo,
+               percentile_disc(0.975) WITHIN GROUP (ORDER BY diff_r)
+                   AS ci_hi
+        FROM boot_diff_reps
+    """)
+
+
+@query(
+    "stat_runs_test",
+    oracle="""
+    WITH med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN n_chars > med.m THEN 1 ELSE 0 END AS above
+        FROM documents, med
+    ),
+    idx AS (
+        SELECT above,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS t
+        FROM s
+    ),
+    chg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_changes
+        FROM idx a JOIN idx b ON b.t = a.t + 1
+        WHERE a.above <> b.above
+    ),
+    cnt AS (
+        SELECT CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2
+        FROM idx
+    )
+    SELECT cnt.n1, cnt.n2,
+           chg.n_changes + 1 AS n_runs,
+           CASE WHEN cnt.n1 > 0 AND cnt.n2 > 0 THEN
+             1.0 + 2.0 * cnt.n1 * cnt.n2 / (cnt.n1 + cnt.n2)
+           END AS expected_runs
+    FROM chg, cnt
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for sequence randomness: walk the
+    corpus in ingestion order (doc_id), code each doc above/below the
+    median length, count maximal same-side runs, and compare to the
+    expectation 1 + 2·n1·n2/n under exchangeability — far fewer runs
+    than expected means the feed arrives in length-clustered batches
+    (the shuffle-before-training red flag llm_shuffle_order fixes).
+
+    The sequential neighbor comparison decomposes distributed: index
+    via ``distributed_rank``, pair by the t+1 equi-join (ts_acf's lag
+    alignment — never a global lag window), count sign changes; runs
+    = changes + 1. Median is the discrete percentile (an actual
+    element); all counts exact int64; the expectation is one
+    fixed-shape double expression, NULL on one-sided corpora.
+    """
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("m")
+    )
+    s = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        F.when(F.col("n_chars") > F.col("m"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("above"),
+    )
+    idx = distributed_rank(s, ["doc_id"]).select(
+        "above", F.col("_grn").cast("long").alias("t")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    chg = (
+        a.join(b, F.col("b.t") == F.col("a.t") + 1)
+        .filter(F.col("a.above") != F.col("b.above"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changes"))
+    )
+    cnt = idx.agg(
+        F.sum("above").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("long").alias("n2"),
+    )
+    return (
+        chg.crossJoin(F.broadcast(cnt))
+        .select(
+            "n1",
+            "n2",
+            (F.col("n_changes") + 1).alias("n_runs"),
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.lit(1.0)
+                + F.lit(2.0)
+                * F.col("n1")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2")),
+            ).alias("expected_runs"),
+        )
+    )

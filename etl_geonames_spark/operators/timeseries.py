@@ -1810,3 +1810,73 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rolling_median"),
     )
+
+
+@query(
+    "ts_m4_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 21600000000 AS bkt,
+             value, ts, event_id
+      FROM events
+    ),
+    rn AS (
+      SELECT event_type, bkt, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, bkt ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, bkt
+               ORDER BY ts DESC, event_id DESC) AS rd
+      FROM pts
+    )
+    SELECT event_type, CAST(bkt AS BIGINT) AS bkt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           MAX(CASE WHEN ra = 1 THEN value END) AS vfirst,
+           MAX(CASE WHEN rd = 1 THEN value END) AS vlast
+    FROM rn GROUP BY event_type, bkt
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and
+    6-hour pixel bucket keep exactly min, max, first and last — the
+    four values that make a line chart at that pixel width
+    pixel-perfect, and the standard dashboard-backend aggregation
+    (LTTB's ts_lttb_downsample trades exactness for shape; M4 is the
+    lossless-at-resolution one). min/max are plain aggregates;
+    first/last take a (ts, event_id)-ordered row_number per bucket
+    (both directions) so ties resolve identically in both engines —
+    the windows partition by (series, bucket), bounded and parallel.
+    One exchange on the bucket key; output is 4 doubles per pixel
+    regardless of input rate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 21600000000").alias(
+            "bkt"
+        ),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = pts.select(
+        "event_type",
+        "bkt",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rn.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("vfirst"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("vlast"),
+    )

@@ -115,6 +115,9 @@ def edge_ddb(edge_sf_dir):
         "stat_bh_fdr",
         "stat_welch_ttest",
         "stat_levene",
+        "stat_bootstrap_diff",
+        "stat_runs_test",
+        "llm_mrr_eval",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
