@@ -2309,3 +2309,60 @@ def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n", (num / F.sqrt(vx * vy)).alias("spearman_rho")
     )
+
+
+@query(
+    "llm_mix_kl_divergence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    sm AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+           FROM cells GROUP BY source),
+    qm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cq FROM cells
+           GROUP BY lang),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+    SELECT cells.source,
+           sm.ns AS n_docs,
+           {sql_qround(
+               'SUM((CAST(cells.c AS DOUBLE) / sm.ns)'
+               ' * log2((CAST(cells.c AS DOUBLE) / sm.ns)'
+               '        / (CAST(qm.cq AS DOUBLE) / n.n)))', 6
+           )} AS kl_bits
+    FROM cells JOIN sm USING (source) JOIN qm USING (lang), n
+    GROUP BY cells.source, sm.ns
+    """,
+)
+def llm_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence (bits) between the source's language
+    mix and the corpus-wide mix — the mixture-drift score a data-mix
+    dashboard sorts by: a source with kl ≈ 0 looks like the corpus, a
+    high-KL source is skewing it (the quantitative form of what
+    stat_chi2_independence tests globally). Absent languages
+    contribute 0 by the 0·log 0 convention — and since every cell in
+    the sum EXISTS in the cell table (c ≥ 1), no guard is needed; the
+    reference distribution q is the corpus marginal, which is never 0
+    for an observed language.
+
+    One contingency aggregate; source totals, language marginals and
+    the grand total are re-aggregates of the cell table joined back
+    broadcast — the corpus scans once. Per-source sums run over
+    ≤ |langs| cells → qround(6) for the order-dependent float sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sm = cells.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    qm = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("cq"))
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("cq").cast("double") / F.col("n")
+    return (
+        cells.join(F.broadcast(sm), "source")
+        .join(F.broadcast(qm), "lang")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", F.col("ns").alias("n_docs"))
+        .agg(qround(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
+    )

@@ -2321,3 +2321,46 @@ def agg_collect_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").cast("long").alias("n_users"),
         F.sort_array(F.flatten(F.collect_list("_part"))).alias("users"),
     )
+
+
+def distributed_rank_cumsum(
+    df: DataFrame, key: list, val: str
+) -> DataFrame:
+    """Global row_number AND running sum of ``val`` in ``key`` order in
+    ONE range exchange — the fused form of :func:`distributed_rank` +
+    :func:`distributed_cumsum` for consumers that need both (CUSUM:
+    index t and prefix sum S_t). Calling the two primitives separately
+    re-executes the whole upstream subplan per branch (each with its
+    own range repartition); fused, the input materializes once:
+    range-repartition, one per-partition window computing local rank
+    and local running sum together, per-partition (count, sum) totals
+    — one metadata row per partition — cumulated into offsets and
+    broadcast back. Emits ``_grn`` (global rank), ``_gcs`` (global
+    running sum), ``_total_n`` and ``_total_s`` (grand totals, from
+    the same totals table — no extra pass over the input)."""
+    parts = df.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*key)
+    local = parts.withColumn("_lrn", F.row_number().over(w_local)).withColumn(
+        "_lcs", F.sum(val).over(w_local)
+    )
+    totals = parts.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(val).alias("_s")
+    )
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off_n"),
+        F.coalesce(F.sum("_s").over(w_cum), F.lit(0)).alias("_off_s"),
+    )
+    grand = totals.agg(
+        F.sum("_n").alias("_total_n"), F.sum("_s").alias("_total_s")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("_grn", F.col("_lrn") + F.col("_off_n"))
+        .withColumn("_gcs", F.col("_lcs") + F.col("_off_s"))
+        .drop("_pid", "_lrn", "_lcs", "_off_n", "_off_s")
+    )

@@ -432,3 +432,48 @@ def agg_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.count(F.lit(1)).cast("double"))
         .alias("est_distinct"),
     )
+
+
+def kmv_bottomk(df: DataFrame) -> DataFrame:
+    """The KMV sketch STATE for a (event_type, user_id) stream: the
+    ≤ k smallest deterministic hashes per group, with their members.
+    Factored out of :func:`agg_sketch_kmv` so streaming maintenance
+    (streaming/pipeline.streaming_kmv_maintenance) runs the identical
+    expressions per micro-batch: bottom-k of a union of bottom-k sets
+    equals bottom-k of the union (dedupe on the member first — the
+    same user hashes identically in every batch), which is what makes
+    the sketch exactly mergeable rather than approximately."""
+    d = (
+        df.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.pmod(
+                F.col("user_id") * F.lit(1103515245) + F.lit(12345),
+                F.lit(_KMV_P),
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _KMV_K)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """Distinct-count estimates from a :func:`kmv_bottomk` snapshot:
+    below k members the snapshot IS the distinct set (exact count);
+    at k, D̂ = (k−1)·P/h₍k₎. Matches agg_sketch_kmv's estimator
+    column-for-column on (event_type, kth_hash, est_distinct)."""
+    c = F.count(F.lit(1))
+    kth = F.max("h")
+    return sketch.groupBy("event_type").agg(
+        F.when(c >= _KMV_K, kth).cast("long").alias("kth_hash"),
+        F.when(
+            c >= _KMV_K, F.lit(float(_KMV_K - 1)) * F.lit(_KMV_P) / kth
+        )
+        .otherwise(c.cast("double"))
+        .alias("est_distinct"),
+    )

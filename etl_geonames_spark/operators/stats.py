@@ -830,8 +830,13 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("above"),
     )
-    idx = distributed_rank(s, ["doc_id"]).select(
-        "above", F.col("_grn").cast("long").alias("t")
+    # three consumers (both join sides + the group totals) — pin the
+    # ranked table or each re-runs the scan + median + rank chain; at
+    # real scale this is the persist-the-indexed-sequence step
+    idx = (
+        distributed_rank(s, ["doc_id"])
+        .select("above", F.col("_grn").cast("long").alias("t"))
+        .localCheckpoint()
     )
     a, b = idx.alias("a"), idx.alias("b")
     chg = (
@@ -857,5 +862,125 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("n2")
                 / (F.col("n1") + F.col("n2")),
             ).alias("expected_runs"),
+        )
+    )
+
+
+@query(
+    "stat_best_split",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+        FROM documents
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(a) AS BIGINT) AS ac
+        FROM m GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS nl,
+               CAST(SUM(ac) OVER (ORDER BY v) AS BIGINT) AS al,
+               CAST(SUM(c) OVER () AS BIGINT) AS n,
+               CAST(SUM(ac) OVER () AS BIGINT) AS aa
+        FROM pv
+    ),
+    f AS (
+        SELECT v, n, aa,
+               (CAST(al AS DOUBLE) * al
+                + CAST(nl - al AS DOUBLE) * (nl - al)) / nl
+               + (CAST(aa - al AS DOUBLE) * (aa - al)
+                  + CAST((n - nl) - (aa - al) AS DOUBLE)
+                    * ((n - nl) - (aa - al))) / (n - nl) AS fv
+        FROM cum WHERE nl < n
+    ),
+    mx AS (SELECT MAX(fv) AS fmax FROM f)
+    SELECT f.n,
+           CAST(MIN(f.v) AS BIGINT) AS best_threshold,
+           {sql_qround(
+               'mx.fmax / f.n'
+               ' - (CAST(f.aa AS DOUBLE) * f.aa'
+               '    + CAST(f.n - f.aa AS DOUBLE) * (f.n - f.aa))'
+               '   / (CAST(f.n AS DOUBLE) * f.n)', 6
+           )} AS gini_gain
+    FROM f, mx WHERE f.fv = mx.fmax
+    GROUP BY f.n, f.aa, mx.fmax
+    """,
+)
+def stat_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision-tree split: the threshold on document length
+    that best separates English from the rest by Gini impurity — the
+    single-feature learner a labeling pipeline fits to sanity-check
+    that a metric actually carries signal (gain ≈ 0 ⇒ the feature is
+    noise). Minimizing weighted child impurity is maximizing
+    f(t) = (a_L²+b_L²)/n_L + (a_R²+b_R²)/n_R over thresholds t, so
+    the scan is: per-distinct-value class counts, cumulative via
+    ``distributed_cumsum`` (the KS machinery — the candidate grid is
+    value-distinct, not corpus-sized), f from exact int64 counts as a
+    fixed-shape double (bit-identical both engines), argmax by
+    f = max(f) equality with min-threshold tie-break.
+
+    gain = f*/n − (A²+B²)/n² (base Gini minus best weighted child
+    impurity), qround(6) only at the emit. The corpus scans once for
+    the count grid; everything after runs on |distinct values| rows.
+    """
+    from etl_geonames_spark.operators.relational import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    pv = (
+        docs.select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("a").cast("long").alias("ac"),
+        )
+        # value-distinct grid, consumed by two cumulative passes and
+        # the totals — tiny, pin it
+        .localCheckpoint()
+    )
+    cn = distributed_cumsum(pv, ["v"], "c", "nl").select("v", "nl")
+    ca = distributed_cumsum(pv, ["v"], "ac", "al").select("v", "al")
+    tot = pv.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("ac").cast("long").alias("aa"),
+    )
+    cum = cn.join(ca, "v").crossJoin(F.broadcast(tot))
+    bl = F.col("nl") - F.col("al")
+    ar = F.col("aa") - F.col("al")
+    br = (F.col("n") - F.col("nl")) - ar
+    # the division guard must live INSIDE the expression: the filter
+    # below does not stop Spark from evaluating fv on the nl = n row
+    # within the same codegen stage, and ANSI div-by-zero is fatal
+    fv = F.when(
+        F.col("nl") < F.col("n"),
+        (F.col("al").cast("double") * F.col("al") + bl.cast("double") * bl)
+        / F.col("nl")
+        + (ar.cast("double") * ar + br.cast("double") * br)
+        / (F.col("n") - F.col("nl")),
+    )
+    f = cum.filter(F.col("nl") < F.col("n")).select(
+        "v", "n", "aa", fv.alias("fv")
+    )
+    mx = f.agg(F.max("fv").alias("fmax"))
+    base = (
+        F.col("aa").cast("double") * F.col("aa")
+        + (F.col("n") - F.col("aa")).cast("double") * (F.col("n") - F.col("aa"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return (
+        f.crossJoin(F.broadcast(mx))
+        .filter(F.col("fv") == F.col("fmax"))
+        .groupBy("n", "aa", "fmax")
+        .agg(F.min("v").cast("long").alias("best_threshold"))
+        .select(
+            "n",
+            "best_threshold",
+            qround(F.col("fmax") / F.col("n") - base, 6).alias("gini_gain"),
         )
     )

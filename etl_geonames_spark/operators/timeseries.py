@@ -1547,6 +1547,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # |hours| rows; pinned because THREE branches (moment table +
+        # both sides of the lag join) would otherwise re-run the
+        # events scan + aggregate each
+        .localCheckpoint()
     )
     idx = distributed_rank(hc, ["h"]).select(
         "c", F.col("_grn").cast("long").alias("t")
@@ -1624,15 +1628,18 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     |n·S_t − t·S_n| so the argmax is an integer comparison; the
     normalized statistic divides once at the end.
 
-    Running sum and index come from ``distributed_cumsum`` /
-    ``distributed_rank`` over the |hours|-row series (range exchange +
-    per-partition window + broadcast offsets — no global window); the
-    argmax is a broadcast of the 1-row max joined back, min-hour as
-    the deterministic tie-break.
+    Index AND running sum come fused from
+    ``distributed_rank_cumsum`` — ONE range exchange produces both,
+    and the grand totals ride the same per-partition totals table, so
+    the events scan and the hourly aggregate execute exactly once
+    (the separate rank + cumsum + totals branches re-executed that
+    subplan three times; the exchange census flagged it at 36
+    plan-shuffles). The argmax-with-min-hour-tie-break is one
+    ``max(struct(d, -h))`` aggregate — no self-join back onto the
+    deviations.
     """
     from etl_geonames_spark.operators.relational import (
-        distributed_cumsum,
-        distributed_rank,
+        distributed_rank_cumsum,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -1641,42 +1648,30 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    t = distributed_rank(hc, ["h"]).select(
-        "h", F.col("_grn").cast("long").alias("t")
+    rc = distributed_rank_cumsum(hc, ["h"], "c")
+    dev = rc.select(
+        "h",
+        F.col("_total_n").cast("long").alias("n"),
+        F.col("_total_s").cast("long").alias("sn"),
+        F.abs(
+            F.col("_total_n") * F.col("_gcs")
+            - F.col("_grn") * F.col("_total_s")
+        ).alias("d"),
     )
-    st = distributed_cumsum(hc, ["h"], "c", "st").select("h", "st")
-    tot = hc.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("c").cast("long").alias("sn"),
+    best = dev.agg(
+        F.max("n").alias("n"),
+        F.max("sn").alias("sn"),
+        F.max(F.struct(F.col("d"), (-F.col("h")).alias("nh"))).alias("mx"),
     )
-    dev = (
-        t.join(st, "h")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "h",
-            "n",
-            "sn",
-            F.abs(
-                F.col("n") * F.col("st") - F.col("t") * F.col("sn")
-            ).alias("d"),
-        )
-    )
-    mx = dev.agg(F.max("d").alias("d_max"))
-    return (
-        dev.crossJoin(F.broadcast(mx))
-        .filter(F.col("d") == F.col("d_max"))
-        .groupBy("n", "sn", "d_max")
-        .agg(F.min("h").cast("long").alias("change_hour"))
-        .select(
-            "n",
-            "sn",
-            F.col("d_max").cast("long").alias("d_num"),
-            "change_hour",
-            (
-                F.col("d_max").cast("double")
-                / (F.col("n").cast("double") * F.col("sn").cast("double"))
-            ).alias("cusum_stat"),
-        )
+    return best.select(
+        "n",
+        "sn",
+        F.col("mx.d").cast("long").alias("d_num"),
+        (-F.col("mx.nh")).cast("long").alias("change_hour"),
+        (
+            F.col("mx.d").cast("double")
+            / (F.col("n").cast("double") * F.col("sn").cast("double"))
+        ).alias("cusum_stat"),
     )
 
 

@@ -580,3 +580,49 @@ def streaming_cms_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_kmv_maintenance(
+    events: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuously maintained KMV distinct sketch: each micro-batch's
+    bottom-k member set (operators/reshape.kmv_bottomk — the SAME
+    expressions as the batch query) merges into the versioned
+    snapshot by re-ranking the union. KMV state is the ≤ k smallest
+    member hashes per group; bottom-k of (previous state ∪ batch
+    members) IS bottom-k of everything seen, because members dedupe
+    before ranking and the hash is deterministic — so the drained
+    snapshot's estimates equal agg_sketch_kmv's batch estimates
+    EXACTLY (pinned in tests/test_streaming.py), the same
+    no-drift-to-bound property as the CMS maintenance above.
+
+    Retry safety follows the rollup-maintenance rule: merge reads the
+    PREDECESSOR snapshot (strictly older than this batch_id), so a
+    replayed batch rewrites v{batch_id} from the same base.
+
+    At 100 TB: state is ≤ |groups|·k rows forever — per-group distinct
+    tracking over an unbounded stream with no per-member state store;
+    estimates serve at any moment from the latest snapshot."""
+    from etl_geonames_spark.operators.reshape import kmv_bottomk
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = kmv_bottomk(batch)
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = kmv_bottomk(
+                prev.select("event_type", "user_id").unionByName(
+                    partial.select("event_type", "user_id")
+                )
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -118,6 +118,8 @@ def edge_ddb(edge_sf_dir):
         "stat_bootstrap_diff",
         "stat_runs_test",
         "llm_mrr_eval",
+        "stat_best_split",
+        "llm_mix_kl_divergence",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

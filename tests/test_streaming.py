@@ -544,3 +544,36 @@ def test_streaming_cms_maintenance_equals_batch(spark, sf_dir, tmp_path):
     )
     want = {(r["i"], r["c"]): r["n"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_kmv_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Continuously maintained KMV == the batch sketch estimate-for-
+    estimate after draining the events stream: bottom-k of a union of
+    bottom-k member sets is bottom-k of the union (members dedupe,
+    hashes are deterministic), so the merge is exact."""
+    from etl_geonames_spark.operators.reshape import kmv_estimate
+    from etl_geonames_spark.sources import load_table
+    from etl_geonames_spark.streaming import (
+        read_events_stream,
+        streaming_kmv_maintenance,
+    )
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+    import __spark_entry__ as entry_mod
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_type", "user_id"
+    )
+    state = str(tmp_path / "kmv_state")
+    streaming_kmv_maintenance(stream, state, str(tmp_path / "ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {
+        r["event_type"]: (r["kth_hash"], round(r["est_distinct"], 6))
+        for r in kmv_estimate(final).collect()
+    }
+    batch = entry_mod.queries()["agg_sketch_kmv"](spark, sf_dir)
+    want = {
+        r["event_type"]: (r["kth_hash"], round(r["est_distinct"], 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
