@@ -2714,111 +2714,6 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_bpe_pair_step",
-    oracle="""
-    WITH words AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
-        SELECT unnest(str_split(text, ' ')) AS word FROM documents
-      ) t WHERE word <> '' GROUP BY word
-    ),
-    pairs AS (
-      SELECT unnest(list_transform(
-               generate_series(1, length(word) - 1),
-               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
-             wf
-      FROM words
-    )
-    SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
-    FROM pairs GROUP BY pair
-    ORDER BY cnt DESC, pair LIMIT 20
-    """,
-)
-def llm_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One BPE-trainer iteration at the character level: the 20 most
-    frequent adjacent symbol pairs across the corpus, each word
-    weighted by its corpus frequency (Sennrich et al. 2016's merge
-    candidate selection — the argmax of this table IS the next merge).
-
-    The corpus collapses to the word-frequency table first (one hash
-    aggregate — the standard BPE trick: |vocab| ≪ corpus tokens), so
-    pair extraction runs over distinct words only; a second aggregate
-    sums weighted pair counts and TakeOrdered(20) picks the merge
-    candidates. Spark's sequence(1, 0) counts DOWN for 1-char words —
-    the same descending-sequence trap as _shingles, guarded the same
-    way (DuckDB's generate_series is empty there).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
-    )
-    pairs = words.select(
-        F.explode(
-            F.expr(
-                "IF(length(word) >= 2,"
-                "   transform(sequence(1, length(word) - 1),"
-                "     i -> substring(word, i, 2)),"
-                "   array())"
-            )
-        ).alias("pair"),
-        "wf",
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("wf").cast("long").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "pair")
-        .limit(20)
-    )
-
-
-@query(
-    "llm_embedding_dim_stats",
-    oracle=f"""
-    WITH v AS (
-        SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings,
-             unnest(generate_series(1, len(embedding))) AS g(i)
-    )
-    SELECT CAST(dim AS BIGINT) AS dim,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           {sql_qround('AVG(x)', 6)} AS mean,
-           {sql_qround('var_pop(x)', 6)} AS variance,
-           CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS zero_frac
-    FROM v GROUP BY dim
-    """,
-)
-def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension embedding health check: mean, population variance
-    and exact-zero fraction for every coordinate — the drift/dead-dim
-    diagnostic run after any encoder change (a collapsed dimension
-    shows variance ≈ 0; a biased one drifts its mean; sparsity shows
-    in zero_frac). posexplode → one hash aggregate keyed by dim: the
-    shuffle carries |dims| keys however large the corpus, and the
-    float mean/variance are qround(6) on both engines (order-dependent
-    sums); zero_frac stays an exact integer ratio.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.posexplode(F.col("embedding")).alias("pos", "xf")
-    ).select(
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
-    )
-    return v.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        qround(F.avg("x"), 6).alias("mean"),
-        qround(F.var_pop("x"), 6).alias("variance"),
-        (
-            F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("zero_frac"),
-    )
-
-
-@query(
     "llm_mrr_eval",
     oracle="""
     WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

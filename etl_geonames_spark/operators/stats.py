@@ -82,6 +82,12 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic permutation in both engines, documented rather than
     tie-averaged: at corpus scale the AUC difference is O(ties/n²)
     and the differential hash needs an exact integer core.
+
+    Sibling: agg_mann_whitney (relational.py) runs the same test
+    PER EVENT TYPE with midranks and the normal-approximation z over
+    bounded per-group windows; this one is the single global test —
+    where per-group windows would funnel the whole corpus through one
+    task, hence the distributed_rank machinery and the AUC output.
     """
     docs = load_table(spark, sf_dir, "documents")
     from etl_geonames_spark.operators.relational import distributed_rank
@@ -228,7 +234,14 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_cols,
            ((SELECT COUNT(*) FROM rm) - 1)
                * ((SELECT COUNT(*) FROM cm) - 1) AS dof,
-           {sql_qround('SUM(t)', 6)} AS chi2
+           {sql_qround('SUM(t)', 6)} AS chi2,
+           CASE WHEN (SELECT COUNT(*) FROM rm) >= 2
+                 AND (SELECT COUNT(*) FROM cm) >= 2
+                THEN {sql_qround(
+                    'sqrt(SUM(t) / ((SELECT n FROM n) * '
+                    'LEAST((SELECT COUNT(*) FROM rm) - 1, '
+                    '(SELECT COUNT(*) FROM cm) - 1)))', 6
+                )} END AS cramers_v
     FROM terms
     """,
 )
@@ -245,7 +258,15 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|n·o| ≤ N², fine to N ≈ 3·10⁹ docs), squared in double so both
     engines perform the identical IEEE op. The final sum over cells
     is the module's one order-dependent float aggregate → qround(6)
-    on both sides.
+    on both sides. Emits Cramér's V = √(χ²/(n·min(r−1,c−1))) too —
+    χ² grows with n, V is the comparable-across-corpora effect size
+    (NULL on degenerate 1×c / r×1 tables).
+
+    Sibling: agg_chi_square (relational.py) applies the same test as
+    an events-side drift detector (event_type × user-parity, a k×2
+    table); this one is the corpus-shape version with dof + effect
+    size over the full r×c grid. llm_mix_kl_divergence is the
+    per-source decomposition of what this tests globally.
     """
     docs = load_table(spark, sf_dir, "documents")
     cells = (
@@ -272,15 +293,27 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             F.broadcast(cm.agg(F.count(F.lit(1)).cast("long").alias("n_cols")))
         )
+        .crossJoin(F.broadcast(n))
+    )
+    # V divides the RAW χ² sum (rounding only at emit, both engines)
+    v = F.sqrt(
+        F.col("_raw")
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+        )
     )
     return (
-        terms.agg(qround(F.sum("t"), 6).alias("chi2"))
+        terms.agg(F.sum("t").alias("_raw"))
         .crossJoin(F.broadcast(shape))
         .select(
             "n_rows",
             "n_cols",
             ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
-            "chi2",
+            qround(F.col("_raw"), 6).alias("chi2"),
+            F.when(
+                (F.col("n_rows") >= 2) & (F.col("n_cols") >= 2), qround(v, 6)
+            ).alias("cramers_v"),
         )
     )
 
@@ -483,6 +516,10 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the rest of the module (tests/test_edge_inputs.py).
     One corpus scan, one 1-row moment table — nothing else at any
     scale.
+
+    Sibling: agg_ab_ttest (relational.py) is the per-event-type
+    grouped form (t only); this global one adds the
+    Welch-Satterthwaite df and the NULL degenerate contract.
     """
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(

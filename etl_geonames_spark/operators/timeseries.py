@@ -1537,6 +1537,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The series table is |hours| rows — metadata-sized against the
     corpus; the only fact-scale exchange is the hourly count
     aggregate itself.
+
+    Sibling: ts_autocorr is the lag-1, per-series (per event type)
+    form over a LAG window; this one profiles the GLOBAL aggregate
+    series at multiple lags, where a per-series window doesn't apply.
     """
     from etl_geonames_spark.operators.relational import distributed_rank
 
@@ -1637,6 +1641,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-shuffles). The argmax-with-min-hour-tie-break is one
     ``max(struct(d, -h))`` aggregate — no self-join back onto the
     deviations.
+
+    Sibling: ts_cusum_drift reports the drift MAGNITUDE per series
+    (max |Σ(x−μ)| over per-type windows); this one localizes the
+    change — WHERE the global series breaks, with the exact-integer
+    cross-multiplied argmax.
     """
     from etl_geonames_spark.operators.relational import (
         distributed_rank_cumsum,

@@ -102,12 +102,11 @@ def edge_ddb(edge_sf_dir):
         "llm_shard_manifest",
         # session-3c additions: 5-gram shapes (empty on every edge doc
         # — the guards must yield empty arrays, not ANSI throws),
-        # 1-char words in the BPE pair step, zero-vector ranker inputs
-        # in RRF, and the stats family on a degenerate all-'en' corpus
-        # (n2 = 0 → NULL/NaN statistics must agree across engines)
+        # zero-vector ranker inputs in RRF, and the stats family on a
+        # degenerate all-'en' corpus (n2 = 0 → NULL/NaN statistics
+        # must agree across engines)
         "llm_ngram_novelty",
         "llm_boilerplate_ngrams",
-        "llm_bpe_pair_step",
         "llm_rrf_fusion",
         "stat_mann_whitney",
         "stat_ks_two_sample",

@@ -491,3 +491,41 @@ def test_publish_atomic_writes_manifest_and_promotes(spark, sf_dir, tmp_path):
         f.write(b"\xde\xad")
     v = verify_published(out)
     assert not v["ok"] and v["bad_files"] == [victim]
+
+
+def test_incremental_read_processes_only_new_files(spark, tmp_path):
+    """Manifest-based incremental ingest: run 1 sees every landed
+    file; after commit, run 2 sees ONLY the newly landed file; a
+    drained landing zone yields None (no empty-glob Spark job). The
+    manifest commit is atomic (temp + rename) and stores relative
+    paths."""
+    import pandas as pd
+
+    from etl_geonames_spark.sources.incremental import (
+        commit_manifest,
+        incremental_read,
+        read_manifest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    pd.DataFrame({"k": [1, 2]}).to_parquet(land / "a.parquet")
+    pd.DataFrame({"k": [3]}).to_parquet(land / "b.parquet")
+    manifest = str(tmp_path / "state" / "manifest.json")
+
+    df1, new1 = incremental_read(spark, str(land), manifest)
+    assert sorted(new1) == ["a.parquet", "b.parquet"]
+    assert df1.count() == 3
+    commit_manifest(manifest, new1)
+
+    # nothing new → no DataFrame at all
+    df_none, new_none = incremental_read(spark, str(land), manifest)
+    assert df_none is None and new_none == []
+
+    # one more file lands → only it is read
+    pd.DataFrame({"k": [4, 5]}).to_parquet(land / "c.parquet")
+    df2, new2 = incremental_read(spark, str(land), manifest)
+    assert new2 == ["c.parquet"]
+    assert [r["k"] for r in df2.orderBy("k").collect()] == [4, 5]
+    commit_manifest(manifest, new2)
+    assert read_manifest(manifest) == {"a.parquet", "b.parquet", "c.parquet"}
