@@ -2366,3 +2366,100 @@ def llm_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("ns").alias("n_docs"))
         .agg(qround(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
     )
+
+
+# Fixed chat template (marker tokens only — no escape-sensitive
+# whitespace, so the oracle string and the Column expressions carry
+# byte-identical literals). Lengths are computed ONCE in Python and
+# injected as constants into both engines.
+_SFT_SYS = "<|system|>You are helpful.<|user|>"
+_SFT_ASST = "<|assistant|>"
+_SFT_END = "<|end|>"
+_SFT_PROMPT_WORDS = 8
+
+
+@query(
+    "llm_sft_render",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               array_to_string(t[1:{_SFT_PROMPT_WORDS}], ' ') AS prompt,
+               array_to_string(t[{_SFT_PROMPT_WORDS + 1}:len(t)], ' ')
+                   AS response
+        FROM toks WHERE len(t) >= {_SFT_PROMPT_WORDS + 2}
+    )
+    SELECT doc_id,
+           '{_SFT_SYS}' || prompt || '{_SFT_ASST}' || response
+               || '{_SFT_END}' AS rendered,
+           CAST({len(_SFT_SYS) + len(_SFT_ASST) + len(_SFT_END)}
+                + length(prompt) + length(response) AS BIGINT)
+               AS n_chars_total,
+           CAST({len(_SFT_SYS) + len(_SFT_ASST)} + length(prompt) + 1
+                AS BIGINT) AS asst_start,
+           CAST(length(response) AS BIGINT) AS asst_len
+    FROM parts
+    """,
+)
+def llm_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example rendering: apply a chat template (system/user/
+    assistant marker tokens) to (prompt, response) pairs AND emit the
+    assistant span's character offsets — the loss mask an SFT trainer
+    needs so gradient flows only through response tokens (the
+    completion-only masking convention; llm_mask_tokens is the MLM
+    sibling that masks random tokens instead). Pairs derive
+    deterministically from the corpus: first 8 words = prompt, rest =
+    response, docs shorter than prompt+2 words drop.
+
+    Pure map-side string assembly — concat of fixed literals whose
+    lengths are Python constants injected into BOTH engines, so
+    asst_start = |prefix| + 1 is exact integer arithmetic and the
+    span can be asserted against substring() on either side. Zero
+    shuffles at any corpus size; the template swaps by editing one
+    constant, offsets stay correct by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("t"),
+    ).filter(F.size("t") >= _SFT_PROMPT_WORDS + 2)
+    parts = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), 1, _SFT_PROMPT_WORDS)
+        ).alias("prompt"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                _SFT_PROMPT_WORDS + 1,
+                F.size("t") - _SFT_PROMPT_WORDS,
+            ),
+        ).alias("response"),
+    )
+    prefix_len = len(_SFT_SYS) + len(_SFT_ASST)
+    return parts.select(
+        "doc_id",
+        F.concat(
+            F.lit(_SFT_SYS),
+            F.col("prompt"),
+            F.lit(_SFT_ASST),
+            F.col("response"),
+            F.lit(_SFT_END),
+        ).alias("rendered"),
+        (
+            F.lit(prefix_len + len(_SFT_END))
+            + F.length("prompt")
+            + F.length("response")
+        )
+        .cast("long")
+        .alias("n_chars_total"),
+        (F.lit(prefix_len) + F.length("prompt") + 1)
+        .cast("long")
+        .alias("asst_start"),
+        F.length("response").cast("long").alias("asst_len"),
+    )

@@ -119,6 +119,7 @@ def edge_ddb(edge_sf_dir):
         "llm_mrr_eval",
         "stat_best_split",
         "llm_mix_kl_divergence",
+        "llm_sft_render",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
@@ -223,3 +224,14 @@ def test_compression_ratio_matches_stdlib_zlib_exactly(spark, sf_dir):
     )
     assert got["min_ratio"].tolist() == exp["min_ratio"].tolist()
     assert got["max_ratio"].tolist() == exp["max_ratio"].tolist()
+
+
+def test_sft_render_span_recovers_response(spark, edge_sf_dir):
+    """The emitted (asst_start, asst_len) span must cut exactly the
+    response text back out of the rendered string — the property an
+    SFT trainer's loss mask depends on."""
+    rows = QUERIES["llm_sft_render"](spark, edge_sf_dir).collect()
+    for r in rows:
+        cut = r["rendered"][r["asst_start"] - 1 : r["asst_start"] - 1 + r["asst_len"]]
+        assert len(cut) == r["asst_len"]
+        assert r["rendered"].endswith(cut + "<|end|>")

@@ -354,3 +354,54 @@ def test_poly_hash_matches_python_model(spark, words):
     ]
     assert got == [model(w) for w in words]
     assert all(0 <= h < _FH_P for h in got)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fused_rank_cumsum_matches_parents(spark, vals):
+    """distributed_rank_cumsum (one range exchange for BOTH index and
+    prefix sum — the CUSUM fusion) must emit exactly what its two
+    parent primitives emit separately, plus grand totals equal to the
+    whole-column aggregates — on random multisets with duplicate keys,
+    so the per-partition offset bookkeeping for the two accumulators
+    cannot drift apart unnoticed."""
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum,
+        distributed_rank,
+        distributed_rank_cumsum,
+    )
+
+    rows = [(i, int(k), int(v)) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx long, k long, v long")
+    key = [F.col("k"), F.col("idx")]
+
+    fused = {
+        r["idx"]: (r["_grn"], r["_gcs"], r["_total_n"], r["_total_s"])
+        for r in distributed_rank_cumsum(df, key, "v").collect()
+    }
+    want_rank = {
+        r["idx"]: r["_grn"] for r in distributed_rank(df, key).collect()
+    }
+    want_cum = {
+        r["idx"]: r["cum"]
+        for r in distributed_cumsum(df, key, "v", "cum").collect()
+    }
+    n = len(rows)
+    s = sum(v for _i, _k, v in rows)
+    for idx, (grn, gcs, tn, ts_) in fused.items():
+        assert grn == want_rank[idx], idx
+        assert gcs == want_cum[idx], idx
+        assert tn == n and ts_ == s, idx
