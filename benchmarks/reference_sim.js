@@ -42,12 +42,19 @@ const admin1 = loadAdmin(path.join(dir, "admin1CodesASCII.txt"));
 const admin2 = loadAdmin(path.join(dir, "admin2Codes.txt"));
 
 const t0 = process.hrtime.bigint();
-const lines = fs.readFileSync(path.join(dir, "allCountries.txt"), "utf8").split("\n");
+// stream line-by-line (the reference's Highland pipeline streams too;
+// a whole-file read also breaks node's 512 MB string cap at 4M rows)
+const readline = require("readline");
+const rl = readline.createInterface({
+  input: fs.createReadStream(path.join(dir, "allCountries.txt")),
+  crlfDelay: Infinity,
+});
 const out = fs.createWriteStream(outFile);
-let pits = 0, rels = 0;
+let pits = 0, rels = 0, rows = 0;
 
-for (const line of lines) {
-  if (!line) continue;
+rl.on("line", (line) => {
+  if (!line) return;
+  rows++;
   const vals = line.split("\t");
   const row = {};
   for (let i = 0; i < COLS.length; i++) row[COLS[i]] = vals[i];
@@ -58,7 +65,7 @@ for (const line of lines) {
     for (const k in f) if (row[k] !== f[k]) { all = false; break; }
     if (all) { pass = true; break; }
   }
-  if (!pass) continue;
+  if (!pass) return;
 
   let code = row.featureCode, type;
   while (code.length) {
@@ -66,7 +73,7 @@ for (const line of lines) {
     if (type) break;
     code = code.slice(0, -1);
   }
-  if (!type) continue;
+  if (!type) return;
 
   const pit = {
     uri: BASE + row.geonameid,
@@ -101,13 +108,15 @@ for (const line of lines) {
       rels++;
     }
   }
-}
-out.end(() => {
-  const sec = Number(process.hrtime.bigint() - t0) / 1e9;
-  const rows = lines.length - 1;
-  console.log(JSON.stringify({
-    engine: "reference-sim-node", rows, pits, relations: rels,
-    sec: Math.round(sec * 100) / 100,
-    rows_per_sec: Math.round(rows / sec),
-  }));
+});
+
+rl.on("close", () => {
+  out.end(() => {
+    const sec = Number(process.hrtime.bigint() - t0) / 1e9;
+    console.log(JSON.stringify({
+      engine: "reference-sim-node", rows, pits, relations: rels,
+      sec: Math.round(sec * 100) / 100,
+      rows_per_sec: Math.round(rows / sec),
+    }));
+  });
 });

@@ -426,3 +426,86 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         qround(F.col("avg_token_len"), 6).alias("avg_token_len"),
     )
+
+
+def _make_source_rollup_udtf():
+    from pyspark.sql.functions import udtf
+
+    class SourceRollup:
+        """Stateful per-partition rollup: consumes one PARTITION BY
+        group in ORDER BY order, emits one summary row at terminate.
+        The first-row capture is the observable proof that Spark
+        honored the declared partition ordering."""
+
+        def __init__(self) -> None:
+            self._src = None
+            self._n = 0
+            self._first = None
+            self._mx = None
+
+        def eval(self, row) -> None:
+            self._src = row["source"]
+            self._n += 1
+            if self._first is None:
+                self._first = row["n_chars"]
+            self._mx = (
+                row["n_chars"]
+                if self._mx is None
+                else max(self._mx, row["n_chars"])
+            )
+
+        def terminate(self):
+            if self._src is not None:
+                yield self._src, self._n, self._first, self._mx
+
+    return udtf(
+        SourceRollup,
+        returnType=(
+            "source string, n_docs bigint, first_chars bigint,"
+            " max_chars bigint"
+        ),
+    )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS first_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument + PARTITION BY / ORDER BY (the last
+    §2.11 surface after udtf_analyze's schema-from-arguments): Spark
+    feeds the UDTF whole relation PARTITIONS — a fresh instance per
+    source, rows arriving in (n_chars, doc_id) order, one summary row
+    per terminate(). This is the custom-stateful-operator escape
+    hatch for logic aggregates can't express (sequence-aware session
+    rollups, ordered dedup, CRDT merges); here the state is kept
+    deliberately checkable: first-seen value under the declared
+    ordering MUST equal MIN(n_chars), which is exactly what the
+    relational oracle asserts — if Spark ever ignored the ORDER BY,
+    the differential fails.
+
+    Scale shape: the table argument hash-partitions on the PARTITION
+    BY key (one exchange, the same shuffle a groupBy would pay) and
+    sorts within partitions; Python sees Arrow batches per group.
+    """
+    SourceRollup = _make_source_rollup_udtf()
+    spark.udtf.register("source_rollup_udtf", SourceRollup)
+    load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    ).createOrReplaceTempView("docs_for_table_arg_udtf")
+    return spark.sql(
+        """
+        SELECT source, n_docs, first_chars, max_chars
+        FROM source_rollup_udtf(
+            TABLE(docs_for_table_arg_udtf)
+            PARTITION BY source
+            ORDER BY (n_chars, doc_id)
+        )
+        """
+    )
