@@ -2463,3 +2463,84 @@ def llm_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("asst_start"),
         F.length("response").cast("long").alias("asst_len"),
     )
+
+
+# Fixed BPE merge rules, applied IN ORDER, each globally (the standard
+# Sennrich apply loop: merge k rewrites every occurrence before merge
+# k+1 runs). Symbols are space-separated; '</w>' marks word ends so
+# merges can be word-final-aware. The list is a literal: the operator
+# demonstrates APPLYING a vocabulary, llm_bpe_pair_counts TRAINS one.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "n"), ("a", "n"),
+    ("t", "i"), ("e", "s"), ("r", "e"), ("e", "n"),
+]
+
+
+@query(
+    "llm_bpe_apply",
+    oracle=f"""
+    WITH sym AS (
+        SELECT doc_id,
+               ' ' || array_to_string(list_transform(
+                   list_filter(str_split(text, ' '), w -> w <> ''),
+                   w -> array_to_string(str_split_regex(w, ''), ' ')
+                        || ' </w>'), ' ') || ' ' AS s
+        FROM documents
+    ),
+    merged AS (
+        SELECT doc_id,
+               {"".join(f"replace(" for _ in _BPE_MERGES)}s{"".join(
+                   f", ' {a} {b} ', ' {a}{b} ')" for a, b in _BPE_MERGES
+               )} AS m
+        FROM sym
+    )
+    SELECT doc_id,
+           CAST(len(str_split(trim(s), ' ')) AS BIGINT) AS n_symbols_in,
+           CAST(len(str_split(trim(m), ' ')) AS BIGINT) AS n_tokens_out,
+           CAST(len(str_split(trim(s), ' ')) -
+                len(str_split(trim(m), ' ')) AS BIGINT) AS n_merges_fired
+    FROM sym JOIN merged USING (doc_id)
+    WHERE trim(s) <> ''
+    """,
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a BPE merge table (Sennrich et al. 2016's tokenize step —
+    llm_bpe_pair_counts is the train step that produces the rules):
+    each document becomes a space-separated symbol stream (chars +
+    '</w>' word markers), then the 8 merge rules rewrite it IN
+    PRIORITY ORDER, each replacing every occurrence before the next
+    rule runs — the exact apply-merges semantics, as a chain of 8
+    plain ``replace`` calls (non-regex: both engines replace ALL
+    occurrences, sidestepping the Spark-replaces-all vs DuckDB
+    'g'-flag regexp trap). Output: symbol count before, token count
+    after, merges fired — the vocabulary-compression measurement.
+
+    Map-only codegen end-to-end: a K-rule vocabulary is a K-deep
+    expression chain, zero shuffles at any corpus size. Real
+    vocabularies (10⁴ merges) graduate to a Pandas-UDF trie pass;
+    the counting/If-this-merges semantics stay identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
+            lambda w: F.concat(
+                F.concat_ws(" ", F.split(w, "")), F.lit(" </w>")
+            ),
+        ),
+    )
+    sym = docs.select(
+        "doc_id", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
+    ).filter(F.trim("s") != "")
+    m = F.col("s")
+    for a, b in _BPE_MERGES:
+        m = F.replace(m, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_in = F.size(F.split(F.trim(F.col("s")), " "))
+    n_out = F.size(F.split(F.trim(m), " "))
+    return sym.select(
+        "doc_id",
+        n_in.cast("long").alias("n_symbols_in"),
+        n_out.cast("long").alias("n_tokens_out"),
+        (n_in - n_out).cast("long").alias("n_merges_fired"),
+    )

@@ -1021,3 +1021,371 @@ def stat_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("fmax") / F.col("n") - base, 6).alias("gini_gain"),
         )
     )
+
+
+_CONF_ALPHA_NUM = 9  # coverage 0.9 = 9/10
+_CONF_ALPHA_DEN = 10
+
+
+@query(
+    "stat_conformal_interval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+               (doc_id * 1103515245 + 12345) % 2 AS fold
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d WHERE fold = 0 GROUP BY lang
+    ),
+    cal AS (
+        SELECT d.doc_id,
+               ABS(CAST(d.x AS DOUBLE) - CAST(pred.s AS DOUBLE) / pred.n)
+                   AS r
+        FROM d JOIN pred USING (lang) WHERE d.fold = 1
+    ),
+    rk AS (
+        SELECT r,
+               CAST(ROW_NUMBER() OVER (ORDER BY r, doc_id) AS BIGINT)
+                   AS k,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+        FROM cal
+    )
+    SELECT n_cal,
+           CAST(LEAST(CAST(ceil((n_cal + 1) * {_CONF_ALPHA_NUM}
+                                / CAST({_CONF_ALPHA_DEN} AS DOUBLE))
+                           AS BIGINT), n_cal) AS BIGINT) AS k_target,
+           MAX(CASE WHEN k = LEAST(CAST(ceil((n_cal + 1)
+                        * {_CONF_ALPHA_NUM}
+                        / CAST({_CONF_ALPHA_DEN} AS DOUBLE)) AS BIGINT),
+                        n_cal) THEN r END) AS q_hat
+    FROM rk GROUP BY n_cal
+    """,
+)
+def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; the
+    distribution-free uncertainty wrapper modern eval stacks put
+    around ANY predictor): fit a trivial per-language mean predictor
+    on the hash-even half, take absolute residuals on the
+    hash-odd calibration half, and q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    residual — then "prediction ± q̂" covers ≥ 90% of future points
+    with NO distributional assumption. The finite-sample ceiling
+    correction (n+1, not n) is the part naive quantile pipelines get
+    wrong, pinned here by the exact k_target output.
+
+    Residuals are |int − exact-ratio| — fixed-shape doubles identical
+    across engines, ranked via ``distributed_rank`` with doc_id
+    tie-break; q̂ extraction is one max-filter aggregate at rank
+    k_target (no sorted collect at any n). The same deterministic LCG
+    as stat_bh_fdr makes the split replayable.
+    """
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        ((F.col("doc_id") * 1103515245 + 12345) % 2).alias("fold"),
+    )
+    pred = (
+        d.filter(F.col("fold") == 0)
+        .groupBy("lang")
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cal = (
+        d.filter(F.col("fold") == 1)
+        .join(F.broadcast(pred), "lang")
+        .select(
+            "doc_id",
+            F.abs(
+                F.col("x").cast("double")
+                - F.col("s").cast("double") / F.col("n")
+            ).alias("r"),
+        )
+    )
+    rk = distributed_rank(cal, ["r", "doc_id"]).select(
+        "r",
+        F.col("_grn").cast("long").alias("k"),
+        F.col("_total").cast("long").alias("n_cal"),
+    )
+    k_target = F.least(
+        F.ceil(
+            (F.col("n_cal") + 1)
+            * _CONF_ALPHA_NUM
+            / F.lit(float(_CONF_ALPHA_DEN))
+        ).cast("long"),
+        F.col("n_cal"),
+    )
+    return rk.groupBy("n_cal").agg(
+        F.max(k_target).cast("long").alias("k_target"),
+        F.max(F.when(F.col("k") == k_target, F.col("r"))).alias("q_hat"),
+    )
+
+
+@query(
+    "stat_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    cm AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+        SELECT SUM(CAST(cells.o AS DOUBLE) / n.n
+                   * ln(CAST(cells.o * n.n AS DOUBLE)
+                        / CAST(rm.r * cm.c AS DOUBLE))) AS mi_raw
+        FROM cells JOIN rm USING (lang) JOIN cm USING (source), n
+    ),
+    hx AS (
+        SELECT SUM(-(CAST(r AS DOUBLE) / n.n)
+                   * ln(CAST(r AS DOUBLE) / n.n)) AS h_raw
+        FROM rm, n
+    ),
+    hy AS (
+        SELECT SUM(-(CAST(c AS DOUBLE) / n.n)
+                   * ln(CAST(c AS DOUBLE) / n.n)) AS h_raw
+        FROM cm, n
+    )
+    SELECT {sql_qround('mi.mi_raw', 6)} AS mi_nats,
+           {sql_qround('hx.h_raw', 6)} AS h_lang,
+           {sql_qround('hy.h_raw', 6)} AS h_source,
+           CASE WHEN hx.h_raw > 0 AND hy.h_raw > 0
+                THEN {sql_qround(
+                    'mi.mi_raw / sqrt(hx.h_raw * hy.h_raw)', 6
+                )} END AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats, plus the marginal
+    entropies and the √(H·H)-normalized NMI — the feature-selection /
+    clustering-agreement number (Strehl & Ghosh 2002) that answers
+    "how many bits does knowing the source tell you about language?".
+    Sibling of stat_chi2_independence (same contingency machinery,
+    different statistic): χ² gives a significance test, MI gives the
+    effect in information units that compares across corpora and
+    plugs into mix-design math (llm_mix_kl_divergence's global dual).
+
+    One hash aggregate builds the cell table; margins/total are tiny
+    re-aggregates broadcast back — the corpus scans once at any
+    scale. Each cell term keeps the log argument as a ratio of exact
+    int64 products (o·N / r·c — safe to N ≈ 3·10⁹ docs), so both
+    engines run the identical IEEE ln; the sums over cells are the
+    order-dependent float aggregates → qround(6) at emit, and NMI
+    divides the raw sums first (the cramers_v convention). Degenerate
+    1×c / r×1 tables have H = 0 on a margin → NMI NULL (never an
+    ANSI divide-by-zero; the edge fixture is exactly this shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    term = (
+        F.col("o").cast("double") / F.col("n")
+        * F.log(
+            (F.col("o") * F.col("n")).cast("double")
+            / (F.col("r") * F.col("c")).cast("double")
+        )
+    )
+    mi = (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(term).alias("mi_raw"))
+    )
+    p_r = F.col("r").cast("double") / F.col("n")
+    hx = (
+        rm.crossJoin(F.broadcast(n))
+        .agg(F.sum(-p_r * F.log(p_r)).alias("hx_raw"))
+    )
+    p_c = F.col("c").cast("double") / F.col("n")
+    hy = (
+        cm.crossJoin(F.broadcast(n))
+        .agg(F.sum(-p_c * F.log(p_c)).alias("hy_raw"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            qround(F.col("mi_raw"), 6).alias("mi_nats"),
+            qround(F.col("hx_raw"), 6).alias("h_lang"),
+            qround(F.col("hy_raw"), 6).alias("h_source"),
+            F.when(
+                (F.col("hx_raw") > 0) & (F.col("hy_raw") > 0),
+                qround(
+                    F.col("mi_raw")
+                    / F.sqrt(F.col("hx_raw") * F.col("hy_raw")),
+                    6,
+                ),
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "stat_benford",
+    oracle=f"""
+    WITH pos AS (
+        SELECT CAST(substr(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM documents WHERE n_chars > 0
+    ),
+    d AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT d.digit, d.n,
+           {sql_qround('CAST(d.n AS DOUBLE) / t.total', 6)} AS obs_freq,
+           {sql_qround('ln(1.0 + 1.0 / d.digit) / ln(10.0)', 6)} AS exp_freq,
+           {sql_qround(
+               '(CAST(d.n AS DOUBLE) - t.total * (ln(1.0 + 1.0 / d.digit)'
+               ' / ln(10.0))) * (CAST(d.n AS DOUBLE) - t.total'
+               ' * (ln(1.0 + 1.0 / d.digit) / ln(10.0)))'
+               ' / (t.total * (ln(1.0 + 1.0 / d.digit) / ln(10.0)))', 6
+           )} AS chi2_term
+    FROM d, t
+    """,
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over ``n_chars`` — the classic
+    fabricated-data / broken-ingest detector (Benford 1938; Nigrini's
+    forensic-accounting standard): naturally-occurring size fields
+    follow P(d) = log₁₀(1 + 1/d), and a synthetic or truncated feed
+    shows up as a flat or spiked digit histogram. Emits per-digit
+    observed vs expected frequency and the χ² contribution, so the
+    drift monitor can alert on Σ terms or on a single digit.
+
+    The first digit comes from the int→string cast (substr of the
+    decimal rendering — both engines print integers identically),
+    NEVER from log10(value): floor(log10(·)) flips at exact powers of
+    ten when the two engines' libm differ in the last bit. Expected
+    frequencies are ln-ratio constants, identical-shape on both
+    sides and qround'd with everything else. One hash aggregate on a
+    ≤ 9-row key + a broadcast total — a metadata-sized plan no matter
+    the corpus; zero-length docs (the edge fixture) are filtered, so
+    no digit-0 row and no zero denominator anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            F.substring(
+                F.col("n_chars").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = d.agg(F.sum("n").cast("long").alias("total"))
+    exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    dev = F.col("n").cast("double") - F.col("total") * exp_p
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            qround(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "obs_freq"
+            ),
+            qround(exp_p, 6).alias("exp_freq"),
+            qround(dev * dev / (F.col("total") * exp_p), 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+# modified z-score threshold 3.5 (Iglewicz & Hoaglin 1993) restated as
+# |x − med| > (3.5 / 0.6745) · MAD so no division ever runs; the
+# constant is an expression, not a decimal literal, so both engines
+# derive the identical double
+_MAD_K_NUM = 3.5
+_MAD_K_DEN = 0.6745
+
+
+@query(
+    "dq_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.value - med.med) AS dv
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(dv) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_qround('MAX(med.med)', 6)} AS med,
+           {sql_qround('MAX(mad.mad)', 6)} AS mad,
+           CAST(SUM(CASE WHEN FLOOR(d.dv * 1000000.0 + 0.5) / 1000000.0
+                        > FLOOR(({_MAD_K_NUM} / {_MAD_K_DEN}) * mad.mad
+                                * 1000000.0 + 0.5) / 1000000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median / MAD / modified
+    z-score count per event type (Iglewicz & Hoaglin 1993's |M| > 3.5
+    rule) — the data-quality gate that survives the exact heavy tails
+    that break mean±kσ fences (one spike inflates σ and hides itself;
+    the median/MAD pair is 50%-breakdown-robust). Emits the census,
+    not the flagged rows, so the output is group-sized.
+
+    The threshold is restated multiplicatively (|x−med| > (3.5/0.6745)
+    ·MAD): no division, so an all-constant group (MAD = 0) counts any
+    deviation as an outlier instead of throwing ANSI DIVIDE_BY_ZERO.
+    Both compare sides are qround(6)'d before the >, the cross-engine
+    float-predicate discipline (CLAUDE.md). Exact medians are
+    interpolated identically (mean of middle two) by both engines.
+
+    Shape: two keyed exact-median aggregates (each one shuffle on
+    event_type — the key is low-cardinality, so AQE coalesces) with
+    metadata-sized med/MAD tables broadcast back between passes. At
+    100 TB the exact median swaps for approx_percentile or the
+    distributed_rank primitive (same module) — the census logic is
+    unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dv")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dv").alias("mad"))
+    thr = qround(
+        F.lit(_MAD_K_NUM) / F.lit(_MAD_K_DEN) * F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            qround(F.max("med"), 6).alias("med"),
+            qround(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(qround(F.col("dv"), 6) > thr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -1884,3 +1884,107 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("vfirst"),
         F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("vlast"),
     )
+
+
+@query(
+    "ts_sax_symbols",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM dc GROUP BY event_type
+    ),
+    seg AS (
+      SELECT dc.event_type,
+             (CAST(dc.day AS DATE) - DATE '1970-01-01') // 4 AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(dc.c) AS segsum,
+             CAST(COUNT(*) AS BIGINT) AS segn
+      FROM dc GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT seg.event_type, seg.seg, seg.n_days,
+             CAST(seg.segsum AS DOUBLE) / seg.segn AS paa,
+             (CAST(seg.segsum AS DOUBLE) / seg.segn
+              - CAST(stats.s AS DOUBLE) / stats.n)
+             / sqrt((CAST(stats.n AS DOUBLE) * stats.q
+                     - CAST(stats.s AS DOUBLE) * stats.s)
+                    / (CAST(stats.n AS DOUBLE) * stats.n)) AS zz
+      FROM seg JOIN stats USING (event_type)
+    )
+    SELECT event_type, CAST(seg AS BIGINT) AS seg, n_days,
+           FLOOR(paa * 1000000.0 + 0.5) / 1000000.0 AS paa,
+           CASE WHEN zz < -0.6745 THEN 'a'
+                WHEN zz < 0.0 THEN 'b'
+                WHEN zz < 0.6745 THEN 'c'
+                ELSE 'd' END AS sax
+    FROM z
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin et al. 2003): the daily count
+    series per event type reduces to 4-day PAA segment means, z-scored
+    against the series' own mean/std and binned into a 4-letter
+    alphabet at the N(0,1) quartile breakpoints (±0.6745, 0) — the
+    representation motif-mining and whole-series indexing run on,
+    turning numeric series into strings llm-style n-gram machinery
+    (winnowing, PMI, novelty — same module family) can then process.
+
+    Determinism across engines: z is a fixed-shape double expression
+    over exact int64 moments (counts, sums, sum-of-squares — never a
+    float variance aggregate), so the breakpoint CASE sees identical
+    bits on both sides and the letter can't flip; paa is qround'd only
+    at emit. Two hash aggregates (daily, then segment) + a broadcast
+    per-series stats join — segments are calendar-aligned (epoch-day
+    div 4), so no per-series min-date pass is needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    seg = dc.groupBy(
+        "event_type",
+        F.expr("datediff(day, DATE '1970-01-01') div 4").alias("seg"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").alias("segsum"),
+        F.count(F.lit(1)).cast("long").alias("segn"),
+    )
+    paa = F.col("segsum").cast("double") / F.col("segn")
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(
+        (F.col("n").cast("double") * F.col("q")
+         - F.col("s").cast("double") * F.col("s"))
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    zz = (paa - mean) / std
+    sax = (
+        F.when(zz < -0.6745, F.lit("a"))
+        .when(zz < 0.0, F.lit("b"))
+        .when(zz < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        seg.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("seg").cast("long").alias("seg"),
+            "n_days",
+            qround(paa, 6).alias("paa"),
+            sax.alias("sax"),
+        )
+    )

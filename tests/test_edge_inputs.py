@@ -120,6 +120,10 @@ def edge_ddb(edge_sf_dir):
         "stat_best_split",
         "llm_mix_kl_divergence",
         "llm_sft_render",
+        "llm_bpe_apply",
+        "stat_conformal_interval",
+        "stat_mutual_information",
+        "stat_benford",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
