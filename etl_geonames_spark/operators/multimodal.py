@@ -936,3 +936,91 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, start_frame int, end_frame int, n_frames int"
         ),
     )
+
+
+def _image_entropy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            w, h, rgb = decode_image(blob)
+            arr = np.frombuffer(bytes(rgb), dtype=np.uint8)
+            _vals, counts = np.unique(arr, return_counts=True)
+            n = arr.size
+            # per-bin term in the SAME shape as the oracle's SQL:
+            # -(c/n)·ln(c/n); bins ascend (np.unique sorts), the sum's
+            # residual order drift dies at the qround(6) emit grid
+            p = counts.astype(np.float64) / float(n)
+            ent = float(-(p * np.log(p)).sum())
+            rows.append((doc_id, int(n), int(counts.size), ent))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_pix", "n_distinct", "entropy"]
+        )
+
+
+@query(
+    "mm_image_entropy",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id,
+             (gx.x * 3 + gy.y * 5 + d.doc_id + gc.c * 11) % 256 AS v
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+    ),
+    hist AS (
+      SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px GROUP BY doc_id, v
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id, tot.n AS n_pix, tot.nd AS n_distinct,
+           FLOOR(SUM(-(CAST(h.c AS DOUBLE) / tot.n)
+                     * ln(CAST(h.c AS DOUBLE) / tot.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM hist h JOIN tot USING (doc_id)
+    GROUP BY h.doc_id, tot.n, tot.nd
+    """,
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel-byte Shannon entropy from REAL decoded
+    pixels — the cheap informativeness/filtering signal a multimodal
+    curation pass ranks on (near-constant images ≈ 0 nats are banner
+    slop; high-entropy ones carry texture). Pipeline: deterministic
+    bitmap → BMP/PPM encode → binary column → Arrow batch → stdlib
+    decode → 256-bin histogram → −Σ(c/n)ln(c/n), all inside one
+    mapInPandas pass (the multimodal surface's sanctioned Python
+    path), with the oracle replaying the pixel-generation rule and
+    the identical per-bin term in SQL — a codec stride/padding bug
+    shifts the histogram and lands as a hash mismatch.
+
+    n_pix / n_distinct are exact integers; entropy is the one float
+    sum (≤ 256 ascending bins numpy-side vs unordered SQL groups) →
+    qround(6) on both engines. Scale shape: map-only over the blob
+    partition layout, no shuffle anywhere — the histogram lives
+    per-row inside the batch, never as a corpus-wide explode.
+    """
+    from etl_geonames_spark.functions import qround
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.mapInPandas(
+        _image_entropy_batches,
+        schema="doc_id long, n_pix long, n_distinct long, entropy double",
+    )
+    return out.select(
+        "doc_id",
+        "n_pix",
+        "n_distinct",
+        qround(F.col("entropy"), 6).alias("entropy"),
+    )

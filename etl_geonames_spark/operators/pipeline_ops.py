@@ -566,3 +566,98 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BOTTOMK_K)
         .select("event_type", "event_id", F.col("hv").cast("long").alias("hv"))
     )
+
+
+# ---------------------------------------------------------------------------
+# freshness / volume-drift monitoring
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "dq_freshness",
+    oracle=f"""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS gm FROM events),
+    p AS (
+        SELECT event_type, g.gm AS gm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(epoch_us(ts)) AS tmax,
+               CAST(SUM(CASE WHEN epoch_us(ts) > g.gm - {_DAY_US}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_last24,
+               CAST(SUM(CASE WHEN epoch_us(ts) > g.gm - {2 * _DAY_US}
+                         AND epoch_us(ts) <= g.gm - {_DAY_US}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_prev24
+        FROM events, g GROUP BY event_type, g.gm
+    )
+    SELECT event_type, n,
+           CAST((gm - tmax) // 3600000000 AS BIGINT) AS lag_hours,
+           n_last24, n_prev24,
+           CASE WHEN n_prev24 > 0
+                THEN FLOOR(CAST(n_last24 AS DOUBLE) / n_prev24
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS vol_ratio
+    FROM p
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness + volume-drift monitor: for each event type,
+    hours since its newest event (lagged feeds are the silent killer
+    of incremental pipelines — a stalled upstream looks exactly like
+    'no new data'), plus last-24h vs previous-24h row counts and
+    their ratio — the cheap canary that fires on both feed death
+    (lag_hours grows) and volume anomalies (ratio far from 1).
+    Windows anchor on the GLOBAL max timestamp, so the check is
+    replayable on a frozen snapshot — no wall-clock in the plan
+    (the engine's determinism rule; production swaps in now()).
+
+    All epoch-microsecond integer arithmetic: lag is an exact integer
+    hour division, window membership is an exact int64 compare; the
+    only float is the guarded ratio (a one-sided feed has
+    n_prev24 = 0 → NULL, never an ANSI DIVIDE_BY_ZERO), qround(6) on
+    both engines. One scan + one keyed aggregate with the 1-row
+    global max broadcast in — group-count-sized output at any scale.
+    """
+    from etl_geonames_spark.functions import qround
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = ev.agg(F.max("us").alias("gm"))
+    p = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.max("gm").alias("gm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("us").alias("tmax"),
+            F.sum(
+                F.when(F.col("us") > F.col("gm") - _DAY_US, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last24"),
+            F.sum(
+                F.when(
+                    (F.col("us") > F.col("gm") - 2 * _DAY_US)
+                    & (F.col("us") <= F.col("gm") - _DAY_US),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_prev24"),
+        )
+    )
+    return p.select(
+        "event_type",
+        "n",
+        F.expr("(gm - tmax) div 3600000000").cast("long").alias("lag_hours"),
+        "n_last24",
+        "n_prev24",
+        F.when(
+            F.col("n_prev24") > 0,
+            qround(
+                F.col("n_last24").cast("double") / F.col("n_prev24"), 6
+            ),
+        ).alias("vol_ratio"),
+    )

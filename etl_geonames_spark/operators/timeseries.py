@@ -1478,10 +1478,11 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_LAGS = (1, 2, 3)
 
 
-@query(
-    "ts_acf",
-    oracle="""
-    WITH hc AS (
+# Shared acf CTE block (ts_acf / ts_pacf): hourly counts indexed by
+# observed order, per-lag exact-int64 pair moments, global moments,
+# and the guarded acf ratio per lag.
+_ACF_SQL_CTES = """
+    hc AS (
       SELECT epoch_us(ts) // 3600000000 AS h,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1
@@ -1506,42 +1507,31 @@ _ACF_LAGS = (1, 2, 3)
       JOIN idx a ON TRUE
       JOIN idx b ON b.t = a.t + l.lag
       GROUP BY l.lag
+    ),
+    acf_rows AS (
+      SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             CASE WHEN CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) <> 0
+                  THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(sxy AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)
+                          * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                        + CAST(n_pairs AS DOUBLE) * CAST(sv AS DOUBLE)
+                          * CAST(sv AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+             END AS acf
+      FROM lagged, s
     )
-    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)
-              * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
-            + CAST(n_pairs AS DOUBLE) * CAST(sv AS DOUBLE)
-              * CAST(sv AS DOUBLE))
-           / (CAST(n AS DOUBLE)
-              * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS acf
-    FROM lagged, s
-    ORDER BY lag
-    """,
-)
-def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample autocorrelation of the hourly event-count series at lags
-    1–3 — the seasonality/momentum diagnostic a forecasting pipeline
-    reads before model choice. Hours index by OBSERVED order (rank via
-    ``distributed_rank``, so calendar gaps don't create phantom
-    zeros), the lag alignment is an equi-join on t = t+L (never a
-    window over the whole series), and every aggregate is an exact
-    int64 sum: the textbook r_L re-arranged as
-    [n²·Σxy − n·S·(Sa+Sb) + (n−L)·S²] / [n·(n·Σx² − S²)] so floats
-    appear only in the final fixed-shape expression (deterministic
-    IEEE, no rounding grid). Casts to double happen *before* the big
-    multiplies — n²·Σxy would overflow int64 on a years-long
-    high-rate series, and ANSI mode would make that a job-killer.
+"""
 
-    The series table is |hours| rows — metadata-sized against the
-    corpus; the only fact-scale exchange is the hourly count
-    aggregate itself.
 
-    Sibling: ts_autocorr is the lag-1, per-series (per event type)
-    form over a LAG window; this one profiles the GLOBAL aggregate
-    series at multiple lags, where a per-series window doesn't apply.
-    """
+def _acf_tables(spark: SparkSession, sf_dir: str):
+    """Shared ts_acf/ts_pacf core: returns (lagged, s) — the per-lag
+    exact-int64 pair moments and the global moments of the hourly
+    event-count series, indexed by observed order (see ts_acf)."""
     from etl_geonames_spark.operators.relational import distributed_rank
 
     ev = load_table(spark, sf_dir, "events")
@@ -1581,6 +1571,13 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b.c")).cast("long").alias("sb"),
         )
     )
+    return lagged, s
+
+
+def _acf_expr():
+    """The guarded acf ratio (doubles cast BEFORE the big multiplies —
+    overflow note in ts_acf; den ≠ 0 guard for constant series, where
+    ANSI would otherwise throw DIVIDE_BY_ZERO)."""
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     num = (
         d("n") * d("n") * d("sxy")
@@ -1588,10 +1585,129 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         + d("n_pairs") * d("sv") * d("sv")
     )
     den = d("n") * (d("n") * d("svv") - d("sv") * d("sv"))
+    return F.when(den != 0, num / den)
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH {_ACF_SQL_CTES}
+    SELECT lag, n_pairs, acf FROM acf_rows ORDER BY lag
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1–3 — the seasonality/momentum diagnostic a forecasting pipeline
+    reads before model choice. Hours index by OBSERVED order (rank via
+    ``distributed_rank``, so calendar gaps don't create phantom
+    zeros), the lag alignment is an equi-join on t = t+L (never a
+    window over the whole series), and every aggregate is an exact
+    int64 sum: the textbook r_L re-arranged as
+    [n²·Σxy − n·S·(Sa+Sb) + (n−L)·S²] / [n·(n·Σx² − S²)] so floats
+    appear only in the final fixed-shape expression (deterministic
+    IEEE, no rounding grid). Casts to double happen *before* the big
+    multiplies — n²·Σxy would overflow int64 on a years-long
+    high-rate series, and ANSI mode would make that a job-killer.
+
+    The series table is |hours| rows — metadata-sized against the
+    corpus; the only fact-scale exchange is the hourly count
+    aggregate itself.
+
+    Sibling: ts_autocorr is the lag-1, per-series (per event type)
+    form over a LAG window; this one profiles the GLOBAL aggregate
+    series at multiple lags, where a per-series window doesn't apply.
+    ts_pacf feeds these same moments through Durbin–Levinson for the
+    AR-order diagnostic. A constant series has zero variance → acf is
+    NULL (guarded; ANSI would otherwise throw DIVIDE_BY_ZERO).
+    """
+    lagged, s = _acf_tables(spark, sf_dir)
     return (
         lagged.crossJoin(F.broadcast(s))
-        .select("lag", "n_pairs", (num / den).alias("acf"))
+        .select("lag", "n_pairs", _acf_expr().alias("acf"))
         .orderBy("lag")
+    )
+
+
+@query(
+    "ts_pacf",
+    oracle=f"""
+    WITH {_ACF_SQL_CTES},
+    wide AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+      FROM acf_rows
+    ),
+    l2 AS (
+      SELECT r1, r2, r3,
+             CASE WHEN 1 - r1 * r1 <> 0
+                  THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p2
+      FROM wide
+    ),
+    l3 AS (SELECT r1, r2, r3, p2, r1 * (1 - p2) AS phi21 FROM l2)
+    SELECT {sql_qround('r1', 6)} AS acf1,
+           {sql_qround('r2', 6)} AS acf2,
+           {sql_qround('r3', 6)} AS acf3,
+           {sql_qround('r1', 6)} AS pacf1,
+           {sql_qround('p2', 6)} AS pacf2,
+           {sql_qround(
+               'CASE WHEN 1 - phi21 * r1 - p2 * r2 <> 0'
+               ' THEN (r3 - phi21 * r2 - p2 * r1)'
+               ' / (1 - phi21 * r1 - p2 * r2) END', 6
+           )} AS pacf3
+    FROM l3
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 via Durbin–Levinson — the
+    AR-order diagnostic (Box–Jenkins model identification: pacf cuts
+    off after lag p for an AR(p) process, where raw acf only decays).
+    Built on ts_acf's exact-int64 moment tables (shared helper, one
+    plan): φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ closes the
+    recursion with φ₂₁ = r₁(1−φ₂₂). Emits both the acf and pacf
+    triplets so the two diagnostics read side by side.
+
+    Every Durbin–Levinson step is a fixed-shape double expression
+    over the (deterministic, guard-NULLed) acf values — identical
+    IEEE ops both engines, qround(6) only at emit. Each division is
+    CASE-guarded (|r₁| = 1 or a degenerate level-3 denominator →
+    NULL, never an ANSI DIVIDE_BY_ZERO; NULLs from a constant series
+    propagate through). The moment tables are |hours|-sized — the
+    only fact-scale exchange is the hourly count aggregate.
+    """
+    lagged, s = _acf_tables(spark, sf_dir)
+    rk = lagged.crossJoin(F.broadcast(s)).select(
+        "lag", _acf_expr().alias("acf")
+    )
+    wide = rk.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    l2 = wide.select(
+        "r1",
+        "r2",
+        "r3",
+        F.when(
+            F.lit(1) - r1 * r1 != 0, (r2 - r1 * r1) / (F.lit(1) - r1 * r1)
+        ).alias("p2"),
+    )
+    p2 = F.col("p2")
+    l3 = l2.select(
+        "r1", "r2", "r3", "p2", (r1 * (F.lit(1) - p2)).alias("phi21")
+    )
+    phi21 = F.col("phi21")
+    den3 = F.lit(1) - phi21 * r1 - p2 * r2
+    return l3.select(
+        qround(r1, 6).alias("acf1"),
+        qround(r2, 6).alias("acf2"),
+        qround(r3, 6).alias("acf3"),
+        qround(r1, 6).alias("pacf1"),
+        qround(p2, 6).alias("pacf2"),
+        qround(
+            F.when(den3 != 0, (r3 - phi21 * r2 - p2 * r1) / den3), 6
+        ).alias("pacf3"),
     )
 
 
@@ -1986,5 +2102,61 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
             qround(paa, 6).alias("paa"),
             sax.alias("sax"),
+        )
+    )
+
+
+@query(
+    "ts_decayed_score",
+    oracle=f"""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS gm FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_qround(
+               'SUM(exp(-(ln(2.0) / 7.0)'
+               ' * ((g.gm - epoch_us(ts)) / 86400000000.0)))', 6
+           )} AS decayed_n,
+           {sql_qround(
+               'SUM(value * exp(-(ln(2.0) / 7.0)'
+               ' * ((g.gm - epoch_us(ts)) / 86400000000.0)))', 6
+           )} AS decayed_value
+    FROM events, g
+    GROUP BY event_type
+    """,
+)
+def ts_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per event type
+    with a 7-day half-life — the recency-weighted counter feature
+    stores keep per key (recommendation freshness, trending rank):
+    each event contributes 2^(−age/7d), so the score IS the
+    recursive EWMA's closed form, computed as ONE plain aggregate —
+    no sequential scan, no window; this is why the decayed-sum form
+    (not the recurrence) is the 100 TB shape. Anchored on the global
+    max timestamp (replayable on a snapshot; dq_freshness
+    convention).
+
+    Age is exact int64 epoch-µs arithmetic; the weight is one
+    fixed-shape exp per row (identical IEEE shape both engines —
+    ln(2)/7 is an expression, not a rounded literal); the weighted
+    sums are the order-dependent floats → qround(6) both sides. One
+    scan, one keyed aggregate, 1-row global max broadcast in.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = ev.agg(F.max("us").alias("gm"))
+    w = F.exp(
+        -(F.log(F.lit(2.0)) / F.lit(7.0))
+        * ((F.col("gm") - F.col("us")) / F.lit(86400000000.0))
+    )
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            qround(F.sum(w), 6).alias("decayed_n"),
+            qround(F.sum(F.col("value") * w), 6).alias("decayed_value"),
         )
     )

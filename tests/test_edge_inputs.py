@@ -124,6 +124,7 @@ def edge_ddb(edge_sf_dir):
         "stat_conformal_interval",
         "stat_mutual_information",
         "stat_benford",
+        "mm_image_entropy",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
