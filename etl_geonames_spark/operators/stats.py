@@ -1389,3 +1389,167 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# the two cheap "annotators" whose agreement kappa scores: length in
+# characters vs length in words — correlated but not identical rules,
+# so the fixture exercises every cell of the 2x2 table
+_KAPPA_CHARS_MIN = 300
+_KAPPA_WORDS_MIN = 50
+
+
+@query(
+    "stat_cohens_kappa",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= {_KAPPA_CHARS_MIN} THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_filter(str_split(text, ' '),
+                                         w -> w <> '')) >= {_KAPPA_WORDS_MIN}
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab
+    )
+    SELECT n11, n10, n01, n00,
+           {sql_qround(
+               '(CAST(n11 AS DOUBLE) + n00) / n', 6
+           )} AS po,
+           CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                              + (n00 + n10) * (n00 + n01)) <> 0
+                THEN {sql_qround(
+                    'CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)'
+                    ' + (n00 + n10) * (n00 + n01)) AS DOUBLE)'
+                    ' / CAST(n * n - ((n11 + n10) * (n11 + n01)'
+                    ' + (n00 + n10) * (n00 + n01)) AS DOUBLE)', 6
+                )} END AS kappa
+    FROM c
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two cheap document-quality annotators
+    (char-length ≥ 300 vs word-count ≥ 50) — chance-corrected
+    agreement (Cohen 1960), THE statistic for "do two labelers /
+    filters / weak supervisors agree beyond what their marginal rates
+    force?". Raw agreement po flatters imbalanced labelers; kappa is
+    what an annotation-QA gate should alert on.
+
+    Rearranged all-integer: kappa = [N(n₁₁+n₀₀) − (r₁c₁ + r₀c₀)] /
+    [N² − (r₁c₁ + r₀c₀)] — numerator and denominator are exact int64
+    (safe to N ≈ 3·10⁹ docs), ONE double division at emit, qround(6).
+    The degenerate all-one-cell table (pe = 1, e.g. every doc long)
+    NULLs instead of ANSI-throwing. One scan, one global aggregate —
+    four SUMs of {0,1} products, metadata-sized output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= _KAPPA_CHARS_MIN, 1).otherwise(0)
+    b = F.when(
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+        >= _KAPPA_WORDS_MIN,
+        1,
+    ).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n00") + F.col("n10")
+    ) * (F.col("n00") + F.col("n01"))
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - chance
+    den = F.col("n") * F.col("n") - chance
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        qround(
+            (F.col("n11").cast("double") + F.col("n00")) / F.col("n"), 6
+        ).alias("po"),
+        F.when(
+            den != 0, qround(num.cast("double") / den.cast("double"), 6)
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "llm_calibration_bins",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id,
+               1.0 / (1.0 + exp(-list_sum(CAST(embedding AS DOUBLE[]))))
+                   AS conf,
+               label % 2 AS y
+        FROM embeddings
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(FLOOR(conf * 1000000.0 + 0.5)
+                                / 1000000.0 * 10.0) AS BIGINT), 9) AS bin,
+               conf, y
+        FROM p
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(conf) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_conf,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS acc,
+           FLOOR(ABS(SUM(conf) / COUNT(*)
+                     - CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS gap
+    FROM b GROUP BY bin
+    """,
+)
+def llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / ECE decomposition (Guo et al. 2017): a
+    deterministic pseudo-classifier (sigmoid of the embedding
+    component sum) scores each vector, confidences bin into 10
+    equal-width buckets, and each bucket reports mean confidence vs
+    empirical accuracy against the parity label — the per-bin |gap|
+    whose n-weighted sum IS expected calibration error. The eval-side
+    op a model-quality pipeline runs after every fine-tune; emitted
+    per-bin (not pre-summed) so both ECE and the reliability plot
+    read straight off the output.
+
+    The sigmoid is one fixed-shape double expression over the
+    SEQUENTIAL fold sum of the (double-cast) embedding — identical
+    elementary ops both engines; the bin edge floors a qround(6)'d
+    confidence so a 1-ulp exp() divergence cannot flip buckets (the
+    threshold-predicate discipline). Per-bin means are
+    SUM/COUNT-shaped with exact int64 counts, qround(6) at emit.
+    Map-side binning + one ≤10-key aggregate — no shuffle pressure at
+    any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    conf = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    p = emb.select(
+        conf.alias("conf"), (F.col("label") % 2).alias("y")
+    )
+    b = p.select(
+        F.least(
+            F.floor(qround(F.col("conf"), 6) * 10.0).cast("long"), F.lit(9)
+        ).alias("bin"),
+        "conf",
+        "y",
+    )
+    cnt = F.count(F.lit(1))
+    avg_conf = F.sum("conf") / cnt
+    acc = F.sum("y").cast("double") / cnt
+    return b.groupBy("bin").agg(
+        cnt.cast("long").alias("n"),
+        qround(avg_conf, 6).alias("avg_conf"),
+        qround(acc, 6).alias("acc"),
+        qround(F.abs(avg_conf - acc), 6).alias("gap"),
+    )

@@ -125,6 +125,8 @@ def edge_ddb(edge_sf_dir):
         "stat_mutual_information",
         "stat_benford",
         "mm_image_entropy",
+        "stat_cohens_kappa",
+        "llm_calibration_bins",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
