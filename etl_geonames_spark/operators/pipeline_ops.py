@@ -615,8 +615,9 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour division, window membership is an exact int64 compare; the
     only float is the guarded ratio (a one-sided feed has
     n_prev24 = 0 → NULL, never an ANSI DIVIDE_BY_ZERO), qround(6) on
-    both engines. One scan + one keyed aggregate with the 1-row
-    global max broadcast in — group-count-sized output at any scale.
+    both engines. Two passes (the ts-only anchor aggregate — fully
+    column-pruned — then the keyed aggregate with the 1-row global
+    max broadcast in); group-count-sized output at any scale.
     """
     from etl_geonames_spark.functions import qround
 

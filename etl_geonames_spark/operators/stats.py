@@ -272,6 +272,10 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # langs×sources rows feeding FOUR consumers (terms + both
+        # margins + total) — pin once or each re-runs the corpus
+        # scan + aggregate (the ts_acf recipe)
+        .localCheckpoint()
     )
     rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -1190,6 +1194,10 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # langs×sources rows, FIVE consumers (mi terms, both margins,
+        # total, entropies' reuse of the margins) — pin once so the
+        # corpus scans exactly once (the ts_acf recipe)
+        .localCheckpoint()
     )
     rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -1289,6 +1297,9 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # ≤ 9 rows feeding the total AND the final select — pin once
+        # so the corpus scans exactly once (the ts_acf recipe)
+        .localCheckpoint()
     )
     t = d.agg(F.sum("n").cast("long").alias("total"))
     exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))

@@ -2138,8 +2138,9 @@ def ts_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Age is exact int64 epoch-µs arithmetic; the weight is one
     fixed-shape exp per row (identical IEEE shape both engines —
     ln(2)/7 is an expression, not a rounded literal); the weighted
-    sums are the order-dependent floats → qround(6) both sides. One
-    scan, one keyed aggregate, 1-row global max broadcast in.
+    sums are the order-dependent floats → qround(6) both sides. Two
+    passes — the ts-only anchor max (column-pruned), then one keyed
+    aggregate with the 1-row anchor broadcast in.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
