@@ -662,3 +662,76 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("vol_ratio"),
     )
+
+
+_ES_K = 5
+
+
+@query(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH k AS (
+        SELECT event_type, event_id, value,
+               -ln(((event_id * 1103515245 + 12345) % 2147483648 + 1)
+                   / 2147483649.0) / value AS key
+        FROM events WHERE value > 0
+    ),
+    q AS (
+        SELECT event_type, event_id, key,
+               FLOOR(key * 1000000000.0 + 0.5) / 1000000000.0 AS kq
+        FROM k
+    ),
+    r AS (
+        SELECT event_type, event_id, key,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY kq, event_id) AS rk
+        FROM q
+    )
+    SELECT event_type, event_id,
+           FLOOR(key * 1000000.0 + 0.5) / 1000000.0 AS es_key
+    FROM r WHERE rk <= {_ES_K}
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k = 5 per event type,
+    via Efraimidis–Spirakis exponential sort keys (2006): each row
+    draws key = −ln(u)/w (u deterministic from the event-id LCG, w =
+    the row's value), and the k SMALLEST keys are exactly a
+    w-proportional without-replacement sample — the mixing/up-
+    weighting primitive a data-mix pipeline uses when "sample 1M docs
+    proportional to quality score" must be one distributed pass, no
+    driver-side sequential draws, and resumable (re-running selects
+    the identical sample). Sibling: sample_bottom_k is the UNIFORM
+    hash-ordered case; this is the weighted generalization.
+
+    Cross-engine ordering discipline: the sort key is a fixed-shape
+    double (ln of an exact-rational u, one division by w), but rows
+    are RANKED on its qround(9) grid with an event-id tie-break — a
+    last-ulp ln() divergence between engines can therefore never
+    reorder the selection (the float-predicate rule, applied to
+    ORDER BY). Per-group window on the group key, one exchange;
+    Spark's AQE TopK-per-partition pre-filter keeps the sort local —
+    the llm_sim_topk shape.
+    """
+    from etl_geonames_spark.functions import qround
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    u = (
+        ((F.col("event_id") * 1103515245 + 12345) % 2147483648 + 1).cast(
+            "double"
+        )
+        / 2147483649.0
+    )
+    key = -F.log(u) / F.col("value")
+    q = ev.select(
+        "event_type",
+        "event_id",
+        key.alias("key"),
+        qround(key, 9).alias("kq"),
+    )
+    w = Window.partitionBy("event_type").orderBy("kq", "event_id")
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ES_K)
+        .select("event_type", "event_id", qround(F.col("key"), 6).alias("es_key"))
+    )

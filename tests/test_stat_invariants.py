@@ -1,0 +1,180 @@
+"""Mathematical invariants of the session-3d statistics/eval/sampling
+operators — properties the differential hash can't see (it proves
+Spark == DuckDB, not that either is *right*). Each test pins a bound
+or identity the estimator must satisfy by construction, so a mutation
+that breaks the math but breaks it identically in both the query and
+its oracle still fails loudly here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+_EPS = 1e-6
+
+
+def _rows(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir).collect()
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    """0 ≤ MI ≤ min(H_lang, H_source); NMI ∈ [0, 1] when defined."""
+    (r,) = _rows(spark, sf_dir, "stat_mutual_information")
+    assert r["mi_nats"] >= -_EPS
+    assert r["mi_nats"] <= min(r["h_lang"], r["h_source"]) + _EPS
+    if r["nmi"] is not None:
+        assert -_EPS <= r["nmi"] <= 1 + _EPS
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    """Cells partition the corpus; po ∈ [0,1]; kappa ≤ 1 and kappa ≤
+    po/(1-pe)-scaled bound is implied by kappa ≤ 1."""
+    (r,) = _rows(spark, sf_dir, "stat_cohens_kappa")
+    n = r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert n > 0
+    assert 0 <= r["po"] <= 1 + _EPS
+    assert abs(r["po"] - (r["n11"] + r["n00"]) / n) < 1e-5
+    if r["kappa"] is not None:
+        assert -1 - _EPS <= r["kappa"] <= 1 + _EPS
+
+
+def test_conformal_interval_quantile_index(spark, sf_dir):
+    """k_target = min(⌈(n+1)·0.9⌉, n) — the finite-sample correction —
+    and q̂ is a real residual (non-negative)."""
+    (r,) = _rows(spark, sf_dir, "stat_conformal_interval")
+    expect_k = min(math.ceil((r["n_cal"] + 1) * 9 / 10.0), r["n_cal"])
+    assert r["k_target"] == expect_k
+    assert r["q_hat"] is not None and r["q_hat"] >= 0
+
+
+def test_benford_is_a_distribution(spark, sf_dir):
+    """Digits ⊆ 1..9; observed and expected frequencies each sum to
+    ~1 (expected sums to 1 only over all 9 digits, so check the
+    digits that appear sum observed to 1 and lie in Benford's range)."""
+    rows = _rows(spark, sf_dir, "stat_benford")
+    assert rows
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        expect = math.log10(1 + 1 / r["digit"])
+        assert abs(r["exp_freq"] - expect) < 1e-5
+        assert r["chi2_term"] >= -_EPS
+
+
+def test_calibration_bins_partition_and_ranges(spark, sf_dir):
+    """Bins ⊆ 0..9; counts partition the vector set; conf/acc in
+    [0,1]; gap = |avg_conf − acc|."""
+    rows = _rows(spark, sf_dir, "llm_calibration_bins")
+    assert rows
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert all(0 - _EPS <= r["avg_conf"] <= 1 + _EPS for r in rows)
+    assert all(0 - _EPS <= r["acc"] <= 1 + _EPS for r in rows)
+    for r in rows:
+        assert abs(r["gap"] - abs(r["avg_conf"] - r["acc"])) < 1e-5
+
+
+def test_outlier_mad_census_bounds(spark, sf_dir):
+    """MAD ≥ 0 and outliers never exceed the group size."""
+    rows = _rows(spark, sf_dir, "dq_outlier_mad")
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] <= r["n"]
+
+
+def test_freshness_window_bounds(spark, sf_dir):
+    """Window counts bounded by the group size; the globally newest
+    feed has lag 0."""
+    rows = _rows(spark, sf_dir, "dq_freshness")
+    assert rows
+    assert min(r["lag_hours"] for r in rows) == 0
+    for r in rows:
+        assert 0 <= r["n_last24"] <= r["n"]
+        assert 0 <= r["n_prev24"] <= r["n"]
+        assert r["lag_hours"] >= 0
+
+
+def test_image_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(256); distinct values ≤ min(256, n_pix)."""
+    rows = _rows(spark, sf_dir, "mm_image_entropy")
+    assert rows
+    hmax = math.log(256.0)
+    for r in rows:
+        assert -_EPS <= r["entropy"] <= hmax + _EPS
+        assert 1 <= r["n_distinct"] <= min(256, r["n_pix"])
+
+
+def test_decayed_score_bounds(spark, sf_dir):
+    """Each event weighs in (0, 1], so 0 < decayed_n ≤ n."""
+    rows = _rows(spark, sf_dir, "ts_decayed_score")
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_n"] <= r["n"] + _EPS
+
+
+def test_pacf_lag1_equals_acf1(spark, sf_dir):
+    """Durbin–Levinson level 1 is the acf itself."""
+    (r,) = _rows(spark, sf_dir, "ts_pacf")
+    assert r["pacf1"] == r["acf1"]
+    assert r["acf1"] is not None
+
+
+def test_sax_alphabet_and_paa(spark, sf_dir):
+    """Letters confined to the 4-symbol alphabet; PAA means positive
+    for a count series."""
+    rows = _rows(spark, sf_dir, "ts_sax_symbols")
+    assert rows
+    assert {r["sax"] for r in rows} <= {"a", "b", "c", "d"}
+    assert all(r["paa"] > 0 for r in rows)
+    assert all(1 <= r["n_days"] <= 4 for r in rows)
+
+
+def test_bpe_apply_compression_bounds(spark, sf_dir):
+    """Merges only shrink the stream; fired count is the exact
+    difference."""
+    rows = _rows(spark, sf_dir, "llm_bpe_apply")
+    assert rows
+    for r in rows:
+        assert r["n_tokens_out"] <= r["n_symbols_in"]
+        assert (
+            r["n_merges_fired"] == r["n_symbols_in"] - r["n_tokens_out"]
+        )
+        assert r["n_merges_fired"] >= 0
+
+
+def test_weighted_es_sample_is_exact_topk(spark, sf_dir):
+    """The selected rows per group are exactly the k smallest E–S keys
+    — recomputed independently in Python from the same LCG/weight rule
+    — and re-running selects the identical sample (resumability)."""
+    from etl_geonames_spark.sources import load_table
+
+    sel = _rows(spark, sf_dir, "sample_weighted_es")
+    again = _rows(spark, sf_dir, "sample_weighted_es")
+    assert sorted((r["event_type"], r["event_id"]) for r in sel) == sorted(
+        (r["event_type"], r["event_id"]) for r in again
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_group: dict[str, list[tuple[float, int]]] = {}
+    for r in ev:
+        if r["value"] <= 0:
+            continue
+        u = ((r["event_id"] * 1103515245 + 12345) % 2147483648 + 1) / 2147483649.0
+        key = -math.log(u) / r["value"]
+        kq = math.floor(key * 1e9 + 0.5) / 1e9
+        by_group.setdefault(r["event_type"], []).append((kq, r["event_id"]))
+    expect = set()
+    for g, pairs in by_group.items():
+        for _, eid in sorted(pairs)[:5]:
+            expect.add((g, eid))
+    got = {(r["event_type"], r["event_id"]) for r in sel}
+    assert got == expect
