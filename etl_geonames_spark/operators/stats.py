@@ -1564,3 +1564,207 @@ def llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(acc, 6).alias("acc"),
         qround(F.abs(avg_conf - acc), 6).alias("gap"),
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type, value AS v FROM events WHERE value > 0
+    ),
+    g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng, SUM(v) AS sg
+        FROM x GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM g),
+    terms AS (
+        SELECT SUM((x.v / t.s) * ln(x.v * t.n / t.s)) AS tot,
+               SUM((x.v / t.s) * ln(x.v * g.ng / g.sg)) AS win
+        FROM x JOIN g USING (event_type), t
+    ),
+    btw AS (
+        SELECT SUM((g.sg / t.s) * ln(g.sg * t.n / (t.s * g.ng))) AS b
+        FROM g, t
+    )
+    SELECT t.n,
+           {sql_qround('terms.tot', 6)} AS theil_total,
+           {sql_qround('btw.b', 6)} AS theil_between,
+           {sql_qround('terms.win', 6)} AS theil_within
+    FROM terms, btw, t
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's T inequality index over event values WITH its exact
+    between/within-group decomposition by event type — the property
+    that makes Theil (not Gini, agg_gini same module) the drift
+    monitor of choice: T = T_between + T_within additively, so "did
+    inequality rise because the groups diverged or because spread
+    inside a group grew?" reads directly off the output (the identity
+    is pinned in tests/test_stat_invariants.py; no relation to
+    ts_theil_sen_daily, which is the Theil–Sen slope).
+
+    Per-row terms are rearranged scale-free: (x/S)·ln(x·N/S) for the
+    total and (x/S)·ln(x·N_g/S_g) for within — the group anchors
+    broadcast in, the GLOBAL anchors re-aggregated from the (pinned,
+    metadata-sized) group table so the corpus scans once for the
+    groups and once for the terms, never per consumer; between comes
+    from the group table alone. Both engines derive S as Σ of the
+    per-group sums — same shape, so the ln arguments match. All
+    divisions have positive denominators (x > 0 filter ⇒ S, S_g > 0);
+    the sums are the order-dependent floats → qround(6) both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    x = ev.select("event_type", F.col("value").alias("v"))
+    g = (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("v").alias("sg"),
+        )
+        # group-count rows, THREE consumers (terms join, between,
+        # global re-aggregate) — pin once (the ts_acf recipe)
+        .localCheckpoint()
+    )
+    t = g.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("sg").alias("s")
+    )
+    tot = (F.col("v") / F.col("s")) * F.log(
+        F.col("v") * F.col("n") / F.col("s")
+    )
+    win = (F.col("v") / F.col("s")) * F.log(
+        F.col("v") * F.col("ng") / F.col("sg")
+    )
+    terms = (
+        x.join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(t))
+        .agg(F.sum(tot).alias("tot"), F.sum(win).alias("win"))
+    )
+    btw = (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                (F.col("sg") / F.col("s"))
+                * F.log(
+                    F.col("sg") * F.col("n") / (F.col("s") * F.col("ng"))
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(btw))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n",
+            qround(F.col("tot"), 6).alias("theil_total"),
+            qround(F.col("b"), 6).alias("theil_between"),
+            qround(F.col("win"), 6).alias("theil_within"),
+        )
+    )
+
+
+@query(
+    "stat_wilcoxon_signed",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.doc_id // 2 AS pid,
+               CAST(a.n_chars AS BIGINT) - CAST(b.n_chars AS BIGINT) AS d
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+    ),
+    nz AS (SELECT pid, d, ABS(d) AS ad FROM pairs WHERE d <> 0),
+    rk AS (
+        SELECT pid, d, ad,
+               CAST(ROW_NUMBER() OVER (ORDER BY ad, pid) AS BIGINT) AS rn
+        FROM nz
+    ),
+    mid AS (
+        SELECT pid, d,
+               (MIN(rn) OVER (PARTITION BY ad)
+                + MAX(rn) OVER (PARTITION BY ad)) / 2.0 AS mr
+        FROM rk
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CASE WHEN d > 0 THEN mr ELSE 0.0 END) AS w_plus,
+               SUM(CASE WHEN d < 0 THEN mr ELSE 0.0 END) AS w_minus
+        FROM mid
+    )
+    SELECT n,
+           FLOOR(w_plus * 1000000.0 + 0.5) / 1000000.0 AS w_plus,
+           FLOOR(w_minus * 1000000.0 + 0.5) / 1000000.0 AS w_minus,
+           CASE WHEN n > 0 THEN
+               FLOOR((w_plus - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+                     / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)
+                            / 24.0) * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM s
+    """,
+)
+def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED samples — the paired
+    sibling of stat_mann_whitney (which compares independent groups):
+    consecutive documents pair up (2k vs 2k+1, the A/B-halves
+    convention split_train_test uses), zero differences drop
+    (Wilcoxon's rule), |d| midranks sum by sign, and the normal
+    approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24) is emitted
+    (tie-variance correction omitted — documented, both engines
+    identical).
+
+    Midranks — required because integer character counts tie often —
+    come from ``distributed_rank`` (|d| with pair-id tie-break)
+    followed by a per-|d| (min+max)/2 aggregate joined back: ranks of
+    a tie group are consecutive integers, so the midrank is their
+    min/max mean, an exact .5-rational — NO global midrank window,
+    and the tie table is distinct-|d|-sized (metadata). Rank sums of
+    exact rationals are the only floats; the z division is guarded on
+    n > 0 (an all-tied corpus — the edge fixture's constant docs —
+    yields NULL, not DIVIDE_BY_ZERO).
+    """
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pid"),
+        F.col("x").alias("xa"),
+        F.col("doc_id").alias("did"),
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pid"),
+        F.col("x").alias("xb"),
+    )
+    nz = (
+        a.join(b, "pid")
+        .select("pid", (F.col("xa") - F.col("xb")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select("pid", "d", F.abs("d").alias("ad"))
+    )
+    rk = distributed_rank(nz, ["ad", "pid"]).select(
+        "pid", "d", "ad", F.col("_grn").cast("long").alias("rn")
+    )
+    ties = rk.groupBy("ad").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr")
+    )
+    mid = rk.join(F.broadcast(ties), "ad").select("pid", "d", "mr")
+    s = mid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("mr")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+        F.sum(F.when(F.col("d") < 0, F.col("mr")).otherwise(0.0)).alias(
+            "w_minus"
+        ),
+    )
+    z = (
+        F.col("w_plus") - (F.col("n") * (F.col("n") + 1)).cast("double") / 4.0
+    ) / F.sqrt(
+        (F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)).cast("double")
+        / 24.0
+    )
+    return s.select(
+        "n",
+        qround(F.col("w_plus"), 6).alias("w_plus"),
+        qround(F.col("w_minus"), 6).alias("w_minus"),
+        F.when(F.col("n") > 0, qround(z, 6)).alias("z"),
+    )

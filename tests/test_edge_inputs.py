@@ -127,6 +127,7 @@ def edge_ddb(edge_sf_dir):
         "mm_image_entropy",
         "stat_cohens_kappa",
         "llm_calibration_bins",
+        "stat_wilcoxon_signed",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -148,6 +148,31 @@ def test_bpe_apply_compression_bounds(spark, sf_dir):
         assert r["n_merges_fired"] >= 0
 
 
+def test_theil_decomposition_identity(spark, sf_dir):
+    """Theil's defining property: T = T_between + T_within (within
+    pre-round drift + three 1e-6 emit grids)."""
+    (r,) = _rows(spark, sf_dir, "agg_theil_index")
+    assert r["theil_total"] >= -_EPS
+    assert r["theil_between"] >= -_EPS
+    assert r["theil_within"] >= -_EPS
+    assert (
+        abs(r["theil_total"] - (r["theil_between"] + r["theil_within"]))
+        < 1e-4
+    )
+
+
+def test_wilcoxon_rank_sum_identity(spark, sf_dir):
+    """W⁺ + W⁻ = n(n+1)/2 — midranks re-partition the integer rank
+    total exactly."""
+    (r,) = _rows(spark, sf_dir, "stat_wilcoxon_signed")
+    n = r["n"]
+    assert n >= 0
+    if n > 0:
+        total = n * (n + 1) / 2.0
+        assert abs((r["w_plus"] + r["w_minus"]) - total) < 1e-4
+        assert r["z"] is not None
+
+
 def test_weighted_es_sample_is_exact_topk(spark, sf_dir):
     """The selected rows per group are exactly the k smallest E–S keys
     — recomputed independently in Python from the same LCG/weight rule
