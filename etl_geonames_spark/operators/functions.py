@@ -487,9 +487,9 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE len(str_split(text, ' ')) >= 18
     )
     SELECT doc_id,
-           list_sort(list_distinct(a || b)) AS u,
-           list_sort(list_distinct(list_intersect(a, b))) AS i,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS e,
+           COALESCE(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS i,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e,
            CAST(len(list_distinct(a || b)) AS INT) AS n_union
     FROM toks
     """,
@@ -501,7 +501,9 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_sort``-ed on BOTH engines: Spark's set functions preserve
     first-appearance order while DuckDB's list_* have their own, so
     unsorted output would hash-mismatch despite equal sets (the same
-    trap as FP accumulation order, in array form).
+    trap as FP accumulation order, in array form). The sorted sets
+    are emitted comma-joined — canonical scalar serialization the
+    differential driver can hash.
     """
     toks = F.split("text", " ")
     docs = (
@@ -515,9 +517,11 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_union("a", "b")).alias("u"),
-        F.array_sort(F.array_intersect("a", "b")).alias("i"),
-        F.array_sort(F.array_except("a", "b")).alias("e"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("u"),
+        F.array_join(
+            F.array_sort(F.array_intersect("a", "b")), ","
+        ).alias("i"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("e"),
         F.size(F.array_union("a", "b")).alias("n_union"),
     )
 

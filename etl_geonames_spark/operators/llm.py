@@ -1483,10 +1483,11 @@ def llm_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            FLOOR(max_abs * 1000000.0 + 0.5) / 1000000.0 AS scale,
-           list_transform(
-             e, x -> CAST(FLOOR(x / greatest(max_abs, 1e-12) * 127.0 + 0.5)
-                          AS INT)
-           ) AS q
+           array_to_string(
+             list_transform(
+               e, x -> CAST(FLOOR(x / greatest(max_abs, 1e-12) * 127.0 + 0.5)
+                            AS INT)
+             ), ',') AS q
     FROM m
     """,
 )
@@ -1505,7 +1506,10 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the raw scale on both sides. The divisor is clamped to 1e-12
     (identically in the oracle) so an all-zero vector quantizes to
     all-zero ints instead of 0/0 → NaN, where the engines' NaN/cast
-    semantics would diverge."""
+    semantics would diverge. The int8 vector is emitted comma-joined
+    (canonical serialization — scalar strings are what the driver can
+    hash, and a delimited byte list is exactly the packed layout an
+    index shard stores)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     with_max = emb.select(
@@ -1517,10 +1521,14 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_max.select(
         "vec_id",
         qround(F.col("max_abs"), 6).alias("scale"),
-        F.transform(
-            F.col("e"),
-            lambda x: F.floor(x / safe_scale * F.lit(127.0) + F.lit(0.5))
-            .cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor(x / safe_scale * F.lit(127.0) + F.lit(0.5))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )
 
@@ -1540,8 +1548,10 @@ def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings GROUP BY label
     )
     SELECT p.label, c.n_vecs,
-           list(FLOOR(p.a * 1000000.0 + 0.5) / 1000000.0
-                ORDER BY p.pos) AS centroid
+           array_to_string(
+             list(CAST(FLOOR(p.a * 1000000.0 + 0.5) AS BIGINT)
+                  ORDER BY p.pos),
+             ',') AS centroid
     FROM per p JOIN counts c USING (label)
     GROUP BY p.label, c.n_vecs
     """,
@@ -1564,9 +1574,16 @@ def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = e.groupBy("label", "pos").agg(F.avg("val").alias("a"))
     cent = per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("a")))),
-            lambda s: qround(s["a"], 6),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("a")))
+                ),
+                lambda s: F.floor(s["a"] * F.lit(1e6) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
         ).alias("centroid")
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))

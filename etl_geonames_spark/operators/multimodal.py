@@ -542,14 +542,16 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "mm_feature_extract_stub",
     oracle="""
     SELECT doc_id,
-           [CAST((length(text) * 1) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 2) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 3) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 4) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 5) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 6) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 7) % 97 AS DOUBLE) / 97.0,
-            CAST((length(text) * 8) % 97 AS DOUBLE) / 97.0] AS features
+           array_to_string(
+             [CAST((length(text) * 1) % 97 AS BIGINT),
+              CAST((length(text) * 2) % 97 AS BIGINT),
+              CAST((length(text) * 3) % 97 AS BIGINT),
+              CAST((length(text) * 4) % 97 AS BIGINT),
+              CAST((length(text) * 5) % 97 AS BIGINT),
+              CAST((length(text) * 6) % 97 AS BIGINT),
+              CAST((length(text) * 7) % 97 AS BIGINT),
+              CAST((length(text) * 8) % 97 AS BIGINT)],
+             ',') AS features
     FROM documents
     """,
 )
@@ -558,11 +560,26 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column → fixed-dim array<double> via mapInPandas — the
     embed-the-corpus shape. Output schema matches the embeddings
     table's layout so downstream ANN ops (llm_ann_ivf / llm_sim_topk)
-    compose directly."""
+    compose directly. For the driver hash the k/97 rationals are
+    re-scaled to their exact integer numerators (round(f·97) inverts
+    the stub's division exactly — k and 97.0 are both
+    binary-representable, so the quotient is one correctly-rounded
+    double away from k/97) and comma-joined."""
     blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
-    return blobs.select("doc_id", "blob").mapInPandas(
+    feats = blobs.select("doc_id", "blob").mapInPandas(
         _feature_batches,
         schema="doc_id long, features array<double>",
+    )
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * F.lit(97.0)).cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features"),
     )
 
 
@@ -723,7 +740,7 @@ def _phash_batches(
     )
     SELECT phash, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(COUNT(*) AS BIGINT) AS n_images,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM hashes GROUP BY phash, w, h HAVING COUNT(*) >= 2
     """,
 )
@@ -758,7 +775,13 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes.groupBy("phash", "width", "height")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
         .where(F.col("n_images") >= 2)
         .select("phash", "width", "height", "n_images", "doc_ids")

@@ -2289,7 +2289,7 @@ _COLLECT_SALT = 8
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           list(user_id ORDER BY user_id) AS users
+           array_to_string(list(user_id ORDER BY user_id), ',') AS users
     FROM du GROUP BY event_type
     """,
 )
@@ -2319,7 +2319,13 @@ def agg_collect_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("_n").cast("long").alias("n_users"),
-        F.sort_array(F.flatten(F.collect_list("_part"))).alias("users"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.flatten(F.collect_list("_part"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("users"),
     )
 
 

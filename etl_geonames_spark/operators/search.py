@@ -45,7 +45,7 @@ _BM25_B = 0.75
       ) t WHERE word <> ''
     )
     SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM toks GROUP BY word
     """,
 )
@@ -56,7 +56,10 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency) → one hash aggregate collecting postings. ``collect_list``
     order is partition-dependent, so postings are ``sort_array``-ed —
     sorted postings are also what a real index wants (delta-encodable,
-    mergeable with a linear pass).
+    mergeable with a linear pass). The posting list is emitted as a
+    comma-joined string (canonical serialization): the differential
+    driver hashes scalar columns only, and a delimited sorted list IS
+    the on-disk index format (delta-encoding starts from exactly this).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = (
@@ -66,7 +69,13 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("word").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

@@ -231,8 +231,10 @@ def _l2_normalize_batches(batches):
       FROM s
     )
     SELECT vec_id,
-           list_transform(e, x -> FLOOR(x / nrm * 1000000.0 + 0.5)
-                                  / 1000000.0) AS unit_embedding
+           array_to_string(
+             list_transform(e, x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5)
+                                         AS BIGINT)),
+             ',') AS unit_embedding
     FROM n
     """,
 )
@@ -245,10 +247,28 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     When Python is genuinely needed over array/tensor columns, this
     beats mapInPandas (which materializes a pandas object column per
     list) and is the template the multimodal decode stubs graduate to.
-    Map-only: zero shuffles, pipelined with the scan."""
+    Map-only: zero shuffles, pipelined with the scan.
+
+    Output serialization: the normalized vector is emitted as the
+    comma-joined list of its 1e-6-grid integers (``round(u·1e6)`` of
+    the already-gridded doubles re-derives the exact integer the UDF
+    floored to — the stored double is within 1 ulp of k/1e6, so the
+    round-trip cannot flip). Scalar string output is what the
+    differential driver can hash; the oracle derives the same integers
+    directly from ``floor(x/nrm·1e6 + 0.5)``."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.mapInArrow(
+    unit = emb.mapInArrow(
         _l2_normalize_batches, "vec_id LONG, unit_embedding ARRAY<DOUBLE>"
+    )
+    return unit.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("unit_embedding"),
+                lambda x: F.round(x * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("unit_embedding"),
     )
 
 

@@ -178,7 +178,7 @@ def test_single_token_doc_does_not_inflate_context_counts(
 
 def test_zero_vector_quantizes_to_zero_ints(spark, edge_sf_dir):
     rows = {
-        r["vec_id"]: (r["scale"], list(r["q"]))
+        r["vec_id"]: (r["scale"], [int(x) for x in r["q"].split(",")])
         for r in QUERIES["llm_quantize_embeddings"](
             spark, edge_sf_dir
         ).collect()

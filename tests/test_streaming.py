@@ -495,8 +495,11 @@ def test_streaming_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
     import __spark_entry__ as entry_mod
 
     batch = entry_mod.queries()["llm_inverted_index"](spark, sf_dir)
+    # batch postings are the canonical comma-joined serialization
+    # (driver-hashable scalar); parse back to ints for the comparison
     want = {
-        r["word"]: (r["df"], list(r["postings"])) for r in batch.collect()
+        r["word"]: (r["df"], [int(x) for x in r["postings"].split(",")])
+        for r in batch.collect()
     }
     assert got == want
 
