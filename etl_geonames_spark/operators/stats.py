@@ -185,6 +185,10 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("c1"),
             F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
         )
+        # three downstream consumers (two cumsum branches + totals):
+        # checkpoint so the documents scan + aggregate runs once, not
+        # per branch (same multi-consumer shape as stat_best_split)
+        .localCheckpoint()
     )
     cum1 = distributed_cumsum(pv, ["v"], "c1", "cum1").select("v", "cum1")
     cum2 = distributed_cumsum(pv, ["v"], "c2", "cum2").select("v", "cum2")

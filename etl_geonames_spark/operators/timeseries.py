@@ -2028,11 +2028,13 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT seg.event_type, seg.seg, seg.n_days,
              CAST(seg.segsum AS DOUBLE) / seg.segn AS paa,
-             (CAST(seg.segsum AS DOUBLE) / seg.segn
-              - CAST(stats.s AS DOUBLE) / stats.n)
-             / sqrt((CAST(stats.n AS DOUBLE) * stats.q
-                     - CAST(stats.s AS DOUBLE) * stats.s)
-                    / (CAST(stats.n AS DOUBLE) * stats.n)) AS zz
+             CASE WHEN stats.n * stats.q - stats.s * stats.s > 0
+                  THEN (CAST(seg.segsum AS DOUBLE) / seg.segn
+                        - CAST(stats.s AS DOUBLE) / stats.n)
+                       / sqrt((CAST(stats.n AS DOUBLE) * stats.q
+                               - CAST(stats.s AS DOUBLE) * stats.s)
+                              / (CAST(stats.n AS DOUBLE) * stats.n))
+                  ELSE 0.0 END AS zz
       FROM seg JOIN stats USING (event_type)
     )
     SELECT event_type, CAST(seg AS BIGINT) AS seg, n_days,
@@ -2087,7 +2089,14 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.col("s").cast("double") * F.col("s"))
         / (F.col("n").cast("double") * F.col("n"))
     )
-    zz = (paa - mean) / std
+    # zero-variance guard (exact int64 predicate, CASE short-circuits
+    # under ANSI): a constant daily-count series has every PAA mean
+    # equal to the series mean, so z := 0 — letter 'c' — instead of
+    # 0/0 throwing DIVIDE_BY_ZERO; mirrored in the oracle
+    zz = F.when(
+        F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0,
+        (paa - mean) / std,
+    ).otherwise(F.lit(0.0))
     sax = (
         F.when(zz < -0.6745, F.lit("a"))
         .when(zz < 0.0, F.lit("b"))

@@ -123,7 +123,7 @@ _DRIVER_PRIORITY = [
     "ts_cusum_changepoint", "ts_theil_sen_daily", "win_rolling_median",
     "ts_m4_downsample", "ts_sax_symbols", "ts_decayed_score",
     "udtf_table_arg", "udf_scalar", "udf_grouped_map", "udf_agg",
-    "udtf_python", "udtf_explode", "mm_decode_stub", "fn_higher_order",
+    "udtf_python", "udtf_explode", "mm_decode_meta", "fn_higher_order",
     "llm_bm25_topk", "llm_token_entropy", "ts_rollup_hierarchy", "ts_ewma",
     "llm_dedup_paragraphs", "ts_winsorize", "join_asof_nearest",
     "profile_skew", "sql_recursive_cte", "sql_lateral_topk",

@@ -203,3 +203,45 @@ def test_weighted_es_sample_is_exact_topk(spark, sf_dir):
             expect.add((g, eid))
     got = {(r["event_type"], r["event_id"]) for r in sel}
     assert got == expect
+
+
+def test_adamic_adar_cap_is_lower_bound_of_exact(spark, sf_dir):
+    """graph_adamic_adar applies the τ=64 center-degree cap (the hub
+    skew mitigation). Pin the approximation's contract against the
+    UNCAPPED exact computation, replayed in-process from the same
+    edge list: (1) every capped pair exists in the exact result with
+    cn_capped ≤ cn_exact and score_capped ≤ score_exact; (2) any
+    exact pair ALL of whose common neighbors have deg ≤ τ appears
+    with identical cn and score — the cap only ever removes
+    hub-center contributions, never invents or perturbs others."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.operators.graph import _AA_DEGREE_CAP, _und
+
+    und = _und(spark, sf_dir).collect()
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for r in und:
+        nbrs[r["s"]].append(r["t"])
+    exact: dict[tuple[int, int], list[float]] = defaultdict(list)
+    capped_only_centers: set[tuple[int, int]] = set()
+    for z, ts in nbrs.items():
+        d = len(ts)
+        for i, na in enumerate(sorted(ts)):
+            for nb in sorted(ts)[i + 1 :]:
+                exact[(na, nb)].append(1.0 / math.log(d))
+                if d > _AA_DEGREE_CAP:
+                    capped_only_centers.add((na, nb))
+    got = {
+        (r["na"], r["nb"]): (r["cn"], r["adamic_adar"])
+        for r in QUERIES["graph_adamic_adar"](spark, sf_dir).collect()
+    }
+    for (na, nb), (cn, score) in got.items():
+        contribs = exact[(na, nb)]
+        assert cn <= len(contribs)
+        assert score <= sum(contribs) + _EPS
+    for pair, contribs in exact.items():
+        if len(contribs) >= 2 and pair not in capped_only_centers:
+            assert pair in got
+            cn, score = got[pair]
+            assert cn == len(contribs)
+            assert abs(score - sum(contribs)) <= 1e-5
