@@ -2339,6 +2339,238 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_simhash_verifiable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(tok)),
+                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS ph
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, gb.b AS b,
+               SUM(((ph >> gb.b) & 1) * 2 - 1) AS s
+        FROM h, LATERAL unnest(generate_series(0, 15)) AS gb(b)
+        GROUP BY doc_id, gb.b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, sig, gc.c AS chunk_idx,
+               (sig >> (4 * gc.c)) & 15 AS chunk_val
+        FROM sig, LATERAL unnest(generate_series(0, 3)) AS gc(c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dup pipeline END-TO-END under a full
+    value-hash oracle — the hash-checked WITNESS for
+    ``llm_dedup_simhash``, whose xxhash64 token hash DuckDB cannot
+    replay (that one stays rows-only + recall-pinned). Same algorithm,
+    cross-engine arithmetic: Horner poly_hash per token
+    (:func:`curation.poly_hash`), 16 sign-sum bits (token multiplicity
+    kept, exactly as the production signature), the packed signature
+    banded into 4×4-bit chunks, candidates share ≥1 exact chunk
+    (pigeonhole-COMPLETE for hamming ≤ 3 — the emitted filter), and
+    the hamming distance itself is in the hashed output. A bug in
+    bit-packing, banding, or the candidate join breaks this query's
+    value hash, not just a recall statistic.
+
+    Same physical shape as production: explode tokens → ONE map-side-
+    combined hash aggregate (16 conditional sums) → chunk equi-join —
+    candidates only meet through bucket equality, never all-pairs.
+    100 TB: use llm_dedup_simhash (64-bit xxhash signature); this
+    twin exists so the algorithm is verifiable and scales identically.
+    """
+    from etl_geonames_spark.operators.curation import poly_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokh = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
+    )
+    bit = lambda b: (  # noqa: E731
+        F.shiftrightunsigned(F.col("ph"), b).bitwiseAND(1) * 2 - 1
+    )
+    sums = tokh.groupBy("doc_id").agg(
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(16)]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(16):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    signed = sums.select("doc_id", sig.alias("sig"))
+    chunk = lambda i: (  # noqa: E731
+        F.shiftrightunsigned(F.col("sig"), 4 * i).bitwiseAND(15)
+    )
+    chunks = signed.select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*[chunk(i) for i in range(4)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+_LSHV_PLANES = 8
+_LSHV_SCALE = 1000
+
+
+@query(
+    "llm_ann_lsh_verifiable",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT vec_id, q, gm.m AS m,
+               list_sum(list_transform(generate_series(1, len(q)),
+                   i -> q[i] * (((i - 1) * 31 + gm.m * 17 + 7) % 101 - 50)))
+                   AS dot
+        FROM e, LATERAL unnest(generate_series(0, {_LSHV_PLANES - 1}))
+                  AS gm(m)
+    ),
+    b AS (
+        SELECT vec_id, ANY_VALUE(q) AS q,
+               CAST(SUM(CASE WHEN dot >= 0 THEN 1 << m ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT s.vec_id AS q_id, c.vec_id AS c_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(s.q)), i -> s.q[i] * c.q[i]))
+                   AS BIGINT) AS qdot
+        FROM b s JOIN b c
+          ON s.bucket = c.bucket AND c.vec_id <> s.vec_id
+        WHERE s.vec_id < 5
+    )
+    SELECT q_id, c_id, qdot FROM (
+        SELECT q_id, c_id, qdot,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY qdot DESC, c_id) AS rn
+        FROM cand
+    ) t WHERE rn <= 10
+    """,
+)
+def llm_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN END-TO-END under a full value-hash
+    oracle — the hash-checked WITNESS for ``llm_ann_lsh``, whose
+    float hyperplane dots could diverge between engines at the sign
+    boundary (that one stays rows-only + recall-pinned). ALL-INTEGER
+    arithmetic: embeddings quantize to a 1e-3 grid (floor-form, the
+    qround discipline), hyperplane m weights are the deterministic
+    integers ((d·31+m·17+7) mod 101) − 50, the 8 sign bits pack into
+    an integer bucket, candidates share the full bucket, and the
+    re-rank key is the exact integer dot product of the quantized
+    vectors — every intermediate is replayed exactly by SQL, so a
+    bucketing or ranking bug breaks the hash.
+
+    Same physical shape as production: map-only signature compute,
+    broadcastable query side, hash-partitioned bucket equi-join,
+    per-query top-10 window over candidates only (never the corpus).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+    def _plane_term(m: int):
+        # closure factory: a `lambda x, i, m=m` default-arg capture
+        # reads as a 3-parameter lambda to Spark's HOF binder
+        return lambda x, i: x * (
+            (i * 31 + F.lit(m * 17 + 7)) % 101 - 50
+        ).cast("long")
+
+    bucket = F.lit(0).cast("long")
+    for m in range(_LSHV_PLANES):
+        dot = F.aggregate(
+            F.transform(F.col("q"), _plane_term(m)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot >= 0, F.lit(1 << m).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    bucketed = emb.select("vec_id", "q", bucket.alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("q").alias("cq"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .withColumn("qdot", qdot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", "qdot")
+    )
+
+
+@query(
     "llm_langid_confusion",
     oracle=f"""
     WITH pred AS (

@@ -65,7 +65,7 @@ _OPERATOR_MODULES = [
 _DRIVER_PRIORITY = [
     "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
     "fn_array_setops", "mm_feature_extract_stub", "llm_embedding_centroids",
-    "mm_image_phash_dedup", "agg_collect_salted", "scd2_asof_lookup",
+    "mm_image_phash_dedup", "agg_collect_salted", "llm_simhash_verifiable", "llm_ann_lsh_verifiable", "scd2_asof_lookup",
     "agg_string_concat", "graph_reciprocity", "fn_surrogate_key",
     "ts_sli_availability", "llm_apply_mix_weights", "fn_printf",
     "sql_filter_clause", "fn_base64_roundtrip", "agg_higher_moments",

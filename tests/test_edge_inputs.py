@@ -128,6 +128,12 @@ def edge_ddb(edge_sf_dir):
         "stat_cohens_kappa",
         "llm_calibration_bins",
         "stat_wilcoxon_signed",
+        # round-4 value-hash witnesses: empty/single-token docs feed
+        # the simhash sign sums; the zero vector quantizes to all-zero
+        # and must land in a bucket (dot 0 ≥ 0 on every plane), not
+        # throw or NaN
+        "llm_simhash_verifiable",
+        "llm_ann_lsh_verifiable",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
