@@ -839,3 +839,76 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "mm", F.when(den != 0.0, num / den).alias("assortativity")
     )
+
+
+_CC_ROUNDS = 6
+
+_CC_ROUND_SQL = "\n".join(
+    f"""l{r} AS (
+        SELECT a.s AS node, MIN(l.lbl) AS lbl
+        FROM aug a JOIN l{r - 1} l ON l.node = a.t
+        GROUP BY a.s
+    ),"""
+    for r in range(1, _CC_ROUNDS + 1)
+)
+
+
+@query(
+    "graph_cc_bounded",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    aug AS (
+        SELECT s, t FROM und
+        UNION ALL
+        SELECT node AS s, node AS t FROM nodes
+    ),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {_CC_ROUND_SQL}
+    labels AS (SELECT lbl FROM l{_CC_ROUNDS})
+    SELECT CAST(lbl AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM labels GROUP BY lbl
+    """,
+)
+def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by BOUNDED min-label propagation: exactly
+    6 synchronous rounds of label(v) ← min over {v} ∪ N(v), then the
+    per-label node census — the hash-checkable core of the iterative
+    CC the dedup clustering family runs to convergence
+    (llm_dedup_cluster / llm_dedup_canonical, which stop on a
+    fixpoint the oracle can't express). Fixing the round count makes
+    the intermediate state itself the contract: both engines replay
+    the same 6 half-steps (DuckDB as 6 stacked CTE layers), so a
+    propagation bug — self-label dropped, direction missed — breaks
+    the value hash even on graphs where 6 rounds happen to converge.
+
+    Per round: ONE equi-join of the label table against the
+    self-loop-augmented edge list and ONE min aggregate — the
+    hash-partitioned BSP step, localCheckpointed per round so round
+    r+1's lineage doesn't replay rounds 1..r (the pagerank discipline;
+    plan depth stays O(1) per round). Diameter > 6 components keep
+    multiple labels — by design; production runs rounds until a
+    convergence counter (count of label changes) hits zero, with
+    large-star/small-star contraction cutting round count
+    logarithmically on long paths."""
+    und = _und(spark, sf_dir)
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    aug = (
+        und.unionAll(
+            nodes.select(F.col("node").alias("s"), F.col("node").alias("t"))
+        )
+        .localCheckpoint()
+    )
+    lab = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(_CC_ROUNDS):
+        lab = (
+            aug.join(lab, aug["t"] == lab["node"])
+            .groupBy(aug["s"].alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return lab.groupBy(F.col("lbl").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

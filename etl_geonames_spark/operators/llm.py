@@ -2222,6 +2222,135 @@ def llm_abtt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLY_LSH_SQL_CTES = f"""
+    t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        FROM t WHERE len(tk) >= 3
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(gram)),
+                           i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS ph
+        FROM g
+    ),
+    perm(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({2 * i * 1_000_003 + 1} AS BIGINT),"
+        f" CAST({i * 998_244_353 + 12_345} AS BIGINT))"
+        for i in range(4)
+    )}),
+    sig AS (
+        SELECT h.doc_id, p.i, MIN((p.a * h.ph + p.b) % 2147483647) AS m
+        FROM h CROSS JOIN perm p GROUP BY h.doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               MIN(CASE WHEN i % 2 = 0 THEN m END) AS b_lo,
+               MIN(CASE WHEN i % 2 = 1 THEN m END) AS b_hi
+        FROM sig GROUP BY doc_id, i // 2
+    )
+"""
+
+
+def _poly_minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, b_lo, b_hi) for the cross-engine poly-hash
+    MinHash-LSH pipeline: 3-word shingles → Horner poly_hash → 4
+    universal-hash permutation minima → 2 bands of 2. The shared core
+    of llm_minhash_verifiable (candidate pairs) and
+    llm_dedup_band_stats (bucket capacity census) — DuckDB replays it
+    as ``_POLY_LSH_SQL_CTES``."""
+    from etl_geonames_spark.operators.curation import poly_hash
+
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
+        .distinct()
+    )
+    h = grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(2 * i * 1_000_003 + 1).cast("long").alias("a"),
+                F.lit(i * 998_244_353 + 12_345).cast("long").alias("b"),
+            )
+            for i in range(4)
+        ]
+    )
+    sig = (
+        h.select("doc_id", "ph", F.explode(perms).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            (
+                (F.col("p.a") * F.col("ph") + F.col("p.b")) % 2147483647
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("v").alias("m"))
+    )
+    return sig.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("band")
+    ).agg(
+        F.min(F.when(F.col("i") % 2 == 0, F.col("m"))).alias("b_lo"),
+        F.min(F.when(F.col("i") % 2 == 1, F.col("m"))).alias("b_hi"),
+    )
+
+
+@query(
+    "llm_dedup_band_stats",
+    oracle=f"""
+    WITH {_POLY_LSH_SQL_CTES},
+    buckets AS (
+        SELECT band, b_lo, b_hi, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM bands GROUP BY band, b_lo, b_hi
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_colliding_buckets,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def llm_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH capacity census per band: bucket count, the LARGEST bucket,
+    colliding-bucket count, and Σ sz·(sz−1)/2 — the exact number of
+    candidate pairs each band will emit. This is the query an operator
+    runs BEFORE the dedup join at 100 TB: candidate volume (the
+    verify stage's bill) and max_bucket (the skew hazard — one
+    boilerplate-heavy bucket of a million docs is a 5·10¹¹-pair
+    reducer) are both visible from a bands-table aggregate that costs
+    two hash aggregates, no pair is ever materialized. The production
+    response to a hot bucket — drop it (boilerplate by definition) or
+    split on an extra signature word — keys off exactly this output.
+
+    Same poly-hash pipeline as llm_minhash_verifiable
+    (:func:`_poly_minhash_bands`), so the census itself is value-hash
+    checked against DuckDB replaying every intermediate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _poly_minhash_bands(docs)
+    buckets = bands.groupBy("band", "b_lo", "b_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return buckets.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+
+
 @query(
     "llm_minhash_verifiable",
     oracle=f"""

@@ -1120,3 +1120,151 @@ def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         qround(F.col("entropy"), 6).alias("entropy"),
     )
+
+
+def _resample_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            rate = 8000 + (doc_id % 3) * 4000
+            n = doc_id % 50 + 10
+            blob = encode_wav_pcm16(rate, _audio_samples(doc_id, n))
+            got_rate, _, samples = decode_wav(blob)
+            kept = samples[::2]  # decimate-by-2 nearest resample
+            rows.append(
+                (
+                    doc_id,
+                    got_rate,
+                    got_rate // 2,
+                    len(kept),
+                    sum(abs(s) for s in kept),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "rate_in", "rate_out", "n_out", "sum_abs_out",
+            ],
+        )
+
+
+@query(
+    "mm_audio_resample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             doc_id % 50 + 10 AS n
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.doc_id, d.rate, d.n, gi.i,
+             ABS((d.doc_id * 31 + gi.i * 97) % 65536 - 32768) AS a
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.n - 1, 2)) AS gi(i)
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS rate_in,
+           CAST(rate // 2 AS INT) AS rate_out,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(a) AS BIGINT) AS sum_abs_out
+    FROM kept GROUP BY doc_id, rate
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation: each clip round-trips the RIFF/WAV codec
+    (same path as mm_decode_audio), then decimates by 2 (keep every
+    other sample — the halve-the-rate resample; a production pipeline
+    adds an anti-alias FIR first, same per-clip map shape). Emitted
+    evidence is the kept-sample count and Σ|s| checksum; the oracle
+    replays the generation rule on the STRIDED index grid, so an
+    off-by-one in the decimation stride (or a codec header bug
+    shifting the payload) breaks the value hash.
+
+    Map-only Arrow batches — audio bytes never shuffle; at 100 TB
+    this is one pipelined pass of clip → decode → decimate →
+    re-encode, embarrassingly parallel over files."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _resample_audio_batches,
+        schema=(
+            "doc_id long, rate_in int, rate_out int, "
+            "n_out long, sum_abs_out long"
+        ),
+    )
+
+
+_HIST_BIN = 192  # 4 bins over the 0..765 gray3 range
+
+
+def _image_histogram_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            w, h, rgb = decode_image(blob)
+            bins = [0, 0, 0, 0]
+            for p in range(w * h):
+                g3 = rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]
+                bins[g3 // _HIST_BIN] += 1
+            rows.append((doc_id, w, h, *bins))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "h0", "h1", "h2", "h3"],
+        )
+
+
+@query(
+    "mm_image_histogram",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (gx.x * 3 + gy.y * 5 + d.doc_id + 0 * 11) % 256
+             + (gx.x * 3 + gy.y * 5 + d.doc_id + 1 * 11) % 256
+             + (gx.x * 3 + gy.y * 5 + d.doc_id + 2 * 11) % 256 AS g3
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(CASE WHEN g3 // {_HIST_BIN} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS h0,
+           CAST(SUM(CASE WHEN g3 // {_HIST_BIN} = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS h1,
+           CAST(SUM(CASE WHEN g3 // {_HIST_BIN} = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS h2,
+           CAST(SUM(CASE WHEN g3 // {_HIST_BIN} >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS h3
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-image gray histogram: decode (BMP/PPM codec round-trip,
+    the mm_decode_image path), reduce each pixel to its channel-sum
+    gray (0..765) and count a 4-bin histogram — the brightness
+    profile used for exposure filtering and as a cheap pre-feature
+    for near-dup blocking (images whose histograms differ can't be
+    near-dups; the phash family then handles the survivors). The
+    oracle recomputes every pixel from the generation rule, so any
+    codec defect (BGR swap leaves g3 invariant — but padding,
+    bottom-up order, or truncation does not) breaks the bin counts.
+
+    Map-only Arrow decode; output is 4 ints per image — the
+    classic decode-heavy/emit-light shape that at 100 TB wants
+    bytes-local compute with only the histogram crossing the wire."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _image_histogram_batches,
+        schema=(
+            "doc_id long, width int, height int, "
+            "h0 long, h1 long, h2 long, h3 long"
+        ),
+    )

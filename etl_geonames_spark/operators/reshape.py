@@ -477,3 +477,168 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
         .otherwise(c.cast("double"))
         .alias("est_distinct"),
     )
+
+
+_KMV_SET_K = 64
+
+_POLY_TEXT_HASH_SQL = """list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(text)),
+                           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000003)"""
+
+
+@query(
+    "agg_kmv_setops",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS grp,
+               {_POLY_TEXT_HASH_SQL} AS h
+        FROM documents
+    ),
+    rk AS (
+        SELECT grp, h,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM d
+    ),
+    sk AS (SELECT grp, h FROM rk WHERE rn <= {_KMV_SET_K}),
+    per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+               CAST(MAX(h) AS BIGINT) AS kth
+        FROM sk GROUP BY grp
+    ),
+    du AS (SELECT DISTINCT h FROM d),
+    ru AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM du
+    ),
+    su AS (SELECT h FROM ru WHERE rn <= {_KMV_SET_K}),
+    uni AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+               CAST(MAX(su.h) AS BIGINT) AS kth_u,
+               CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        FROM su
+        LEFT JOIN (SELECT h FROM sk WHERE grp = 0) a ON a.h = su.h
+        LEFT JOIN (SELECT h FROM sk WHERE grp = 1) b ON b.h = su.h
+    ),
+    est AS (
+        SELECT
+          (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
+                       THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
+                       ELSE CAST(n_in_sketch AS DOUBLE) END
+           FROM per WHERE grp = 0) AS est_a,
+          (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
+                       THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
+                       ELSE CAST(n_in_sketch AS DOUBLE) END
+           FROM per WHERE grp = 1) AS est_b,
+          CASE WHEN n_u >= {_KMV_SET_K}
+               THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth_u
+               ELSE CAST(n_u AS DOUBLE) END AS est_union,
+          CASE WHEN n_u > 0
+               THEN CAST(n_both AS DOUBLE) / n_u END AS jacc
+        FROM uni
+    )
+    SELECT {sql_qround('est_a', 6)} AS est_a,
+           {sql_qround('est_b', 6)} AS est_b,
+           {sql_qround('est_union', 6)} AS est_union,
+           {sql_qround('jacc', 6)} AS jaccard_est,
+           {sql_qround('jacc * est_union', 6)} AS est_intersection
+    FROM est
+    """,
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates between the English and
+    non-English distinct-text sets: per-set cardinality, union
+    cardinality from the MERGED sketch (bottom-k of a union is the
+    bottom-k of the combined bottom-k sets — the mergeability that
+    makes KMV a shuffle-friendly sketch), Jaccard from the fraction
+    of merged-sketch members present in BOTH per-set sketches
+    (Bar-Yossef et al. 2002; Beyer et al. 2007 for the set-op forms),
+    and |A∩B| ≈ J·|A∪B| by inclusion. THE sketch-algebra a dedup
+    pipeline uses to price cross-source overlap at 100 TB before
+    running any pairwise comparison — three k-row tables answer it.
+
+    Construction is oracle-checked end-to-end (deterministic Horner
+    poly-hash of the text, exact bottom-k both engines — the
+    agg_sketch_kmv discipline, extended to set algebra). The union
+    rank routes through ``distributed_rank`` (range exchange +
+    broadcast offsets), respecting the no-global-window contract;
+    per-set bottom-k uses the set-partitioned window, whose state is
+    sketch-sized at any corpus scale. Sub-k sets fall back to exact
+    counts (both engines, identically)."""
+    from etl_geonames_spark.operators.curation import poly_hash
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(
+            F.when(F.col("lang") == "en", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("grp"),
+            poly_hash(F.col("text")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_SET_K)
+        .select("grp", "h")
+        .localCheckpoint()
+    )
+    per = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    du = d.select("h").distinct()
+    su = (
+        distributed_rank(du, ["h"])
+        .filter(F.col("_grn") <= _KMV_SET_K)
+        .select("h")
+    )
+    a_sk = sk.filter(F.col("grp") == 0).select(F.col("h").alias("ha"))
+    b_sk = sk.filter(F.col("grp") == 1).select(F.col("h").alias("hb"))
+    uni = (
+        su.join(F.broadcast(a_sk), su["h"] == a_sk["ha"], "left")
+        .join(F.broadcast(b_sk), su["h"] == b_sk["hb"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_u"),
+            F.max("h").cast("long").alias("kth_u"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+
+    def _est(n_col, kth_col):
+        return F.when(
+            n_col >= _KMV_SET_K,
+            F.lit(float(_KMV_SET_K - 1)) * F.lit(1000003) / kth_col,
+        ).otherwise(n_col.cast("double"))
+
+    pa = per.filter(F.col("grp") == 0).select(
+        _est(F.col("n_in_sketch"), F.col("kth")).alias("est_a")
+    )
+    pb = per.filter(F.col("grp") == 1).select(
+        _est(F.col("n_in_sketch"), F.col("kth")).alias("est_b")
+    )
+    est_union = _est(F.col("n_u"), F.col("kth_u"))
+    jacc = F.when(
+        F.col("n_u") > 0, F.col("n_both").cast("double") / F.col("n_u")
+    )
+    return (
+        uni.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .select(
+            qround(F.col("est_a"), 6).alias("est_a"),
+            qround(F.col("est_b"), 6).alias("est_b"),
+            qround(est_union, 6).alias("est_union"),
+            qround(jacc, 6).alias("jaccard_est"),
+            qround(jacc * est_union, 6).alias("est_intersection"),
+        )
+    )

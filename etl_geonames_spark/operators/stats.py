@@ -1772,3 +1772,396 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("w_minus"), 6).alias("w_minus"),
         F.when(F.col("n") > 0, qround(z, 6)).alias("z"),
     )
+
+
+@query(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    rk AS (
+        SELECT source, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT) AS rn
+        FROM m
+    ),
+    mid AS (
+        SELECT source,
+               (MIN(rn) OVER (PARTITION BY x)
+                + MAX(rn) OVER (PARTITION BY x)) / 2.0 AS mr
+        FROM rk
+    ),
+    g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS ng, SUM(mr) AS rg
+        FROM mid GROUP BY source
+    ),
+    ties AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY x),
+    tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3 FROM ties),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT source) AS INT) AS k
+        FROM m
+    ),
+    hh AS (
+        SELECT tot.n, tot.k, tt.sum_t3,
+               12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                 * SUM(g.rg * g.rg / CAST(g.ng AS DOUBLE))
+               - 3.0 * (tot.n + 1) AS h
+        FROM g, tot, tt GROUP BY tot.n, tot.k, tt.sum_t3
+    )
+    SELECT n, k, {sql_qround('h', 6)} AS h,
+           CASE WHEN n > 1 AND
+                     1.0 - CAST(sum_t3 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n - n) <> 0.0
+                THEN {sql_qround(
+                    'h / (1.0 - CAST(sum_t3 AS DOUBLE)'
+                    ' / (CAST(n AS DOUBLE) * n * n - n))', 6)}
+           END AS h_tie
+    FROM hh
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-group generalization of
+    stat_mann_whitney — do the per-source document-length
+    distributions share a location? The one-way ANOVA a curation
+    pipeline can trust without normality (lengths are heavy-tailed).
+
+    Same distributed machinery as the two-sample tests: ONE global
+    midrank pass (``distributed_rank`` + the tie table's (min+max)/2 —
+    exact .5-rationals, no global window), one k-row group aggregate,
+    then H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1) with the standard tie
+    correction H/(1 − Σ(t³−t)/(N³−N)), guarded NULL when every value
+    ties (C = 0 — ANSI would throw). The ΣR²/n float sum is k terms,
+    qround-ed on both sides (the chi-square precedent for unavoidable
+    float sums). At 100 TB the rank pass is the only corpus-scale
+    exchange; everything after is k rows."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    rk = distributed_rank(docs, ["x", "doc_id"]).select(
+        "source", "x", F.col("_grn").cast("long").alias("rn")
+    )
+    ties = rk.groupBy("x").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).localCheckpoint()
+    g = (
+        rk.join(F.broadcast(ties.select("x", "mr")), "x")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("mr").alias("rg"),
+        )
+    )
+    tt = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("sum_t3")
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    hh = (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tt))
+        .groupBy("n", "k", "sum_t3")
+        .agg(
+            (
+                F.lit(12.0)
+                / (F.col("n").cast("double") * (F.col("n") + 1))
+                * F.sum(
+                    F.col("rg") * F.col("rg") / F.col("ng").cast("double")
+                )
+                - 3.0 * (F.col("n") + 1)
+            ).alias("h")
+        )
+    )
+    tie_c = F.lit(1.0) - F.col("sum_t3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return hh.select(
+        "n",
+        "k",
+        qround(F.col("h"), 6).alias("h"),
+        F.when(
+            (F.col("n") > 1) & (tie_c != 0.0), qround(F.col("h") / tie_c, 6)
+        ).alias("h_tie"),
+    )
+
+
+@query(
+    "stat_anova_oneway",
+    oracle=f"""
+    WITH m AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg,
+               CAST(SUM(x * x) AS BIGINT) AS qg
+        FROM m GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(qg) AS BIGINT) AS q
+        FROM g
+    ),
+    parts AS (
+        SELECT tot.n, tot.k, tot.s, tot.q,
+               SUM(CAST(g.sg AS DOUBLE) * g.sg / g.ng) AS sgn
+        FROM g, tot GROUP BY tot.n, tot.k, tot.s, tot.q
+    ),
+    ss AS (
+        SELECT n, k,
+               sgn - CAST(s AS DOUBLE) * s / n AS ssb,
+               CAST(q AS DOUBLE) - sgn AS ssw
+        FROM parts
+    )
+    SELECT n, CAST(k AS INT) AS k,
+           {sql_qround('ssb', 6)} AS ss_between,
+           {sql_qround('ssw', 6)} AS ss_within,
+           CASE WHEN k > 1 AND n > k AND ssw > 0.0
+                THEN {sql_qround(
+                    '(ssb / (k - 1)) / (ssw / (n - k))', 6)}
+           END AS f_stat
+    FROM ss
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over per-source document lengths — the
+    parametric sibling of stat_kruskal_wallis (report both; when they
+    disagree the lengths are non-normal and the rank test wins).
+
+    Entirely from exact int64 group moments (n_g, Σx, Σx²): one
+    corpus-scale hash aggregate to k rows, then
+    SSB = Σs_g²/n_g − S²/N and SSW = Q − Σs_g²/n_g as fixed-shape
+    double expressions. The k-term Σs²/n float sum is qround-ed on
+    both sides (chi-square precedent); F is guarded NULL for k ≤ 1,
+    n ≤ k, or SSW = 0 (all groups internally constant — ANSI throws
+    otherwise). The partial aggregation does all the work map-side —
+    this is the cheapest possible k-group test at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("qg"),
+    ).localCheckpoint()
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "s", "q")
+        .agg(
+            F.sum(
+                F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+            ).alias("sgn")
+        )
+    )
+    ssb = F.col("sgn") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q").cast("double") - F.col("sgn")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return parts.select(
+        "n",
+        F.col("k").cast("int").alias("k"),
+        qround(ssb, 6).alias("ss_between"),
+        qround(ssw, 6).alias("ss_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+            qround(f_stat, 6),
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "stat_two_proportion_z",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id % 2 AS grp,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS hit
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN grp = 0 THEN hit ELSE 0 END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN grp = 1 THEN hit ELSE 0 END) AS BIGINT) AS x2
+        FROM m
+    )
+    SELECT n1, x1, n2, x2,
+           CASE WHEN n1 > 0 THEN {sql_qround(
+               'CAST(x1 AS DOUBLE) / n1', 6)} END AS p1,
+           CASE WHEN n2 > 0 THEN {sql_qround(
+               'CAST(x2 AS DOUBLE) / n2', 6)} END AS p2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                     AND x1 + x2 > 0 AND x1 + x2 < n1 + n2
+                THEN {sql_qround(
+                    '(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)'
+                    ' / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))'
+                    '        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))'
+                    '        * (1.0 / n1 + 1.0 / n2))', 6)}
+           END AS z
+    FROM s
+    """,
+)
+def stat_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled): is the share of English docs
+    the same in the even and odd doc_id halves? The A/B guardrail
+    check every experimentation pipeline ships — four int64 counts in
+    ONE map-side-combined aggregate, then a single fixed-shape double
+    expression (deterministic IEEE both engines). Guarded NULL when a
+    group is empty or the pooled proportion is degenerate (0 or 1 —
+    zero variance, ANSI would throw on the division)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "hit"
+        ),
+    )
+    s = docs.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return s.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.when(F.col("n1") > 0, qround(p1, 6)).alias("p1"),
+        F.when(F.col("n2") > 0, qround(p2, 6)).alias("p2"),
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("x1") + F.col("x2") > 0)
+            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2")),
+            qround(z, 6),
+        ).alias("z"),
+    )
+
+
+@query(
+    "stat_mann_kendall",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+        FROM dc a JOIN dc b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (
+        SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+        FROM pairs GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+        FROM dc GROUP BY event_type, c
+    ),
+    v AS (
+        SELECT event_type,
+               CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM ties GROUP BY event_type
+    )
+    SELECT s.event_type, v.n, s.s_stat,
+           CASE WHEN CAST(v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term
+                          AS DOUBLE) / 18.0 > 0.0
+                THEN {sql_qround(
+                    '(CAST(s.s_stat AS DOUBLE)'
+                    ' - CASE WHEN s.s_stat > 0 THEN 1'
+                    '        WHEN s.s_stat < 0 THEN -1 ELSE 0 END)'
+                    ' / sqrt(CAST(v.n * (v.n - 1) * (2 * v.n + 5)'
+                    '             - v.tie_term AS DOUBLE) / 18.0)', 6)}
+           END AS z
+    FROM s JOIN v USING (event_type)
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type: S = Σ_{{i<j}} sign(c_j −
+    c_i) over the daily-count series (Kendall's tau against time) with
+    the tie-corrected variance and continuity-corrected z — the
+    standard nonparametric is-this-metric-drifting monitor, immune to
+    outlier days that wreck a least-squares slope (ts_theil_sen_daily
+    is its slope-estimating sibling; this one decides significance).
+
+    S and the tie term are EXACT int64 (the only float is the final
+    z expression); the day-pair self-join is O(days²) per series —
+    days are a bounded domain (10 years ≈ 3.7k rows → 6.7M pairs per
+    type, metadata-scale next to the corpus), and the corpus-scale
+    work is the one daily hash aggregate. Zero-variance series (all
+    days tied) emit NULL, not DIVIDE_BY_ZERO."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    a, b = dc.alias("a"), dc.alias("b")
+    sgn = F.when(F.col("b.c") > F.col("a.c"), 1).when(
+        F.col("b.c") < F.col("a.c"), -1
+    ).otherwise(0)
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    ties = dc.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    v = ties.groupBy("event_type").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double") / 18.0
+    cc = F.when(F.col("s_stat") > 0, 1).when(
+        F.col("s_stat") < 0, -1
+    ).otherwise(0)
+    z = (F.col("s_stat").cast("double") - cc) / F.sqrt(var)
+    return s.join(v, "event_type").select(
+        "event_type",
+        "n",
+        "s_stat",
+        F.when(var > 0.0, qround(z, 6)).alias("z"),
+    )

@@ -2170,3 +2170,397 @@ def ts_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum(F.col("value") * w), 6).alias("decayed_value"),
         )
     )
+
+
+@query(
+    "stat_ljung_box",
+    oracle=f"""
+    WITH {_ACF_SQL_CTES},
+    wide AS (
+      SELECT MAX(n) AS n,
+             MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+      FROM acf_rows, s
+    )
+    SELECT n,
+           {sql_qround('r1', 6)} AS acf1,
+           {sql_qround('r2', 6)} AS acf2,
+           {sql_qround('r3', 6)} AS acf3,
+           CASE WHEN n > 3 AND r1 IS NOT NULL AND r2 IS NOT NULL
+                     AND r3 IS NOT NULL
+                THEN {sql_qround(
+                    'CAST(n AS DOUBLE) * (n + 2)'
+                    ' * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)'
+                    '    + r3 * r3 / (n - 3))', 6)}
+           END AS q_lb
+    FROM wide
+    """,
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over the hourly event-count series at
+    lags 1-3: Q = n(n+2)·Σ ρ_k²/(n−k) — the is-this-white-noise test
+    a forecasting pipeline runs on model RESIDUALS before trusting
+    prediction intervals (large Q ⇒ structure remains). Built directly
+    on the shared ts_acf moment tables (``_acf_tables`` — one range
+    exchange, exact int64 moments), so the marginal cost over ts_acf
+    is a 3-row pivot and one fixed-shape expression: the ρ_k² terms
+    are written as one left-associated chain on both engines (no
+    variable-order float sum), NULL-guarded for n ≤ 3 or a
+    zero-variance (constant) series where ρ is undefined."""
+    lagged, s = _acf_tables(spark, sf_dir)
+    acf = lagged.crossJoin(F.broadcast(s)).select(
+        "lag", "n", _acf_expr().alias("acf")
+    )
+    wide = acf.groupBy("n").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    n = F.col("n")
+    q = (
+        n.cast("double")
+        * (n + 2)
+        * (
+            F.col("r1") * F.col("r1") / (n - 1)
+            + F.col("r2") * F.col("r2") / (n - 2)
+            + F.col("r3") * F.col("r3") / (n - 3)
+        )
+    )
+    return wide.select(
+        "n",
+        qround(F.col("r1"), 6).alias("acf1"),
+        qround(F.col("r2"), 6).alias("acf2"),
+        qround(F.col("r3"), 6).alias("acf3"),
+        F.when(
+            (n > 3)
+            & F.col("r1").isNotNull()
+            & F.col("r2").isNotNull()
+            & F.col("r3").isNotNull(),
+            qround(q, 6),
+        ).alias("q_lb"),
+    )
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dc GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n_days,
+             CASE WHEN n_days >= 3 THEN
+               list_reduce(
+                 list_prepend(
+                   [v[1], v[2] - v[1]],
+                   list_transform(v[3:], x -> [x, CAST(0 AS DOUBLE)])),
+                 (acc, x) -> [
+                   0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                   0.1 * (0.3 * x[1] + 0.7 * (acc[1] + acc[2]) - acc[1])
+                      + 0.9 * acc[2]])
+             WHEN n_days = 2 THEN [v[1], v[2] - v[1]]
+             END AS s
+      FROM arr
+    )
+    SELECT event_type, n_days,
+           {sql_qround('s[1]', 6)} AS level,
+           {sql_qround('s[2]', 6)} AS trend,
+           {sql_qround('s[1] + 7.0 * s[2]', 6)} AS forecast_7d
+    FROM st
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double) exponential smoothing per event type
+    (α=0.3, β=0.1) over the daily-count series: level/trend state
+    folded left over the days in order, 7-day-ahead forecast
+    l + 7t — the capacity-planning forecast a pipeline publishes per
+    metric. A sequential recurrence is NOT a window aggregate: it
+    folds via ``aggregate()`` over the per-series day array (the
+    ts_lttb/SAX pattern — series are array-sized after the daily
+    rollup, ~3.7k elements even for a decade, so per-series state
+    fits one row comfortably). Textbook init l₁=x₁, t₁=x₂−x₁, fold
+    from x₃; the update expressions are written with the identical
+    operand order on both engines (l' appears expanded inside t' on
+    BOTH sides), so the fold is bit-identical IEEE before the qround.
+    ENGINE QUIRK: DuckDB's list_reduce over STRUCT state evaluates
+    the result-struct fields sequentially and rebinds acc's fields as
+    they compute — acc.l inside the t-expression already holds the
+    NEW level, silently corrupting any two-field recurrence. The
+    oracle therefore folds a 2-element LIST state ([l, t]), which
+    evaluates against the unmodified accumulator; Spark's aggregate()
+    struct fold has no such rebinding.
+    Series with <2 days emit NULL state rather than indexing past the
+    array (ANSI: try_element_at, DuckDB: NULL out-of-bounds).
+
+    100 TB: the corpus-scale work is the one daily hash aggregate;
+    the fold is |series|·|days| arithmetic distributed by series key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    v = F.col("v")
+    l0 = F.try_element_at(v, F.lit(1))
+    b0 = F.try_element_at(v, F.lit(2)) - l0
+    rest = F.slice(v, 3, F.greatest(F.size(v) - 2, F.lit(0)))
+    init = F.struct(l0.alias("l"), b0.alias("t"))
+
+    def _holt_step(acc, x):
+        lev = 0.3 * x + 0.7 * (acc["l"] + acc["t"])
+        tr = 0.1 * (0.3 * x + 0.7 * (acc["l"] + acc["t"]) - acc["l"]) \
+            + 0.9 * acc["t"]
+        return F.struct(lev.alias("l"), tr.alias("t"))
+
+    st = arr.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("n_days") >= 3, F.aggregate(rest, init, _holt_step)
+        )
+        .when(F.col("n_days") == 2, init)
+        .alias("s"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        qround(F.col("s.l"), 6).alias("level"),
+        qround(F.col("s.t"), 6).alias("trend"),
+        qround(F.col("s.l") + 7.0 * F.col("s.t"), 6).alias("forecast_7d"),
+    )
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day, c,
+             c - LAG(c) OVER (PARTITION BY event_type ORDER BY day)
+               AS delta
+      FROM dc
+    ),
+    gl AS (
+      SELECT event_type, day,
+             CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                  OVER w AS BIGINT) AS sg,
+             CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                  OVER w AS BIGINT) AS sl,
+             CAST(COUNT(delta) OVER w AS BIGINT) AS nd
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, nd,
+           CASE WHEN nd > 0 THEN
+             CASE WHEN sl = 0 THEN 100.0
+                  ELSE {sql_qround(
+                      '100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / sl)', 6)}
+             END
+           END AS rsi
+    FROM gl
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI over the daily event-count series per type:
+    trailing-window gain/loss sums → RSI = 100 − 100/(1 + ΣG/ΣL) —
+    the bounded momentum oscillator, here reused as a drift monitor
+    (RSI pinned near 100/0 ⇒ the metric only ever rises/falls in the
+    window — a canary for counter resets and backfill storms).
+
+    Window sums are EXACT int64 (gains and losses summed separately,
+    never an avg float); the only division is the final fixed-shape
+    expression. The all-losses-zero window emits the standard 100.0
+    (not a DIVIDE_BY_ZERO); the first row of each series (no delta
+    yet) emits NULL. One shuffle on event_type, one window pass with
+    a bounded ROWS frame — O(1) state per row at any series length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    d = dc.withColumn("delta", F.col("c") - F.lag("c").over(w_lag))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, 0)
+    )
+    gl = d.select(
+        "event_type",
+        "day",
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("sg"),
+        F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("sl"),
+        F.count("delta").over(w).cast("long").alias("nd"),
+    )
+    rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+        qround(
+            100.0 - 100.0 / (1.0 + F.col("sg").cast("double") / F.col("sl")),
+            6,
+        )
+    )
+    return gl.select(
+        "event_type",
+        "day",
+        "nd",
+        F.when(F.col("nd") > 0, rsi).alias("rsi"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+      FROM hc GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, gs.h
+      FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi)) AS gs(h)
+    ),
+    j AS (
+      SELECT g.event_type, g.h, hc.c
+      FROM grid g LEFT JOIN hc
+        ON hc.event_type = g.event_type AND hc.h = g.h
+    ),
+    nb AS (
+      SELECT event_type, h, c,
+             LAST_VALUE(CASE WHEN c IS NOT NULL THEN c END IGNORE NULLS)
+               OVER wp AS pv,
+             LAST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS ph,
+             FIRST_VALUE(CASE WHEN c IS NOT NULL THEN c END IGNORE NULLS)
+               OVER wn AS nv,
+             FIRST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wn AS nh
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           c IS NOT NULL AS observed,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                WHEN nh = ph THEN CAST(pv AS DOUBLE)
+                ELSE {sql_qround(
+                    'CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)'
+                    ' * (h - ph) / (nh - ph)', 6)}
+           END AS value
+    FROM nb
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly grid per event type:
+    missing hours take pv + (nv−pv)·(h−ph)/(nh−ph) between the
+    nearest observed neighbors — the gap-repair step before any
+    model that assumes a regular series (ts_gap_fill's zero-fill
+    sibling; zeros say "nothing happened", interpolation says "we
+    weren't looking"). Observed hours pass through exactly, and the
+    grid spans min..max observed per series so every gap has both
+    neighbors (nh=ph only for a single-row partition edge case,
+    which falls back to the flat value — no divide-by-zero path).
+
+    Plan: one hourly hash aggregate (corpus-scale), a broadcast-sized
+    bounds table exploded into the grid, one left join, and TWO
+    bounded window passes (last-non-null backward, first-non-null
+    forward — frame-bounded running state, not a per-gap scan). The
+    interpolating ratio is integers-in, one division, qround'd."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    bounds = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("h"),
+    )
+    j = grid.join(hc, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nb = j.select(
+        "event_type",
+        "h",
+        "c",
+        F.last(F.col("c"), ignorenulls=True).over(wp).alias("pv"),
+        F.last(
+            F.when(F.col("c").isNotNull(), F.col("h")), ignorenulls=True
+        )
+        .over(wp)
+        .alias("ph"),
+        F.first(F.col("c"), ignorenulls=True).over(wn).alias("nv"),
+        F.first(
+            F.when(F.col("c").isNotNull(), F.col("h")), ignorenulls=True
+        )
+        .over(wn)
+        .alias("nh"),
+    )
+    interp = qround(
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * (F.col("h") - F.col("ph"))
+        / (F.col("nh") - F.col("ph")),
+        6,
+    )
+    return nb.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        F.col("c").isNotNull().alias("observed"),
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(F.col("nh") == F.col("ph"), F.col("pv").cast("double"))
+        .otherwise(interp)
+        .alias("value"),
+    )

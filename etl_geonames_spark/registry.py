@@ -65,33 +65,37 @@ _OPERATOR_MODULES = [
 _DRIVER_PRIORITY = [
     "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
     "fn_array_setops", "mm_feature_extract_stub", "llm_embedding_centroids",
-    "mm_image_phash_dedup", "agg_collect_salted", "llm_simhash_verifiable", "llm_ann_lsh_verifiable", "scd2_asof_lookup",
-    "agg_string_concat", "graph_reciprocity", "fn_surrogate_key",
-    "ts_sli_availability", "llm_apply_mix_weights", "fn_printf",
-    "sql_filter_clause", "fn_base64_roundtrip", "agg_higher_moments",
-    "llm_bigram_logprob", "geo_extent_by_group", "agg_histogram", "agg_mode",
-    "agg_conditional", "sql_tpch_q1", "sql_tpch_q2", "sql_tpch_q7",
-    "sql_tpch_q8", "sql_tpch_q9", "sql_tpch_q10", "sql_tpch_q11",
-    "sql_tpch_q15", "sql_tpch_q20", "sql_tpch_q21", "fn_bit_ops",
-    "fn_levenshtein", "ts_resample_ohlc", "ts_anomaly_zscore",
-    "join_interval_overlap", "llm_decontaminate", "llm_cap_per_source",
-    "llm_kmeans", "llm_dedup_keep_best", "llm_shuffle_order",
-    "mm_resize_stub", "geo_bbox_filter", "geo_haversine", "geo_morton_cell",
-    "geo_grid_join", "geo_knn", "cdc_merge_upsert", "scd2_history",
-    "split_train_test", "sample_per_key", "profile_columns",
-    "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
-    "llm_mix_weights", "fn_url_parse", "ts_sessionize",
-    "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
-    "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
-    "fn_try_arith", "mm_decode_image", "mm_resize_image", "mm_decode_audio",
-    "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
-    "llm_dedup_containment", "ts_interval_union", "llm_bpe_pair_counts",
-    "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar",
-    "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
-    "set_intersect_all", "sql_relational_division", "ts_autocorr",
-    "graph_jaccard_neighbors", "llm_tokenizer_fertility",
-    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
-    "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
+    "mm_image_phash_dedup", "agg_collect_salted", "llm_simhash_verifiable",
+    "llm_ann_lsh_verifiable", "scd2_asof_lookup", "agg_string_concat",
+    "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
+    "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
+    "fn_base64_roundtrip", "agg_higher_moments", "llm_bigram_logprob",
+    "geo_extent_by_group", "agg_histogram", "agg_mode", "agg_conditional",
+    "sql_tpch_q1", "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8",
+    "sql_tpch_q9", "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15",
+    "sql_tpch_q20", "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein",
+    "ts_resample_ohlc", "ts_anomaly_zscore", "join_interval_overlap",
+    "llm_decontaminate", "llm_cap_per_source", "llm_kmeans",
+    "llm_dedup_keep_best", "llm_shuffle_order", "mm_resize_stub",
+    "geo_bbox_filter", "geo_haversine", "geo_morton_cell", "geo_grid_join",
+    "stat_kruskal_wallis", "stat_anova_oneway", "stat_two_proportion_z",
+    "stat_mann_kendall", "stat_ljung_box", "ts_holt_winters", "ts_rsi",
+    "ts_interpolate_linear", "mm_audio_resample", "mm_image_histogram",
+    "graph_cc_bounded", "agg_kmv_setops", "llm_dedup_band_stats", "geo_knn",
+    "cdc_merge_upsert", "scd2_history", "split_train_test", "sample_per_key",
+    "profile_columns", "llm_normalize_text", "llm_pii_redact",
+    "llm_repetition_ratio", "llm_mix_weights", "fn_url_parse",
+    "ts_sessionize", "llm_chunk_documents", "llm_ngram_counts",
+    "llm_bucket_by_length", "graph_pagerank", "graph_triangle_count",
+    "fn_unpivot", "fn_posexplode", "fn_try_arith", "mm_decode_image",
+    "mm_resize_image", "mm_decode_audio", "mm_video_frames",
+    "llm_gopher_quality", "llm_perplexity_buckets", "llm_dedup_containment",
+    "ts_interval_union", "llm_bpe_pair_counts", "geo_geohash",
+    "agg_bitmap_distinct", "agg_corr_covar", "geo_point_in_polygon",
+    "agg_skew_two_phase", "join_fuzzy_name", "set_intersect_all",
+    "sql_relational_division", "ts_autocorr", "graph_jaccard_neighbors",
+    "llm_tokenizer_fertility", "llm_ngram_span_dedup", "llm_source_overlap",
+    "agg_ab_ttest", "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
     "mm_audio_features", "sql_session_variables", "sql_parameterized",
     "llm_semdedup", "ts_event_regex", "udtf_analyze",
     "graph_khop_reachability", "agg_sketch_cms", "agg_percentile_disc",

@@ -245,3 +245,120 @@ def test_adamic_adar_cap_is_lower_bound_of_exact(spark, sf_dir):
             cn, score = got[pair]
             assert cn == len(contribs)
             assert abs(score - sum(contribs)) <= 1e-5
+
+
+def test_kruskal_wallis_bounds(spark, sf_dir):
+    """H ≥ 0 and the tie correction divides by C ∈ (0,1] — h_tie ≥ h.
+    Also H ≤ N−1 (attained when every group occupies a disjoint rank
+    block)."""
+    (r,) = _rows(spark, sf_dir, "stat_kruskal_wallis")
+    assert r["h"] >= -_EPS
+    assert r["h_tie"] is None or r["h_tie"] >= r["h"] - _EPS
+    assert r["h"] <= r["n"] - 1 + _EPS
+
+
+def test_anova_partition_identity(spark, sf_dir):
+    """SSB + SSW = SST, recomputed from the raw moments in-process —
+    the variance-decomposition identity the F-statistic rests on."""
+    from etl_geonames_spark.sources import load_table
+
+    (r,) = _rows(spark, sf_dir, "stat_anova_oneway")
+    xs = [
+        row["n_chars"]
+        for row in load_table(spark, sf_dir, "documents")
+        .select("n_chars")
+        .collect()
+    ]
+    n = len(xs)
+    sst = sum(x * x for x in xs) - sum(xs) ** 2 / n
+    assert abs((r["ss_between"] + r["ss_within"]) - sst) < 1e-3 * max(sst, 1)
+    assert r["ss_between"] >= -_EPS and r["ss_within"] >= -_EPS
+
+
+def test_mann_kendall_bounds(spark, sf_dir):
+    """|S| ≤ n(n−1)/2 and z carries S's sign."""
+    for r in _rows(spark, sf_dir, "stat_mann_kendall"):
+        assert abs(r["s_stat"]) <= r["n"] * (r["n"] - 1) / 2
+        if r["z"] is not None and abs(r["s_stat"]) > 1:
+            assert (r["z"] > 0) == (r["s_stat"] > 0) or r["z"] == 0
+
+
+def test_ljung_box_nonnegative(spark, sf_dir):
+    """Q is a weighted sum of squares — never negative; and each
+    reported acf is a correlation in [−1, 1]."""
+    (r,) = _rows(spark, sf_dir, "stat_ljung_box")
+    if r["q_lb"] is not None:
+        assert r["q_lb"] >= -_EPS
+    for k in ("acf1", "acf2", "acf3"):
+        if r[k] is not None:
+            assert -1 - _EPS <= r[k] <= 1 + _EPS
+
+
+def test_rsi_bounded(spark, sf_dir):
+    """RSI ∈ [0, 100] wherever defined."""
+    for r in _rows(spark, sf_dir, "ts_rsi"):
+        if r["rsi"] is not None:
+            assert -_EPS <= r["rsi"] <= 100 + _EPS
+
+
+def test_interpolation_between_neighbors(spark, sf_dir):
+    """Interpolated values lie inside [min, max] of the series'
+    observed counts, and observed grid points reproduce the raw
+    hourly counts exactly."""
+    rows = _rows(spark, sf_dir, "ts_interpolate_linear")
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        obs = [r["value"] for r in rs if r["observed"]]
+        lo, hi = min(obs), max(obs)
+        for r in rs:
+            assert lo - _EPS <= r["value"] <= hi + _EPS
+
+
+def test_cc_bounded_census(spark, sf_dir):
+    """Labels partition the node set: sizes sum to |V|; every label is
+    the minimum node id of its own cluster's census row (labels are
+    node ids propagated by min, so label ≤ every member — in the
+    census the label row itself must exist among nodes)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.graph import _und
+
+    und = _und(spark, sf_dir)
+    n_nodes = und.select("s").distinct().count()
+    rows = _rows(spark, sf_dir, "graph_cc_bounded")
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    node_set = {
+        r["s"] for r in und.select("s").distinct().collect()
+    }
+    for r in rows:
+        assert r["label"] in node_set
+
+
+def test_kmv_setops_sketch_algebra(spark, sf_dir):
+    """Jaccard ∈ [0,1]; |A∪B| estimate within the KMV error band of
+    the exact union (k=64 ⇒ σ≈12.6%; assert 4σ), and the
+    inclusion-exclusion direction est_union ≤ est_a + est_b."""
+    from etl_geonames_spark.sources import load_table
+
+    (r,) = _rows(spark, sf_dir, "agg_kmv_setops")
+    assert -_EPS <= r["jaccard_est"] <= 1 + _EPS
+    assert r["est_union"] <= r["est_a"] + r["est_b"] + _EPS
+    docs = load_table(spark, sf_dir, "documents").select("text").distinct()
+    exact_union = docs.count()
+    assert abs(r["est_union"] / exact_union - 1.0) < 0.5
+
+
+def test_band_stats_covers_candidate_pairs(spark, sf_dir):
+    """Σ_bands Σ_buckets C(sz,2) ≥ |distinct candidate pairs| (pairs
+    colliding in both bands are counted twice in the census, never
+    less than once), and colliding buckets never exceed bucket
+    count."""
+    rows = _rows(spark, sf_dir, "llm_dedup_band_stats")
+    total_census = sum(r["n_candidate_pairs"] for r in rows)
+    n_pairs = len(_rows(spark, sf_dir, "llm_minhash_verifiable"))
+    assert total_census >= n_pairs
+    for r in rows:
+        assert r["n_colliding_buckets"] <= r["n_buckets"]
+        assert r["max_bucket"] >= 1
