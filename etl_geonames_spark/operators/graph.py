@@ -912,3 +912,53 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy(F.col("lbl").cast("long").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@query(
+    "graph_copurchase",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection: parts ordered together in
+    ≥ 2 distinct orders — the market-basket edge list (and the graph
+    form of document-term co-occurrence: the identical plan mines
+    token pairs, user co-sessions, or citation bundles). Pair
+    generation is the order-keyed self-join, so fan-out is
+    Σ lines(o)² per order — BOUNDED BY THE BASKET SIZE (≤ 7 lines in
+    TPC-H ⇒ ≤ 21 pairs/order), which is what makes bipartite
+    projection linear-ish here while the same join on a hub-skewed
+    key needs adamic-adar's degree cap. One distinct pass, one
+    self-join, one count aggregate with map-side combine; the cn ≥ 2
+    gate is an exact integer HAVING.
+
+    At 100 TB the hazard is a mega-basket (a crawler session with
+    10⁶ items): cap basket size at ingest (the adamic-adar τ logic)
+    or salt the order key; the fixture's baskets are bounded by
+    construction, documented here for the real-data path."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -2272,6 +2272,13 @@ def _poly_minhash_bands(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     h = grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
+    return _poly_minhash_bands_from_hashes(h)
+
+
+def _poly_minhash_bands_from_hashes(h: DataFrame) -> DataFrame:
+    """Band table from a prebuilt (doc_id, ph) gram-hash table — split
+    out so llm_minhash_jaccard_est can share one checkpointed hash
+    table between its banding and its 8-perm signature stages."""
     perms = F.array(
         *[
             F.struct(
@@ -2348,6 +2355,133 @@ def llm_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
         .cast("long")
         .alias("n_candidate_pairs"),
+    )
+
+
+@query(
+    "llm_minhash_jaccard_est",
+    oracle=f"""
+    WITH {_POLY_LSH_SQL_CTES},
+    perm8(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({2 * i * 1_000_003 + 1} AS BIGINT),"
+        f" CAST({i * 998_244_353 + 12_345} AS BIGINT))"
+        for i in range(8)
+    )}),
+    sig8 AS (
+        SELECT h.doc_id, p.i, MIN((p.a * h.ph + p.b) % 2147483647) AS m
+        FROM h CROSS JOIN perm8 p GROUP BY h.doc_id, p.i
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.b_lo = b.b_lo AND a.b_hi = b.b_hi
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+           {sql_qround(
+               'SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 8.0', 6)}
+               AS est_jaccard
+    FROM cand c
+    JOIN sig8 sa ON sa.doc_id = c.doc_a
+    JOIN sig8 sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION on the LSH candidates: each
+    candidate pair's similarity is estimated as the fraction of 8
+    permutations whose min-hashes agree (E[match] = J, the MinHash
+    property — Broder 1997), WITHOUT touching the shingle sets again.
+    This is the cheap middle tier of the dedup funnel at 100 TB:
+    LSH banding prices candidates, THIS estimate triages them
+    (est ≥ 0.8 → near-certain dup, skip the exact verify; borderline
+    → exact bigram Jaccard on the pair), and only the borderline
+    slice pays the set-intersection cost llm_dedup_verified models.
+
+    Signatures are k=8 poly-hash permutation minima (one hash
+    aggregate over the gram table, 8 longs per doc on the wire);
+    the pair estimate is an equi-join of two 8-row signature slices
+    per candidate — never the corpus. Every min, band, and match
+    count is exact integer arithmetic replayed by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_geonames_spark.operators.curation import poly_hash
+
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
+        .distinct()
+    )
+    h = grams.select(
+        "doc_id", poly_hash(F.col("gram")).alias("ph")
+    ).localCheckpoint()
+    perms8 = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(2 * i * 1_000_003 + 1).cast("long").alias("a"),
+                F.lit(i * 998_244_353 + 12_345).cast("long").alias("b"),
+            )
+            for i in range(8)
+        ]
+    )
+    sig8 = (
+        h.select("doc_id", "ph", F.explode(perms8).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            (
+                (F.col("p.a") * F.col("ph") + F.col("p.b")) % 2147483647
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("v").alias("m"))
+        .localCheckpoint()
+    )
+    bands = _poly_minhash_bands_from_hashes(h)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b_lo") == F.col("b.b_lo"))
+            & (F.col("a.b_hi") == F.col("b.b_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig8.select(
+        F.col("doc_id").alias("da"), F.col("i").alias("ia"),
+        F.col("m").alias("ma"),
+    )
+    sb = sig8.select(
+        F.col("doc_id").alias("db"), F.col("i").alias("ib"),
+        F.col("m").alias("mb"),
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("da"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("db")) & (F.col("ib") == F.col("ia")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            qround(
+                F.sum(
+                    F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
+                )
+                / 8.0,
+                6,
+            ).alias("est_jaccard"),
+        )
     )
 
 
@@ -2486,19 +2620,21 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bits AS (
         SELECT doc_id, gb.b AS b,
-               SUM(((ph >> gb.b) & 1) * 2 - 1) AS s
-        FROM h, LATERAL unnest(generate_series(0, 15)) AS gb(b)
+               SUM((((CASE WHEN gb.b < 16 THEN ph
+                           ELSE (2000007 * ph + 998256698) % 2147483647
+                      END) >> (gb.b % 16)) & 1) * 2 - 1) AS s
+        FROM h, LATERAL unnest(generate_series(0, 31)) AS gb(b)
         GROUP BY doc_id, gb.b
     ),
     sig AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)
-                    AS BIGINT) AS sig
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                             ELSE 0 END) AS BIGINT) AS sig
         FROM bits GROUP BY doc_id
     ),
     chunks AS (
         SELECT doc_id, sig, gc.c AS chunk_idx,
-               (sig >> (4 * gc.c)) & 15 AS chunk_val
+               (sig >> (8 * gc.c)) & 255 AS chunk_val
         FROM sig, LATERAL unnest(generate_series(0, 3)) AS gc(c)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2515,16 +2651,24 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``llm_dedup_simhash``, whose xxhash64 token hash DuckDB cannot
     replay (that one stays rows-only + recall-pinned). Same algorithm,
     cross-engine arithmetic: Horner poly_hash per token
-    (:func:`curation.poly_hash`), 16 sign-sum bits (token multiplicity
-    kept, exactly as the production signature), the packed signature
-    banded into 4×4-bit chunks, candidates share ≥1 exact chunk
+    (:func:`curation.poly_hash`) widened to a 32-BIT signature by a
+    second universal-hash permutation (bits 16-31 come from
+    (2000007·ph + 998256698) mod 2³¹−1 — one 20-bit base hash alone
+    can't feed 32 independent sign sums), token multiplicity kept
+    exactly as the production signature, the packed signature banded
+    into 4×8-BIT chunks, candidates share ≥1 exact chunk
     (pigeonhole-COMPLETE for hamming ≤ 3 — the emitted filter), and
     the hamming distance itself is in the hashed output. A bug in
     bit-packing, banding, or the candidate join breaks this query's
     value hash, not just a recall statistic.
 
+    Chunk width IS the join's scale knob: 8-bit chunks give 256
+    bucket values per band, so the candidate join stays near-linear
+    (the first cut used 4-bit chunks — 16 values — and went
+    quadratic at 5k docs: 5.9 s at sf0.1, vs ~1 s with 256-value
+    buckets; production's 16-bit chunks continue the same curve).
     Same physical shape as production: explode tokens → ONE map-side-
-    combined hash aggregate (16 conditional sums) → chunk equi-join —
+    combined hash aggregate (32 conditional sums) → chunk equi-join —
     candidates only meet through bucket equality, never all-pairs.
     100 TB: use llm_dedup_simhash (64-bit xxhash signature); this
     twin exists so the algorithm is verifiable and scales identically.
@@ -2532,19 +2676,27 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.curation import poly_hash
 
     docs = load_table(spark, sf_dir, "documents")
+    ph1 = (
+        F.lit(2000007).cast("long") * F.col("ph") + F.lit(998256698)
+    ) % 2147483647
     tokh = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
+        .select("doc_id", "ph", ph1.alias("ph1"))
     )
     bit = lambda b: (  # noqa: E731
-        F.shiftrightunsigned(F.col("ph"), b).bitwiseAND(1) * 2 - 1
+        F.shiftrightunsigned(
+            F.col("ph") if b < 16 else F.col("ph1"), b % 16
+        ).bitwiseAND(1)
+        * 2
+        - 1
     )
     sums = tokh.groupBy("doc_id").agg(
-        *[F.sum(bit(b)).alias(f"s{b}") for b in range(16)]
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(32)]
     )
     sig = F.lit(0).cast("long")
-    for b in range(16):
+    for b in range(32):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
@@ -2552,7 +2704,7 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     signed = sums.select("doc_id", sig.alias("sig"))
     chunk = lambda i: (  # noqa: E731
-        F.shiftrightunsigned(F.col("sig"), 4 * i).bitwiseAND(15)
+        F.shiftrightunsigned(F.col("sig"), 8 * i).bitwiseAND(255)
     )
     chunks = signed.select(
         "doc_id",

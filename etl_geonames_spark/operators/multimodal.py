@@ -1268,3 +1268,82 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h0 long, h1 long, h2 long, h3 long"
         ),
     )
+
+
+def _keyframe_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            frames = decode_video(_long_video_blob(doc_id))
+            prev = None
+            best_idx, best_delta = 0, -1
+            for idx, payload in enumerate(frames):
+                _, _, rgb = decode_image(payload)
+                if prev is not None:
+                    delta = sum(abs(a - b) for a, b in zip(rgb, prev))
+                    if delta > best_delta:
+                        best_idx, best_delta = idx, delta
+                prev = rgb
+            if len(frames) == 1:
+                best_idx, best_delta = 0, 0
+            rows.append((doc_id, len(frames), best_idx, best_delta))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "key_idx", "key_delta"],
+        )
+
+
+@query(
+    "mm_video_keyframes",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 30 + 1 AS nf FROM documents
+    ),
+    deltas AS (
+      SELECT d.doc_id, d.nf, gf.f,
+             CAST(SUM(ABS(
+               (gx.x * 3 + gy.y * 5 + d.doc_id + gf.f * 7 + gc.c * 11) % 256
+               - (gx.x * 3 + gy.y * 5 + d.doc_id + (gf.f - 1) * 7
+                  + gc.c * 11) % 256)) AS BIGINT) AS delta
+      FROM dims d,
+           LATERAL unnest(generate_series(1, d.nf - 1)) AS gf(f),
+           LATERAL unnest(generate_series(0, 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+      GROUP BY d.doc_id, d.nf, gf.f
+    ),
+    ranked AS (
+      SELECT doc_id, nf, f, delta,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY delta DESC, f) AS rn
+      FROM deltas
+    )
+    SELECT d.doc_id, CAST(d.nf AS INT) AS n_frames,
+           CAST(COALESCE(r.f, 0) AS INT) AS key_idx,
+           CAST(COALESCE(r.delta, 0) AS BIGINT) AS key_delta
+    FROM dims d LEFT JOIN ranked r
+      ON r.doc_id = d.doc_id AND r.rn = 1
+    """,
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection over a REAL container decode: demux the
+    1-30-frame VID0 clip, decode every BMP frame, score each frame by
+    its Σ|Δpixel| against the previous one, and keep the argmax
+    (ties → earliest frame; single-frame clips key on frame 0) — the
+    pick-the-representative-frame step that feeds per-video image
+    embedding when budget allows one frame per clip
+    (mm_video_scene_cuts finds ALL cuts; this picks THE summary
+    frame). The oracle replays the per-pixel generation rule and the
+    same (delta DESC, f) tie-break, so a decode or argmax bug breaks
+    the hash.
+
+    Map-only Arrow batches, two frames of decoder state regardless of
+    clip length, 4 scalars out per clip — decode-heavy, emit-light."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _keyframe_batches,
+        schema="doc_id long, n_frames int, key_idx int, key_delta long",
+    )

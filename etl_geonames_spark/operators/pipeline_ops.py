@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_geonames_spark.functions import qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -734,4 +735,165 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _ES_K)
         .select("event_type", "event_id", qround(F.col("key"), 6).alias("es_key"))
+    )
+
+
+@query(
+    "dq_schema_drift",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id % 2 AS grp,
+               CAST(n_chars AS BIGINT) AS n_chars, lang, source, text
+        FROM documents
+    ),
+    agg AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_empty
+        FROM h GROUP BY grp
+    ),
+    wide AS (
+        SELECT
+          (SELECT n_rows FROM agg WHERE grp = 0) AS a_rows,
+          (SELECT n_rows FROM agg WHERE grp = 1) AS b_rows,
+          (SELECT sum_chars FROM agg WHERE grp = 0) AS a_chars,
+          (SELECT sum_chars FROM agg WHERE grp = 1) AS b_chars,
+          (SELECT n_langs FROM agg WHERE grp = 0) AS a_langs,
+          (SELECT n_langs FROM agg WHERE grp = 1) AS b_langs,
+          (SELECT n_sources FROM agg WHERE grp = 0) AS a_sources,
+          (SELECT n_sources FROM agg WHERE grp = 1) AS b_sources,
+          (SELECT n_empty FROM agg WHERE grp = 0) AS a_empty,
+          (SELECT n_empty FROM agg WHERE grp = 1) AS b_empty
+    ),
+    long AS (
+        SELECT 'n_rows' AS metric, CAST(a_rows AS DOUBLE) AS val_a,
+               CAST(b_rows AS DOUBLE) AS val_b FROM wide
+        UNION ALL
+        SELECT 'mean_chars',
+               CAST(a_chars AS DOUBLE) / a_rows,
+               CAST(b_chars AS DOUBLE) / b_rows FROM wide
+        UNION ALL
+        SELECT 'n_langs', CAST(a_langs AS DOUBLE),
+               CAST(b_langs AS DOUBLE) FROM wide
+        UNION ALL
+        SELECT 'n_sources', CAST(a_sources AS DOUBLE),
+               CAST(b_sources AS DOUBLE) FROM wide
+        UNION ALL
+        SELECT 'empty_rate',
+               CAST(a_empty AS DOUBLE) / a_rows,
+               CAST(b_empty AS DOUBLE) / b_rows FROM wide
+    )
+    SELECT metric,
+           {sql_qround('val_a', 6)} AS val_a,
+           {sql_qround('val_b', 6)} AS val_b,
+           CASE WHEN GREATEST(ABS(val_a), ABS(val_b)) > 0
+                THEN {sql_qround(
+                    'ABS(val_a - val_b)'
+                    ' / GREATEST(ABS(val_a), ABS(val_b))', 6)}
+                ELSE 0.0
+           END AS rel_drift
+    FROM long
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift report between the corpus halves (the
+    old-vs-new-snapshot comparison, stood in by the doc_id parity
+    split): row count, mean length, lang/source cardinalities, and
+    empty-text rate side by side with a normalized relative drift —
+    the five cheapest canaries that catch a crawler change, a
+    dropped locale, or a parser regression BEFORE content-level
+    checks run. profile_columns profiles ONE snapshot; this is the
+    two-snapshot diff a scheduler alerts on.
+
+    Two single-row aggregates (each one corpus pass, map-side
+    combined — distinct counts are the only shuffle keys), then the
+    metric pivot is constant-sized: compute once, compare anywhere.
+    rel_drift's denominator is guarded (both-zero → 0, not
+    DIVIDE_BY_ZERO)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang",
+        "source",
+        "text",
+    )
+    agg = (
+        docs.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum(
+                F.when(F.trim("text") == "", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_empty"),
+        )
+        .localCheckpoint()
+    )
+    a = agg.filter(F.col("grp") == 0).drop("grp")
+    b = agg.filter(F.col("grp") == 1).drop("grp")
+    wide = a.select(
+        *[F.col(c).alias(f"a_{c}") for c in a.columns]
+    ).crossJoin(
+        F.broadcast(
+            b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+        )
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("n_rows").alias("metric"),
+            F.col("a_n_rows").cast("double").alias("val_a"),
+            F.col("b_n_rows").cast("double").alias("val_b"),
+        ),
+        F.struct(
+            F.lit("mean_chars").alias("metric"),
+            (F.col("a_sum_chars").cast("double") / F.col("a_n_rows")).alias(
+                "val_a"
+            ),
+            (F.col("b_sum_chars").cast("double") / F.col("b_n_rows")).alias(
+                "val_b"
+            ),
+        ),
+        F.struct(
+            F.lit("n_langs").alias("metric"),
+            F.col("a_n_langs").cast("double").alias("val_a"),
+            F.col("b_n_langs").cast("double").alias("val_b"),
+        ),
+        F.struct(
+            F.lit("n_sources").alias("metric"),
+            F.col("a_n_sources").cast("double").alias("val_a"),
+            F.col("b_n_sources").cast("double").alias("val_b"),
+        ),
+        F.struct(
+            F.lit("empty_rate").alias("metric"),
+            (F.col("a_n_empty").cast("double") / F.col("a_n_rows")).alias(
+                "val_a"
+            ),
+            (F.col("b_n_empty").cast("double") / F.col("b_n_rows")).alias(
+                "val_b"
+            ),
+        ),
+    )
+    long = wide.select(F.explode(rows).alias("r")).select(
+        F.col("r.metric").alias("metric"),
+        F.col("r.val_a").alias("val_a"),
+        F.col("r.val_b").alias("val_b"),
+    )
+    mx = F.greatest(F.abs(F.col("val_a")), F.abs(F.col("val_b")))
+    return long.select(
+        "metric",
+        qround(F.col("val_a"), 6).alias("val_a"),
+        qround(F.col("val_b"), 6).alias("val_b"),
+        F.when(
+            mx > 0,
+            qround(F.abs(F.col("val_a") - F.col("val_b")) / mx, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rel_drift"),
     )

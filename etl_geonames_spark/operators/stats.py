@@ -2165,3 +2165,114 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_stat",
         F.when(var > 0.0, qround(z, 6)).alias("z"),
     )
+
+
+@query(
+    "stat_cronbach_alpha",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM dc),
+    items AS (SELECT DISTINCT event_type FROM dc),
+    dense AS (
+        SELECT i.event_type, d.day, COALESCE(dc.c, 0) AS x
+        FROM days d CROSS JOIN items i
+        LEFT JOIN dc ON dc.event_type = i.event_type AND dc.day = d.day
+    ),
+    per_item AS (
+        SELECT event_type,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM dense GROUP BY event_type
+    ),
+    per_day AS (
+        SELECT day, CAST(SUM(x) AS BIGINT) AS t FROM dense GROUP BY day
+    ),
+    m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM items) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n,
+               (SELECT CAST(SUM(n_i.q) AS BIGINT) FROM per_item n_i)
+                   AS sum_q,
+               (SELECT CAST(SUM(n_i.s * n_i.s) AS BIGINT) FROM per_item n_i)
+                   AS sum_s2,
+               (SELECT CAST(SUM(t) AS BIGINT) FROM per_day) AS st,
+               (SELECT CAST(SUM(t * t) AS BIGINT) FROM per_day) AS qt
+    )
+    SELECT CAST(k AS INT) AS k, n AS n_days,
+           CASE WHEN k > 1 AND n * qt - st * st <> 0
+                THEN {sql_qround(
+                    '(CAST(k AS DOUBLE) / (k - 1))'
+                    ' * (1.0 - CAST(n * sum_q - sum_s2 AS DOUBLE)'
+                    '          / CAST(n * qt - st * st AS DOUBLE))', 6)}
+           END AS alpha
+    FROM m
+    """,
+)
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over the day × event-type count matrix: do the
+    per-type daily series move together enough to be summed into one
+    composite activity metric? (α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) —
+    the internal-consistency gate before publishing a composite KPI.)
+
+    The day grid is densified (missing (type, day) cells are real
+    zeros — skipping them would bias every variance), and BOTH
+    variance sums are driven to exact int64: Σσ²ᵢ = (n·Σqᵢ − Σsᵢ²)/n²
+    and σ²_total = (n·Q_T − S_T²)/n² share the n² denominator, so α's
+    ratio cancels it and the whole statistic is one division of two
+    exact integers — no per-item float variance sum to order. Guarded
+    NULL for k ≤ 1 or a constant composite (zero total variance).
+    Corpus-scale work: one (type, day) aggregate; everything after is
+    k·|days| cells."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    days = dc.select("day").distinct()
+    items = dc.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(items))
+        .join(dc, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+        )
+        .localCheckpoint()
+    )
+    per_item = dense.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    per_day = dense.groupBy("day").agg(F.sum("x").cast("long").alias("t"))
+    mi = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_s2"),
+    )
+    md = per_day.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("qt"),
+    )
+    m = mi.crossJoin(F.broadcast(md))
+    den = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    alpha = (
+        F.col("k").cast("double") / (F.col("k") - 1)
+    ) * (
+        1.0
+        - (
+            F.col("n") * F.col("sum_q") - F.col("sum_s2")
+        ).cast("double")
+        / den.cast("double")
+    )
+    return m.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").alias("n_days"),
+        F.when((F.col("k") > 1) & (den != 0), qround(alpha, 6)).alias(
+            "alpha"
+        ),
+    )

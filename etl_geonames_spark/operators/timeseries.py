@@ -2564,3 +2564,224 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("value"),
     )
+
+
+@query(
+    "ts_rolling_corr",
+    oracle=f"""
+    WITH dx AS (
+      SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d, b.x, b.y
+      FROM dx a JOIN dx b ON b.d BETWEEN a.d - 13 AND a.d
+    ),
+    m AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY d
+    )
+    SELECT CAST(d AS BIGINT) AS d, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN {sql_qround(
+                    '(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)'
+                    ' / sqrt(CAST(n AS DOUBLE) * sxx'
+                    '        - CAST(sx AS DOUBLE) * sx)'
+                    ' / sqrt(CAST(n AS DOUBLE) * syy'
+                    '        - CAST(sy AS DOUBLE) * sy)', 6)}
+           END AS corr
+    FROM m
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day rolling Pearson correlation between the daily
+    'click' and 'view' count series — the does-engagement-track-
+    traffic monitor; a correlation break flags instrumentation drift
+    between two pipelines that should co-move.
+
+    The single global series cannot use a window (the repo's
+    global-window ban — one unpartitioned ordered window serializes
+    on a single task); instead the trailing frame is a BAND
+    SELF-JOIN on the epoch-day integer (b.d ∈ [a.d−13, a.d]) over
+    the |days|-row daily table — O(14·|days|) pairs, metadata-sized,
+    trivially hash-partitioned. All six window moments are exact
+    int64; the correlation is one guarded fixed-shape expression
+    (either variance 0 → NULL, not DIVIDE_BY_ZERO). Written as two
+    sequential sqrt divisions on both engines so the operand order
+    cannot differ."""
+    ev = load_table(spark, sf_dir, "events")
+    dx = (
+        ev.select(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "xi"
+            ),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "yi"
+            ),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("xi").cast("long").alias("x"),
+            F.sum("yi").cast("long").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    a, b = dx.alias("a"), dx.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("b.d") >= F.col("a.d") - 13)
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("b.x").cast("long").alias("sx"),
+            F.sum("b.y").cast("long").alias("sy"),
+            F.sum(F.col("b.x") * F.col("b.y")).cast("long").alias("sxy"),
+            F.sum(F.col("b.x") * F.col("b.x")).cast("long").alias("sxx"),
+            F.sum(F.col("b.y") * F.col("b.y")).cast("long").alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return m.select(
+        F.col("d").cast("long").alias("d"),
+        "n",
+        F.when((vx > 0) & (vy > 0), qround(corr, 6)).alias("corr"),
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type,
+             (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, d, c,
+             CAST(SUM(c) OVER w AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cnt7
+      FROM dc
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full7 AS (
+      SELECT event_type, d, c, sum7, d % 7 AS dow,
+             7 * c - sum7 AS detr7
+      FROM tr WHERE cnt7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(detr7) AS BIGINT) AS s_detr,
+             CAST(COUNT(*) AS BIGINT) AS n_dow
+      FROM full7 GROUP BY event_type, dow
+    )
+    SELECT f.event_type, CAST(f.d AS BIGINT) AS d, f.c,
+           {sql_qround('CAST(f.sum7 AS DOUBLE) / 7.0', 6)} AS trend,
+           {sql_qround(
+               'CAST(s.s_detr AS DOUBLE) / (7.0 * s.n_dow)', 6)} AS seasonal,
+           {sql_qround(
+               'f.c - CAST(f.sum7 AS DOUBLE) / 7.0'
+               ' - CAST(s.s_detr AS DOUBLE) / (7.0 * s.n_dow)', 6)}
+               AS residual
+    FROM full7 f JOIN seas s
+      ON s.event_type = f.event_type AND s.dow = f.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily series per event
+    type: trend = centered 7-day moving average (full windows only),
+    weekly seasonal = day-of-week mean of the detrended series,
+    residual = remainder — the observability triage (is the spike
+    trend, weekday pattern, or anomaly?) and the de-seasonalizing
+    step before anomaly scoring (ts_anomaly_zscore on residuals
+    beats it on raw counts).
+
+    Integer discipline: the detrended value is kept as 7c − Σ₇
+    (EXACT int64 — dividing first would make the day-of-week mean a
+    variable-order float sum), so the seasonal component is a single
+    division of two exact sums and the residual one fixed-shape
+    expression. Day-of-week = epoch-day mod 7 on both engines (Spark
+    dayofweek() is 1-based-Sunday, DuckDB 0-based — the mod form
+    sidesteps the convention mismatch). One partitioned bounded-frame
+    window + one (type, dow)-keyed aggregate joined back."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = dc.select(
+        "event_type",
+        "d",
+        "c",
+        F.sum("c").over(w).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt7"),
+    )
+    full7 = (
+        tr.filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            "d",
+            "c",
+            "sum7",
+            (F.col("d") % 7).alias("dow"),
+            (7 * F.col("c") - F.col("sum7")).alias("detr7"),
+        )
+        .localCheckpoint()
+    )
+    seas = full7.groupBy("event_type", "dow").agg(
+        F.sum("detr7").cast("long").alias("s_detr"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    trend = F.col("sum7").cast("double") / 7.0
+    seasonal = F.col("s_detr").cast("double") / (7.0 * F.col("n_dow"))
+    return full7.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        "c",
+        qround(trend, 6).alias("trend"),
+        qround(seasonal, 6).alias("seasonal"),
+        qround(F.col("c") - trend - seasonal, 6).alias("residual"),
+    )

@@ -81,21 +81,24 @@ _DRIVER_PRIORITY = [
     "stat_kruskal_wallis", "stat_anova_oneway", "stat_two_proportion_z",
     "stat_mann_kendall", "stat_ljung_box", "ts_holt_winters", "ts_rsi",
     "ts_interpolate_linear", "mm_audio_resample", "mm_image_histogram",
-    "graph_cc_bounded", "agg_kmv_setops", "llm_dedup_band_stats", "geo_knn",
-    "cdc_merge_upsert", "scd2_history", "split_train_test", "sample_per_key",
-    "profile_columns", "llm_normalize_text", "llm_pii_redact",
-    "llm_repetition_ratio", "llm_mix_weights", "fn_url_parse",
-    "ts_sessionize", "llm_chunk_documents", "llm_ngram_counts",
-    "llm_bucket_by_length", "graph_pagerank", "graph_triangle_count",
-    "fn_unpivot", "fn_posexplode", "fn_try_arith", "mm_decode_image",
-    "mm_resize_image", "mm_decode_audio", "mm_video_frames",
-    "llm_gopher_quality", "llm_perplexity_buckets", "llm_dedup_containment",
-    "ts_interval_union", "llm_bpe_pair_counts", "geo_geohash",
-    "agg_bitmap_distinct", "agg_corr_covar", "geo_point_in_polygon",
-    "agg_skew_two_phase", "join_fuzzy_name", "set_intersect_all",
-    "sql_relational_division", "ts_autocorr", "graph_jaccard_neighbors",
-    "llm_tokenizer_fertility", "llm_ngram_span_dedup", "llm_source_overlap",
-    "agg_ab_ttest", "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
+    "graph_cc_bounded", "agg_kmv_setops", "llm_dedup_band_stats",
+    "llm_minhash_jaccard_est", "ts_rolling_corr", "ts_seasonal_decompose",
+    "stat_cronbach_alpha", "dq_schema_drift", "graph_copurchase",
+    "mm_video_keyframes", "geo_knn", "cdc_merge_upsert", "scd2_history",
+    "split_train_test", "sample_per_key", "profile_columns",
+    "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
+    "llm_mix_weights", "fn_url_parse", "ts_sessionize",
+    "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
+    "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
+    "fn_try_arith", "mm_decode_image", "mm_resize_image", "mm_decode_audio",
+    "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
+    "llm_dedup_containment", "ts_interval_union", "llm_bpe_pair_counts",
+    "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar",
+    "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
+    "set_intersect_all", "sql_relational_division", "ts_autocorr",
+    "graph_jaccard_neighbors", "llm_tokenizer_fertility",
+    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
+    "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
     "mm_audio_features", "sql_session_variables", "sql_parameterized",
     "llm_semdedup", "ts_event_regex", "udtf_analyze",
     "graph_khop_reachability", "agg_sketch_cms", "agg_percentile_disc",

@@ -134,6 +134,12 @@ def edge_ddb(edge_sf_dir):
         # throw or NaN
         "llm_simhash_verifiable",
         "llm_ann_lsh_verifiable",
+        # batch-2 round-4: shingle-shaped estimation on empty/short
+        # docs; half-comparison on a 4-row corpus (odd half has 2
+        # rows); real-codec keyframes on tiny ids
+        "llm_minhash_jaccard_est",
+        "dq_schema_drift",
+        "mm_video_keyframes",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

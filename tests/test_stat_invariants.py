@@ -362,3 +362,63 @@ def test_band_stats_covers_candidate_pairs(spark, sf_dir):
     for r in rows:
         assert r["n_colliding_buckets"] <= r["n_buckets"]
         assert r["max_bucket"] >= 1
+
+
+def test_minhash_jaccard_est_matches_candidate_set(spark, sf_dir):
+    """The estimation query's pair set IS the witness pipeline's
+    candidate set (same bands), n_match ∈ [0, 8], and est = match/8."""
+    est_rows = _rows(spark, sf_dir, "llm_minhash_jaccard_est")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _rows(spark, sf_dir, "llm_minhash_verifiable")
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in est_rows} == cand
+    for r in est_rows:
+        assert 0 <= r["n_match"] <= 8
+        assert abs(r["est_jaccard"] - r["n_match"] / 8.0) < 1e-6
+
+
+def test_rolling_corr_bounded(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "ts_rolling_corr"):
+        if r["corr"] is not None:
+            assert -1 - _EPS <= r["corr"] <= 1 + _EPS
+
+
+def test_seasonal_decompose_additive_identity(spark, sf_dir):
+    """c = trend + seasonal + residual on every emitted row (each
+    component qround'd at 1e-6, so the identity holds to 3 grid
+    steps)."""
+    for r in _rows(spark, sf_dir, "ts_seasonal_decompose"):
+        assert abs(
+            r["c"] - (r["trend"] + r["seasonal"] + r["residual"])
+        ) < 5e-6
+
+
+def test_cronbach_alpha_upper_bound(spark, sf_dir):
+    """α ≤ 1 always (it can be negative for anti-correlated items)."""
+    (r,) = _rows(spark, sf_dir, "stat_cronbach_alpha")
+    if r["alpha"] is not None:
+        assert r["alpha"] <= 1 + _EPS
+
+
+def test_schema_drift_normalized(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dq_schema_drift")
+    assert {r["metric"] for r in rows} == {
+        "n_rows", "mean_chars", "n_langs", "n_sources", "empty_rate",
+    }
+    for r in rows:
+        assert -_EPS <= r["rel_drift"] <= 1 + _EPS
+
+
+def test_copurchase_pair_discipline(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "graph_copurchase"):
+        assert r["part_a"] < r["part_b"]
+        assert r["n_orders"] >= 2
+
+
+def test_keyframe_within_clip(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "mm_video_keyframes"):
+        assert 0 <= r["key_idx"] < r["n_frames"]
+        assert r["key_delta"] >= 0
+        if r["n_frames"] > 1:
+            assert r["key_idx"] >= 1
