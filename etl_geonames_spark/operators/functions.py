@@ -868,3 +868,55 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("net_name", "prefix_len").alias("net_name"),
         F.max("prefix_len").cast("int").alias("prefix_len"),
     )
+
+
+@query(
+    "fn_date_edge",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d')
+               AS plus_month,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS day_of_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
+           CAST(EXTRACT(day FROM last_day(o_orderdate)) AS INT)
+               AS days_in_month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          last_day(o_orderdate)) AS INT)
+               AS days_to_month_end
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_date_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar edge arithmetic: month-end, add-a-month (BOTH engines
+    clamp Jan 31 + 1 month → Feb 28/29 — the convention this query
+    pins cross-engine, because a naive +30d breaks every billing
+    cutoff), day-of-year, quarter, days-in-month, and
+    days-to-month-end — the date kit behind retention cohorts and
+    fiscal rollups. All map-only catalyst date intrinsics (codegen,
+    no shuffle); ISO week numbers are deliberately EXCLUDED — Spark
+    and DuckDB agree on ISO weeks but not on week-of-year near year
+    boundaries under non-ISO settings, so the contract sticks to
+    convention-free fields. Dates emit as ISO strings (the driver's
+    canonicalizer and the DATE/TIMESTAMP pandas mismatch both argue
+    for scalar serialization)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "plus_month"
+        ),
+        F.dayofyear("o_orderdate").cast("int").alias("day_of_year"),
+        F.quarter("o_orderdate").cast("int").alias("quarter"),
+        F.dayofmonth(F.last_day("o_orderdate"))
+        .cast("int")
+        .alias("days_in_month"),
+        F.datediff(F.last_day("o_orderdate"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_month_end"),
+    )

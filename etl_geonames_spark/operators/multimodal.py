@@ -1347,3 +1347,71 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _keyframe_batches,
         schema="doc_id long, n_frames int, key_idx int, key_delta long",
     )
+
+
+def _image_gradient_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            w, h, rgb = decode_image(blob)
+            grad = 0
+            for y in range(h):
+                for x in range(w - 1):
+                    p0 = y * w + x
+                    g0 = rgb[3 * p0] + rgb[3 * p0 + 1] + rgb[3 * p0 + 2]
+                    g1 = (
+                        rgb[3 * (p0 + 1)]
+                        + rgb[3 * (p0 + 1) + 1]
+                        + rgb[3 * (p0 + 1) + 2]
+                    )
+                    grad += abs(g1 - g0)
+            rows.append((doc_id, w, h, grad))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "grad_sum"]
+        )
+
+
+@query(
+    "mm_image_gradient",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    gpx AS (
+      SELECT d.doc_id, d.w, d.h,
+             ABS(((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 0) % 256
+                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 11) % 256
+                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 22) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 0) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 11) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 22) % 256) AS g
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 2)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(g) AS BIGINT) AS grad_sum
+    FROM gpx GROUP BY doc_id, w, h
+    """,
+)
+def mm_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal gradient energy per image from REAL decoded pixels:
+    Σ |gray(x+1,y) − gray(x,y)| over the channel-sum gray — the
+    sharpness/blur proxy (blurry or synthetic-flat images score low)
+    used as a quality gate before spending embedding compute, and the
+    1-D core of Sobel/Tenengrad focus measures. Integer arithmetic
+    end-to-end; the oracle replays the per-pixel generation rule on
+    the shifted index grid, so a stride or row-order codec bug
+    changes the gradient and breaks the hash (unlike a global pixel
+    SUM, which row-reversal leaves invariant — this is the codec
+    check mm_decode_image's checksum cannot do).
+
+    Map-only Arrow decode, one long per image out."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _image_gradient_batches,
+        schema="doc_id long, width int, height int, grad_sum long",
+    )

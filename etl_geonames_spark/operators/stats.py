@@ -2276,3 +2276,122 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha"
         ),
     )
+
+
+@query(
+    "stat_xi_correlation",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(len(list_filter(str_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    tx AS (
+        SELECT doc_id, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT) AS t
+        FROM m
+    ),
+    ry AS (
+        SELECT doc_id, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY y, doc_id) AS BIGINT) AS rn
+        FROM m
+    ),
+    yt AS (
+        SELECT y, CAST(MAX(rn) AS BIGINT) AS r,
+               CAST(MIN(rn) AS BIGINT) AS mn
+        FROM ry GROUP BY y
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+    rr AS (
+        SELECT tx.t, yt.r, tot.n - yt.mn + 1 AS l
+        FROM tx JOIN yt ON yt.y = tx.y, tot
+    ),
+    num AS (
+        SELECT CAST(SUM(ABS(b.r - a.r)) AS BIGINT) AS s_num
+        FROM rr a JOIN rr b ON b.t = a.t + 1
+    ),
+    den AS (
+        SELECT CAST(SUM(l * (tot.n - l)) AS BIGINT) AS s_den
+        FROM rr, tot GROUP BY tot.n
+    )
+    SELECT tot.n,
+           CASE WHEN den.s_den > 0
+                THEN {sql_qround(
+                    '1.0 - CAST(tot.n AS DOUBLE) * num.s_num'
+                    ' / (2.0 * den.s_den)', 6)}
+           END AS xi
+    FROM tot, num, den
+    """,
+)
+def stat_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ (JASA 2020) between document length and token
+    count — the modern rank correlation that detects ARBITRARY
+    functional dependence (not just monotone like Spearman/Kendall):
+    ξ → 1 iff y is a measurable function of x, → 0 iff independent.
+    The feature-redundancy probe for curation signals: ξ(len, tokens)
+    near 1 says the second feature adds nothing.
+
+    Tie-robust form: ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n−l_i)),
+    rows ordered by x; r_i = #{y_j ≤ y_i} (max rank of the y tie
+    group), l_i = #{y_j ≥ y_i} (n − min rank + 1) — both from ONE
+    y-rank pass plus a distinct-y tie table (the midrank machinery
+    with max/min instead of mean). Ordering and y-ranks route through
+    ``distributed_rank``; consecutive-by-x pairing is the t+1
+    equi-join (the ACF lag pattern — never a global lag window).
+    Numerator and denominator are EXACT int64; one guarded division.
+    Ties in x break by doc_id (documented determinism — Chatterjee's
+    randomized tie-break replaced by a stable one, identically in
+    both engines)."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        )
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    tx = distributed_rank(docs, ["x", "doc_id"]).select(
+        "doc_id", "y", F.col("_grn").cast("long").alias("t")
+    )
+    ry = distributed_rank(docs, ["y", "doc_id"]).select(
+        "y", F.col("_grn").cast("long").alias("rn")
+    )
+    yt = ry.groupBy("y").agg(
+        F.max("rn").cast("long").alias("r"),
+        F.min("rn").cast("long").alias("mn"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rr = (
+        tx.join(F.broadcast(yt), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t", "r", (F.col("n") - F.col("mn") + 1).alias("l"), "n"
+        )
+        .localCheckpoint()
+    )
+    a, b = rr.alias("a"), rr.alias("b")
+    num = a.join(b, F.col("b.t") == F.col("a.t") + 1).agg(
+        F.sum(F.abs(F.col("b.r") - F.col("a.r")))
+        .cast("long")
+        .alias("s_num")
+    )
+    den = rr.groupBy("n").agg(
+        F.sum(F.col("l") * (F.col("n") - F.col("l")))
+        .cast("long")
+        .alias("s_den")
+    )
+    xi = 1.0 - F.col("n").cast("double") * F.col("s_num") / (
+        2.0 * F.col("s_den")
+    )
+    return (
+        den.crossJoin(F.broadcast(num))
+        .select(
+            "n",
+            F.when(F.col("s_den") > 0, qround(xi, 6)).alias("xi"),
+        )
+    )

@@ -2785,3 +2785,80 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(seasonal, 6).alias("seasonal"),
         qround(F.col("c") - trend - seasonal, 6).alias("residual"),
     )
+
+
+@query(
+    "ts_peaks",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type,
+             (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT event_type, d, c,
+             LAG(c) OVER w AS prev_c,
+             LEAD(c) OVER w AS next_c
+      FROM dc
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS d, c,
+           CAST(prev_c AS BIGINT) AS prev_c,
+           CAST(next_c AS BIGINT) AS next_c,
+           CAST(c - GREATEST(prev_c, next_c) AS BIGINT) AS height
+    FROM nb
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND c > prev_c AND c > next_c
+    """,
+)
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of the daily count series per event type
+    (c > both neighbors), with the peak height over the larger
+    neighbor — the spike inventory an incident-review pipeline joins
+    against deploy/campaign calendars (ts_anomaly_zscore scores
+    GLOBAL deviation; a local peak can be anomalous at perfectly
+    normal absolute levels). Interior days only: series edges have
+    one neighbor and are excluded rather than half-compared.
+
+    One partitioned window pass (LAG+LEAD in the same frame), exact
+    int64 comparisons — no float enters at any point, so the
+    engines cannot disagree on what a peak is."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    nb = dc.select(
+        "event_type",
+        "d",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("long").alias("d"),
+            "c",
+            F.col("prev_c").cast("long").alias("prev_c"),
+            F.col("next_c").cast("long").alias("next_c"),
+            (F.col("c") - F.greatest("prev_c", "next_c"))
+            .cast("long")
+            .alias("height"),
+        )
+    )

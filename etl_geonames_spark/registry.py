@@ -84,7 +84,8 @@ _DRIVER_PRIORITY = [
     "graph_cc_bounded", "agg_kmv_setops", "llm_dedup_band_stats",
     "llm_minhash_jaccard_est", "ts_rolling_corr", "ts_seasonal_decompose",
     "stat_cronbach_alpha", "dq_schema_drift", "graph_copurchase",
-    "mm_video_keyframes", "geo_knn", "cdc_merge_upsert", "scd2_history",
+    "mm_video_keyframes", "stat_xi_correlation", "fn_date_edge", "ts_peaks",
+    "mm_image_gradient", "geo_knn", "cdc_merge_upsert", "scd2_history",
     "split_train_test", "sample_per_key", "profile_columns",
     "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
     "llm_mix_weights", "fn_url_parse", "ts_sessionize",

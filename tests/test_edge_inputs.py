@@ -140,6 +140,10 @@ def edge_ddb(edge_sf_dir):
         "llm_minhash_jaccard_est",
         "dq_schema_drift",
         "mm_video_keyframes",
+        # batch-3: xi's t+1 pairing on a 4-row corpus; gradient on
+        # tiny real bitmaps
+        "stat_xi_correlation",
+        "mm_image_gradient",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -422,3 +422,31 @@ def test_keyframe_within_clip(spark, sf_dir):
         assert r["key_delta"] >= 0
         if r["n_frames"] > 1:
             assert r["key_idx"] >= 1
+
+
+def test_xi_correlation_bounds(spark, sf_dir):
+    """ξ ≤ 1 always; for length→tokens (a near-functional relation on
+    word-salad text) it should be clearly positive."""
+    (r,) = _rows(spark, sf_dir, "stat_xi_correlation")
+    assert r["xi"] is not None and r["xi"] <= 1 + _EPS
+    assert r["xi"] > 0.2
+
+
+def test_peaks_are_strict_maxima(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "ts_peaks"):
+        assert r["c"] > r["prev_c"] and r["c"] > r["next_c"]
+        assert r["height"] >= 1
+
+
+def test_image_gradient_bounds(spark, sf_dir):
+    """0 ≤ grad ≤ 765·(w−1)·h (each |Δgray| ≤ 765)."""
+    for r in _rows(spark, sf_dir, "mm_image_gradient"):
+        assert 0 <= r["grad_sum"] <= 765 * (r["width"] - 1) * r["height"]
+
+
+def test_date_edge_calendar_bounds(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "fn_date_edge"):
+        assert 28 <= r["days_in_month"] <= 31
+        assert 1 <= r["day_of_year"] <= 366
+        assert 1 <= r["quarter"] <= 4
+        assert 0 <= r["days_to_month_end"] <= 30
