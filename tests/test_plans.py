@@ -511,3 +511,51 @@ def test_dbscan_core_is_blocked_equi_join(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_caps_degree_before_wedge(spark, sf_dir):
+    """The hub-skew mitigation is IN THE PLAN: the degree table is
+    filtered to d <= 64 and BROADCAST onto the adjacency BEFORE the
+    wedge self-join, so the join's input (not just its output) is
+    capped — total fan-out <= tau*|E|, per-center <= tau^2/2. The
+    registered query localCheckpoints the capped adjacency (lineage
+    truncation hides the filter from the downstream plan), so the
+    cap's plan shape is pinned on an un-checkpointed rebuild of the
+    same expression, and the cap's EFFECT is pinned on the query's
+    own output: no center can contribute more than C(64,2) wedges to
+    any pair, so cn <= 64."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.graph import _AA_DEGREE_CAP, _und
+
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    adj = und.join(
+        F.broadcast(deg.filter(F.col("d") <= _AA_DEGREE_CAP)), "s"
+    )
+    plan = explain_str(adj)
+    assert f"<= {_AA_DEGREE_CAP}" in plan
+    assert has_broadcast_hash_join(adj)
+
+    df = QUERIES["graph_adamic_adar"](spark, sf_dir)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+    assert df.agg(F.max("cn")).collect()[0][0] <= _AA_DEGREE_CAP
+
+
+def test_simhash_witness_candidates_meet_by_bucket(spark, sf_dir):
+    """The witness pipeline's candidate join is an equi-join on
+    (chunk_idx, chunk_val) — bucket equality, never an all-pairs
+    product; the hamming filter rides on top of the hash join."""
+    df = QUERIES["llm_simhash_verifiable"](spark, sf_dir)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_band_stats_never_materializes_pairs(spark, sf_dir):
+    """The LSH capacity census is aggregates-only: no join of any
+    kind appears — the candidate-pair bill is computed from bucket
+    sizes, not from pairs."""
+    df = QUERIES["llm_dedup_band_stats"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan
