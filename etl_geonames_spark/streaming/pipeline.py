@@ -626,3 +626,56 @@ def streaming_kmv_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_band_stats_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuously maintained LSH bucket census: each micro-batch's
+    documents are banded with the SAME expressions as the batch
+    pipeline (operators/llm._poly_minhash_bands) and their
+    (band, b_lo, b_hi) bucket memberships merge into the versioned
+    snapshot by per-bucket SUM — bucket sizes are additive over
+    disjoint document batches, so the drained snapshot's census
+    equals llm_dedup_band_stats' batch output EXACTLY (pinned in
+    tests/test_streaming.py): the skew monitor (max bucket, candidate
+    -pair bill) stays current as the corpus streams in, which is when
+    you actually want it — a boilerplate flood shows up as a bucket
+    spike WITHIN the batch that ingested it, before any dedup join
+    is scheduled.
+
+    Retry safety follows the rollup-maintenance rule: merge reads the
+    PREDECESSOR snapshot (strictly older than this batch_id), so a
+    replayed batch rewrites v{batch_id} from the same base instead of
+    double-counting itself.
+
+    At 100 TB the state is |buckets| rows (bounded by corpus/bucket
+    granularity, heavy-tailed but census-sized) — the capacity
+    planner's view of an unbounded ingest with no per-doc state."""
+    from etl_geonames_spark.operators.llm import _poly_minhash_bands
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            _poly_minhash_bands(batch)
+            .groupBy("band", "b_lo", "b_hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        )
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("band", "b_lo", "b_hi")
+                .agg(F.sum("sz").cast("long").alias("sz"))
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -580,3 +580,49 @@ def test_streaming_kmv_maintenance_equals_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_band_stats_maintenance_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Incrementally maintained LSH bucket census == the batch
+    llm_dedup_band_stats after draining the corpus in waves (bucket
+    sizes are additive over disjoint doc batches, so the equality is
+    exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.streaming import (
+        streaming_band_stats_maintenance,
+    )
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "band_state")
+    streaming_band_stats_maintenance(
+        stream, state, str(tmp_path / "band_ckpt")
+    )
+
+    final = _read_versioned(spark, state, before=10**6)
+    census = (
+        final.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_buckets"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+    )
+    got = {tuple(r) for r in census.collect()}
+    import __spark_entry__ as entry_mod
+
+    want = {
+        tuple(r)
+        for r in entry_mod.queries()["llm_dedup_band_stats"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
