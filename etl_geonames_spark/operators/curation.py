@@ -2673,3 +2673,159 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(_KN_TOPK)
     )
+
+
+_FUNNEL_STAGES = ["min_words", "word_len", "alpha_frac", "stopword", "pass"]
+
+
+@query(
+    "llm_quality_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             str_split(text, ' ') AS t,
+             len(str_split(text, ' ')) AS n_words,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             (CAST(n_chars AS DOUBLE) - (n_words - 1)) / n_words AS mean_wl,
+             CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS DOUBLE) / n_words AS alpha_frac,
+             CAST(len(list_filter(t, w -> list_contains([{_STOP_SQL}], w)))
+                  AS BIGINT) AS n_stop
+      FROM s
+    ),
+    v AS (
+      SELECT CASE
+               WHEN n_words < 10 THEN 'min_words'
+               WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'word_len'
+               WHEN alpha_frac < 0.7 THEN 'alpha_frac'
+               WHEN n_stop < 1 THEN 'stopword'
+               ELSE 'pass'
+             END AS stage
+      FROM m
+    ),
+    counts AS (
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM v GROUP BY stage
+    ),
+    stages(stage_idx, stage) AS (VALUES {", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_FUNNEL_STAGES)
+    )}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v)
+    SELECT st.stage_idx, st.stage,
+           COALESCE(c.n_docs, 0) AS n_docs,
+           tot.total
+             - CAST(SUM(COALESCE(c.n_docs, 0)) OVER (
+                 ORDER BY st.stage_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT)
+             + CASE WHEN st.stage = 'pass'
+                    THEN COALESCE(c.n_docs, 0) ELSE 0 END
+             AS n_remaining
+    FROM stages st
+    LEFT JOIN counts c ON c.stage = st.stage, tot
+    """,
+)
+def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate FUNNEL: every document is attributed to the
+    FIRST gate it fails (Gopher's rule set, staged in its published
+    order) and the report shows per-stage kills plus survivors after
+    each stage — the view a curation operator actually tunes from
+    (llm_gopher_quality says WHO passes; this says WHERE the corpus
+    is dying, which is what decides whether a threshold moves).
+
+    Verdicts reuse the exact same fixed-shape expressions as the
+    gate query (identical doubles from integer inputs on both
+    engines, so stage attribution cannot flip); counting is one hash
+    aggregate to ≤5 rows; the running survivor count over the 5-row
+    stage table is a frame-bounded window on a CONSTANT-sized table
+    (not a corpus window — the global-window ban concerns data-sized
+    partitions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_words = F.size(t)
+    mean_wl = (
+        F.length("text").cast("double") - (n_words - F.lit(1))
+    ) / n_words
+    alpha_frac = (
+        F.expr(
+            "size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))"
+        ).cast("double")
+        / n_words
+    )
+    n_stop = F.expr(
+        "size(filter(split(text, ' '), w -> w IN ({})))".format(
+            ", ".join(f"'{w}'" for w in _STOPWORDS)
+        )
+    )
+    stage = (
+        F.when(n_words < 10, F.lit("min_words"))
+        .when((mean_wl < 2.0) | (mean_wl > 12.0), F.lit("word_len"))
+        .when(alpha_frac < 0.7, F.lit("alpha_frac"))
+        .when(n_stop < 1, F.lit("stopword"))
+        .otherwise(F.lit("pass"))
+    )
+    counts = (
+        docs.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+            )
+            for i, s in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    stage_tbl = (
+        load_table(spark, sf_dir, "documents")
+        .limit(1)
+        .select(F.explode(stages).alias("s"))
+        .select("s.stage_idx", "s.stage")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("total"))
+    joined = (
+        stage_tbl.join(F.broadcast(counts), "stage", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            "total",
+        )
+        .localCheckpoint()
+    )
+    # running survivor count WITHOUT a global window (the plan sweep
+    # bans unpartitioned windows regardless of input size): the
+    # 5-row stage table theta-joins its own prefix — a broadcast
+    # nested loop over a constant-sized side
+    prefix = joined.select(
+        F.col("stage_idx").alias("p_idx"), F.col("n_docs").alias("p_n")
+    )
+    cum = (
+        joined.join(
+            F.broadcast(prefix), F.col("p_idx") <= F.col("stage_idx")
+        )
+        .groupBy("stage_idx", "stage", "n_docs", "total")
+        .agg(F.sum("p_n").cast("long").alias("cum_n"))
+    )
+    return cum.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (
+            F.col("total")
+            - F.col("cum_n")
+            + F.when(F.col("stage") == "pass", F.col("n_docs")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_remaining"),
+    )

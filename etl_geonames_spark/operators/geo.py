@@ -1085,3 +1085,134 @@ def geo_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("j").cast("int").alias("site"))
         .select("c_custkey", "site", F.col("d2").cast("long").alias("d2"))
     )
+
+
+@query(
+    "geo_trajectory_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               (event_id * 7919) % 18000 AS ilat,
+               (event_id * 104729) % 36000 AS ilon
+        FROM events
+    ),
+    rk AS (
+        SELECT user_id, ilat, ilon,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM pts
+    ),
+    steps AS (
+        SELECT a.user_id,
+               (b.ilat - a.ilat) * (b.ilat - a.ilat)
+               + (b.ilon - a.ilon) * (b.ilon - a.ilon) AS d2
+        FROM rk a JOIN rk b
+          ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ),
+    ends AS (
+        SELECT f.user_id, f.n,
+               (l.ilat - f.ilat) * (l.ilat - f.ilat)
+               + (l.ilon - f.ilon) * (l.ilon - f.ilon) AS disp2
+        FROM (SELECT * FROM rk WHERE rn = 1) f
+        JOIN rk l ON l.user_id = f.user_id AND l.rn = f.n
+    ),
+    agg AS (
+        SELECT user_id, CAST(MAX(d2) AS BIGINT) AS max_step2,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM steps GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(e.n AS BIGINT) AS n_points,
+           COALESCE(a.n_steps, 0) AS n_steps,
+           {sql_qround('sqrt(CAST(e.disp2 AS DOUBLE))', 6)}
+               AS displacement,
+           CASE WHEN a.max_step2 IS NOT NULL
+                THEN {sql_qround('sqrt(CAST(a.max_step2 AS DOUBLE))', 6)}
+           END AS max_step
+    FROM ends e LEFT JOIN agg a ON a.user_id = e.user_id
+    """,
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory summary over the event stream (coords from
+    the deterministic integer grid): point count, step count,
+    net displacement (first→last in event-time order), and the
+    longest single hop — the teleport detector (a max_step far above
+    the displacement flags GPS glitches / account sharing; a
+    displacement near zero with many steps flags a commuter loop).
+
+    DETERMINISM BY CONSTRUCTION: every distance is the square root of
+    an exact int64 squared distance on the grid — there is no float
+    SUM anywhere (a per-segment path-length total would be an
+    order-dependent float accumulation; max and endpoints are
+    order-free), so both engines agree bit-for-bit before qround.
+    Per-user ordering is a partitioned window (rn), consecutive steps
+    pair by the rn+1 equi-join — one shuffle on user_id carries the
+    window, the self-join, and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919) % 18000).alias("ilat"),
+        ((F.col("event_id") * 104729) % 36000).alias("ilon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    rk = pts.select(
+        "user_id",
+        "ilat",
+        "ilon",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    ).localCheckpoint()
+    a, b = rk.alias("a"), rk.alias("b")
+    d2 = (F.col("b.ilat") - F.col("a.ilat")) * (
+        F.col("b.ilat") - F.col("a.ilat")
+    ) + (F.col("b.ilon") - F.col("a.ilon")) * (
+        F.col("b.ilon") - F.col("a.ilon")
+    )
+    steps = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.user_id").alias("user_id"), d2.alias("d2"))
+    agg = steps.groupBy("user_id").agg(
+        F.max("d2").cast("long").alias("max_step2"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+    )
+    f = rk.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("ilat").alias("f_lat"),
+        F.col("ilon").alias("f_lon"),
+        "n",
+    )
+    l = rk.select(
+        F.col("user_id").alias("l_user"),
+        F.col("ilat").alias("l_lat"),
+        F.col("ilon").alias("l_lon"),
+        F.col("rn").alias("l_rn"),
+    )
+    disp2 = (F.col("l_lat") - F.col("f_lat")) * (
+        F.col("l_lat") - F.col("f_lat")
+    ) + (F.col("l_lon") - F.col("f_lon")) * (
+        F.col("l_lon") - F.col("f_lon")
+    )
+    ends = f.join(
+        l,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("l_rn") == F.col("n")),
+    ).select("user_id", "n", disp2.alias("disp2"))
+    return ends.join(agg, "user_id", "left").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_points"),
+        F.coalesce(F.col("n_steps"), F.lit(0)).cast("long").alias(
+            "n_steps"
+        ),
+        qround(F.sqrt(F.col("disp2").cast("double")), 6).alias(
+            "displacement"
+        ),
+        F.when(
+            F.col("max_step2").isNotNull(),
+            qround(F.sqrt(F.col("max_step2").cast("double")), 6),
+        ).alias("max_step"),
+    )

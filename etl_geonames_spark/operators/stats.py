@@ -2395,3 +2395,91 @@ def stat_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s_den") > 0, qround(xi, 6)).alias("xi"),
         )
     )
+
+
+_Z_ALPHA = 1.959964  # two-sided 5%
+_Z_BETA = 0.841621   # 80% power
+
+
+@query(
+    "stat_sample_size",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id % 2 AS grp,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS hit
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN grp = 0 THEN hit ELSE 0 END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN grp = 1 THEN hit ELSE 0 END) AS BIGINT) AS x2
+        FROM m
+    ),
+    p AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x2 AS DOUBLE) / n2 AS p2
+        FROM s WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT {sql_qround('p1', 6)} AS p1,
+           {sql_qround('p2', 6)} AS p2,
+           {sql_qround('ABS(p1 - p2)', 6)} AS delta,
+           CASE WHEN p1 <> p2 THEN
+               CAST(CEIL(
+                   ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                   * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                   / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+           END AS n_per_arm
+    FROM p
+    """,
+)
+def stat_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator seeded by the OBSERVED
+    split (α=5% two-sided, 80% power, normal approximation):
+    n/arm = (z_α+z_β)²·(p₁q₁+p₂q₂)/Δ² — the how-long-must-this-test-
+    run number every experimentation readout needs next to its
+    p-value (stat_two_proportion_z says "not significant YET"; this
+    says what sample would make the observed effect detectable).
+
+    One integer-count aggregate (shared shape with the z-test), then
+    a single fixed-shape double expression — the z constants are
+    literals, identical bits both engines; Δ=0 (identical arms) emits
+    NULL rather than an infinite n. ceil() of the same double cannot
+    straddle engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "hit"
+        ),
+    )
+    s = docs.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    # (a+b)*(a+b), not **2: Python pow could differ from the oracle's
+    # explicit multiplication in the last ulp
+    zz = (_Z_ALPHA + _Z_BETA) * (_Z_ALPHA + _Z_BETA)
+    n_arm = F.ceil(
+        F.lit(zz)
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / ((p1 - p2) * (p1 - p2))
+    ).cast("long")
+    return s.select(
+        qround(p1, 6).alias("p1"),
+        qround(p2, 6).alias("p2"),
+        qround(F.abs(p1 - p2), 6).alias("delta"),
+        F.when(p1 != p2, n_arm).alias("n_per_arm"),
+    )

@@ -488,3 +488,48 @@ def test_lateness_cdf_monotone_ends_at_one(spark, sf_dir):
         cum += r["n"]
         assert r["cum_n"] == cum
     assert abs(rows[-1]["cum_frac"] - 1.0) < 1e-5
+
+
+def test_quality_funnel_conservation(spark, sf_dir):
+    """Stage kills + passes = corpus size; survivors decrease
+    monotonically down the funnel; the last stage's survivors equal
+    the pass count; verdicts agree with llm_gopher_quality's gate."""
+    rows = sorted(
+        _rows(spark, sf_dir, "llm_quality_funnel"),
+        key=lambda r: r["stage_idx"],
+    )
+    total = sum(r["n_docs"] for r in rows)
+    gopher = _rows(spark, sf_dir, "llm_gopher_quality")
+    assert total == len(gopher)
+    n_pass = sum(1 for g in gopher if g["passes"])
+    assert rows[-1]["stage"] == "pass" and rows[-1]["n_docs"] == n_pass
+    surv = [r["n_remaining"] for r in rows[:-1]]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert rows[-1]["n_remaining"] == n_pass
+
+
+def test_trajectory_geometry(spark, sf_dir):
+    """Displacement ≤ n_steps·max_step (triangle inequality on the
+    step decomposition) and single-point users have zero both."""
+    for r in _rows(spark, sf_dir, "geo_trajectory_stats"):
+        if r["n_steps"] == 0:
+            assert r["displacement"] == 0.0
+        else:
+            assert (
+                r["displacement"]
+                <= r["n_steps"] * r["max_step"] + 1e-6
+            )
+
+
+def test_sample_size_scales_inverse_square(spark, sf_dir):
+    """n/arm must exceed the detectability bound: with the observed
+    Δ and variances, (z_α+z_β)²·(p₁q₁+p₂q₂)/Δ² ≤ n_per_arm < bound+1."""
+    (r,) = _rows(spark, sf_dir, "stat_sample_size")
+    if r["n_per_arm"] is not None:
+        zz = (1.959964 + 0.841621) ** 2
+        bound = (
+            zz
+            * (r["p1"] * (1 - r["p1"]) + r["p2"] * (1 - r["p2"]))
+            / (r["p1"] - r["p2"]) ** 2
+        )
+        assert bound - 1e-6 <= r["n_per_arm"] <= bound + 1
