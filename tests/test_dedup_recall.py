@@ -320,3 +320,53 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
     }
     for did, s in fps.items():
         assert summary[did] == len(s), did
+
+
+def test_simhash_witness_equals_python_recomputation(spark, corpus_dir):
+    """llm_simhash_verifiable's output is EXACTLY the set of pairs at
+    witness-signature hamming ≤ 3 — recomputed from scratch in
+    Python (Horner poly hash → 32 sign bits → hamming): pairs at
+    hamming ≤ 3 always share one of the 4 8-bit chunks (pigeonhole),
+    so banding loses none of them and the ≤3 filter keeps no others.
+    This is stronger than the differential (which could only prove
+    Spark == DuckDB): it proves both equal the algorithm's
+    definition."""
+    d, _ = corpus_dir
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{d}/documents.parquet").collect()
+    }
+
+    def poly(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % 1000003
+        return h
+
+    def sig32(text: str) -> int:
+        toks = [w for w in text.split(" ") if w]
+        sums = [0] * 32
+        for w in toks:
+            ph = poly(w)
+            ph1 = (2000007 * ph + 998256698) % 2147483647
+            for b in range(32):
+                base = ph if b < 16 else ph1
+                sums[b] += 1 if (base >> (b % 16)) & 1 else -1
+        s = 0
+        for b in range(32):
+            if sums[b] > 0:
+                s |= 1 << b
+        return s
+
+    sigs = {i: sig32(t) for i, t in docs.items() if t.split(" ")[0]}
+    ids = sorted(sigs)
+    expect = set()
+    for i_idx, a in enumerate(ids):
+        for b in ids[i_idx + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expect.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm.llm_simhash_verifiable(spark, d).collect()
+    }
+    assert got == expect

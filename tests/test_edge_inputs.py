@@ -144,6 +144,12 @@ def edge_ddb(edge_sf_dir):
         # tiny real bitmaps
         "stat_xi_correlation",
         "mm_image_gradient",
+        # batch-4/5: bigram LM on no-bigram docs; funnel where every
+        # doc dies at the first gate; degenerate all-'en' split
+        # (delta 0 → NULL sample size)
+        "llm_kneser_ney_bigram",
+        "llm_quality_funnel",
+        "stat_sample_size",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

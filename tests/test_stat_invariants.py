@@ -533,3 +533,40 @@ def test_sample_size_scales_inverse_square(spark, sf_dir):
             / (r["p1"] - r["p2"]) ** 2
         )
         assert bound - 1e-6 <= r["n_per_arm"] <= bound + 1
+
+
+def test_holt_fold_equals_python_replay(spark, sf_dir):
+    """ts_holt_winters' fold == an in-process Python replay of the
+    textbook recurrence over the same daily counts — catches a shared
+    cross-engine bug the differential hash cannot (both oracles fold
+    the same wrong way ⇒ hash still matches; Python is the third
+    implementation)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in dc:
+        series.setdefault(r["event_type"], []).append((r["day"], r["c"]))
+    got = {
+        r["event_type"]: (r["level"], r["trend"])
+        for r in _rows(spark, sf_dir, "ts_holt_winters")
+    }
+    for et, pairs in series.items():
+        xs = [float(c) for _, c in sorted(pairs)]
+        if len(xs) < 2:
+            continue
+        lv, tr = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            lev = 0.3 * x + 0.7 * (lv + tr)
+            tr = 0.1 * (0.3 * x + 0.7 * (lv + tr) - lv) + 0.9 * tr
+            lv = lev
+        assert abs(got[et][0] - lv) < 2e-6
+        assert abs(got[et][1] - tr) < 2e-6
