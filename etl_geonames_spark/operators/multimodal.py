@@ -1415,3 +1415,85 @@ def mm_image_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
         _image_gradient_batches,
         schema="doc_id long, width int, height int, grad_sum long",
     )
+
+
+def _mixed_blob(doc_id: int) -> bytes:
+    """Deterministic mixed-modality payload: doc_id mod 4 selects the
+    codec, dims/length follow the module's generation rules."""
+    kind = doc_id % 4
+    if kind in (0, 1):
+        w, h = doc_id % 8 + 2, doc_id % 6 + 2
+        rgb = _synth_rgb(doc_id, w, h)
+        return encode_bmp(w, h, rgb) if kind == 0 else encode_ppm(w, h, rgb)
+    if kind == 2:
+        n = doc_id % 50 + 10
+        rate = 8000 + (doc_id % 3) * 4000
+        return encode_wav_pcm16(rate, _audio_samples(doc_id, n))
+    return _video_frame_blobs(doc_id)
+
+
+def _route_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            blob = _mixed_blob(doc_id)
+            # dispatch on the BYTES (magic sniff), never on doc_id —
+            # the oracle checks the sniff agrees with the generator
+            if blob[:2] == b"BM":
+                modality = "image/bmp"
+            elif blob[:2] == b"P6":
+                modality = "image/ppm"
+            elif blob[:4] == b"RIFF":
+                modality = "audio/wav"
+            elif blob[:4] == b"VID0":
+                modality = "video/vid0"
+            else:
+                modality = "unknown"
+            rows.append((doc_id, modality, len(blob)))
+        yield pd.DataFrame(rows, columns=["doc_id", "modality", "n_bytes"])
+
+
+@query(
+    "mm_modality_route",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 4 AS kind,
+             doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+             doc_id % 50 + 10 AS n,
+             doc_id % 4 + 2 AS vw, doc_id % 3 + 1 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/ppm'
+                     WHEN 2 THEN 'audio/wav' ELSE 'video/vid0'
+           END AS modality,
+           CAST(CASE kind
+             WHEN 0 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+             WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + 3 * w * h
+             WHEN 2 THEN 44 + 2 * n
+             ELSE 8 + nf * (4 + 54 + 2 * (((3 * vw + 3) // 4) * 4))
+           END AS BIGINT) AS n_bytes
+    FROM dims
+    """,
+)
+def mm_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality ROUTER: a mixed binary column (BMP/PPM/WAV/VID0 by
+    generation rule) is dispatched by sniffing the MAGIC BYTES — the
+    first operator of every real multimodal ingest (route each blob
+    to its decoder pool / per-modality pipeline branch; at 100 TB the
+    router's output IS the partition key that keeps decode pools
+    homogeneous). The worker never looks at doc_id to classify, only
+    at the bytes; the oracle derives the EXPECTED modality and the
+    exact container size from the generation rules and all four
+    codecs' byte layouts (BMP header+padded rows, PPM ASCII header
+    with digit-width-dependent length, canonical 44-byte WAV, VID0
+    length-prefixed frames) — so a mis-sniff, a header drift in any
+    encoder, or a wrong-size write all break the value hash.
+
+    Map-only Arrow batches; 3 scalars out per blob."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _route_batches, schema="doc_id long, modality string, n_bytes long"
+    )
