@@ -55,3 +55,57 @@ def test_arrow_assignment_matches_expression_path(spark, sf_dir):
         for r in _kmeans_cells(spark, sf_dir, 32, 1).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ann_lsh_witness_equals_python_recomputation(spark, sf_dir):
+    """llm_ann_lsh_verifiable's full output — buckets, candidate
+    sets, integer dot products, top-10 ranking — recomputed from
+    scratch in Python over the raw parquet. Third implementation:
+    the differential proves Spark == DuckDB; this proves both equal
+    the algorithm's definition (quantize → deterministic planes →
+    sign bucket → integer re-rank with (qdot DESC, c_id) ties)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {
+        r["vec_id"]: [math.floor(float(x) * 1000 + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+
+    def bucket(v):
+        b = 0
+        for m in range(8):
+            dot = sum(
+                x * (((i * 31 + m * 17 + 7) % 101) - 50)
+                for i, x in enumerate(v)
+            )
+            if dot >= 0:
+                b |= 1 << m
+        return b
+
+    bk = {vid: bucket(v) for vid, v in q.items()}
+    expect = set()
+    for qid in [v for v in q if v < 5]:
+        cands = [
+            (sum(a * b for a, b in zip(q[qid], q[c])), c)
+            for c in q
+            if c != qid and bk[c] == bk[qid]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for qdot, cid in cands[:10]:
+            expect.add((qid, cid, qdot))
+    got = {
+        (r["q_id"], r["c_id"], r["qdot"])
+        for r in entry_mod.queries()["llm_ann_lsh_verifiable"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
