@@ -897,3 +897,58 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rel_drift"),
     )
+
+
+@query(
+    "dq_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+    FROM documents
+    """,
+)
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piggyback data-quality metrics via Spark's ``observe()`` API:
+    the aggregates are computed INSIDE a real job over the corpus (a
+    noop-sink write stands in for the production write), so the DQ
+    numbers cost ZERO extra passes — at 100 TB this is the difference
+    between "metrics with every load" and "metrics when someone pays
+    for a second scan". The Observation collects on the driver when
+    the action completes; the returned one-row DataFrame is the
+    contract record a scheduler would assert against
+    (dq_contract_check's thresholds consume exactly this shape).
+
+    Restrictions this demonstrates implicitly: observe() aggregates
+    must be commutative/deterministic (no count_distinct — use the
+    sketch queries for that); metrics ride the exchange-free scan
+    plan of the observed job."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_chars"]),
+                int(m["min_doc"]),
+                int(m["max_doc"]),
+                int(m["n_en"]),
+            )
+        ],
+        "n_rows long, sum_chars long, min_doc long, max_doc long, n_en long",
+    )
