@@ -952,3 +952,68 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, sum_chars long, min_doc long, max_doc long, n_en long",
     )
+
+
+_COMPACT_TARGET = 4096  # target bytes per compaction group (fixture scale)
+
+
+@query(
+    "maintenance_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT source AS part, doc_id AS file_id,
+               CAST(n_chars AS BIGINT) AS bytes
+        FROM documents
+    ),
+    rk AS (
+        SELECT part, file_id, bytes,
+               SUM(bytes) OVER (PARTITION BY part
+                                ORDER BY file_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_bytes
+        FROM files
+    )
+    SELECT part, file_id, bytes,
+           CAST((cum_bytes - 1) // {_COMPACT_TARGET} AS BIGINT)
+               AS compaction_group
+    FROM rk
+    """,
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance job
+    every table needs at 100 TB (a day of streaming commits leaves
+    thousands of KB-scale files; reads die on open() overhead until
+    they're coalesced): within each partition, files are packed into
+    target-size groups by a RUNNING-SUM assignment — group =
+    ⌈cumulative bytes / target⌉ — which is the deterministic,
+    shuffle-friendly form of first-fit bin packing (each group's
+    total lands in [target, target + max_file) except the last; the
+    greedy optimum for sequential packing). Each output row is a
+    (file → compaction group) instruction the rewrite job executes
+    group-by-group, committing one swap per group so failures leave
+    the table readable.
+
+    One partitioned bounded-frame window (the partition key carries
+    the shuffle); file sizes stand in via doc lengths on the fixture.
+    The cumulative form never materializes group state — the same
+    running-sum trick as ts_interpolate's neighbor scan."""
+    files = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return files.select(
+        "part",
+        "file_id",
+        "bytes",
+        F.expr(
+            f"(sum(bytes) over (partition by part order by file_id "
+            f"rows between unbounded preceding and current row) - 1) "
+            f"div {_COMPACT_TARGET}"
+        ).alias("compaction_group"),
+    )

@@ -570,3 +570,24 @@ def test_holt_fold_equals_python_replay(spark, sf_dir):
             lv = lev
         assert abs(got[et][0] - lv) < 2e-6
         assert abs(got[et][1] - tr) < 2e-6
+
+
+def test_compaction_groups_are_target_sized(spark, sf_dir):
+    """Every compaction group's total is < target + max_file_in_group
+    (first-fit bound) and ≥ target except each partition's LAST
+    group; groups are contiguous in file order."""
+    from collections import defaultdict
+
+    rows = _rows(spark, sf_dir, "maintenance_compaction_plan")
+    target = 4096
+    by_pg: dict = defaultdict(list)
+    for r in rows:
+        by_pg[(r["part"], r["compaction_group"])].append(r)
+    last_group = {}
+    for (p, g), _ in by_pg.items():
+        last_group[p] = max(last_group.get(p, -1), g)
+    for (p, g), fs in by_pg.items():
+        total = sum(f["bytes"] for f in fs)
+        assert total < target + max(f["bytes"] for f in fs)
+        if g != last_group[p]:
+            assert total >= target - max(f["bytes"] for f in fs)
