@@ -3324,3 +3324,159 @@ def llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rr10"),
     )
+
+
+_EDV_SCALE = 100
+_EDV_PLANES = 8
+# cosine >= 0.99 as an exact integer predicate: dot>=0 and
+# dot^2 * 10000 >= 9801 * |a|^2 * |b|^2 (0.99^2 = 9801/10000); at the
+# 1e-2 quantization grid every term stays far inside int64
+_EDV_NUM = 9801
+_EDV_DEN = 10000
+
+
+@query(
+    "llm_dedup_embedding_verifiable",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(generate_series(1, len(e)),
+                   i -> e[i] + ((i - 1) % 7 - 3) * 0.002) AS e
+        FROM base WHERE vec_id % 100 = 0
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM probes),
+    q AS (
+        SELECT vec_id,
+               list_transform(e,
+                   x -> CAST(floor(x * {_EDV_SCALE}.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM allv
+    ),
+    dots AS (
+        SELECT vec_id, q, gm.m AS m,
+               list_sum(list_transform(generate_series(1, len(q)),
+                   i -> q[i] * (((i - 1) * 31 + gm.m * 17 + 7) % 101 - 50)))
+                   AS dot
+        FROM q, LATERAL unnest(generate_series(0, {_EDV_PLANES - 1}))
+                  AS gm(m)
+    ),
+    b AS (
+        SELECT vec_id, ANY_VALUE(q) AS q,
+               CAST(SUM(CASE WHEN dot >= 0 THEN 1 << m ELSE 0 END)
+                    AS BIGINT) AS bucket,
+               CAST(list_sum(list_transform(ANY_VALUE(q), x -> x * x))
+                    AS BIGINT) AS nrm2
+        FROM dots GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(a.q)), i -> a.q[i] * c.q[i]))
+                   AS BIGINT) AS qdot,
+               a.nrm2 AS na, c.nrm2 AS nb
+        FROM b a JOIN b c
+          ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, qdot
+    FROM pairs
+    WHERE qdot >= 0
+      AND qdot * qdot * {_EDV_DEN} >= {_EDV_NUM} * na * nb
+    """,
+)
+def llm_dedup_embedding_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection END-TO-END under a full value-hash
+    oracle — the witness for ``llm_dedup_embedding`` (rows-only: its
+    float cosine threshold can't cross engines safely). Same planted
+    corpus (every vec_id % 100 == 0 gets a perturbed twin at cosine
+    ≈ 0.9995), then ALL-INTEGER: embeddings quantize to the 1e-2
+    grid, sign-bucket blocking on the deterministic integer planes
+    (the llm_ann_lsh_verifiable family), and the cos ≥ 0.99 gate as
+    the exact integer predicate dot² · 10⁴ ≥ 9801 · |a|²|b|² with
+    dot ≥ 0 — no square root, no float, no boundary ulp. Every
+    bucket, dot product, and threshold decision is replayed by SQL.
+
+    The 1e-2 grid is deliberately coarse: it keeps dot²·10⁴ far
+    inside int64 (scale 1000 would overflow at 64 dims), and the
+    planted twins sit at 0.9995 — two orders of magnitude above the
+    grid's threshold fuzz. Same physical shape as production:
+    map-only quantize+bucket, hash-partitioned bucket equi-join,
+    candidates never corpus²."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    probes = base.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: x + (i % F.lit(7) - F.lit(3)) * F.lit(0.002)
+        ).alias("e"),
+    )
+    allv = base.unionByName(probes)
+    q = allv.select(
+        "vec_id",
+        F.transform(
+            "e",
+            lambda x: F.floor(x * _EDV_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+
+    def _plane(m: int):
+        return lambda x, i: x * (
+            (i * 31 + F.lit(m * 17 + 7)) % 101 - 50
+        ).cast("long")
+
+    bucket = F.lit(0).cast("long")
+    for m in range(_EDV_PLANES):
+        dot = F.aggregate(
+            F.transform(F.col("q"), _plane(m)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot >= 0, F.lit(1 << m).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    nrm2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    bk = q.select(
+        "vec_id", "q", bucket.alias("bucket"), nrm2.alias("nrm2")
+    ).localCheckpoint()
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("bucket").alias("ba"),
+        F.col("nrm2").alias("na"),
+    )
+    c = bk.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("bucket").alias("bb"),
+        F.col("nrm2").alias("nb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("qdot", qdot)
+        .filter(
+            (F.col("qdot") >= 0)
+            & (
+                F.col("qdot") * F.col("qdot") * _EDV_DEN
+                >= F.lit(_EDV_NUM) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("vec_a", "vec_b", "qdot")
+    )

@@ -370,3 +370,26 @@ def test_simhash_witness_equals_python_recomputation(spark, corpus_dir):
         for r in llm.llm_simhash_verifiable(spark, d).collect()
     }
     assert got == expect
+
+
+def test_embedding_witness_catches_plants_and_nothing_cross(spark, sf_dir):
+    """llm_dedup_embedding_verifiable is non-vacuous: it emits ≥70% of
+    the planted (v, v+1e6) twins whose buckets collide (sign-LSH at
+    cos .9995 keeps most), every emitted pair passes the integer
+    cosine gate by construction, and no pair of two ORIGINAL fixture
+    vectors appears (the fixture's max inter-vector cosine ≈ 0.51 is
+    far below the 0.99 gate)."""
+    rows = llm.llm_dedup_embedding_verifiable(spark, sf_dir).collect()
+    assert rows, "witness emitted nothing — plants missed every bucket?"
+    planted = [r for r in rows if r["vec_b"] == r["vec_a"] + 1_000_000]
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id % 100 = 0")
+        .count()
+    )
+    assert len(planted) >= max(1, int(0.7 * n_sources))
+    originals_only = [
+        r for r in rows
+        if r["vec_a"] < 1_000_000 and r["vec_b"] < 1_000_000
+    ]
+    assert not originals_only
