@@ -31,6 +31,12 @@ OPS = [
     "llm_dedup_canonical",
     "llm_dedup_simhash",
     "llm_dedup_exact",
+    # round-4 witness family + census (oracle-checked twins must scale
+    # like their production siblings — banded/bucketed, never corpus²)
+    "llm_simhash_verifiable",
+    "llm_minhash_verifiable",
+    "llm_minhash_jaccard_est",
+    "llm_dedup_band_stats",
 ]
 
 

@@ -2620,21 +2620,24 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bits AS (
         SELECT doc_id, gb.b AS b,
-               SUM((((CASE WHEN gb.b < 16 THEN ph
-                           ELSE (2000007 * ph + 998256698) % 2147483647
-                      END) >> (gb.b % 16)) & 1) * 2 - 1) AS s
-        FROM h, LATERAL unnest(generate_series(0, 31)) AS gb(b)
+               SUM(((((2 * (gb.b // 16) * 1000003 + 1) * ph
+                      + (gb.b // 16) * 998244353 + 12345) % 2147483647
+                     >> (gb.b % 16)) & 1) * 2 - 1) AS s
+        FROM h, LATERAL unnest(generate_series(0, 63)) AS gb(b)
         GROUP BY doc_id, gb.b
     ),
     sig AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
-                             ELSE 0 END) AS BIGINT) AS sig
+               CAST(SUM(CASE WHEN s <= 0 THEN 0
+                             WHEN b = 63
+                               THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                             ELSE CAST(1 AS BIGINT) << b
+                        END) AS BIGINT) AS sig
         FROM bits GROUP BY doc_id
     ),
     chunks AS (
         SELECT doc_id, sig, gc.c AS chunk_idx,
-               (sig >> (8 * gc.c)) & 255 AS chunk_val
+               (sig >> (16 * gc.c)) & 65535 AS chunk_val
         FROM sig, LATERAL unnest(generate_series(0, 3)) AS gc(c)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2651,24 +2654,27 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``llm_dedup_simhash``, whose xxhash64 token hash DuckDB cannot
     replay (that one stays rows-only + recall-pinned). Same algorithm,
     cross-engine arithmetic: Horner poly_hash per token
-    (:func:`curation.poly_hash`) widened to a 32-BIT signature by a
-    second universal-hash permutation (bits 16-31 come from
-    (2000007·ph + 998256698) mod 2³¹−1 — one 20-bit base hash alone
-    can't feed 32 independent sign sums), token multiplicity kept
-    exactly as the production signature, the packed signature banded
-    into 4×8-BIT chunks, candidates share ≥1 exact chunk
-    (pigeonhole-COMPLETE for hamming ≤ 3 — the emitted filter), and
-    the hamming distance itself is in the hashed output. A bug in
-    bit-packing, banding, or the candidate join breaks this query's
-    value hash, not just a recall statistic.
+    (:func:`curation.poly_hash`) widened to a 64-BIT signature by
+    FOUR universal-hash permutations (bits 16j..16j+15 come from
+    ((2j·1000003+1)·ph + j·998244353 + 12345) mod 2³¹−1 — one 20-bit
+    base hash alone can't feed 64 independent sign sums), token
+    multiplicity kept exactly as the production signature, the packed
+    signature banded into 4×16-BIT chunks — PRODUCTION GEOMETRY —
+    candidates share ≥1 exact chunk (pigeonhole-COMPLETE for
+    hamming ≤ 3, the emitted filter), and the hamming distance itself
+    is in the hashed output. A bug in bit-packing, banding, or the
+    candidate join breaks this query's value hash, not just a recall
+    statistic.
 
-    Chunk width IS the join's scale knob: 8-bit chunks give 256
-    bucket values per band, so the candidate join stays near-linear
-    (the first cut used 4-bit chunks — 16 values — and went
-    quadratic at 5k docs: 5.9 s at sf0.1, vs ~1 s with 256-value
-    buckets; production's 16-bit chunks continue the same curve).
-    Same physical shape as production: explode tokens → ONE map-side-
-    combined hash aggregate (32 conditional sums) → chunk equi-join —
+    Chunk width IS the join's scale knob, and the scale probe
+    enforced it twice: 4-bit chunks (16 bucket values) went quadratic
+    at 5k docs (5.9 s at sf0.1); 8-bit chunks fixed sf0.1 but
+    collided into mega-buckets on the 50k adversarial dup-clique
+    corpus (38M pairs, 53 s, vs the 64-bit production signature's
+    3.8M). 16-bit chunks give 65536 values per band — the production
+    curve. Same physical shape as production: explode tokens → ONE
+    map-side-combined hash aggregate (64 conditional sums) → chunk
+    equi-join —
     candidates only meet through bucket equality, never all-pairs.
     100 TB: use llm_dedup_simhash (64-bit xxhash signature); this
     twin exists so the algorithm is verifiable and scales identically.
@@ -2676,27 +2682,35 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.curation import poly_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    ph1 = (
-        F.lit(2000007).cast("long") * F.col("ph") + F.lit(998256698)
-    ) % 2147483647
     tokh = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
-        .select("doc_id", "ph", ph1.alias("ph1"))
+        .select(
+            "doc_id",
+            *[
+                (
+                    (
+                        F.lit(2 * j * 1_000_003 + 1).cast("long")
+                        * F.col("ph")
+                        + F.lit(j * 998_244_353 + 12_345)
+                    )
+                    % 2147483647
+                ).alias(f"ph{j}")
+                for j in range(4)
+            ],
+        )
     )
     bit = lambda b: (  # noqa: E731
-        F.shiftrightunsigned(
-            F.col("ph") if b < 16 else F.col("ph1"), b % 16
-        ).bitwiseAND(1)
+        F.shiftrightunsigned(F.col(f"ph{b // 16}"), b % 16).bitwiseAND(1)
         * 2
         - 1
     )
     sums = tokh.groupBy("doc_id").agg(
-        *[F.sum(bit(b)).alias(f"s{b}") for b in range(32)]
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(64)]
     )
     sig = F.lit(0).cast("long")
-    for b in range(32):
+    for b in range(64):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
@@ -2704,7 +2718,7 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     signed = sums.select("doc_id", sig.alias("sig"))
     chunk = lambda i: (  # noqa: E731
-        F.shiftrightunsigned(F.col("sig"), 8 * i).bitwiseAND(255)
+        F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(65535)
     )
     chunks = signed.select(
         "doc_id",

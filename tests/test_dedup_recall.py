@@ -343,22 +343,25 @@ def test_simhash_witness_equals_python_recomputation(spark, corpus_dir):
             h = (h * 31 + ord(ch)) % 1000003
         return h
 
-    def sig32(text: str) -> int:
+    def sig64(text: str) -> int:
         toks = [w for w in text.split(" ") if w]
-        sums = [0] * 32
+        sums = [0] * 64
         for w in toks:
             ph = poly(w)
-            ph1 = (2000007 * ph + 998256698) % 2147483647
-            for b in range(32):
-                base = ph if b < 16 else ph1
-                sums[b] += 1 if (base >> (b % 16)) & 1 else -1
+            phs = [
+                ((2 * j * 1_000_003 + 1) * ph + j * 998_244_353 + 12_345)
+                % 2147483647
+                for j in range(4)
+            ]
+            for b in range(64):
+                sums[b] += 1 if (phs[b // 16] >> (b % 16)) & 1 else -1
         s = 0
-        for b in range(32):
+        for b in range(64):
             if sums[b] > 0:
                 s |= 1 << b
         return s
 
-    sigs = {i: sig32(t) for i, t in docs.items() if t.split(" ")[0]}
+    sigs = {i: sig64(t) for i, t in docs.items() if t.split(" ")[0]}
     ids = sorted(sigs)
     expect = set()
     for i_idx, a in enumerate(ids):
