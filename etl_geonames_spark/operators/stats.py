@@ -2483,3 +2483,180 @@ def stat_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.abs(p1 - p2), 6).alias("delta"),
         F.when(p1 != p2, n_arm).alias("n_per_arm"),
     )
+
+
+@query(
+    "stat_wilson_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM documents
+    ),
+    c AS (
+        SELECT n, x,
+               CAST(x AS DOUBLE) / n AS p,
+               1.959964 * 1.959964 AS z2
+        FROM s WHERE n > 0
+    )
+    SELECT n, x, {sql_qround('p', 6)} AS p_hat,
+           {sql_qround(
+               '(p + z2 / (2 * n)'
+               ' - 1.959964 * sqrt(p * (1.0 - p) / n'
+               '                   + z2 / (4.0 * n * n)))'
+               ' / (1.0 + z2 / n)', 6)} AS ci_lo,
+           {sql_qround(
+               '(p + z2 / (2 * n)'
+               ' + 1.959964 * sqrt(p * (1.0 - p) / n'
+               '                   + z2 / (4.0 * n * n)))'
+               ' / (1.0 + z2 / n)', 6)} AS ci_hi
+    FROM c
+    """,
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the English-share proportion — the
+    binomial CI that behaves at the edges (never escapes [0,1],
+    stays sane for p near 0/1 and small n, unlike the Wald interval
+    every naive dashboard ships). The per-slice quality-rate
+    companion to stat_two_proportion_z / stat_sample_size.
+
+    One integer-count aggregate; lo/hi are single fixed-shape double
+    expressions with the z² literal written identically on both
+    engines. The sqrt argument is ≥ 0 algebraically (p(1−p) ≥ 0,
+    z²/4n² > 0), so no guard is needed beyond n > 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    ).filter(F.col("n") > 0)
+    p = F.col("x").cast("double") / F.col("n")
+    z = 1.959964
+    z2 = z * z
+    n = F.col("n")
+    center = p + F.lit(z2) / (2 * n)
+    half = F.lit(z) * F.sqrt(
+        p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(z2) / n
+    return s.select(
+        "n",
+        "x",
+        qround(p, 6).alias("p_hat"),
+        qround((center - half) / denom, 6).alias("ci_lo"),
+        qround((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "ts_crosscorr_lags",
+    oracle=f"""
+    WITH dx AS (
+      SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN dx a ON TRUE
+      JOIN dx b ON b.d = a.d + l.lag
+    ),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN {sql_qround(
+                    '(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)'
+                    ' / sqrt(CAST(n AS DOUBLE) * sxx'
+                    '        - CAST(sx AS DOUBLE) * sx)'
+                    ' / sqrt(CAST(n AS DOUBLE) * syy'
+                    '        - CAST(sy AS DOUBLE) * sy)', 6)}
+           END AS xcorr
+    FROM m
+    """,
+)
+def ts_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click and view daily series at lags
+    −3..+3 — the LEAD-LAG detector: the argmax lag says which metric
+    moves first and by how many days (instrumentation pipelines that
+    should be synchronous showing xcorr peaked off zero are buffering
+    or backfilling). ts_rolling_corr watches lag-0 over time; this
+    profiles the lag axis over the whole span.
+
+    Same exact-int64 moment discipline as the ACF family: the lag
+    alignment is a (lag, day)-keyed equi-join against the
+    7-row broadcast lag table — never a window — and the correlation
+    is the guarded fixed-shape expression written as two sequential
+    sqrt divisions on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dx = (
+        ev.select(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "xi"
+            ),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "yi"
+            ),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("xi").cast("long").alias("x"),
+            F.sum("yi").cast("long").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = dx.select(F.col("d").alias("ad"), F.col("x").alias("x"))
+    b = dx.select(F.col("d").alias("bd"), F.col("y").alias("y"))
+    m = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("bd") == F.col("ad") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.when((vx > 0) & (vy > 0), qround(corr, 6)).alias("xcorr"),
+    )

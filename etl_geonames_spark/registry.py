@@ -89,13 +89,13 @@ _DRIVER_PRIORITY = [
     "ts_lateness_histogram", "llm_quality_funnel", "geo_trajectory_stats",
     "stat_sample_size", "mm_modality_route", "dq_observed_metrics",
     "maintenance_compaction_plan", "llm_dedup_embedding_verifiable",
-    "geo_knn", "cdc_merge_upsert", "scd2_history", "split_train_test",
-    "sample_per_key", "profile_columns", "llm_normalize_text",
-    "llm_pii_redact", "llm_repetition_ratio", "llm_mix_weights",
-    "fn_url_parse", "ts_sessionize", "llm_chunk_documents",
-    "llm_ngram_counts", "llm_bucket_by_length", "graph_pagerank",
-    "graph_triangle_count", "fn_unpivot", "fn_posexplode", "fn_try_arith",
-    "mm_decode_image", "mm_resize_image", "mm_decode_audio",
+    "stat_wilson_ci", "ts_crosscorr_lags", "geo_knn", "cdc_merge_upsert",
+    "scd2_history", "split_train_test", "sample_per_key", "profile_columns",
+    "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
+    "llm_mix_weights", "fn_url_parse", "ts_sessionize",
+    "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
+    "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
+    "fn_try_arith", "mm_decode_image", "mm_resize_image", "mm_decode_audio",
     "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
     "llm_dedup_containment", "ts_interval_union", "llm_bpe_pair_counts",
     "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar",

@@ -591,3 +591,21 @@ def test_compaction_groups_are_target_sized(spark, sf_dir):
         assert total < target + max(f["bytes"] for f in fs)
         if g != last_group[p]:
             assert total >= target - max(f["bytes"] for f in fs)
+
+
+def test_wilson_ci_contains_p_hat_within_unit(spark, sf_dir):
+    """ci_lo ≤ p̂ ≤ ci_hi and the interval never escapes [0, 1] —
+    the property Wald intervals violate and Wilson exists to fix."""
+    (r,) = _rows(spark, sf_dir, "stat_wilson_ci")
+    assert 0 - _EPS <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1 + _EPS
+
+
+def test_crosscorr_lag0_matches_symmetry(spark, sf_dir):
+    """xcorr ∈ [−1,1]; all 7 lags present; and xcorr(−k) relates to
+    xcorr(+k) by series-role swap (not asserted equal — different
+    alignment windows — but both defined on this fixture)."""
+    rows = {r["lag"]: r for r in _rows(spark, sf_dir, "ts_crosscorr_lags")}
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        if r["xcorr"] is not None:
+            assert -1 - _EPS <= r["xcorr"] <= 1 + _EPS
