@@ -2781,13 +2781,20 @@ def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(_FUNNEL_STAGES)
         ]
     )
+    # constant-table seed (spark.range(1), NOT documents.limit(1)):
+    # the stage axis must exist even over an empty corpus — the
+    # oracle's VALUES clause always emits 5 rows — and a constant
+    # seed keeps the corpus scan out of this branch of the plan
     stage_tbl = (
-        load_table(spark, sf_dir, "documents")
-        .limit(1)
+        spark.range(1)
         .select(F.explode(stages).alias("s"))
         .select("s.stage_idx", "s.stage")
     )
-    tot = counts.agg(F.sum("n_docs").cast("long").alias("total"))
+    # coalesce: SUM over an empty counts table is NULL, but the
+    # oracle's COUNT(*) over an empty corpus is 0
+    tot = counts.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("total")
+    )
     joined = (
         stage_tbl.join(F.broadcast(counts), "stage", "left")
         .crossJoin(F.broadcast(tot))

@@ -2547,42 +2547,10 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial fold and 16 perms beat 4); this query exists so the
     ALGORITHM is verifiable, and it scales identically."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
-        .distinct()
-    )
-    from etl_geonames_spark.operators.curation import poly_hash
-
-    h = grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(2 * i * 1_000_003 + 1).cast("long").alias("a"),
-                F.lit(i * 998_244_353 + 12_345).cast("long").alias("b"),
-            )
-            for i in range(4)
-        ]
-    )
-    sig = (
-        h.select("doc_id", "ph", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("i"),
-            (
-                (F.col("p.a") * F.col("ph") + F.col("p.b")) % 2147483647
-            ).alias("v"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("v").alias("m"))
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("i") / 2).cast("int").alias("band")
-    ).agg(
-        F.min(F.when(F.col("i") % 2 == 0, F.col("m"))).alias("b_lo"),
-        F.min(F.when(F.col("i") % 2 == 1, F.col("m"))).alias("b_hi"),
-    )
+    # shared band construction (_poly_minhash_bands): one source of
+    # truth for the perm constants and banding used by this witness,
+    # llm_dedup_band_stats, and llm_minhash_jaccard_est
+    bands = _poly_minhash_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -3398,7 +3366,7 @@ _EDV_DEN = 10000
     )
     SELECT vec_a, vec_b, qdot
     FROM pairs
-    WHERE qdot >= 0
+    WHERE na > 0 AND nb > 0 AND qdot >= 0
       AND qdot * qdot * {_EDV_DEN} >= {_EDV_NUM} * na * nb
     """,
 )
@@ -3486,7 +3454,12 @@ def llm_dedup_embedding_verifiable(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("qdot", qdot)
         .filter(
-            (F.col("qdot") >= 0)
+            # na/nb > 0: a zero vector has undefined cosine and would
+            # otherwise pass the gate against EVERYTHING in its bucket
+            # (0 >= 0); mirrored in the oracle
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("qdot") >= 0)
             & (
                 F.col("qdot") * F.col("qdot") * _EDV_DEN
                 >= F.lit(_EDV_NUM) * F.col("na") * F.col("nb")

@@ -746,36 +746,39 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_chars AS BIGINT) AS n_chars, lang, source, text
         FROM documents
     ),
-    agg AS (
-        SELECT grp,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-               CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_empty
-        FROM h GROUP BY grp
-    ),
     wide AS (
         SELECT
-          (SELECT n_rows FROM agg WHERE grp = 0) AS a_rows,
-          (SELECT n_rows FROM agg WHERE grp = 1) AS b_rows,
-          (SELECT sum_chars FROM agg WHERE grp = 0) AS a_chars,
-          (SELECT sum_chars FROM agg WHERE grp = 1) AS b_chars,
-          (SELECT n_langs FROM agg WHERE grp = 0) AS a_langs,
-          (SELECT n_langs FROM agg WHERE grp = 1) AS b_langs,
-          (SELECT n_sources FROM agg WHERE grp = 0) AS a_sources,
-          (SELECT n_sources FROM agg WHERE grp = 1) AS b_sources,
-          (SELECT n_empty FROM agg WHERE grp = 0) AS a_empty,
-          (SELECT n_empty FROM agg WHERE grp = 1) AS b_empty
+          CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS a_rows,
+          CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS b_rows,
+          CAST(SUM(CASE WHEN grp = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+              AS a_chars,
+          CAST(SUM(CASE WHEN grp = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+              AS b_chars,
+          CAST(COUNT(DISTINCT CASE WHEN grp = 0 THEN lang END) AS BIGINT)
+              AS a_langs,
+          CAST(COUNT(DISTINCT CASE WHEN grp = 1 THEN lang END) AS BIGINT)
+              AS b_langs,
+          CAST(COUNT(DISTINCT CASE WHEN grp = 0 THEN source END) AS BIGINT)
+              AS a_sources,
+          CAST(COUNT(DISTINCT CASE WHEN grp = 1 THEN source END) AS BIGINT)
+              AS b_sources,
+          CAST(SUM(CASE WHEN grp = 0 AND trim(text) = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_empty,
+          CAST(SUM(CASE WHEN grp = 1 AND trim(text) = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b_empty
+        FROM h
     ),
     long AS (
         SELECT 'n_rows' AS metric, CAST(a_rows AS DOUBLE) AS val_a,
                CAST(b_rows AS DOUBLE) AS val_b FROM wide
         UNION ALL
         SELECT 'mean_chars',
-               CAST(a_chars AS DOUBLE) / a_rows,
-               CAST(b_chars AS DOUBLE) / b_rows FROM wide
+               CASE WHEN a_rows > 0
+                    THEN CAST(a_chars AS DOUBLE) / a_rows END,
+               CASE WHEN b_rows > 0
+                    THEN CAST(b_chars AS DOUBLE) / b_rows END FROM wide
         UNION ALL
         SELECT 'n_langs', CAST(a_langs AS DOUBLE),
                CAST(b_langs AS DOUBLE) FROM wide
@@ -784,8 +787,10 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(b_sources AS DOUBLE) FROM wide
         UNION ALL
         SELECT 'empty_rate',
-               CAST(a_empty AS DOUBLE) / a_rows,
-               CAST(b_empty AS DOUBLE) / b_rows FROM wide
+               CASE WHEN a_rows > 0
+                    THEN CAST(a_empty AS DOUBLE) / a_rows END,
+               CASE WHEN b_rows > 0
+                    THEN CAST(b_empty AS DOUBLE) / b_rows END FROM wide
     )
     SELECT metric,
            {sql_qround('val_a', 6)} AS val_a,
@@ -809,11 +814,13 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks run. profile_columns profiles ONE snapshot; this is the
     two-snapshot diff a scheduler alerts on.
 
-    Two single-row aggregates (each one corpus pass, map-side
+    ONE conditional aggregate (a single corpus pass, map-side
     combined — distinct counts are the only shuffle keys), then the
     metric pivot is constant-sized: compute once, compare anywhere.
-    rel_drift's denominator is guarded (both-zero → 0, not
-    DIVIDE_BY_ZERO)."""
+    An empty half keeps its columns (rates go NULL, never throw, and
+    the report never loses rows — a per-half filtered aggregate row
+    would simply vanish); rel_drift's denominator is guarded
+    (both-zero → 0, not DIVIDE_BY_ZERO)."""
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 2).alias("grp"),
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -821,63 +828,63 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "text",
     )
-    agg = (
-        docs.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-            F.count_distinct("lang").cast("long").alias("n_langs"),
-            F.count_distinct("source").cast("long").alias("n_sources"),
-            F.sum(
-                F.when(F.trim("text") == "", 1).otherwise(0)
-            )
+
+    def _side(g: int, p: str):
+        is_g = F.col("grp") == g
+        return [
+            F.sum(F.when(is_g, 1).otherwise(0))
             .cast("long")
-            .alias("n_empty"),
+            .alias(f"{p}_rows"),
+            F.sum(F.when(is_g, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias(f"{p}_chars"),
+            F.count_distinct(F.when(is_g, F.col("lang")))
+            .cast("long")
+            .alias(f"{p}_langs"),
+            F.count_distinct(F.when(is_g, F.col("source")))
+            .cast("long")
+            .alias(f"{p}_sources"),
+            F.sum(F.when(is_g & (F.trim("text") == ""), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{p}_empty"),
+        ]
+
+    # ONE conditional aggregate, never a filter+crossJoin of per-half
+    # rows: an empty half must still produce its columns (the oracle
+    # always emits one wide row) — a filtered aggregate row simply
+    # vanishes and takes the whole report with it
+    wide = docs.agg(*_side(0, "a"), *_side(1, "b"))
+
+    def _rate(num: str, den: str):
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
         )
-        .localCheckpoint()
-    )
-    a = agg.filter(F.col("grp") == 0).drop("grp")
-    b = agg.filter(F.col("grp") == 1).drop("grp")
-    wide = a.select(
-        *[F.col(c).alias(f"a_{c}") for c in a.columns]
-    ).crossJoin(
-        F.broadcast(
-            b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
-        )
-    )
+
     rows = F.array(
         F.struct(
             F.lit("n_rows").alias("metric"),
-            F.col("a_n_rows").cast("double").alias("val_a"),
-            F.col("b_n_rows").cast("double").alias("val_b"),
+            F.col("a_rows").cast("double").alias("val_a"),
+            F.col("b_rows").cast("double").alias("val_b"),
         ),
         F.struct(
             F.lit("mean_chars").alias("metric"),
-            (F.col("a_sum_chars").cast("double") / F.col("a_n_rows")).alias(
-                "val_a"
-            ),
-            (F.col("b_sum_chars").cast("double") / F.col("b_n_rows")).alias(
-                "val_b"
-            ),
+            _rate("a_chars", "a_rows").alias("val_a"),
+            _rate("b_chars", "b_rows").alias("val_b"),
         ),
         F.struct(
             F.lit("n_langs").alias("metric"),
-            F.col("a_n_langs").cast("double").alias("val_a"),
-            F.col("b_n_langs").cast("double").alias("val_b"),
+            F.col("a_langs").cast("double").alias("val_a"),
+            F.col("b_langs").cast("double").alias("val_b"),
         ),
         F.struct(
             F.lit("n_sources").alias("metric"),
-            F.col("a_n_sources").cast("double").alias("val_a"),
-            F.col("b_n_sources").cast("double").alias("val_b"),
+            F.col("a_sources").cast("double").alias("val_a"),
+            F.col("b_sources").cast("double").alias("val_b"),
         ),
         F.struct(
             F.lit("empty_rate").alias("metric"),
-            (F.col("a_n_empty").cast("double") / F.col("a_n_rows")).alias(
-                "val_a"
-            ),
-            (F.col("b_n_empty").cast("double") / F.col("b_n_rows")).alias(
-                "val_b"
-            ),
+            _rate("a_empty", "a_rows").alias("val_a"),
+            _rate("b_empty", "b_rows").alias("val_b"),
         ),
     )
     long = wide.select(F.explode(rows).alias("r")).select(
@@ -940,14 +947,22 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    def _opt(key: str):
+        # SUM/MIN/MAX over an empty table observe as None — pass the
+        # NULL through (the oracle's aggregates are NULL there too;
+        # int(None) would crash the driver)
+        v = m.get(key)
+        return int(v) if v is not None else None
+
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["sum_chars"]),
-                int(m["min_doc"]),
-                int(m["max_doc"]),
-                int(m["n_en"]),
+                _opt("n_rows") or 0,
+                _opt("sum_chars"),
+                _opt("min_doc"),
+                _opt("max_doc"),
+                _opt("n_en"),
             )
         ],
         "n_rows long, sum_chars long, min_doc long, max_doc long, n_en long",

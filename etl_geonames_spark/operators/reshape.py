@@ -220,10 +220,8 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Count-min sketch (exact-replay construction)
-# ---------------------------------------------------------------------------
-
+## Count-min sketch (exact-replay construction)
+#
 _CMS_P = 2_147_483_647  # 2^31 - 1, the minhash family's prime
 _CMS_W = 256
 _CMS_PARAMS = [
@@ -523,14 +521,16 @@ _POLY_TEXT_HASH_SQL = """list_reduce(
     ),
     est AS (
         SELECT
-          (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
-                       THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
-                       ELSE CAST(n_in_sketch AS DOUBLE) END
-           FROM per WHERE grp = 0) AS est_a,
-          (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
-                       THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
-                       ELSE CAST(n_in_sketch AS DOUBLE) END
-           FROM per WHERE grp = 1) AS est_b,
+          COALESCE(
+            (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
+                         THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
+                         ELSE CAST(n_in_sketch AS DOUBLE) END
+             FROM per WHERE grp = 0), 0.0) AS est_a,
+          COALESCE(
+            (SELECT CASE WHEN n_in_sketch >= {_KMV_SET_K}
+                         THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth
+                         ELSE CAST(n_in_sketch AS DOUBLE) END
+             FROM per WHERE grp = 1), 0.0) AS est_b,
           CASE WHEN n_u >= {_KMV_SET_K}
                THEN CAST({_KMV_SET_K - 1} AS DOUBLE) * 1000003 / kth_u
                ELSE CAST(n_u AS DOUBLE) END AS est_union,
@@ -587,7 +587,16 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "h")
         .localCheckpoint()
     )
-    per = sk.groupBy("grp").agg(
+    # aggregate-form per-side stats: an aggregate over an EMPTY
+    # filtered sketch still yields its one row (count 0 →
+    # exact-count fallback 0.0), where a groupBy row for the missing
+    # side would vanish and drop the whole report (oracle COALESCEs
+    # its scalar subqueries to the same 0.0)
+    a_stats = sk.filter(F.col("grp") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    b_stats = sk.filter(F.col("grp") == 1).agg(
         F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
         F.max("h").cast("long").alias("kth"),
     )
@@ -621,10 +630,10 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_KMV_SET_K - 1)) * F.lit(1000003) / kth_col,
         ).otherwise(n_col.cast("double"))
 
-    pa = per.filter(F.col("grp") == 0).select(
+    pa = a_stats.select(
         _est(F.col("n_in_sketch"), F.col("kth")).alias("est_a")
     )
-    pb = per.filter(F.col("grp") == 1).select(
+    pb = b_stats.select(
         _est(F.col("n_in_sketch"), F.col("kth")).alias("est_b")
     )
     est_union = _est(F.col("n_u"), F.col("kth_u"))

@@ -2601,27 +2601,12 @@ def ts_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-row broadcast lag table — never a window — and the correlation
     is the guarded fixed-shape expression written as two sequential
     sqrt divisions on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    dx = (
-        ev.select(
-            F.datediff(
-                F.date_trunc("day", "ts").cast("date"),
-                F.lit("1970-01-01").cast("date"),
-            ).alias("d"),
-            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
-                "xi"
-            ),
-            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
-                "yi"
-            ),
-        )
-        .groupBy("d")
-        .agg(
-            F.sum("xi").cast("long").alias("x"),
-            F.sum("yi").cast("long").alias("y"),
-        )
-        .localCheckpoint()
+    from etl_geonames_spark.operators.timeseries import (
+        _daily_click_view,
+        _pearson_from_moments,
     )
+
+    dx = _daily_click_view(spark, sf_dir)
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
     a = dx.select(F.col("d").alias("ad"), F.col("x").alias("x"))
     b = dx.select(F.col("d").alias("bd"), F.col("y").alias("y"))
@@ -2639,24 +2624,9 @@ def ts_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         )
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = (
-        (
-            F.col("n").cast("double") * F.col("sxy")
-            - F.col("sx").cast("double") * F.col("sy")
-        )
-        / F.sqrt(
-            F.col("n").cast("double") * F.col("sxx")
-            - F.col("sx").cast("double") * F.col("sx")
-        )
-        / F.sqrt(
-            F.col("n").cast("double") * F.col("syy")
-            - F.col("sy").cast("double") * F.col("sy")
-        )
-    )
+    corr, ok = _pearson_from_moments()
     return m.select(
         F.col("lag").cast("int").alias("lag"),
         "n",
-        F.when((vx > 0) & (vy > 0), qround(corr, 6)).alias("xcorr"),
+        F.when(ok, qround(corr, 6)).alias("xcorr"),
     )

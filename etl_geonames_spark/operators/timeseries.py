@@ -2212,7 +2212,11 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     acf = lagged.crossJoin(F.broadcast(s)).select(
         "lag", "n", _acf_expr().alias("acf")
     )
-    wide = acf.groupBy("n").agg(
+    # GLOBAL aggregate (not groupBy n): a series too short for any
+    # lag pair leaves acf empty, and the oracle's GROUP-BY-less wide
+    # CTE still emits one NULL row — the groupBy form would emit none
+    wide = acf.agg(
+        F.max("n").alias("n"),
         F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
         F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
         F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
@@ -2566,6 +2570,59 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (d, x, y) daily click/view count table for the two
+    correlation diagnostics (ts_rolling_corr's trailing window,
+    ts_crosscorr_lags' lag axis) — one source of truth for the series
+    definition; localCheckpointed because both consumers feed it to a
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "xi"
+            ),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "yi"
+            ),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("xi").cast("long").alias("x"),
+            F.sum("yi").cast("long").alias("y"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _pearson_from_moments():
+    """The guarded fixed-shape Pearson over exact int64 window moments
+    (n, sx, sy, sxy, sxx, syy) — written as two sequential sqrt
+    divisions so operand order is identical on both engines; NULL for
+    either zero variance. Returns (corr_expr, guard_expr)."""
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return corr, (vx > 0) & (vy > 0)
+
+
 @query(
     "ts_rolling_corr",
     oracle=f"""
@@ -2617,27 +2674,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (either variance 0 → NULL, not DIVIDE_BY_ZERO). Written as two
     sequential sqrt divisions on both engines so the operand order
     cannot differ."""
-    ev = load_table(spark, sf_dir, "events")
-    dx = (
-        ev.select(
-            F.datediff(
-                F.date_trunc("day", "ts").cast("date"),
-                F.lit("1970-01-01").cast("date"),
-            ).alias("d"),
-            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
-                "xi"
-            ),
-            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
-                "yi"
-            ),
-        )
-        .groupBy("d")
-        .agg(
-            F.sum("xi").cast("long").alias("x"),
-            F.sum("yi").cast("long").alias("y"),
-        )
-        .localCheckpoint()
-    )
+    dx = _daily_click_view(spark, sf_dir)
     a, b = dx.alias("a"), dx.alias("b")
     m = (
         a.join(
@@ -2655,26 +2692,11 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b.y") * F.col("b.y")).cast("long").alias("syy"),
         )
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = (
-        (
-            F.col("n").cast("double") * F.col("sxy")
-            - F.col("sx").cast("double") * F.col("sy")
-        )
-        / F.sqrt(
-            F.col("n").cast("double") * F.col("sxx")
-            - F.col("sx").cast("double") * F.col("sx")
-        )
-        / F.sqrt(
-            F.col("n").cast("double") * F.col("syy")
-            - F.col("sy").cast("double") * F.col("sy")
-        )
-    )
+    corr, ok = _pearson_from_moments()
     return m.select(
         F.col("d").cast("long").alias("d"),
         "n",
-        F.when((vx > 0) & (vy > 0), qround(corr, 6)).alias("corr"),
+        F.when(ok, qround(corr, 6)).alias("corr"),
     )
 
 

@@ -193,6 +193,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             )
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                raise ValueError(
+                    f"oracle for {name!r} contains a '--' SQL comment: "
+                    "registration collapses whitespace to one line, so "
+                    "the comment would silently swallow the rest of the "
+                    "statement — use the Python docstring instead"
+                )
             ORACLES[name] = " ".join(oracle.split())
         return fn
 

@@ -325,9 +325,10 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
 def test_simhash_witness_equals_python_recomputation(spark, corpus_dir):
     """llm_simhash_verifiable's output is EXACTLY the set of pairs at
     witness-signature hamming ≤ 3 — recomputed from scratch in
-    Python (Horner poly hash → 32 sign bits → hamming): pairs at
-    hamming ≤ 3 always share one of the 4 8-bit chunks (pigeonhole),
-    so banding loses none of them and the ≤3 filter keeps no others.
+    Python (Horner poly hash → 4 permutations → 64 sign bits →
+    hamming): pairs at hamming ≤ 3 always share one of the 4 16-bit
+    chunks (pigeonhole), so banding loses none of them and the ≤3
+    filter keeps no others.
     This is stronger than the differential (which could only prove
     Spark == DuckDB): it proves both equal the algorithm's
     definition."""

@@ -150,6 +150,21 @@ def edge_ddb(edge_sf_dir):
         "llm_kneser_ney_bigram",
         "llm_quality_funnel",
         "stat_sample_size",
+        # post-review sweep: one-sided corpora (all-'en', single
+        # source) and the zero vector must not vanish rows, throw, or
+        # pass undefined-cosine gates
+        "agg_kmv_setops",
+        "stat_kruskal_wallis",
+        "stat_anova_oneway",
+        "stat_two_proportion_z",
+        "stat_wilson_ci",
+        "llm_dedup_embedding_verifiable",
+        "mm_image_histogram",
+        "mm_audio_resample",
+        "mm_modality_route",
+        "mm_decode_meta",
+        "dq_observed_metrics",
+        "maintenance_compaction_plan",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
