@@ -144,24 +144,30 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    slowest20 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
-    )
-    compact = json.dumps(
-        {
-            "metric": "total_wall_all_queries",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest20,
-            "n_queries": len(timings),
-            "median": round(sorted(timings.values())[len(timings) // 2], 4),
-            "cold_value": cold_total,
-            "sf": sf,
-            "detail": "BENCH_DETAIL.json",
-        },
-        separators=(",", ":"),
-    )
-    assert len(compact) < 1900, "compact bench line must fit the capture tail"
+    # The compact summary must fit the driver's capture tail; rather
+    # than asserting (a crash here would lose the one guaranteed-
+    # parseable line), drop slowest-query entries until it fits.
+    slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    while True:
+        compact = json.dumps(
+            {
+                "metric": "total_wall_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": dict(slowest),
+                "n_queries": len(timings),
+                "median": round(
+                    sorted(timings.values())[len(timings) // 2], 4
+                ),
+                "cold_value": cold_total,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) < 1900 or not slowest:
+            break
+        slowest = slowest[:-1]
     print(compact)
 
 

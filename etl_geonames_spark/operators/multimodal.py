@@ -14,9 +14,16 @@ tiers:
   wrong stride/padding/channel-order anywhere breaks the hash.
 - STUB fallback (:func:`decode_blob`): deterministic fake metadata
   from the byte length, for payload formats the container cannot
-  decode (JPEG/PNG/audio — no PIL/ffmpeg here). The ``*_stub``
-  queries keep that plumbing verified; a PIL-style decoder drops in
-  by replacing the one function.
+  decode (JPEG/PNG — no PIL/ffmpeg here). No registry query uses it
+  anymore (the round-2 ``*_stub`` queries were all retired once the
+  real codecs landed); it remains for the streaming media-decode
+  pipeline test, and a PIL-style decoder drops in by replacing the
+  one function.
+
+Arrow binary transport (a payload surviving worker → JVM → worker
+byte-for-byte) is pinned by ``mm_feature_extract``'s two-stage
+encode/decode split; the other real-codec queries synthesize the blob
+inside their single worker stage.
 """
 
 from __future__ import annotations
@@ -230,65 +237,6 @@ def _resize_box(width: int, height: int, box: int = 128) -> tuple[int, int]:
     return (
         max(1, width * scale_num // scale_den),
         max(1, height * scale_num // scale_den),
-    )
-
-
-def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for the resize stage: decode (stub) → compute
-    target geometry → emit a fake thumbnail payload (truncated source
-    bytes — a real codec would emit re-encoded pixels)."""
-    for pdf in batches:
-        rows = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            meta = decode_blob(blob)
-            rw, rh = _resize_box(meta["width"], meta["height"])
-            rows.append(
-                (doc_id, meta["width"], meta["height"], rw, rh,
-                 bytes(blob)[: rw * rh % 64 + 1])
-            )
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "width", "height",
-                     "resized_w", "resized_h", "thumb"],
-        )
-
-
-@query(
-    "mm_resize_stub",
-    oracle="""
-    SELECT doc_id, width, height,
-           CAST(GREATEST(1, width * 128 // GREATEST(width, height)) AS INT)
-             AS resized_w,
-           CAST(GREATEST(1, height * 128 // GREATEST(width, height)) AS INT)
-             AS resized_h,
-           CAST(LEAST(n_bytes,
-                GREATEST(1, width * 128 // GREATEST(width, height))
-                * GREATEST(1, height * 128 // GREATEST(width, height))
-                % 64 + 1) AS BIGINT) AS thumb_bytes
-    FROM (SELECT doc_id,
-                 CAST(length(text) AS BIGINT) AS n_bytes,
-                 CAST(length(text) * 7 % 640 + 1 AS INT) AS width,
-                 CAST(length(text) * 13 % 480 + 1 AS INT) AS height
-          FROM documents)
-    """,
-)
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing via mapInPandas (STUB codec): binary in,
-    aspect-preserving target geometry + thumbnail payload out. The
-    oracle mirrors the integer geometry math and checks the emitted
-    payload length — proving the binary column made the round trip
-    through the Python worker with the right batch shape."""
-    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
-    resized = blobs.select("doc_id", "blob").mapInPandas(
-        _resize_batches,
-        schema=(
-            "doc_id long, width int, height int, "
-            "resized_w int, resized_h int, thumb binary"
-        ),
-    )
-    return resized.select(
-        "doc_id", "width", "height", "resized_w", "resized_h",
-        F.length("thumb").cast("bigint").alias("thumb_bytes"),
     )
 
 
@@ -595,52 +543,133 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FEAT_DIM = 8
-
-
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker for feature extraction: blob → fixed-dim
-    float vector (STUB: integer arithmetic on the byte length — a real
-    model would run an image/audio encoder here). Exact rationals of
-    small integers, so Spark and DuckDB produce bit-identical doubles."""
+def _encode_image_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stage-1 worker for mm_feature_extract: render + ENCODE only,
+    emitting the blob as a real binary column so the encoded bytes
+    cross an Arrow boundary before stage 2 decodes them (the Arrow
+    binary-transport property the retired mm_feature_extract_stub
+    used to pin)."""
     for pdf in batches:
-        feats = [
-            [((len(b) * (i + 1)) % 97) / 97.0 for i in range(_FEAT_DIM)]
-            for b in pdf["blob"]
-        ]
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+        rows = _image_blob_rows(pdf)
+        yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def _image_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stage-2 worker: decode the binary column from stage 1 and emit
+    an 8-dim feature vector from the ACTUAL pixels: per-channel sums,
+    2×2 quadrant luminance sums, horizontal gradient L1 on channel 0.
+    All integers, so the doubles are exact."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, rgb = decode_image(bytes(blob))
+            s = [0, 0, 0]
+            q = [[0, 0], [0, 0]]
+            grad = 0
+            for y in range(h):
+                for x in range(w):
+                    base = (y * w + x) * 3
+                    lum = 0
+                    for c in range(3):
+                        v = rgb[base + c]
+                        s[c] += v
+                        lum += v
+                    q[1 if x >= w // 2 else 0][1 if y >= h // 2 else 0] += lum
+                    if x + 1 < w:
+                        grad += abs(rgb[base + 3] - rgb[base])
+            feats = [
+                float(v)
+                for v in (s[0], s[1], s[2],
+                          q[0][0], q[1][0], q[0][1], q[1][1], grad)
+            ]
+            rows.append((int(doc_id), feats))
+        yield pd.DataFrame(rows, columns=["doc_id", "features"])
 
 
 @query(
-    "mm_feature_extract_stub",
+    "mm_feature_extract",
     oracle="""
-    SELECT doc_id,
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    vals AS (
+      SELECT d.doc_id, d.w, d.h, gx.x, gy.y, gc.c,
+             (gx.x * 3 + gy.y * 5 + d.doc_id + gc.c * 11) % 256 AS v
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+    ),
+    px AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS s0,
+             SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS s1,
+             SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS s2,
+             SUM(CASE WHEN x < w // 2 AND y < h // 2 THEN v ELSE 0 END)
+               AS q00,
+             SUM(CASE WHEN x >= w // 2 AND y < h // 2 THEN v ELSE 0 END)
+               AS q10,
+             SUM(CASE WHEN x < w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+               AS q01,
+             SUM(CASE WHEN x >= w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+               AS q11
+      FROM vals GROUP BY doc_id
+    ),
+    gr AS (
+      SELECT d.doc_id,
+             SUM(ABS(((gx.x + 1) * 3 + gy.y * 5 + d.doc_id) % 256
+                     - (gx.x * 3 + gy.y * 5 + d.doc_id) % 256)) AS g
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 2)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+      GROUP BY d.doc_id
+    )
+    SELECT p.doc_id,
            array_to_string(
-             [CAST((length(text) * 1) % 97 AS BIGINT),
-              CAST((length(text) * 2) % 97 AS BIGINT),
-              CAST((length(text) * 3) % 97 AS BIGINT),
-              CAST((length(text) * 4) % 97 AS BIGINT),
-              CAST((length(text) * 5) % 97 AS BIGINT),
-              CAST((length(text) * 6) % 97 AS BIGINT),
-              CAST((length(text) * 7) % 97 AS BIGINT),
-              CAST((length(text) * 8) % 97 AS BIGINT)],
+             [CAST(p.s0 AS BIGINT), CAST(p.s1 AS BIGINT),
+              CAST(p.s2 AS BIGINT), CAST(p.q00 AS BIGINT),
+              CAST(p.q10 AS BIGINT), CAST(p.q01 AS BIGINT),
+              CAST(p.q11 AS BIGINT), CAST(gr.g AS BIGINT)],
              ',') AS features
-    FROM documents
+    FROM px p JOIN gr ON p.doc_id = gr.doc_id
     """,
 )
-def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction plumbing (STUB encoder, real Arrow path):
-    binary column → fixed-dim array<double> via mapInPandas — the
-    embed-the-corpus shape. Output schema matches the embeddings
-    table's layout so downstream ANN ops (llm_ann_ivf / llm_sim_topk)
-    compose directly. For the driver hash the k/97 rationals are
-    re-scaled to their exact integer numerators (round(f·97) inverts
-    the stub's division exactly — k and 97.0 are both
-    binary-representable, so the quotient is one correctly-rounded
-    double away from k/97) and comma-joined."""
-    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
-    feats = blobs.select("doc_id", "blob").mapInPandas(
-        _feature_batches,
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction (replaces the retired
+    ``mm_feature_extract_stub``, whose vector was byte-length
+    arithmetic): per document the deterministic bitmap is rendered and
+    ENCODED in one Python stage, shipped as a genuine binary column
+    across an Arrow boundary, then DECODED in a second stage that
+    computes an 8-dim descriptor from the actual pixel bytes —
+    per-channel sums (global color), 2×2 quadrant luminance sums
+    (coarse layout), and channel-0 horizontal gradient L1 (edge
+    energy). That is the classical color/layout/edge feature split a
+    pre-neural indexer extracts, in the embed-the-corpus shape: the
+    intermediate schema is ``doc_id, features array<double>`` exactly
+    like the embeddings table, so ANN ops (llm_ann_ivf / llm_sim_topk)
+    compose directly on the output.
+
+    The two-stage mapInPandas deliberately routes the encoded blob
+    through Arrow binary transport (ADVICE r4: that property lost its
+    only remaining witness when the stub retired) — a corrupted byte
+    anywhere in encode → Arrow → decode breaks the value hash, because
+    the oracle recomputes every sum from the generation rule, not from
+    the codec. All features are exact integers serialized as a
+    comma-joined string for the driver hash (floats stay exact: sums
+    of <2^20 byte values). Map-only, zero shuffles; at 100 TB the
+    stage-1 encoder is replaced by reading real media bytes and the
+    stage-2 worker shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(
+        _encode_image_batches, schema="doc_id long, blob binary"
+    )
+    feats = blobs.mapInPandas(
+        _image_feature_batches,
         schema="doc_id long, features array<double>",
     )
     return feats.select(
@@ -648,8 +677,7 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 F.col("features"),
-                lambda x: F.round(x * F.lit(97.0)).cast("bigint")
-                .cast("string"),
+                lambda x: x.cast("bigint").cast("string"),
             ),
             ",",
         ).alias("features"),

@@ -49,54 +49,41 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Rounds 1-3 produced
-# green driver rows (or by-design rows-only records) for 146 distinct
-# queries. ROUND-4 ROTATION: the window is again 100% first-time
-# verifications — positions 1-8 are the array-output queries whose
-# r03 rows errored on the driver canonicalizer (now emitting
-# comma-joined canonical serializations; 3 were the r03 errs, 5 were
-# latent — found by a schema sweep over all 336 plans), positions 9+
-# promote the never-driver-checked backlog in prior priority order.
-# Every name with an existing green row moved to the back; all of
-# them stay guarded by tests/test_oracle_parity.py, which checks ALL
-# queries every run. ROUND-5 PLAN: rotate again — move whatever names
-# appear in CORRECTNESS_r04 to the back and promote the remaining
-# backlog plus any newly registered queries.
+# queries in ``queries()`` dict order each round. Rounds 1-4 produced
+# green driver rows (or by-design rows-only records) for 195 distinct
+# queries. ROUND-5 ROTATION (VERDICT r4 item 1): all 50 CORRECTNESS_r04
+# names moved to the very back; the window is again 100% first-time
+# verifications — the reinstated llm_embedding_dim_stats (VERDICT item
+# 2), the 27 round-4 additions that sat at positions 51-77, the
+# real-codec mm_* decode family (complex oracles, never driver-seen),
+# and the highest-risk remaining backlog (stats/forecasting/pipeline).
+# Every rotated-out name stays guarded by tests/test_oracle_parity.py,
+# which checks ALL queries every run. ROUND-6 PLAN: rotate again —
+# move CORRECTNESS_r05 names to the back, promote the round-5
+# additions (registered immediately after position 50) plus backlog.
 _DRIVER_PRIORITY = [
-    "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
-    "fn_array_setops", "mm_feature_extract_stub", "llm_embedding_centroids",
-    "mm_image_phash_dedup", "agg_collect_salted", "llm_simhash_verifiable",
-    "llm_ann_lsh_verifiable", "scd2_asof_lookup", "agg_string_concat",
-    "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
-    "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
-    "fn_base64_roundtrip", "agg_higher_moments", "llm_bigram_logprob",
-    "geo_extent_by_group", "agg_histogram", "agg_mode", "agg_conditional",
-    "sql_tpch_q1", "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8",
-    "sql_tpch_q9", "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15",
-    "sql_tpch_q20", "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein",
-    "ts_resample_ohlc", "ts_anomaly_zscore", "join_interval_overlap",
-    "llm_decontaminate", "llm_cap_per_source", "llm_kmeans",
-    "llm_dedup_keep_best", "llm_shuffle_order", "mm_resize_stub",
-    "geo_bbox_filter", "geo_haversine", "geo_morton_cell", "geo_grid_join",
-    "stat_kruskal_wallis", "stat_anova_oneway", "stat_two_proportion_z",
-    "stat_mann_kendall", "stat_ljung_box", "ts_holt_winters", "ts_rsi",
-    "ts_interpolate_linear", "mm_audio_resample", "mm_image_histogram",
-    "graph_cc_bounded", "agg_kmv_setops", "llm_dedup_band_stats",
-    "llm_minhash_jaccard_est", "ts_rolling_corr", "ts_seasonal_decompose",
-    "stat_cronbach_alpha", "dq_schema_drift", "graph_copurchase",
-    "mm_video_keyframes", "stat_xi_correlation", "fn_date_edge", "ts_peaks",
-    "mm_image_gradient", "geo_voronoi_assign", "llm_kneser_ney_bigram",
-    "ts_lateness_histogram", "llm_quality_funnel", "geo_trajectory_stats",
-    "stat_sample_size", "mm_modality_route", "dq_observed_metrics",
+    "llm_embedding_dim_stats", "stat_kruskal_wallis", "stat_anova_oneway",
+    "stat_two_proportion_z", "stat_mann_kendall", "stat_ljung_box",
+    "ts_holt_winters", "ts_rsi", "ts_interpolate_linear",
+    "mm_audio_resample", "mm_image_histogram", "graph_cc_bounded",
+    "agg_kmv_setops", "llm_dedup_band_stats", "llm_minhash_jaccard_est",
+    "ts_rolling_corr", "ts_seasonal_decompose", "stat_cronbach_alpha",
+    "dq_schema_drift", "graph_copurchase", "mm_video_keyframes",
+    "stat_xi_correlation", "fn_date_edge", "ts_peaks", "mm_image_gradient",
+    "geo_voronoi_assign", "llm_kneser_ney_bigram", "ts_lateness_histogram",
+    "llm_quality_funnel", "geo_trajectory_stats", "stat_sample_size",
+    "mm_modality_route", "dq_observed_metrics",
     "maintenance_compaction_plan", "llm_dedup_embedding_verifiable",
-    "stat_wilson_ci", "ts_crosscorr_lags", "geo_knn", "cdc_merge_upsert",
-    "scd2_history", "split_train_test", "sample_per_key", "profile_columns",
+    "stat_wilson_ci", "ts_crosscorr_lags", "geo_knn", "mm_decode_image",
+    "mm_resize_image", "mm_decode_audio", "mm_video_frames",
+    "mm_audio_features", "mm_video_scene_cuts", "mm_audio_vad",
+    "mm_image_entropy", "cdc_merge_upsert", "scd2_history",
+    "split_train_test", "mm_feature_extract", "sample_per_key", "profile_columns",
     "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
     "llm_mix_weights", "fn_url_parse", "ts_sessionize",
     "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
     "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
-    "fn_try_arith", "mm_decode_image", "mm_resize_image", "mm_decode_audio",
-    "mm_video_frames", "llm_gopher_quality", "llm_perplexity_buckets",
+    "fn_try_arith", "llm_gopher_quality", "llm_perplexity_buckets",
     "llm_dedup_containment", "ts_interval_union", "llm_bpe_pair_counts",
     "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar",
     "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
@@ -104,28 +91,27 @@ _DRIVER_PRIORITY = [
     "graph_jaccard_neighbors", "llm_tokenizer_fertility",
     "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
     "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
-    "mm_audio_features", "sql_session_variables", "sql_parameterized",
-    "llm_semdedup", "ts_event_regex", "udtf_analyze",
-    "graph_khop_reachability", "agg_sketch_cms", "agg_percentile_disc",
-    "ts_calendar_dim", "geo_tile_pyramid", "mm_video_scene_cuts",
-    "mm_audio_vad", "graph_label_propagation", "llm_embedding_power_iter",
-    "llm_abtt_transform", "llm_zipf_slope", "agg_gini", "llm_topp_vocab",
-    "llm_feature_hashing", "llm_minhash_verifiable", "sql_group_by_all",
-    "sql_distinct_on", "ts_backtest_snaive", "llm_langid_confusion",
-    "llm_ndcg_eval", "llm_pmi_collocations", "ts_fano_burstiness",
-    "geo_shoelace_area", "llm_lm_crossentropy", "llm_kmeans_quality",
-    "ts_gaps_islands", "agg_weighted_median", "set_except_all",
-    "sql_qualify", "llm_winnowing", "llm_shard_manifest", "llm_dpo_pairs",
-    "sample_bottom_k", "geo_bearing_profile", "llm_url_dedup",
-    "join_band_time", "fn_ip_cidr", "ts_lttb_downsample", "llm_bootstrap_ci",
-    "llm_metric_spearman", "mm_frame_sample", "llm_ann_ivf",
-    "agg_sketch_hll", "agg_sketch_kll", "llm_compression_ratio",
-    "llm_mix_kl_divergence", "llm_sft_render", "llm_bpe_apply",
-    "geo_dbscan_core", "geo_point_in_concave_polygon", "graph_adamic_adar",
-    "graph_kcore_peel", "graph_clustering_coefficient",
+    "sql_session_variables", "sql_parameterized", "llm_semdedup",
+    "ts_event_regex", "udtf_analyze", "graph_khop_reachability",
+    "agg_sketch_cms", "agg_percentile_disc", "ts_calendar_dim",
+    "geo_tile_pyramid", "graph_label_propagation",
+    "llm_embedding_power_iter", "llm_abtt_transform", "llm_zipf_slope",
+    "agg_gini", "llm_topp_vocab", "llm_feature_hashing",
+    "llm_minhash_verifiable", "sql_group_by_all", "sql_distinct_on",
+    "ts_backtest_snaive", "llm_langid_confusion", "llm_ndcg_eval",
+    "llm_pmi_collocations", "ts_fano_burstiness", "geo_shoelace_area",
+    "llm_lm_crossentropy", "llm_kmeans_quality", "ts_gaps_islands",
+    "agg_weighted_median", "set_except_all", "sql_qualify", "llm_winnowing",
+    "llm_shard_manifest", "llm_dpo_pairs", "sample_bottom_k",
+    "geo_bearing_profile", "llm_url_dedup", "join_band_time", "fn_ip_cidr",
+    "ts_lttb_downsample", "llm_bootstrap_ci", "llm_metric_spearman",
+    "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
+    "llm_compression_ratio", "llm_mix_kl_divergence", "llm_sft_render",
+    "llm_bpe_apply", "geo_dbscan_core", "geo_point_in_concave_polygon",
+    "graph_adamic_adar", "graph_kcore_peel", "graph_clustering_coefficient",
     "graph_assortativity", "llm_ngram_novelty", "llm_boilerplate_ngrams",
-    "llm_mrr_eval", "mm_image_entropy", "dq_freshness", "sample_weighted_es",
-    "agg_sketch_kmv", "llm_rrf_fusion", "sql_asof_join", "stat_mann_whitney",
+    "llm_mrr_eval", "dq_freshness", "sample_weighted_es", "agg_sketch_kmv",
+    "llm_rrf_fusion", "sql_asof_join", "stat_mann_whitney",
     "stat_ks_two_sample", "stat_chi2_independence", "stat_bh_fdr",
     "stat_markov_transitions", "stat_welch_ttest", "stat_levene",
     "stat_bootstrap_diff", "stat_runs_test", "stat_best_split",
@@ -174,6 +160,21 @@ _DRIVER_PRIORITY = [
     "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q13", "sql_tpch_q17",
     "sql_tpch_q22", "sql_grouping_sets", "stream_tumbling", "stream_sliding",
     "ts_funnel", "ts_cohort_retention", "ts_gap_fill", "stream_session",
+    "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
+    "fn_array_setops", "llm_embedding_centroids", "mm_image_phash_dedup",
+    "agg_collect_salted", "llm_simhash_verifiable", "llm_ann_lsh_verifiable",
+    "scd2_asof_lookup", "agg_string_concat", "graph_reciprocity",
+    "fn_surrogate_key", "ts_sli_availability", "llm_apply_mix_weights",
+    "fn_printf", "sql_filter_clause", "fn_base64_roundtrip",
+    "agg_higher_moments", "llm_bigram_logprob", "geo_extent_by_group",
+    "agg_histogram", "agg_mode", "agg_conditional", "sql_tpch_q1",
+    "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+    "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15", "sql_tpch_q20",
+    "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein", "ts_resample_ohlc",
+    "ts_anomaly_zscore", "join_interval_overlap", "llm_decontaminate",
+    "llm_cap_per_source", "llm_kmeans", "llm_dedup_keep_best",
+    "llm_shuffle_order", "geo_bbox_filter", "geo_haversine",
+    "geo_morton_cell", "geo_grid_join",
 ]
 
 

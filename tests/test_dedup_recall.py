@@ -362,7 +362,14 @@ def test_simhash_witness_equals_python_recomputation(spark, corpus_dir):
                 s |= 1 << b
         return s
 
-    sigs = {i: sig64(t) for i, t in docs.items() if t.split(" ")[0]}
+    # inclusion = "has at least one nonempty token" (matches the Spark
+    # pipeline's post-explode tok != '' filter); t.split(" ")[0] would
+    # wrongly drop a doc whose text STARTS with the delimiter
+    sigs = {
+        i: sig64(t)
+        for i, t in docs.items()
+        if any(w for w in t.split(" "))
+    }
     ids = sorted(sigs)
     expect = set()
     for i_idx, a in enumerate(ids):

@@ -165,6 +165,11 @@ def edge_ddb(edge_sf_dir):
         "mm_decode_meta",
         "dq_observed_metrics",
         "maintenance_compaction_plan",
+        # round-5: dim stats over the zero vector (zero_frac 1.0,
+        # variance 0 — must not NaN); feature extract on tiny ids
+        # (2×2 images, quadrant floors at w//2 = 1)
+        "llm_embedding_dim_stats",
+        "mm_feature_extract",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
