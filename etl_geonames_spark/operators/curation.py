@@ -89,6 +89,124 @@ def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML / markup extraction (the C4 step BEFORE normalization)
+# ---------------------------------------------------------------------------
+
+_HTML_SCRIPT_RE = "<script[^>]*>[^<]*</script>"
+_HTML_STYLE_RE = "<style[^>]*>[^<]*</style>"
+_HTML_TAG_RE = "<[^>]*>"
+_HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def _sql_entity_chain(inner: str) -> str:
+    """Wrap ``inner`` in nested DuckDB replace() calls, one per HTML
+    entity, innermost first (same order as the Spark chain). The
+    single-quote decode target is emitted as chr(39) so no SQL-literal
+    escaping is needed."""
+    out = inner
+    for ent, ch in _HTML_ENTITIES:
+        target = "chr(39)" if ch == "'" else f"'{ch}'"
+        out = f"replace({out}, '{ent}', {target})"
+    return out
+
+
+@query(
+    "llm_html_extract",
+    oracle=f"""
+    WITH page AS (
+        SELECT doc_id,
+               '<html><head><script type="text/javascript">var x='
+               || CAST(doc_id AS VARCHAR)
+               || ';</script><style>.c {{ color: #fff }}</style>'
+               || '</head><body class="c"><h1>Doc &amp; '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+               || '</p><br/><span>&lt;tail&gt;</span></body></html>'
+                 AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+               {_sql_entity_chain(
+                   "regexp_replace(regexp_replace(regexp_replace(html, '"
+                   + _HTML_SCRIPT_RE + "', '', 'g'), '"
+                   + _HTML_STYLE_RE + "', '', 'g'), '"
+                   + _HTML_TAG_RE + "', '', 'g')"
+               )} AS decoded
+        FROM page
+    ),
+    clean AS (
+        SELECT doc_id,
+               CAST(length(html) AS BIGINT) AS html_chars,
+               trim(regexp_replace(decoded, ' +', ' ', 'g')) AS txt
+        FROM stripped
+    )
+    SELECT doc_id, html_chars,
+           CAST(length(txt) AS BIGINT) AS text_chars,
+           {sql_qround('length(txt) / CAST(html_chars AS DOUBLE)', 6)}
+             AS text_to_markup,
+           substr(txt, 1, 32) AS clean_prefix
+    FROM clean
+    """,
+)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, the step a scraped corpus runs BEFORE
+    llm_normalize_text (C4/CommonCrawl preprocessing): drop
+    script/style blocks wholesale, strip remaining tags, decode the
+    five standard entities (&amp; &lt; &gt; &quot; &#39; — AFTER tag
+    stripping, so a decoded '<' cannot resurrect a tag), collapse
+    whitespace, and report the text-to-markup ratio — the
+    boilerplate-density signal C4 thresholds pages on. Each document
+    is wrapped in a deterministic page skeleton (head with script +
+    style, attributed tags, entities, a self-closing tag) because the
+    fixture corpus is already clean; the oracle replays the identical
+    chain, so a regex that under- or over-strips breaks the value
+    hash on clean_prefix/text_chars, not just the ratio.
+
+    Dialect trap pinned as in the rest of this module: Spark's
+    regexp_replace replaces all matches by default, DuckDB needs the
+    'g' flag; entity decoding uses plain (non-regex) replace on both
+    engines. 100 TB shape: pure map-side regexp/replace codegen over
+    the scan, zero shuffles, zero Python; ratio denominator is the
+    page length, which is strictly positive by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x='),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.c { color: #fff }</style>"),
+        F.lit('</head><body class="c"><h1>Doc &amp; '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/><span>&lt;tail&gt;</span></body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), _HTML_SCRIPT_RE, ""),
+            _HTML_STYLE_RE,
+            "",
+        ),
+        _HTML_TAG_RE,
+        "",
+    )
+    for ent, ch in _HTML_ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    txt = F.trim(F.regexp_replace(decoded, " +", " "))
+    return page.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        F.length(txt).cast("long").alias("text_chars"),
+        qround(
+            F.length(txt) / F.length("html").cast("double"), 6
+        ).alias("text_to_markup"),
+        F.substring(txt, 1, 32).alias("clean_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 
@@ -2551,6 +2669,168 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_out.cast("long").alias("n_tokens_out"),
         (n_in - n_out).cast("long").alias("n_merges_fired"),
     )
+
+
+_BPE_TRAIN_ROUNDS = 3
+_BPE_SEP_SQL = "chr(31)"  # U+001F unit separator — never in corpus text
+
+
+def _bpe_train_round_sql(i: int) -> str:
+    """One unrolled BPE training round as DuckDB CTEs: weighted pair
+    census over the delimited symbol strings → argmax pair (count
+    desc, then (a, b) lexicographic) → greedy left-to-right merge via
+    plain ``replace`` on the individually-delimited representation
+    (see llm_bpe_train_rounds) → the round's report row."""
+    prev, S = f"w{i - 1}", _BPE_SEP_SQL
+    return f"""
+    p{i} AS (
+      SELECT t[g.i] AS a, t[g.i + 1] AS b, CAST(SUM(wf) AS BIGINT) AS n
+      FROM (SELECT list_filter(str_split(s, {S}), x -> x <> '') AS t, wf
+            FROM {prev}) q,
+           LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    s{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+    w{i} AS (
+      SELECT replace(s, {S} || s{i}.a || {S} || {S} || s{i}.b || {S},
+                     {S} || s{i}.a || s{i}.b || {S}) AS s, wf
+      FROM {prev}, s{i}
+    ),
+    r{i} AS (
+      SELECT CAST({i} AS BIGINT) AS round,
+             s{i}.a || '+' || s{i}.b AS merge_pair,
+             s{i}.n AS pair_count,
+             (SELECT CAST(SUM(wf * len(list_filter(str_split(s, {S}),
+                                                   x -> x <> '')))
+                     AS BIGINT)
+              FROM w{i}) AS total_symbols
+      FROM s{i}
+    )"""
+
+
+def _bpe_syms(col):
+    """Recover the symbol array from the delimited string form."""
+    return F.filter(F.split(col, "\x1f"), lambda x: x != F.lit(""))
+
+
+@query(
+    "llm_bpe_train_rounds",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT regexp_replace(w, '(.)', {_BPE_SEP_SQL} || '\\1'
+                                      || {_BPE_SEP_SQL}, 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY 1
+    ),
+    {",".join(_bpe_train_round_sql(i)
+              for i in range(1, _BPE_TRAIN_ROUNDS + 1))}
+    SELECT * FROM ({" UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )})
+    """,
+)
+def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP (Sennrich et al. 2016), 3 unrolled
+    count → argmax → merge rounds — closing the tokenizer story whose
+    single pieces already exist (llm_bpe_pair_counts = one census,
+    llm_bpe_apply = inference with a fixed rule table): this op
+    actually LEARNS the first 3 merge rules from the corpus and
+    reports, per round, the rule chosen, its selection-time weighted
+    pair count, and the corpus symbol total after the merge (strictly
+    decreasing — pinned in tests/test_stat_invariants.py).
+
+    The greedy non-overlapping merge is the hard part to make
+    engine-identical; the trick is the REPRESENTATION: every symbol
+    is individually delimited (``␟sym␟``), so the merge of (a, b) is
+    a plain string ``replace`` of ``␟a␟␟b␟`` with ``␟ab␟`` — both
+    engines scan left-to-right non-overlapping, adjacent matches
+    share no characters, and cross-symbol false matches are
+    impossible (a bare substring match like 'l l' inside 'al l'
+    cannot occur because 'al' carries its own delimiters). An
+    overlapping run [l,l,l] merges to [ll,l] on both engines — the
+    reference algorithm's behavior.
+
+    Scale shape (the fixed-round graph_cc_bounded discipline applied
+    to tokenizer training): the corpus collapses to the |vocab|-sized
+    word-frequency table FIRST (the standard BPE trick) and is pinned
+    by localCheckpoint; each round is one ≤|Σ|²-key pair aggregate, a
+    TakeOrdered(1) argmax broadcast back, and a map-side rewrite —
+    per-round localCheckpoint keeps round r+1's plan flat instead of
+    re-executing rounds 1..r per consumer. K production rounds = K
+    such passes over vocab-sized data, never over the corpus.
+    """
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "\x1f"
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .select(
+            F.regexp_replace("w", "(.)", sep + "$1" + sep).alias("s"), "wf"
+        )
+        .localCheckpoint()
+    )
+    rows = []
+    cur = words
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        t = _bpe_syms(F.col("s"))
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(t, 1, F.size(t) - 1).alias("a"),
+                        F.slice(t, 2, F.size(t) - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "wf",
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wf")
+            .groupBy("a", "b")
+            .agg(F.sum("wf").cast("long").alias("n"))
+        )
+        sel = (
+            pairs.orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()  # 1 row; two consumers (merge + report)
+        )
+        merged = (
+            cur.crossJoin(F.broadcast(sel))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(sep), F.col("a"), F.lit(sep),
+                        F.lit(sep), F.col("b"), F.lit(sep),
+                    ),
+                    F.concat(
+                        F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)
+                    ),
+                ).alias("s"),
+                "wf",
+            )
+            .localCheckpoint()
+        )
+        tot = merged.agg(
+            F.sum(F.col("wf") * F.size(_bpe_syms(F.col("s"))))
+            .cast("long")
+            .alias("total_symbols")
+        )
+        rows.append(
+            sel.crossJoin(tot).select(
+                F.lit(r).cast("long").alias("round"),
+                F.concat(F.col("a"), F.lit("+"), F.col("b")).alias(
+                    "merge_pair"
+                ),
+                F.col("n").alias("pair_count"),
+                "total_symbols",
+            )
+        )
+        cur = merged
+    return reduce(lambda x, y: x.unionAll(y), rows)
 
 
 _KN_D = 0.75

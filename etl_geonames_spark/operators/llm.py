@@ -2834,6 +2834,149 @@ def llm_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_ivf_verifiable",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < {_IVF_CELLS}),
+    d2 AS (
+        SELECT e.vec_id, e.q, cb.cid,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(e.q)),
+                   i -> (e.q[i] - cb.cq[i]) * (e.q[i] - cb.cq[i])))
+                   AS BIGINT) AS dist2
+        FROM e JOIN cb ON TRUE
+    ),
+    ranked AS (
+        SELECT vec_id, q, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rnk
+        FROM d2
+    ),
+    assigned AS (SELECT vec_id, q, cid AS cell FROM ranked WHERE rnk = 1),
+    probes AS (
+        SELECT vec_id AS q_id, q AS qq, cid AS cell
+        FROM ranked WHERE vec_id < 5 AND rnk <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(p.qq)), i -> p.qq[i] * a.q[i]))
+                   AS BIGINT) AS qdot
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, qdot FROM (
+        SELECT q_id, c_id, qdot,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY qdot DESC, c_id) AS rn
+        FROM cand
+    ) t WHERE rn <= 10
+    """,
+)
+def llm_ann_ivf_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN END-TO-END under a full value-hash oracle —
+    the hash-checked WITNESS for ``llm_ann_ivf`` (which stays
+    rows-only + recall-pinned because its float cosine cell
+    assignment can diverge between engines at argmin boundaries),
+    completing the witness program: every ANN pipeline now has an
+    exactly-verifiable twin. ALL-INTEGER arithmetic end to end:
+    embeddings quantize to the 1e-3 grid (the llm_ann_lsh_verifiable
+    discipline), the codebook is the {_IVF_CELLS} lowest-id vectors,
+    coarse assignment is argmin of the exact integer squared L2
+    distance (ties broken on centroid id — no float boundary
+    anywhere), queries probe their {_IVF_NPROBE} nearest cells, and
+    the re-rank key is the exact integer dot product.
+
+    Same physical shape as the production op: the codebook is
+    metadata-sized and rides a broadcast; assignment is a map-side
+    broadcast join + array-lambda fold (no shuffle of the corpus by
+    anything but its cell at candidate time); the candidate join is a
+    hash equi-join on cell id; the top-10 window partitions by q_id
+    over candidates only. Overflow audit: grid values ≲ 10³·|x|,
+    so per-dim (Δq)² ≲ 4·10⁶ and a d-dim sum stays far inside int64.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+    codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        ).alias("cents")
+    )
+
+    def int_d2(vec, cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def cell_ranking(vec):
+        # array<struct<dist2,cid>> sorted ascending — lexicographic
+        # struct order is exact-integer distance then cid tie-break
+        return F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    int_d2(vec, c["cq"]).alias("dist2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    assigned = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "q", cell_ranking(F.col("q"))[0]["cid"].alias("cell")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("q").alias("qq"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        cell_ranking(F.col("q")), lambda s: s["cid"]
+                    ),
+                    1,
+                    _IVF_NPROBE,
+                )
+            ).alias("cell"),
+        )
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("cq"), "cell"
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, ["cell"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("qdot", qdot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", "qdot")
+    )
+
+
+@query(
     "llm_langid_confusion",
     oracle=f"""
     WITH pred AS (

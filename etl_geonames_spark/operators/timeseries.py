@@ -1546,8 +1546,16 @@ def _acf_tables(spark: SparkSession, sf_dir: str):
         # events scan + aggregate each
         .localCheckpoint()
     )
-    idx = distributed_rank(hc, ["h"]).select(
-        "c", F.col("_grn").cast("long").alias("t")
+    idx = (
+        distributed_rank(hc, ["h"])
+        .select("c", F.col("_grn").cast("long").alias("t"))
+        # |hours| rows, used by THREE branches (global moments + both
+        # sides of the lag join): without this pin each branch re-runs
+        # the whole distributed_rank subplan (range exchange + offsets
+        # broadcast), tripling the per-query shuffle bill — the r4
+        # census showed 19 plan-shuffles in each of ts_acf / ts_pacf /
+        # stat_ljung_box from exactly this re-execution
+        .localCheckpoint()
     )
     s = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

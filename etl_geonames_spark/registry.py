@@ -78,7 +78,9 @@ _DRIVER_PRIORITY = [
     "mm_resize_image", "mm_decode_audio", "mm_video_frames",
     "mm_audio_features", "mm_video_scene_cuts", "mm_audio_vad",
     "mm_image_entropy", "cdc_merge_upsert", "scd2_history",
-    "split_train_test", "mm_feature_extract", "sample_per_key", "profile_columns",
+    "split_train_test", "mm_feature_extract",
+    "llm_bpe_train_rounds", "llm_html_extract", "llm_ann_ivf_verifiable",
+    "sample_per_key", "profile_columns",
     "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
     "llm_mix_weights", "fn_url_parse", "ts_sessionize",
     "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",

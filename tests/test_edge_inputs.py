@@ -167,9 +167,16 @@ def edge_ddb(edge_sf_dir):
         "maintenance_compaction_plan",
         # round-5: dim stats over the zero vector (zero_frac 1.0,
         # variance 0 — must not NaN); feature extract on tiny ids
-        # (2×2 images, quadrant floors at w//2 = 1)
+        # (2×2 images, quadrant floors at w//2 = 1); BPE training on
+        # a corpus with single-char and empty words (slice(t,1,0)
+        # must be empty, not an ANSI throw); HTML extraction over the
+        # empty document; IVF witness where the zero vector IS a
+        # centroid (d2 ties broken on cid, dot 0 rows still rank)
         "llm_embedding_dim_stats",
         "mm_feature_extract",
+        "llm_bpe_train_rounds",
+        "llm_html_extract",
+        "llm_ann_ivf_verifiable",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
