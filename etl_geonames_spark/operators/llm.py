@@ -2717,11 +2717,12 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSHV_PLANES = 8
 _LSHV_SCALE = 1000
 
-
-@query(
-    "llm_ann_lsh_verifiable",
-    oracle=f"""
-    WITH e AS (
+# The LSH-witness pipeline as reusable CTEs: quantize → integer plane
+# dots → packed sign bucket → bucket-join candidates → top-10 (lsht).
+# Shared by llm_ann_lsh_verifiable's oracle and llm_ann_recall_eval's
+# (which compares lsht against the exact brute-force top-10).
+_LSHV_SQL_CTES = f"""
+    e AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
@@ -2750,13 +2751,22 @@ _LSHV_SCALE = 1000
         FROM b s JOIN b c
           ON s.bucket = c.bucket AND c.vec_id <> s.vec_id
         WHERE s.vec_id < 5
-    )
-    SELECT q_id, c_id, qdot FROM (
-        SELECT q_id, c_id, qdot,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                                  ORDER BY qdot DESC, c_id) AS rn
-        FROM cand
-    ) t WHERE rn <= 10
+    ),
+    lsht AS (
+        SELECT q_id, c_id, qdot FROM (
+            SELECT q_id, c_id, qdot,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY qdot DESC, c_id) AS rn
+            FROM cand
+        ) t WHERE rn <= 10
+    )"""
+
+
+@query(
+    "llm_ann_lsh_verifiable",
+    oracle=f"""
+    WITH {_LSHV_SQL_CTES}
+    SELECT q_id, c_id, qdot FROM lsht
     """,
 )
 def llm_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2973,6 +2983,297 @@ def llm_ann_ivf_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("q_id", "c_id", "qdot")
+    )
+
+
+_LSG_LENGTHS = [4, 8, 16]
+_LSG_DF_CAP = 16
+
+
+def _lsg_pairs_sql(L: int) -> str:
+    """One gram length's CTEs for llm_longest_shared_gram: distinct
+    (doc, gram) table → boilerplate df-cap → blocked self-join →
+    per-pair shared-gram count."""
+    return f"""
+    g{L} AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[s.i:s.i + {L - 1}], ' ') AS g
+      FROM t, LATERAL unnest(generate_series(1, len(tk) - {L - 1}))
+                AS s(i)
+      WHERE len(tk) >= {L}
+    ),
+    ok{L} AS (
+      SELECT g FROM (SELECT g, COUNT(*) AS c FROM g{L} GROUP BY g) q
+      WHERE c <= {_LSG_DF_CAP}
+    ),
+    p{L} AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({L} AS BIGINT) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g{L} a
+      JOIN ok{L} o ON a.g = o.g
+      JOIN g{L} b ON b.g = a.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "llm_longest_shared_gram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    {",".join(_lsg_pairs_sql(L) for L in _LSG_LENGTHS)},
+    u AS ({" UNION ALL ".join(f"SELECT * FROM p{L}" for L in _LSG_LENGTHS)})
+    SELECT doc_a, doc_b, l AS longest_l, n_shared FROM (
+      SELECT doc_a, doc_b, l, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                                ORDER BY l DESC) AS rn
+      FROM u
+    ) r WHERE rn = 1
+    """,
+)
+def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubling-probe approximation of exact-substring dedup (the Lee
+    et al. 2022 suffix-array primitive VERDICT r4 named as the one
+    dedup shape with no counterpart): for gram lengths 4/8/16 tokens,
+    find document pairs sharing at least one exact token n-gram, and
+    report per pair the LONGEST probed length that still matches plus
+    the count of distinct shared grams at that length — a bucketed
+    lower bound on the true longest-shared-substring length (shared
+    substring of k tokens ⟹ shared ⌊k/2⌋-gram, so doubling lengths
+    lose at most a factor 2). A true distributed suffix array would
+    give the exact length; this form needs only the repo's standard
+    blocked machinery.
+
+    Scale shape: per length one distinct (doc, gram) table, a
+    boilerplate guard dropping grams in > {_LSG_DF_CAP} docs (caps
+    any gram's pair bill at C({_LSG_DF_CAP},2) AND removes template
+    text that isn't dup signal — same discipline as
+    llm_boilerplate_ngrams), then a gram equi-join — the shuffle
+    carries gram groups, never corpus². The final longest-length pick
+    is a per-pair window over the ≤ 3 length rows of that pair.
+    """
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split("text", " "), lambda w: w != F.lit("")
+            ).alias("toks"),
+        )
+        # consumed by one gram table per probed length
+        .localCheckpoint()
+    )
+    per_l = []
+    for L in _LSG_LENGTHS:
+        gd = toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles("toks", L))).alias("g"),
+        )
+        ok = (
+            gd.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _LSG_DF_CAP)
+            .select("g")
+        )
+        gd = gd.join(ok, "g")
+        a = gd.select(F.col("doc_id").alias("doc_a"), "g")
+        b = gd.select(F.col("doc_id").alias("doc_b"), "g")
+        per_l.append(
+            a.join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .select(
+                "doc_a", "doc_b",
+                F.lit(L).cast("long").alias("l"), "n_shared",
+            )
+        )
+    u = reduce(lambda x, y: x.unionAll(y), per_l)
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(F.col("l").desc())
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_a", "doc_b", F.col("l").alias("longest_l"), "n_shared"
+        )
+    )
+
+
+@query(
+    "llm_cross_source_dup_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             md5(array_to_string(
+                 (list_filter(str_split(text, ' '), w -> w <> ''))[1:8],
+                 ' ')) AS h,
+             source
+      FROM documents
+      WHERE len(list_filter(str_split(text, ' '), w -> w <> '')) >= 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_prefixes
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def llm_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard duplication matrix: for every source pair, how many
+    distinct 8-token PREFIX fingerprints they share — the
+    which-shards-overlap diagnostic run before assembling a training
+    mix (two crawls of the same site show up as a hot cell; the
+    full-text variant of the same query returns empty on any
+    already-exact-deduped corpus, so the prefix form is the one that
+    stays informative — prefix collisions are exactly the
+    template/boilerplate overlap a mix designer needs to see).
+    Empty documents are excluded: their prefix is '' and would
+    fabricate an all-pairs overlap.
+
+    Scale shape: corpus → distinct (fingerprint, source) — at most
+    |sources| rows per fingerprint survive the distinct — then a
+    fingerprint equi-join and a ≤ |sources|²-cell aggregate. The
+    shuffle carries fingerprint groups; the df-explosion guard of the
+    gram ops is unnecessary because the distinct caps any
+    fingerprint's contribution at C(|sources|, 2) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    h = (
+        docs.select(
+            F.md5(F.array_join(F.slice(tk, 1, 8), " ")).alias("h"),
+            "source",
+        )
+        .filter(F.size(tk) >= 1)
+        .distinct()
+    )
+    a = h.select(F.col("h").alias("hh"), F.col("source").alias("source_a"))
+    b = h.select(F.col("h").alias("hh"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "hh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_prefixes"))
+    )
+
+
+@query(
+    "llm_ann_recall_eval",
+    oracle=f"""
+    WITH {_LSHV_SQL_CTES},
+    bf AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(q.q)), i -> q.q[i] * c.q[i]))
+                   AS BIGINT) AS qdot
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ),
+    bft AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY qdot DESC, c_id) AS rn
+            FROM bf
+        ) t WHERE rn <= 10
+    ),
+    ex AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM bft GROUP BY q_id),
+    ls AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_lsh
+           FROM lsht GROUP BY q_id),
+    hit AS (
+        SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM bft b JOIN lsht l ON l.q_id = b.q_id AND l.c_id = b.c_id
+        GROUP BY b.q_id
+    )
+    SELECT ex.q_id, ex.n_exact,
+           COALESCE(ls.n_lsh, 0) AS n_lsh,
+           COALESCE(hit.n_hit, 0) AS n_hit,
+           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE)
+             / CAST(ex.n_exact AS DOUBLE) AS recall_at_10
+    FROM ex
+    LEFT JOIN ls ON ls.q_id = ex.q_id
+    LEFT JOIN hit ON hit.q_id = ex.q_id
+    """,
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN pipeline against exact brute force —
+    the eval op that closes the ANN loop the way llm_ndcg_eval closes
+    retrieval: per query, the witness pipeline's top-10
+    (llm_ann_lsh_verifiable, called directly — the eval can never
+    drift from the pipeline it scores) is intersected with the true
+    integer-dot top-10 over ALL candidates on the same quantized
+    grid. Everything is integer until the final ratio, so the hash
+    pins the actual hit sets, not a rounded score; n_exact ≥ 1
+    whenever a query row exists, so the ANSI divide cannot throw.
+
+    This is the production acceptance gate for ANN parameter changes
+    (planes/bands/probe counts): brute force on a sampled query set
+    vs the candidate pipeline at full speed. Scale shape: the ≤ 5-row
+    query side broadcasts into a map-side dot scan (exact side); the
+    LSH side is the witness's bucket equi-join; the compare joins are
+    ≤ 10·|q|-row tables."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("q").alias("cq"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qdot").desc(), F.col("c_id")
+    )
+    bft = (
+        F.broadcast(qs)
+        .join(cs, F.col("c_id") != F.col("q_id"))
+        .withColumn("qdot", qdot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    lsht = llm_ann_lsh_verifiable(spark, sf_dir).select("q_id", "c_id")
+    ex = bft.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    ls = lsht.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    hit = (
+        bft.join(lsht, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        ex.join(ls, "q_id", "left")
+        .join(hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_lsh"), F.lit(0).cast("long")).alias(
+                "n_lsh"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias(
+                "n_hit"
+            ),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_10"),
+        )
     )
 
 

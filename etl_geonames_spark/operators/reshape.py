@@ -651,3 +651,98 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(jacc * est_union, 6).alias("est_intersection"),
         )
     )
+
+
+_HH_SHARDS = 4
+_HH_K = 8
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id % {_HH_SHARDS} AS shard,
+             unnest(str_split(text, ' ')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY shard, word
+    ),
+    r AS (
+      SELECT shard, word, cnt,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, word) AS rnk
+      FROM c
+    ),
+    kept AS (SELECT shard, word, cnt FROM r WHERE rnk <= {_HH_K}),
+    bound AS (
+      SELECT shard,
+             COALESCE(MAX(CASE WHEN rnk > {_HH_K} THEN cnt END),
+                      0) AS b
+      FROM r GROUP BY shard
+    ),
+    cands AS (SELECT DISTINCT word FROM kept),
+    grid AS (
+      SELECT cands.word, bound.shard, bound.b, kept.cnt
+      FROM cands
+      CROSS JOIN bound
+      LEFT JOIN kept ON kept.shard = bound.shard
+                    AND kept.word = cands.word
+    )
+    SELECT word,
+           CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS lower_bound,
+           CAST(SUM(COALESCE(cnt, b)) AS BIGINT) AS upper_bound
+    FROM grid GROUP BY word
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters CERTIFICATE (the SpaceSaving /
+    Misra-Gries merge discipline, Agarwal et al. 2013 "Mergeable
+    Summaries"): each of {_HH_SHARDS} data shards keeps only its
+    local top-{_HH_K} words plus one residual bound b_s = the largest
+    DROPPED local count; merging yields, for every surviving
+    candidate, a deterministic interval [Σ reported counts,
+    Σ reported counts + Σ b_s over non-reporting shards] that
+    provably contains the true corpus frequency (pinned in
+    tests/test_sketches.py against exact counts). This is the
+    communication-bounded form of top-k: per shard only k+1 numbers
+    cross the wire however large the shard — the certificate a
+    100 TB vocabulary census sends instead of its full count table.
+
+    Deterministic end to end: shard = doc_id mod {_HH_SHARDS}, local
+    rank ties break on the word, integer counts throughout; the
+    interval WIDTH is the honest price of the compression (it shrinks
+    as k grows). Windows partition by shard — never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    c = words.groupBy("shard", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wr = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("word")
+    )
+    r = c.withColumn("rnk", F.row_number().over(wr)).localCheckpoint()
+    kept = r.filter(F.col("rnk") <= _HH_K).select("shard", "word", "cnt")
+    bound = r.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") > _HH_K, F.col("cnt"))),
+            F.lit(0).cast("long"),
+        ).alias("b")
+    )
+    cands = kept.select("word").distinct()
+    grid = (
+        cands.crossJoin(F.broadcast(bound))
+        .join(kept, ["shard", "word"], "left")
+    )
+    return grid.groupBy("word").agg(
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("lower_bound"),
+        F.sum(F.coalesce(F.col("cnt"), F.col("b")))
+        .cast("long")
+        .alias("upper_bound"),
+    )

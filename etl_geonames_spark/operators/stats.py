@@ -2636,3 +2636,299 @@ def ts_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(ok, qround(corr, 6)).alias("xcorr"),
     )
+
+
+@query(
+    "stat_friedman",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                  FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dc AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT days.day, types.event_type, COALESCE(dc.c, 0) AS c
+      FROM days CROSS JOIN types
+      LEFT JOIN dc ON dc.day = days.day
+                  AND dc.event_type = types.event_type
+    ),
+    ranked AS (
+      SELECT day, event_type, c,
+             RANK() OVER (PARTITION BY day ORDER BY c)
+               + (COUNT(*) OVER (PARTITION BY day, c) - 1) / 2.0
+               AS r
+      FROM grid
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+             SUM(r * r) AS a1
+      FROM ranked
+    ),
+    rsums AS (
+      SELECT event_type, SUM(r) AS rj FROM ranked GROUP BY event_type
+    ),
+    num AS (
+      SELECT SUM((rj - (SELECT n * (k + 1) / 2.0 FROM dims))
+                 * (rj - (SELECT n * (k + 1) / 2.0 FROM dims))) AS a
+      FROM rsums
+    )
+    SELECT dims.n AS n_blocks, dims.k AS k_treatments,
+           CASE WHEN dims.a1
+                     - dims.n * dims.k * (dims.k + 1) * (dims.k + 1)
+                       / 4.0 <> 0
+                THEN {sql_qround(
+                    '(dims.k - 1) * num.a'
+                    ' / (dims.a1 - dims.n * dims.k * (dims.k + 1)'
+                    '    * (dims.k + 1) / 4.0)', 6)}
+           END AS q_friedman
+    FROM dims, num
+    """,
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over blocks = days, treatments = event types,
+    response = daily event count: "do the event types rank the same
+    way day after day?" — the repeated-measures companion to
+    stat_kruskal_wallis (which compares independent groups; Friedman
+    ranks WITHIN each block, so day-level traffic swings cancel).
+    Conover's tie-safe form: Q = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² /
+    (Σᵢⱼ r²ᵢⱼ − nk(k+1)²/4), which reduces to the textbook
+    12/(nk(k+1))·ΣRⱼ² − 3n(k+1) when no ties exist; all-tied blocks
+    make the denominator 0 → NULL (ANSI-guarded), not a throw.
+
+    Midranks via RANK + (COUNT(day, c) − 1)/2 — multiples of 0.5, so
+    every sum is exact in doubles and order-independent (qround(6)
+    only at the emit is belt-and-braces). The day × type grid is
+    dense-filled with zero counts so a type absent one day ranks
+    lowest rather than silently shrinking the block. Scale shape: one
+    fact-scale aggregate to the |days|×|types| grid; every window
+    partitions by day (never global); dims/rank-sums are
+    metadata-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    days = dc.select("day").distinct()
+    types = dc.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(dc, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = grid.select(
+        "day",
+        "event_type",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0)
+        ).alias("r"),
+    ).localCheckpoint()
+    dims = ranked.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.sum(F.col("r") * F.col("r")).alias("a1"),
+    )
+    rsums = ranked.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    num = (
+        rsums.crossJoin(F.broadcast(dims))
+        .agg(
+            F.sum(
+                (F.col("rj") - F.col("n") * (F.col("k") + 1) / F.lit(2.0))
+                * (F.col("rj") - F.col("n") * (F.col("k") + 1) / F.lit(2.0))
+            ).alias("a")
+        )
+    )
+    den = (
+        F.col("a1")
+        - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+        / F.lit(4.0)
+    )
+    return (
+        dims.crossJoin(F.broadcast(num))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.when(
+                den != 0, qround((F.col("k") - 1) * F.col("a") / den, 6)
+            ).alias("q_friedman"),
+        )
+    )
+
+
+_PERM_K = 200
+_PERM_P = 2147483647
+_PERM_A = 2654435761
+_PERM_B = 40503
+
+
+@query(
+    "stat_permutation_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp
+      FROM documents
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS s2,
+             CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1,
+             CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n2
+      FROM d
+    ),
+    perms AS (
+      SELECT d.doc_id, d.v, gp.p,
+             ((d.doc_id % {_PERM_P}) * {_PERM_A}
+              + gp.p * {_PERM_B}) % {_PERM_P} AS h
+      FROM d, LATERAL unnest(generate_series(0, {_PERM_K - 1})) AS gp(p)
+    ),
+    assigned AS (
+      SELECT p, v,
+             CASE WHEN ROW_NUMBER() OVER (
+                      PARTITION BY p ORDER BY h, doc_id)
+                  <= (SELECT n1 FROM obs)
+                  THEN 1 ELSE 0 END AS grp
+      FROM perms
+    ),
+    pstats AS (
+      SELECT p,
+             CAST(SUM(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS s1p,
+             CAST(SUM(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS s2p
+      FROM assigned GROUP BY p
+    ),
+    extreme AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_extreme
+      FROM pstats, obs
+      WHERE ABS(s1p * obs.n2 - s2p * obs.n1)
+            >= ABS(obs.s1 * obs.n2 - obs.s2 * obs.n1)
+    )
+    SELECT CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CASE WHEN obs.n1 > 0 AND obs.n2 > 0
+                THEN {sql_qround(
+                    'CAST(obs.s1 AS DOUBLE) / obs.n1'
+                    ' - CAST(obs.s2 AS DOUBLE) / obs.n2', 6)}
+           END AS obs_diff,
+           CASE WHEN obs.n1 > 0 AND obs.n2 > 0
+                THEN extreme.n_extreme END AS n_extreme,
+           CASE WHEN obs.n1 > 0 AND obs.n2 > 0
+                THEN CAST(1 + extreme.n_extreme AS DOUBLE)
+                     / CAST({_PERM_K + 1} AS DOUBLE)
+           END AS p_value
+    FROM obs, extreme
+    """,
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the mean document-length difference
+    between English and non-English docs — the distribution-free
+    p-value every A/B readout should cross-check against its t-test
+    (stat_welch_ttest assumes approximate normality; the permutation
+    null assumes only exchangeability). K=200 fixed pseudo-random
+    permutations: per permutation, docs are re-ranked by a
+    deterministic integer hash and the first n₁ ranks form the
+    pseudo-treatment group — EXACT group sizes like a true
+    permutation (not a binomial randomization), so the null matches
+    the observed design. p = (1 + #extreme)/(K+1), the add-one form
+    that never returns 0.
+
+    The extreme-count comparison is the float trap: |s̄₁ − s̄₂| on
+    both sides would compare libm quotients at a boundary. Cross-
+    multiplying by n₁n₂ makes it ALL-INTEGER: |S₁ₚn₂ − S₂ₚn₁| ≥
+    |S₁n₂ − S₂n₁| — exact on both engines (the permuted group sizes
+    equal the observed ones, so both sides scale identically). The
+    hash multiplies after a mod-P reduction so doc_id·A cannot
+    overflow int64 at any corpus size. One-sided corpora (n₂ = 0,
+    the edge fixture) NULL every statistic rather than dividing.
+
+    Scale shape: the K-fold fan-out is the honest cost of a
+    permutation test (bounded: K × corpus rows, map-generated, no
+    shuffle to build); per-perm ranking windows partition by perm id;
+    the per-perm reduction is a K-row aggregate. Production would
+    permute a SAMPLE (sample_per_key) first — the test's power grows
+    like √n, so the fan-out never needs the full corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("grp"),
+    )
+    obs = docs.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("v"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v"))).cast("long").alias("s2"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n2"),
+    ).localCheckpoint()
+    perms = docs.select(
+        "doc_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))).alias("p"),
+    ).withColumn(
+        "h",
+        (
+            (F.col("doc_id") % _PERM_P) * F.lit(_PERM_A)
+            + F.col("p") * F.lit(_PERM_B)
+        )
+        % _PERM_P,
+    )
+    wp = Window.partitionBy("p").orderBy("h", "doc_id")
+    assigned = perms.crossJoin(F.broadcast(obs.select("n1"))).select(
+        "p",
+        "v",
+        F.when(F.row_number().over(wp) <= F.col("n1"), 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    pstats = assigned.groupBy("p").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1p"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s2p"),
+    )
+    extreme = (
+        pstats.crossJoin(F.broadcast(obs))
+        .filter(
+            F.abs(F.col("s1p") * F.col("n2") - F.col("s2p") * F.col("n1"))
+            >= F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_extreme"))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            F.lit(_PERM_K).cast("long").alias("n_perms"),
+            F.when(
+                ok,
+                qround(
+                    F.col("s1").cast("double") / F.col("n1")
+                    - F.col("s2").cast("double") / F.col("n2"),
+                    6,
+                ),
+            ).alias("obs_diff"),
+            F.when(ok, F.col("n_extreme")).alias("n_extreme"),
+            F.when(
+                ok,
+                (F.lit(1) + F.col("n_extreme")).cast("double")
+                / F.lit(float(_PERM_K + 1)),
+            ).alias("p_value"),
+        )
+    )

@@ -177,6 +177,17 @@ def edge_ddb(edge_sf_dir):
         "llm_bpe_train_rounds",
         "llm_html_extract",
         "llm_ann_ivf_verifiable",
+        # round-5 batch 2: gram probes over 1-token/empty docs (all
+        # three lengths must yield empty arrays, not ANSI throws);
+        # prefix fingerprints exclude the empty doc; recall eval on a
+        # 3-vector corpus incl. the zero vector; one-sided (all-'en')
+        # permutation test NULLs every statistic; heavy hitters with
+        # empty-text docs contributing no words
+        "llm_longest_shared_gram",
+        "llm_cross_source_dup_matrix",
+        "llm_ann_recall_eval",
+        "agg_heavy_hitters",
+        "stat_permutation_test",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

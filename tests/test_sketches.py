@@ -111,3 +111,26 @@ def test_approx_distinct_and_percentile_error_bounds(spark, sf_dir):
     lo = rows[max(0, n // 2 - n // 1000 - 2)]
     hi = rows[min(n - 1, n // 2 + n // 1000 + 2)]
     assert lo <= got <= hi, (lo, got, hi)
+
+
+def test_heavy_hitters_intervals_contain_true_counts(spark, sf_dir):
+    """The merge certificate's promise: for EVERY candidate,
+    lower_bound ≤ true corpus frequency ≤ upper_bound, and the top
+    true-frequency word is always among the candidates (a word
+    frequent globally is frequent in at least one shard)."""
+    import __spark_entry__ as entry_mod
+    from collections import Counter
+
+    qs = entry_mod.queries()
+    rows = qs["agg_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    truth = Counter(
+        w for r in docs for w in (r["text"] or "").split(" ") if w
+    )
+    for r in rows:
+        t = truth[r["word"]]
+        assert r["lower_bound"] <= t <= r["upper_bound"], (
+            r["word"], r["lower_bound"], t, r["upper_bound"])
+    top_word = min(truth.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert top_word in {r["word"] for r in rows}
