@@ -45,6 +45,7 @@ from etl_geonames_spark.operators.codecs import (
     encode_wav_pcm16,
     resize_nearest,
 )
+from etl_geonames_spark.functions import sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1524,4 +1525,232 @@ def mm_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(
         _route_batches, schema="doc_id long, modality string, n_bytes long"
+    )
+
+
+def _distorted_rgb(doc_id: int, w: int, h: int) -> bytes:
+    """The 'recompressed' variant of _synth_rgb: same geometry, each
+    channel value shifted by a position-dependent perturbation —
+    deterministic, so the oracle can replay the distortion."""
+    return bytes(
+        (x * 3 + y * 5 + doc_id + c * 11 + ((x + y) % 5) * 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def _ssim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = doc_id % 8 + 2, doc_id % 6 + 2
+            blob_a = (
+                encode_bmp(w, h, _synth_rgb(doc_id, w, h))
+                if doc_id % 2 == 0
+                else encode_ppm(w, h, _synth_rgb(doc_id, w, h))
+            )
+            blob_b = (
+                encode_bmp(w, h, _distorted_rgb(doc_id, w, h))
+                if doc_id % 2 == 0
+                else encode_ppm(w, h, _distorted_rgb(doc_id, w, h))
+            )
+            _, _, a = decode_image(blob_a)
+            _, _, b = decode_image(blob_b)
+            n = len(a)
+            sa = sum(a)
+            sb = sum(b)
+            saa = sum(v * v for v in a)
+            sbb = sum(v * v for v in b)
+            sab = sum(u * v for u, v in zip(a, b))
+            rows.append((doc_id, n, sa, sb, saa, sbb, sab))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_px", "sa", "sb", "saa", "sbb", "sab"],
+        )
+
+
+_SSIM_FORMULA = """
+    (2.0 * ({sa} / {n}) * ({sb} / {n}) + 6.5025)
+    * (2.0 * ({sab} / {n} - ({sa} / {n}) * ({sb} / {n})) + 58.5225)
+    / (
+        (({sa} / {n}) * ({sa} / {n})
+         + ({sb} / {n}) * ({sb} / {n}) + 6.5025)
+        * (({saa} / {n} - ({sa} / {n}) * ({sa} / {n}))
+           + ({sbb} / {n} - ({sb} / {n}) * ({sb} / {n})) + 58.5225)
+    )
+"""
+
+
+@query(
+    "mm_image_ssim",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id,
+             (gx.x * 3 + gy.y * 5 + d.doc_id + gc.c * 11) % 256 AS a,
+             (gx.x * 3 + gy.y * 5 + d.doc_id + gc.c * 11
+              + ((gx.x + gy.y) % 5) * 13) % 256 AS b
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y),
+           LATERAL unnest(generate_series(0, 2)) AS gc(c)
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(a) AS BIGINT) AS sa,
+             CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb,
+             CAST(SUM(a * b) AS BIGINT) AS sab
+      FROM px GROUP BY doc_id
+    )
+    SELECT doc_id, n_px, sa, sb,
+           {sql_qround(_SSIM_FORMULA.format(
+               n="CAST(n_px AS DOUBLE)", sa="CAST(sa AS DOUBLE)",
+               sb="CAST(sb AS DOUBLE)", saa="CAST(saa AS DOUBLE)",
+               sbb="CAST(sbb AS DOUBLE)", sab="CAST(sab AS DOUBLE)",
+           ), 6)} AS ssim
+    FROM m
+    """,
+)
+def mm_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between each document's image
+    and a deterministically 'recompressed' variant — the perceptual
+    quality gate a multimodal curation pipeline applies after
+    re-encoding media (SSIM below threshold ⇒ the transcode damaged
+    the image; phash answers 'same image?', SSIM answers 'how much
+    worse?'). Both variants go through the REAL encode → decode codec
+    roundtrip; the worker emits only exact integer moments (n, Σa,
+    Σb, Σa², Σb², Σab) and the single-window SSIM closed form is one
+    fixed-shape double expression over them, computed identically in
+    both engines from the oracle's replayed pixel arithmetic —
+    stabilizer constants C1 = (0.01·255)², C2 = (0.03·255)² make the
+    denominator strictly positive, so no ANSI division guard is
+    needed. Map-only Arrow batches, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = docs.mapInPandas(
+        _ssim_batches,
+        schema=(
+            "doc_id long, n_px long, sa long, sb long, "
+            "saa long, sbb long, sab long"
+        ),
+    )
+    n = F.col("n_px").cast("double")
+    mu_a = F.col("sa").cast("double") / n
+    mu_b = F.col("sb").cast("double") / n
+    var_a = F.col("saa").cast("double") / n - mu_a * mu_a
+    var_b = F.col("sbb").cast("double") / n - mu_b * mu_b
+    cov = F.col("sab").cast("double") / n - mu_a * mu_b
+    ssim = (
+        (2.0 * mu_a * mu_b + 6.5025)
+        * (2.0 * cov + 58.5225)
+        / (
+            (mu_a * mu_a + mu_b * mu_b + 6.5025)
+            * (var_a + var_b + 58.5225)
+        )
+    )
+    from etl_geonames_spark.functions import qround
+
+    return m.select(
+        "doc_id", "n_px", "sa", "sb", qround(ssim, 6).alias("ssim")
+    )
+
+
+_PITCH_LAGS = (4, 10)  # inclusive lag search range
+
+
+def _pitch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    lo, hi = _PITCH_LAGS
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = doc_id % 40 + 60
+            blob = encode_wav_pcm16(16000, _feature_wave(doc_id, n))
+            _, _, s = decode_wav(blob)
+            r0 = sum(v * v for v in s)
+            best_lag, r_best = None, None
+            for lag in range(lo, hi + 1):
+                r = sum(
+                    s[i] * s[i + lag] for i in range(len(s) - lag)
+                )
+                if r_best is None or r > r_best:
+                    best_lag, r_best = lag, r
+            rows.append((doc_id, len(s), best_lag, r_best, r0))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "best_lag", "r_best", "r0"],
+        )
+
+
+@query(
+    "mm_audio_pitch",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 40 + 60 AS n FROM documents
+    ),
+    r AS (
+      SELECT d.doc_id, d.n, gl.lag,
+             CAST(SUM(
+                 CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768
+                      AS BIGINT)
+                 * CAST((d.doc_id * 31 + (gi.i + gl.lag) * 9973) % 65536
+                        - 32768 AS BIGINT)
+             ) AS BIGINT) AS rl
+      FROM dims d,
+           LATERAL unnest(generate_series({_PITCH_LAGS[0]},
+                                          {_PITCH_LAGS[1]})) AS gl(lag),
+           LATERAL unnest(generate_series(0, d.n - 1 - gl.lag)) AS gi(i)
+      GROUP BY d.doc_id, d.n, gl.lag
+    ),
+    e AS (
+      SELECT d.doc_id,
+             CAST(SUM(
+                 CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768
+                      AS BIGINT)
+                 * CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768
+                        AS BIGINT)
+             ) AS BIGINT) AS r0
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.n - 1)) AS gi(i)
+      GROUP BY d.doc_id
+    )
+    SELECT r.doc_id, CAST(r.n AS INT) AS n_samples,
+           CAST(r.lag AS INT) AS best_lag,
+           r.rl AS r_best, e.r0
+    FROM (
+      SELECT doc_id, n, lag, rl,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY rl DESC, lag) AS rnk
+      FROM r
+    ) r JOIN e ON e.doc_id = r.doc_id
+    WHERE r.rnk = 1
+    """,
+)
+def mm_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch estimation per audio clip — the
+    fundamental-period detector (speech F0 / music pitch tracking):
+    R(L) = Σ sᵢ·sᵢ₊L over lags {_PITCH_LAGS[0]}..{_PITCH_LAGS[1]},
+    best lag = integer argmax (ties to the SMALLEST lag — the
+    fundamental, not its harmonic), plus the lag-0 energy for
+    normalization downstream. The waveform takes the full RIFF/WAVE
+    encode → decode roundtrip (the mm_audio_features discipline);
+    every correlation is an exact int64 sum of sample products, so
+    the argmax has no float boundary anywhere and the oracle replays
+    it sample-for-sample. Map-only Arrow batches; one row per clip.
+    Overflow audit: |s| < 2¹⁵, so each product < 2³⁰ and a clip of
+    2²⁰ samples stays below 2⁵⁰."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _pitch_batches,
+        schema=(
+            "doc_id long, n_samples int, best_lag int, "
+            "r_best long, r0 long"
+        ),
     )

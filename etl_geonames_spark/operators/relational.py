@@ -2422,3 +2422,163 @@ def distributed_cumsum_multi(
         *[f"_lcs_{o}" for o in outs],
         *[f"_off{n}" for n in names],
     )
+
+
+_BLOOM_BITS = 1024
+_BLOOM_P = 2147483647
+_BLOOM_A = [2654435761, 2246822519, 3266489917, 668265263]
+
+
+def _bloom_hash_sql(key: str, j: int) -> str:
+    return (
+        f"((({key}) % {_BLOOM_P}) * {_BLOOM_A[j]} + {j * 97 + 13})"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH keys AS (SELECT p_partkey FROM part WHERE p_size = 1),
+    bits AS (
+      SELECT DISTINCT b.bit FROM keys,
+        LATERAL (SELECT unnest([{", ".join(
+            _bloom_hash_sql("p_partkey", j) for j in range(4))}])
+                 AS bit) b
+    ),
+    sig AS (
+      SELECT bit // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << (bit % 32)) AS s
+      FROM bits GROUP BY 1
+    ),
+    probe AS (
+      SELECT l.l_partkey,
+             {", ".join(
+                 f"{_bloom_hash_sql('l.l_partkey', j)} AS bit{j}"
+                 for j in range(4))}
+      FROM lineitem l
+    ),
+    tested AS (
+      SELECT p.l_partkey,
+             CASE WHEN {" AND ".join(
+                 f"(COALESCE(s{j}.s, 0)"
+                 f" & (CAST(1 AS BIGINT) << (p.bit{j} % 32))) <> 0"
+                 for j in range(4))}
+                  THEN 1 ELSE 0 END AS pass
+      FROM probe p
+      {" ".join(
+          f"LEFT JOIN sig s{j} ON s{j}.word = p.bit{j} // 32"
+          for j in range(4))}
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+             CAST(SUM(pass) AS BIGINT) AS n_bloom_pass
+      FROM tested
+    ),
+    tru AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM lineitem l WHERE EXISTS (
+        SELECT 1 FROM keys k WHERE k.p_partkey = l.l_partkey)
+    )
+    SELECT agg.n_probe, agg.n_bloom_pass, tru.n_true,
+           agg.n_bloom_pass - tru.n_true AS n_false_pos,
+           CASE WHEN agg.n_probe - tru.n_true > 0
+                THEN CAST(agg.n_bloom_pass - tru.n_true AS DOUBLE)
+                     / CAST(agg.n_probe - tru.n_true AS DOUBLE)
+           END AS fp_rate
+    FROM agg, tru
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join prefiltering, built as a first-class
+    op so its selectivity is measurable: the filtered build side
+    (p_size = 1 parts) folds its join keys into a 1024-bit / 4-hash
+    signature (32 bit_or-aggregated 32-bit words — the mergeable form: shard
+    signatures OR together), the probe side (lineitem) tests all 4
+    bits via broadcast word lookups, and the output quantifies the
+    filter: probe rows, Bloom survivors, true matches, false
+    positives, and the false-positive RATE among true negatives —
+    the number that decides whether shipping the filter beats
+    shuffling the fact table (Spark's own runtime bloom pushdown
+    makes this same call; here the decision inputs are a query).
+
+    All hashing is integer with a mod-P reduction BEFORE the
+    multiply, so key·A cannot overflow int64 at any key range. Scale
+    shape: build side collapses to ≤ 32 words (broadcast); the probe
+    pass is 4 broadcast equi-joins — map-side, zero fact shuffles,
+    one global count aggregate; the exact-match count is a broadcast
+    semi-join. fp_rate guards the no-true-negatives corpus (ANSI)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_size") == 1).select("p_partkey")
+
+    def bloom_bit(key, j):
+        return (
+            (key % _BLOOM_P) * _BLOOM_A[j] + (j * 97 + 13)
+        ) % _BLOOM_BITS
+
+    bits = keys.select(
+        F.explode(
+            F.array(*[bloom_bit(F.col("p_partkey"), j) for j in range(4)])
+        ).alias("bit")
+    ).distinct()
+    sig = (
+        bits.groupBy((F.col("bit") / 32).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), bit % 32)")
+            ).alias("s")
+        )
+        .localCheckpoint()  # ≤ 32 rows, probed by 4 join branches
+    )
+    probe = li.select("l_partkey")
+    conds = []
+    for j in range(4):
+        bit_j = bloom_bit(F.col("l_partkey"), j)
+        probe = probe.withColumn(f"bit{j}", bit_j)
+        probe = probe.withColumn(
+            f"w{j}", (F.col(f"bit{j}") / 32).cast("int")
+        )
+        probe = probe.withColumn(
+            f"m{j}",
+            F.expr(f"shiftleft(cast(1 as bigint), bit{j} % 32)"),
+        )
+        sj = sig.select(
+            F.col("word").alias(f"w{j}"), F.col("s").alias(f"s{j}")
+        )
+        probe = probe.join(F.broadcast(sj), f"w{j}", "left")
+        conds.append(
+            (
+                F.coalesce(F.col(f"s{j}"), F.lit(0).cast("long")).bitwiseAND(
+                    F.col(f"m{j}")
+                )
+            )
+            != 0
+        )
+    passed = F.when(
+        conds[0] & conds[1] & conds[2] & conds[3], 1
+    ).otherwise(0)
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(passed).cast("long").alias("n_bloom_pass"),
+    )
+    tru = (
+        li.join(
+            F.broadcast(keys),
+            li["l_partkey"] == keys["p_partkey"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    neg = F.col("n_probe") - F.col("n_true")
+    return agg.crossJoin(F.broadcast(tru)).select(
+        "n_probe",
+        "n_bloom_pass",
+        "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+        F.when(
+            neg > 0,
+            (F.col("n_bloom_pass") - F.col("n_true")).cast("double")
+            / neg.cast("double"),
+        ).alias("fp_rate"),
+    )

@@ -2961,3 +2961,122 @@ def ts_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+_PERIOD_CANDIDATES = [6, 12, 24]
+
+
+def _period_sql(p: int) -> str:
+    """One candidate period's strength CTE for ts_period_detect."""
+    return f"""
+    ph{p} AS (
+      SELECT h % {p} AS phase, CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(c) AS BIGINT) AS sp
+      FROM hc GROUP BY 1
+    ),
+    st{p} AS (
+      SELECT CAST({p} AS BIGINT) AS period,
+             CAST(COUNT(*) AS BIGINT) AS n_phases,
+             SUM(CAST(sp AS DOUBLE) * sp / np) AS ssb_part
+      FROM ph{p}
+    )"""
+
+
+@query(
+    "ts_period_detect",
+    oracle=f"""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM hc
+    ),
+    {",".join(_period_sql(p) for p in _PERIOD_CANDIDATES)},
+    u AS ({" UNION ALL ".join(
+        f"SELECT * FROM st{p}" for p in _PERIOD_CANDIDATES)})
+    SELECT u.period, u.n_phases,
+           CASE WHEN g.n * CAST(g.ss AS DOUBLE)
+                     - CAST(g.s AS DOUBLE) * g.s <> 0
+                THEN {sql_qround(
+                    '(g.n * u.ssb_part - CAST(g.s AS DOUBLE) * g.s)'
+                    ' / (g.n * CAST(g.ss AS DOUBLE)'
+                    '    - CAST(g.s AS DOUBLE) * g.s)', 6)}
+           END AS strength
+    FROM u, g
+    """,
+)
+def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity detection by integer phase folding: for each
+    candidate period p ∈ 6/12/24 hours, fold the hourly event-count
+    series on h mod p and report the fraction of total variance
+    explained by the phase means — strength = SSB/SST ∈ [0, 1], the
+    trig-free periodogram (a strong p=24 says "daily cycle"; the
+    argmax across rows is the detected period). Folding replaces
+    sin/cos correlation deliberately: libm trig differs across
+    engines in ulps, integer folding doesn't. Sibling of
+    ts_seasonal_profile (which PROFILES one assumed period; this
+    DETECTS which period holds).
+
+    SSB via the moment identity n·Σ(S_φ²/n_φ) − S² over n·SS − S²:
+    all moments exact int64; the ≤ p-term Σ S_φ²/n_φ float sum is
+    accumulation-order-dependent across engines — qround(6) absorbs
+    it at fixture magnitudes (the stat_anova_oneway precedent,
+    ADVICE r4: at ~1e10 sums the grid sits below double ulp; same
+    documented caveat). Constant series → SST = 0 → NULL (ANSI
+    guard). Scale: one fact aggregate to |hours| rows; each fold is
+    a ≤ 24-key re-aggregate of that table."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # one fold per candidate period + globals
+    )
+    g = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    from functools import reduce
+
+    folds = []
+    for p in _PERIOD_CANDIDATES:
+        ph = (
+            hc.groupBy((F.col("h") % p).alias("phase"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("np"),
+                F.sum("c").cast("long").alias("sp"),
+            )
+        )
+        folds.append(
+            ph.agg(
+                F.lit(p).cast("long").alias("period"),
+                F.count(F.lit(1)).cast("long").alias("n_phases"),
+                F.sum(
+                    F.col("sp").cast("double") * F.col("sp") / F.col("np")
+                ).alias("ssb_part"),
+            )
+        )
+    u = reduce(lambda x, y: x.unionAll(y), folds)
+    sst = (
+        F.col("n") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    ssb = (
+        F.col("n") * F.col("ssb_part")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    return u.crossJoin(F.broadcast(g)).select(
+        "period",
+        "n_phases",
+        F.when(sst != 0, qround(ssb / sst, 6)).alias("strength"),
+    )

@@ -82,7 +82,9 @@ _DRIVER_PRIORITY = [
     "llm_bpe_train_rounds", "llm_html_extract", "llm_ann_ivf_verifiable",
     "llm_longest_shared_gram", "llm_cross_source_dup_matrix",
     "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
-    "stat_permutation_test",
+    "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
+    "mm_image_ssim", "mm_audio_pitch", "graph_hits",
+    "join_bloom_prefilter",
     "sample_per_key", "profile_columns",
     "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
     "llm_mix_weights", "fn_url_parse", "ts_sessionize",

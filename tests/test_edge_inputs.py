@@ -188,6 +188,10 @@ def edge_ddb(edge_sf_dir):
         "llm_ann_recall_eval",
         "agg_heavy_hitters",
         "stat_permutation_test",
+        # round-5 batch 3: SSIM and pitch on tiny doc_ids (2×2
+        # images; 60-sample clips) through the real codecs
+        "mm_image_ssim",
+        "mm_audio_pitch",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
