@@ -3277,6 +3277,126 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4  # number of subspaces
+_PQ_SEEDS = 8  # codebook size per subspace (lowest-id vectors)
+
+
+@query(
+    "llm_pq_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, q AS cq FROM e
+           WHERE vec_id < {_PQ_SEEDS}),
+    sub AS (
+        SELECT e.vec_id, gm.m, cb.cid,
+               COALESCE(list_sum(list_transform(
+                   generate_series(
+                       gm.m * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}) + 1,
+                       least((gm.m + 1)
+                             * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}),
+                             len(e.q))),
+                   i -> (e.q[i] - cb.cq[i]) * (e.q[i] - cb.cq[i]))),
+                   0) AS d2
+        FROM e,
+             LATERAL unnest(generate_series(0, {_PQ_M - 1})) AS gm(m),
+             cb
+    ),
+    chosen AS (
+        SELECT vec_id, m, cid, d2 FROM (
+            SELECT vec_id, m, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rn
+            FROM sub
+        ) t WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS recon_err
+    FROM chosen GROUP BY vec_id
+    """,
+)
+def llm_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) of the embedding
+    column: each vector splits into {_PQ_M} contiguous subvectors,
+    each subvector snaps to its nearest codeword from a per-subspace
+    codebook (here the {_PQ_SEEDS} lowest-id vectors' subvectors —
+    the deterministic seed-codebook convention of llm_ann_ivf;
+    production trains per-subspace k-means offline and broadcasts
+    identically), and the vector is stored as {_PQ_M} small codes
+    plus nothing else — the memory layout that makes billion-vector
+    ANN feasible (a 64-dim float vector collapses to {_PQ_M} bytes;
+    asymmetric distance then needs only {_PQ_M} table lookups). The
+    reported recon_err (total integer squared error to the chosen
+    codewords) is the quantization-quality metric that sizes the
+    codebook.
+
+    Witness discipline throughout: the 1e-3 quantized grid, integer
+    squared L2 per subspace, argmin ties to the smallest codeword id
+    — no float boundary anywhere, full value hash (the PQ sibling of
+    llm_ann_ivf_verifiable). Scale shape: the codebook rides one
+    broadcast; assignment is map-only array lambdas over the scan;
+    the output is one row per vector with no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+    codebook = emb.filter(F.col("vec_id") < _PQ_SEEDS).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        ).alias("cents")
+    )
+    rows = emb.crossJoin(F.broadcast(codebook))
+    sub_len = (F.size(F.col("q")) + (_PQ_M - 1)) / _PQ_M
+    sub_len = sub_len.cast("int")
+    code_cols, err_cols = [], []
+    for m in range(_PQ_M):
+        start = F.lit(m) * sub_len + 1
+        length = F.least(
+            F.lit(m + 1) * sub_len, F.size(F.col("q"))
+        ) - F.lit(m) * sub_len
+        sub_q = F.slice(F.col("q"), start, F.greatest(length, F.lit(0)))
+
+        def sub_d2(c, start=start, length=length):
+            cs = F.slice(c["cq"], start, F.greatest(length, F.lit(0)))
+            return F.aggregate(
+                F.zip_with(sub_q, cs, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        def rank_term(f):
+            # closure factory — a `lambda c, f=f:` default-arg capture
+            # reads as a 2-parameter lambda to Spark's HOF binder
+            return lambda c: F.struct(
+                f(c).alias("d2"), c["cid"].alias("cid")
+            )
+
+        ranked = F.array_sort(
+            F.transform(F.col("cents"), rank_term(sub_d2))
+        )
+        code_cols.append(ranked[0]["cid"].cast("string"))
+        err_cols.append(ranked[0]["d2"])
+    err = err_cols[0]
+    for e in err_cols[1:]:
+        err = err + e
+    return rows.select(
+        "vec_id",
+        F.concat_ws(",", *code_cols).alias("pq_code"),
+        err.cast("long").alias("recon_err"),
+    )
+
+
 @query(
     "llm_langid_confusion",
     oracle=f"""

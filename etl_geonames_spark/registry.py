@@ -84,7 +84,7 @@ _DRIVER_PRIORITY = [
     "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
     "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
     "mm_image_ssim", "mm_audio_pitch", "graph_hits",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "llm_pq_quantize",
     "sample_per_key", "profile_columns",
     "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
     "llm_mix_weights", "fn_url_parse", "ts_sessionize",

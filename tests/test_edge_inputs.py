@@ -192,6 +192,9 @@ def edge_ddb(edge_sf_dir):
         # images; 60-sample clips) through the real codecs
         "mm_image_ssim",
         "mm_audio_pitch",
+        # PQ on a 3-vector 4-dim corpus: every vector is a codeword,
+        # subvector length 1, zero vector snaps at d2 ties → cid 0
+        "llm_pq_quantize",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
