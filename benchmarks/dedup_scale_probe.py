@@ -37,6 +37,13 @@ OPS = [
     "llm_minhash_verifiable",
     "llm_minhash_jaccard_est",
     "llm_dedup_band_stats",
+    # round-5 additions that face the corpus: the exact-substring
+    # probe must survive maximal 10-copy gram cliques (its df-cap is
+    # the pair-bill guard under test); heavy hitters and the dup
+    # matrix are aggregate-shaped and should stay near-flat
+    "llm_longest_shared_gram",
+    "llm_cross_source_dup_matrix",
+    "agg_heavy_hitters",
 ]
 
 
