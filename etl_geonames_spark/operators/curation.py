@@ -95,9 +95,12 @@ def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_SCRIPT_RE = "<script[^>]*>[^<]*</script>"
 _HTML_STYLE_RE = "<style[^>]*>[^<]*</style>"
 _HTML_TAG_RE = "<[^>]*>"
+# &amp; decodes LAST: decoding it first would rewrite an escaped
+# entity like '&amp;lt;' into '&lt;' and then double-decode it to '<'
+# — the standard unescape order (every other entity first, amp last)
 _HTML_ENTITIES = [
-    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"),
+    ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
 ]
 
 
@@ -155,8 +158,9 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction, the step a scraped corpus runs BEFORE
     llm_normalize_text (C4/CommonCrawl preprocessing): drop
     script/style blocks wholesale, strip remaining tags, decode the
-    five standard entities (&amp; &lt; &gt; &quot; &#39; — AFTER tag
-    stripping, so a decoded '<' cannot resurrect a tag), collapse
+    five standard entities (AFTER tag stripping, so a decoded '<'
+    cannot resurrect a tag; &amp; LAST, so an escaped '&amp;lt;'
+    yields the text '&lt;' instead of double-decoding to '<'), collapse
     whitespace, and report the text-to-markup ratio — the
     boilerplate-density signal C4 thresholds pages on. Each document
     is wrapped in a deterministic page skeleton (head with script +
@@ -2717,7 +2721,7 @@ def _bpe_syms(col):
     "llm_bpe_train_rounds",
     oracle=f"""
     WITH w0 AS (
-      SELECT regexp_replace(w, '(.)', {_BPE_SEP_SQL} || '\\1'
+      SELECT regexp_replace(w, '(?s)(.)', {_BPE_SEP_SQL} || '\\1'
                                       || {_BPE_SEP_SQL}, 'g') AS s,
              CAST(COUNT(*) AS BIGINT) AS wf
       FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
@@ -2770,7 +2774,13 @@ def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wf"))
         .select(
-            F.regexp_replace("w", "(.)", sep + "$1" + sep).alias("s"), "wf"
+            # (?s) = DOTALL in BOTH Java regex and RE2: without it '.'
+            # skips line terminators — and the two engines disagree on
+            # WHICH ones (\r matches in RE2 but not Java), so a \r in a
+            # token would delimit on one engine only (parity break) and
+            # a \n would become an unmergeable ghost symbol on both
+            F.regexp_replace("w", "(?s)(.)", sep + "$1" + sep).alias("s"),
+            "wf",
         )
         .localCheckpoint()
     )

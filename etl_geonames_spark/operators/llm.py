@@ -2717,6 +2717,25 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSHV_PLANES = 8
 _LSHV_SCALE = 1000
 
+
+def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings snapped to the shared 1e-3 integer grid
+    (floor-form round) — THE grid every all-integer witness op
+    computes on (llm_ann_lsh_verifiable / llm_ann_ivf_verifiable /
+    llm_ann_recall_eval / llm_pq_quantize). One definition so a grid
+    change cannot silently desynchronize the recall eval from the
+    pipelines it scores; the SQL twin lives in _LSHV_SQL_CTES's
+    ``e`` CTE and the per-op oracles."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+
 # The LSH-witness pipeline as reusable CTEs: quantize → integer plane
 # dots → packed sign bucket → bucket-join candidates → top-10 (lsht).
 # Shared by llm_ann_lsh_verifiable's oracle and llm_ann_recall_eval's
@@ -2786,15 +2805,7 @@ def llm_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable query side, hash-partitioned bucket equi-join,
     per-query top-10 window over candidates only (never the corpus).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q"),
-    )
+    emb = _quantized_emb(spark, sf_dir)
     def _plane_term(m: int):
         # closure factory: a `lambda x, i, m=m` default-arg capture
         # reads as a 3-parameter lambda to Spark's HOF binder
@@ -2897,10 +2908,10 @@ def llm_ann_ivf_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the witness program: every ANN pipeline now has an
     exactly-verifiable twin. ALL-INTEGER arithmetic end to end:
     embeddings quantize to the 1e-3 grid (the llm_ann_lsh_verifiable
-    discipline), the codebook is the {_IVF_CELLS} lowest-id vectors,
+    discipline), the codebook is the 16 lowest-id vectors (_IVF_CELLS),
     coarse assignment is argmin of the exact integer squared L2
     distance (ties broken on centroid id — no float boundary
-    anywhere), queries probe their {_IVF_NPROBE} nearest cells, and
+    anywhere), queries probe their 2 nearest cells (_IVF_NPROBE), and
     the re-rank key is the exact integer dot product.
 
     Same physical shape as the production op: the codebook is
@@ -2911,15 +2922,7 @@ def llm_ann_ivf_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     over candidates only. Overflow audit: grid values ≲ 10³·|x|,
     so per-dim (Δq)² ≲ 4·10⁶ and a d-dim sum stays far inside int64.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q"),
-    )
+    emb = _quantized_emb(spark, sf_dir)
     codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
@@ -3048,8 +3051,8 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked machinery.
 
     Scale shape: per length one distinct (doc, gram) table, a
-    boilerplate guard dropping grams in > {_LSG_DF_CAP} docs (caps
-    any gram's pair bill at C({_LSG_DF_CAP},2) AND removes template
+    boilerplate guard dropping grams in > 16 docs (_LSG_DF_CAP; caps
+    any gram's pair bill at C(16,2) AND removes template
     text that isn't dup signal — same discipline as
     llm_boilerplate_ngrams), then a gram equi-join — the shuffle
     carries gram groups, never corpus². The final longest-length pick
@@ -3216,15 +3219,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side broadcasts into a map-side dot scan (exact side); the
     LSH side is the witness's bucket equi-join; the compare joins are
     ≤ 10·|q|-row tables."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q"),
-    )
+    emb = _quantized_emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
     )
@@ -3323,15 +3318,15 @@ _PQ_SEEDS = 8  # codebook size per subspace (lowest-id vectors)
 )
 def llm_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011) of the embedding
-    column: each vector splits into {_PQ_M} contiguous subvectors,
+    column: each vector splits into 4 contiguous subvectors (_PQ_M),
     each subvector snaps to its nearest codeword from a per-subspace
-    codebook (here the {_PQ_SEEDS} lowest-id vectors' subvectors —
+    codebook (here the 8 lowest-id vectors' subvectors (_PQ_SEEDS) —
     the deterministic seed-codebook convention of llm_ann_ivf;
     production trains per-subspace k-means offline and broadcasts
-    identically), and the vector is stored as {_PQ_M} small codes
+    identically), and the vector is stored as 4 small codes
     plus nothing else — the memory layout that makes billion-vector
-    ANN feasible (a 64-dim float vector collapses to {_PQ_M} bytes;
-    asymmetric distance then needs only {_PQ_M} table lookups). The
+    ANN feasible (a 64-dim float vector collapses to 4 bytes;
+    asymmetric distance then needs only 4 table lookups). The
     reported recon_err (total integer squared error to the chosen
     codewords) is the quantization-quality metric that sizes the
     codebook.
@@ -3342,15 +3337,7 @@ def llm_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_ann_ivf_verifiable). Scale shape: the codebook rides one
     broadcast; assignment is map-only array lambdas over the scan;
     the output is one row per vector with no shuffle at all."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * _LSHV_SCALE + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q"),
-    )
+    emb = _quantized_emb(spark, sf_dir)
     codebook = emb.filter(F.col("vec_id") < _PQ_SEEDS).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))

@@ -16,9 +16,10 @@ tiers:
   from the byte length, for payload formats the container cannot
   decode (JPEG/PNG — no PIL/ffmpeg here). No registry query uses it
   anymore (the round-2 ``*_stub`` queries were all retired once the
-  real codecs landed); it remains for the streaming media-decode
-  pipeline test, and a PIL-style decoder drops in by replacing the
-  one function.
+  real codecs landed); its remaining consumer is the incremental-
+  ingest media-decode pipeline test (tests/test_ingest_pruning.py,
+  via :func:`_decode_batches`), and a PIL-style decoder drops in by
+  replacing the one function.
 
 Arrow binary transport (a payload surviving worker → JVM → worker
 byte-for-byte) is pinned by ``mm_feature_extract``'s two-stage
@@ -89,21 +90,6 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "n_frames": [m["n_frames"] for m in meta],
             }
         )
-
-
-def with_blob_column(docs: DataFrame) -> DataFrame:
-    """Attach an opaque binary payload column + typed metadata struct.
-
-    Stands in for reading real media bytes (at scale: Parquet binary
-    columns or spark.read.format('binaryFile'))."""
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("blob"),
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.col("lang").alias("lang"),
-        ).alias("media_meta"),
-    )
 
 
 def _decode_meta_batches(
@@ -1736,7 +1722,7 @@ def _pitch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def mm_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation pitch estimation per audio clip — the
     fundamental-period detector (speech F0 / music pitch tracking):
-    R(L) = Σ sᵢ·sᵢ₊L over lags {_PITCH_LAGS[0]}..{_PITCH_LAGS[1]},
+    R(L) = Σ sᵢ·sᵢ₊L over lags 4..10 (_PITCH_LAGS),
     best lag = integer argmax (ties to the SMALLEST lag — the
     fundamental, not its harmonic), plus the lag-0 energy for
     normalization downstream. The waveform takes the full RIFF/WAVE

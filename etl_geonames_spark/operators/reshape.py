@@ -699,8 +699,8 @@ _HH_K = 8
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable heavy-hitters CERTIFICATE (the SpaceSaving /
     Misra-Gries merge discipline, Agarwal et al. 2013 "Mergeable
-    Summaries"): each of {_HH_SHARDS} data shards keeps only its
-    local top-{_HH_K} words plus one residual bound b_s = the largest
+    Summaries"): each of 4 data shards keeps only its
+    local top-8 words (_HH_SHARDS/_HH_K) plus one residual bound b_s = the largest
     DROPPED local count; merging yields, for every surviving
     candidate, a deterministic interval [Σ reported counts,
     Σ reported counts + Σ b_s over non-reporting shards] that
@@ -710,7 +710,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross the wire however large the shard — the certificate a
     100 TB vocabulary census sends instead of its full count table.
 
-    Deterministic end to end: shard = doc_id mod {_HH_SHARDS}, local
+    Deterministic end to end: shard = doc_id mod 4, local
     rank ties break on the word, integer counts throughout; the
     interval WIDTH is the honest price of the compression (it shrinks
     as k grows). Windows partition by shard — never global."""
