@@ -657,6 +657,51 @@ _HH_SHARDS = 4
 _HH_K = 8
 
 
+def hh_shard_counts(docs: DataFrame) -> DataFrame:
+    """(shard, word, cnt) over a documents frame — the ADDITIVE state
+    of the heavy-hitters certificate (counts sum over disjoint doc
+    batches), shared by agg_heavy_hitters and the streaming
+    maintenance so the two can never count differently."""
+    return (
+        docs.select(
+            (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("shard", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hh_certificate(c: DataFrame) -> DataFrame:
+    """Derive the [lower, upper] heavy-hitters certificate from a
+    (shard, word, cnt) count table (see agg_heavy_hitters)."""
+    wr = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("word")
+    )
+    r = c.withColumn("rnk", F.row_number().over(wr)).localCheckpoint()
+    kept = r.filter(F.col("rnk") <= _HH_K).select("shard", "word", "cnt")
+    bound = r.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") > _HH_K, F.col("cnt"))),
+            F.lit(0).cast("long"),
+        ).alias("b")
+    )
+    cands = kept.select("word").distinct()
+    grid = (
+        cands.crossJoin(F.broadcast(bound))
+        .join(kept, ["shard", "word"], "left")
+    )
+    return grid.groupBy("word").agg(
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("lower_bound"),
+        F.sum(F.coalesce(F.col("cnt"), F.col("b")))
+        .cast("long")
+        .alias("upper_bound"),
+    )
+
+
 @query(
     "agg_heavy_hitters",
     oracle=f"""
@@ -715,34 +760,4 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval WIDTH is the honest price of the compression (it shrinks
     as k grows). Windows partition by shard — never global."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
-        F.explode(F.split("text", " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    c = words.groupBy("shard", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    wr = Window.partitionBy("shard").orderBy(
-        F.col("cnt").desc(), F.col("word")
-    )
-    r = c.withColumn("rnk", F.row_number().over(wr)).localCheckpoint()
-    kept = r.filter(F.col("rnk") <= _HH_K).select("shard", "word", "cnt")
-    bound = r.groupBy("shard").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rnk") > _HH_K, F.col("cnt"))),
-            F.lit(0).cast("long"),
-        ).alias("b")
-    )
-    cands = kept.select("word").distinct()
-    grid = (
-        cands.crossJoin(F.broadcast(bound))
-        .join(kept, ["shard", "word"], "left")
-    )
-    return grid.groupBy("word").agg(
-        F.sum(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
-        .cast("long")
-        .alias("lower_bound"),
-        F.sum(F.coalesce(F.col("cnt"), F.col("b")))
-        .cast("long")
-        .alias("upper_bound"),
-    )
+    return hh_certificate(hh_shard_counts(docs))

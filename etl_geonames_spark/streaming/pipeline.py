@@ -679,3 +679,55 @@ def streaming_band_stats_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_hh_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuously maintained heavy-hitters state: each micro-batch's
+    documents produce (shard, word, cnt) partial counts with the SAME
+    expressions as the batch certificate
+    (operators/reshape.hh_shard_counts) and merge into the versioned
+    snapshot by per-(shard, word) SUM — counts are additive over
+    disjoint document batches, so deriving the certificate
+    (reshape.hh_certificate) from the drained snapshot equals
+    agg_heavy_hitters' batch output EXACTLY (pinned in
+    tests/test_streaming.py). This is the streaming form of the
+    Misra-Gries merge story: the vocabulary census stays current as
+    the corpus streams in, and the [lower, upper] frequency
+    certificate can be served at any moment from the latest snapshot.
+
+    Retry safety follows the rollup-maintenance rule: merge reads the
+    PREDECESSOR snapshot (strictly older than this batch_id), so a
+    replayed batch rewrites v{batch_id} from the same base instead of
+    double-counting itself.
+
+    State size note, honestly: this maintains the FULL per-shard
+    count table (|shards|·|vocab| rows) rather than only the top-k +
+    bound — exact, but vocabulary-sized. A stricter-memory variant
+    would keep k+1 rows per shard and pay a wider certificate; the
+    full table is the right trade while vocab ≪ corpus (Heaps' law
+    keeps it sublinear in tokens)."""
+    from etl_geonames_spark.operators.reshape import hh_shard_counts
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = hh_shard_counts(batch)
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("shard", "word")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -710,3 +710,117 @@ def test_ann_ivf_witness_topk_is_true_topk_within_probed_cells(spark, sf_dir):
         for r in _rows(spark, sf_dir, "llm_ann_ivf_verifiable")
     }
     assert got == expect
+
+
+def _qround6(x):
+    import math as _m
+
+    return _m.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_friedman_matches_python_recomputation(spark, sf_dir):
+    """stat_friedman equals a from-scratch Python recomputation of
+    Conover's tie-safe Q over the dense day × type grid — the third
+    implementation that catches a shared Spark↔DuckDB bug the
+    differential can't (midrank construction, dense zero-fill,
+    formula shape)."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    rows = ev.collect()
+    counts = defaultdict(int)
+    days, types = set(), set()
+    for r in rows:
+        day = r["ts"].date()
+        days.add(day)
+        types.add(r["event_type"])
+        counts[(day, r["event_type"])] += 1
+    n, k = len(days), len(types)
+    ranks = {}
+    for day in days:
+        vals = sorted((counts.get((day, t), 0), t) for t in types)
+        by_c = defaultdict(list)
+        for i, (c, t) in enumerate(vals):
+            by_c[c].append((i + 1, t))
+        for c, entries in by_c.items():
+            mid = sum(i for i, _ in entries) / len(entries)
+            for _, t in entries:
+                ranks[(day, t)] = mid
+    a1 = sum(r * r for r in ranks.values())
+    rj = {t: sum(ranks[(d, t)] for d in days) for t in types}
+    num = sum((v - n * (k + 1) / 2.0) ** 2 for v in rj.values())
+    den = a1 - n * k * (k + 1) ** 2 / 4.0
+    expect_q = _qround6((k - 1) * num / den) if den != 0 else None
+    (r,) = _rows(spark, sf_dir, "stat_friedman")
+    assert (r["n_blocks"], r["k_treatments"]) == (n, k)
+    assert r["q_friedman"] == expect_q
+
+
+def test_permutation_test_matches_python_recomputation(spark, sf_dir):
+    """stat_permutation_test equals a from-scratch Python replay of
+    the K=200 hash permutations: same hash, same rank assignment,
+    same all-integer extreme comparison, same add-one p-value."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    data = [(r["doc_id"], r["n_chars"], r["lang"] == "en") for r in docs]
+    s1 = sum(v for _, v, g in data if g)
+    s2 = sum(v for _, v, g in data if not g)
+    n1 = sum(1 for *_, g in data if g)
+    n2 = len(data) - n1
+    if n1 == 0 or n2 == 0:
+        return
+    K, P, A, B = 200, 2147483647, 2654435761, 40503
+    obs = abs(s1 * n2 - s2 * n1)
+    n_extreme = 0
+    for p in range(K):
+        ranked = sorted(
+            data, key=lambda t: (((t[0] % P) * A + p * B) % P, t[0])
+        )
+        s1p = sum(v for _, v, _ in ranked[:n1])
+        s2p = sum(v for _, v, _ in ranked[n1:])
+        if abs(s1p * n2 - s2p * n1) >= obs:
+            n_extreme += 1
+    (r,) = _rows(spark, sf_dir, "stat_permutation_test")
+    assert r["n_perms"] == K
+    assert r["n_extreme"] == n_extreme
+    assert r["p_value"] == (1 + n_extreme) / (K + 1)
+    assert r["obs_diff"] == _qround6(s1 / n1 - s2 / n2)
+
+
+def test_period_detect_matches_python_recomputation(spark, sf_dir):
+    """ts_period_detect equals a from-scratch Python fold of the
+    hourly series, and strength stays in [0, 1] (it is a variance
+    fraction by construction)."""
+    import calendar
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hc = Counter(
+        calendar.timegm(r["ts"].timetuple()) // 3600 for r in ev.collect()
+    )
+    n = len(hc)
+    s = sum(hc.values())
+    ss = sum(c * c for c in hc.values())
+    got = {r["period"]: r for r in _rows(spark, sf_dir, "ts_period_detect")}
+    assert set(got) == {6, 12, 24}
+    for p in (6, 12, 24):
+        phases = defaultdict(lambda: [0, 0])
+        for h, c in hc.items():
+            ph = phases[h % p]
+            ph[0] += 1
+            ph[1] += c
+        ssb_part = sum(sp * sp / np for np, sp in phases.values())
+        sst = n * float(ss) - float(s) * s
+        expect = (
+            _qround6((n * ssb_part - float(s) * s) / sst)
+            if sst != 0
+            else None
+        )
+        r = got[p]
+        assert r["n_phases"] == len(phases)
+        assert r["strength"] == expect
+        if r["strength"] is not None:
+            assert -1e-9 <= r["strength"] <= 1 + 1e-9

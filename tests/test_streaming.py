@@ -626,3 +626,30 @@ def test_streaming_band_stats_maintenance_equals_batch(
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_hh_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained heavy-hitters state == the batch
+    agg_heavy_hitters certificate after draining the corpus in waves
+    (per-(shard, word) counts are additive over disjoint doc batches,
+    so the drained state equals the batch count table exactly and the
+    derived certificate matches row-for-row)."""
+    from etl_geonames_spark.operators.reshape import hh_certificate
+    from etl_geonames_spark.streaming import streaming_hh_maintenance
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "hh_state")
+    streaming_hh_maintenance(stream, state, str(tmp_path / "hh_ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {tuple(r) for r in hh_certificate(final).collect()}
+    import __spark_entry__ as entry_mod
+
+    want = {
+        tuple(r)
+        for r in entry_mod.queries()["agg_heavy_hitters"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(want) > 0
