@@ -559,3 +559,61 @@ def test_band_stats_never_materializes_pairs(spark, sf_dir):
     df = QUERIES["llm_dedup_band_stats"](spark, sf_dir)
     plan = explain_str(df)
     assert "Join" not in plan
+
+
+def test_longest_shared_gram_is_blocked_equi_join(spark, sf_dir):
+    """The exact-substring probe's pair generation must meet by gram
+    equi-key (hash/broadcast join) with the df-cap join upstream —
+    never a nested-loop over doc pairs; and the final longest-length
+    pick partitions its window by the pair, not globally."""
+    df = QUERIES["llm_longest_shared_gram"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(doc_a" in plan
+
+
+def test_bloom_prefilter_probe_is_map_side_broadcast(spark, sf_dir):
+    """The probe pass must be broadcast lookups (the whole point of
+    shipping the filter): no sort-merge join anywhere, and the only
+    shuffles are the two global count aggregates — the fact table is
+    never repartitioned."""
+    df = QUERIES["join_bloom_prefilter"](spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert not has_node(df, "SortMergeJoin")
+    assert shuffle_exchange_count(df) <= 2
+
+
+def test_graph_hits_has_no_global_window_and_takeordered_topk(
+    spark, sf_dir
+):
+    """HITS' two top-10s must be TakeOrdered (sort-limit), never a
+    global rank window over the node table."""
+    df = QUERIES["graph_hits"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_pq_and_ivf_witness_are_broadcast_codebook_shapes(spark, sf_dir):
+    """PQ assignment is map-only against a broadcast codebook — the
+    single exchange is the 8-row codebook collect (SinglePartition,
+    metadata-sized), never the corpus; the IVF witness's only
+    exchanges are the candidate join and the per-query top-k — the
+    corpus never shuffles for assignment."""
+    pq = QUERIES["llm_pq_quantize"](spark, sf_dir)
+    assert shuffle_exchange_count(pq) <= 1
+    assert "hashpartitioning(vec_id" not in explain_str(pq)
+    ivf = QUERIES["llm_ann_ivf_verifiable"](spark, sf_dir)
+    plan = explain_str(ivf)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(q_id" in plan
+
+
+def test_permutation_test_windows_partition_by_perm(spark, sf_dir):
+    """The K-fold fan-out must rank WITHIN each permutation — a
+    global window over perms × docs would funnel the whole fan-out
+    through one task."""
+    df = QUERIES["stat_permutation_test"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "windowspecdefinition(p#" in plan
