@@ -769,7 +769,7 @@ def test_permutation_test_matches_python_recomputation(spark, sf_dir):
     n1 = sum(1 for *_, g in data if g)
     n2 = len(data) - n1
     if n1 == 0 or n2 == 0:
-        return
+        pytest.skip("one-sided corpus: no en/non-en split to permute")
     K, P, A, B = 200, 2147483647, 2654435761, 40503
     obs = abs(s1 * n2 - s2 * n1)
     n_extreme = 0
@@ -824,3 +824,183 @@ def test_period_detect_matches_python_recomputation(spark, sf_dir):
         assert r["strength"] == expect
         if r["strength"] is not None:
             assert -1e-9 <= r["strength"] <= 1 + 1e-9
+
+
+def test_hits_matches_python_recomputation(spark, sf_dir):
+    """graph_hits equals a from-scratch Python replay of the two
+    exact-integer mutual-reinforcement rounds (a¹ = in-degree,
+    h¹ = Σ a¹ over out-neighbors, a², h²) including the
+    (score desc, node) top-10 tie-break — the third implementation
+    for the one graph op whose Spark and DuckDB sides share the same
+    unrolled-join reading of Kleinberg's recurrence."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    edges = {
+        (int(r["o_custkey"]), (r["o_custkey"] * 7 + r["o_orderkey"] * 3) % 2000)
+        for r in orders.collect()
+    }
+    a1 = defaultdict(int)
+    for _, d in edges:
+        a1[d] += 1
+    h1 = defaultdict(int)
+    for s, d in edges:
+        h1[s] += a1[d]
+    a2 = defaultdict(int)
+    for s, d in edges:
+        a2[d] += h1[s]
+    h2 = defaultdict(int)
+    for s, d in edges:
+        h2[s] += a2[d]
+    top = lambda m: sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {("hub", n, v) for n, v in top(h2)} | {
+        ("authority", n, v) for n, v in top(a2)
+    }
+    got = {
+        (r["kind"], r["node"], r["score"])
+        for r in _rows(spark, sf_dir, "graph_hits")
+    }
+    assert got == expect
+
+
+def test_bloom_prefilter_matches_python_recomputation(spark, sf_dir):
+    """join_bloom_prefilter equals a from-scratch Python Bloom filter
+    with the same 1024-bit / 4-hash mod-P geometry — and the replay
+    doubles as the no-false-negatives proof: every true match passes,
+    so n_bloom_pass ≥ n_true and n_false_pos ≥ 0 by construction."""
+    from etl_geonames_spark.sources import load_table
+
+    P, BITS = 2147483647, 1024
+    A = [2654435761, 2246822519, 3266489917, 668265263]
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = {
+        int(r["p_partkey"]) for r in part.collect() if r["p_size"] == 1
+    }
+    bit = lambda k, j: ((k % P) * A[j] + (j * 97 + 13)) % BITS
+    filt = {bit(k, j) for k in keys for j in range(4)}
+    probes = [int(r["l_partkey"]) for r in li.collect()]
+    n_probe = len(probes)
+    n_pass = sum(
+        1 for k in probes if all(bit(k, j) in filt for j in range(4))
+    )
+    n_true = sum(1 for k in probes if k in keys)
+    assert n_pass >= n_true  # Bloom never false-negatives
+    (r,) = _rows(spark, sf_dir, "join_bloom_prefilter")
+    assert (r["n_probe"], r["n_bloom_pass"], r["n_true"]) == (
+        n_probe,
+        n_pass,
+        n_true,
+    )
+    assert r["n_false_pos"] == n_pass - n_true
+    neg = n_probe - n_true
+    if neg > 0:
+        assert abs(r["fp_rate"] - (n_pass - n_true) / neg) < 1e-12
+    else:
+        assert r["fp_rate"] is None
+
+
+def _qround4(x):
+    import math as _m
+
+    return _m.floor(x * 1e4 + 0.5) / 1e4
+
+
+def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
+    """geo_polygon_centroid equals a from-scratch shoelace-centroid
+    replay over each user's (ts, event_id)-ordered closed ring —
+    same synthetic lat/lon grid, same 4dp quantization points, same
+    ANSI-style NULL on a degenerate (zero signed area) ring."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    by_user = defaultdict(list)
+    for r in ev.collect():
+        by_user[r["user_id"]].append((r["ts"], int(r["event_id"])))
+    lat = lambda k: ((k * 7919) % 18000) / 100.0 - 90.0
+    lon = lambda k: ((k * 104729) % 36000) / 100.0 - 180.0
+    expect = {}
+    for u, pts in by_user.items():
+        pts.sort()
+        ring = [(lat(e), lon(e)) for _, e in pts]
+        s = sx = sy = 0.0
+        for (plat, plon), (clat, clon) in zip(ring, ring[1:]):
+            cr = plon * clat - clon * plat
+            s += cr
+            sx += (plon + clon) * cr
+            sy += (plat + clat) * cr
+        (flat, flon), (llat, llon) = ring[0], ring[-1]
+        ccr = llon * flat - flon * llat
+        a2 = _qround4(s + ccr)
+        sxc = _qround4(sx + (llon + flon) * ccr)
+        syc = _qround4(sy + (llat + flat) * ccr)
+        expect[u] = (
+            len(ring),
+            _qround4(sxc / (3.0 * a2)) if a2 != 0 else None,
+            _qround4(syc / (3.0 * a2)) if a2 != 0 else None,
+        )
+    got = {
+        r["user_id"]: (
+            r["n_points"],
+            r["centroid_lon"],
+            r["centroid_lat"],
+        )
+        for r in _rows(spark, sf_dir, "geo_polygon_centroid")
+    }
+    assert got == expect
+
+
+def test_pq_quantize_matches_python_recomputation(spark, sf_dir):
+    """llm_pq_quantize equals a from-scratch Python product
+    quantizer: same 1e-3 floor-form grid, same ceil-div subspace
+    split, same integer squared-L2 argmin with smallest-cid
+    tie-break, same summed reconstruction error — for EVERY vector,
+    not a sample."""
+    import math as _m
+
+    from etl_geonames_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    vecs = {
+        int(r["vec_id"]): [
+            int(_m.floor(float(x) * 1000 + 0.5)) for x in r["embedding"]
+        ]
+        for r in emb.collect()
+    }
+    codebook = sorted((cid, q) for cid, q in vecs.items() if cid < 8)
+    expect = {}
+    for vid, q in vecs.items():
+        sub_len = (len(q) + 3) // 4
+        codes, err = [], 0
+        for m in range(4):
+            lo, hi = m * sub_len, min((m + 1) * sub_len, len(q))
+            best = min(
+                (
+                    (
+                        sum(
+                            (q[i] - cq[i]) * (q[i] - cq[i])
+                            for i in range(lo, hi)
+                        ),
+                        cid,
+                    )
+                    for cid, cq in codebook
+                ),
+            )
+            codes.append(str(best[1]))
+            err += best[0]
+        expect[vid] = (",".join(codes), err)
+    got = {
+        r["vec_id"]: (r["pq_code"], r["recon_err"])
+        for r in _rows(spark, sf_dir, "llm_pq_quantize")
+    }
+    assert got == expect
