@@ -14,7 +14,7 @@ the shuffle lands, why the plan survives a 100×/1000× scale-up.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2436,6 +2436,33 @@ def _bloom_hash_sql(key: str, j: int) -> str:
     )
 
 
+def bloom_bit(key: Column, j: int) -> Column:
+    """Bit index j ∈ 0..3 of a key in the 1024-bit / 4-hash filter —
+    mod-P reduction BEFORE the multiply so key·A never overflows
+    int64 (the Column twin of :func:`_bloom_hash_sql`)."""
+    return ((key % _BLOOM_P) * _BLOOM_A[j] + (j * 97 + 13)) % _BLOOM_BITS
+
+
+def bloom_signature(keys: DataFrame, key: str) -> DataFrame:
+    """(word, s): the 32-word bit-packed Bloom signature of a key
+    column. bit_or makes it MERGEABLE — signatures of disjoint key
+    sets OR together into the signature of the union, which is what
+    both the shard-parallel build in join_bloom_prefilter and the
+    streaming seen-keys maintenance (streaming/pipeline.py) rely on."""
+    bits = keys.select(
+        F.explode(
+            F.array(*[bloom_bit(F.col(key), j) for j in range(4)])
+        ).alias("bit")
+    ).distinct()
+    return bits.groupBy(
+        (F.col("bit") / 32).cast("int").alias("word")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit % 32)")).alias(
+            "s"
+        )
+    )
+
+
 @query(
     "join_bloom_prefilter",
     oracle=f"""
@@ -2511,25 +2538,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     keys = part.filter(F.col("p_size") == 1).select("p_partkey")
-
-    def bloom_bit(key, j):
-        return (
-            (key % _BLOOM_P) * _BLOOM_A[j] + (j * 97 + 13)
-        ) % _BLOOM_BITS
-
-    bits = keys.select(
-        F.explode(
-            F.array(*[bloom_bit(F.col("p_partkey"), j) for j in range(4)])
-        ).alias("bit")
-    ).distinct()
-    sig = (
-        bits.groupBy((F.col("bit") / 32).cast("int").alias("word"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(cast(1 as bigint), bit % 32)")
-            ).alias("s")
-        )
-        .localCheckpoint()  # ≤ 32 rows, probed by 4 join branches
+    sig = bloom_signature(keys, "p_partkey").localCheckpoint(
+        # ≤ 32 rows, probed by 4 join branches
     )
     probe = li.select("l_partkey")
     conds = []

@@ -731,3 +731,57 @@ def streaming_hh_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_bloom_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuously maintained seen-keys Bloom signature: each
+    micro-batch's doc_ids fold into the 1024-bit / 4-hash filter with
+    the SAME expressions as the batch op
+    (operators/relational.bloom_signature — join_bloom_prefilter's
+    build side) and merge into the versioned snapshot by per-word
+    bit_or. Bloom signatures are OR-mergeable — sig(A) | sig(B) =
+    sig(A ∪ B) exactly, bit for bit — so the drained snapshot equals
+    the batch signature of the whole corpus EXACTLY (pinned in
+    tests/test_streaming.py), the no-drift-to-bound property of the
+    CMS/KMV maintenance ops. This is the front gate of incremental
+    dedup at scale: probe each arriving batch against the maintained
+    filter map-side (broadcast, no shuffle of the batch), and only
+    the survivors — true re-ingests plus a measured fp_rate of noise
+    (join_bloom_prefilter quantifies it) — pay the exact anti-join
+    against the corpus-sized seen-keys table.
+
+    Retry safety follows the rollup-maintenance rule: merge reads the
+    PREDECESSOR snapshot (strictly older than this batch_id), so a
+    replayed batch re-ORs itself over the same base — and because OR
+    is idempotent, even a double-merge of the same batch could not
+    corrupt this particular state.
+
+    At 100 TB the state is ≤ 32 rows FOREVER (size the bit width to
+    the key cardinality in production; the geometry is one constant).
+    The filter never forgets: deletions need a rebuild or a counting
+    variant — documented, not implemented."""
+    from etl_geonames_spark.operators.relational import bloom_signature
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = bloom_signature(batch.select("doc_id"), "doc_id")
+        prev = _read_versioned(spark, state_root, batch_id)
+        if prev is not None:
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("word")
+                .agg(F.bit_or("s").alias("s"))
+            )
+        partial.write.mode("overwrite").parquet(
+            f"{state_root}/v{batch_id:05d}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

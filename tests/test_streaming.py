@@ -653,3 +653,40 @@ def test_streaming_hh_maintenance_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_bloom_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained seen-keys Bloom signature == the
+    batch signature of the whole corpus after draining in waves
+    (sig(A) | sig(B) = sig(A ∪ B), bit for bit) — and the merged
+    filter admits every streamed key (no false negatives survive
+    the merge rounds)."""
+    from etl_geonames_spark.operators.relational import (
+        bloom_bit,
+        bloom_signature,
+    )
+    from etl_geonames_spark.streaming import streaming_bloom_maintenance
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "bloom_state")
+    streaming_bloom_maintenance(stream, state, str(tmp_path / "bloom_ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {(r["word"], r["s"]) for r in final.collect()}
+    want = {
+        (r["word"], r["s"])
+        for r in bloom_signature(
+            docs.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    words = dict(got)
+    probes = docs.select(
+        "doc_id", *[bloom_bit(F.col("doc_id"), j).alias(f"b{j}") for j in range(4)]
+    ).collect()
+    for r in probes:
+        for j in range(4):
+            b = r[f"b{j}"]
+            assert words.get(b // 32, 0) & (1 << (b % 32))
