@@ -154,7 +154,13 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join is hash-partitioned; no pair of non-colliding docs is
     ever materialized — this is the linear-ish path to dedup at
     billions of documents."""
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        # one fixture file → one partition: the 16-perm transform is
+        # the compute-bound stage — spread it before the map work
+        # (layout only; llm_dedup_verified/cluster/canonical chain
+        # through this call, so the fix propagates to the family)
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    )
     bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -662,7 +668,10 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = llm_dedup_minhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        # one fixture file → one partition: spread the bigram-hash
+        # build feeding both join sides (layout only)
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
             F.array_distinct(
@@ -2342,7 +2351,9 @@ def llm_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_poly_minhash_bands`), so the census itself is value-hash
     checked against DuckDB replaying every intermediate."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = _poly_minhash_bands(docs)
+    # one fixture file -> one partition: spread the shingle explode
+    # (layout only; census values are exact integers)
+    bands = _poly_minhash_bands(docs.repartition(32, "doc_id"))
     buckets = bands.groupBy("band", "b_lo", "b_hi").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -2409,7 +2420,11 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.curation import poly_hash
 
     grams = (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        # one fixture file → one partition: spread the shingle
+        # explode + map-side distinct before the compute (layout
+        # only; all downstream values are exact integers)
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
         .distinct()
     )
@@ -2550,7 +2565,7 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared band construction (_poly_minhash_bands): one source of
     # truth for the perm constants and banding used by this witness,
     # llm_dedup_band_stats, and llm_minhash_jaccard_est
-    bands = _poly_minhash_bands(docs)
+    bands = _poly_minhash_bands(docs.repartition(32, "doc_id"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -2651,7 +2666,11 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tokh = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        # one fixture file → one partition: the per-char Horner hash
+        # + 64 partial sign-sums are the compute-bound stage — spread
+        # them (layout only; signature arithmetic is exact integer)
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
         .select(
@@ -3062,7 +3081,12 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = (
-        docs.select(
+        # ONE fixture file → one input partition; the shingle explode
+        # is the compute-bound stage, so spread it BEFORE the
+        # checkpoint (hash layout can't alter the all-integer
+        # results). Measured ~3.9 s → ~2.2 s warm at sf0.1.
+        docs.repartition(32, "doc_id")
+        .select(
             "doc_id",
             F.filter(
                 F.split("text", " "), lambda w: w != F.lit("")

@@ -571,7 +571,10 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     d = (
-        docs.select(
+        # one fixture file -> one partition: the full-text Horner
+        # hash is the compute-bound stage - spread it (layout only)
+        docs.repartition(32, "doc_id")
+        .select(
             F.when(F.col("lang") == "en", F.lit(0))
             .otherwise(F.lit(1))
             .alias("grp"),
