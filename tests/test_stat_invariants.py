@@ -1004,3 +1004,54 @@ def test_pq_quantize_matches_python_recomputation(spark, sf_dir):
         for r in _rows(spark, sf_dir, "llm_pq_quantize")
     }
     assert got == expect
+
+
+def test_dup_matrix_matches_python_recomputation(spark, sf_dir):
+    """llm_cross_source_dup_matrix equals a from-scratch Python
+    replay: nonempty-token 8-token prefix → set of (prefix, source)
+    → per source pair (a < b) the count of shared prefixes. The
+    third implementation that would catch a shared Spark↔DuckDB
+    slicing/empty-doc bug the differential can't."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "source")
+    seen = set()
+    for r in docs.collect():
+        toks = [w for w in r["text"].split(" ") if w != ""]
+        if not toks:
+            continue
+        seen.add((" ".join(toks[:8]), r["source"]))
+    by_prefix = {}
+    for p, s in seen:
+        by_prefix.setdefault(p, set()).add(s)
+    cells = Counter()
+    for srcs in by_prefix.values():
+        ordered = sorted(srcs)
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                cells[(ordered[i], ordered[j])] += 1
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_prefixes"]
+        for r in _rows(spark, sf_dir, "llm_cross_source_dup_matrix")
+    }
+    assert got == dict(cells)
+
+
+def test_image_ssim_bounds_and_moments(spark, sf_dir):
+    """SSIM's defining bound |SSIM| ≤ 1 (Wang et al. 2004 — with the
+    C1/C2 stabilizers the global index cannot exceed 1 in magnitude,
+    equality only for identical means AND var = cov), plus the
+    moment sanity n_px = 3·w·h implied by the (doc_id % 8 + 2,
+    doc_id % 6 + 2) dims — pinned on the REAL codec path, so a
+    stride/padding bug that inflates a moment breaks this even if
+    both engines shared it."""
+    rows = _rows(spark, sf_dir, "mm_image_ssim")
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        assert r["n_px"] == 3 * (d % 8 + 2) * (d % 6 + 2)
+        assert -1 - 1e-9 <= r["ssim"] <= 1 + 1e-9
+        assert 0 <= r["sa"] <= 255 * r["n_px"]
+        assert 0 <= r["sb"] <= 255 * r["n_px"]
