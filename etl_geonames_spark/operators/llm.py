@@ -3731,8 +3731,12 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic double, no rounding grid.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 5
+    toks = (
+        # one fixture file -> one partition: spread the 5-gram
+        # shingle build before the map work (layout only)
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
     )
     grams = toks.select(
         "doc_id", F.explode(F.array_distinct(_shingles("toks", 5))).alias("g")
@@ -3785,8 +3789,12 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary tail, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 5
+    toks = (
+        # one fixture file -> one partition: spread the 5-gram
+        # shingle build before the map work (layout only)
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
     )
     grams = toks.select(
         "doc_id", F.explode(F.array_distinct(_shingles("toks", 5))).alias("g")
