@@ -530,8 +530,13 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row broadcast crossJoin + array expressions (no shuffle,
     no UDF); the candidate join is a hash-partitioned equi-join on
     cell id, never all-pairs. Recall tunes via cells/nprobe."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    emb = (
+        # one fixture file -> one partition: the per-vector distance
+        # scan to every centroid is compute-bound - spread it
+        # (layout only)
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(32, "vec_id")
+        .select("vec_id", _as_double("embedding").alias("emb"))
     )
     codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
         F.collect_list(F.struct("vec_id", "emb")).alias("cents")
