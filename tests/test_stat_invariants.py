@@ -1055,3 +1055,30 @@ def test_image_ssim_bounds_and_moments(spark, sf_dir):
         assert -1 - 1e-9 <= r["ssim"] <= 1 + 1e-9
         assert 0 <= r["sa"] <= 255 * r["n_px"]
         assert 0 <= r["sb"] <= 255 * r["n_px"]
+
+
+def test_audio_pitch_matches_python_recomputation(spark, sf_dir):
+    """mm_audio_pitch equals a from-scratch Python replay of the
+    synthetic waveform formula + exact-integer autocorrelation
+    argmax with the smallest-lag (fundamental) tie-break — a third
+    vote alongside the codec-roundtrip Spark path and the
+    formula-replaying DuckDB oracle, plus the Cauchy–Schwarz bound
+    R(L) ≤ R(0) that any true autocorrelation must satisfy."""
+    got = {r["doc_id"]: r for r in _rows(spark, sf_dir, "mm_audio_pitch")}
+    assert got
+    for d, r in got.items():
+        n = d % 40 + 60
+        s = [((d * 31 + i * 9973) % 65536) - 32768 for i in range(n)]
+        r0 = sum(v * v for v in s)
+        best_lag, r_best = None, None
+        for lag in range(4, 11):
+            rl = sum(s[i] * s[i + lag] for i in range(n - lag))
+            if r_best is None or rl > r_best:
+                best_lag, r_best = lag, rl
+        assert (r["n_samples"], r["best_lag"], r["r_best"], r["r0"]) == (
+            n,
+            best_lag,
+            r_best,
+            r0,
+        )
+        assert r["r_best"] <= r["r0"]
