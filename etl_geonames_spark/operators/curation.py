@@ -1494,7 +1494,7 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         # one fixture file -> one partition: spread the 8-gram
         # shingle build before the map work (layout only)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("source", F.split("text", " ").alias("toks"))
         .select("source", F.explode(_shingles("toks", 8)).alias("gram"))
         .distinct()

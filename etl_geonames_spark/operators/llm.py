@@ -159,7 +159,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the compute-bound stage — spread it before the map work
         # (layout only; llm_dedup_verified/cluster/canonical chain
         # through this call, so the fix propagates to the family)
-        load_table(spark, sf_dir, "documents").repartition("doc_id")
+        load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bands = minhash_bands(sigs)
     a = bands.alias("a")
@@ -535,7 +535,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan to every centroid is compute-bound - spread it
         # (layout only)
         load_table(spark, sf_dir, "embeddings")
-        .repartition("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
     codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
@@ -675,7 +675,7 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         # one fixture file → one partition: spread the bigram-hash
         # build feeding both join sides (layout only)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
@@ -1312,7 +1312,7 @@ def _kmeans_cells(
     sf0.1 for the k=32 caller."""
     pts = (
         load_table(spark, sf_dir, "embeddings")
-        .repartition("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
     cents = pts.filter(F.col("vec_id") < k).select(
@@ -2003,7 +2003,7 @@ def _arrow_cells(
 
     pts = (
         load_table(spark, sf_dir, "embeddings")
-        .repartition("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
 
@@ -2358,7 +2358,7 @@ def llm_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one fixture file -> one partition: spread the shingle explode
     # (layout only; census values are exact integers)
-    bands = _poly_minhash_bands(docs.repartition("doc_id"))
+    bands = _poly_minhash_bands(docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     buckets = bands.groupBy("band", "b_lo", "b_hi").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -2428,7 +2428,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fixture file → one partition: spread the shingle
         # explode + map-side distinct before the compute (layout
         # only; all downstream values are exact integers)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
         .distinct()
@@ -2570,7 +2570,7 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared band construction (_poly_minhash_bands): one source of
     # truth for the perm constants and banding used by this witness,
     # llm_dedup_band_stats, and llm_minhash_jaccard_est
-    bands = _poly_minhash_bands(docs.repartition("doc_id"))
+    bands = _poly_minhash_bands(docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -2674,7 +2674,7 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one fixture file → one partition: the per-char Horner hash
         # + 64 partial sign-sums are the compute-bound stage — spread
         # them (layout only; signature arithmetic is exact integer)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
@@ -3090,7 +3090,7 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is the compute-bound stage, so spread it BEFORE the
         # checkpoint (hash layout can't alter the all-integer
         # results). Measured ~3.9 s → ~2.2 s warm at sf0.1.
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.filter(
@@ -3739,7 +3739,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         # one fixture file -> one partition: spread the 5-gram
         # shingle build before the map work (layout only)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
     )
@@ -3797,7 +3797,7 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         # one fixture file -> one partition: spread the 5-gram
         # shingle build before the map work (layout only)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
     )

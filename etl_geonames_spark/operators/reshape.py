@@ -573,7 +573,7 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         # one fixture file -> one partition: the full-text Horner
         # hash is the compute-bound stage - spread it (layout only)
-        docs.repartition("doc_id")
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             F.when(F.col("lang") == "en", F.lit(0))
             .otherwise(F.lit(1))
