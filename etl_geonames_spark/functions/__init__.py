@@ -31,3 +31,22 @@ def sql_qround(expr: str, digits: int = 6) -> str:
     """The DuckDB-side mirror of :func:`qround` (same op order)."""
     s = float(10**digits)
     return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
+
+
+def spread(df, *cols):
+    """Hash-repartition to the session's core count before a
+    compute-bound map stage (shingle builds, per-char Horner hashes,
+    per-point distance math): single-file inputs give one partition
+    and serialize the work on one core.
+
+    The count MUST be explicit: a count-free ``repartition(col)`` is
+    AQE-coalescible, and on small inputs adaptive coalescing folds it
+    straight back to one partition — the shuffle is paid, the
+    parallelism never arrives (measured 2× slower than no repartition
+    at sf0.1). ``defaultParallelism`` tracks the session: cores on
+    local[N], total executor cores on a cluster — never a hardcoded
+    cap on a wide scan. Layout-only by contract: call it only where
+    every downstream aggregate is order-independent."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *cols
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1492,9 +1492,7 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     g = (
-        # one fixture file -> one partition: spread the 8-gram
-        # shingle build before the map work (layout only)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("source", F.split("text", " ").alias("toks"))
         .select("source", F.explode(_shingles("toks", 8)).alias("gram"))
         .distinct()

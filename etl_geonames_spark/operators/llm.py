@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -155,11 +155,9 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever materialized — this is the linear-ish path to dedup at
     billions of documents."""
     sigs = minhash_signatures(
-        # one fixture file → one partition: the 16-perm transform is
-        # the compute-bound stage — spread it before the map work
-        # (layout only; llm_dedup_verified/cluster/canonical chain
-        # through this call, so the fix propagates to the family)
-        load_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # llm_dedup_verified/cluster/canonical chain through this
+        # call, so the spread propagates to the family
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
     )
     bands = minhash_bands(sigs)
     a = bands.alias("a")
@@ -531,11 +529,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF); the candidate join is a hash-partitioned equi-join on
     cell id, never all-pairs. Recall tunes via cells/nprobe."""
     emb = (
-        # one fixture file -> one partition: the per-vector distance
-        # scan to every centroid is compute-bound - spread it
-        # (layout only)
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
     codebook = emb.filter(F.col("vec_id") < _IVF_CELLS).agg(
@@ -673,9 +667,7 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = llm_dedup_minhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        # one fixture file → one partition: spread the bigram-hash
-        # build feeding both join sides (layout only)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
@@ -1311,8 +1303,7 @@ def _kmeans_cells(
     layout change cannot alter results. Measured 5.0 s → ~1 s warm at
     sf0.1 for the k=32 caller."""
     pts = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
     cents = pts.filter(F.col("vec_id") < k).select(
@@ -2002,8 +1993,7 @@ def _arrow_cells(
     import numpy as np
 
     pts = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", _as_double("embedding").alias("emb"))
     )
 
@@ -2356,9 +2346,7 @@ def llm_dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_poly_minhash_bands`), so the census itself is value-hash
     checked against DuckDB replaying every intermediate."""
     docs = load_table(spark, sf_dir, "documents")
-    # one fixture file -> one partition: spread the shingle explode
-    # (layout only; census values are exact integers)
-    bands = _poly_minhash_bands(docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    bands = _poly_minhash_bands(spread(docs, "doc_id"))
     buckets = bands.groupBy("band", "b_lo", "b_hi").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -2425,10 +2413,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.curation import poly_hash
 
     grams = (
-        # one fixture file → one partition: spread the shingle
-        # explode + map-side distinct before the compute (layout
-        # only; all downstream values are exact integers)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
         .distinct()
@@ -2570,7 +2555,7 @@ def llm_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared band construction (_poly_minhash_bands): one source of
     # truth for the perm constants and banding used by this witness,
     # llm_dedup_band_stats, and llm_minhash_jaccard_est
-    bands = _poly_minhash_bands(docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    bands = _poly_minhash_bands(spread(docs, "doc_id"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -2671,10 +2656,7 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tokh = (
-        # one fixture file → one partition: the per-char Horner hash
-        # + 64 partial sign-sums are the compute-bound stage — spread
-        # them (layout only; signature arithmetic is exact integer)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select("doc_id", poly_hash(F.col("tok")).alias("ph"))
@@ -3090,7 +3072,7 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is the compute-bound stage, so spread it BEFORE the
         # checkpoint (hash layout can't alter the all-integer
         # results). Measured ~3.9 s → ~2.2 s warm at sf0.1.
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select(
             "doc_id",
             F.filter(
@@ -3737,9 +3719,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = (
-        # one fixture file -> one partition: spread the 5-gram
-        # shingle build before the map work (layout only)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
     )
@@ -3795,9 +3775,7 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = (
-        # one fixture file -> one partition: spread the 5-gram
-        # shingle build before the map work (layout only)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
     )

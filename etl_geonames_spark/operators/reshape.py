@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -571,9 +571,7 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     d = (
-        # one fixture file -> one partition: the full-text Horner
-        # hash is the compute-bound stage - spread it (layout only)
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs, "doc_id")
         .select(
             F.when(F.col("lang") == "en", F.lit(0))
             .otherwise(F.lit(1))

@@ -395,7 +395,12 @@ def _read_versioned(
     if not os.path.isdir(root):
         return None
     versions = sorted(
-        d for d in os.listdir(root) if d.startswith("v") and int(d[1:]) < before
+        # numeric sort: the zero-padded names sort lexicographically
+        # only up to v99999 — a long-running maintenance job passes
+        # that in days, and a string sort would then silently pick a
+        # stale predecessor (dropping a batch from the state forever)
+        (d for d in os.listdir(root) if d.startswith("v") and int(d[1:]) < before),
+        key=lambda d: int(d[1:]),
     )
     if not versions:
         return None

@@ -914,7 +914,15 @@ def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
     """geo_polygon_centroid equals a from-scratch shoelace-centroid
     replay over each user's (ts, event_id)-ordered closed ring —
     same synthetic lat/lon grid, same 4dp quantization points, same
-    ANSI-style NULL on a degenerate (zero signed area) ring."""
+    ANSI-style NULL on a degenerate (zero signed area) ring.
+
+    Float-boundary caveat (the one non-integer witness here): the
+    2dp×2dp cross products are not binary-exact, so Spark's
+    partition-order sums and this loop's sorted-order sums can drift
+    ~1e-13 BEFORE the 4dp qround — a regenerated fixture landing a
+    sum within that drift of a .00005 boundary would flip one grid
+    cell. Centroids therefore compare grid-adjacent (≤ 1e-4) rather
+    than exactly; n_points and NULL-ness stay exact."""
     from collections import defaultdict
 
     from etl_geonames_spark.sources import load_table
@@ -955,7 +963,15 @@ def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
         )
         for r in _rows(spark, sf_dir, "geo_polygon_centroid")
     }
-    assert got == expect
+    assert set(got) == set(expect)
+    for u, (n, lon, lat) in expect.items():
+        gn, glon, glat = got[u]
+        assert gn == n
+        for e, g in ((lon, glon), (lat, glat)):
+            if e is None or g is None:
+                assert e is None and g is None
+            else:
+                assert abs(g - e) <= 1e-4 + 1e-9
 
 
 def test_pq_quantize_matches_python_recomputation(spark, sf_dir):
