@@ -49,19 +49,124 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Rounds 1-4 produced
-# green driver rows (or by-design rows-only records) for 195 distinct
-# queries. ROUND-5 ROTATION (VERDICT r4 item 1): all 50 CORRECTNESS_r04
-# names moved to the very back; the window is again 100% first-time
-# verifications — the reinstated llm_embedding_dim_stats (VERDICT item
-# 2), the 27 round-4 additions that sat at positions 51-77, the
-# real-codec mm_* decode family (complex oracles, never driver-seen),
-# and the highest-risk remaining backlog (stats/forecasting/pipeline).
-# Every rotated-out name stays guarded by tests/test_oracle_parity.py,
-# which checks ALL queries every run. ROUND-6 PLAN: rotate again —
-# move CORRECTNESS_r05 names to the back, promote the round-5
-# additions (registered immediately after position 50) plus backlog.
+# queries in ``queries()`` dict order each round. Rounds 1-5 produced
+# green driver rows (or by-design rows-only records) for 243 distinct
+# live queries. ROUND-6 ROTATION (VERDICT r5 item 1): the full
+# never-driver-checked backlog (147 names) leads in prior relative
+# order — the window is the 16 round-5 additions that sat just past
+# position 50 plus 34 backlog names, 100% first-time verifications —
+# then all previously-green names, with the 50 CORRECTNESS_r05 names
+# at the very back. Every rotated-out name stays guarded by
+# tests/test_oracle_parity.py, which checks ALL queries every run.
+# ROUND-7 PLAN: rotate again — move CORRECTNESS_r06 names to the back,
+# promote the next 50 never-checked (97 will remain after r6; two more
+# rounds drain the backlog).
 _DRIVER_PRIORITY = [
+    "llm_bpe_train_rounds", "llm_html_extract", "llm_ann_ivf_verifiable",
+    "llm_longest_shared_gram", "llm_cross_source_dup_matrix",
+    "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
+    "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
+    "mm_image_ssim", "mm_audio_pitch", "graph_hits",
+    "join_bloom_prefilter", "llm_pq_quantize", "sample_per_key",
+    "profile_columns", "llm_normalize_text", "llm_pii_redact",
+    "llm_repetition_ratio", "llm_mix_weights", "fn_url_parse",
+    "ts_sessionize", "llm_chunk_documents", "llm_ngram_counts",
+    "llm_bucket_by_length", "graph_pagerank", "graph_triangle_count",
+    "fn_unpivot", "fn_posexplode", "fn_try_arith", "llm_gopher_quality",
+    "llm_perplexity_buckets", "llm_dedup_containment", "ts_interval_union",
+    "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct",
+    "agg_corr_covar", "geo_point_in_polygon", "agg_skew_two_phase",
+    "join_fuzzy_name", "set_intersect_all", "sql_relational_division",
+    "ts_autocorr", "graph_jaccard_neighbors", "llm_tokenizer_fertility",
+    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
+    "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
+    "sql_session_variables", "sql_parameterized", "llm_semdedup",
+    "ts_event_regex", "udtf_analyze", "graph_khop_reachability",
+    "agg_sketch_cms", "agg_percentile_disc", "ts_calendar_dim",
+    "geo_tile_pyramid", "graph_label_propagation",
+    "llm_embedding_power_iter", "llm_abtt_transform", "llm_zipf_slope",
+    "agg_gini", "llm_topp_vocab", "llm_feature_hashing",
+    "llm_minhash_verifiable", "sql_group_by_all", "sql_distinct_on",
+    "ts_backtest_snaive", "llm_langid_confusion", "llm_ndcg_eval",
+    "llm_pmi_collocations", "ts_fano_burstiness", "geo_shoelace_area",
+    "llm_lm_crossentropy", "llm_kmeans_quality", "ts_gaps_islands",
+    "agg_weighted_median", "set_except_all", "sql_qualify",
+    "llm_winnowing", "llm_shard_manifest", "llm_dpo_pairs",
+    "sample_bottom_k", "geo_bearing_profile", "llm_url_dedup",
+    "join_band_time", "fn_ip_cidr", "ts_lttb_downsample",
+    "llm_bootstrap_ci", "llm_metric_spearman", "mm_frame_sample",
+    "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
+    "llm_compression_ratio", "llm_mix_kl_divergence", "llm_sft_render",
+    "llm_bpe_apply", "geo_dbscan_core", "geo_point_in_concave_polygon",
+    "graph_adamic_adar", "graph_kcore_peel",
+    "graph_clustering_coefficient", "graph_assortativity",
+    "llm_ngram_novelty", "llm_boilerplate_ngrams", "llm_mrr_eval",
+    "dq_freshness", "sample_weighted_es", "agg_sketch_kmv",
+    "llm_rrf_fusion", "sql_asof_join", "stat_mann_whitney",
+    "stat_ks_two_sample", "stat_chi2_independence", "stat_bh_fdr",
+    "stat_markov_transitions", "stat_welch_ttest", "stat_levene",
+    "stat_bootstrap_diff", "stat_runs_test", "stat_best_split",
+    "stat_conformal_interval", "stat_mutual_information", "stat_benford",
+    "dq_outlier_mad", "stat_cohens_kappa", "llm_calibration_bins",
+    "agg_theil_index", "stat_wilcoxon_signed", "ts_acf", "ts_pacf",
+    "ts_cusum_changepoint", "ts_theil_sen_daily", "win_rolling_median",
+    "ts_m4_downsample", "ts_sax_symbols", "ts_decayed_score",
+    "udtf_table_arg", "mm_decode_meta", "udf_scalar", "udf_grouped_map",
+    "udf_agg", "udtf_python", "udtf_explode", "fn_higher_order",
+    "llm_bm25_topk", "llm_token_entropy", "ts_rollup_hierarchy", "ts_ewma",
+    "llm_dedup_paragraphs", "ts_winsorize", "join_asof_nearest",
+    "profile_skew", "sql_recursive_cte", "sql_lateral_topk",
+    "join_null_safe", "llm_unigram_logprob", "fn_collation",
+    "llm_curate_pipeline", "fn_explode_outer", "fn_xml_roundtrip",
+    "llm_dedup_report", "llm_bigram_f1", "geo_polyline_length",
+    "llm_dataset_card", "sql_pivot", "fn_aes_roundtrip",
+    "graph_degree_distribution", "win_distinct_rolling", "agg_regression",
+    "ts_seasonal_profile", "dq_contract_check", "win_nth_value",
+    "fn_date_arith", "llm_hard_negatives", "llm_class_balance",
+    "ts_max_gap", "fn_crypto_hash", "sql_window_clause", "llm_mask_tokens",
+    "llm_vocab_coverage", "llm_dedup_incremental", "ts_weekly_active",
+    "ts_funnel_windowed", "udf_scalar_iter", "fn_cast_double",
+    "fn_concat_ws", "fn_concat", "fn_replace", "fn_prefix_match",
+    "fn_array_compact", "fn_map_lookup", "fn_math", "fn_date_trunc",
+    "fn_string_ops", "fn_regexp", "fn_null_ops", "fn_date_extract",
+    "fn_variant_get", "fn_json_extract", "llm_dedup_exact",
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_ngram",
+    "llm_sim_topk", "llm_ann_lsh", "llm_dedup_embedding",
+    "llm_dedup_verified", "llm_dedup_cluster", "llm_dedup_canonical",
+    "llm_sample_stratified", "llm_pack_sequences", "llm_tfidf_top_terms",
+    "llm_wordcount", "llm_text_stats", "llm_lang_dist", "llm_lang_id",
+    "llm_quality_score", "llm_token_count", "llm_fingerprint",
+    "project_pit", "rel_liesin", "pit_pipeline", "scan_tsv", "scan_dim",
+    "filter_whereeq", "filter_any_of", "filter_extra_uris", "filter_typed",
+    "join_admin2", "join_self_parent_fallback", "join_inner", "join_left",
+    "join_semi", "join_anti", "join_range", "join_theta", "join_cross",
+    "join_asof", "join_skew_salted", "agg_group", "agg_global",
+    "agg_distinct", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube", "agg_median", "dedup_latest_per_key",
+    "agg_approx_percentile", "agg_stats", "agg_collect", "agg_pivot",
+    "win_rank", "win_distribution", "win_lag_lead", "win_running_sum",
+    "win_range_frame", "win_first_last", "win_ntile", "sort_orderby",
+    "sort_limit", "set_union", "set_intersect", "set_except",
+    "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q18", "sql_tpch_q6",
+    "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q4", "sql_tpch_q16",
+    "sql_tpch_q19", "sql_tpch_q13", "sql_tpch_q17", "sql_tpch_q22",
+    "sql_grouping_sets", "stream_tumbling", "stream_sliding", "ts_funnel",
+    "ts_cohort_retention", "ts_gap_fill", "stream_session",
+    "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
+    "fn_array_setops", "llm_embedding_centroids", "mm_image_phash_dedup",
+    "agg_collect_salted", "llm_simhash_verifiable",
+    "llm_ann_lsh_verifiable", "scd2_asof_lookup", "agg_string_concat",
+    "graph_reciprocity", "fn_surrogate_key", "ts_sli_availability",
+    "llm_apply_mix_weights", "fn_printf", "sql_filter_clause",
+    "fn_base64_roundtrip", "agg_higher_moments", "llm_bigram_logprob",
+    "geo_extent_by_group", "agg_histogram", "agg_mode", "agg_conditional",
+    "sql_tpch_q1", "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8",
+    "sql_tpch_q9", "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15",
+    "sql_tpch_q20", "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein",
+    "ts_resample_ohlc", "ts_anomaly_zscore", "join_interval_overlap",
+    "llm_decontaminate", "llm_cap_per_source", "llm_kmeans",
+    "llm_dedup_keep_best", "llm_shuffle_order", "geo_bbox_filter",
+    "geo_haversine", "geo_morton_cell", "geo_grid_join",
     "llm_embedding_dim_stats", "stat_kruskal_wallis", "stat_anova_oneway",
     "stat_two_proportion_z", "stat_mann_kendall", "stat_ljung_box",
     "ts_holt_winters", "ts_rsi", "ts_interpolate_linear",
@@ -79,109 +184,6 @@ _DRIVER_PRIORITY = [
     "mm_audio_features", "mm_video_scene_cuts", "mm_audio_vad",
     "mm_image_entropy", "cdc_merge_upsert", "scd2_history",
     "split_train_test", "mm_feature_extract",
-    "llm_bpe_train_rounds", "llm_html_extract", "llm_ann_ivf_verifiable",
-    "llm_longest_shared_gram", "llm_cross_source_dup_matrix",
-    "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
-    "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
-    "mm_image_ssim", "mm_audio_pitch", "graph_hits",
-    "join_bloom_prefilter", "llm_pq_quantize",
-    "sample_per_key", "profile_columns",
-    "llm_normalize_text", "llm_pii_redact", "llm_repetition_ratio",
-    "llm_mix_weights", "fn_url_parse", "ts_sessionize",
-    "llm_chunk_documents", "llm_ngram_counts", "llm_bucket_by_length",
-    "graph_pagerank", "graph_triangle_count", "fn_unpivot", "fn_posexplode",
-    "fn_try_arith", "llm_gopher_quality", "llm_perplexity_buckets",
-    "llm_dedup_containment", "ts_interval_union", "llm_bpe_pair_counts",
-    "geo_geohash", "agg_bitmap_distinct", "agg_corr_covar",
-    "geo_point_in_polygon", "agg_skew_two_phase", "join_fuzzy_name",
-    "set_intersect_all", "sql_relational_division", "ts_autocorr",
-    "graph_jaccard_neighbors", "llm_tokenizer_fertility",
-    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
-    "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
-    "sql_session_variables", "sql_parameterized", "llm_semdedup",
-    "ts_event_regex", "udtf_analyze", "graph_khop_reachability",
-    "agg_sketch_cms", "agg_percentile_disc", "ts_calendar_dim",
-    "geo_tile_pyramid", "graph_label_propagation",
-    "llm_embedding_power_iter", "llm_abtt_transform", "llm_zipf_slope",
-    "agg_gini", "llm_topp_vocab", "llm_feature_hashing",
-    "llm_minhash_verifiable", "sql_group_by_all", "sql_distinct_on",
-    "ts_backtest_snaive", "llm_langid_confusion", "llm_ndcg_eval",
-    "llm_pmi_collocations", "ts_fano_burstiness", "geo_shoelace_area",
-    "llm_lm_crossentropy", "llm_kmeans_quality", "ts_gaps_islands",
-    "agg_weighted_median", "set_except_all", "sql_qualify", "llm_winnowing",
-    "llm_shard_manifest", "llm_dpo_pairs", "sample_bottom_k",
-    "geo_bearing_profile", "llm_url_dedup", "join_band_time", "fn_ip_cidr",
-    "ts_lttb_downsample", "llm_bootstrap_ci", "llm_metric_spearman",
-    "mm_frame_sample", "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
-    "llm_compression_ratio", "llm_mix_kl_divergence", "llm_sft_render",
-    "llm_bpe_apply", "geo_dbscan_core", "geo_point_in_concave_polygon",
-    "graph_adamic_adar", "graph_kcore_peel", "graph_clustering_coefficient",
-    "graph_assortativity", "llm_ngram_novelty", "llm_boilerplate_ngrams",
-    "llm_mrr_eval", "dq_freshness", "sample_weighted_es", "agg_sketch_kmv",
-    "llm_rrf_fusion", "sql_asof_join", "stat_mann_whitney",
-    "stat_ks_two_sample", "stat_chi2_independence", "stat_bh_fdr",
-    "stat_markov_transitions", "stat_welch_ttest", "stat_levene",
-    "stat_bootstrap_diff", "stat_runs_test", "stat_best_split",
-    "stat_conformal_interval", "stat_mutual_information", "stat_benford",
-    "dq_outlier_mad", "stat_cohens_kappa", "llm_calibration_bins",
-    "agg_theil_index", "stat_wilcoxon_signed", "ts_acf", "ts_pacf",
-    "ts_cusum_changepoint", "ts_theil_sen_daily", "win_rolling_median",
-    "ts_m4_downsample", "ts_sax_symbols", "ts_decayed_score",
-    "udtf_table_arg", "udf_scalar", "udf_grouped_map", "udf_agg",
-    "udtf_python", "udtf_explode", "mm_decode_meta", "fn_higher_order",
-    "llm_bm25_topk", "llm_token_entropy", "ts_rollup_hierarchy", "ts_ewma",
-    "llm_dedup_paragraphs", "ts_winsorize", "join_asof_nearest",
-    "profile_skew", "sql_recursive_cte", "sql_lateral_topk",
-    "join_null_safe", "llm_unigram_logprob", "fn_collation",
-    "llm_curate_pipeline", "fn_explode_outer", "fn_xml_roundtrip",
-    "llm_dedup_report", "llm_bigram_f1", "geo_polyline_length",
-    "llm_dataset_card", "sql_pivot", "fn_aes_roundtrip",
-    "graph_degree_distribution", "win_distinct_rolling", "agg_regression",
-    "ts_seasonal_profile", "dq_contract_check", "win_nth_value",
-    "fn_date_arith", "llm_hard_negatives", "llm_class_balance", "ts_max_gap",
-    "fn_crypto_hash", "sql_window_clause", "llm_mask_tokens",
-    "llm_vocab_coverage", "llm_dedup_incremental", "ts_weekly_active",
-    "ts_funnel_windowed", "udf_scalar_iter", "fn_cast_double",
-    "fn_concat_ws", "fn_concat", "fn_replace", "fn_prefix_match",
-    "fn_array_compact", "fn_map_lookup", "fn_math", "fn_date_trunc",
-    "fn_string_ops", "fn_regexp", "fn_null_ops", "fn_date_extract",
-    "fn_variant_get", "fn_json_extract", "llm_dedup_exact",
-    "llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_ngram",
-    "llm_sim_topk", "llm_ann_lsh", "llm_dedup_embedding",
-    "llm_dedup_verified", "llm_dedup_cluster", "llm_dedup_canonical",
-    "llm_sample_stratified", "llm_pack_sequences", "llm_tfidf_top_terms",
-    "llm_wordcount", "llm_text_stats", "llm_lang_dist", "llm_lang_id",
-    "llm_quality_score", "llm_token_count", "llm_fingerprint", "project_pit",
-    "rel_liesin", "pit_pipeline", "scan_tsv", "scan_dim", "filter_whereeq",
-    "filter_any_of", "filter_extra_uris", "filter_typed", "join_admin2",
-    "join_self_parent_fallback", "join_inner", "join_left", "join_semi",
-    "join_anti", "join_range", "join_theta", "join_cross", "join_asof",
-    "join_skew_salted", "agg_group", "agg_global", "agg_distinct",
-    "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
-    "agg_median", "dedup_latest_per_key", "agg_approx_percentile",
-    "agg_stats", "agg_collect", "agg_pivot", "win_rank", "win_distribution",
-    "win_lag_lead", "win_running_sum", "win_range_frame", "win_first_last",
-    "win_ntile", "sort_orderby", "sort_limit", "set_union", "set_intersect",
-    "set_except", "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q18",
-    "sql_tpch_q6", "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q4",
-    "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q13", "sql_tpch_q17",
-    "sql_tpch_q22", "sql_grouping_sets", "stream_tumbling", "stream_sliding",
-    "ts_funnel", "ts_cohort_retention", "ts_gap_fill", "stream_session",
-    "llm_inverted_index", "udf_map_in_arrow", "llm_quantize_embeddings",
-    "fn_array_setops", "llm_embedding_centroids", "mm_image_phash_dedup",
-    "agg_collect_salted", "llm_simhash_verifiable", "llm_ann_lsh_verifiable",
-    "scd2_asof_lookup", "agg_string_concat", "graph_reciprocity",
-    "fn_surrogate_key", "ts_sli_availability", "llm_apply_mix_weights",
-    "fn_printf", "sql_filter_clause", "fn_base64_roundtrip",
-    "agg_higher_moments", "llm_bigram_logprob", "geo_extent_by_group",
-    "agg_histogram", "agg_mode", "agg_conditional", "sql_tpch_q1",
-    "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
-    "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q15", "sql_tpch_q20",
-    "sql_tpch_q21", "fn_bit_ops", "fn_levenshtein", "ts_resample_ohlc",
-    "ts_anomaly_zscore", "join_interval_overlap", "llm_decontaminate",
-    "llm_cap_per_source", "llm_kmeans", "llm_dedup_keep_best",
-    "llm_shuffle_order", "geo_bbox_filter", "geo_haversine",
-    "geo_morton_cell", "geo_grid_join",
 ]
 
 
