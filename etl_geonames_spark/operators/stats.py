@@ -2772,6 +2772,7 @@ _PERM_K = 200
 _PERM_P = 2147483647
 _PERM_A = 2654435761
 _PERM_B = 40503
+_PERM_C = 2246822519
 
 
 @query(
@@ -2791,7 +2792,8 @@ _PERM_B = 40503
     ),
     perms AS (
       SELECT d.doc_id, d.v, gp.p,
-             ((d.doc_id % {_PERM_P}) * {_PERM_A}
+             ((d.doc_id % {_PERM_P})
+              * (({_PERM_A} + gp.p * {_PERM_C}) % {_PERM_P})
               + gp.p * {_PERM_B}) % {_PERM_P} AS h
       FROM d, LATERAL unnest(generate_series(0, {_PERM_K - 1})) AS gp(p)
     ),
@@ -2850,8 +2852,13 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplying by n₁n₂ makes it ALL-INTEGER: |S₁ₚn₂ − S₂ₚn₁| ≥
     |S₁n₂ − S₂n₁| — exact on both engines (the permuted group sizes
     equal the observed ones, so both sides scale identically). The
-    hash multiplies after a mod-P reduction so doc_id·A cannot
-    overflow int64 at any corpus size. One-sided corpora (n₂ = 0,
+    per-permutation hash uses a p-DEPENDENT MULTIPLIER
+    ((A + p·C) mod P), not just an additive offset — an additive
+    h = id·A + p·B only rotates one fixed circular order (nearly
+    every "permutation" assigns the same groups), whereas a fresh
+    multiplier per p reshuffles the order itself. Both factors are
+    mod-P-reduced BEFORE multiplying so the product stays < 2⁶² at
+    any corpus size. One-sided corpora (n₂ = 0,
     the edge fixture) NULL every statistic rather than dividing.
 
     Scale shape: the K-fold fan-out is the honest cost of a
@@ -2882,7 +2889,8 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "h",
         (
-            (F.col("doc_id") % _PERM_P) * F.lit(_PERM_A)
+            (F.col("doc_id") % _PERM_P)
+            * ((F.lit(_PERM_A) + F.col("p") * F.lit(_PERM_C)) % _PERM_P)
             + F.col("p") * F.lit(_PERM_B)
         )
         % _PERM_P,

@@ -770,17 +770,27 @@ def test_permutation_test_matches_python_recomputation(spark, sf_dir):
     n2 = len(data) - n1
     if n1 == 0 or n2 == 0:
         pytest.skip("one-sided corpus: no en/non-en split to permute")
-    K, P, A, B = 200, 2147483647, 2654435761, 40503
+    K, P, A, B, C = 200, 2147483647, 2654435761, 40503, 2246822519
     obs = abs(s1 * n2 - s2 * n1)
     n_extreme = 0
+    groups = set()
     for p in range(K):
         ranked = sorted(
-            data, key=lambda t: (((t[0] % P) * A + p * B) % P, t[0])
+            data,
+            key=lambda t: (
+                ((t[0] % P) * ((A + p * C) % P) + p * B) % P,
+                t[0],
+            ),
         )
         s1p = sum(v for _, v, _ in ranked[:n1])
         s2p = sum(v for _, v, _ in ranked[n1:])
+        groups.add(frozenset(d for d, _, _ in ranked[:n1]))
         if abs(s1p * n2 - s2p * n1) >= obs:
             n_extreme += 1
+    # the permutation family must be non-degenerate: an additive-only
+    # hash collapses the K "permutations" to a handful of distinct
+    # group assignments (3 of 200 observed before the fix)
+    assert len(groups) >= 0.9 * K
     (r,) = _rows(spark, sf_dir, "stat_permutation_test")
     assert r["n_perms"] == K
     assert r["n_extreme"] == n_extreme
