@@ -92,8 +92,13 @@ def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HTML / markup extraction (the C4 step BEFORE normalization)
 # ---------------------------------------------------------------------------
 
-_HTML_SCRIPT_RE = "<script[^>]*>[^<]*</script>"
-_HTML_STYLE_RE = "<style[^>]*>[^<]*</style>"
+# (?s) + non-greedy cross-char body: a [^<]* body under-strips any
+# real page whose script/style content contains '<' (e.g. 'a<b'),
+# leaking code into the extracted text; .*? with dotall spans
+# newlines and stops at the first close tag. Same syntax in Java
+# regex (Spark) and RE2 (DuckDB).
+_HTML_SCRIPT_RE = "(?s)<script[^>]*>.*?</script>"
+_HTML_STYLE_RE = "(?s)<style[^>]*>.*?</style>"
 _HTML_TAG_RE = "<[^>]*>"
 # &amp; decodes LAST: decoding it first would rewrite an escaped
 # entity like '&amp;lt;' into '&lt;' and then double-decode it to '<'
@@ -143,7 +148,7 @@ def _sql_entity_chain(inner: str) -> str:
     clean AS (
         SELECT doc_id,
                CAST(length(html) AS BIGINT) AS html_chars,
-               trim(regexp_replace(decoded, ' +', ' ', 'g')) AS txt
+               trim(regexp_replace(decoded, '\\s+', ' ', 'g')) AS txt
         FROM stripped
     )
     SELECT doc_id, html_chars,
@@ -198,7 +203,7 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for ent, ch in _HTML_ENTITIES:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    txt = F.trim(F.regexp_replace(decoded, " +", " "))
+    txt = F.trim(F.regexp_replace(decoded, "\\s+", " "))
     return page.select(
         "doc_id",
         F.length("html").cast("long").alias("html_chars"),
@@ -865,13 +870,23 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized → broadcasts), total mass is a 1-row broadcast, and the
     scoring pass is a map-side join + per-doc mean — the corpus
     shuffles once for the vocab and once for the per-doc aggregate.
-    A real KenLM UDF slots in behind the same plan."""
-    docs = load_table(spark, sf_dir, "documents")
+    The vocab table is localCheckpointed: it feeds THREE consumers
+    (its own grand total + the broadcast scoring join), and without
+    the checkpoint each consumer re-executes the corpus explode
+    subplan (4 explode passes measured; 2 is the honest minimum —
+    corpus-sized wne itself is recomputed, never cached, which is the
+    right call at 100 TB). A real KenLM UDF slots in behind the same
+    plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     wne = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    vocab = wne.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        wne.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
     return (
         wne.join(F.broadcast(vocab), "word")
@@ -993,13 +1008,21 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     The top-k is sort+limit (TakeOrdered — deliberately NOT a global
     row_number window, which the plan-contract sweep bans); both
     reductions are vocabulary-sized after the one corpus-wide count.
+    The vocab table feeds TWO branches (grand total + top-20) — it is
+    localCheckpointed so the corpus explode+count runs ONCE, not once
+    per branch (the llm_semdedup multi-use lesson, CLAUDE.md); spread()
+    parallelizes the tokenize off the single-file fixture partition.
     """
     words = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     total = vocab.agg(F.sum("c").cast("bigint").alias("total_tokens"))
     top = (
         vocab.orderBy(F.col("c").desc(), "word")
@@ -1272,24 +1295,34 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE over (score, doc_id) is deterministic across engines, and
     runs through the distributed_ntile decomposition (range
     repartition + per-partition rank + broadcast offsets) — never an
-    un-partitioned window, per the repo-wide plan sweep. At 100 TB
+    un-partitioned window, per the repo-wide plan sweep. The vocab
+    table (vocab-sized) and the scored table (doc-count-sized) are
+    localCheckpointed: each feeds two consumers (vocab: grand total +
+    scoring join; scored: ntile's local ranks + its per-partition
+    totals), and the lazy form re-executed the whole corpus explode
+    per branch — 17 census shuffles → the honest 4. At 100 TB
     the tercile boundaries could also come from approx-quantile
     cutpoints (two numbers broadcast); the exact form costs one
     range exchange over doc-count-sized rows."""
     from etl_geonames_spark.operators.relational import distributed_ntile
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     wne = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    vocab = wne.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        wne.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
     scored = (
         wne.join(F.broadcast(vocab), "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.avg(F.log(F.col("c") / F.col("total"))).alias("lp"))
+        .localCheckpoint()
     )
     b = distributed_ntile(
         scored, [F.col("lp"), F.col("doc_id")], 3, "tercile"
@@ -1437,7 +1470,7 @@ def llm_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per span — same plan, narrower rows."""
     from etl_geonames_spark.operators.llm import _shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).select("doc_id", F.explode(_shingles("toks", 8)).alias("gram"))
@@ -1491,11 +1524,16 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.llm import _shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # the distinct gram table is BOTH sides of the self-join —
+    # localCheckpoint so the explode+shingle+distinct subplan runs
+    # once, not per side (at 100 TB swap for a persisted table; the
+    # join itself stays one gram-keyed shuffle either way)
     g = (
         spread(docs, "doc_id")
         .select("source", F.split("text", " ").alias("toks"))
         .select("source", F.explode(_shingles("toks", 8)).alias("gram"))
         .distinct()
+        .localCheckpoint()
     )
     a = g.alias("a")
     b = g.alias("b")
@@ -1616,44 +1654,46 @@ def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Needs a GLOBAL ordered running sum, which is exactly the banned
     single-task window — so it runs on
-    relational.distributed_cumsum (range repartition + per-partition
-    prefix sums + broadcast per-partition totals), plus
-    distributed_rank for the rank. One broadcast of 3 p-values turns
-    cutoff selection into a tiny join + MIN aggregate.
+    relational.distributed_rank_cumsum: range repartition + ONE
+    per-partition window computing local rank and local prefix sum
+    together + broadcast per-partition offsets. The fused primitive
+    (built round 5 for ACF/best-split) replaces the earlier
+    distributed_rank + distributed_cumsum pair, which re-executed the
+    whole vocab subplan per call; and the grand total comes from the
+    SAME per-partition totals table (`_total_s`) rather than a second
+    corpus-scanning aggregate — the repo's global-anchor discipline
+    (cf. agg_theil_index). One broadcast of 3 p-values turns cutoff
+    selection into a tiny join + MIN aggregate.
 
     100 TB shape: everything keyed or metadata-sized; no partition
     ever holds more than its range of the vocab."""
     from etl_geonames_spark.operators.relational import (
-        distributed_cumsum,
-        distributed_rank,
+        distributed_rank_cumsum,
     )
 
+    # vocab-sized and consumed by BOTH branches inside the primitive
+    # (the ranked rows and the per-partition totals) — checkpoint so
+    # the corpus explode+count runs once, not once per branch
     wc = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     key = [F.col("n").desc(), F.col("word")]
-    ranked = distributed_rank(wc, key).withColumnRenamed("_grn", "rank")
-    cum = distributed_cumsum(
-        ranked.select("word", "n", "rank", "_total"), key, "n", "cum"
-    )
-    total = wc.agg(F.sum("n").alias("total_tokens"))
+    cum = distributed_rank_cumsum(wc, key, "n")
     ps = spark.createDataFrame(
         [(float(p),) for p in _TOPP_PS], "p double"
     )
-    joined = (
-        cum.crossJoin(F.broadcast(total))
-        .join(
-            F.broadcast(ps),
-            F.col("cum") >= F.col("p") * F.col("total_tokens"),
-        )
+    joined = cum.join(
+        F.broadcast(ps),
+        F.col("_gcs") >= F.col("p") * F.col("_total_s"),
     )
     return joined.groupBy("p").agg(
-        F.min("rank").cast("bigint").alias("cutoff_rank"),
-        F.max("total_tokens").cast("bigint").alias("total_tokens"),
+        F.min("_grn").cast("bigint").alias("cutoff_rank"),
+        F.max("_total_s").cast("bigint").alias("total_tokens"),
     )
 
 

@@ -1223,8 +1223,8 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pts AS (
         SELECT user_id, ts, event_id,
-               {_LAT_SQL.format(k="event_id")} AS lat,
-               {_LON_SQL.format(k="event_id")} AS lon
+               CAST((event_id * 7919) % 18000 - 9000 AS BIGINT) AS lat,
+               CAST((event_id * 104729) % 36000 - 18000 AS BIGINT) AS lon
         FROM events
     ),
     seg AS (
@@ -1237,12 +1237,12 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner_sum AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_points,
-               SUM(CASE WHEN plat IS NULL THEN 0.0
+               SUM(CASE WHEN plat IS NULL THEN 0
                         ELSE plon * lat - lon * plat END) AS s,
-               SUM(CASE WHEN plat IS NULL THEN 0.0
+               SUM(CASE WHEN plat IS NULL THEN 0
                         ELSE (plon + lon)
                              * (plon * lat - lon * plat) END) AS sx,
-               SUM(CASE WHEN plat IS NULL THEN 0.0
+               SUM(CASE WHEN plat IS NULL THEN 0
                         ELSE (plat + lat)
                              * (plon * lat - lon * plat) END) AS sy
         FROM seg GROUP BY user_id
@@ -1257,23 +1257,23 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     closed AS (
         SELECT i.user_id, i.n_points,
-               {sql_qround(
-                   "i.s + (e.llon * e.flat - e.flon * e.llat)", 4)}
-                 AS a2,
-               {sql_qround(
-                   "i.sx + (e.llon + e.flon)"
-                   " * (e.llon * e.flat - e.flon * e.llat)", 4)} AS sxc,
-               {sql_qround(
-                   "i.sy + (e.llat + e.flat)"
-                   " * (e.llon * e.flat - e.flon * e.llat)", 4)} AS syc
+               i.s + (e.llon * e.flat - e.flon * e.llat) AS a2,
+               i.sx + (e.llon + e.flon)
+                   * (e.llon * e.flat - e.flon * e.llat) AS sxc,
+               i.sy + (e.llat + e.flat)
+                   * (e.llon * e.flat - e.flon * e.llat) AS syc
         FROM inner_sum i JOIN ends e ON i.user_id = e.user_id
     )
     SELECT user_id, n_points,
            CASE WHEN a2 <> 0
-                THEN {sql_qround('sxc / (3.0 * a2)', 4)}
+                THEN {sql_qround(
+                    'CAST(sxc AS DOUBLE) / (300.0 * CAST(a2 AS DOUBLE))',
+                    4)}
            END AS centroid_lon,
            CASE WHEN a2 <> 0
-                THEN {sql_qround('syc / (3.0 * a2)', 4)}
+                THEN {sql_qround(
+                    'CAST(syc AS DOUBLE) / (300.0 * CAST(a2 AS DOUBLE))',
+                    4)}
            END AS centroid_lat
     FROM closed
     """,
@@ -1291,18 +1291,27 @@ def geo_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass + endpoint arg_min/arg_max closing term) with two
     extra running sums in the same aggregate — the marginal cost of
     the centroid over the area is zero additional exchanges. Float
-    discipline: the order-dependent sums quantize at 4dp (the 2dp×2dp
-    product rule) BEFORE the division, and the quotient re-quantizes,
-    so both engines divide identical numerators by identical
-    denominators; a degenerate (zero-signed-area) ring NULLs rather
-    than throws under ANSI."""
+    discipline, strengthened per ADVICE r5: the 2dp grid coords stay
+    SCALED INTEGERS (lat·100, lon·100) end-to-end, so every cross
+    product and running sum is exact int64 and order-INDEPENDENT —
+    no partition-order drift, no qround-boundary risk; only the final
+    centroid divides (by 300·a2: 3·2A with the 10²·10⁴ scale
+    cancellation), on identical integers in both engines. Per-ring
+    term bound ≈ 1.2e13, so ANSI overflow (loud, not silent) needs
+    ~10⁶ points in ONE user's ring — cap ring length upstream at that
+    scale. A degenerate (zero-signed-area) ring NULLs rather than
+    throws under ANSI."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
         "ts",
         "event_id",
-        _lat(F.col("event_id")).alias("lat"),
-        _lon(F.col("event_id")).alias("lon"),
+        ((F.col("event_id") * 7919) % 18000 - 9000)
+        .cast("long")
+        .alias("lat"),
+        ((F.col("event_id") * 104729) % 36000 - 18000)
+        .cast("long")
+        .alias("lon"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seg = pts.select(
@@ -1312,20 +1321,20 @@ def geo_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lat").over(w).alias("plat"),
         F.lag("lon").over(w).alias("plon"),
     )
-    cross = F.when(F.col("plat").isNull(), F.lit(0.0)).otherwise(
+    cross = F.when(F.col("plat").isNull(), F.lit(0).cast("long")).otherwise(
         F.col("plon") * F.col("lat") - F.col("lon") * F.col("plat")
     )
     inner = seg.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(cross).alias("s"),
         F.sum(
-            F.when(F.col("plat").isNull(), F.lit(0.0)).otherwise(
+            F.when(F.col("plat").isNull(), F.lit(0).cast("long")).otherwise(
                 (F.col("plon") + F.col("lon"))
                 * (F.col("plon") * F.col("lat") - F.col("lon") * F.col("plat"))
             )
         ).alias("sx"),
         F.sum(
-            F.when(F.col("plat").isNull(), F.lit(0.0)).otherwise(
+            F.when(F.col("plat").isNull(), F.lit(0).cast("long")).otherwise(
                 (F.col("plat") + F.col("lat"))
                 * (F.col("plon") * F.col("lat") - F.col("lon") * F.col("plat"))
             )
@@ -1341,13 +1350,9 @@ def geo_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     close_cross = (
         F.col("llon") * F.col("flat") - F.col("flon") * F.col("llat")
     )
-    a2 = qround(F.col("s") + close_cross, 4)
-    sxc = qround(
-        F.col("sx") + (F.col("llon") + F.col("flon")) * close_cross, 4
-    )
-    syc = qround(
-        F.col("sy") + (F.col("llat") + F.col("flat")) * close_cross, 4
-    )
+    a2 = F.col("s") + close_cross
+    sxc = F.col("sx") + (F.col("llon") + F.col("flon")) * close_cross
+    syc = F.col("sy") + (F.col("llat") + F.col("flat")) * close_cross
     joined = inner.join(ends, "user_id").select(
         "user_id",
         F.col("n_points").cast("long").alias("n_points"),
@@ -1355,13 +1360,16 @@ def geo_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxc.alias("sxc"),
         syc.alias("syc"),
     )
+    den = F.lit(300.0) * F.col("a2").cast("double")
     return joined.select(
         "user_id",
         "n_points",
         F.when(
-            F.col("a2") != 0, qround(F.col("sxc") / (3.0 * F.col("a2")), 4)
+            F.col("a2") != 0,
+            qround(F.col("sxc").cast("double") / den, 4),
         ).alias("centroid_lon"),
         F.when(
-            F.col("a2") != 0, qround(F.col("syc") / (3.0 * F.col("a2")), 4)
+            F.col("a2") != 0,
+            qround(F.col("syc").cast("double") / den, 4),
         ).alias("centroid_lat"),
     )

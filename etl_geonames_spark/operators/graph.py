@@ -91,14 +91,27 @@ def _pagerank_round_sql(prev: str) -> str:
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank as one lazy multi-round plan (see
-    module docstring for the 100 TB partitioning strategy)."""
-    edges = _edges(spark, sf_dir)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    """Fixed-iteration PageRank (see module docstring for the 100 TB
+    partitioning strategy). The iteration state is localCheckpointed
+    per round — the graph_cc_bounded convention — so round r+1's plan
+    joins a node-sized checkpointed rank table instead of replaying
+    rounds 1..r (the lazy one-plan form re-executed every prior
+    round's subplan per branch: 24 census shuffles → per-round
+    constant). The precomputed edge/outdeg/node tables are
+    checkpointed once for the same reason: each of the 3 rounds
+    consumes all three. ``pagerank_bucketed`` remains the layout that
+    additionally kills the per-round src-join shuffle."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(_N_ITER):
@@ -116,7 +129,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.15)
                 + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
-        )
+        ).localCheckpoint()
     return ranks.select("node", qround(F.col("rank"), 6).alias("rank"))
 
 
@@ -344,8 +357,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Σ deg(u) over edges, the same frontier triangle counting pays.
     Hub-heavy graphs cap it by degree-thresholding (drop u with
     deg > K before the self-join) or salting the hub keys — the
-    standard mitigation, applied upstream of this exact plan."""
-    e = _edges(spark, sf_dir)
+    standard mitigation, applied upstream of this exact plan.
+
+    The derived edge table feeds FOUR consumers (degree table + the
+    three join roles) — localCheckpointed so the edge-derivation
+    subplan runs once, not per consumer (the graph_cc_bounded
+    convention; adjudicated as the real cause of this query's slow
+    2× wall creep, BASELINE.md round 6)."""
+    e = _edges(spark, sf_dir).localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     ea = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -410,27 +429,31 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per hop with a DISTINCT between hops — the distinct is what keeps
     the frontier a SET, so multiplicities never explode along
     parallel paths (without it the row count is path-count, which is
-    exponential). Three unrolled hops in ONE lazy plan, the
-    graph_pagerank pattern; the oracle unrolls the identical CTEs.
+    exponential). The frontier is localCheckpointed per hop (the
+    graph_cc_bounded convention): each hop consumes the previous
+    frontier TWICE (the edge join + the keep-union), so the lazy
+    one-plan form re-executed every earlier hop's subplan per branch
+    (20 census shuffles → per-hop constant); the oracle unrolls the
+    identical CTEs.
 
     100 TB shape: each hop shuffles the frontier on node and the
     dedup on (seed, node) — frontier-linear, never path-count.
-    Unbounded k moves to a driver loop with localCheckpoint and a
-    convergence count, exactly the llm.py connected-components
-    recipe; edge-bucketed layout (pagerank_bucketed) removes the
-    edge-side exchange per hop here too."""
-    e = _edges(spark, sf_dir)
+    Unbounded k keeps this exact loop and adds a convergence count,
+    exactly the llm.py connected-components recipe; edge-bucketed
+    layout (pagerank_bucketed) removes the edge-side exchange per hop
+    here too."""
+    e = _edges(spark, sf_dir).localCheckpoint()
     seeds = (
         e.select(F.col("src").alias("seed"))
         .where(F.col("seed") < 10)
         .distinct()
     )
-    r = seeds.select("seed", F.col("seed").alias("node"))
+    r = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint()
     for _ in range(3):
         step = r.join(
             e, r["node"] == e["src"]
         ).select("seed", F.col("dst").alias("node"))
-        r = r.unionByName(step).distinct()
+        r = r.unionByName(step).distinct().localCheckpoint()
     return r.groupBy("seed").agg(
         F.count(F.lit(1)).alias("n_reachable")
     )

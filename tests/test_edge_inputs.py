@@ -310,3 +310,54 @@ def test_sft_render_span_recovers_response(spark, edge_sf_dir):
         cut = r["rendered"][r["asst_start"] - 1 : r["asst_start"] - 1 + r["asst_len"]]
         assert len(cut) == r["asst_len"]
         assert r["rendered"].endswith(cut + "<|end|>")
+
+
+def test_html_extract_strips_script_body_containing_lt(
+    spark, tmp_path
+):
+    """A script/style body containing a literal '<' (e.g. `a<b`) must
+    be stripped WHOLESALE — the [^<]* body form under-stripped it,
+    leaking `var q='a` into the extracted text (and the oracle shared
+    the regex, so the differential could never catch it). Also pins
+    the \\s+ whitespace collapse: a tab inside the doc text must
+    collapse to one space. Differential + absolute no-leak assertion
+    over a self-contained fixture."""
+    import duckdb
+
+    d = tmp_path / "sf_html"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0], dtype="int64"),
+            "text": [
+                "before <script>var q='a<b';</script>\tafter "
+                "<style>p { c: 1 } .x</style> end"
+            ],
+            "lang": ["en"],
+            "source": ["edge"],
+            "n_chars": pd.array([78], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    spark_pd = (
+        QUERIES["llm_html_extract"](spark, str(d))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    duck_pd = (
+        con.sql(ORACLES["llm_html_extract"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for col in sorted(spark_pd.columns):
+        assert spark_pd[col].tolist() == duck_pd[col].tolist(), col
+    prefix = spark_pd["clean_prefix"][0]
+    assert "var q" not in prefix and "a<b" not in prefix
+    assert "{ c: 1 }" not in prefix
+    # skeleton h1 text + doc body with script/style gone, tab collapsed
+    # (tags strip to nothing, so h1/p text runs together: "0before")
+    assert prefix.startswith("Doc & 0before after end")

@@ -923,16 +923,14 @@ def _qround4(x):
 def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
     """geo_polygon_centroid equals a from-scratch shoelace-centroid
     replay over each user's (ts, event_id)-ordered closed ring —
-    same synthetic lat/lon grid, same 4dp quantization points, same
-    ANSI-style NULL on a degenerate (zero signed area) ring.
+    same scaled-integer lat·100/lon·100 grid, same int64 cross-
+    product sums, same single divide-at-emit, same ANSI-style NULL
+    on a degenerate (zero signed area) ring.
 
-    Float-boundary caveat (the one non-integer witness here): the
-    2dp×2dp cross products are not binary-exact, so Spark's
-    partition-order sums and this loop's sorted-order sums can drift
-    ~1e-13 BEFORE the 4dp qround — a regenerated fixture landing a
-    sum within that drift of a .00005 boundary would flip one grid
-    cell. Centroids therefore compare grid-adjacent (≤ 1e-4) rather
-    than exactly; n_points and NULL-ness stay exact."""
+    All-integer since ADVICE r5: every sum is exact int64 on both
+    sides, so centroids compare EXACTLY (the former float form needed
+    a grid-adjacent tolerance because partition-order drift could
+    flip a 4dp qround cell)."""
     from collections import defaultdict
 
     from etl_geonames_spark.sources import load_table
@@ -943,13 +941,13 @@ def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
     by_user = defaultdict(list)
     for r in ev.collect():
         by_user[r["user_id"]].append((r["ts"], int(r["event_id"])))
-    lat = lambda k: ((k * 7919) % 18000) / 100.0 - 90.0
-    lon = lambda k: ((k * 104729) % 36000) / 100.0 - 180.0
+    lat = lambda k: (k * 7919) % 18000 - 9000
+    lon = lambda k: (k * 104729) % 36000 - 18000
     expect = {}
     for u, pts in by_user.items():
         pts.sort()
         ring = [(lat(e), lon(e)) for _, e in pts]
-        s = sx = sy = 0.0
+        s = sx = sy = 0
         for (plat, plon), (clat, clon) in zip(ring, ring[1:]):
             cr = plon * clat - clon * plat
             s += cr
@@ -957,13 +955,13 @@ def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
             sy += (plat + clat) * cr
         (flat, flon), (llat, llon) = ring[0], ring[-1]
         ccr = llon * flat - flon * llat
-        a2 = _qround4(s + ccr)
-        sxc = _qround4(sx + (llon + flon) * ccr)
-        syc = _qround4(sy + (llat + flat) * ccr)
+        a2 = s + ccr
+        sxc = sx + (llon + flon) * ccr
+        syc = sy + (llat + flat) * ccr
         expect[u] = (
             len(ring),
-            _qround4(sxc / (3.0 * a2)) if a2 != 0 else None,
-            _qround4(syc / (3.0 * a2)) if a2 != 0 else None,
+            _qround4(sxc / (300.0 * a2)) if a2 != 0 else None,
+            _qround4(syc / (300.0 * a2)) if a2 != 0 else None,
         )
     got = {
         r["user_id"]: (
@@ -977,11 +975,7 @@ def test_polygon_centroid_matches_python_recomputation(spark, sf_dir):
     for u, (n, lon, lat) in expect.items():
         gn, glon, glat = got[u]
         assert gn == n
-        for e, g in ((lon, glon), (lat, glat)):
-            if e is None or g is None:
-                assert e is None and g is None
-            else:
-                assert abs(g - e) <= 1e-4 + 1e-9
+        assert (glon, glat) == (lon, lat)
 
 
 def test_pq_quantize_matches_python_recomputation(spark, sf_dir):
