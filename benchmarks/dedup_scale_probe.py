@@ -44,6 +44,16 @@ OPS = [
     "llm_longest_shared_gram",
     "llm_cross_source_dup_matrix",
     "agg_heavy_hitters",
+    # round-6 additions (VERDICT r5 item 6): the round-5 map-heavy ops
+    # not yet probed — HTML extraction over markup-wrapped replicas
+    # (pure codegen, should scale linearly), BPE training over the
+    # replicated corpus (vocab-sized state: replication multiplies
+    # counts, not keys — rounds should stay near-flat beyond the count
+    # pass), and the two-stage Arrow encode->decode feature extract
+    # (per-doc pixel work, linear; pins the Arrow transport cost)
+    "llm_html_extract",
+    "llm_bpe_train_rounds",
+    "mm_feature_extract",
 ]
 
 

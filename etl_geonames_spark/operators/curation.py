@@ -3167,3 +3167,153 @@ def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_remaining"),
     )
+
+
+@query(
+    "llm_ttr_curve",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN len(str_split(text, ' ')) < 32 THEN 0
+                    WHEN len(str_split(text, ' ')) < 64 THEN 1
+                    WHEN len(str_split(text, ' ')) < 128 THEN 2
+                    ELSE 3 END AS bucket,
+               unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ),
+    w AS (SELECT bucket, word FROM t WHERE word <> '')
+    SELECT bucket,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           FLOOR(COUNT(DISTINCT word)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS ttr
+    FROM w GROUP BY bucket
+    """,
+)
+def llm_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length bucket — the lexical-
+    diversity curve (Herdan's law in bucket form): TTR falls as
+    samples grow, so comparing sources at DIFFERENT lengths without
+    bucketing is the classic corpus-linguistics mistake. Degenerate
+    repetition (low TTR for its bucket) and keyword-stuffed spam
+    (anomalously high) both fall off the curve — a quality signal
+    llm_repetition_ratio (within-doc) doesn't see because it never
+    pools types across documents.
+
+    Buckets are fixed powers of two on whitespace token count
+    (<32/<64/<128/rest), so assignment is a scan-side CASE. One
+    explode → one (bucket, word)-keyed aggregate with the DISTINCT
+    handled by Catalyst's two-phase Expand — partial aggregation
+    still combines map-side, the shuffle carries (bucket, word)
+    partials, never raw token streams. 4-row output at any corpus
+    size; at 100 TB swap the exact DISTINCT for HLL per bucket, same
+    plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split("text", " "))
+    bucket = (
+        F.when(nt < 32, F.lit(0))
+        .when(nt < 64, F.lit(1))
+        .when(nt < 128, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    w = (
+        docs.select(
+            bucket.alias("bucket"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return w.groupBy("bucket").agg(
+        F.count_distinct("word").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        qround(
+            F.count_distinct("word")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
+_DP_EPS = 1.0
+_DP_ALPHA_NUM = 367879441  # floor(exp(-eps) * 1e9) for eps=1: the
+_DP_ALPHA_DEN = 1000000000  # geometric-mechanism decay as an exact ratio
+
+
+@query(
+    "llm_dp_histogram",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM documents GROUP BY lang
+    ),
+    u AS (
+        SELECT lang, true_count,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(lang)),
+                           i -> CAST(ascii(substr(lang, i, 1)) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % 1000003) % 1000000 AS h
+        FROM c
+    ),
+    n AS (
+        SELECT lang, true_count,
+               (CAST(h % 1000 AS BIGINT) - 500) AS sgn_src,
+               CAST(FLOOR({sql_qround(
+                   'ln((CAST(h AS DOUBLE) + 0.5) / 1000000.0)'
+                   f' / ln({_DP_ALPHA_NUM}'
+                   f' / CAST({_DP_ALPHA_DEN} AS DOUBLE))', 9)}
+               ) AS BIGINT) AS mag
+        FROM u
+    )
+    SELECT lang, true_count,
+           CASE WHEN sgn_src < 0 THEN -mag ELSE mag END AS noise,
+           GREATEST(
+               true_count
+               + CASE WHEN sgn_src < 0 THEN -mag ELSE mag END,
+               0) AS dp_count
+    FROM n
+    """,
+)
+def llm_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private language histogram via the geometric
+    mechanism (Ghosh-Roughgarden-Sundararajan 2009): each sensitivity-1
+    count releases count + two-sided-geometric noise with decay
+    α = e^(−ε), then clamps at 0 (post-processing preserves DP). The
+    governance op a training-data release pipeline runs before
+    publishing corpus composition stats.
+
+    The noise magnitude is the geometric inverse-CDF ⌊ln(u)/ln(α)⌋
+    applied to a DETERMINISTIC uniform u = (hash(lang) mod 10⁶ +
+    ½)/10⁶ — deterministic so both engines (and reruns) release the
+    identical histogram; production swaps u for a cryptographic RNG
+    and keeps every other expression. NOTE the determinism means this
+    query demonstrates the mechanism's plumbing (sensitivity, decay,
+    clamp) — actual privacy requires the real sampler, stated here
+    per the honest-stub discipline. The uniform comes from the repo's
+    cross-engine :func:`poly_hash` (Horner mod 1e6+3) on the lang
+    string, replayed exactly in the oracle's list_reduce. The one
+    float step ⌊ln(u)/ln(α)⌋ is qround(9)-guarded before the floor
+    (the threshold-predicate rule: last-ulp ln drift must not flip a
+    near-integer quotient); sign is an integer parity test — the
+    emitted columns are exact int64.
+
+    Shape: one aggregate to the lang-sized table, then map-side
+    noise expressions. Nothing corpus-sized after the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    h = poly_hash(F.col("lang")) % 1000000
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(1000000.0)
+    alpha = F.lit(_DP_ALPHA_NUM) / F.lit(float(_DP_ALPHA_DEN))
+    mag = F.floor(qround(F.log(u) / F.log(alpha), 9)).cast("long")
+    sgn_src = (h % 1000 - 500).cast("long")
+    noise = F.when(sgn_src < 0, -mag).otherwise(mag)
+    return c.select(
+        "lang",
+        "true_count",
+        noise.alias("noise"),
+        F.greatest(
+            F.col("true_count") + noise, F.lit(0).cast("long")
+        ).alias("dp_count"),
+    )

@@ -2940,3 +2940,234 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+_TOST_MARGIN = 20.0
+_TOST_CRIT = 1.645
+
+
+@query(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n1,
+               CAST(SUM(1 - g) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(SUM(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS BIGINT)
+                   AS q2
+        FROM m
+    ),
+    v AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS d,
+               (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+               + (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                   / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS se2
+        FROM s WHERE n1 >= 2 AND n2 >= 2
+        UNION ALL
+        SELECT n1, n2, NULL, NULL FROM s WHERE n1 < 2 OR n2 < 2
+    ),
+    t AS (
+        SELECT n1, n2,
+               {sql_qround('d', 6)} AS mean_diff,
+               {sql_qround(f'(d + {_TOST_MARGIN}) / sqrt(se2)', 6)}
+                   AS t_lower,
+               {sql_qround(f'({_TOST_MARGIN} - d) / sqrt(se2)', 6)}
+                   AS t_upper
+        FROM v
+    )
+    SELECT n1, n2, mean_diff, t_lower, t_upper,
+           CASE WHEN t_lower IS NULL THEN NULL
+                WHEN LEAST(t_lower, t_upper) >= {_TOST_CRIT}
+                THEN 1 ELSE 0 END AS equivalent
+    FROM t
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, two one-sided tests)
+    on English vs non-English mean document length: the INVERSE of
+    the difference tests this module already ships — instead of
+    "can we reject equal means?" it asks "can we reject a difference
+    larger than ±δ?", which is what a curation pipeline needs before
+    declaring two shards interchangeable (failing to reject equality
+    is NOT evidence of equivalence; TOST is). δ = 20 chars fixed;
+    t_lower tests d > −δ, t_upper tests d < +δ; equivalence is
+    declared when min(t_lower, t_upper) ≥ 1.645 (z-approximate
+    critical — the Welch df here is in the thousands, where t ≈ z).
+
+    Float discipline: the decision predicate compares the qround(6)'d
+    statistics against the literal critical value on BOTH engines
+    (the threshold-predicate rule, CLAUDE.md) — never raw libm
+    output. Same six exact int64 moments and one-row shape as
+    stat_welch_ttest; degenerate groups NULL out. One corpus scan at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    s = m.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("x") * F.col("x")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("x") * F.col("x")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    d = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    )
+    se2 = (
+        (F.col("n1").cast("double") * F.col("q1")
+         - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
+        / F.col("n1")
+        + (F.col("n2").cast("double") * F.col("q2")
+           - F.col("s2").cast("double") * F.col("s2"))
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
+        / F.col("n2")
+    )
+    t_lower = qround((d + F.lit(_TOST_MARGIN)) / F.sqrt(se2), 6)
+    t_upper = qround((F.lit(_TOST_MARGIN) - d) / F.sqrt(se2), 6)
+    return s.select(
+        "n1",
+        "n2",
+        F.when(ok, qround(d, 6)).alias("mean_diff"),
+        F.when(ok, t_lower).alias("t_lower"),
+        F.when(ok, t_upper).alias("t_upper"),
+        F.when(
+            ok,
+            F.when(F.least(t_lower, t_upper) >= _TOST_CRIT, F.lit(1))
+            .otherwise(F.lit(0)),
+        ).alias("equivalent"),
+    )
+
+
+@query(
+    "stat_grubbs",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM m
+    ),
+    dev AS (
+        SELECT CAST(MAX(ABS(m.x * s.n - s.s)) AS BIGINT) AS maxdev
+        FROM m, s
+    ),
+    pick AS (
+        SELECT CAST(MIN(m.doc_id) AS BIGINT) AS outlier_doc_id,
+               CAST(arg_min(m.x, m.doc_id) AS BIGINT) AS x_outlier
+        FROM m, s, dev
+        WHERE ABS(m.x * s.n - s.s) = dev.maxdev
+    )
+    SELECT s.n,
+           CASE WHEN s.n >= 3 AND s.n * s.q - s.s * s.s <> 0
+                THEN {sql_qround(
+                    'dev.maxdev / CAST(s.n AS DOUBLE)'
+                    ' / sqrt(CAST(s.n * s.q - s.s * s.s AS DOUBLE)'
+                    '        / (CAST(s.n AS DOUBLE) * (s.n - 1)))', 6)}
+           END AS g_stat,
+           CASE WHEN s.n >= 3 AND s.n * s.q - s.s * s.s <> 0
+                THEN pick.outlier_doc_id END AS outlier_doc_id,
+           CASE WHEN s.n >= 3 AND s.n * s.q - s.s * s.s <> 0
+                THEN pick.x_outlier END AS x_outlier
+    FROM s, dev, pick
+    """,
+)
+def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic over document
+    lengths: G = max|x − x̄| / s, plus WHICH document achieves it —
+    the single-most-suspicious-point screen (dq_outlier_mad flags all
+    points past a robust gate; Grubbs ranks the one worst point on
+    the classical normal-theory scale, the number you compare to a
+    t-derived critical value at your chosen α downstream).
+
+    Integer argmax discipline: |x − x̄| ordering equals |n·x − Σx|
+    ordering (multiply through by n), so the max deviation AND the
+    argmax document are found on exact int64 keys — no float-boundary
+    argmax (the weighted-sampling ORDER BY rule). G itself is one
+    fixed-shape double expression over (maxdev, n, Σx, Σx²),
+    qround(6). Ties break to the smallest doc_id on both engines.
+
+    Shape: one moment aggregate, then one column-pruned re-scan for
+    the integer max-dev + argmax against the broadcast 1-row moments
+    (the honest-extra-pass pattern, cf. dq_freshness — the scan reads
+    two columns). Degenerate inputs (n < 3 or zero variance) NULL out
+    rather than throw."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("doc_id", F.col("n_chars").cast("long").alias("x"))
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    ).localCheckpoint()
+    withdev = m.crossJoin(F.broadcast(s)).select(
+        "doc_id",
+        "x",
+        "n",
+        "s",
+        "q",
+        F.abs(F.col("x") * F.col("n") - F.col("s")).alias("dev"),
+    )
+    agg = withdev.agg(
+        F.max("dev").alias("maxdev"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.min_by(
+            F.struct(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("x").cast("long").alias("x"),
+            ),
+            F.struct((-F.col("dev")).alias("negdev"), F.col("doc_id")),
+        ).alias("pick"),
+    )
+    ok = (F.col("n") >= 3) & (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s") != 0
+    )
+    g_stat = (
+        F.col("maxdev") / F.col("n").cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return agg.select(
+        "n",
+        F.when(ok, qround(g_stat, 6)).alias("g_stat"),
+        F.when(ok, F.col("pick.doc_id")).alias("outlier_doc_id"),
+        F.when(ok, F.col("pick.x")).alias("x_outlier"),
+    )

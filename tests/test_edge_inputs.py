@@ -195,6 +195,15 @@ def edge_ddb(edge_sf_dir):
         # PQ on a 3-vector 4-dim corpus: every vector is a codeword,
         # subvector length 1, zero vector snaps at d2 ties → cid 0
         "llm_pq_quantize",
+        # round-6: one-sided all-'en' corpus NULLs TOST; Grubbs on a
+        # 6-row corpus (n ≥ 3 holds, argmax tie-break exercised);
+        # TTR buckets collapse to bucket 0; DP noise on a single lang
+        # key; seed-and-extend where most docs are too short to seed
+        "stat_tost_equivalence",
+        "stat_grubbs",
+        "llm_ttr_curve",
+        "llm_dp_histogram",
+        "llm_exact_shared_run",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
@@ -361,3 +370,56 @@ def test_html_extract_strips_script_body_containing_lt(
     # skeleton h1 text + doc body with script/style gone, tab collapsed
     # (tags strip to nothing, so h1/p text runs together: "0before")
     assert prefix.startswith("Doc & 0before after end")
+
+
+def test_exact_shared_run_recovers_planted_lengths(spark, tmp_path):
+    """llm_exact_shared_run must report the EXACT planted shared-run
+    length — the property that distinguishes it from the factor-2
+    doubling probe (llm_longest_shared_gram would bucket 13 down to
+    8). Planted: docs 0/1 share exactly a 13-token run, docs 2/3
+    exactly 6, docs 4/5 exactly 4, doc 6 shares nothing (unique
+    tokens), doc 7 is too short to seed. Also differential vs the
+    DuckDB oracle on the same fixture."""
+    import duckdb
+
+    run13 = " ".join(f"r{i}" for i in range(13))
+    run6 = " ".join(f"s{i}" for i in range(6))
+    run4 = " ".join(f"t{i}" for i in range(4))
+    texts = [
+        f"a0 a1 {run13} a2 a3",
+        f"b0 {run13} b1 b2 b3",
+        f"c0 c1 {run6} c2",
+        f"{run6} d0 d1",
+        f"e0 {run4} e1",
+        f"f0 f1 f2 {run4}",
+        "u0 u1 u2 u3 u4 u5 u6 u7",
+        "v0 v1 v2",
+    ]
+    d = tmp_path / "sf_runs"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["edge"] * len(texts),
+            "n_chars": pd.array(
+                [len(t) for t in texts], dtype="int64"
+            ),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["exact_l"]
+        for r in QUERIES["llm_exact_shared_run"](spark, str(d)).collect()
+    }
+    assert got == {(0, 1): 13, (2, 3): 6, (4, 5): 4}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    duck = {
+        (int(r.doc_a), int(r.doc_b)): int(r.exact_l)
+        for r in con.sql(ORACLES["llm_exact_shared_run"]).df().itertuples()
+    }
+    assert duck == got
