@@ -1081,3 +1081,124 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tops.unionAll(topa)
+
+
+_SCC_ROUNDS = 4
+
+
+def _scc_round_sql(prev: str, edge_from: str, edge_to: str) -> str:
+    """One unrolled min-label round along ``edge_from → edge_to``:
+    lbl(v) ← min(lbl(v), min over incident edges of the neighbor's
+    label). Forward rounds pass labels DOWN edges (reaches-v set);
+    backward rounds pass them UP (v-reaches set)."""
+    return (
+        f"SELECT n.node, "
+        f"LEAST(n.lbl, COALESCE(m.minl, n.lbl)) AS lbl "
+        f"FROM {prev} n LEFT JOIN ("
+        f"SELECT e.{edge_to} AS node, MIN(l.lbl) AS minl "
+        f"FROM edges e JOIN {prev} l ON e.{edge_from} = l.node "
+        f"GROUP BY e.{edge_to}) m ON n.node = m.node"
+    )
+
+
+@query(
+    "graph_scc_bounded",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    f0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(
+        f"f{i + 1} AS ({_scc_round_sql(f'f{i}', 'src', 'dst')})"
+        for i in range(_SCC_ROUNDS)
+    )},
+    b0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(
+        f"b{i + 1} AS ({_scc_round_sql(f'b{i}', 'dst', 'src')})"
+        for i in range(_SCC_ROUNDS)
+    )}
+    SELECT CAST(f.lbl AS BIGINT) AS fwd_label,
+           CAST(b.lbl AS BIGINT) AS bwd_label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(CASE WHEN f.lbl = b.lbl THEN 1 ELSE 0 END AS BIGINT)
+               AS is_scc
+    FROM f{_SCC_ROUNDS} f JOIN b{_SCC_ROUNDS} b ON f.node = b.node
+    GROUP BY f.lbl, b.lbl
+    """,
+)
+def graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded strongly-connected-component coloring — the directed
+    sibling of graph_cc_bounded: 4 rounds of forward min-label
+    propagation give fwd(v) = the smallest id that REACHES v within
+    4 hops, 4 backward rounds give bwd(v) = the smallest id v
+    reaches; nodes sharing (fwd, bwd) with fwd = bwd = c are
+    certified mutually reachable with pivot c (c reaches v AND v
+    reaches c ⟹ v ∈ SCC(c) when the SCC's diameter ≤ 4) — the
+    FW-BW pivot idea (Fleischer-Hendrickson-Pinar 2000) with min-id
+    pivots everywhere at once. Cycle structure is what distinguishes
+    a citation graph from a link farm; CC (which ignores direction)
+    cannot see it.
+
+    Fixed round count = hashable contract, exactly the
+    graph_cc_bounded discipline: both engines replay the same 2×4
+    half-steps (DuckDB as stacked CTEs), so a direction slip —
+    passing labels up an edge in a forward round — breaks the value
+    hash. Per round ONE equi-join + ONE min aggregate + a left-join
+    merge, labels localCheckpointed per round (plan depth O(1) per
+    round; the lazy form re-executes earlier rounds per branch).
+    Diameter > 4 SCCs fragment into multiple (fwd, bwd) cells — by
+    design; production iterates to a fixpoint with a convergence
+    counter and recurses FW-BW on the undecided remainder.
+
+    100 TB shape: label tables are node-sized, edges checkpointed
+    once; every join is hash-partitioned on a node key — the same
+    BSP template as cc/pagerank/khop, bucketed edge layout applies
+    unchanged."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def propagate(edge_from: str, edge_to: str) -> DataFrame:
+        lab = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(_SCC_ROUNDS):
+            m = (
+                e.join(lab, e[edge_from] == lab["node"])
+                .groupBy(e[edge_to].alias("node"))
+                .agg(F.min("lbl").alias("minl"))
+            )
+            lab = (
+                lab.join(m, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("minl"), F.col("lbl")),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+        return lab
+
+    fwd = propagate("src", "dst").withColumnRenamed("lbl", "fwd_label")
+    bwd = propagate("dst", "src").withColumnRenamed("lbl", "bwd_label")
+    return (
+        fwd.join(bwd, "node")
+        .groupBy(
+            F.col("fwd_label").cast("long").alias("fwd_label"),
+            F.col("bwd_label").cast("long").alias("bwd_label"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.max(
+                F.when(
+                    F.col("fwd_label") == F.col("bwd_label"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("is_scc"),
+        )
+    )

@@ -4249,3 +4249,264 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run").cast("long").alias("exact_l"),
         F.count(F.lit(1)).cast("long").alias("n_seed_matches"),
     )
+
+
+@query(
+    "llm_bleu_bigram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT pair_id, side, tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE [] END AS bg
+      FROM t
+    ),
+    p AS (
+      SELECT a.pair_id, a.tk AS ta, b.tk AS tb, a.bg AS ga, b.bg AS gb
+      FROM g a JOIN g b ON a.pair_id = b.pair_id
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    c AS (
+      SELECT pair_id,
+             CAST(len(ta) AS BIGINT) AS ref_len,
+             CAST(len(tb) AS BIGINT) AS cand_len,
+             CAST(len(gb) AS BIGINT) AS cand_bigrams,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(tb),
+                 w -> LEAST(len(list_filter(ta, x -> x = w)),
+                            len(list_filter(tb, x -> x = w))))), 0)
+                 AS BIGINT) AS clip1,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(gb),
+                 w -> LEAST(len(list_filter(ga, x -> x = w)),
+                            len(list_filter(gb, x -> x = w))))), 0)
+                 AS BIGINT) AS clip2
+      FROM p
+    )
+    SELECT pair_id, ref_len, cand_len, clip1, clip2,
+           CASE WHEN cand_len > 0 AND cand_bigrams > 0 THEN
+             CASE WHEN clip1 > 0 AND clip2 > 0 THEN
+               FLOOR(
+                 LEAST(CAST(1 AS DOUBLE),
+                       exp(1.0 - ref_len / CAST(cand_len AS DOUBLE)))
+                 * exp(0.5 * (ln(clip1 / CAST(cand_len AS DOUBLE))
+                              + ln(clip2 / CAST(cand_bigrams AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0
+             ELSE CAST(0.0 AS DOUBLE) END
+           END AS bleu2
+    FROM c
+    """,
+)
+def llm_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. 2002) between paired documents (even
+    doc = reference, odd doc = candidate — the llm_bigram_f1 pairing):
+    geometric mean of CLIPPED unigram and bigram precisions times the
+    brevity penalty min(1, e^(1−r/c)). The clipping is what
+    distinguishes BLEU from bigram F1's distinct-set overlap — a
+    candidate repeating one reference word scores its count only up
+    to the reference's count, so degenerate repetition can't inflate
+    precision; and the brevity penalty punishes the trivially-precise
+    short candidate. Together the three guards make this the eval
+    shape summarization/translation pipelines actually gate on.
+
+    Multiset clipping stays in array built-ins: per distinct
+    candidate gram, least(occurrences-in-ref, occurrences-in-cand)
+    via filter+size, summed with aggregate — no explode of the pair
+    side, no Python (cost is O(distinct·len) per pair, bounded by the
+    doc_id < 200 eval slice like the sibling). Zero clipped overlap
+    at either order ⟹ BLEU 0 (the standard convention, avoiding
+    ln 0); an empty or bigram-less candidate NULLs (undefined, not
+    zero). qround(6) at emit.
+
+    Scale shape: one co-partitioned equi-join on pair_id, everything
+    else map-side array arithmetic — at eval scale (ref vs cand
+    corpora keyed by example id) this is the exact production plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    g = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.expr(
+            "filter(split(text, ' '), w -> w != '')"
+        ).alias("tk"),
+    ).withColumn(
+        "bg",
+        F.expr(
+            "CASE WHEN size(tk) >= 2 THEN"
+            " transform(sequence(1, size(tk) - 1),"
+            " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            " ELSE cast(array() AS array<string>) END"
+        ),
+    )
+    a = g.filter(F.col("side") == 0).select(
+        "pair_id", F.col("tk").alias("ta"), F.col("bg").alias("ga")
+    )
+    b = g.filter(F.col("side") == 1).select(
+        "pair_id", F.col("tk").alias("tb"), F.col("bg").alias("gb")
+    )
+    clip = (
+        "aggregate(transform(array_distinct({cand}), "
+        "w -> least(size(filter({ref}, x -> x = w)), "
+        "size(filter({cand}, x -> x = w)))), 0, (acc, x) -> acc + x)"
+    )
+    c = a.join(b, "pair_id").select(
+        "pair_id",
+        F.size("ta").cast("long").alias("ref_len"),
+        F.size("tb").cast("long").alias("cand_len"),
+        F.size("gb").cast("long").alias("cand_bigrams"),
+        F.expr(clip.format(cand="tb", ref="ta"))
+        .cast("long")
+        .alias("clip1"),
+        F.expr(clip.format(cand="gb", ref="ga"))
+        .cast("long")
+        .alias("clip2"),
+    )
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(
+            F.lit(1.0) - F.col("ref_len") / F.col("cand_len").cast("double")
+        ),
+    )
+    score = bp * F.exp(
+        F.lit(0.5)
+        * (
+            F.log(F.col("clip1") / F.col("cand_len").cast("double"))
+            + F.log(F.col("clip2") / F.col("cand_bigrams").cast("double"))
+        )
+    )
+    return c.select(
+        "pair_id",
+        "ref_len",
+        "cand_len",
+        "clip1",
+        "clip2",
+        F.when(
+            (F.col("cand_len") > 0) & (F.col("cand_bigrams") > 0),
+            F.when(
+                (F.col("clip1") > 0) & (F.col("clip2") > 0),
+                qround(score, 6),
+            ).otherwise(F.lit(0.0)),
+        ).alias("bleu2"),
+    )
+
+
+_MBT_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+_MBT_DEN = 8 ** 8
+
+
+def _mbt_num_sql(b: int, r: int, k: str = "n_match") -> str:
+    """Exact-rational detection-probability numerator for a (b, r)
+    banding over an 8-perm signature: p = 1 − (1 − (k/8)^r)^b =
+    (8⁸ − (8^r − k^r)^b) / 8⁸ when b·r = 8 — integer arithmetic all
+    the way (the repeated-product form keeps both engines on int64,
+    no pow())."""
+    kr = " * ".join([f"CAST({k} AS BIGINT)"] * r)
+    t1 = f"({8 ** r} - {kr})"
+    return f"({_MBT_DEN} - {' * '.join([t1] * b)})"
+
+
+@query(
+    "llm_minhash_band_tuning",
+    oracle=f"""
+    WITH {_POLY_LSH_SQL_CTES},
+    perm8(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({2 * i * 1_000_003 + 1} AS BIGINT),"
+        f" CAST({i * 998_244_353 + 12_345} AS BIGINT))"
+        for i in range(8)
+    )}),
+    sig8 AS (
+        SELECT h.doc_id, p.i, MIN((p.a * h.ph + p.b) % 2147483647) AS m
+        FROM h CROSS JOIN perm8 p GROUP BY h.doc_id, p.i
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.b_lo = b.b_lo AND a.b_hi = b.b_hi
+         AND a.doc_id < b.doc_id
+    ),
+    k AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig8 sa ON sa.doc_id = c.doc_a
+        JOIN sig8 sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY c.doc_a, c.doc_b
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR(SUM({_mbt_num_sql(b, r)})
+                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS exp_detected,
+               FLOOR(SUM(CASE WHEN n_match >= 4
+                              THEN {_mbt_num_sql(b, r)} ELSE 0 END)
+                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS exp_detected_dup,
+               FLOOR(SUM(CASE WHEN n_match < 4
+                              THEN {_mbt_num_sql(b, r)} ELSE 0 END)
+                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS exp_fp_checks
+        FROM k''' for b, r in _MBT_CONFIGS
+    )}
+    """,
+)
+def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry tuning table — price the (bands × rows)
+    S-curve BEFORE committing a 100 TB dedup run to one geometry: for
+    each way of splitting the 8-perm signature into b bands of r rows
+    (b·r = 8), the probability a pair with MinHash match count k is
+    detected is p = 1 − (1 − (k/8)^r)^b; summed over the observed
+    candidate-pair population this yields the expected detections,
+    split into likely-dup mass (k ≥ 4, i.e. ŝ ≥ 0.5) and
+    false-positive bucket checks (k < 4) — the recall-vs-wasted-join
+    trade each geometry buys. Joins the census family
+    (llm_dedup_band_stats prices ONE geometry's buckets; this
+    compares geometries on the same evidence).
+
+    Calls the llm_minhash_jaccard_est pipeline it prices (the
+    llm_ann_recall_eval pattern — the tuner can't drift from the
+    pipeline it tunes) and reads only its integer match counts.
+    All-integer core: with b·r = 8, p is the exact rational
+    (8⁸ − (8^r − k^r)^b)/8⁸, so every sum is int64 (numerators ≤
+    8⁸ ≈ 1.7e7 per pair — overflow needs ~5e11 candidate pairs per
+    partition aggregate, i.e. never before the pair bill itself is
+    the problem) and the single divide-at-emit qrounds identically.
+
+    Scale shape: the pair table is the funnel's existing candidate
+    set (banded, never corpus²), checkpointed once and consumed by
+    the 4 config aggregates — each a 1-row reduction."""
+    pairs = (
+        llm_minhash_jaccard_est(spark, sf_dir)
+        .select("n_match")
+        .localCheckpoint()
+    )
+    out = None
+    for b, r in _MBT_CONFIGS:
+        num = F.expr(_mbt_num_sql(b, r))
+        row = pairs.agg(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            qround(
+                F.sum(num) / F.lit(float(_MBT_DEN)), 6
+            ).alias("exp_detected"),
+            qround(
+                F.sum(F.when(F.col("n_match") >= 4, num).otherwise(0))
+                / F.lit(float(_MBT_DEN)),
+                6,
+            ).alias("exp_detected_dup"),
+            qround(
+                F.sum(F.when(F.col("n_match") < 4, num).otherwise(0))
+                / F.lit(float(_MBT_DEN)),
+                6,
+            ).alias("exp_fp_checks"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1032,3 +1032,146 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div {_COMPACT_TARGET}"
         ).alias("compaction_group"),
     )
+
+
+_CLM_FILES = 64
+
+
+@query(
+    "maintenance_cluster_metric",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               datediff('day', DATE '1995-01-01',
+                        CAST(l_shipdate AS DATE)) AS d,
+               year(l_shipdate) * 12 + month(l_shipdate) AS mo
+        FROM lineitem
+    ),
+    anchor AS (
+        SELECT CAST(MIN(d) AS BIGINT) AS d_lo,
+               CAST(MAX(d) AS BIGINT) AS d_hi
+        FROM li
+    ),
+    assigned AS (
+        SELECT 'hash' AS layout,
+               CAST(l_orderkey % {_CLM_FILES} AS BIGINT) AS fid, mo
+        FROM li
+        UNION ALL
+        SELECT 'clustered' AS layout,
+               CAST(((d - a.d_lo) * {_CLM_FILES})
+                    // (a.d_hi - a.d_lo + 1) AS BIGINT) AS fid, mo
+        FROM li, anchor a
+    ),
+    files AS (
+        SELECT layout, fid,
+               CAST(MIN(mo) AS BIGINT) AS mo_lo,
+               CAST(MAX(mo) AS BIGINT) AS mo_hi
+        FROM assigned GROUP BY layout, fid
+    ),
+    months AS (SELECT DISTINCT mo FROM li),
+    scan AS (
+        SELECT f.layout, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        FROM files f JOIN months m
+          ON m.mo BETWEEN f.mo_lo AND f.mo_hi
+        GROUP BY f.layout
+    ),
+    dims AS (
+        SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files
+        FROM files GROUP BY layout
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM months)
+    SELECT d.layout, d.n_files, nm.n_months,
+           {sql_qround('s.n_overlaps / CAST(nm.n_months AS DOUBLE)', 6)}
+               AS avg_files_per_month,
+           {sql_qround(
+               's.n_overlaps'
+               ' / (CAST(nm.n_months AS DOUBLE) * d.n_files)', 6)}
+               AS scan_fraction
+    FROM dims d JOIN scan s ON d.layout = s.layout, nm
+    """,
+)
+def maintenance_cluster_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clustering-effectiveness metric — the number a table-
+    maintenance job reads to decide whether a re-cluster (Z-order /
+    sort-by write) pays: simulate assigning lineitem rows to
+    64 files under (a) a hash layout (orderkey mod F — what
+    an unsorted ingest produces) and (b) a ship-date range-clustered
+    layout, record each file's min/max month (exactly the parquet
+    footer stats a scan planner prunes on), and measure how many
+    files a one-month probe must read, averaged over the observed
+    months. A hash layout gives scan_fraction ≈ 1 (every file spans
+    every month — zero pruning); the clustered layout gives ≈ 1/F ·
+    span — the read-amplification gap IS the value of re-clustering.
+    Companion to maintenance_compaction_plan (file COUNT hygiene;
+    this measures file ORDER hygiene).
+
+    The clustered assignment needs the global day range — one 2-long
+    column-pruned anchor aggregate, broadcast (the honest-extra-pass
+    pattern, cf. dq_freshness). Everything else is integer month
+    arithmetic: per-(layout, file) min/max months, a ≤(2F)-row ×
+    months broadcast range join, two divides at emit (qround 6).
+    At 100 TB the per-file stats table IS the table manifest —
+    file-count-sized, never row-scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-01"))
+        ).alias("d"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mo"),
+    )
+    anchor = li.agg(
+        F.min("d").cast("long").alias("d_lo"),
+        F.max("d").cast("long").alias("d_hi"),
+    )
+    hash_fid = (F.col("l_orderkey") % _CLM_FILES).cast("long")
+    hashed = li.select(
+        F.lit("hash").alias("layout"), hash_fid.alias("fid"), "mo"
+    )
+    clustered = li.crossJoin(F.broadcast(anchor)).select(
+        F.lit("clustered").alias("layout"),
+        F.expr(
+            f"CAST((d - d_lo) * {_CLM_FILES}"
+            " div (d_hi - d_lo + 1) AS BIGINT)"
+        ).alias("fid"),
+        "mo",
+    )
+    assigned = hashed.unionAll(clustered)
+    files = assigned.groupBy("layout", "fid").agg(
+        F.min("mo").cast("long").alias("mo_lo"),
+        F.max("mo").cast("long").alias("mo_hi"),
+    ).localCheckpoint()
+    months = li.select("mo").distinct().localCheckpoint()
+    scan = (
+        files.join(
+            F.broadcast(months),
+            (F.col("mo") >= F.col("mo_lo"))
+            & (F.col("mo") <= F.col("mo_hi")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
+    )
+    dims = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    nm = months.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        dims.join(scan, "layout")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "layout",
+            "n_files",
+            "n_months",
+            qround(
+                F.col("n_overlaps") / F.col("n_months").cast("double"), 6
+            ).alias("avg_files_per_month"),
+            qround(
+                F.col("n_overlaps")
+                / (
+                    F.col("n_months").cast("double") * F.col("n_files")
+                ),
+                6,
+            ).alias("scan_fraction"),
+        )
+    )

@@ -3080,3 +3080,188 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phases",
         F.when(sst != 0, qround(ssb / sst, 6)).alias("strength"),
     )
+
+
+_HURST_MS = [8, 16, 32, 64]
+
+
+def _hurst_block_sql(m: int) -> str:
+    return f"""
+    b{m} AS (
+      SELECT ((t - 1) // {m}) AS blk, c, t,
+             ((t - 1) % {m}) + 1 AS iloc,
+             SUM(c) OVER (PARTITION BY ((t - 1) // {m}) ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY ((t - 1) // {m})) AS s,
+             SUM(c * c) OVER (PARTITION BY ((t - 1) // {m})) AS qq,
+             COUNT(*) OVER (PARTITION BY ((t - 1) // {m})) AS cnt
+      FROM idx
+    ),
+    g{m} AS (
+      SELECT blk,
+             CAST(MAX({m} * cum - iloc * s)
+                  - MIN({m} * cum - iloc * s) AS BIGINT) AS r_int,
+             CAST({m} * MAX(qq) - MAX(s) * MAX(s) AS BIGINT) AS v_int
+      FROM b{m} WHERE cnt = {m} GROUP BY blk
+    ),
+    p{m} AS (
+      SELECT CAST({m} AS BIGINT) AS block_size,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             {sql_qround(
+                 "AVG(" + sql_qround(
+                     "ln(r_int / sqrt(CAST(v_int AS DOUBLE)))", 6)
+                 + ")", 6)} AS log_rs
+      FROM g{m} WHERE v_int > 0
+    )"""
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t
+      FROM hc
+    ),
+    {",".join(_hurst_block_sql(m) for m in _HURST_MS)},
+    pts AS ({" UNION ALL ".join(f"SELECT * FROM p{m}" for m in _HURST_MS)}),
+    sl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM (SELECT ln(CAST(block_size AS DOUBLE)) AS x, log_rs AS y
+            FROM pts WHERE log_rs IS NOT NULL AND n_blocks > 0) z
+    )
+    SELECT pts.block_size, pts.n_blocks, pts.log_rs,
+           CASE WHEN sl.k >= 2
+                     AND sl.k * sl.sxx - sl.sx * sl.sx <> 0
+                THEN {sql_qround(
+                    '(sl.k * sl.sxy - sl.sx * sl.sy)'
+                    ' / (sl.k * sl.sxx - sl.sx * sl.sx)', 6)}
+           END AS hurst
+    FROM pts, sl
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951 /
+    Mandelbrot-Wallis 1969) over the hourly event-count series: for
+    block sizes m ∈ 8/16/32/64, each full block contributes
+    R/S = (max−min of mean-adjusted prefix sums) / (population sd);
+    the slope of E[ln R/S] against ln m estimates H — H ≈ 0.5 is
+    memoryless traffic, H > 0.5 long-range dependence (bursts
+    cluster: capacity planning must NOT assume Poisson), H < 0.5
+    mean reversion. Complements ts_acf (fixed-lag correlation) and
+    ts_fano_burstiness (one window scale) with the ACROSS-scales
+    signature.
+
+    Integer core: with iloc the within-block position and S the block
+    sum, the mean-adjusted prefix sum scaled by m is
+    m·cum − iloc·S — exact int64; R·m = max−min of that, and
+    (m·sd)² = m·Σc² − S², so R/S = R_int/√v_int with both arguments
+    exact integers. Floats appear only in ln/√ (qround(6) per block,
+    then the across-block average re-qrounds) and the 4-point
+    regression (fixed-shape, qround at emit). Partial tail blocks
+    and zero-variance blocks are excluded (contractual; a
+    zero-variance block has R = 0 and ln would blow up).
+
+    Shape: one fact-scale hourly aggregate, then |hours|-row windows
+    PARTITIONED BY BLOCK (never global — the observed-order index
+    comes from distributed_rank, same as ts_acf), per-block
+    aggregates, a ≤4-row union and a 1-row regression broadcast
+    back. The idx table is localCheckpointed: four block sizes
+    consume it."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    idx = (
+        distributed_rank(hc, ["h"])
+        .select("c", F.col("_grn").cast("long").alias("t"))
+        .localCheckpoint()
+    )
+    pts = None
+    for m in _HURST_MS:
+        blk = ((F.col("t") - 1) / F.lit(m)).cast("long")
+        bl = idx.select(
+            "c",
+            "t",
+            blk.alias("blk"),
+            ((F.col("t") - 1) % m + 1).alias("iloc"),
+        )
+        w_cum = (
+            Window.partitionBy("blk")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("blk")
+        bl = bl.select(
+            "blk",
+            "iloc",
+            "c",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("s"),
+            F.sum(F.col("c") * F.col("c")).over(w_all).alias("qq"),
+            F.count(F.lit(1)).over(w_all).alias("cnt"),
+        ).filter(F.col("cnt") == m)
+        dev = F.lit(m) * F.col("cum") - F.col("iloc") * F.col("s")
+        g = bl.groupBy("blk").agg(
+            (F.max(dev) - F.min(dev)).cast("long").alias("r_int"),
+            (F.lit(m) * F.max("qq") - F.max("s") * F.max("s"))
+            .cast("long")
+            .alias("v_int"),
+        ).filter(F.col("v_int") > 0)
+        p = g.agg(
+            F.lit(m).cast("long").alias("block_size"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            qround(
+                F.avg(
+                    qround(
+                        F.log(
+                            F.col("r_int")
+                            / F.sqrt(F.col("v_int").cast("double"))
+                        ),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("log_rs"),
+        )
+        pts = p if pts is None else pts.unionAll(p)
+    pts = pts.localCheckpoint()
+    z = pts.filter(
+        F.col("log_rs").isNotNull() & (F.col("n_blocks") > 0)
+    ).select(
+        F.log(F.col("block_size").cast("double")).alias("x"),
+        F.col("log_rs").alias("y"),
+    )
+    sl = z.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    hurst = F.when(
+        (F.col("k") >= 2) & (den != 0),
+        qround(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+            6,
+        ),
+    )
+    return pts.crossJoin(F.broadcast(sl)).select(
+        "block_size", "n_blocks", "log_rs", hurst.alias("hurst")
+    )

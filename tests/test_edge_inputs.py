@@ -204,6 +204,11 @@ def edge_ddb(edge_sf_dir):
         "llm_ttr_curve",
         "llm_dp_histogram",
         "llm_exact_shared_run",
+        # BLEU over pairs where the candidate has no bigrams (NULL)
+        # or zero overlap (0.0); band tuning where the single-token
+        # and empty docs produce no shingles at all
+        "llm_bleu_bigram",
+        "llm_minhash_band_tuning",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
