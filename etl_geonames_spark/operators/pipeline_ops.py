@@ -1175,3 +1175,85 @@ def maintenance_cluster_metric(
             ).alias("scan_fraction"),
         )
     )
+
+
+_RI_CHECKS = [
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS fk,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT)
+                   AS n_child_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(DISTINCT c.{ckey}) AS BIGINT) AS n_orphan_keys
+        FROM {child} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+        """
+        for name, child, ckey, parent, pkey in _RI_CHECKS
+    ),
+)
+def dq_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-key orphan census across the star schema's four FK
+    edges — the referential-integrity contract a lakehouse cannot get
+    from the storage layer (no FK enforcement in parquet): per edge,
+    child-row count, orphan rows (child keys with no parent), and
+    distinct orphan keys. A healthy TPC-H-shaped fixture reports 0
+    orphans everywhere — the VALUE is the standing check: an
+    incremental ingest that lands children before parents, or a
+    compaction that drops a parent file, turns a row nonzero and the
+    dq gate red (companion to dq_contract_check's schema/null rules
+    and dq_freshness's lag census).
+
+    Each edge is ONE left-anti hash join child→parent on the key —
+    at 100 TB the parent key sides (customer/part/supplier) broadcast
+    where small, and the orders side co-partitions with lineitem on
+    orderkey (the bucketed-layout pair the TPC-H queries already
+    exploit); counts are map-side-combined aggregates. Output is
+    4 fixed rows."""
+    out = None
+    for name, child, ckey, parent, pkey in _RI_CHECKS:
+        c = load_table(spark, sf_dir, child).select(
+            F.col(ckey).alias("k")
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k")
+        )
+        orphans = c.join(p, "k", "left_anti")
+        row = (
+            orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
+                F.count_distinct("k").cast("long").alias("n_orphan_keys"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    c.agg(
+                        F.count(F.lit(1))
+                        .cast("long")
+                        .alias("n_child_rows")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("fk"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

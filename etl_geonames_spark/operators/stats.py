@@ -3171,3 +3171,87 @@ def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("pick.doc_id")).alias("outlier_doc_id"),
         F.when(ok, F.col("pick.x")).alias("x_outlier"),
     )
+
+
+@query(
+    "ts_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    t AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM c GROUP BY prev_type
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM c)
+    SELECT g.grand AS n_transitions,
+           CAST(COUNT(DISTINCT c.prev_type) AS BIGINT) AS n_states,
+           {sql_qround(
+               'SUM(CASE WHEN c.n = t.tot THEN 0.0 ELSE '
+               '-(c.n / CAST(g.grand AS DOUBLE))'
+               ' * ln(c.n / CAST(t.tot AS DOUBLE)) END)', 6)}
+               AS entropy_rate_nats,
+           {sql_qround(
+               'SUM(CASE WHEN c.n = t.tot THEN 0.0 ELSE '
+               '-(c.n / CAST(g.grand AS DOUBLE))'
+               ' * ln(c.n / CAST(t.tot AS DOUBLE)) END)'
+               ' / ln(2.0)', 6)} AS entropy_rate_bits
+    FROM c JOIN t USING (prev_type), g
+    GROUP BY g.grand
+    """,
+)
+def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the per-user event-type process —
+    H = −Σᵢⱼ p̂(i,j)·ln p̂(j|i) over the first-order transition
+    counts (the plug-in estimator of the Markov chain's entropy
+    rate): how PREDICTABLE the next event is given the current one.
+    0 bits = deterministic sessions (bot-like replay), ln|types| =
+    memoryless uniform churn — the single-number summary of the
+    matrix stat_markov_transitions emits in full, and the quantity
+    sequence-model pretraining uses to price a behavioural corpus
+    (compressibility floor).
+
+    Deterministic-row terms (n = tot ⟹ p(j|i) = 1) contribute
+    exactly 0 and are CASE'd out so ln(1)'s sign-zero can't wobble;
+    everything else divides exact int64 counts. The grand total
+    re-aggregates from the transition-count table (global-anchor
+    discipline — no second corpus scan). qround(6) on the one float
+    sum, both engines.
+
+    Shape: one user-keyed lag window (the allowed partitioned shape),
+    one |types|²-row count aggregate; the entropy reduction runs on
+    that metadata-sized table."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
+    g = c.agg(F.sum("n").cast("long").alias("grand"))
+    term = F.when(F.col("n") == F.col("tot"), F.lit(0.0)).otherwise(
+        -(F.col("n") / F.col("grand").cast("double"))
+        * F.log(F.col("n") / F.col("tot").cast("double"))
+    )
+    joined = c.join(F.broadcast(t), "prev_type").crossJoin(F.broadcast(g))
+    return joined.groupBy("grand").agg(
+        F.max("grand").cast("long").alias("n_transitions"),
+        F.count_distinct("prev_type").cast("long").alias("n_states"),
+        qround(F.sum(term), 6).alias("entropy_rate_nats"),
+        qround(F.sum(term) / F.log(F.lit(2.0)), 6).alias(
+            "entropy_rate_bits"
+        ),
+    ).drop("grand")

@@ -3085,6 +3085,43 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HURST_MS = [8, 16, 32, 64]
 
 
+def _hurst_blocks(idx: DataFrame, m: int) -> DataFrame:
+    """Per-block (r_int, v_int) integer R/S cores for block size m —
+    factored so the plan contract can pin the block-partitioned
+    window shape on an UN-checkpointed rebuild (the query checkpoints
+    its 4-row union, which truncates this stage out of the final
+    plan; see the adamic-adar pattern in CLAUDE.md)."""
+    blk = ((F.col("t") - 1) / F.lit(m)).cast("long")
+    bl = idx.select(
+        "c",
+        "t",
+        blk.alias("blk"),
+        ((F.col("t") - 1) % m + 1).alias("iloc"),
+    )
+    w_cum = (
+        Window.partitionBy("blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("blk")
+    bl = bl.select(
+        "blk",
+        "iloc",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w_all).alias("qq"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    ).filter(F.col("cnt") == m)
+    dev = F.lit(m) * F.col("cum") - F.col("iloc") * F.col("s")
+    return bl.groupBy("blk").agg(
+        (F.max(dev) - F.min(dev)).cast("long").alias("r_int"),
+        (F.lit(m) * F.max("qq") - F.max("s") * F.max("s"))
+        .cast("long")
+        .alias("v_int"),
+    ).filter(F.col("v_int") > 0)
+
+
 def _hurst_block_sql(m: int) -> str:
     return f"""
     b{m} AS (
@@ -3194,35 +3231,7 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = None
     for m in _HURST_MS:
-        blk = ((F.col("t") - 1) / F.lit(m)).cast("long")
-        bl = idx.select(
-            "c",
-            "t",
-            blk.alias("blk"),
-            ((F.col("t") - 1) % m + 1).alias("iloc"),
-        )
-        w_cum = (
-            Window.partitionBy("blk")
-            .orderBy("t")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_all = Window.partitionBy("blk")
-        bl = bl.select(
-            "blk",
-            "iloc",
-            "c",
-            F.sum("c").over(w_cum).alias("cum"),
-            F.sum("c").over(w_all).alias("s"),
-            F.sum(F.col("c") * F.col("c")).over(w_all).alias("qq"),
-            F.count(F.lit(1)).over(w_all).alias("cnt"),
-        ).filter(F.col("cnt") == m)
-        dev = F.lit(m) * F.col("cum") - F.col("iloc") * F.col("s")
-        g = bl.groupBy("blk").agg(
-            (F.max(dev) - F.min(dev)).cast("long").alias("r_int"),
-            (F.lit(m) * F.max("qq") - F.max("s") * F.max("s"))
-            .cast("long")
-            .alias("v_int"),
-        ).filter(F.col("v_int") > 0)
+        g = _hurst_blocks(idx, m)
         p = g.agg(
             F.lit(m).cast("long").alias("block_size"),
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
@@ -3264,4 +3273,123 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pts.crossJoin(F.broadcast(sl)).select(
         "block_size", "n_blocks", "log_rs", hurst.alias("hurst")
+    )
+
+
+_IG_CELL_US = 6 * 3600 * 1000000  # 6-hour grid cells
+_IG_MIN_OVERLAP_US = 30 * 60 * 1000000  # report overlaps >= 30 min
+
+
+@query(
+    "join_interval_grid",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS lo, MAX(ts) AS hi
+        FROM events
+        GROUP BY user_id, event_type, date_trunc('day', ts)
+    )
+    SELECT a.event_type, a.user_id AS user_a, b.user_id AS user_b,
+           GREATEST(a.lo, b.lo) AS overlap_start,
+           CAST(epoch_us(LEAST(a.hi, b.hi))
+                - epoch_us(GREATEST(a.lo, b.lo)) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type AND a.user_id < b.user_id
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    WHERE epoch_us(LEAST(a.hi, b.hi)) - epoch_us(GREATEST(a.lo, b.lo))
+          >= {_IG_MIN_OVERLAP_US}
+    """,
+)
+def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key, by grid-cell
+    decomposition — the temporal sibling of geo_grid_join: daily
+    per-(user, type) activity intervals are paired ACROSS USERS
+    wherever they overlap by ≥ 30 minutes (concurrent sessions /
+    reservation conflicts / co-activity edges). join_interval_overlap
+    rides its user_id equi key; here no key exists, and the naive
+    plan is an O(n²) theta join. The grid fix: each interval explodes
+    to the 6-hour cells it covers (day-bounded intervals span ≤ 4),
+    candidates pair inside a (type, cell) hash-join cell, and
+    exactly-once output is restored by ATTRIBUTION — a pair only
+    emits in the cell containing its overlap start (both engines
+    agree on that cell by exact integer division of epoch
+    microseconds). The oracle states the same semantics as the plain
+    quadratic overlap join — correct at oracle scale, which is the
+    point: the grid form is the SAME relation, just joinable.
+
+    100 TB shape: explode factor ≤ 4; the shuffle carries (type,
+    cell)-keyed interval fragments; within-cell pairing is bounded by
+    concurrent-interval count per cell (the data's true conflict
+    density — irreducible for this output), and the ≥ 30 min gate is
+    an exact-int64 post-predicate. Skewed cells (a flash-crowd hour)
+    split under AQE like any hash join."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .drop("d")
+        .select(
+            "user_id",
+            "event_type",
+            "lo",
+            "hi",
+            F.expr(
+                f"unix_micros(cast(lo as timestamp)) div {_IG_CELL_US}"
+            ).alias("cell_lo"),
+            F.expr(
+                f"unix_micros(cast(hi as timestamp)) div {_IG_CELL_US}"
+            ).alias("cell_hi"),
+        )
+    )
+    cells = iv.select(
+        "user_id",
+        "event_type",
+        "lo",
+        "hi",
+        F.explode(F.sequence("cell_lo", "cell_hi")).alias("cell"),
+    )
+    a = cells.select(
+        F.col("event_type"),
+        F.col("cell"),
+        F.col("user_id").alias("user_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("type_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    start = F.greatest("lo_a", "lo_b")
+    end = F.least("hi_a", "hi_b")
+    overlap_us = F.expr(
+        "unix_micros(cast(least(hi_a, hi_b) as timestamp))"
+        " - unix_micros(cast(greatest(lo_a, lo_b) as timestamp))"
+    )
+    start_cell = F.expr(
+        "unix_micros(cast(greatest(lo_a, lo_b) as timestamp))"
+        f" div {_IG_CELL_US}"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("type_b"))
+            & (F.col("cell") == F.col("cell_b"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a")),
+        )
+        .filter(F.col("cell") == start_cell)
+        .filter(overlap_us >= _IG_MIN_OVERLAP_US)
+        .select(
+            "event_type",
+            "user_a",
+            "user_b",
+            start.alias("overlap_start"),
+            overlap_us.cast("long").alias("overlap_us"),
+        )
     )

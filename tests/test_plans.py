@@ -617,3 +617,70 @@ def test_permutation_test_windows_partition_by_perm(spark, sf_dir):
     df = QUERIES["stat_permutation_test"](spark, sf_dir)
     plan = explain_str(df)
     assert "windowspecdefinition(p#" in plan
+
+
+def test_exact_shared_run_is_blocked_equi_join(spark, sf_dir):
+    """The seed-and-extend pipeline must never go all-pairs: the seed
+    join is an equi-join on the gram key, the extension joins are
+    equi-joins on doc_id, and the occurrence-cap window partitions by
+    (doc_id, gram) — never a global window or a cartesian product."""
+    df = QUERIES["llm_exact_shared_run"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+    assert "hashpartitioning(g#" in plan or "hashpartitioning(g," in plan
+
+
+def test_band_tuning_configs_share_one_pair_table(spark, sf_dir):
+    """All four (b, r) geometry rows must aggregate the SAME
+    checkpointed candidate table: the final plan may contain no
+    shingle explode or banding join — only the four 1-row reductions
+    over the checkpointed RDD scan (the lineage-truncation contract;
+    without it each config re-runs the whole minhash funnel)."""
+    df = QUERIES["llm_minhash_band_tuning"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Generate explode" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_scc_bounded_rounds_are_checkpointed(spark, sf_dir):
+    """Each of the 2×4 label rounds executes at build time against
+    checkpointed state — the final plan reads node-sized RDD scans,
+    not an 8-round lazy join tower (graph_cc_bounded convention)."""
+    df = QUERIES["graph_scc_bounded"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Scan ExistingRDD" in plan
+    assert shuffle_exchange_count(df) <= 3
+
+
+def test_hurst_windows_partition_by_block(spark, sf_dir):
+    """The R/S prefix windows must partition per block — an
+    unpartitioned cumulative window over the whole hourly series is
+    exactly the banned single-task shape. The query checkpoints its
+    4-row union (lineage truncation — the final plan shows only RDD
+    scans), so the window shape is pinned on an UN-checkpointed
+    rebuild of the block stage (the adamic-adar pattern), plus the
+    checkpoint evidence on the query itself."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.relational import distributed_rank
+    from etl_geonames_spark.operators.timeseries import _hurst_blocks
+    from etl_geonames_spark.sources import load_table
+
+    df = QUERIES["ts_hurst_rs"](spark, sf_dir)
+    assert "Scan ExistingRDD" in explain_str(df)
+    hc = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    idx = distributed_rank(hc, ["h"]).select(
+        "c", F.col("_grn").cast("long").alias("t")
+    )
+    plan = explain_str(_hurst_blocks(idx, 8))
+    assert "windowspecdefinition(blk" in plan

@@ -1102,3 +1102,186 @@ def test_audio_pitch_matches_python_recomputation(spark, sf_dir):
             r0,
         )
         assert r["r_best"] <= r["r0"]
+
+
+def test_scc_bounded_matches_python_recomputation(spark, sf_dir):
+    """graph_scc_bounded equals a from-scratch Python replay of the
+    2×4 min-label half-steps over the derived edge list, AND its
+    certified cells (fwd = bwd = c) are verified MUTUALLY REACHABLE
+    through an independent BFS — the property the coloring claims,
+    checked against the graph itself rather than the replay."""
+    from collections import defaultdict, deque
+
+    from etl_geonames_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    edges = {
+        (int(r["o_custkey"]),
+         (int(r["o_custkey"]) * 7 + int(r["o_orderkey"]) * 3) % 2000)
+        for r in orders.collect()
+    }
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    fwd_adj, bwd_adj = defaultdict(list), defaultdict(list)
+    for u, v in edges:
+        fwd_adj[v].append(u)   # labels flow src -> dst
+        bwd_adj[u].append(v)   # labels flow dst -> src
+
+    def propagate(adj):
+        lbl = {v: v for v in nodes}
+        for _ in range(4):
+            nxt = dict(lbl)
+            for v, nbrs in adj.items():
+                m = min((lbl[u] for u in nbrs), default=lbl[v])
+                nxt[v] = min(lbl[v], m)
+            lbl = nxt
+        return lbl
+
+    f, b = propagate(fwd_adj), propagate(bwd_adj)
+    expect = defaultdict(int)
+    for v in nodes:
+        expect[(f[v], b[v])] += 1
+    got = {
+        (r["fwd_label"], r["bwd_label"]): (r["n_nodes"], r["is_scc"])
+        for r in _rows(spark, sf_dir, "graph_scc_bounded")
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(expect)
+    for (fl, bl), (_, is_scc) in got.items():
+        assert is_scc == (1 if fl == bl else 0)
+    # independent check: in a certified cell, the pivot c reaches
+    # every member within 4 hops and vice versa (BFS, not min-label)
+    out_adj = defaultdict(list)
+    in_adj = defaultdict(list)
+    for u, v in edges:
+        out_adj[u].append(v)
+        in_adj[v].append(u)
+
+    def within4(src, adj):
+        seen = {src}
+        frontier = deque([(src, 0)])
+        while frontier:
+            x, d = frontier.popleft()
+            if d == 4:
+                continue
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    frontier.append((y, d + 1))
+        return seen
+
+    certified = defaultdict(list)
+    for v in nodes:
+        if f[v] == b[v]:
+            certified[f[v]].append(v)
+    checked = 0
+    for c, members in list(certified.items())[:5]:
+        reach = within4(c, out_adj)
+        back = within4(c, in_adj)
+        for v in members:
+            assert v in reach and v in back, (c, v)
+            checked += 1
+    assert checked > 0
+
+
+def test_hurst_rs_matches_python_recomputation(spark, sf_dir):
+    """ts_hurst_rs equals a from-scratch Python fold: same hourly
+    series, same integer prefix-deviation R and variance cores per
+    full block, same qround grid, same 4-point regression. Also pins
+    R_int ≥ 0 and the R/S ≥ 1 lower bound (max−min of a sequence
+    that starts at its mean and returns to it spans at least one
+    sd-scaled step is NOT guaranteed — only positivity is, so only
+    positivity is pinned as the bound)."""
+    import calendar
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hc = Counter(
+        calendar.timegm(r["ts"].timetuple()) // 3600 for r in ev.collect()
+    )
+    series = [c for _, c in sorted(hc.items())]
+    pts = {}
+    for m in (8, 16, 32, 64):
+        logs = []
+        for s0 in range(0, (len(series) // m) * m, m):
+            blk = series[s0:s0 + m]
+            S = sum(blk)
+            Q = sum(c * c for c in blk)
+            v_int = m * Q - S * S
+            if v_int <= 0:
+                continue
+            cum = 0
+            devs = []
+            for i, c in enumerate(blk, start=1):
+                cum += c
+                devs.append(m * cum - i * S)
+            r_int = max(devs) - min(devs)
+            assert r_int >= 0
+            logs.append(q6(math.log(r_int / math.sqrt(v_int))))
+        pts[m] = (len(logs), q6(sum(logs) / len(logs)) if logs else None)
+    xy = [
+        (math.log(float(m)), y)
+        for m, (k, y) in pts.items()
+        if y is not None and k > 0
+    ]
+    k = len(xy)
+    if k >= 2:
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        den = k * sxx - sx * sx
+        hurst = q6((k * sxy - sx * sy) / den) if den != 0 else None
+    else:
+        hurst = None
+    got = {
+        r["block_size"]: r for r in _rows(spark, sf_dir, "ts_hurst_rs")
+    }
+    assert set(got) == {8, 16, 32, 64}
+    for m, (n_blocks, log_rs) in pts.items():
+        r = got[m]
+        assert r["n_blocks"] == n_blocks
+        assert r["log_rs"] == log_rs
+        assert r["hurst"] == hurst
+
+
+def test_exact_shared_run_bounded_by_true_lcs(spark, sf_dir):
+    """llm_exact_shared_run must NEVER exceed the true longest common
+    token substring (computed by an independent O(n·m) DP, no seeds,
+    no caps) — an overcount would mean the extension walked past a
+    mismatch. Equality must hold for the vast majority of pairs (the
+    df/occurrence caps may shorten a minority; at fixture scale the
+    caps rarely bind)."""
+    from etl_geonames_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    toks = {
+        int(r["doc_id"]): [w for w in r["text"].split(" ") if w]
+        for r in docs.collect()
+    }
+    out = _rows(spark, sf_dir, "llm_exact_shared_run")
+    assert out, "no candidate pairs at this sf"
+    equal = 0
+    for r in out:
+        a, b = toks[r["doc_a"]], toks[r["doc_b"]]
+        # classic LCS-substring DP over token sequences
+        prev = [0] * (len(b) + 1)
+        best = 0
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            ai = a[i - 1]
+            for j in range(1, len(b) + 1):
+                if ai == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        assert r["exact_l"] <= best, (r["doc_a"], r["doc_b"])
+        if r["exact_l"] == best:
+            equal += 1
+    assert equal >= 0.9 * len(out)
