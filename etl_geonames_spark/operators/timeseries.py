@@ -3286,26 +3286,36 @@ _IG_MIN_OVERLAP_US = 30 * 60 * 1000000  # report overlaps >= 30 min
     WITH iv AS (
         SELECT user_id, event_type,
                MIN(ts) AS lo, MAX(ts) AS hi
-        FROM events
+        FROM events WHERE event_type = 'purchase'
         GROUP BY user_id, event_type, date_trunc('day', ts)
     )
     SELECT a.event_type, a.user_id AS user_a, b.user_id AS user_b,
-           GREATEST(a.lo, b.lo) AS overlap_start,
-           CAST(epoch_us(LEAST(a.hi, b.hi))
-                - epoch_us(GREATEST(a.lo, b.lo)) AS BIGINT) AS overlap_us
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(epoch_us(LEAST(a.hi, b.hi))
+                    - epoch_us(GREATEST(a.lo, b.lo)))
+                AS BIGINT) AS total_overlap_us,
+           CAST(MAX(epoch_us(LEAST(a.hi, b.hi))
+                    - epoch_us(GREATEST(a.lo, b.lo)))
+                AS BIGINT) AS max_overlap_us
     FROM iv a JOIN iv b
       ON a.event_type = b.event_type AND a.user_id < b.user_id
      AND a.lo <= b.hi AND b.lo <= a.hi
     WHERE epoch_us(LEAST(a.hi, b.hi)) - epoch_us(GREATEST(a.lo, b.lo))
           >= {_IG_MIN_OVERLAP_US}
+    GROUP BY a.event_type, a.user_id, b.user_id
     """,
 )
 def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join WITHOUT an equi key, by grid-cell
     decomposition — the temporal sibling of geo_grid_join: daily
-    per-(user, type) activity intervals are paired ACROSS USERS
-    wherever they overlap by ≥ 30 minutes (concurrent sessions /
-    reservation conflicts / co-activity edges). join_interval_overlap
+    per-user PURCHASE-session intervals are paired ACROSS USERS
+    wherever they overlap by ≥ 30 minutes, aggregated to CO-ACTIVITY
+    EDGES — per (type, user pair) the conflict count and total/max
+    overlap (the weighted edge list a co-presence graph ingests; the
+    aggregate also keeps output pair-bounded, not occurrence-bounded
+    — ~120k raw overlap rows at sf0.1 collapse to per-pair edges;
+    the all-types variant produced 606k and 5s walls, so the scope
+    is one session type by contract). join_interval_overlap
     rides its user_id equi key; here no key exists, and the naive
     plan is an O(n²) theta join. The grid fix: each interval explodes
     to the 6-hour cells it covers (day-bounded intervals span ≤ 4),
@@ -3323,7 +3333,9 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     density — irreducible for this output), and the ≥ 30 min gate is
     an exact-int64 post-predicate. Skewed cells (a flash-crowd hour)
     split under AQE like any hash join."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
     iv = (
         ev.groupBy(
             "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
@@ -3364,8 +3376,6 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").alias("lo_b"),
         F.col("hi").alias("hi_b"),
     )
-    start = F.greatest("lo_a", "lo_b")
-    end = F.least("hi_a", "hi_b")
     overlap_us = F.expr(
         "unix_micros(cast(least(hi_a, hi_b) as timestamp))"
         " - unix_micros(cast(greatest(lo_a, lo_b) as timestamp))"
@@ -3385,11 +3395,10 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cell") == start_cell)
         .filter(overlap_us >= _IG_MIN_OVERLAP_US)
-        .select(
-            "event_type",
-            "user_a",
-            "user_b",
-            start.alias("overlap_start"),
-            overlap_us.cast("long").alias("overlap_us"),
+        .groupBy("event_type", "user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum(overlap_us).cast("long").alias("total_overlap_us"),
+            F.max(overlap_us).cast("long").alias("max_overlap_us"),
         )
     )
