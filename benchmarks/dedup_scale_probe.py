@@ -54,6 +54,10 @@ OPS = [
     "llm_html_extract",
     "llm_bpe_train_rounds",
     "mm_feature_extract",
+    # round-6: exact seed-and-extend under maximal 10-copy cliques —
+    # the df-16/occ-8 caps are the pair-bill guard under test (orig
+    # df-1 seeds hit df 10, still kept; df>=2 seeds cap out at 20)
+    "llm_exact_shared_run",
 ]
 
 
