@@ -148,7 +148,8 @@ def _sql_entity_chain(inner: str) -> str:
     clean AS (
         SELECT doc_id,
                CAST(length(html) AS BIGINT) AS html_chars,
-               trim(regexp_replace(decoded, '\\s+', ' ', 'g')) AS txt
+               trim(regexp_replace(decoded, '[ \\t\\n\\r]+', ' ', 'g'))
+                   AS txt
         FROM stripped
     )
     SELECT doc_id, html_chars,
@@ -203,7 +204,10 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for ent, ch in _HTML_ENTITIES:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    txt = F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    # explicit class, not \s: Java's \s matches vertical tab \x0b,
+    # RE2's does not — the one whitespace-class divergence between
+    # the engines (round-6 self-review)
+    txt = F.trim(F.regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
     return page.select(
         "doc_id",
         F.length("html").cast("long").alias("html_chars"),
@@ -1637,10 +1641,13 @@ _TOPP_PS = [0.5, 0.9, 0.99]
                SUM(n) OVER () AS total
         FROM wc
     ),
-    p(p) AS (VALUES {", ".join(f"({p})" for p in _TOPP_PS)})
+    p(p, num) AS (VALUES {", ".join(
+        f"({p}, CAST({int(round(p * 100))} AS BIGINT))"
+        for p in _TOPP_PS
+    )})
     SELECT p.p AS p, CAST(MIN(c.rank) AS BIGINT) AS cutoff_rank,
            CAST(MAX(c.total) AS BIGINT) AS total_tokens
-    FROM p JOIN c ON c.cum >= p.p * c.total
+    FROM p JOIN c ON c.cum * 100 >= p.num * c.total
     GROUP BY p.p
     """,
 )
@@ -1673,9 +1680,10 @@ def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # vocab-sized and consumed by BOTH branches inside the primitive
     # (the ranked rows and the per-partition totals) — checkpoint so
-    # the corpus explode+count runs once, not once per branch
+    # the corpus explode+count runs once, not once per branch;
+    # spread() parallelizes the tokenize off the single fixture file
     wc = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -1685,11 +1693,16 @@ def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = [F.col("n").desc(), F.col("word")]
     cum = distributed_rank_cumsum(wc, key, "n")
     ps = spark.createDataFrame(
-        [(float(p),) for p in _TOPP_PS], "p double"
+        [(float(p), int(round(p * 100))) for p in _TOPP_PS],
+        "p double, num bigint",
     )
+    # the cutoff predicate is ALL-INTEGER (cum·100 ≥ num·total): a
+    # double p·total threshold evaluates differently from DuckDB's
+    # exact-DECIMAL literals right at the boundary (0.9·10 =
+    # 9.000000000000002 in binary — the float-threshold rule)
     joined = cum.join(
         F.broadcast(ps),
-        F.col("_gcs") >= F.col("p") * F.col("_total_s"),
+        F.col("_gcs") * 100 >= F.col("num") * F.col("_total_s"),
     )
     return joined.groupBy("p").agg(
         F.min("_grn").cast("bigint").alias("cutoff_rank"),
@@ -3171,7 +3184,7 @@ def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_ttr_curve",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT CASE WHEN len(str_split(text, ' ')) < 32 THEN 0
                     WHEN len(str_split(text, ' ')) < 64 THEN 1
@@ -3184,9 +3197,9 @@ def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           FLOOR(COUNT(DISTINCT word)
-                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
-             / 1000000.0 AS ttr
+           {sql_qround(
+               'COUNT(DISTINCT word) / CAST(COUNT(*) AS DOUBLE)', 6)}
+             AS ttr
     FROM w GROUP BY bucket
     """,
 )

@@ -4442,17 +4442,17 @@ def _mbt_num_sql(b: int, r: int, k: str = "n_match") -> str:
         f'''SELECT CAST({b} AS BIGINT) AS bands,
                CAST({r} AS BIGINT) AS rows_per_band,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               FLOOR(SUM({_mbt_num_sql(b, r)})
-                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
-                 / 1000000.0 AS exp_detected,
-               FLOOR(SUM(CASE WHEN n_match >= 4
-                              THEN {_mbt_num_sql(b, r)} ELSE 0 END)
-                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
-                 / 1000000.0 AS exp_detected_dup,
-               FLOOR(SUM(CASE WHEN n_match < 4
-                              THEN {_mbt_num_sql(b, r)} ELSE 0 END)
-                     / CAST({_MBT_DEN} AS DOUBLE) * 1000000.0 + 0.5)
-                 / 1000000.0 AS exp_fp_checks
+               {sql_qround(f"SUM({_mbt_num_sql(b, r)})"
+                           f" / CAST({_MBT_DEN} AS DOUBLE)", 6)}
+                 AS exp_detected,
+               {sql_qround(f"SUM(CASE WHEN n_match >= 4"
+                           f" THEN {_mbt_num_sql(b, r)} ELSE 0 END)"
+                           f" / CAST({_MBT_DEN} AS DOUBLE)", 6)}
+                 AS exp_detected_dup,
+               {sql_qround(f"SUM(CASE WHEN n_match < 4"
+                           f" THEN {_mbt_num_sql(b, r)} ELSE 0 END)"
+                           f" / CAST({_MBT_DEN} AS DOUBLE)", 6)}
+                 AS exp_fp_checks
         FROM k''' for b, r in _MBT_CONFIGS
     )}
     """,

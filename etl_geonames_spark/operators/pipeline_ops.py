@@ -1194,13 +1194,15 @@ _RI_CHECKS = [
     oracle=" UNION ALL ".join(
         f"""
         SELECT '{name}' AS fk,
-               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT)
-                   AS n_child_rows,
-               CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
-               CAST(COUNT(DISTINCT c.{ckey}) AS BIGINT) AS n_orphan_keys
-        FROM {child} c
-        WHERE NOT EXISTS (
-            SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(CASE WHEN p.{pkey} IS NULL THEN 1 END)
+                    AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(DISTINCT CASE WHEN p.{pkey} IS NULL
+                                        THEN c.{ckey} END)
+                    AS BIGINT) AS n_orphan_keys
+        FROM {child} c LEFT JOIN
+             (SELECT DISTINCT {pkey} FROM {parent}) p
+          ON p.{pkey} = c.{ckey}
         """
         for name, child, ckey, parent, pkey in _RI_CHECKS
     ),
@@ -1219,34 +1221,38 @@ def dq_referential_integrity(
     dq gate red (companion to dq_contract_check's schema/null rules
     and dq_freshness's lag census).
 
-    Each edge is ONE left-anti hash join child→parent on the key —
-    at 100 TB the parent key sides (customer/part/supplier) broadcast
-    where small, and the orders side co-partitions with lineitem on
-    orderkey (the bucketed-layout pair the TPC-H queries already
-    exploit); counts are map-side-combined aggregates. Output is
-    4 fixed rows."""
+    Each edge is ONE left join child→distinct-parent-keys with
+    conditional aggregation — all three counts from a SINGLE child
+    pass (a left-anti + separate total was two scans per edge —
+    six lineitem reads per run; the save-a-corpus-scan discipline,
+    cf. agg_theil_index). At 100 TB the parent key sides
+    (customer/part/supplier) broadcast where small, and the orders
+    side co-partitions with lineitem on orderkey (the bucketed-layout
+    pair the TPC-H queries already exploit). Output is 4 fixed
+    rows."""
     out = None
     for name, child, ckey, parent, pkey in _RI_CHECKS:
         c = load_table(spark, sf_dir, child).select(
             F.col(ckey).alias("k")
         )
-        p = load_table(spark, sf_dir, parent).select(
-            F.col(pkey).alias("k")
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
         )
-        orphans = c.join(p, "k", "left_anti")
         row = (
-            orphans.agg(
-                F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
-                F.count_distinct("k").cast("long").alias("n_orphan_keys"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    c.agg(
-                        F.count(F.lit(1))
-                        .cast("long")
-                        .alias("n_child_rows")
-                    )
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                F.count(F.when(F.col("hit").isNull(), 1))
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.count_distinct(
+                    F.when(F.col("hit").isNull(), F.col("k"))
                 )
+                .cast("long")
+                .alias("n_orphan_keys"),
             )
             .select(
                 F.lit(name).alias("fk"),

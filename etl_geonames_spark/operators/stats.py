@@ -2979,10 +2979,12 @@ _TOST_CRIT = 1.645
     t AS (
         SELECT n1, n2,
                {sql_qround('d', 6)} AS mean_diff,
-               {sql_qround(f'(d + {_TOST_MARGIN}) / sqrt(se2)', 6)}
-                   AS t_lower,
-               {sql_qround(f'({_TOST_MARGIN} - d) / sqrt(se2)', 6)}
-                   AS t_upper
+               CASE WHEN se2 > 0 THEN
+                   {sql_qround(f'(d + {_TOST_MARGIN}) / sqrt(se2)', 6)}
+               END AS t_lower,
+               CASE WHEN se2 > 0 THEN
+                   {sql_qround(f'({_TOST_MARGIN} - d) / sqrt(se2)', 6)}
+               END AS t_upper
         FROM v
     )
     SELECT n1, n2, mean_diff, t_lower, t_upper,
@@ -3054,16 +3056,20 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n2").cast("double") * (F.col("n2") - 1))
         / F.col("n2")
     )
+    # se2 = 0 (both groups constant) must NULL, not throw: Spark ANSI
+    # raises DIVIDE_BY_ZERO where DuckDB's double x/0.0 quietly NULLs
+    # (CLAUDE.md ratio rule; caught in round-6 self-review)
+    ok2 = ok & (se2 > 0)
     t_lower = qround((d + F.lit(_TOST_MARGIN)) / F.sqrt(se2), 6)
     t_upper = qround((F.lit(_TOST_MARGIN) - d) / F.sqrt(se2), 6)
     return s.select(
         "n1",
         "n2",
         F.when(ok, qround(d, 6)).alias("mean_diff"),
-        F.when(ok, t_lower).alias("t_lower"),
-        F.when(ok, t_upper).alias("t_upper"),
+        F.when(ok2, t_lower).alias("t_lower"),
+        F.when(ok2, t_upper).alias("t_upper"),
         F.when(
-            ok,
+            ok2,
             F.when(F.least(t_lower, t_upper) >= _TOST_CRIT, F.lit(1))
             .otherwise(F.lit(0)),
         ).alias("equivalent"),

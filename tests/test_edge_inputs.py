@@ -428,3 +428,36 @@ def test_exact_shared_run_recovers_planted_lengths(spark, tmp_path):
         for r in con.sql(ORACLES["llm_exact_shared_run"]).df().itertuples()
     }
     assert duck == got
+
+
+def test_tost_zero_variance_nulls_not_throws(spark, tmp_path):
+    """Both groups constant (se2 = 0) must NULL the TOST statistics —
+    Spark ANSI would otherwise throw DIVIDE_BY_ZERO where DuckDB's
+    double x/0.0 quietly NULLs (round-6 self-review finding).
+    Differential over a self-contained fixture."""
+    import duckdb
+
+    d = tmp_path / "sf_tost"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "text": ["a a", "b b", "c c", "d d"],
+            "lang": ["en", "en", "fr", "fr"],
+            "source": ["edge"] * 4,
+            "n_chars": pd.array([10, 10, 30, 30], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    (r,) = QUERIES["stat_tost_equivalence"](spark, str(d)).collect()
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert r["mean_diff"] == -20.0
+    assert r["t_lower"] is None and r["t_upper"] is None
+    assert r["equivalent"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    (dr,) = con.sql(ORACLES["stat_tost_equivalence"]).fetchall()
+    assert dr[0] == 2 and dr[1] == 2 and dr[2] == -20.0
+    assert dr[3] is None and dr[4] is None and dr[5] is None
