@@ -3330,3 +3330,91 @@ def llm_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_count") + noise, F.lit(0).cast("long")
         ).alias("dp_count"),
     )
+
+
+_LSR_MAX_L = 16
+
+
+@query(
+    "llm_longest_self_repeat",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), w -> w <> '') AS tk
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_max(list_transform(
+                   generate_series(1, LEAST(len(tk) - 1, {_LSR_MAX_L})),
+                   l -> CASE WHEN len(list_transform(
+                                    generate_series(1, len(tk) - l + 1),
+                                    i -> array_to_string(
+                                        tk[i:i + l - 1], ' ')))
+                             > len(list_distinct(list_transform(
+                                    generate_series(1, len(tk) - l + 1),
+                                    i -> array_to_string(
+                                        tk[i:i + l - 1], ' '))))
+                        THEN l ELSE 0 END)), 0) AS BIGINT)
+                   AS longest_repeat
+        FROM t
+    )
+    SELECT doc_id, n_tokens, longest_repeat,
+           CASE WHEN n_tokens > 0 THEN
+               {sql_qround(
+                   'longest_repeat / CAST(n_tokens AS DOUBLE)', 6)}
+           END AS repeat_ratio
+    FROM r
+    """,
+)
+def llm_longest_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest WITHIN-document exact token repeat: the largest ℓ
+    (capped at 16, contractual) such that some ℓ-gram occurs twice in
+    the same document — the self-repetition signal Lee et al. 2022
+    and degenerate-generation detectors key on (a looping model emits
+    long exact self-repeats; llm_repetition_ratio's one-token share
+    misses multi-token loops entirely). repeat_ratio = ℓ/n_tokens is
+    the comparable-across-lengths form.
+
+    Entirely MAP-SIDE: per document, one nested array expression —
+    for each probe length, build the ℓ-grams and compare count vs
+    distinct count (a repeat exists iff they differ); the outer
+    array_max picks the longest. The repeat-at-ℓ property is monotone
+    downward, so the flat scan over ℓ ∈ 1..16 computes the true max
+    within the cap; docs shorter than 2 tokens yield 0 via the
+    guarded CASE (the ANSI descending-sequence trap). Zero shuffles,
+    zero Python — at 100 TB this is scan-speed quality scoring, cost
+    O(n·ℓmax) string builds per doc, bounded by the cap."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    grams = (
+        "transform(sequence(1, size(tk) - l + 1),"
+        " i -> array_join(slice(tk, i, l), ' '))"
+    )
+    expr = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "coalesce(array_max(transform("
+        f"sequence(1, least(size(tk) - 1, {_LSR_MAX_L})), "
+        f"l -> IF(size({grams}) > size(array_distinct({grams})), l, 0)"
+        ")), 0) ELSE 0 END"
+    )
+    r = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.expr(expr).cast("long").alias("longest_repeat"),
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "longest_repeat",
+        F.when(
+            F.col("n_tokens") > 0,
+            qround(
+                F.col("longest_repeat")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("repeat_ratio"),
+    )

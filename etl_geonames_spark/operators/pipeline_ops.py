@@ -1263,3 +1263,162 @@ def dq_referential_integrity(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_PSI_BINS = 10
+_PSI_EPS = 0.0001
+
+
+@query(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH span AS (
+        SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
+    ),
+    tagged AS (
+        SELECT e.value,
+               CASE WHEN epoch_us(e.ts) * 2
+                         <= epoch_us(s.lo) + epoch_us(s.hi)
+                    THEN 0 ELSE 1 END AS period
+        FROM events e, span s
+    ),
+    ref AS (
+        SELECT MIN(value) AS vlo, MAX(value) AS vhi
+        FROM tagged WHERE period = 0
+    ),
+    binned AS (
+        SELECT t.period,
+               LEAST(GREATEST(CAST(FLOOR(
+                   (t.value - r.vlo) * {_PSI_BINS} / (r.vhi - r.vlo)
+               ) AS BIGINT), 0), {_PSI_BINS - 1}) AS bin
+        FROM tagged t, ref r WHERE r.vhi > r.vlo
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(COUNT(CASE WHEN period = 0 THEN 1 END) AS BIGINT)
+                   AS n_ref,
+               CAST(COUNT(CASE WHEN period = 1 THEN 1 END) AS BIGINT)
+                   AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+               CAST(SUM(n_cur) AS BIGINT) AS tc
+        FROM cells
+    ),
+    terms AS (
+        SELECT c.bin, c.n_ref, c.n_cur,
+               {sql_qround(
+                   "(GREATEST(c.n_ref / CAST(t.tr AS DOUBLE),"
+                   f" {_PSI_EPS})"
+                   " - GREATEST(c.n_cur / CAST(t.tc AS DOUBLE),"
+                   f" {_PSI_EPS}))"
+                   " * ln(GREATEST(c.n_ref / CAST(t.tr AS DOUBLE),"
+                   f" {_PSI_EPS})"
+                   " / GREATEST(c.n_cur / CAST(t.tc AS DOUBLE),"
+                   f" {_PSI_EPS}))", 6)} AS psi_term
+        FROM cells c, tot t WHERE t.tr > 0 AND t.tc > 0
+    ),
+    ptot AS (
+        SELECT {sql_qround('SUM(psi_term)', 6)} AS psi_total FROM terms
+    )
+    SELECT bin, n_ref, n_cur, psi_term, ptot.psi_total
+    FROM terms, ptot
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second
+    time-halves of the event value distribution — the industry drift
+    gate (PSI < 0.1 stable, > 0.25 retrain/alert): Σ (p−q)·ln(p/q)
+    over 10 equal-width bins whose EDGES COME FROM THE REFERENCE
+    period only (the defining PSI convention — current-period
+    outliers clamp into the edge bins rather than moving the grid).
+    Complements stat_ks_two_sample (exact ECDF test, p-value) with
+    the binned, thresholdable, monitoring-dashboard form.
+
+    Empty-bin guard is the standard ε-clamp (p, q ≥ 1e-4) so a bin
+    present in one period only contributes a finite term. Anchors
+    (time span; reference value range) are two 1-row column-pruned
+    aggregates broadcast back — the honest-extra-pass pattern. Bin
+    assignment is a deterministic per-row IEEE expression, identical
+    on both engines; per-bin terms qround(6) before the window total
+    over ≤ 10 rows.
+
+    100 TB shape: two anchor passes + ONE binned count aggregate
+    (map-side combined, 10 cells × 2 periods); everything after is
+    bin-sized."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    span = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).localCheckpoint()
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "value",
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp))") * 2
+            <= F.expr(
+                "unix_micros(cast(lo as timestamp))"
+                " + unix_micros(cast(hi as timestamp))"
+            ),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    ref = tagged.filter(F.col("period") == 0).agg(
+        F.min("value").alias("vlo"), F.max("value").alias("vhi")
+    )
+    binned = (
+        tagged.crossJoin(F.broadcast(ref))
+        .filter(F.col("vhi") > F.col("vlo"))
+        .select(
+            "period",
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.col("vlo"))
+                        * _PSI_BINS
+                        / (F.col("vhi") - F.col("vlo"))
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ).alias("bin"),
+        )
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).cast("long").alias(
+            "n_ref"
+        ),
+        F.count(F.when(F.col("period") == 1, 1)).cast("long").alias(
+            "n_cur"
+        ),
+    ).localCheckpoint()
+    tot = cells.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    p = F.greatest(
+        F.col("n_ref") / F.col("tr").cast("double"), F.lit(_PSI_EPS)
+    )
+    q = F.greatest(
+        F.col("n_cur") / F.col("tc").cast("double"), F.lit(_PSI_EPS)
+    )
+    # bin-sized and consumed by the row output AND the grand total —
+    # checkpoint; the total is a broadcast re-aggregate, NOT a global
+    # window (the sweep bans empty-partition windows; a lit(1) spec
+    # constant-folds to exactly that)
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter((F.col("tr") > 0) & (F.col("tc") > 0))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            qround((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .localCheckpoint()
+    )
+    ptot = terms.agg(qround(F.sum("psi_term"), 6).alias("psi_total"))
+    return terms.crossJoin(F.broadcast(ptot)).select(
+        "bin", "n_ref", "n_cur", "psi_term", "psi_total"
+    )

@@ -3261,3 +3261,113 @@ def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_bits"
         ),
     ).drop("grand")
+
+
+@query(
+    "stat_page_trend",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                  FROM events),
+    bins(b) AS (VALUES (0), (1), (2), (3)),
+    dc AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(hour(ts) // 6 AS INT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT days.day, bins.b, COALESCE(dc.c, 0) AS c
+      FROM days CROSS JOIN bins
+      LEFT JOIN dc ON dc.day = days.day AND dc.b = bins.b
+    ),
+    ranked AS (
+      SELECT day, b, c,
+             RANK() OVER (PARTITION BY day ORDER BY c)
+               + (COUNT(*) OVER (PARTITION BY day, c) - 1) / 2.0 AS r
+      FROM grid
+    ),
+    l AS (
+      SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_blocks,
+             CAST(SUM((b + 1) * CAST(2 * r AS BIGINT)) AS BIGINT) AS l2
+      FROM ranked
+    )
+    SELECT n_blocks, CAST(4 AS BIGINT) AS k_treatments,
+           l2 / 2.0 AS l_stat,
+           25.0 * n_blocks AS e_l,
+           CASE WHEN n_blocks > 0 THEN {sql_qround(
+               '(l2 / 2.0 - 25.0 * n_blocks)'
+               ' / sqrt(n_blocks * 25.0 / 3.0)', 6)}
+           END AS z
+    FROM l
+    """,
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for ORDERED alternatives (Page 1963): blocks =
+    days, treatments = the four intraday 6-hour bins in time-of-day
+    order, response = event count. Friedman (stat_friedman) asks "do
+    treatments differ AT ALL?"; Page asks the sharper monotone
+    question — "does traffic RISE across the day?" — and has more
+    power when the alternative really is ordered (the diurnal-load
+    question capacity planning actually asks). L = Σⱼ j·Rⱼ with Rⱼ
+    the rank-sum of bin j (midranks within each day); under H0
+    E[L] = b·k(k+1)²/4 (= 25b for k = 4) and Var[L] =
+    b(k³−k)²/(144(k−1)) (= 25b/3), giving the normal z
+    approximation. Midrank ties make the variance slightly
+    conservative — documented, standard.
+
+    Integer core: midranks are halves, so 2r is exact int64 and L
+    emits as l2/2.0 — no order-dependent float sum; only z divides
+    (qround 6). Same dense zero-filled grid and day-partitioned
+    rank windows as stat_friedman (shared discipline: a bin absent
+    one day ranks lowest, never silently shrinks the block).
+
+    Shape: one fact-scale aggregate to the |days|×4 grid; windows
+    partition by day; the reduction is 1 row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.hour("ts") / 6).cast("int").alias("b"),
+    ).groupBy("day", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    days = dc.select("day").distinct()
+    bins = spark.range(4).select(F.col("id").cast("int").alias("b"))
+    grid = (
+        days.crossJoin(F.broadcast(bins))
+        .join(dc, ["day", "b"], "left")
+        .select(
+            "day",
+            "b",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = grid.select(
+        "day",
+        "b",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    lt = ranked.agg(
+        F.countDistinct("day").cast("long").alias("n_blocks"),
+        F.sum(
+            (F.col("b") + 1) * (F.lit(2.0) * F.col("r")).cast("long")
+        )
+        .cast("long")
+        .alias("l2"),
+    )
+    z = (F.col("l2") / 2.0 - 25.0 * F.col("n_blocks")) / F.sqrt(
+        F.col("n_blocks") * F.lit(25.0) / F.lit(3.0)
+    )
+    return lt.select(
+        "n_blocks",
+        F.lit(4).cast("long").alias("k_treatments"),
+        (F.col("l2") / F.lit(2.0)).alias("l_stat"),
+        (F.lit(25.0) * F.col("n_blocks")).alias("e_l"),
+        F.when(F.col("n_blocks") > 0, qround(z, 6)).alias("z"),
+    )

@@ -209,6 +209,9 @@ def edge_ddb(edge_sf_dir):
         # and empty docs produce no shingles at all
         "llm_bleu_bigram",
         "llm_minhash_band_tuning",
+        # self-repeat over 1-token/empty docs (guarded CASE -> 0) and
+        # the 'the cat sat on the mat' repeated-unigram doc (l = 1)
+        "llm_longest_self_repeat",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
