@@ -4510,3 +4510,158 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_PQS_NQ = 5    # ADC query set: the 5 lowest-id vectors
+_PQS_TOPK = 10
+
+
+@query(
+    "llm_pq_search_adc",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, q AS cq FROM e
+           WHERE vec_id < {_PQ_SEEDS}),
+    sub AS (
+        SELECT e.vec_id, gm.m, cb.cid,
+               COALESCE(list_sum(list_transform(
+                   generate_series(
+                       gm.m * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}) + 1,
+                       least((gm.m + 1)
+                             * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}),
+                             len(e.q))),
+                   i -> (e.q[i] - cb.cq[i]) * (e.q[i] - cb.cq[i]))),
+                   0) AS d2
+        FROM e,
+             LATERAL unnest(generate_series(0, {_PQ_M - 1})) AS gm(m),
+             cb
+    ),
+    chosen AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cid) AS rn
+            FROM sub
+        ) t WHERE rn = 1
+    ),
+    lut AS (
+        SELECT vec_id AS q_id, m, cid, d2 FROM sub
+        WHERE vec_id < {_PQS_NQ}
+    ),
+    adc AS (
+        SELECT l.q_id, c.vec_id,
+               CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+        FROM chosen c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+        WHERE c.vec_id <> l.q_id
+        GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT q_id, vec_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_d2, vec_id) AS rank
+        FROM adc
+    ) r WHERE rank <= {_PQS_TOPK}
+    """,
+)
+def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (Jégou et al. 2011 ADC) — the
+    query side that makes llm_pq_quantize's 4-byte codes USEFUL: per
+    query, one tiny lookup table per subspace (query-subvector →
+    squared distance to each of the 8 codewords), then every database
+    vector's approximate distance is just Σ_m LUT_m[code_m] — four
+    table lookups instead of a 64-dim float computation, the whole
+    point of the billion-vector PQ memory layout. Completes the PQ
+    story quantize → search the way bpe_train → bpe_apply → score
+    closes the tokenizer story.
+
+    Calls the llm_pq_quantize pipeline it searches (codes re-derived
+    from the same broadcast seed codebook, all-integer witness grid),
+    so the search cannot drift from the index builder. Every LUT
+    entry and distance sum is exact int64; top-10 per query breaks
+    ties on vec_id; queries exclude themselves.
+
+    100 TB shape: the LUT build is queries × codebook (broadcast,
+    q·M·8 rows — metadata-sized); the scan side explodes each code
+    row to its 4 (m, code) pairs and joins the BROADCAST LUT —
+    map-side, no corpus shuffle; the only exchanges are the per-query
+    top-k aggregates. Window partitions by q_id (the allowed
+    shape)."""
+    emb = _quantized_emb(spark, sf_dir)
+    codebook = emb.filter(F.col("vec_id") < _PQ_SEEDS).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        ).alias("cents")
+    )
+    # database codes from the index builder itself
+    codes = (
+        llm_pq_quantize(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.posexplode(F.split("pq_code", ",")).alias("m", "cid"),
+        )
+        .select("vec_id", "m", F.col("cid").cast("long").alias("cid"))
+    )
+    qs = emb.filter(F.col("vec_id") < _PQS_NQ).crossJoin(
+        F.broadcast(codebook)
+    )
+    sub_len = (F.size(F.col("q")) + (_PQ_M - 1)) / _PQ_M
+    sub_len = sub_len.cast("int")
+    lut = None
+    for m in range(_PQ_M):
+        start = F.lit(m) * sub_len + 1
+        length = F.least(
+            F.lit(m + 1) * sub_len, F.size(F.col("q"))
+        ) - F.lit(m) * sub_len
+        sub_q = F.slice(F.col("q"), start, F.greatest(length, F.lit(0)))
+
+        def make_lut_entry(start, length, sub_q):
+            # closure factory — default-arg capture reads as a 4-arg
+            # lambda to Spark's HOF binder (CLAUDE.md gotcha)
+            def lut_entry(c):
+                cs = F.slice(
+                    c["cq"], start, F.greatest(length, F.lit(0))
+                )
+                return F.struct(
+                    c["cid"].alias("cid"),
+                    F.aggregate(
+                        F.zip_with(
+                            sub_q, cs, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                )
+
+            return lut_entry
+
+        part = qs.select(
+            F.col("vec_id").alias("q_id"),
+            F.lit(m).alias("m"),
+            F.explode(
+                F.transform(
+                    F.col("cents"), make_lut_entry(start, length, sub_q)
+                )
+            ).alias("e"),
+        ).select(
+            "q_id", "m", F.col("e.cid").alias("cid"),
+            F.col("e.d2").alias("d2"),
+        )
+        lut = part if lut is None else lut.unionAll(part)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQS_TOPK)
+        .select("q_id", "vec_id", "adc_d2", "rank")
+    )

@@ -212,6 +212,9 @@ def edge_ddb(edge_sf_dir):
         # self-repeat over 1-token/empty docs (guarded CASE -> 0) and
         # the 'the cat sat on the mat' repeated-unigram doc (l = 1)
         "llm_longest_self_repeat",
+        # ADC search on the 3-vector corpus incl. the zero vector
+        # (every vector is its own codeword; LUT rows with d2 = 0)
+        "llm_pq_search_adc",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -1285,3 +1285,69 @@ def test_exact_shared_run_bounded_by_true_lcs(spark, sf_dir):
         if r["exact_l"] == best:
             equal += 1
     assert equal >= 0.9 * len(out)
+
+
+def test_pq_adc_matches_python_recomputation(spark, sf_dir):
+    """llm_pq_search_adc equals a from-scratch Python replay: same
+    1e-3 grid, same seed codebook, same per-subspace integer argmin
+    codes, and ADC(q, v) = Σ_m ‖sub_q − codeword(code_v, m)‖² — the
+    asymmetric-distance identity, checked for every emitted row, plus
+    the top-10 sets themselves."""
+    from etl_geonames_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    vecs = {
+        int(r["vec_id"]): [
+            math.floor(float(x) * 1000.0 + 0.5) for x in r["embedding"]
+        ]
+        for r in emb.collect()
+    }
+    d = len(next(iter(vecs.values())))
+    M = 4
+    sub = (d + M - 1) // M
+
+    def subv(q, m):
+        return q[m * sub:min((m + 1) * sub, d)]
+
+    cb = {c: vecs[c] for c in range(8) if c in vecs}
+
+    def code(v):
+        out = []
+        for m in range(M):
+            best = min(
+                cb,
+                key=lambda c: (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(subv(v, m), subv(cb[c], m))
+                    ),
+                    c,
+                ),
+            )
+            out.append(best)
+        return out
+
+    codes = {vid: code(v) for vid, v in vecs.items()}
+    expect = {}
+    for qid in [v for v in vecs if v < 5]:
+        dists = []
+        for vid, cds in codes.items():
+            if vid == qid:
+                continue
+            d2 = sum(
+                sum(
+                    (a - b) ** 2
+                    for a, b in zip(subv(vecs[qid], m), subv(cb[c], m))
+                )
+                for m, c in enumerate(cds)
+            )
+            dists.append((d2, vid))
+        expect[qid] = {
+            (vid, d2) for d2, vid in sorted(dists)[:10]
+        }
+    got = {}
+    for r in _rows(spark, sf_dir, "llm_pq_search_adc"):
+        got.setdefault(r["q_id"], set()).add((r["vec_id"], r["adc_d2"]))
+    assert got == expect
