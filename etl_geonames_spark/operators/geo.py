@@ -1373,3 +1373,137 @@ def geo_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("syc").cast("double") / den, 4),
         ).alias("centroid_lat"),
     )
+
+
+_KDE_CELL = 500       # 5-degree cells on the x100 integer grid
+_KDE_H2 = 750 * 750   # Epanechnikov bandwidth h = 7.5 deg (x100)
+
+
+@query(
+    "geo_kde_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST((c_custkey * 7919) % 18000 AS BIGINT) AS slat,
+               CAST((c_custkey * 104729) % 36000 AS BIGINT) AS slon
+        FROM customer
+    ),
+    cells AS (
+        SELECT slat // {_KDE_CELL} AS ca, slon // {_KDE_CELL} AS cb,
+               CAST(COUNT(*) AS BIGINT) AS n_in_cell
+        FROM pts GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(n_in_cell) AS BIGINT) AS total FROM cells),
+    contrib AS (
+        SELECT p.slat // {_KDE_CELL} + d.da AS ca,
+               p.slon // {_KDE_CELL} + d.db AS cb,
+               p.slat, p.slon
+        FROM pts p,
+             (SELECT a.da, b.db
+              FROM (VALUES (-1), (0), (1)) a(da),
+                   (VALUES (-1), (0), (1)) b(db)) d
+    ),
+    w AS (
+        SELECT c.ca, c.cb, c.n_in_cell,
+               CAST(SUM(GREATEST(CAST(0 AS BIGINT), {_KDE_H2}
+                   - ((c.ca * {_KDE_CELL} + {_KDE_CELL // 2} - k.slat)
+                      * (c.ca * {_KDE_CELL} + {_KDE_CELL // 2} - k.slat)
+                      + (c.cb * {_KDE_CELL} + {_KDE_CELL // 2} - k.slon)
+                        * (c.cb * {_KDE_CELL} + {_KDE_CELL // 2}
+                           - k.slon))))
+                   AS BIGINT) AS kde
+        FROM cells c JOIN contrib k ON k.ca = c.ca AND k.cb = c.cb
+        GROUP BY c.ca, c.cb, c.n_in_cell
+    )
+    SELECT w.ca AS cell_lat, w.cb AS cell_lon, w.n_in_cell, w.kde,
+           {sql_qround(
+               'w.kde / (CAST(n.total AS DOUBLE) * ' + str(_KDE_H2)
+               + ')', 9)} AS density
+    FROM w, n
+    """,
+)
+def geo_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel density estimate over a spatial grid — the heat-map /
+    hotspot layer: density at each OCCUPIED 5° cell's center under an
+    Epanechnikov kernel (bandwidth 7.5°), computed with the grid-join
+    scale pattern — each point contributes only to its 3×3 cell
+    neighborhood (which exactly covers the kernel's support: a point
+    two cells away sits ≥ 7.5° from the center, where the kernel is
+    0), so the shuffle is ONE cell-keyed hash join of 9×points
+    against the occupied-cell list, never points × cells (the naive
+    KDE) and never points² (pairwise KDE).
+
+    All-integer core, the geo_polygon_centroid discipline: the x100
+    scaled grid keeps coordinates, cell centers, squared distances
+    and the un-normalized Epanechnikov terms max(0, h² − d²) exact
+    int64 (per-point term ≤ 5.6e5; int64 overflow needs ~1.6e13
+    points in one cell's neighborhood); coordinates stay SHIFTED
+    non-negative so integer division means the same thing in both
+    engines (Spark `div` truncates toward zero, DuckDB `//` floors —
+    they agree only for non-negative operands). The grand total
+    re-aggregates from the cell table (global-anchor discipline);
+    density divides once at emit, qround(9).
+
+    100 TB shape: one fact-scale cell count, one 9-way map-side
+    explode joined on the cell key, cell-sized output."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 7919) % 18000)
+        .cast("long")
+        .alias("slat"),
+        ((F.col("c_custkey") * 104729) % 36000)
+        .cast("long")
+        .alias("slon"),
+    )
+    cells = (
+        pts.groupBy(
+            F.expr(f"slat div {_KDE_CELL}").alias("ca"),
+            F.expr(f"slon div {_KDE_CELL}").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_cell"))
+        .localCheckpoint()
+    )
+    total = cells.agg(F.sum("n_in_cell").cast("long").alias("total"))
+    offsets = F.expr(
+        "array(-1, 0, 1)"
+    )
+    contrib = pts.select(
+        "slat",
+        "slon",
+        F.explode(offsets).alias("da"),
+    ).select(
+        "slat",
+        "slon",
+        (F.expr(f"slat div {_KDE_CELL}") + F.col("da")).alias("ca"),
+        F.explode(offsets).alias("db"),
+    ).select(
+        "slat",
+        "slon",
+        "ca",
+        (F.expr(f"slon div {_KDE_CELL}") + F.col("db")).alias("cb"),
+    )
+    cx = F.col("ca") * _KDE_CELL + _KDE_CELL // 2
+    cy = F.col("cb") * _KDE_CELL + _KDE_CELL // 2
+    d2 = (cx - F.col("slat")) * (cx - F.col("slat")) + (
+        cy - F.col("slon")
+    ) * (cy - F.col("slon"))
+    w = (
+        cells.join(contrib, ["ca", "cb"])
+        .groupBy("ca", "cb", "n_in_cell")
+        .agg(
+            F.sum(
+                F.greatest(F.lit(0).cast("long"), F.lit(_KDE_H2) - d2)
+            )
+            .cast("long")
+            .alias("kde")
+        )
+    )
+    return w.crossJoin(F.broadcast(total)).select(
+        F.col("ca").alias("cell_lat"),
+        F.col("cb").alias("cell_lon"),
+        "n_in_cell",
+        "kde",
+        qround(
+            F.col("kde")
+            / (F.col("total").cast("double") * F.lit(float(_KDE_H2))),
+            9,
+        ).alias("density"),
+    )
