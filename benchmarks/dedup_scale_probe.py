@@ -58,6 +58,9 @@ OPS = [
     # the df-16/occ-8 caps are the pair-bill guard under test (orig
     # df-1 seeds hit df 10, still kept; df>=2 seeds cap out at 20)
     "llm_exact_shared_run",
+    # map-only per-doc array expressions: must scale linearly with
+    # corpus size, indifferent to the duplication structure
+    "llm_longest_self_repeat",
 ]
 
 

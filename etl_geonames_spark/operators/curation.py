@@ -3335,6 +3335,17 @@ def llm_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSR_MAX_L = 16
 
 
+def _lsr_dup_sql(lv: str) -> str:
+    """DuckDB fragment: does some lv-gram repeat within tk? (count of
+    grams exceeds distinct count)."""
+    grams = (
+        f"list_transform(generate_series(1, len(tk) - {lv} + 1),"
+        f" i -> array_to_string(tk[i:i + {lv} - 1], ' '))"
+    )
+    return f"len({grams}) > len(list_distinct({grams}))"
+
+
+
 @query(
     "llm_longest_self_repeat",
     oracle=f"""
@@ -3343,21 +3354,24 @@ _LSR_MAX_L = 16
                list_filter(str_split(text, ' '), w -> w <> '') AS tk
         FROM documents
     ),
+    t2 AS (
+        SELECT doc_id, tk,
+               LEAST(len(tk) - 1, {_LSR_MAX_L}) AS m
+        FROM t
+    ),
     r AS (
         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(COALESCE(list_max(list_transform(
-                   generate_series(1, LEAST(len(tk) - 1, {_LSR_MAX_L})),
-                   l -> CASE WHEN len(list_transform(
-                                    generate_series(1, len(tk) - l + 1),
-                                    i -> array_to_string(
-                                        tk[i:i + l - 1], ' ')))
-                             > len(list_distinct(list_transform(
-                                    generate_series(1, len(tk) - l + 1),
-                                    i -> array_to_string(
-                                        tk[i:i + l - 1], ' '))))
-                        THEN l ELSE 0 END)), 0) AS BIGINT)
-                   AS longest_repeat
-        FROM t
+               CAST(CASE WHEN m >= 8 AND {_lsr_dup_sql('8')}
+                    THEN COALESCE(list_max(list_transform(
+                             generate_series(8, m),
+                             l -> CASE WHEN {_lsr_dup_sql('l')}
+                                  THEN l ELSE 0 END)), 0)
+                    ELSE COALESCE(list_max(list_transform(
+                             generate_series(1, LEAST(7, m)),
+                             l -> CASE WHEN {_lsr_dup_sql('l')}
+                                  THEN l ELSE 0 END)), 0)
+               END AS BIGINT) AS longest_repeat
+        FROM t2
     )
     SELECT doc_id, n_tokens, longest_repeat,
            CASE WHEN n_tokens > 0 THEN
@@ -3386,16 +3400,32 @@ def llm_longest_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Python — at 100 TB this is scan-speed quality scoring, cost
     O(n·ℓmax) string builds per doc, bounded by the cap."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    grams = (
-        "transform(sequence(1, size(tk) - l + 1),"
-        " i -> array_join(slice(tk, i, l), ' '))"
+
+    def dup(lv):
+        g = (
+            f"transform(sequence(1, size(tk) - {lv} + 1),"
+            f" i -> array_join(slice(tk, i, {lv}), ' '))"
+        )
+        return f"(size({g}) > size(array_distinct({g})))"
+
+    m = f"least(size(tk) - 1, {_LSR_MAX_L})"
+    scan_hi = (
+        f"coalesce(array_max(transform(sequence(8, {m}), "
+        f"l -> IF({dup('l')}, l, 0))), 0)"
     )
+    scan_lo = (
+        f"coalesce(array_max(transform(sequence(1, least(7, {m})), "
+        f"l -> IF({dup('l')}, l, 0))), 0)"
+    )
+    # binary split on the monotone dup-at-length property (a repeated
+    # l-gram contains repeated (l-1)-grams at the same positions):
+    # one probe at l = 8 halves the lengths actually scanned —
+    # measured 23.3 -> 10.6 s at the 50k probe, 2.6 -> 1.0 s at sf0.1
     expr = (
         "CASE WHEN size(tk) >= 2 THEN "
-        "coalesce(array_max(transform("
-        f"sequence(1, least(size(tk) - 1, {_LSR_MAX_L})), "
-        f"l -> IF(size({grams}) > size(array_distinct({grams})), l, 0)"
-        ")), 0) ELSE 0 END"
+        f"CASE WHEN {m} >= 8 AND {dup('8')} THEN {scan_hi} "
+        f"ELSE {scan_lo} END "
+        "ELSE 0 END"
     )
     r = docs.select(
         "doc_id",
