@@ -496,11 +496,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each round: one aggregate of neighbor minima (map-side combined)
     + one broadcast-or-hash left join back to the node set — labels
-    are |nodes| rows, edges only ever feed the aggregate. Converged
-    variants move the loop driver-side with localCheckpoint
-    (llm.py's recipe, 12.5× measured); bucketed edges remove the
-    per-round edge exchange (pagerank_bucketed's plan argument,
-    identical here)."""
+    are |nodes| rows, edges only ever feed the aggregate. The label
+    table is localCheckpointed per round (the graph_cc_bounded
+    convention, applied here round 6): each round consumes the
+    previous labels TWICE (the neighbor aggregate + the keep-merge),
+    so the lazy unrolled form re-executed earlier rounds per branch
+    — 15 census shuffles, the heaviest plan left after the
+    pagerank/khop fixes. Bucketed edges remove the per-round edge
+    exchange (pagerank_bucketed's plan argument, identical here)."""
     e = _edges(spark, sf_dir)
     # every round re-reads und (and the label chain re-derives it
     # transitively) — pin the small symmetrized edge list once so the
@@ -514,7 +517,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label"))
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
     for _ in range(3):
         minl = (
             und.join(
@@ -532,7 +537,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
             ).alias("label"),
-        )
+        ).localCheckpoint()
     return labels
 
 
