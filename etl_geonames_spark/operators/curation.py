@@ -148,7 +148,7 @@ def _sql_entity_chain(inner: str) -> str:
     clean AS (
         SELECT doc_id,
                CAST(length(html) AS BIGINT) AS html_chars,
-               trim(regexp_replace(decoded, '[ \\t\\n\\r]+', ' ', 'g'))
+               trim(regexp_replace(decoded, '[ \\t\\n\\r\\f]+', ' ', 'g'))
                    AS txt
         FROM stripped
     )
@@ -206,8 +206,9 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     # explicit class, not \s: Java's \s matches vertical tab \x0b,
     # RE2's does not — the one whitespace-class divergence between
-    # the engines (round-6 self-review)
-    txt = F.trim(F.regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    # the engines; \f IS matched by both and stays in the class
+    # (round-6 self-review, both passes)
+    txt = F.trim(F.regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
     return page.select(
         "doc_id",
         F.length("html").cast("long").alias("html_chars"),

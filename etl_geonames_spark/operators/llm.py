@@ -3286,11 +3286,11 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4  # number of subspaces
 _PQ_SEEDS = 8  # codebook size per subspace (lowest-id vectors)
 
-
-@query(
-    "llm_pq_quantize",
-    oracle=f"""
-    WITH e AS (
+# shared oracle CTE block: quantized embeddings (e), the seed codebook
+# (cb), and the per-(vector, subspace, codeword) integer squared
+# distances (sub) — used by BOTH llm_pq_quantize and llm_pq_search_adc
+# so the index builder and the searcher cannot drift apart
+_PQ_SQL_CTES = f"""e AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
@@ -3312,7 +3312,13 @@ _PQ_SEEDS = 8  # codebook size per subspace (lowest-id vectors)
         FROM e,
              LATERAL unnest(generate_series(0, {_PQ_M - 1})) AS gm(m),
              cb
-    ),
+    )"""
+
+
+@query(
+    "llm_pq_quantize",
+    oracle=f"""
+    WITH {_PQ_SQL_CTES},
     chosen AS (
         SELECT vec_id, m, cid, d2 FROM (
             SELECT vec_id, m, cid, d2,
@@ -4519,29 +4525,7 @@ _PQS_TOPK = 10
 @query(
     "llm_pq_search_adc",
     oracle=f"""
-    WITH e AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * {_LSHV_SCALE}.0 + 0.5)
-                             AS BIGINT)) AS q
-        FROM embeddings
-    ),
-    cb AS (SELECT vec_id AS cid, q AS cq FROM e
-           WHERE vec_id < {_PQ_SEEDS}),
-    sub AS (
-        SELECT e.vec_id, gm.m, cb.cid,
-               COALESCE(list_sum(list_transform(
-                   generate_series(
-                       gm.m * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}) + 1,
-                       least((gm.m + 1)
-                             * ((len(e.q) + {_PQ_M - 1}) // {_PQ_M}),
-                             len(e.q))),
-                   i -> (e.q[i] - cb.cq[i]) * (e.q[i] - cb.cq[i]))),
-                   0) AS d2
-        FROM e,
-             LATERAL unnest(generate_series(0, {_PQ_M - 1})) AS gm(m),
-             cb
-    ),
+    WITH {_PQ_SQL_CTES},
     chosen AS (
         SELECT vec_id, m, cid FROM (
             SELECT vec_id, m, cid,
@@ -4612,47 +4596,51 @@ def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub_len = (F.size(F.col("q")) + (_PQ_M - 1)) / _PQ_M
     sub_len = sub_len.cast("int")
-    lut = None
+
+    def make_lut_entry(m, start, length, sub_q):
+        # closure factory — default-arg capture reads as an n-arg
+        # lambda to Spark's HOF binder (CLAUDE.md gotcha)
+        def lut_entry(c):
+            cs = F.slice(c["cq"], start, F.greatest(length, F.lit(0)))
+            return F.struct(
+                F.lit(m).alias("m"),
+                c["cid"].alias("cid"),
+                F.aggregate(
+                    F.zip_with(
+                        sub_q, cs, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+
+        return lut_entry
+
+    # ONE projection emits all M per-subspace entry arrays and ONE
+    # explode flattens them — a per-m union re-executed the filtered
+    # embeddings scan and the codebook aggregate once per branch (the
+    # llm_semdedup multi-branch gotcha; round-6 review, second pass)
+    per_m = []
     for m in range(_PQ_M):
         start = F.lit(m) * sub_len + 1
         length = F.least(
             F.lit(m + 1) * sub_len, F.size(F.col("q"))
         ) - F.lit(m) * sub_len
         sub_q = F.slice(F.col("q"), start, F.greatest(length, F.lit(0)))
-
-        def make_lut_entry(start, length, sub_q):
-            # closure factory — default-arg capture reads as a 4-arg
-            # lambda to Spark's HOF binder (CLAUDE.md gotcha)
-            def lut_entry(c):
-                cs = F.slice(
-                    c["cq"], start, F.greatest(length, F.lit(0))
-                )
-                return F.struct(
-                    c["cid"].alias("cid"),
-                    F.aggregate(
-                        F.zip_with(
-                            sub_q, cs, lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d2"),
-                )
-
-            return lut_entry
-
-        part = qs.select(
-            F.col("vec_id").alias("q_id"),
-            F.lit(m).alias("m"),
-            F.explode(
-                F.transform(
-                    F.col("cents"), make_lut_entry(start, length, sub_q)
-                )
-            ).alias("e"),
-        ).select(
-            "q_id", "m", F.col("e.cid").alias("cid"),
-            F.col("e.d2").alias("d2"),
+        per_m.append(
+            F.transform(
+                F.col("cents"), make_lut_entry(m, start, length, sub_q)
+            )
         )
-        lut = part if lut is None else lut.unionAll(part)
+    lut = qs.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(F.concat(*per_m)).alias("e"),
+    ).select(
+        "q_id",
+        F.col("e.m").alias("m"),
+        F.col("e.cid").alias("cid"),
+        F.col("e.d2").alias("d2"),
+    )
     adc = (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .filter(F.col("vec_id") != F.col("q_id"))

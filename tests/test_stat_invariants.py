@@ -1351,3 +1351,36 @@ def test_pq_adc_matches_python_recomputation(spark, sf_dir):
     for r in _rows(spark, sf_dir, "llm_pq_search_adc"):
         got.setdefault(r["q_id"], set()).add((r["vec_id"], r["adc_d2"]))
     assert got == expect
+
+
+def test_page_trend_bounds_and_expectation(spark, sf_dir):
+    """Page's L identities the differential can't see: for k = 4
+    treatments each block's contribution Σ(j+1)·rⱼ lies in [20, 30]
+    (reversed vs sorted rank order), so L ∈ [20b, 30b]; e_l must be
+    exactly 25·n_blocks; and z must reproduce (L − E)/√(25b/3) on the
+    qround grid."""
+    (r,) = _rows(spark, sf_dir, "stat_page_trend")
+    b = r["n_blocks"]
+    assert b > 0 and r["k_treatments"] == 4
+    assert 20 * b - _EPS <= r["l_stat"] <= 30 * b + _EPS
+    assert r["e_l"] == 25.0 * b
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert r["z"] == q6(
+        (r["l_stat"] - 25.0 * b) / math.sqrt(b * 25.0 / 3.0)
+    )
+
+
+def test_psi_terms_nonnegative_and_sum(spark, sf_dir):
+    """Every PSI term (p − q)·ln(p/q) is ≥ 0 (the factors share
+    sign), bins partition both periods' counts, and psi_total is the
+    sum of the emitted terms (within the per-term qround grid)."""
+    rows = _rows(spark, sf_dir, "dq_psi_drift")
+    assert rows
+    assert len({r["bin"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["psi_term"] >= -1e-6
+        assert 0 <= r["bin"] <= 9
+        assert r["psi_total"] == rows[0]["psi_total"]
+    total = sum(r["psi_term"] for r in rows)
+    assert abs(rows[0]["psi_total"] - total) < 1e-5
+    assert rows[0]["psi_total"] >= -1e-6
