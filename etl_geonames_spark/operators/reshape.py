@@ -762,3 +762,92 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as k grows). Windows partition by shard — never global."""
     docs = load_table(spark, sf_dir, "documents")
     return hh_certificate(hh_shard_counts(docs))
+
+
+@query(
+    "join_size_cms_estimate",
+    oracle=f"""
+    WITH params(i, a, b) AS (VALUES {", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, a, b in _CMS_PARAMS
+    )}),
+    cells AS (
+        SELECT p.i,
+               ((p.a * l.l_partkey + p.b) % {_CMS_P}) % {_CMS_W} AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l, params p GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT i, CAST(SUM(n * n) AS BIGINT) AS dot_f2
+        FROM cells GROUP BY i
+    ),
+    est AS (SELECT CAST(MIN(dot_f2) AS BIGINT) AS est_f2 FROM dots),
+    ex AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS f
+            FROM lineitem GROUP BY l_partkey) t
+    )
+    SELECT d.i, d.dot_f2, e.est_f2, x.exact_f2,
+           {sql_qround(
+               'e.est_f2 / CAST(x.exact_f2 AS DOUBLE) - 1.0', 6)}
+               AS rel_overestimate
+    FROM dots d, est e, ex x
+    """,
+)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment F₂ = Σₖ f(k)²)
+    estimated from the count-min sketch's row dot products (the
+    AMS/CM inner-product estimator, Alon-Matias-Szegedy 1996 /
+    Cormode-Muthukrishnan 2005): per depth row i, Σ_c n(i,c)² counts
+    every true pair plus hash collisions, so each dot is an
+    OVERESTIMATE and the min over the d rows is the estimate — the
+    join-size oracle an optimizer consults BEFORE paying for a skewed
+    self-join (l_partkey here; the same two-sketch dot prices any
+    equi-join). Joins the price-it-first census family
+    (llm_dedup_band_stats, profile_skew, agg_heavy_hitters,
+    llm_minhash_band_tuning) with the classic sketch guarantee:
+    dot ≥ F₂ always (collisions only add — pinned in the invariant
+    test), E[dot] ≤ F₂ + N²/w.
+
+    Everything is exact int64 (cells via the shared cms_cells
+    expressions — bit-identical on both engines; dots and the exact
+    F₂ are integer sums); the one double is the reported relative
+    overestimate, qround(6). Int64 bound: a cell of n rows adds n² —
+    at ~3e9 rows per cell the square overflows and ANSI throws
+    LOUDLY; widen w (or shard the sketch by key range and sum the
+    dots — they're additive) long before that.
+
+    100 TB shape: the sketch build is the usual d-way map explode
+    into ≤ d·w mergeable cells; the exact-F₂ pass (one keyed count +
+    one 1-row Σf²) exists here to GRADE the estimate and is exactly
+    the expensive thing the sketch replaces in production."""
+    cells = cms_cells(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey"
+    )
+    dots = cells.groupBy("i").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("dot_f2")
+    ).localCheckpoint()
+    est = dots.agg(F.min("dot_f2").cast("long").alias("est_f2"))
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(
+            F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2")
+        )
+    )
+    return (
+        dots.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "i",
+            "dot_f2",
+            "est_f2",
+            "exact_f2",
+            qround(
+                F.col("est_f2") / F.col("exact_f2").cast("double")
+                - F.lit(1.0),
+                6,
+            ).alias("rel_overestimate"),
+        )
+    )

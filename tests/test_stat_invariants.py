@@ -1384,3 +1384,27 @@ def test_psi_terms_nonnegative_and_sum(spark, sf_dir):
     total = sum(r["psi_term"] for r in rows)
     assert abs(rows[0]["psi_total"] - total) < 1e-5
     assert rows[0]["psi_total"] >= -1e-6
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    """The CM inner-product guarantee: every depth row's dot ≥ the
+    exact F₂ (collisions only ADD pair mass), hence est_f2 ≥
+    exact_f2; and exact_f2 is recomputed independently in Python."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    f = Counter(
+        int(r["l_partkey"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    )
+    exact = sum(v * v for v in f.values())
+    rows = _rows(spark, sf_dir, "join_size_cms_estimate")
+    assert rows
+    for r in rows:
+        assert r["exact_f2"] == exact
+        assert r["dot_f2"] >= exact
+        assert r["est_f2"] >= exact
+        assert r["est_f2"] <= r["dot_f2"]
