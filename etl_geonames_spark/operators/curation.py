@@ -3449,3 +3449,121 @@ def llm_longest_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("repeat_ratio"),
     )
+
+
+_SC_STRIDE = 4   # span starts only at positions 1 mod 4 (non-overlap)
+_SC_LEN = 3      # corrupted span length (<= stride, so spans never touch)
+_SC_P = 100003
+
+
+@query(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), w -> w <> '') AS tk
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               list_filter(generate_series(1, len(tk)),
+                   i -> (i % {_SC_STRIDE}) = 1
+                        AND (((doc_id % {_SC_P}) * 31 + i)
+                             * 2654435761) % 3 = 0) AS starts
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(starts) AS BIGINT) AS n_spans,
+           COALESCE(array_to_string(list_filter(list_transform(
+               generate_series(1, n),
+               j -> CASE
+                 WHEN list_contains(starts, j - ((j - 1) % {_SC_STRIDE}))
+                      AND j <= j - ((j - 1) % {_SC_STRIDE}) + {_SC_LEN - 1}
+                 THEN CASE WHEN (j % {_SC_STRIDE}) = 1
+                      THEN '<extra_id_'
+                           || CAST(list_position(starts, j) - 1 AS VARCHAR)
+                           || '>'
+                      ELSE NULL END
+                 ELSE tk[j] END),
+               x -> x IS NOT NULL), ' '), '') AS input_text,
+           COALESCE(array_to_string(list_transform(starts,
+               (st, k) -> '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+                   || array_to_string(tk[st:least(st + {_SC_LEN - 1}, n)],
+                                      ' ')), ' '), '')
+               || CASE WHEN len(starts) > 0 THEN ' ' ELSE '' END
+               || '<extra_id_' || CAST(len(starts) AS VARCHAR) || '>'
+               AS target_text
+    FROM s
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): contiguous
+    3-token spans are replaced in the INPUT by numbered sentinels and
+    moved to the TARGET as "<extra_id_k> span tokens…", terminated by
+    the closing sentinel — the seq2seq denoising objective's actual
+    data transform (llm_mask_tokens is the single-token BERT form;
+    span corruption is what T5/UL2 pipelines materialize, and the
+    input/target PAIR construction is the part that's easy to get
+    silently wrong).
+
+    Determinism and non-overlap by construction: only positions
+    ≡ 1 (mod 4) are eligible span starts (span length 3 < stride 4,
+    so spans can never touch — no sequential scan needed to enforce
+    separation), and a start fires on a multiplicative hash of
+    (doc_id mod P, position) — RNG-free, so reruns produce identical
+    pairs (the split_train_test discipline). ≈ 1/3 of eligible
+    starts fire ⟹ ≈ 25% of tokens corrupted, the T5 default ballpark.
+    Sentinel ids are span ranks (list_position over the starts
+    array); the oracle replays every array expression with DuckDB's
+    1-based lambdas (index alignment pinned as in llm_mask_tokens).
+
+    Map-only: one pass of array expressions over the scan, zero
+    shuffles, zero Python — scan-speed pretraining-pair generation at
+    any corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n"),
+        F.expr(
+            f"CASE WHEN size(tk) >= 1 THEN "
+            f"filter(sequence(1, size(tk)), "
+            f"i -> i % {_SC_STRIDE} = 1 AND "
+            f"((doc_id % {_SC_P}) * 31 + i) * 2654435761 % 3 = 0) "
+            f"ELSE CAST(array() AS array<int>) END"
+        ).alias("starts"),
+    )
+    in_span = (
+        f"array_contains(starts, j - (j - 1) % {_SC_STRIDE}) "
+        f"AND j <= j - (j - 1) % {_SC_STRIDE} + {_SC_LEN - 1}"
+    )
+    input_text = F.expr(
+        "array_join(filter(transform(sequence(1, greatest(n, 1)), "
+        f"j -> CASE WHEN j <= n AND ({in_span}) THEN "
+        f"IF(j % {_SC_STRIDE} = 1, "
+        "concat('<extra_id_', "
+        "cast(array_position(starts, j) - 1 AS string), '>'), NULL) "
+        "WHEN j <= n THEN element_at(tk, j) ELSE NULL END), "
+        "x -> x IS NOT NULL), ' ')"
+    )
+    target_text = F.expr(
+        "concat(coalesce(array_join(zip_with(starts, "
+        "sequence(1, greatest(size(starts), 1)), "
+        "(st, k) -> IF(st IS NULL OR k > size(starts), NULL, "
+        "concat('<extra_id_', cast(k - 1 AS string), '> ', "
+        f"array_join(slice(tk, st, least({_SC_LEN}, n - st + 1)), ' ')))"
+        "), ' '), ''), "
+        "IF(size(starts) > 0, ' ', ''), "
+        "concat('<extra_id_', cast(size(starts) AS string), '>'))"
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

@@ -3402,3 +3402,88 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(overlap_us).cast("long").alias("max_overlap_us"),
         )
     )
+
+
+_ALLEN_CASE = """
+    CASE WHEN hi_a < lo_b THEN 'before'
+         WHEN hi_a = lo_b THEN 'meets'
+         WHEN lo_a < lo_b AND hi_a > lo_b AND hi_a < hi_b
+              THEN 'overlaps'
+         WHEN lo_a = lo_b AND hi_a < hi_b THEN 'starts'
+         WHEN lo_a > lo_b AND hi_a < hi_b THEN 'during'
+         WHEN lo_a > lo_b AND hi_a = hi_b THEN 'finishes'
+         WHEN lo_a = lo_b AND hi_a = hi_b THEN 'equals'
+         WHEN lo_a > hi_b THEN 'after'
+         WHEN lo_a = hi_b THEN 'met_by'
+         WHEN lo_a > lo_b AND lo_a < hi_b AND hi_a > hi_b
+              THEN 'overlapped_by'
+         WHEN lo_a = lo_b AND hi_a > hi_b THEN 'started_by'
+         WHEN lo_a < lo_b AND hi_a > hi_b THEN 'contains'
+         ELSE 'finished_by' END
+"""
+
+
+@query(
+    "ts_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_type, MIN(ts) AS lo, MAX(ts) AS hi
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra census (Allen 1983): every pair of a
+    user's per-event-type activity spans classified into the 13
+    mutually-exclusive temporal relations (before/meets/overlaps/
+    starts/during/finishes/equals + inverses) — the temporal-
+    REASONING layer above the overlap joins: join_interval_overlap
+    asks "do they intersect?", this says HOW they relate, which is
+    what validity-interval auditing, process mining and temporal KB
+    construction consume. The census shape (counts per relation) is
+    the calibration readout: a dataset where 'equals' dominates has
+    synchronized feeds; heavy 'meets'/'met_by' mass means
+    back-to-back sessions.
+
+    The CASE ladder is exhaustive and mutually exclusive on exact
+    timestamp comparisons (microsecond equality is well-defined —
+    no float thresholds anywhere), ordered so each arm only needs
+    the discriminating predicates; both engines evaluate the
+    identical ladder. One user-keyed equi-join carries the shuffle
+    (|types|-bounded fan per user); the census is a 13-row
+    aggregate."""
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("type_a") < F.col("type_b")),
+    )
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -215,6 +215,9 @@ def edge_ddb(edge_sf_dir):
         # ADC search on the 3-vector corpus incl. the zero vector
         # (every vector is its own codeword; LUT rows with d2 = 0)
         "llm_pq_search_adc",
+        # span corruption over empty/1-token docs: no eligible spans,
+        # input = original text, target = the terminal sentinel only
+        "llm_span_corruption",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -1408,3 +1408,51 @@ def test_cms_join_size_never_underestimates(spark, sf_dir):
         assert r["dot_f2"] >= exact
         assert r["est_f2"] >= exact
         assert r["est_f2"] <= r["dot_f2"]
+
+
+def test_span_corruption_roundtrip_reconstructs_document(spark, sf_dir):
+    """The T5 pair contract: splicing each <extra_id_k> target span
+    back into the input at its sentinel position must reconstruct the
+    original token stream exactly, the terminal sentinel index must
+    equal n_spans, and sentinels must appear in increasing order in
+    the input — for EVERY document."""
+    import re
+
+    from etl_geonames_spark.sources import load_table
+
+    orig = {
+        int(r["doc_id"]): [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for r in _rows(spark, sf_dir, "llm_span_corruption"):
+        doc = orig[r["doc_id"]]
+        assert r["n_tokens"] == len(doc)
+        tgt = r["target_text"].split(" ")
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for w in tgt:
+            m = sent.match(w)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                assert cur is not None
+                spans[cur].append(w)
+        # terminal sentinel carries no tokens and equals n_spans
+        assert spans.pop(r["n_spans"]) == []
+        assert len(spans) == r["n_spans"]
+        rebuilt: list[str] = []
+        seen = []
+        for w in (r["input_text"].split(" ") if r["input_text"] else []):
+            m = sent.match(w)
+            if m:
+                k = int(m.group(1))
+                seen.append(k)
+                rebuilt.extend(spans[k])
+            else:
+                rebuilt.append(w)
+        assert seen == sorted(seen)
+        assert rebuilt == doc, r["doc_id"]
