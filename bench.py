@@ -113,7 +113,10 @@ def main() -> None:
             # reuse exists: every queries() callable rebuilds from the
             # parquet scans.
             for rdd in list(sc._jsc.getPersistentRDDs().values()):
-                rdd.unpersist(False)
+                # blocking: async removal would overlap the NEXT
+                # query's timed window — the interference this exists
+                # to remove; the cost lands in the untimed gap
+                rdd.unpersist(True)
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)

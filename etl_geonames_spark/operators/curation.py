@@ -3469,7 +3469,7 @@ _SC_P = 100003
                list_filter(generate_series(1, len(tk)),
                    i -> (i % {_SC_STRIDE}) = 1
                         AND (((doc_id % {_SC_P}) * 31 + i)
-                             * 2654435761) % 3 = 0) AS starts
+                             * 2654435761 % 1000003) % 3 = 0) AS starts
         FROM t
     )
     SELECT doc_id,
@@ -3511,8 +3511,12 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ 1 (mod 4) are eligible span starts (span length 3 < stride 4,
     so spans can never touch — no sequential scan needed to enforce
     separation), and a start fires on a multiplicative hash of
-    (doc_id mod P, position) — RNG-free, so reruns produce identical
-    pairs (the split_train_test discipline). ≈ 1/3 of eligible
+    (doc_id mod P, position), reduced mod 1000003 BEFORE the final
+    mod 3 — the direct form was degenerate (31 and 2654435761 are
+    both ≡ 1 mod 3, collapsing the 'hash' to (doc_id + i) mod 3, a
+    fixed 12-token lattice; round-6 review, third pass). RNG-free, so
+    reruns produce identical pairs (the split_train_test
+    discipline). ≈ 1/3 of eligible
     starts fire ⟹ ≈ 25% of tokens corrupted, the T5 default ballpark.
     Sentinel ids are span ranks (list_position over the starts
     array); the oracle replays every array expression with DuckDB's
@@ -3533,7 +3537,7 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN size(tk) >= 1 THEN "
             f"filter(sequence(1, size(tk)), "
             f"i -> i % {_SC_STRIDE} = 1 AND "
-            f"((doc_id % {_SC_P}) * 31 + i) * 2654435761 % 3 = 0) "
+            f"((doc_id % {_SC_P}) * 31 + i) * 2654435761 % 1000003 % 3 = 0) "
             f"ELSE CAST(array() AS array<int>) END"
         ).alias("starts"),
     )

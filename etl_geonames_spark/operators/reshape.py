@@ -230,6 +230,24 @@ _CMS_PARAMS = [
 _CMS_PROBES = [1, 7, 42, 999, 123456]
 
 
+def _cms_cells_sql(table: str, key: str) -> str:
+    """DuckDB twin of :func:`cms_cells` — params VALUES + the counter
+    CTE body over ``table.key``, shared by agg_sketch_cms and
+    join_size_cms_estimate so an _CMS_PARAMS/_CMS_W change can never
+    drift one oracle (the Python side already shares cms_cells)."""
+    params = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, a, b in _CMS_PARAMS
+    )
+    return f"""params(i, a, b) AS (VALUES {params}),
+    cells AS (
+        SELECT p.i,
+               ((p.a * t.{key} + p.b) % {_CMS_P}) % {_CMS_W} AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} t, params p GROUP BY 1, 2
+    )"""
+
+
 def cms_cells(df: DataFrame, key: str) -> DataFrame:
     """(i, c, n) counter cells of the count-min sketch over ``df[key]``
     — the mergeable form: cells from disjoint batches SUM to the
@@ -264,16 +282,7 @@ def cms_cells(df: DataFrame, key: str) -> DataFrame:
 @query(
     "agg_sketch_cms",
     oracle=f"""
-    WITH depth(i, a, b) AS (VALUES {", ".join(
-        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-        for i, a, b in _CMS_PARAMS
-    )}),
-    cells AS (
-        SELECT d.i, ((d.a * o.o_custkey + d.b) % {_CMS_P}) % {_CMS_W} AS c,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders o CROSS JOIN depth d
-        GROUP BY d.i, c
-    ),
+    WITH {_cms_cells_sql('orders', 'o_custkey')},
     probes(k) AS (VALUES {", ".join(
         f"(CAST({k} AS BIGINT))" for k in _CMS_PROBES
     )}),
@@ -284,7 +293,7 @@ def cms_cells(df: DataFrame, key: str) -> DataFrame:
     ),
     est AS (
         SELECT p.k, MIN(c.n) AS cms_estimate
-        FROM probes p JOIN depth d ON TRUE
+        FROM probes p JOIN params d ON TRUE
         JOIN cells c ON c.i = d.i
           AND c.c = ((d.a * p.k + d.b) % {_CMS_P}) % {_CMS_W}
         GROUP BY p.k
@@ -767,16 +776,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_size_cms_estimate",
     oracle=f"""
-    WITH params(i, a, b) AS (VALUES {", ".join(
-        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-        for i, a, b in _CMS_PARAMS
-    )}),
-    cells AS (
-        SELECT p.i,
-               ((p.a * l.l_partkey + p.b) % {_CMS_P}) % {_CMS_W} AS c,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM lineitem l, params p GROUP BY 1, 2
-    ),
+    WITH {_cms_cells_sql('lineitem', 'l_partkey')},
     dots AS (
         SELECT i, CAST(SUM(n * n) AS BIGINT) AS dot_f2
         FROM cells GROUP BY i

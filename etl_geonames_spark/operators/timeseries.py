@@ -3404,22 +3404,24 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# equality arms FIRST: point intervals (a single-event group has
+# lo = hi) would otherwise fall into meets/met_by — [x,x] vs [x,x]
+# is 'equals', not 'meets' (round-6 review, third pass); the ladder
+# is exhaustive and mutually exclusive for every lo <= hi pair
 _ALLEN_CASE = """
-    CASE WHEN hi_a < lo_b THEN 'before'
-         WHEN hi_a = lo_b THEN 'meets'
-         WHEN lo_a < lo_b AND hi_a > lo_b AND hi_a < hi_b
-              THEN 'overlaps'
+    CASE WHEN lo_a = lo_b AND hi_a = hi_b THEN 'equals'
          WHEN lo_a = lo_b AND hi_a < hi_b THEN 'starts'
-         WHEN lo_a > lo_b AND hi_a < hi_b THEN 'during'
-         WHEN lo_a > lo_b AND hi_a = hi_b THEN 'finishes'
-         WHEN lo_a = lo_b AND hi_a = hi_b THEN 'equals'
-         WHEN lo_a > hi_b THEN 'after'
+         WHEN lo_a = lo_b THEN 'started_by'
+         WHEN hi_a = hi_b AND lo_a > lo_b THEN 'finishes'
+         WHEN hi_a = hi_b THEN 'finished_by'
+         WHEN hi_a = lo_b THEN 'meets'
          WHEN lo_a = hi_b THEN 'met_by'
-         WHEN lo_a > lo_b AND lo_a < hi_b AND hi_a > hi_b
-              THEN 'overlapped_by'
-         WHEN lo_a = lo_b AND hi_a > hi_b THEN 'started_by'
-         WHEN lo_a < lo_b AND hi_a > hi_b THEN 'contains'
-         ELSE 'finished_by' END
+         WHEN hi_a < lo_b THEN 'before'
+         WHEN lo_a > hi_b THEN 'after'
+         WHEN lo_a < lo_b AND hi_a < hi_b THEN 'overlaps'
+         WHEN lo_a > lo_b AND hi_a > hi_b THEN 'overlapped_by'
+         WHEN lo_a > lo_b AND hi_a < hi_b THEN 'during'
+         ELSE 'contains' END
 """
 
 
@@ -3459,11 +3461,14 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the discriminating predicates; both engines evaluate the
     identical ladder. One user-keyed equi-join carries the shuffle
     (|types|-bounded fan per user); the census is a 13-row
-    aggregate."""
+    aggregate. The interval table feeds BOTH join sides —
+    localCheckpointed so the events scan + aggregate runs once
+    (CLAUDE.md multi-branch rule)."""
     iv = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .localCheckpoint()
     )
     a = iv.select(
         "user_id",

@@ -1456,3 +1456,37 @@ def test_span_corruption_roundtrip_reconstructs_document(spark, sf_dir):
                 rebuilt.append(w)
         assert seen == sorted(seen)
         assert rebuilt == doc, r["doc_id"]
+
+
+def test_allen_relations_partition_identity(spark, sf_dir):
+    """The 13 relation counts must PARTITION the pair universe: their
+    sum equals Σ_user C(|event_types(user)|, 2) recomputed
+    independently in Python, every relation name is one of Allen's
+    13, and symmetric pairs of point intervals land in 'equals'
+    (the ladder-order bug class the round-6 review caught)."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    types_per_user = Counter()
+    seen = set()
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    ):
+        key = (r["user_id"], r["event_type"])
+        assert key not in seen
+        seen.add(key)
+        types_per_user[r["user_id"]] += 1
+    expect_pairs = sum(k * (k - 1) // 2 for k in types_per_user.values())
+    rows = _rows(spark, sf_dir, "ts_allen_relations")
+    names = {r["relation"] for r in rows}
+    assert names <= {
+        "before", "meets", "overlaps", "starts", "during", "finishes",
+        "equals", "after", "met_by", "overlapped_by", "started_by",
+        "contains", "finished_by",
+    }
+    assert len(names) == len(rows)
+    assert sum(r["n_pairs"] for r in rows) == expect_pairs
