@@ -49,37 +49,31 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Rounds 1-5 produced
-# green driver rows (or by-design rows-only records) for 243 distinct
-# live queries. ROUND-6 ROTATION (VERDICT r5 item 1): the full
-# never-driver-checked backlog (147 names) leads in prior relative
-# order — the window is the 16 round-5 additions that sat just past
-# position 50 plus 34 backlog names, 100% first-time verifications —
-# then all previously-green names, with the 50 CORRECTNESS_r05 names
+# queries in ``queries()`` dict order each round. Rounds 1-6 produced
+# green driver rows (or by-design rows-only records) for 296 distinct
+# live queries. ROUND-7 ROTATION (VERDICT r6 item 1): the window is
+# the 21 round-6 additions (driver rows while fresh) + the 4
+# never-checked rows-only entries (llm_ann_ivf, agg_sketch_hll,
+# agg_sketch_kll, llm_compression_ratio — VERDICT r6 item 7) + the
+# next 25 of the legacy never-checked backlog in prior relative
+# order: 100% first-time names. Then the remaining 68 backlog names,
+# then all previously-green names, with the 50 CORRECTNESS_r06 names
 # at the very back. Every rotated-out name stays guarded by
 # tests/test_oracle_parity.py, which checks ALL queries every run.
-# ROUND-7 PLAN: rotate again — move CORRECTNESS_r06 names to the back,
-# promote the next 50 never-checked (97 will remain after r6; two more
-# rounds drain the backlog).
+# ROUND-8 PLAN: rotate again — move CORRECTNESS_r07 names to the
+# back, promote the next 50 never-checked (68 legacy remain after r7
+# plus any round-7 additions appended at the end of queries() order;
+# one or two more rounds drain the backlog).
 _DRIVER_PRIORITY = [
-    "llm_bpe_train_rounds", "llm_html_extract", "llm_ann_ivf_verifiable",
-    "llm_longest_shared_gram", "llm_cross_source_dup_matrix",
-    "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
-    "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
-    "mm_image_ssim", "mm_audio_pitch", "graph_hits",
-    "join_bloom_prefilter", "llm_pq_quantize", "sample_per_key",
-    "profile_columns", "llm_normalize_text", "llm_pii_redact",
-    "llm_repetition_ratio", "llm_mix_weights", "fn_url_parse",
-    "ts_sessionize", "llm_chunk_documents", "llm_ngram_counts",
-    "llm_bucket_by_length", "graph_pagerank", "graph_triangle_count",
-    "fn_unpivot", "fn_posexplode", "fn_try_arith", "llm_gopher_quality",
-    "llm_perplexity_buckets", "llm_dedup_containment", "ts_interval_union",
-    "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct",
-    "agg_corr_covar", "geo_point_in_polygon", "agg_skew_two_phase",
-    "join_fuzzy_name", "set_intersect_all", "sql_relational_division",
-    "ts_autocorr", "graph_jaccard_neighbors", "llm_tokenizer_fertility",
-    "llm_ngram_span_dedup", "llm_source_overlap", "agg_ab_ttest",
-    "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
+    "ts_hurst_rs", "join_interval_grid", "ts_allen_relations",
+    "llm_exact_shared_run", "llm_bleu_bigram", "llm_minhash_band_tuning",
+    "llm_pq_search_adc", "geo_kde_grid", "maintenance_cluster_metric",
+    "dq_referential_integrity", "dq_psi_drift", "llm_ttr_curve",
+    "llm_dp_histogram", "llm_longest_self_repeat", "llm_span_corruption",
+    "graph_scc_bounded", "join_size_cms_estimate", "stat_tost_equivalence",
+    "stat_grubbs", "ts_entropy_rate", "stat_page_trend", "llm_ann_ivf",
+    "agg_sketch_hll", "agg_sketch_kll", "llm_compression_ratio",
+    "agg_ab_ttest", "agg_chi_square", "ts_cusum_drift", "agg_mann_whitney",
     "sql_session_variables", "sql_parameterized", "llm_semdedup",
     "ts_event_regex", "udtf_analyze", "graph_khop_reachability",
     "agg_sketch_cms", "agg_percentile_disc", "ts_calendar_dim",
@@ -95,13 +89,11 @@ _DRIVER_PRIORITY = [
     "sample_bottom_k", "geo_bearing_profile", "llm_url_dedup",
     "join_band_time", "fn_ip_cidr", "ts_lttb_downsample",
     "llm_bootstrap_ci", "llm_metric_spearman", "mm_frame_sample",
-    "llm_ann_ivf", "agg_sketch_hll", "agg_sketch_kll",
-    "llm_compression_ratio", "llm_mix_kl_divergence", "llm_sft_render",
-    "llm_bpe_apply", "geo_dbscan_core", "geo_point_in_concave_polygon",
-    "graph_adamic_adar", "graph_kcore_peel",
-    "graph_clustering_coefficient", "graph_assortativity",
-    "llm_ngram_novelty", "llm_boilerplate_ngrams", "llm_mrr_eval",
-    "dq_freshness", "sample_weighted_es", "agg_sketch_kmv",
+    "llm_mix_kl_divergence", "llm_sft_render", "llm_bpe_apply",
+    "geo_dbscan_core", "geo_point_in_concave_polygon", "graph_adamic_adar",
+    "graph_kcore_peel", "graph_clustering_coefficient",
+    "graph_assortativity", "llm_ngram_novelty", "llm_boilerplate_ngrams",
+    "llm_mrr_eval", "dq_freshness", "sample_weighted_es", "agg_sketch_kmv",
     "llm_rrf_fusion", "sql_asof_join", "stat_mann_whitney",
     "stat_ks_two_sample", "stat_chi2_independence", "stat_bh_fdr",
     "stat_markov_transitions", "stat_welch_ttest", "stat_levene",
@@ -183,7 +175,24 @@ _DRIVER_PRIORITY = [
     "mm_resize_image", "mm_decode_audio", "mm_video_frames",
     "mm_audio_features", "mm_video_scene_cuts", "mm_audio_vad",
     "mm_image_entropy", "cdc_merge_upsert", "scd2_history",
-    "split_train_test", "mm_feature_extract",
+    "split_train_test", "mm_feature_extract", "llm_bpe_train_rounds",
+    "llm_html_extract", "llm_ann_ivf_verifiable",
+    "llm_longest_shared_gram", "llm_cross_source_dup_matrix",
+    "llm_ann_recall_eval", "agg_heavy_hitters", "stat_friedman",
+    "stat_permutation_test", "ts_period_detect", "geo_polygon_centroid",
+    "mm_image_ssim", "mm_audio_pitch", "graph_hits",
+    "join_bloom_prefilter", "llm_pq_quantize", "sample_per_key",
+    "profile_columns", "llm_normalize_text", "llm_pii_redact",
+    "llm_repetition_ratio", "llm_mix_weights", "fn_url_parse",
+    "ts_sessionize", "llm_chunk_documents", "llm_ngram_counts",
+    "llm_bucket_by_length", "graph_pagerank", "graph_triangle_count",
+    "fn_unpivot", "fn_posexplode", "fn_try_arith", "llm_gopher_quality",
+    "llm_perplexity_buckets", "llm_dedup_containment", "ts_interval_union",
+    "llm_bpe_pair_counts", "geo_geohash", "agg_bitmap_distinct",
+    "agg_corr_covar", "geo_point_in_polygon", "agg_skew_two_phase",
+    "join_fuzzy_name", "set_intersect_all", "sql_relational_division",
+    "ts_autocorr", "graph_jaccard_neighbors", "llm_tokenizer_fertility",
+    "llm_ngram_span_dedup", "llm_source_overlap"
 ]
 
 
