@@ -96,6 +96,7 @@ def main() -> None:
             # (dedup clustering) and scalar-subquery queries (tfidf's
             # doc count) execute real work eagerly at build time — timing
             # only the write would hide it
+            pre_rdds = set(sc._jsc.getPersistentRDDs().keySet().toArray())
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -109,14 +110,21 @@ def main() -> None:
             # this is attribution hygiene and a guard for smaller
             # heaps, NOT the explanation for in-bench vs solo per-query
             # deltas (those remain run-shape noise; solo noop timings
-            # stay the adjudication tool, BASELINE.md). No cross-query
-            # reuse exists: every queries() callable rebuilds from the
-            # parquet scans.
-            for rdd in list(sc._jsc.getPersistentRDDs().values()):
+            # stay the adjudication tool, BASELINE.md). Only THIS
+            # query's new RDDs are dropped (pre-query id snapshot): a
+            # future queries() callable that deliberately persists
+            # state across the cold/warm passes keeps it (ADVICE r6
+            # item 3). Today no cross-query reuse exists — every
+            # callable rebuilds from the parquet scans — so the delta
+            # equals the full set.
+            post = sc._jsc.getPersistentRDDs()
+            for rid in set(post.keySet().toArray()) - pre_rdds:
                 # blocking: async removal would overlap the NEXT
                 # query's timed window — the interference this exists
                 # to remove; the cost lands in the untimed gap
-                rdd.unpersist(True)
+                rdd = post.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(True)
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale probe for the round-6 pair/iterative operators that don't
+face the documents corpus (VERDICT r6 item 5): 10x-replicated sf0.1
+orders / events / customer / embeddings with SHIFTED keys, so graphs
+gain 10x nodes+edges, the event timeline gains 10x intervals inside
+the SAME time range (grid cells get 10x denser — the adversarial
+direction for cell-blocked interval joins), the customer point cloud
+gains 10x points in the same bbox (denser KDE cells), and the vector
+corpus gains 10x vectors (every source vector heads a 10-copy
+identical clique for ADC).
+
+Each op's docstring promises a candidate/cost bill; this probe is the
+measurement against that promise:
+- graph_scc_bounded: 8 FW-BW rounds, each one join + one agg over
+  |E| — wall should grow ~linearly in |E| per round.
+- join_interval_grid: candidate bill = sum over grid cells of
+  n_a(cell) * n_b(cell) — 10x denser cells => ~100x cell bill, the
+  honest quadratic of overlap joins under densification (caps in the
+  op bound output, not candidates).
+- ts_allen_relations: same cell-join core, 13-relation census output
+  stays 13 rows.
+- geo_kde_grid: per-point kernel over neighboring cells — linear in
+  points at fixed grid.
+- llm_pq_search_adc: ADC = |q| x LUT build (k x d) + m lookups per
+  vector — linear in vectors, indifferent to duplication.
+
+Usage: python benchmarks/ops_scale_probe.py   (quiet box only)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC_SF = "/root/testdata/sf0.1"
+N_COPIES = 10
+
+# table -> columns to shift per copy (primary/foreign ids; everything
+# else replicates verbatim)
+SHIFTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "embeddings": ["vec_id"],
+}
+OPS = [
+    "graph_scc_bounded",
+    "join_interval_grid",
+    "ts_allen_relations",
+    "geo_kde_grid",
+    "llm_pq_search_adc",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark import get_spark
+    from etl_geonames_spark.registry import collect
+    from etl_geonames_spark.sources import load_table
+
+    spark = get_spark("ops-scale-probe")
+    qs, _ = collect()
+
+    tmp = tempfile.mkdtemp(prefix="ops_probe_")
+    counts = {}
+    for table, keys in SHIFTS.items():
+        src = load_table(spark, SRC_SF, table)
+        parts = []
+        for i in range(N_COPIES):
+            p = src
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+            parts.append(p)
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.union(p)
+        rep.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
+        counts[table] = spark.read.parquet(f"{tmp}/{table}.parquet").count()
+    print(f"# replicated: {counts}", file=sys.stderr)
+
+    timings: dict[str, dict] = {}
+    for name in OPS:
+        t0 = time.perf_counter()
+        df = qs[name](spark, tmp)
+        df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        rows = df.count()
+        timings[name] = {"wall_s": wall, "rows": rows}
+        print(f"# {name}: {wall}s, {rows} rows", file=sys.stderr)
+
+    print(json.dumps({"counts": counts, "ops": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -4094,6 +4094,7 @@ def llm_dedup_embedding_verifiable(spark: SparkSession, sf_dir: str) -> DataFram
 _ESR_SEED = 4      # seed gram length: any shared run >= 4 starts with one
 _ESR_DF_CAP = 16   # boilerplate guard: drop seeds in > 16 docs
 _ESR_OCC_CAP = 8   # per-(doc, seed) occurrence cap (within-doc repeats)
+_ESR_EXT_CAP = 512  # max compared window per seed (bounds per-pair memory)
 
 
 @query(
@@ -4131,11 +4132,15 @@ _ESR_OCC_CAP = 8   # per-(doc, seed) occurrence cap (within-doc repeats)
     ),
     ext AS (
       SELECT p.doc_a, p.doc_b,
-             LEAST(len(ta.tk) - p.ia, len(tb.tk) - p.ib) + 1 AS m,
+             LEAST(len(ta.tk) - p.ia, len(tb.tk) - p.ib) + 1 AS mfull,
+             LEAST(LEAST(len(ta.tk) - p.ia, len(tb.tk) - p.ib) + 1,
+                   {_ESR_EXT_CAP}) AS m,
              list_position(
                  list_transform(
                      generate_series(0,
-                         LEAST(len(ta.tk) - p.ia, len(tb.tk) - p.ib)),
+                         LEAST(LEAST(len(ta.tk) - p.ia,
+                                     len(tb.tk) - p.ib) + 1,
+                               {_ESR_EXT_CAP}) - 1),
                      k -> CASE WHEN ta.tk[p.ia + k] = tb.tk[p.ib + k]
                                THEN 1 ELSE 0 END),
                  0) AS mis
@@ -4146,7 +4151,8 @@ _ESR_OCC_CAP = 8   # per-(doc, seed) occurrence cap (within-doc repeats)
     SELECT doc_a, doc_b,
            CAST(MAX(CASE WHEN mis = 0 THEN m ELSE mis - 1 END)
                 AS BIGINT) AS exact_l,
-           CAST(COUNT(*) AS BIGINT) AS n_seed_matches
+           CAST(COUNT(*) AS BIGINT) AS n_seed_matches,
+           bool_or(mis = 0 AND mfull > m) AS capped
     FROM ext GROUP BY doc_a, doc_b
     """,
 )
@@ -4171,7 +4177,16 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second corpus scan family: match flags over
     sequence(0, m−1) (m = min suffix length, ≥ 4 by the seed, so the
     ANSI descending-sequence trap cannot fire), first-mismatch via
-    array_position (0/absent ⟹ the whole suffix matches → run = m).
+    array_position (0/absent ⟹ the whole compared window matches →
+    run = m). The compared window is capped at _ESR_EXT_CAP = 512
+    tokens (third contractual cap, VERDICT r6 item 4): an unbounded
+    extension materializes a match-flag array as long as the shorter
+    suffix, so degenerate near-identical long documents made
+    worst-case per-pair memory O(doc length). Below the cap exact_l
+    is unchanged; a seed whose full capped window matches AND whose
+    window was truncated sets the `capped` marker column — exact_l
+    is then a (≥512) lower bound for that pair, reported honestly
+    like the df/occ cap asymmetries.
 
     Scale shape: one tokenize (spread + localCheckpoint — consumed by
     the seed explode AND both extension array joins), seed equi-join
@@ -4235,10 +4250,14 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.expr(
-                "named_struct('m', least(size(ta) - ia, size(tb) - ib) + 1,"
+                "named_struct("
+                " 'mfull', least(size(ta) - ia, size(tb) - ib) + 1,"
+                f" 'm', least(least(size(ta) - ia, size(tb) - ib) + 1,"
+                f"            {_ESR_EXT_CAP}),"
                 " 'mis', array_position("
-                "   transform(sequence(0, least(size(ta) - ia,"
-                "                               size(tb) - ib)),"
+                "   transform(sequence(0,"
+                "       least(least(size(ta) - ia, size(tb) - ib) + 1,"
+                f"            {_ESR_EXT_CAP}) - 1),"
                 "     k -> IF(element_at(ta, ia + k)"
                 "             = element_at(tb, ib + k), 1, 0)), 0))"
             ).alias("e"),
@@ -4249,11 +4268,15 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("e.mis") == 0, F.col("e.m"))
             .otherwise(F.col("e.mis") - 1)
             .alias("run"),
+            (
+                (F.col("e.mis") == 0) & (F.col("e.mfull") > F.col("e.m"))
+            ).alias("seed_capped"),
         )
     )
     return ext.groupBy("doc_a", "doc_b").agg(
         F.max("run").cast("long").alias("exact_l"),
         F.count(F.lit(1)).cast("long").alias("n_seed_matches"),
+        F.bool_or("seed_capped").alias("capped"),
     )
 
 

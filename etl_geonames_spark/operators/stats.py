@@ -3142,16 +3142,16 @@ def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     withdev = m.crossJoin(F.broadcast(s)).select(
         "doc_id",
         "x",
-        "n",
-        "s",
-        "q",
         F.abs(F.col("x") * F.col("n") - F.col("s")).alias("dev"),
     )
+    # n/s/q come from the checkpointed 1-row moments aggregate, NOT
+    # re-derived via max() over the per-row scan: on an EMPTY corpus
+    # max() yields n = NULL while the oracle's COUNT(*)-based CTE
+    # yields n = 0 (ADVICE r6 item 1) — the agg over the empty scan
+    # still emits one row (maxdev/pick NULL), matching the oracle's
+    # cross-join shape.
     agg = withdev.agg(
         F.max("dev").alias("maxdev"),
-        F.max("n").alias("n"),
-        F.max("s").alias("s"),
-        F.max("q").alias("q"),
         F.min_by(
             F.struct(
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -3159,7 +3159,7 @@ def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.struct((-F.col("dev")).alias("negdev"), F.col("doc_id")),
         ).alias("pick"),
-    )
+    ).crossJoin(F.broadcast(s))
     ok = (F.col("n") >= 3) & (
         F.col("n") * F.col("q") - F.col("s") * F.col("s") != 0
     )

@@ -3169,8 +3169,10 @@ def _hurst_block_sql(m: int) -> str:
     sl AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * y) AS sxy, SUM(x * x) AS sxx
-      FROM (SELECT ln(CAST(block_size AS DOUBLE)) AS x, log_rs AS y
+             SUM({sql_qround('x * y', 9)}) AS sxy,
+             SUM({sql_qround('x * x', 9)}) AS sxx
+      FROM (SELECT {sql_qround('ln(CAST(block_size AS DOUBLE))', 9)} AS x,
+                   log_rs AS y
             FROM pts WHERE log_rs IS NOT NULL AND n_blocks > 0) z
     )
     SELECT pts.block_size, pts.n_blocks, pts.log_rs,
@@ -3250,18 +3252,25 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pts = p if pts is None else pts.unionAll(p)
     pts = pts.localCheckpoint()
+    # the 4 regression terms are pre-quantized to the 1e-9 grid before
+    # summing (x = ln(8/16/32/64) are constants, y is already on the
+    # 1e-6 grid): Spark's partial-aggregation order over the 4-row
+    # union can differ from DuckDB's sequential sum, and raw-product
+    # sums drifting a last ulp exactly at a .0000005 qround boundary
+    # would flip the emitted hurst (ADVICE r6 item 2; the
+    # sample_weighted_es float-grid discipline).
     z = pts.filter(
         F.col("log_rs").isNotNull() & (F.col("n_blocks") > 0)
     ).select(
-        F.log(F.col("block_size").cast("double")).alias("x"),
+        qround(F.log(F.col("block_size").cast("double")), 9).alias("x"),
         F.col("log_rs").alias("y"),
     )
     sl = z.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(qround(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        F.sum(qround(F.col("x") * F.col("x"), 9)).alias("sxx"),
     )
     den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
     hurst = F.when(

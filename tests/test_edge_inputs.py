@@ -439,6 +439,86 @@ def test_exact_shared_run_recovers_planted_lengths(spark, tmp_path):
     assert duck == got
 
 
+def test_exact_shared_run_extension_cap(spark, tmp_path):
+    """A shared run longer than _ESR_EXT_CAP (512) must report
+    exact_l = 512 with capped = true (a lower bound, honestly
+    marked), while below-cap pairs stay exact with capped = false —
+    and the DuckDB oracle must agree on both. The cap bounds the
+    match-flag array a degenerate near-identical long document pair
+    would otherwise materialize at full document length."""
+    import duckdb
+
+    long_run = " ".join(f"r{i}" for i in range(600))
+    short_run = " ".join(f"s{i}" for i in range(7))
+    texts = [
+        f"a0 a1 {long_run} a2",
+        f"b0 {long_run} b1 b2",
+        f"c0 {short_run} c1",
+        f"{short_run} d0 d1 d2",
+    ]
+    d = tmp_path / "sf_cap"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["edge"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["exact_l"], r["capped"])
+        for r in QUERIES["llm_exact_shared_run"](spark, str(d)).collect()
+    }
+    assert got == {(0, 1): (512, True), (2, 3): (7, False)}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    duck = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.exact_l), bool(r.capped))
+        for r in con.sql(ORACLES["llm_exact_shared_run"]).df().itertuples()
+    }
+    assert duck == got
+
+
+def test_grubbs_empty_corpus_matches_oracle(spark, tmp_path):
+    """stat_grubbs on an EMPTY documents table must emit one row with
+    n = 0 and NULL statistics on BOTH engines (ADVICE r6 item 1: the
+    old max()-derived n was NULL on Spark while the oracle's
+    COUNT(*)-based CTE said 0 — n now comes from the moments
+    aggregate, whose count over an empty scan is 0)."""
+    import duckdb
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "text": pd.array([], dtype="str"),
+            "lang": pd.array([], dtype="str"),
+            "source": pd.array([], dtype="str"),
+            "n_chars": pd.array([], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    rows = QUERIES["stat_grubbs"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 0
+    assert r["g_stat"] is None and r["outlier_doc_id"] is None
+    assert r["x_outlier"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    o = con.sql(ORACLES["stat_grubbs"]).df()
+    assert len(o) == 1 and int(o["n"][0]) == 0
+    assert pd.isna(o["g_stat"][0]) and pd.isna(o["outlier_doc_id"][0])
+
+
 def test_tost_zero_variance_nulls_not_throws(spark, tmp_path):
     """Both groups constant (se2 = 0) must NULL the TOST statistics —
     Spark ANSI would otherwise throw DIVIDE_BY_ZERO where DuckDB's

@@ -1222,8 +1222,11 @@ def test_hurst_rs_matches_python_recomputation(spark, sf_dir):
             assert r_int >= 0
             logs.append(q6(math.log(r_int / math.sqrt(v_int))))
         pts[m] = (len(logs), q6(sum(logs) / len(logs)) if logs else None)
+    # regression terms pre-quantized to the 1e-9 grid before summing,
+    # mirroring the engine/oracle (ADVICE r6 item 2)
+    q9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
     xy = [
-        (math.log(float(m)), y)
+        (q9(math.log(float(m))), y)
         for m, (k, y) in pts.items()
         if y is not None and k > 0
     ]
@@ -1231,8 +1234,8 @@ def test_hurst_rs_matches_python_recomputation(spark, sf_dir):
     if k >= 2:
         sx = sum(x for x, _ in xy)
         sy = sum(y for _, y in xy)
-        sxy = sum(x * y for x, y in xy)
-        sxx = sum(x * x for x, _ in xy)
+        sxy = sum(q9(x * y) for x, y in xy)
+        sxx = sum(q9(x * x) for x, _ in xy)
         den = k * sxx - sx * sx
         hurst = q6((k * sxy - sx * sy) / den) if den != 0 else None
     else:
