@@ -468,6 +468,66 @@ def streaming_index_maintenance(
     q.awaitTermination()
 
 
+def _dedup_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of continuous LSH dedup (see
+    :func:`streaming_dedup_maintenance`). Module-level so the
+    crash-replay tests can re-invoke a batch_id directly: both the
+    band-store read and the pair emission use the PREDECESSOR
+    snapshot (strictly older than batch_id), so a batch replayed
+    after its own v{batch_id} writes but before the checkpoint commit
+    rewrites both outputs from the same base instead of pairing the
+    batch against its own bands (which would re-emit every
+    within-batch pair as a cross pair too)."""
+    from etl_geonames_spark.operators.llm import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    bands = minhash_bands(minhash_signatures(batch)).localCheckpoint(
+        eager=True
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+    store = _read_versioned(spark, f"{state_root}/bands", batch_id)
+    if store is not None:
+        s = store.alias("s")
+        cross = bands.alias("n").join(
+            s,
+            (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_hash") == F.col("s.band_hash")),
+        ).select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias(
+                "doc_b"
+            ),
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        pairs = within.unionByName(cross)
+    else:
+        pairs = within
+    pairs.distinct().write.mode("overwrite").parquet(
+        f"{state_root}/pairs/v{batch_id:05d}"
+    )
+    new_store = (
+        store.unionByName(bands).distinct()
+        if store is not None
+        else bands
+    )
+    new_store.write.mode("overwrite").parquet(
+        f"{state_root}/bands/v{batch_id:05d}"
+    )
+
+
 def streaming_dedup_maintenance(
     docs: DataFrame, state_root: str, checkpoint: str
 ) -> None:
@@ -486,61 +546,43 @@ def streaming_dedup_maintenance(
     with predecessor-read retry idempotency. After draining a bounded
     stream, the union of emitted pairs equals the batch
     llm_dedup_minhash pair set (pinned in tests/test_streaming.py)."""
-    from etl_geonames_spark.operators.llm import (
-        minhash_bands,
-        minhash_signatures,
-    )
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        bands = minhash_bands(minhash_signatures(batch)).localCheckpoint(
-            eager=True
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        within = a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        store = _read_versioned(spark, f"{state_root}/bands", batch_id)
-        if store is not None:
-            s = store.alias("s")
-            cross = bands.alias("n").join(
-                s,
-                (F.col("n.band_idx") == F.col("s.band_idx"))
-                & (F.col("n.band_hash") == F.col("s.band_hash")),
-            ).select(
-                F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
-                F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias(
-                    "doc_b"
-                ),
-            ).filter(F.col("doc_a") != F.col("doc_b"))
-            pairs = within.unionByName(cross)
-        else:
-            pairs = within
-        pairs.distinct().write.mode("overwrite").parquet(
-            f"{state_root}/pairs/v{batch_id:05d}"
-        )
-        new_store = (
-            store.unionByName(bands).distinct()
-            if store is not None
-            else bands
-        )
-        new_store.write.mode("overwrite").parquet(
-            f"{state_root}/bands/v{batch_id:05d}"
-        )
-
     q = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _dedup_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _cms_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of continuous CMS maintenance (see
+    :func:`streaming_cms_maintenance`). Module-level so the
+    crash-replay tests can re-invoke a batch_id directly: the merge
+    reads the PREDECESSOR snapshot, so a replayed batch rewrites
+    v{batch_id} from the same base instead of summing its own cells
+    on top of themselves (CMS counters are additive — a
+    latest-snapshot read would silently double every count)."""
+    from etl_geonames_spark.operators.reshape import cms_cells
+
+    spark = batch.sparkSession
+    partial = cms_cells(batch, "user_id")
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("i", "c")
+            .agg(F.sum("n").alias("n"))
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
 
 
 def streaming_cms_maintenance(
@@ -562,24 +604,12 @@ def streaming_cms_maintenance(
     At 100 TB the snapshot is ≤ d·w rows — the whole point of
     sketches: per-key frequency queries over an unbounded stream in
     4 KB of mergeable state, no per-key state store at all."""
-    from etl_geonames_spark.operators.reshape import cms_cells
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = cms_cells(batch, "user_id")
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = (
-                prev.unionByName(partial)
-                .groupBy("i", "c")
-                .agg(F.sum("n").alias("n"))
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
-
     q = (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(
+            lambda batch, batch_id: _cms_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
