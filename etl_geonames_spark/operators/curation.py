@@ -3571,3 +3571,314 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+_CDC_W = 4        # rolling-hash window (tokens)
+_CDC_MASK = 16    # boundary when window hash % 16 == 0 (~16-token chunks)
+_PH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(1, len({w})),"
+    " i -> CAST(ascii(substr({w}, i, 1)) AS BIGINT))),"
+    f" (acc, c) -> (acc * 31 + c) % {1_000_003})"
+)
+
+
+@query(
+    "llm_cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(tk) AS n,
+             list_transform(tk, w -> {_PH_SQL.format(w='w')}) AS hw
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, n, hw,
+             CASE WHEN n >= {_CDC_W + 1} THEN
+               list_filter(generate_series({_CDC_W}, n - 1),
+                 i -> ((((hw[i - 3] * 131 + hw[i - 2]) % {_FH_P} * 131
+                         + hw[i - 1]) % {_FH_P} * 131
+                        + hw[i]) % {_FH_P}) % {_CDC_MASK} = 0)
+             ELSE [] END AS bpos
+      FROM h WHERE n > 0
+    ),
+    e AS (
+      SELECT doc_id, hw, list_append(bpos, n) AS ends
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ends)),
+               j -> {{'chash': list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           hw[(CASE WHEN j = 1 THEN 1
+                                    ELSE ends[j - 1] + 1 END):ends[j]]),
+                         (acc, x) -> (acc * 131 + x) % {_FH_P}),
+                     'clen': ends[j] - (CASE WHEN j = 1 THEN 1
+                                             ELSE ends[j - 1] + 1 END)
+                             + 1}})) AS c
+      FROM e
+    )
+    SELECT c.chash AS chunk_hash,
+           CAST(MIN(c.clen) AS BIGINT) AS chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM ch
+    GROUP BY c.chash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS recipe on
+    token streams): split every document at positions where the
+    4-token rolling Horner hash ≡ 0 (mod 16) — boundaries move WITH
+    the content, so an insertion early in a near-duplicate shifts
+    chunk offsets without changing the chunks downstream of it, which
+    is exactly what fixed-stride chunking (llm_chunk_documents) loses
+    — then report every chunk hash appearing in ≥ 2 distinct
+    documents. The storage/transfer dedup primitive applied to
+    corpus curation: shared boilerplate passages surface as
+    high-n_docs chunks even when the surrounding documents differ.
+
+    Everything is the cross-engine Horner arithmetic
+    (:func:`poly_hash` per token, a window-4 fold for the boundary
+    gate, a per-chunk fold for the chunk id — all mod 1,000,003), so
+    the op carries a FULL value-hash oracle, unlike xxhash64 chunking
+    would. A forced boundary at the document end makes chunking total;
+    documents shorter than 5 tokens are one chunk.
+
+    100 TB shape: map-side array expressions to the chunk explode,
+    then ONE hash aggregate keyed by chunk_hash — the same
+    partition-by-content-hash scale story as llm_dedup_exact, with
+    chunk granularity instead of whole-doc. Min() over clen is
+    constant per chash (same hash ⟹ same span ⟹ same length modulo
+    the 1e-12 collision rate) — min just makes the emit
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    h = docs.select(
+        "doc_id",
+        F.transform(tk, poly_hash).alias("hw"),
+    ).withColumn("n", F.size("hw")).filter(F.col("n") > 0)
+    P = _FH_P
+    rolling = (
+        f"(((element_at(hw, i - 3) * 131 + element_at(hw, i - 2)) % {P}"
+        f" * 131 + element_at(hw, i - 1)) % {P} * 131"
+        f" + element_at(hw, i)) % {P}"
+    )
+    b = h.withColumn(
+        "bpos",
+        F.expr(
+            f"CASE WHEN n >= {_CDC_W + 1} THEN "
+            f"filter(sequence({_CDC_W}, n - 1),"
+            f" i -> ({rolling}) % {_CDC_MASK} = 0) "
+            "ELSE cast(array() AS array<int>) END"
+        ),
+    ).withColumn("ends", F.expr("concat(bpos, array(int(n)))"))
+    ch = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ends)), j -> struct("
+                " aggregate(slice(hw,"
+                "   CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,"
+                "   element_at(ends, j)"
+                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
+                "   + 1), cast(0 AS bigint),"
+                f"  (acc, x) -> (acc * 131 + x) % {P}) AS chash,"
+                " element_at(ends, j)"
+                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
+                "   + 1 AS clen))"
+            )
+        ).alias("c"),
+    )
+    return (
+        ch.groupBy(F.col("c.chash").alias("chunk_hash"))
+        .agg(
+            F.min("c.clen").cast("long").alias("chunk_len"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_STITCH_K = 4  # overlap length verified for the stitch join (demo k;
+               # shard-boundary stitching in production uses 64-256)
+
+
+@query(
+    "llm_overlap_stitch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id AS doc_a, len(tk) AS n_a,
+             tk[-{_STITCH_K}:] AS suf,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk[-{_STITCH_K}:],
+                     w -> {_PH_SQL.format(w='w')})),
+                 (acc, x) -> (acc * 131 + x) % {_FH_P}) AS sh
+      FROM t WHERE len(tk) >= {_STITCH_K}
+    ),
+    p AS (
+      SELECT doc_id AS doc_b, len(tk) AS n_b,
+             tk[1:{_STITCH_K}] AS pre,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk[1:{_STITCH_K}],
+                     w -> {_PH_SQL.format(w='w')})),
+                 (acc, x) -> (acc * 131 + x) % {_FH_P}) AS ph
+      FROM t WHERE len(tk) >= {_STITCH_K}
+    )
+    SELECT s.doc_a, p.doc_b,
+           CAST(s.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST({_STITCH_K} AS BIGINT) AS overlap
+    FROM s JOIN p ON s.sh = p.ph AND s.doc_a <> p.doc_b
+    WHERE s.suf = p.pre
+    """,
+)
+def llm_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary overlap detection: document A's last k tokens
+    equal document B's first k tokens — the signature of one source
+    text split across two scraped/sharded records (crawl segment
+    boundaries, chunked uploads, paginated articles). Emitting the
+    (A → B) stitch edges lets curation re-join split documents or
+    drop the duplicated overlap region before training; neither
+    whole-doc dedup (different content) nor near-dup (low global
+    Jaccard) catches this shape.
+
+    Block-then-verify like every pair op here: a Horner hash of the
+    k-token suffix equi-joins to prefix hashes (k = 4 at fixture
+    scale — production shard stitching uses 64-256), then the actual
+    token arrays confirm equality, so a 1-in-1e6 hash collision
+    cannot mint a false edge. Both the per-token hash and the span
+    fold are the cross-engine poly_hash arithmetic — full value-hash
+    oracle.
+
+    100 TB shape: two map-side projections of the same scan (suffix
+    table, prefix table — each one hash + k tokens per doc, narrow),
+    one hash equi-join on the span hash; candidates = hash-equal
+    pairs only, never corpus². Bucketing both projections by the
+    span hash makes the join exchange-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = docs.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= _STITCH_K
+    )
+    P = _FH_P
+    span_hash = (
+        f"aggregate(transform({{span}}, w -> aggregate("
+        "transform(sequence(1, length(w)),"
+        " i -> cast(ascii(substring(w, i, 1)) AS bigint)),"
+        f" cast(0 AS bigint), (acc, c) -> (acc * 31 + c) % {P})),"
+        f" cast(0 AS bigint), (acc, x) -> (acc * 131 + x) % {P})"
+    )
+    s = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.size("tk").cast("long").alias("n_a"),
+        F.expr(f"slice(tk, -{_STITCH_K}, {_STITCH_K})").alias("suf"),
+        F.expr(
+            span_hash.format(span=f"slice(tk, -{_STITCH_K}, {_STITCH_K})")
+        ).alias("sh"),
+    )
+    p = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.size("tk").cast("long").alias("n_b"),
+        F.expr(f"slice(tk, 1, {_STITCH_K})").alias("pre"),
+        F.expr(
+            span_hash.format(span=f"slice(tk, 1, {_STITCH_K})")
+        ).alias("ph"),
+    )
+    return (
+        s.join(p, (F.col("sh") == F.col("ph")) & (F.col("doc_a") != F.col("doc_b")))
+        .filter(F.col("suf") == F.col("pre"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.lit(_STITCH_K).cast("long").alias("overlap"),
+        )
+    )
+
+
+_WM_GAMMA_DEN = 4  # greenlist fraction gamma = 1/4
+_WM_Z_FLAG = 2.0   # flag threshold (z >= 2 ~ p < 0.023 one-sided)
+
+
+@query(
+    "llm_watermark_detect",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(tk,
+                 w -> {_PH_SQL.format(w='w')} % {_WM_GAMMA_DEN} = 0))
+               AS BIGINT) AS n_green
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_green,
+           CASE WHEN n_tokens > 0
+                THEN {sql_qround(
+                    'CAST(4 * n_green - n_tokens AS DOUBLE)'
+                    ' / sqrt(3.0 * n_tokens)', 6)}
+           END AS z,
+           CASE WHEN n_tokens > 0
+                THEN CAST(4 * n_green - n_tokens AS DOUBLE)
+                     / sqrt(3.0 * n_tokens) >= {_WM_Z_FLAG}
+                ELSE FALSE END AS flagged
+    FROM g
+    """,
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark detection (Kirchenbauer et al. 2023): a
+    watermarking sampler boosts a pseudorandom γ-fraction "green"
+    vocabulary subset, so watermarked text shows a green-token excess
+    the one-proportion z-test exposes: z = (g − γn)/√(nγ(1−γ)) with
+    γ = 1/4 and the greenlist defined by poly_hash(token) mod 4 = 0.
+    Run over a training corpus this flags machine-generated
+    (watermarked) documents BEFORE they contaminate the next model's
+    training set — the synthetic-text governance sibling of
+    llm_decontaminate (benchmark leakage) and llm_lm_crossentropy
+    (fluency outliers).
+
+    Integer core: the green count and 4g − n are exact int64 (γ=1/4
+    multiplies through), z is one double division over integers —
+    qround(6) — and the flag gate compares the SAME expression both
+    engines evaluate identically (√ of an integer-valued double is
+    IEEE-exact). Empty documents NULL z and flag false.
+
+    100 TB shape: pure map-side membership count per document (the
+    greenlist is a hash predicate, not a table), zero shuffles —
+    detection cost is one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    g = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(tk, lambda w: poly_hash(w) % _WM_GAMMA_DEN == 0)
+        )
+        .cast("long")
+        .alias("n_green"),
+    )
+    z = (F.lit(4) * F.col("n_green") - F.col("n_tokens")).cast(
+        "double"
+    ) / F.sqrt(F.lit(3.0) * F.col("n_tokens"))
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        F.when(F.col("n_tokens") > 0, qround(z, 6)).alias("z"),
+        F.when(F.col("n_tokens") > 0, z >= F.lit(_WM_Z_FLAG))
+        .otherwise(F.lit(False))
+        .alias("flagged"),
+    )

@@ -1507,3 +1507,122 @@ def geo_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("density"),
     )
+
+
+_HEX_SIZE = 4.0  # axial hex size in degrees
+_SQRT3_3 = 0.5773502691896258  # sqrt(3)/3 as a literal: no libm call,
+#                                both engines see the identical double
+
+
+@query(
+    "geo_hexbin",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_LAT_SQL.format(k="c_custkey")} AS lat,
+             {_LON_SQL.format(k="c_custkey")} AS lon
+      FROM customer
+    ),
+    ax AS (
+      SELECT c_custkey, lat, lon,
+             ({_SQRT3_3} * lon - lat / 3.0) / {_HEX_SIZE} AS aq,
+             (2.0 * lat / 3.0) / {_HEX_SIZE} AS ar
+      FROM pts
+    ),
+    rr AS (
+      SELECT c_custkey, lat, lon, aq, ar,
+             FLOOR(aq + 0.5) AS rx,
+             FLOOR(-aq - ar + 0.5) AS ry,
+             FLOOR(ar + 0.5) AS rz
+      FROM ax
+    ),
+    fx AS (
+      SELECT c_custkey, lat, lon,
+             CAST(CASE
+               WHEN ABS(rx - aq) > ABS(ry - (-aq - ar))
+                    AND ABS(rx - aq) > ABS(rz - ar) THEN -ry - rz
+               ELSE rx END AS BIGINT) AS hq,
+             CAST(CASE
+               WHEN ABS(rx - aq) > ABS(ry - (-aq - ar))
+                    AND ABS(rx - aq) > ABS(rz - ar) THEN rz
+               WHEN ABS(ry - (-aq - ar)) > ABS(rz - ar) THEN rz
+               ELSE -rx - ry END AS BIGINT) AS hr
+      FROM rr
+    )
+    SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+           MIN(lon) AS min_lon, MAX(lon) AS max_lon
+    FROM fx GROUP BY hq, hr
+    """,
+)
+def geo_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning of the customer point cloud (pointy-top
+    axial coordinates + cube rounding — the H3/d3-hexbin tessellation
+    recipe): hexagons are the density-map cell shape cartography
+    actually uses because every neighbor shares an edge at equal
+    center distance, unlike the square cells of geo_grid_join /
+    geo_kde_grid whose diagonal neighbors sit √2 farther. Emits one
+    row per occupied hex with its population and bbox — the
+    choropleth/density layer feeding a tile renderer.
+
+    Cross-engine float discipline: axial q = (√3/3·lon − lat/3)/s,
+    r = (2/3·lat)/s with √3/3 as a shared LITERAL (no libm), cube
+    rounding via floor(v + 0.5) (identical half-up on both engines —
+    never round(), whose half-even/half-away conventions differ),
+    and the tie-fix comparisons run on bit-identical doubles, so
+    every branch resolves the same way in both engines. Outputs are
+    integers plus MIN/MAX of exact inputs — no float sums at all.
+
+    Scale: map-side coordinate arithmetic + ONE hash aggregate keyed
+    by (hq, hr) — the same partition-by-cell story as geo_grid_join;
+    at 100 TB the hex id is the shuffle key and density skew (urban
+    hexes) is the usual salting candidate."""
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    ax = c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        ((F.lit(_SQRT3_3) * F.col("lon") - F.col("lat") / F.lit(3.0))
+         / F.lit(_HEX_SIZE)).alias("aq"),
+        ((F.lit(2.0) * F.col("lat") / F.lit(3.0)) / F.lit(_HEX_SIZE)).alias(
+            "ar"
+        ),
+    )
+    rr = ax.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "aq",
+        "ar",
+        F.floor(F.col("aq") + F.lit(0.5)).alias("rx"),
+        F.floor(-F.col("aq") - F.col("ar") + F.lit(0.5)).alias("ry"),
+        F.floor(F.col("ar") + F.lit(0.5)).alias("rz"),
+    )
+    dx = F.abs(F.col("rx") - F.col("aq"))
+    dy = F.abs(F.col("ry") - (-F.col("aq") - F.col("ar")))
+    dz = F.abs(F.col("rz") - F.col("ar"))
+    fx = rr.select(
+        "lat",
+        "lon",
+        F.when((dx > dy) & (dx > dz), -F.col("ry") - F.col("rz"))
+        .otherwise(F.col("rx"))
+        .cast("long")
+        .alias("hq"),
+        F.when((dx > dy) & (dx > dz), F.col("rz"))
+        .when(dy > dz, F.col("rz"))
+        .otherwise(-F.col("rx") - F.col("ry"))
+        .cast("long")
+        .alias("hr"),
+    )
+    return fx.groupBy("hq", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+    )

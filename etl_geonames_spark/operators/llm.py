@@ -4676,3 +4676,227 @@ def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQS_TOPK)
         .select("q_id", "vec_id", "adc_d2", "rank")
     )
+
+
+@query(
+    "llm_edit_distance_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, text,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    p AS (
+      SELECT a.pair_id, a.text AS xa, b.text AS xb, a.n AS n_a, b.n AS n_b
+      FROM t a JOIN t b ON a.pair_id = b.pair_id
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    d AS (
+      SELECT pair_id, n_a, n_b,
+             CAST(levenshtein(xa, xb) AS BIGINT) AS lev
+      FROM p
+    )
+    SELECT pair_id, n_a, n_b, lev,
+           CASE WHEN GREATEST(n_a, n_b) > 0
+                THEN FLOOR((1.0 - lev / CAST(GREATEST(n_a, n_b) AS DOUBLE))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS sim_ratio,
+           10 * lev <= 3 * GREATEST(n_a, n_b) AS near_dup
+    FROM d
+    """,
+)
+def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance similarity for paired documents
+    (the even/odd eval pairing): sim = 1 − lev/max(|a|,|b|), the
+    normalized Levenshtein ratio difflib/rapidfuzz users gate
+    near-dups on — the EXACT fine-grained complement to the
+    shingle/minhash family: token shingles miss single-character
+    OCR/encoding corruptions that leave every 3-gram broken, while
+    edit distance counts them one by one. At pair granularity this is
+    the final REFINE stage behind any blocked candidate generator
+    (llm_dedup_minhash's verify step at character precision).
+
+    Both engines implement classic unit-cost Levenshtein
+    (insert/delete/substitute; cross-checked kitten→sitting = 3), so
+    lev is an exact integer and sim one qround(6) division. The
+    near-dup gate is ALL-INTEGER (10·lev ≤ 3·maxlen ⟺ sim ≥ 0.7) —
+    no float-boundary flag (the threshold-predicate rule). Pairs of
+    empty documents NULL the ratio (0/0) and gate TRUE (0 ≤ 0: equal
+    empties are duplicates).
+
+    100 TB shape: one co-partitioned equi-join on pair_id, then
+    map-side O(|a|·|b|) JVM codegen per pair — run it only on
+    blocked candidates, never all pairs (the docstring contract of
+    every refine-stage op here)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    t = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        "text",
+        F.length("text").cast("long").alias("n"),
+    )
+    a = t.filter(F.col("side") == 0).select(
+        "pair_id", F.col("text").alias("xa"), F.col("n").alias("n_a")
+    )
+    b = t.filter(F.col("side") == 1).select(
+        "pair_id", F.col("text").alias("xb"), F.col("n").alias("n_b")
+    )
+    d = a.join(b, "pair_id").select(
+        "pair_id",
+        "n_a",
+        "n_b",
+        F.levenshtein("xa", "xb").cast("long").alias("lev"),
+    )
+    mx = F.greatest(F.col("n_a"), F.col("n_b"))
+    return d.select(
+        "pair_id",
+        "n_a",
+        "n_b",
+        "lev",
+        F.when(
+            mx > 0,
+            qround(F.lit(1.0) - F.col("lev") / mx.cast("double"), 6),
+        ).alias("sim_ratio"),
+        (F.lit(10) * F.col("lev") <= F.lit(3) * mx).alias("near_dup"),
+    )
+
+
+@query(
+    "llm_rouge_l",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ),
+    p AS (
+      SELECT a.pair_id, a.tk AS ta, b.tk AS tb
+      FROM t a JOIN t b ON a.pair_id = b.pair_id
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    d AS (
+      SELECT pair_id,
+             CAST(len(ta) AS BIGINT) AS ref_len,
+             CAST(len(tb) AS BIGINT) AS cand_len,
+             CAST(CASE WHEN len(ta) > 0 AND len(tb) > 0 THEN
+               list_reduce(
+                 list_prepend(
+                     list_transform(generate_series(0, len(tb)), z -> 0),
+                     list_transform(generate_series(1, len(ta)), i -> [i])),
+                 (prev, ix) -> list_reduce(
+                     list_prepend([0],
+                         list_transform(generate_series(1, len(tb)),
+                                        j -> [j])),
+                     (acc, jx) -> list_append(acc,
+                         CASE WHEN tb[jx[1]] = ta[ix[1]]
+                              THEN prev[jx[1]] + 1
+                              ELSE GREATEST(acc[jx[1]],
+                                            prev[jx[1] + 1]) END))
+               )[len(tb) + 1]
+             ELSE 0 END AS BIGINT) AS lcs
+      FROM p
+    )
+    SELECT pair_id, ref_len, cand_len, lcs,
+           CASE WHEN ref_len > 0
+                THEN FLOOR(lcs / CAST(ref_len AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS rouge_l_r,
+           CASE WHEN cand_len > 0
+                THEN FLOOR(lcs / CAST(cand_len AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS rouge_l_p,
+           CASE WHEN ref_len + cand_len > 0
+                THEN FLOOR(2.0 * lcs / CAST(ref_len + cand_len AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS rouge_l_f1
+    FROM d
+    """,
+)
+def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) for paired documents: recall/precision/F1
+    of the longest common SUBSEQUENCE between reference (even doc)
+    and candidate (odd doc) — the summarization eval that rewards
+    in-order content coverage without requiring contiguity, closing
+    the eval triad next to llm_bleu_bigram (clipped n-gram precision)
+    and llm_bigram_f1 (set overlap). With β = 1 the F-measure
+    reduces to 2·LCS/(m+n).
+
+    The LCS is the classic DP computed ENTIRELY in engine
+    expressions — a nested fold: the outer aggregate walks reference
+    tokens carrying the previous DP row (an m+1 int array), the inner
+    fold builds the next row left-to-right (the within-row
+    max(new[j−1], prev[j]) recurrence needs sequential state, which
+    aggregate provides and transform cannot). DuckDB replays the
+    identical recurrence via nested list_reduce with LIST state
+    (1-element index lists as fold items — the LIST-state rule from
+    ts_holt_winters; cross-checked cell-for-cell on planted cases).
+    LCS is an exact integer on both engines; the three ratios are
+    single qround(6) divisions. Empty sides ⟹ LCS 0; empty ref or
+    cand NULLs its undefined ratio.
+
+    100 TB shape: one co-partitioned pair join + map-side O(m·n)
+    JVM-evaluated DP per pair — an eval-slice op (doc_id < 200
+    contract, like the BLEU sibling), not a corpus-pairs op; behind
+    a blocked candidate generator it is the order-aware refine
+    stage."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    t = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias(
+            "tk"
+        ),
+    )
+    a = t.filter(F.col("side") == 0).select(
+        "pair_id", F.col("tk").alias("ta")
+    )
+    b = t.filter(F.col("side") == 1).select(
+        "pair_id", F.col("tk").alias("tb")
+    )
+    d = a.join(b, "pair_id").select(
+        "pair_id",
+        F.size("ta").cast("long").alias("ref_len"),
+        F.size("tb").cast("long").alias("cand_len"),
+        F.expr(
+            """
+            CAST(CASE WHEN size(ta) > 0 AND size(tb) > 0 THEN
+              element_at(
+                aggregate(ta, array_repeat(0, size(tb) + 1),
+                  (prev, w) -> aggregate(sequence(1, size(tb)), array(0),
+                    (acc, j) -> concat(acc, array(
+                        IF(element_at(tb, j) = w,
+                           element_at(prev, j) + 1,
+                           greatest(element_at(acc, j),
+                                    element_at(prev, j + 1))))))),
+                -1)
+            ELSE 0 END AS BIGINT)
+            """
+        ).alias("lcs"),
+    )
+    return d.select(
+        "pair_id",
+        "ref_len",
+        "cand_len",
+        "lcs",
+        F.when(
+            F.col("ref_len") > 0,
+            qround(F.col("lcs") / F.col("ref_len").cast("double"), 6),
+        ).alias("rouge_l_r"),
+        F.when(
+            F.col("cand_len") > 0,
+            qround(F.col("lcs") / F.col("cand_len").cast("double"), 6),
+        ).alias("rouge_l_p"),
+        F.when(
+            F.col("ref_len") + F.col("cand_len") > 0,
+            qround(
+                F.lit(2.0)
+                * F.col("lcs")
+                / (F.col("ref_len") + F.col("cand_len")).cast("double"),
+                6,
+            ),
+        ).alias("rouge_l_f1"),
+    )

@@ -1740,3 +1740,93 @@ def mm_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_best long, r0 long"
         ),
     )
+
+
+_CLIP_T = 32000  # |sample| at/above this counts as clipped (16-bit PCM)
+
+
+def _clipping_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = doc_id % 200 + 64
+            blob = encode_wav_pcm16(16000, _feature_wave(doc_id, n))
+            _, _, s = decode_wav(blob)
+            n_clip = 0
+            run = 0
+            best = 0
+            for v in s:
+                if v >= _CLIP_T or v <= -_CLIP_T:
+                    n_clip += 1
+                    run += 1
+                    if run > best:
+                        best = run
+                else:
+                    run = 0
+            rows.append((doc_id, len(s), n_clip, best))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "n_clipped", "max_clip_run"],
+        )
+
+
+@query(
+    "mm_audio_clipping_detect",
+    oracle=f"""
+    WITH dims AS (SELECT doc_id, doc_id % 200 + 64 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, gi.i AS i,
+             CAST((d.doc_id * 31 + gi.i * 9973) % 65536 - 32768 AS BIGINT)
+               AS v
+      FROM dims d, LATERAL unnest(generate_series(0, d.n - 1)) AS gi(i)
+    ),
+    cl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM s WHERE v >= {_CLIP_T} OR v <= -{_CLIP_T}
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM cl GROUP BY doc_id, grp
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(r.run_len), 0) AS BIGINT) AS n_clipped,
+           CAST(COALESCE(MAX(r.run_len), 0) AS BIGINT) AS max_clip_run
+    FROM dims d LEFT JOIN runs r ON d.doc_id = r.doc_id
+    GROUP BY d.doc_id, d.n
+    """,
+)
+def mm_audio_clipping_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping detection over the REAL audio path: decode the WAV
+    clip and count samples at/beyond ±32000 (near 16-bit full scale)
+    plus the LONGEST consecutive clipped run — the audio-QA gate
+    training pipelines apply before feature extraction, since a
+    clipped recording distorts every downstream spectral feature and
+    a long flat-topped run (vs isolated peaks) is the signature of
+    true analog clipping rather than a loud transient. Complements
+    mm_audio_vad (activity) and mm_audio_features (summary stats)
+    with the damage check.
+
+    Integer end-to-end: sample values, the ±threshold predicate, the
+    run lengths (the vad gaps-and-islands recipe: row_number
+    difference groups on clipped sample indices), and both emitted
+    counts are exact int64 — no float anywhere, so the oracle replay
+    of the synthetic waveform is value-exact. Clips with no clipped
+    samples emit 0/0 (LEFT JOIN + COALESCE), not missing rows.
+
+    100 TB shape: map-only decode + one linear scan per clip inside
+    the Arrow batch (Python holds state = current run only); one
+    output row per clip, no shuffle. The oracle's window is
+    per-doc_id, bounded by clip length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _clipping_batches,
+        schema=(
+            "doc_id long, n_samples long, n_clipped long,"
+            " max_clip_run long"
+        ),
+    )

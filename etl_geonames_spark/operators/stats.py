@@ -3371,3 +3371,374 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(25.0) * F.col("n_blocks")).alias("e_l"),
         F.when(F.col("n_blocks") > 0, qround(z, 6)).alias("z"),
     )
+
+
+@query(
+    "stat_mcnemar",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_filter(str_split(text, ' '),
+                               w -> w <> '')) > 55
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS disc_b,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS disc_c
+      FROM m
+    )
+    SELECT n, disc_b, disc_c,
+           CASE WHEN disc_b + disc_c > 0
+                THEN {sql_qround(
+                    'CAST((disc_b - disc_c) * (disc_b - disc_c) AS DOUBLE)'
+                    ' / (disc_b + disc_c)', 6)}
+           END AS chi2
+    FROM c
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary raters — the model-eval
+    comparison the unpaired two-proportion z gets wrong: when rater A
+    (long-document gate, n_chars > 300) and rater B (long-token gate,
+    > 55 tokens) judge the SAME documents, only the discordant cells
+    b (A yes, B no) and c (A no, B yes) carry information about which
+    rater fires more, and χ² = (b−c)²/(b+c) tests their symmetry.
+    This is how two classifier/filter versions are compared on a
+    shared eval set (did the new quality gate change decisions
+    beyond noise?), complementing stat_two_proportion_z's
+    independent-samples shape.
+
+    All-integer core: both indicator columns and both discordant
+    counts are exact int64; χ² is one fixed-shape double division
+    over three integers, qround(6). b + c = 0 (perfect agreement)
+    NULLs the statistic — χ² is undefined, not 0.
+
+    Scale: one map-side pair of indicator expressions + one global
+    aggregate — no shuffle beyond the 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(
+                F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+            )
+            > 55,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("disc_b"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("disc_c"),
+    )
+    diff = F.col("disc_b") - F.col("disc_c")
+    chi2 = (diff * diff).cast("double") / (
+        F.col("disc_b") + F.col("disc_c")
+    )
+    return c.select(
+        "n",
+        "disc_b",
+        "disc_c",
+        F.when(F.col("disc_b") + F.col("disc_c") > 0, qround(chi2, 6)).alias(
+            "chi2"
+        ),
+    )
+
+
+@query(
+    "stat_cochran_q",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS x1,
+             CASE WHEN len(list_filter(str_split(text, ' '),
+                               w -> w <> '')) > 55
+                  THEN 1 ELSE 0 END AS x2,
+             CASE WHEN n_chars > 350 THEN 1 ELSE 0 END AS x3
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS g1,
+             CAST(SUM(x2) AS BIGINT) AS g2,
+             CAST(SUM(x3) AS BIGINT) AS g3,
+             CAST(SUM(x1 + x2 + x3) AS BIGINT) AS sl,
+             CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sl2
+      FROM m
+    )
+    SELECT n, g1, g2, g3,
+           CASE WHEN 3 * sl - sl2 > 0
+                THEN {sql_qround(
+                    'CAST(3 * 2 * (9 * (g1 * g1 + g2 * g2 + g3 * g3)'
+                    '     - 3 * (g1 + g2 + g3) * (g1 + g2 + g3))'
+                    '     AS DOUBLE) / (9 * (3 * sl - sl2))', 6)}
+           END AS q_stat
+    FROM s
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for k = 3 MATCHED binary treatments (three quality
+    gates — n_chars > 250, tokens > 55, n_chars > 350 — applied to
+    the same documents): do the gates fire at the same rate, the
+    k-treatment generalization of stat_mcnemar exactly as
+    stat_friedman generalizes the paired signed-rank. Q =
+    k(k−1)·Σ_j(G_j − Ḡ)² / (k·ΣL_i − ΣL_i²) with G_j the gate
+    totals and L_i the per-document hit counts; under H₀ Q ~ χ²(k−1)
+    — the screen run before treating one gate as a drop-in for
+    another.
+
+    Integer core via multiply-through: Σ(G_j − Ḡ)² = (9·ΣG² −
+    3·(ΣG)²)/9 exactly, so the numerator 3·2·(9ΣG² − 3(ΣG)²) and the
+    denominator 9·(3·ΣL − ΣL²) are exact int64 and Q is ONE double
+    division, qround(6). Degenerate corpora (every document hits all
+    gates or none ⟹ 3ΣL = ΣL²) NULL the statistic.
+
+    Scale: three map-side indicators + one global aggregate of five
+    integer sums — no shuffle beyond the 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+    m = docs.select(
+        F.when(F.col("n_chars") > 250, 1).otherwise(0).alias("x1"),
+        F.when(tok > 55, 1).otherwise(0).alias("x2"),
+        F.when(F.col("n_chars") > 350, 1).otherwise(0).alias("x3"),
+    ).withColumn("l", F.col("x1") + F.col("x2") + F.col("x3"))
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("g1"),
+        F.sum("x2").cast("long").alias("g2"),
+        F.sum("x3").cast("long").alias("g3"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("sl2"),
+    )
+    gsum = F.col("g1") + F.col("g2") + F.col("g3")
+    gsq = (
+        F.col("g1") * F.col("g1")
+        + F.col("g2") * F.col("g2")
+        + F.col("g3") * F.col("g3")
+    )
+    num = (F.lit(6) * (F.lit(9) * gsq - F.lit(3) * gsum * gsum)).cast(
+        "double"
+    )
+    den = F.lit(9) * (F.lit(3) * F.col("sl") - F.col("sl2"))
+    return s.select(
+        "n",
+        "g1",
+        "g2",
+        "g3",
+        F.when(den > 0, qround(num / den, 6)).alias("q_stat"),
+    )
+
+
+@query(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+             CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+             CAST(SUM(n_chars * n_chars * n_chars * n_chars)
+                  AS BIGINT) AS s4
+      FROM documents
+    ),
+    c AS (
+      SELECT n,
+             (s2 - s1 * s1 / CAST(n AS DOUBLE)) / n AS m2,
+             (s3 - 3.0 * s1 * s2 / n
+                 + 2.0 * s1 * s1 * s1 / CAST(n AS DOUBLE) / n) / n AS m3,
+             (s4 - 4.0 * s1 * s3 / n
+                 + 6.0 * s1 * s1 * s2 / CAST(n AS DOUBLE) / n
+                 - 3.0 * s1 * s1 * s1 * s1
+                     / CAST(n AS DOUBLE) / n / n) / n AS m4
+      FROM s
+    )
+    SELECT n,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN {sql_qround('m3 / (m2 * sqrt(m2))', 6)} END AS skewness,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN {sql_qround('m4 / (m2 * m2) - 3.0', 6)}
+           END AS ex_kurtosis,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN {sql_qround(
+                    'n / 6.0 * (m3 / (m2 * sqrt(m2)) * (m3 / (m2 * sqrt(m2)))'
+                    ' + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)'
+                    ' / 4.0)', 6)}
+           END AS jb_stat
+    FROM c
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen over document lengths: JB =
+    n/6·(S² + K²/4) with S the skewness and K the excess kurtosis —
+    under normality JB ~ χ²(2), so a large JB says the length
+    distribution has the heavy tail / asymmetry that makes
+    mean±k·sd gates (dq-style outlier rules) miscalibrated. Run it
+    BEFORE trusting a z-score-based quality threshold; its two
+    components are exactly the 3rd/4th standardized moments
+    agg_higher_moments reports per group, here composed into the one
+    decision number (Jarque & Bera 1980).
+
+    Integer core: the four raw power sums S1..S4 over int64 n_chars
+    are exact (n_chars⁴ ≲ 1e14 at fixture magnitudes, Σ < 2⁶³); the
+    central moments m2/m3/m4 and JB are fixed-shape double
+    expressions over (n, S1..S4) — identical IEEE evaluation on both
+    engines, qround(6) at emit. Zero variance NULLs all three.
+
+    Scale: one map-side power expression + a 1-row global reduce —
+    the same single-aggregate shape as agg_higher_moments."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    s = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    m2 = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / n
+    m3 = (
+        F.col("s3")
+        - F.lit(3.0) * F.col("s1") * F.col("s2") / n
+        + F.lit(2.0) * F.col("s1") * F.col("s1") * F.col("s1") / nd / n
+    ) / n
+    m4 = (
+        F.col("s4")
+        - F.lit(4.0) * F.col("s1") * F.col("s3") / n
+        + F.lit(6.0) * F.col("s1") * F.col("s1") * F.col("s2") / nd / n
+        - F.lit(3.0)
+        * F.col("s1")
+        * F.col("s1")
+        * F.col("s1")
+        * F.col("s1")
+        / nd
+        / n
+        / n
+    ) / n
+    ok = (n >= 2) & (m2 > 0)
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return s.select(
+        "n",
+        F.when(ok, qround(skew, 6)).alias("skewness"),
+        F.when(ok, qround(exk, 6)).alias("ex_kurtosis"),
+        F.when(ok, qround(jb, 6)).alias("jb_stat"),
+    )
+
+
+@query(
+    "stat_cohens_d",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+             CAST(n_chars AS BIGINT) AS x
+      FROM documents
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM g GROUP BY grp
+    ),
+    w AS (
+      SELECT a.n AS n1, a.s1 AS a1, a.s2 AS a2,
+             b.n AS n0, b.s1 AS b1, b.s2 AS b2
+      FROM s a, s b WHERE a.grp = 1 AND b.grp = 0
+    )
+    SELECT n1, n0,
+           CASE WHEN n1 >= 2 AND n0 >= 2
+                     AND (n1 * a2 - a1 * a1) * n0 * n0
+                         + (n0 * b2 - b1 * b1) * n1 * n1 > 0
+                THEN {sql_qround(
+                    '(CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n0)'
+                    ' / sqrt(((a2 - CAST(a1 AS DOUBLE) * a1 / n1)'
+                    '         + (b2 - CAST(b1 AS DOUBLE) * b1 / n0))'
+                    '        / (n1 + n0 - 2))', 6)}
+           END AS cohens_d,
+           CASE WHEN n1 >= 2 AND n0 >= 2
+                     AND (n1 * a2 - a1 * a1) * n0 * n0
+                         + (n0 * b2 - b1 * b1) * n1 * n1 > 0
+                THEN {sql_qround(
+                    '(CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n0)'
+                    ' / sqrt(((a2 - CAST(a1 AS DOUBLE) * a1 / n1)'
+                    '         + (b2 - CAST(b1 AS DOUBLE) * b1 / n0))'
+                    '        / (n1 + n0 - 2))'
+                    ' * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))', 6)}
+           END AS hedges_g
+    FROM w
+    """,
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-sd standardized mean difference) plus the
+    small-sample Hedges' g correction, for English vs non-English
+    document lengths: the EFFECT SIZE that p-value tests
+    (stat_welch_ttest, agg_ab_ttest) deliberately do not report — at
+    corpus scale everything is "significant", and d is the number
+    that says whether the difference matters (0.2/0.5/0.8 small/
+    medium/large). The standard companion printed next to every A/B
+    verdict.
+
+    Integer core: per-group (n, Σx, Σx²) are exact int64 over int64
+    n_chars; d = (x̄₁−x̄₀)/s_pooled is one fixed-shape double
+    expression over six integers, g = d·(1 − 3/(4(n₁+n₀)−9)), both
+    qround(6). A group with n < 2 or zero pooled variance NULLs
+    both (the one-sided-corpus edge fixture).
+
+    Scale: one 2-group hash aggregate + a broadcast-sized self-pair
+    — the agg_ab_ttest plan with a different emit."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    a = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    b = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n0"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    ssw = (
+        F.col("a2") - F.col("a1").cast("double") * F.col("a1") / F.col("n1")
+    ) + (
+        F.col("b2") - F.col("b1").cast("double") * F.col("b1") / F.col("n0")
+    )
+    pooled_ok = (
+        (F.col("n1") * F.col("a2") - F.col("a1") * F.col("a1"))
+        * F.col("n0")
+        * F.col("n0")
+        + (F.col("n0") * F.col("b2") - F.col("b1") * F.col("b1"))
+        * F.col("n1")
+        * F.col("n1")
+    ) > 0
+    ok = (F.col("n1") >= 2) & (F.col("n0") >= 2) & pooled_ok
+    d = (
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("b1").cast("double") / F.col("n0")
+    ) / F.sqrt(ssw / (F.col("n1") + F.col("n0") - 2))
+    gcorr = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n0")) - F.lit(9.0))
+    )
+    return w.select(
+        "n1",
+        "n0",
+        F.when(ok, qround(d, 6)).alias("cohens_d"),
+        F.when(ok, qround(gcorr, 6)).alias("hedges_g"),
+    )

@@ -3501,3 +3501,108 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("relation")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "ts_permutation_entropy",
+    oracle=f"""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tri AS (
+      SELECT (CASE WHEN a.c <= b.c THEN 4 ELSE 0 END)
+             + (CASE WHEN b.c <= c.c THEN 2 ELSE 0 END)
+             + (CASE WHEN a.c <= c.c THEN 1 ELSE 0 END) AS pattern
+      FROM hc a JOIN hc b ON b.h = a.h + 1 JOIN hc c ON c.h = a.h + 2
+    ),
+    pc AS (
+      SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_triples
+      FROM tri GROUP BY pattern
+    ),
+    tot AS (SELECT CAST(SUM(n_triples) AS BIGINT) AS n FROM pc),
+    ent AS (
+      SELECT {sql_qround(
+          '-SUM(pc.n_triples / CAST(tot.n AS DOUBLE)'
+          '     * ln(pc.n_triples / CAST(tot.n AS DOUBLE)))', 6)} AS h_perm
+      FROM pc, tot
+    )
+    SELECT pc.pattern, pc.n_triples,
+           {sql_qround('pc.n_triples / CAST(tot.n AS DOUBLE)', 6)} AS p,
+           ent.h_perm,
+           {sql_qround('ent.h_perm / ln(6.0)', 6)} AS h_norm
+    FROM pc, tot, ent
+    """,
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of the hourly event-
+    count series at embedding dimension 3: classify every consecutive-
+    hour triple by its ORDINAL pattern (which of the 6 orderings the
+    three counts take, ties resolved to earlier-index-first via ≤) and
+    take the Shannon entropy of the pattern distribution. Low H_perm
+    means the series' local shapes are predictable (monotone ramps,
+    strict daily sawtooth); H_perm near ln 6 means shape-level noise
+    — the complexity measure that is immune to monotone rescaling of
+    the values (it never looks at magnitudes, only orderings), unlike
+    ts_fano_burstiness / ts_entropy_rate which read the counts
+    themselves.
+
+    Integer-robust by construction (the deliberate trig/float dodge
+    of ts_period_detect extended to complexity): the pattern code
+    4·[c0≤c1] + 2·[c1≤c2] + [c0≤c2] is pure int64 comparison — the
+    two inconsistent codes (e.g. c0≤c1≤c2 but c0>c2) are impossible,
+    leaving exactly the 6 stable-sort orderings. Floats appear only
+    in the ≤6-term −Σp·ln p (emit-qround(6), the mm_image_entropy
+    precedent) and the ln 6 normalizer.
+
+    Scale: one fact-scale hourly aggregate, then two self-joins on
+    consecutive INTEGER hour keys (co-partitioned equi-joins on the
+    metadata-sized hour table — no window, no global sort), a ≤6-row
+    pattern aggregate, and broadcast totals. Gaps in the hour
+    sequence simply contribute no triple (contractual)."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    a = hc.select(F.col("h"), F.col("c").alias("c0"))
+    b = hc.select((F.col("h") - 1).alias("h"), F.col("c").alias("c1"))
+    c = hc.select((F.col("h") - 2).alias("h"), F.col("c").alias("c2"))
+    tri = a.join(b, "h").join(c, "h").select(
+        (
+            F.when(F.col("c0") <= F.col("c1"), 4).otherwise(0)
+            + F.when(F.col("c1") <= F.col("c2"), 2).otherwise(0)
+            + F.when(F.col("c0") <= F.col("c2"), 1).otherwise(0)
+        ).alias("pattern")
+    )
+    pc = tri.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples")
+    ).localCheckpoint()
+    tot = pc.agg(F.sum("n_triples").cast("long").alias("n"))
+    ent = pc.crossJoin(F.broadcast(tot)).agg(
+        qround(
+            -F.sum(
+                F.col("n_triples")
+                / F.col("n").cast("double")
+                * F.log(F.col("n_triples") / F.col("n").cast("double"))
+            ),
+            6,
+        ).alias("h_perm"),
+        F.max("n").alias("n"),
+    )
+    return pc.crossJoin(F.broadcast(ent)).select(
+        "pattern",
+        "n_triples",
+        qround(F.col("n_triples") / F.col("n").cast("double"), 6).alias(
+            "p"
+        ),
+        "h_perm",
+        qround(F.col("h_perm") / F.log(F.lit(6.0)), 6).alias("h_norm"),
+    )

@@ -218,6 +218,22 @@ def edge_ddb(edge_sf_dir):
         # span corruption over empty/1-token docs: no eligible spans,
         # input = original text, target = the terminal sentinel only
         "llm_span_corruption",
+        # round-7: CDC chunking over empty (no chunks) and 1-token
+        # (single forced chunk) docs; stitch/watermark/edit/rouge over
+        # the empty-text pair (lev vs '' = len, LCS 0, z NULL); the
+        # paired-binary and moments tests on the degenerate corpus
+        # (all indicators 0 -> NULL statistics); all-'en' corpus
+        # empties BOTH cohens_d groups' pairing consistently (0 rows)
+        "llm_cdc_chunk_dedup",
+        "llm_overlap_stitch",
+        "llm_watermark_detect",
+        "llm_edit_distance_ratio",
+        "llm_rouge_l",
+        "stat_mcnemar",
+        "stat_cochran_q",
+        "stat_jarque_bera",
+        "stat_cohens_d",
+        "mm_audio_clipping_detect",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

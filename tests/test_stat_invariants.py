@@ -1493,3 +1493,105 @@ def test_allen_relations_partition_identity(spark, sf_dir):
     }
     assert len(names) == len(rows)
     assert sum(r["n_pairs"] for r in rows) == expect_pairs
+
+
+def test_rouge_l_matches_python_dp(spark, sf_dir):
+    """llm_rouge_l's nested-fold LCS equals the classic O(n·m) Python
+    DP for EVERY eval pair — the third implementation that guards
+    both engines' fold index arithmetic (an off-by-one in the
+    prev/acc row indexing would differentially cancel, since the
+    Spark and DuckDB folds are transliterations of each other)."""
+    from etl_geonames_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "doc_id < 200"
+    )
+    toks = {
+        int(r["doc_id"]): [w for w in r["text"].split(" ") if w]
+        for r in docs.collect()
+    }
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for w in a:
+            cur = [0]
+            for j in range(1, len(b) + 1):
+                cur.append(
+                    prev[j - 1] + 1 if b[j - 1] == w
+                    else max(cur[j - 1], prev[j])
+                )
+            prev = cur
+        return prev[-1]
+
+    out = _rows(spark, sf_dir, "llm_rouge_l")
+    assert out
+    for r in out:
+        a = toks[2 * r["pair_id"]]
+        b = toks[2 * r["pair_id"] + 1]
+        want = lcs(a, b)
+        assert r["lcs"] == want, r["pair_id"]
+        # and the subsequence LCS dominates the contiguous-run length
+        assert r["lcs"] <= min(len(a), len(b))
+
+
+def test_cdc_chunk_dedup_matches_python_replay(spark, sf_dir):
+    """llm_cdc_chunk_dedup equals a from-scratch Python replay of the
+    whole pipeline — token poly-hash, window-4 rolling boundary gate,
+    per-chunk Horner id — including the implicit invariant that
+    chunks PARTITION each document (sum of chunk lengths = token
+    count, checked inside the replay before aggregation)."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    P, W, MASK = 1_000_003, 4, 16
+
+    def ph(w):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    agg = defaultdict(lambda: [None, set(), 0])  # len, docs, occ
+    for r in docs.collect():
+        tk = [w for w in r["text"].split(" ") if w]
+        if not tk:
+            continue
+        hw = [ph(w) for w in tk]
+        n = len(hw)
+        bpos = []
+        if n >= W + 1:
+            for i in range(W, n):  # 1-based i in [4, n-1]
+                rh = hw[i - 4]
+                for x in hw[i - 3:i]:
+                    rh = (rh * 131 + x) % P
+                if i < n and rh % MASK == 0 and i != n:
+                    bpos.append(i)
+        ends = bpos + [n]
+        start = 1
+        total = 0
+        for e in ends:
+            span = hw[start - 1:e]
+            total += len(span)
+            ch = 0
+            for x in span:
+                ch = (ch * 131 + x) % P
+            ent = agg[ch]
+            ent[0] = len(span) if ent[0] is None else min(ent[0], len(span))
+            ent[1].add(int(r["doc_id"]))
+            ent[2] += 1
+            start = e + 1
+        assert total == n, r["doc_id"]  # chunks partition the doc
+    want = {
+        ch: (l, len(ds), occ)
+        for ch, (l, ds, occ) in agg.items()
+        if len(ds) >= 2
+    }
+    got = {
+        r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in _rows(spark, sf_dir, "llm_cdc_chunk_dedup")
+    }
+    assert got == want
