@@ -61,6 +61,13 @@ OPS = [
     # map-only per-doc array expressions: must scale linearly with
     # corpus size, indifferent to the duplication structure
     "llm_longest_self_repeat",
+    # round-7: content-defined chunking (one chunk-hash agg — dup
+    # chunks' n_docs multiplies 10x under replication, keys don't);
+    # suffix=prefix stitch (span-hash equi-join — every base stitch
+    # pair becomes a 10x10 clique, plus nothing else: the hash join
+    # is the bill)
+    "llm_cdc_chunk_dedup",
+    "llm_overlap_stitch",
 ]
 
 

@@ -3575,6 +3575,52 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_W = 4        # rolling-hash window (tokens)
 _CDC_MASK = 16    # boundary when window hash % 16 == 0 (~16-token chunks)
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunk explode shared by the batch query
+    (:func:`llm_cdc_chunk_dedup`) and the streaming maintenance path
+    (streaming/pipeline.py) so their chunk spaces are identical:
+    (doc_id, c.chash, c.clen) — token poly-hashes, window-4 rolling
+    Horner boundary gate mod 16, per-chunk Horner id, forced boundary
+    at the document end."""
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    h = docs.select(
+        "doc_id",
+        F.transform(tk, poly_hash).alias("hw"),
+    ).withColumn("n", F.size("hw")).filter(F.col("n") > 0)
+    P = _FH_P
+    rolling = (
+        f"(((element_at(hw, i - 3) * 131 + element_at(hw, i - 2)) % {P}"
+        f" * 131 + element_at(hw, i - 1)) % {P} * 131"
+        f" + element_at(hw, i)) % {P}"
+    )
+    b = h.withColumn(
+        "bpos",
+        F.expr(
+            f"CASE WHEN n >= {_CDC_W + 1} THEN "
+            f"filter(sequence({_CDC_W}, n - 1),"
+            f" i -> ({rolling}) % {_CDC_MASK} = 0) "
+            "ELSE cast(array() AS array<int>) END"
+        ),
+    ).withColumn("ends", F.expr("concat(bpos, array(int(n)))"))
+    return b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ends)), j -> struct("
+                " aggregate(slice(hw,"
+                "   CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,"
+                "   element_at(ends, j)"
+                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
+                "   + 1), cast(0 AS bigint),"
+                f"  (acc, x) -> (acc * 131 + x) % {P}) AS chash,"
+                " element_at(ends, j)"
+                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
+                "   + 1 AS clen))"
+            )
+        ).alias("c"),
+    )
 _PH_SQL = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT),"
     " list_transform(generate_series(1, len({w})),"
@@ -3658,45 +3704,9 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-12 collision rate) — min just makes the emit
     deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
-    h = docs.select(
-        "doc_id",
-        F.transform(tk, poly_hash).alias("hw"),
-    ).withColumn("n", F.size("hw")).filter(F.col("n") > 0)
-    P = _FH_P
-    rolling = (
-        f"(((element_at(hw, i - 3) * 131 + element_at(hw, i - 2)) % {P}"
-        f" * 131 + element_at(hw, i - 1)) % {P} * 131"
-        f" + element_at(hw, i)) % {P}"
-    )
-    b = h.withColumn(
-        "bpos",
-        F.expr(
-            f"CASE WHEN n >= {_CDC_W + 1} THEN "
-            f"filter(sequence({_CDC_W}, n - 1),"
-            f" i -> ({rolling}) % {_CDC_MASK} = 0) "
-            "ELSE cast(array() AS array<int>) END"
-        ),
-    ).withColumn("ends", F.expr("concat(bpos, array(int(n)))"))
-    ch = b.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ends)), j -> struct("
-                " aggregate(slice(hw,"
-                "   CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END,"
-                "   element_at(ends, j)"
-                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
-                "   + 1), cast(0 AS bigint),"
-                f"  (acc, x) -> (acc * 131 + x) % {P}) AS chash,"
-                " element_at(ends, j)"
-                "   - CASE WHEN j = 1 THEN 1 ELSE element_at(ends, j - 1) + 1 END"
-                "   + 1 AS clen))"
-            )
-        ).alias("c"),
-    )
     return (
-        ch.groupBy(F.col("c.chash").alias("chunk_hash"))
+        cdc_chunks(docs)
+        .groupBy(F.col("c.chash").alias("chunk_hash"))
         .agg(
             F.min("c.clen").cast("long").alias("chunk_len"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
@@ -3882,3 +3892,115 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("flagged"),
     )
+
+
+_PCS_KS = (2, 4, 8, 16)  # prefix lengths probed (tokens)
+
+
+def _pcs_k_sql(k: int) -> str:
+    return f"""
+    SELECT {k} AS prefix_k,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_eligible,
+           CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT)
+               AS n_docs_shared,
+           CAST(COUNT(DISTINCT CASE WHEN c >= 2 THEN ph END) AS BIGINT)
+               AS n_shared_groups,
+           CAST(COALESCE(SUM(CASE WHEN c >= 2 AND rn > 1
+                                  THEN {k} ELSE 0 END), 0) AS BIGINT)
+               AS saved_tokens
+    FROM (
+      SELECT ph, COUNT(*) OVER (PARTITION BY ph) AS c,
+             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id) AS rn
+      FROM (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(tk[1:{k}],
+                       w -> {{PH}})),
+                   (acc, x) -> (acc * 131 + x) % {_FH_P}) AS ph
+        FROM tt WHERE len(tk) >= {k}
+      ) h
+    ) g
+    """
+
+
+@query(
+    "llm_prefix_cache_stats",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    )
+    {" UNION ALL ".join(
+        _pcs_k_sql(k).replace("{PH}", _PH_SQL.format(w="w"))
+        for k in _PCS_KS)}
+    """,
+)
+def llm_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache hit analysis for LLM serving/training: at each
+    probe length k ∈ 2/4/8/16 tokens, how many documents share their
+    first k tokens with another document — n_shared_groups distinct
+    shared prefixes, n_docs_shared documents in them, and
+    saved_tokens = Σ_group (size−1)·k, the KV-cache token mass a
+    prefix cache (vLLM-style automatic prefix caching / prompt
+    caching) would not recompute at that granularity. Corpora with
+    templated prompts show saved_tokens growing with k; fully
+    distinct corpora collapse to zero — the number that decides
+    whether prefix caching is worth deploying on a workload.
+
+    Prefix identity is the cross-engine Horner fold over the first k
+    token hashes (full value-hash oracle); the per-k membership is a
+    window count over the prefix-hash groups with a deterministic
+    first-document exemption (row_number by doc_id — the cache's
+    one mandatory cold fill per group).
+
+    100 TB shape: per k one map-side projection (one 8-byte hash per
+    doc) + one hash-partitioned window over prefix groups — group
+    sizes are the only state; the 4-k union is 4 independent narrow
+    passes, each column-pruned to (doc_id, k tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    tt = docs.select("doc_id", tk.alias("tk")).localCheckpoint()
+    P = _FH_P
+    out = None
+    for k in _PCS_KS:
+        h = tt.filter(F.size("tk") >= k).select(
+            "doc_id",
+            F.aggregate(
+                F.transform(F.slice("tk", 1, k), poly_hash),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 131 + x) % P,
+            ).alias("ph"),
+        )
+        w = Window.partitionBy("ph")
+        wrn = Window.partitionBy("ph").orderBy("doc_id")
+        g = h.select(
+            "ph",
+            F.count(F.lit(1)).over(w).alias("c"),
+            F.row_number().over(wrn).alias("rn"),
+        )
+        row = g.agg(
+            F.lit(k).alias("prefix_k"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_eligible"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_docs_shared"),
+            F.countDistinct(
+                F.when(F.col("c") >= 2, F.col("ph"))
+            )
+            .cast("long")
+            .alias("n_shared_groups"),
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("c") >= 2) & (F.col("rn") > 1), k).otherwise(
+                        0
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("saved_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1207,3 +1207,105 @@ def graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_scc"),
         )
     )
+
+
+def _hc_step_sql(prev: str, h: int) -> str:
+    """One unrolled min-distance BFS hop: expand the dist=h−1
+    frontier through the edge list, then keep the MIN distance per
+    (seed, node) across old labels and new arrivals."""
+    return (
+        f"SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+        f"SELECT seed, node, dist FROM {prev} "
+        f"UNION ALL "
+        f"SELECT f.seed, e.dst AS node, {h} AS dist "
+        f"FROM {prev} f JOIN e ON f.node = e.src "
+        f"WHERE f.dist = {h - 1}"
+        f") u GROUP BY seed, node"
+    )
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+    d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+           FROM seeds),
+    d1 AS ({_hc_step_sql("d0", 1)}),
+    d2 AS ({_hc_step_sql("d1", 2)}),
+    d3 AS ({_hc_step_sql("d2", 3)})
+    SELECT seed,
+           CAST(COUNT(*) FILTER (WHERE dist >= 1) AS BIGINT)
+               AS n_within_k,
+           CAST(COALESCE(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+                                       WHEN 3 THEN 2 ELSE 0 END), 0)
+                AS BIGINT) AS harmonic6,
+           {sql_qround(
+        'COALESCE(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3'
+        '              WHEN 3 THEN 2 ELSE 0 END), 0) / 6.0', 6)}
+               AS harmonic
+    FROM d3 GROUP BY seed
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded harmonic centrality (Boldi & Vigna 2014): per seed,
+    Σ 1/d(seed, v) over nodes within k = 3 hops — the
+    closeness-family centrality that handles disconnected graphs
+    gracefully (unreachable nodes contribute 0, not ∞) and weights
+    near neighbors above far ones, unlike graph_khop_reachability's
+    flat blast-radius count. The k-bound makes it the practical
+    variant: full harmonic centrality needs all-pairs distances,
+    while the 3-hop truncation is the standard local approximation
+    (and a lower bound on the true value, since dropped terms are
+    positive).
+
+    BFS with distance labels: the khop frontier loop carrying
+    min-dist per (seed, node) — one edge equi-join per hop expanding
+    ONLY the dist = h−1 ring, then a min-aggregate that keeps first
+    arrivals (BFS distance = first-arrival hop), localCheckpoint per
+    hop (the multi-consumer convention). ALL-INTEGER score: 1/d
+    multiplied through by lcm(1,2,3)·= 6 gives 6/3/2 per ring —
+    harmonic6 is exact int64, the float form is one division at
+    emit. Same-seed distance-0 rows are excluded from both outputs.
+
+    100 TB shape: per hop one frontier-on-node shuffle + one
+    (seed, node) min-aggregate — ring-linear, never path-count (the
+    min-agg is the set-dedup); the edge-bucketed layout
+    (pagerank_bucketed) removes the edge-side exchange here too."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        e.select(F.col("src").alias("seed"))
+        .where(F.col("seed") < 10)
+        .distinct()
+    )
+    d = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for h in (1, 2, 3):
+        step = (
+            d.filter(F.col("dist") == h - 1)
+            .join(e, d["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"),
+                    F.lit(h).cast("long").alias("dist"))
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    score = F.when(F.col("dist") == 1, 6).when(F.col("dist") == 2, 3).when(
+        F.col("dist") == 3, 2
+    ).otherwise(0)
+    agg = d.groupBy("seed").agg(
+        F.sum(F.when(F.col("dist") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_k"),
+        F.coalesce(F.sum(score), F.lit(0)).cast("long").alias("harmonic6"),
+    )
+    return agg.select(
+        "seed",
+        "n_within_k",
+        "harmonic6",
+        qround(F.col("harmonic6") / F.lit(6.0), 6).alias("harmonic"),
+    )

@@ -559,6 +559,71 @@ def streaming_dedup_maintenance(
     q.awaitTermination()
 
 
+def _cdc_chunk_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of continuous content-defined-chunk dedup
+    maintenance: the batch's per-chunk partial (min length, distinct
+    docs, occurrences) merges additively into the PREDECESSOR
+    snapshot. Each document appears in exactly one micro-batch, so
+    per-batch COUNT(DISTINCT doc_id) sums to the corpus-wide distinct
+    count — the additivity that makes the merge exact. Module-level
+    for the crash-replay tests (same predecessor-read idempotency
+    argument as :func:`_cms_merge_batch`)."""
+    from etl_geonames_spark.operators.curation import cdc_chunks
+
+    spark = batch.sparkSession
+    partial = cdc_chunks(batch).groupBy(
+        F.col("c.chash").alias("chunk_hash")
+    ).agg(
+        F.min("c.clen").cast("long").alias("chunk_len"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("chunk_hash")
+            .agg(
+                F.min("chunk_len").cast("long").alias("chunk_len"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_occ").cast("long").alias("n_occ"),
+            )
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
+
+
+def streaming_cdc_chunk_maintenance(
+    docs: DataFrame, state_root: str, checkpoint: str
+) -> None:
+    """Continuous content-defined-chunk dedup: each micro-batch's
+    chunk census (operators/curation.cdc_chunks — the SAME explode as
+    the batch query, so chunk spaces are identical) merges additively
+    into the versioned snapshot. After draining a bounded stream, the
+    snapshot filtered to n_docs ≥ 2 equals the batch
+    llm_cdc_chunk_dedup output exactly (pinned in
+    tests/test_streaming.py) — duplicated-passage detection that
+    keeps up with corpus ingestion instead of rescanning it.
+
+    At 100 TB the snapshot is chunk-vocabulary-sized (not corpus-
+    sized) and partitions by chunk hash; a batch only touches the
+    hash partitions its chunks land in."""
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _cdc_chunk_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _cms_merge_batch(
     batch: DataFrame, batch_id: int, state_root: str
 ) -> None:

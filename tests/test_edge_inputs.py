@@ -234,6 +234,10 @@ def edge_ddb(edge_sf_dir):
         "stat_jarque_bera",
         "stat_cohens_d",
         "mm_audio_clipping_detect",
+        # prefix-cache probing where only the 6-token docs reach k=4
+        # and none reach k=8/16 (zero eligible rows must still emit
+        # the per-k summary row)
+        "llm_prefix_cache_stats",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

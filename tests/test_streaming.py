@@ -779,3 +779,63 @@ def test_streaming_bloom_maintenance_equals_batch(spark, sf_dir, tmp_path):
         for j in range(4):
             b = r[f"b{j}"]
             assert words.get(b // 32, 0) & (1 << (b % 32))
+
+
+def test_streaming_cdc_chunk_maintenance_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Continuously maintained content-defined-chunk census == the
+    batch llm_cdc_chunk_dedup output (n_docs >= 2 slice) after
+    draining the corpus in waves — per-batch distinct-doc counts sum
+    exactly because each document rides exactly one micro-batch."""
+    import __spark_entry__ as entry_mod
+
+    from etl_geonames_spark.streaming import (
+        streaming_cdc_chunk_maintenance,
+    )
+    from etl_geonames_spark.streaming.pipeline import _read_versioned
+
+    stream, docs = _two_wave_docs_stream(spark, sf_dir, tmp_path)
+    state = str(tmp_path / "cdc_state")
+    streaming_cdc_chunk_maintenance(stream, state, str(tmp_path / "ckpt"))
+
+    final = _read_versioned(spark, state, before=10**6).filter(
+        F.col("n_docs") >= 2
+    )
+    got = {
+        r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in final.collect()
+    }
+    batch = entry_mod.queries()["llm_cdc_chunk_dedup"](spark, sf_dir)
+    want = {
+        r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_cdc_chunk_crash_replay(spark, sf_dir, tmp_path):
+    """Batch 1 replayed after its snapshot write but before the
+    checkpoint commit leaves the CDC chunk census identical — the
+    additive merge reads the predecessor, never its own output."""
+    from etl_geonames_spark.streaming.pipeline import (
+        _cdc_chunk_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "cdc_state")
+    _cdc_chunk_merge_batch(b0, 0, state)
+    _cdc_chunk_merge_batch(b1, 1, state)
+    once = {
+        r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in _read_versioned(spark, state, before=10**6).collect()
+    }
+    _cdc_chunk_merge_batch(b1, 1, state)  # crash-window replay
+    retried = {
+        r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occ"])
+        for r in _read_versioned(spark, state, before=10**6).collect()
+    }
+    assert retried == once
