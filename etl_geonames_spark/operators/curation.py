@@ -3703,7 +3703,7 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant per chash (same hash ⟹ same span ⟹ same length modulo
     the 1e-12 collision rate) — min just makes the emit
     deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         cdc_chunks(docs)
         .groupBy(F.col("c.chash").alias("chunk_hash"))
