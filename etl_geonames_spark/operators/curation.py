@@ -3775,7 +3775,7 @@ def llm_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash equi-join on the span hash; candidates = hash-equal
     pairs only, never corpus². Bucketing both projections by the
     span hash makes the join exchange-free."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     t = docs.select("doc_id", tk.alias("tk")).filter(
         F.size("tk") >= _STITCH_K
@@ -3869,7 +3869,7 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: pure map-side membership count per document (the
     greenlist is a hash predicate, not a table), zero shuffles —
     detection cost is one corpus scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     g = docs.select(
         "doc_id",
@@ -3957,7 +3957,7 @@ def llm_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) + one hash-partitioned window over prefix groups — group
     sizes are the only state; the 4-k union is 4 independent narrow
     passes, each column-pruned to (doc_id, k tokens)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     tt = docs.select("doc_id", tk.alias("tk")).localCheckpoint()
     P = _FH_P

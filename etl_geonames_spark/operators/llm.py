@@ -4680,14 +4680,17 @@ def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_edit_distance_ratio",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, text,
-             CAST(length(text) AS BIGINT) AS n
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text7,
+             CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))
+                  AS BIGINT) AS n
       FROM documents WHERE doc_id < 200
     ),
     p AS (
-      SELECT a.pair_id, a.text AS xa, b.text AS xb, a.n AS n_a, b.n AS n_b
+      SELECT a.pair_id, a.text7 AS xa, b.text7 AS xb,
+             a.n AS n_a, b.n AS n_b
       FROM t a JOIN t b ON a.pair_id = b.pair_id
       WHERE a.side = 0 AND b.side = 1
     ),
@@ -4698,8 +4701,8 @@ def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pair_id, n_a, n_b, lev,
            CASE WHEN GREATEST(n_a, n_b) > 0
-                THEN FLOOR((1.0 - lev / CAST(GREATEST(n_a, n_b) AS DOUBLE))
-                           * 1000000.0 + 0.5) / 1000000.0
+                THEN {sql_qround(
+                    '1.0 - lev / CAST(GREATEST(n_a, n_b) AS DOUBLE)', 6)}
            END AS sim_ratio,
            10 * lev <= 3 * GREATEST(n_a, n_b) AS near_dup
     FROM d
@@ -4717,8 +4720,13 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm_dedup_minhash's verify step at character precision).
 
     Both engines implement classic unit-cost Levenshtein
-    (insert/delete/substitute; cross-checked kitten→sitting = 3), so
-    lev is an exact integer and sim one qround(6) division. The
+    (insert/delete/substitute; cross-checked kitten→sitting = 3) —
+    but Spark counts CODE POINTS while DuckDB counts BYTES, so they
+    diverge on multibyte characters (é→e is 1 vs 2; round-7 review
+    finding). Contractual ASCII fold: every non-ASCII code point is
+    replaced by '?' on BOTH sides first (one regexp, per-code-point
+    in both engines), making byte == code-point distance exact. lev
+    is then an exact integer and sim one qround(6) division. The
     near-dup gate is ALL-INTEGER (10·lev ≤ 3·maxlen ⟺ sim ≥ 0.7) —
     no float-boundary flag (the threshold-predicate rule). Pairs of
     empty documents NULL the ratio (0/0) and gate TRUE (0 ≤ 0: equal
@@ -4731,17 +4739,18 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
+    text7 = F.regexp_replace("text", r"[^\x00-\x7F]", "?")
     t = docs.select(
         (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
-        "text",
-        F.length("text").cast("long").alias("n"),
+        text7.alias("text7"),
+        F.length(text7).cast("long").alias("n"),
     )
     a = t.filter(F.col("side") == 0).select(
-        "pair_id", F.col("text").alias("xa"), F.col("n").alias("n_a")
+        "pair_id", F.col("text7").alias("xa"), F.col("n").alias("n_a")
     )
     b = t.filter(F.col("side") == 1).select(
-        "pair_id", F.col("text").alias("xb"), F.col("n").alias("n_b")
+        "pair_id", F.col("text7").alias("xb"), F.col("n").alias("n_b")
     )
     d = a.join(b, "pair_id").select(
         "pair_id",
@@ -4765,7 +4774,7 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_rouge_l",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
              list_filter(str_split(text, ' '), w -> w <> '') AS tk
@@ -4800,16 +4809,14 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pair_id, ref_len, cand_len, lcs,
            CASE WHEN ref_len > 0
-                THEN FLOOR(lcs / CAST(ref_len AS DOUBLE)
-                           * 1000000.0 + 0.5) / 1000000.0
+                THEN {sql_qround('lcs / CAST(ref_len AS DOUBLE)', 6)}
            END AS rouge_l_r,
            CASE WHEN cand_len > 0
-                THEN FLOOR(lcs / CAST(cand_len AS DOUBLE)
-                           * 1000000.0 + 0.5) / 1000000.0
+                THEN {sql_qround('lcs / CAST(cand_len AS DOUBLE)', 6)}
            END AS rouge_l_p,
            CASE WHEN ref_len + cand_len > 0
-                THEN FLOOR(2.0 * lcs / CAST(ref_len + cand_len AS DOUBLE)
-                           * 1000000.0 + 0.5) / 1000000.0
+                THEN {sql_qround(
+                    '2.0 * lcs / CAST(ref_len + cand_len AS DOUBLE)', 6)}
            END AS rouge_l_f1
     FROM d
     """,

@@ -3658,8 +3658,7 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n0,
            CASE WHEN n1 >= 2 AND n0 >= 2
-                     AND (n1 * a2 - a1 * a1) * n0 * n0
-                         + (n0 * b2 - b1 * b1) * n1 * n1 > 0
+                     AND (n1 * a2 - a1 * a1) + (n0 * b2 - b1 * b1) > 0
                 THEN {sql_qround(
                     '(CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n0)'
                     ' / sqrt(((a2 - CAST(a1 AS DOUBLE) * a1 / n1)'
@@ -3667,8 +3666,7 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '        / (n1 + n0 - 2))', 6)}
            END AS cohens_d,
            CASE WHEN n1 >= 2 AND n0 >= 2
-                     AND (n1 * a2 - a1 * a1) * n0 * n0
-                         + (n0 * b2 - b1 * b1) * n1 * n1 > 0
+                     AND (n1 * a2 - a1 * a1) + (n0 * b2 - b1 * b1) > 0
                 THEN {sql_qround(
                     '(CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n0)'
                     ' / sqrt(((a2 - CAST(a1 AS DOUBLE) * a1 / n1)'
@@ -3719,13 +3717,12 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (
         F.col("b2") - F.col("b1").cast("double") * F.col("b1") / F.col("n0")
     )
+    # both bracketed terms are >= 0 (Cauchy-Schwarz), so their plain
+    # sum tests pooled variance > 0 WITHOUT the n^2 multipliers that
+    # overflow int64 at ~2x the sf0.1 fixture size (round-7 review)
     pooled_ok = (
         (F.col("n1") * F.col("a2") - F.col("a1") * F.col("a1"))
-        * F.col("n0")
-        * F.col("n0")
         + (F.col("n0") * F.col("b2") - F.col("b1") * F.col("b1"))
-        * F.col("n1")
-        * F.col("n1")
     ) > 0
     ok = (F.col("n1") >= 2) & (F.col("n0") >= 2) & pooled_ok
     d = (

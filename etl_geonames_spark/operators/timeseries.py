@@ -3503,6 +3503,9 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LN6 = 1.791759469228055  # ln 6 as a shared literal: no libm call
+
+
 @query(
     "ts_permutation_entropy",
     oracle=f"""
@@ -3524,14 +3527,16 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(n_triples) AS BIGINT) AS n FROM pc),
     ent AS (
       SELECT {sql_qround(
-          '-SUM(pc.n_triples / CAST(tot.n AS DOUBLE)'
-          '     * ln(pc.n_triples / CAST(tot.n AS DOUBLE)))', 6)} AS h_perm
+          '-SUM(' + sql_qround(
+              'pc.n_triples / CAST(tot.n AS DOUBLE)'
+              ' * ln(pc.n_triples / CAST(tot.n AS DOUBLE))', 9) + ')',
+          6)} AS h_perm
       FROM pc, tot
     )
     SELECT pc.pattern, pc.n_triples,
            {sql_qround('pc.n_triples / CAST(tot.n AS DOUBLE)', 6)} AS p,
            ent.h_perm,
-           {sql_qround('ent.h_perm / ln(6.0)', 6)} AS h_norm
+           {sql_qround(f'ent.h_perm / {_LN6}', 6)} AS h_norm
     FROM pc, tot, ent
     """,
 )
@@ -3586,12 +3591,22 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_triples")
     ).localCheckpoint()
     tot = pc.agg(F.sum("n_triples").cast("long").alias("n"))
+    # each -p ln p term is pre-quantized to the 1e-9 grid before the
+    # sum (the ts_hurst_rs float-order discipline): Spark's partial-agg
+    # merge order over the <=6 pattern rows differs from DuckDB's
+    # sequential SUM, and a raw-term sum drifting a last ulp exactly at
+    # a .0000005 boundary would flip the emitted entropy
     ent = pc.crossJoin(F.broadcast(tot)).agg(
         qround(
             -F.sum(
-                F.col("n_triples")
-                / F.col("n").cast("double")
-                * F.log(F.col("n_triples") / F.col("n").cast("double"))
+                qround(
+                    F.col("n_triples")
+                    / F.col("n").cast("double")
+                    * F.log(
+                        F.col("n_triples") / F.col("n").cast("double")
+                    ),
+                    9,
+                )
             ),
             6,
         ).alias("h_perm"),
@@ -3604,5 +3619,5 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
         "h_perm",
-        qround(F.col("h_perm") / F.log(F.lit(6.0)), 6).alias("h_norm"),
+        qround(F.col("h_perm") / F.lit(_LN6), 6).alias("h_norm"),
     )

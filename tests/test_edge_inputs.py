@@ -570,3 +570,47 @@ def test_tost_zero_variance_nulls_not_throws(spark, tmp_path):
     (dr,) = con.sql(ORACLES["stat_tost_equivalence"]).fetchall()
     assert dr[0] == 2 and dr[1] == 2 and dr[2] == -20.0
     assert dr[3] is None and dr[4] is None and dr[5] is None
+
+
+def test_edit_distance_non_ascii_matches_oracle(spark, tmp_path):
+    """Spark levenshtein counts CODE POINTS, DuckDB counts BYTES —
+    they diverge on multibyte characters (round-7 review finding).
+    The contractual ASCII fold (non-ASCII -> '?') must make both
+    engines agree on a corpus where the raw distance would differ:
+    'café' vs 'cafe' is lev 1 on Spark but 2 on raw DuckDB bytes."""
+    import duckdb
+
+    texts = ["café au lait", "cafe au lait",
+             "naïve résumé", "naive resume"]
+    d = tmp_path / "sf_uni"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["fr", "en", "fr", "en"],
+            "source": ["edge"] * 4,
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    got = {
+        r["pair_id"]: (r["n_a"], r["n_b"], r["lev"], r["near_dup"])
+        for r in QUERIES["llm_edit_distance_ratio"](spark, str(d)).collect()
+    }
+    # after the fold both sides see 'caf? au lait' vs 'cafe au lait'
+    assert got[0] == (12, 12, 1, True)
+    # 'na?ve r?sum?' vs 'naive resume': 3 substitutions
+    assert got[1] == (12, 12, 3, True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    duck = {
+        int(r.pair_id): (int(r.n_a), int(r.n_b), int(r.lev),
+                         bool(r.near_dup))
+        for r in con.sql(
+            ORACLES["llm_edit_distance_ratio"]
+        ).df().itertuples()
+    }
+    assert duck == got

@@ -1568,7 +1568,7 @@ def test_cdc_chunk_dedup_matches_python_replay(spark, sf_dir):
                 rh = hw[i - 4]
                 for x in hw[i - 3:i]:
                     rh = (rh * 131 + x) % P
-                if i < n and rh % MASK == 0 and i != n:
+                if rh % MASK == 0:  # i ranges [4, n-1]: never the end
                     bpos.append(i)
         ends = bpos + [n]
         start = 1
