@@ -1626,3 +1626,121 @@ def geo_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lon").alias("min_lon"),
         F.max("lon").alias("max_lon"),
     )
+
+
+_VW_AREA2_T = 75_000_000  # keep interior points with 2*area >= this
+#                           (median effective area on the fixture grid)
+
+
+@query(
+    "geo_polyline_simplify",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             (event_id * 7919) % 18000 AS ilat,
+             (event_id * 104729) % 36000 AS ilon,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    tri AS (
+      SELECT a.user_id,
+             CAST(ABS((b.ilat - a.ilat) * (c.ilon - a.ilon)
+                      - (c.ilat - a.ilat) * (b.ilon - a.ilon))
+                  AS BIGINT) AS a2
+      FROM pts a
+      JOIN pts b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN pts c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    )
+    SELECT p.user_id,
+           CAST(MAX(p.n) AS BIGINT) AS n_points,
+           CAST(COALESCE(MAX(t.ni), 0) AS BIGINT) AS n_interior,
+           CAST(COALESCE(MAX(t.nk), 0) AS BIGINT) AS n_kept_interior,
+           CAST(LEAST(MAX(p.n), 2)
+                + COALESCE(MAX(t.nk), 0) AS BIGINT) AS n_out
+    FROM (SELECT user_id, MAX(n) AS n FROM pts GROUP BY user_id) p
+    LEFT JOIN (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(COUNT(*) FILTER (WHERE a2 >= {_VW_AREA2_T}) AS BIGINT)
+                 AS nk
+      FROM tri GROUP BY user_id
+    ) t ON p.user_id = t.user_id
+    GROUP BY p.user_id
+    """,
+)
+def geo_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Visvalingam-Whyatt polyline simplification census per
+    user trajectory: an interior point survives iff TWICE the area of
+    the triangle it forms with its ordered neighbors clears the
+    threshold — the effective-area criterion map renderers use to
+    thin GPS tracks before tiling (small-area points are visually
+    collinear). One pass (no iterative re-evaluation after removal)
+    is the streaming-friendly variant: it upper-bounds the iterative
+    algorithm's retained set and needs no sequential state.
+
+    ALL-INTEGER geometry (the geo_trajectory_stats discipline): the
+    cross product (b−a)×(c−a) on the scaled 0.01° int grid is exact
+    int64, so the keep predicate is an integer comparison — no
+    float-boundary retention flips. Endpoints (≤ 2 per trajectory)
+    are always kept; n_out = kept interior + endpoints.
+
+    100 TB shape: one user-partitioned window for ordering, two
+    rn-shifted self-joins co-partitioned on user_id (one shuffle
+    carries all three), per-user aggregate — never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        ((F.col("event_id") * 7919) % 18000).alias("ilat"),
+        ((F.col("event_id") * 104729) % 36000).alias("ilon"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    ).localCheckpoint()
+    a, b, c = pts.alias("a"), pts.alias("b"), pts.alias("c")
+    a2 = F.abs(
+        (F.col("b.ilat") - F.col("a.ilat"))
+        * (F.col("c.ilon") - F.col("a.ilon"))
+        - (F.col("c.ilat") - F.col("a.ilat"))
+        * (F.col("b.ilon") - F.col("a.ilon"))
+    ).cast("long")
+    tri = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .join(
+            c,
+            (F.col("c.user_id") == F.col("a.user_id"))
+            & (F.col("c.rn") == F.col("a.rn") + 2),
+        )
+        .select(F.col("a.user_id").alias("user_id"), a2.alias("a2"))
+    )
+    t = tri.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(F.when(F.col("a2") >= _VW_AREA2_T, 1).otherwise(0))
+        .cast("long")
+        .alias("nk"),
+    )
+    p = pts.groupBy("user_id").agg(F.max("n").cast("long").alias("n"))
+    return (
+        p.join(t, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n").alias("n_points"),
+            F.coalesce(F.col("ni"), F.lit(0)).cast("long").alias(
+                "n_interior"
+            ),
+            F.coalesce(F.col("nk"), F.lit(0)).cast("long").alias(
+                "n_kept_interior"
+            ),
+            (
+                F.least(F.col("n"), F.lit(2))
+                + F.coalesce(F.col("nk"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_out"),
+        )
+    )

@@ -1830,3 +1830,99 @@ def mm_audio_clipping_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             " max_clip_run long"
         ),
     )
+
+
+_BLK_B = 2  # probe grid pitch: real JPEG uses 8, the fixture's tiny
+#             (<=9px) images need a 2px grid to have any boundaries
+
+
+def _blockiness_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in _image_blob_rows(pdf):
+            w, h, rgb = decode_image(blob)
+            px = bytes(rgb)
+
+            def gray(x, y):
+                i = (y * w + x) * 3
+                return px[i] + px[i + 1] + px[i + 2]
+
+            gb = gi = nb = ni = 0
+            for y in range(h):
+                for x in range(w - 1):
+                    d = abs(gray(x + 1, y) - gray(x, y))
+                    if (x + 1) % _BLK_B == 0:
+                        gb += d
+                        nb += 1
+                    else:
+                        gi += d
+                        ni += 1
+            rows.append((doc_id, w, h, gb, gi, nb, ni))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height",
+                "g_boundary", "g_interior", "n_boundary", "n_interior",
+            ],
+        )
+
+
+@query(
+    "mm_image_blockiness",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    gpx AS (
+      SELECT d.doc_id, d.w, d.h,
+             CASE WHEN (gx.x + 1) % {_BLK_B} = 0 THEN 1 ELSE 0 END AS bnd,
+             ABS(((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 0) % 256
+                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 11) % 256
+                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 22) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 0) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 11) % 256
+                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 22) % 256) AS g
+      FROM dims d,
+           LATERAL unnest(generate_series(0, d.w - 2)) AS gx(x),
+           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+    )
+    SELECT doc_id, CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(COALESCE(SUM(g * bnd), 0) AS BIGINT) AS g_boundary,
+           CAST(COALESCE(SUM(g * (1 - bnd)), 0) AS BIGINT) AS g_interior,
+           CAST(COALESCE(SUM(bnd), 0) AS BIGINT) AS n_boundary,
+           CAST(COALESCE(SUM(1 - bnd), 0) AS BIGINT) AS n_interior
+    FROM gpx GROUP BY doc_id
+    """,
+)
+def mm_image_blockiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockiness (compression-artifact) detection over REAL decoded
+    pixels: compare horizontal gray gradients ACROSS the coding-grid
+    boundaries against gradients inside blocks — lossy block codecs
+    (JPEG) leave step edges exactly at grid positions, so a boundary/
+    interior gradient ratio ≫ 1 flags re-compressed or low-quality
+    images before they enter a training set (the QA sibling of
+    mm_image_gradient's blur check, sensitive to the OPPOSITE
+    defect). Grid pitch is 2 px here (contractual: the fixture's
+    ≤ 9 px images have no 8-grid interior; the real-JPEG deployment
+    sets 8).
+
+    Emits the four exact integers (boundary/interior gradient sums
+    and position counts) rather than the ratio — downstream picks
+    the gate (the all-integer threshold rule: g_b·n_i > τ·g_i·n_b
+    avoids the float boundary entirely). The oracle replays the
+    per-pixel generation rule on the shifted grid, so a codec
+    stride/row-order bug breaks the hash.
+
+    Map-only Arrow decode, one row per image, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _blockiness_batches,
+        schema=(
+            "doc_id long, width int, height int, g_boundary long,"
+            " g_interior long, n_boundary long, n_interior long"
+        ),
+    )

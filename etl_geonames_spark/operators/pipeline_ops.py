@@ -1422,3 +1422,111 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(ptot)).select(
         "bin", "n_ref", "n_cur", "psi_term", "psi_total"
     )
+
+
+@query(
+    "dq_cross_field_consistency",
+    oracle=f"""
+    WITH rec AS (
+      SELECT l_orderkey AS okey,
+             {sql_qround(
+                 "SUM(" + sql_qround(
+                     "l_extendedprice * (1 + l_tax) * (1 - l_discount)",
+                     6) + ")", 4)} AS recomputed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, rec.recomputed,
+             CASE WHEN rec.recomputed IS NOT NULL
+                       AND o.o_totalprice > 0
+                  THEN {sql_qround(
+                      "ABS(rec.recomputed - o.o_totalprice)"
+                      " / o.o_totalprice", 6)}
+             END AS rel_err
+      FROM orders o LEFT JOIN rec ON o.o_orderkey = rec.okey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(rel_err) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE rel_err IS NULL) AS BIGINT)
+               AS n_unmatched,
+           CAST(COUNT(*) FILTER (WHERE rel_err <= 0.01) AS BIGINT)
+               AS n_within_1pct,
+           CAST(COUNT(*) FILTER (WHERE rel_err > 0.01
+                                   AND rel_err <= 0.10) AS BIGINT)
+               AS n_within_10pct,
+           CAST(COUNT(*) FILTER (WHERE rel_err > 0.10) AS BIGINT)
+               AS n_beyond_10pct,
+           MAX(rel_err) AS max_rel_err
+    FROM j
+    """,
+)
+def dq_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table derived-field consistency check: recompute each
+    order's total from its line items (Σ extendedprice·(1+tax)·
+    (1−discount) — the TPC-H pricing identity) and band the relative
+    error against the stored o_totalprice. Referential integrity
+    (dq_referential_integrity) says the keys join; THIS says the
+    VALUES agree — the reconciliation gate warehouses run between a
+    fact table and its denormalized rollup, where silent drift means
+    a broken upstream job. The synthetic fixture intentionally does
+    NOT maintain the identity, so the bands carry real mass — the op
+    reports, it does not assert.
+
+    Float discipline: each 3-way 2dp product is qround(6) (its exact
+    decimal grid), the per-order sum (bounded fan-in) qround(4) per
+    the summed-products rule, the relative error qround(6) — band
+    predicates then compare identical doubles on both engines.
+    Orders with no line items count as n_unmatched, not errors.
+
+    100 TB shape: one hash aggregate on the fact table's own join
+    key (co-partitioned with a bucketed-by-orderkey layout), one
+    broadcast-or-shuffle join to orders, a 1-row reduce. Column
+    pruning reads 4 of 16 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rec = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        qround(
+            F.sum(
+                qround(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) + F.col("l_tax"))
+                    * (F.lit(1.0) - F.col("l_discount")),
+                    6,
+                )
+            ),
+            4,
+        ).alias("recomputed")
+    )
+    j = orders.join(
+        rec, orders["o_orderkey"] == rec["okey"], "left"
+    ).select(
+        F.when(
+            F.col("recomputed").isNotNull() & (F.col("o_totalprice") > 0),
+            qround(
+                F.abs(F.col("recomputed") - F.col("o_totalprice"))
+                / F.col("o_totalprice"),
+                6,
+            ),
+        ).alias("rel_err")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("rel_err").cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("rel_err").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.sum(F.when(F.col("rel_err") <= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(
+            F.when(
+                (F.col("rel_err") > 0.01) & (F.col("rel_err") <= 0.10), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_10pct"),
+        F.sum(F.when(F.col("rel_err") > 0.10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_10pct"),
+        F.max("rel_err").alias("max_rel_err"),
+    )

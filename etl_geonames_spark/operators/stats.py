@@ -3739,3 +3739,87 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, qround(d, 6)).alias("cohens_d"),
         F.when(ok, qround(gcorr, 6)).alias("hedges_g"),
     )
+
+
+@query(
+    "stat_cochran_armitage",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN n_chars < 250 THEN 0
+                  WHEN n_chars < 350 THEN 1 ELSE 2 END AS wk,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS yy,
+             CAST(SUM(wk * y) AS BIGINT) AS swy,
+             CAST(SUM(wk) AS BIGINT) AS swn,
+             CAST(SUM(wk * wk) AS BIGINT) AS sw2n
+      FROM m
+    )
+    SELECT n, yy AS n_success, swn AS sum_w, swy AS sum_wy,
+           CASE WHEN yy > 0 AND yy < n
+                     AND n * sw2n - swn * swn > 0
+                THEN {sql_qround(
+                    '(swy - CAST(yy AS DOUBLE) * swn / n)'
+                    ' / sqrt(CAST(yy AS DOUBLE) / n'
+                    '        * (1.0 - CAST(yy AS DOUBLE) / n)'
+                    '        * (sw2n - CAST(swn AS DOUBLE) * swn / n))',
+                    6)}
+           END AS z_trend
+    FROM s
+    """,
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the English rate MONOTONE in
+    document length across the ordered buckets (<250 / 250-349 /
+    ≥350 chars, scores 0/1/2)? The ordered-alternative sibling of
+    stat_chi2_independence — chi-square spends power on every
+    departure from independence, while the trend statistic
+    z = (Σwy − p̄Σwn)/√(p̄q̄(Σw²n − (Σwn)²/n)) concentrates it on the
+    dose-response direction, which is what a curation dashboard
+    usually asks ("does quality rise with length?"); under H₀
+    z ~ N(0,1) (Armitage 1955). Pairs with stat_page_trend (ranked
+    blocks) as the proportions-version.
+
+    Integer core: the five sufficient statistics (n, Y, Σwy, Σwn,
+    Σw²n) are exact int64 over 0/1/2 scores and 0/1 outcomes; z is
+    one fixed-shape double expression, qround(6). Degenerate corpora
+    (all/no successes, single occupied bucket) NULL the statistic.
+
+    Scale: two map-side CASE columns + a 1-row global reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.when(F.col("n_chars") < 250, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+        .alias("wk"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("yy"),
+        F.sum(F.col("wk") * F.col("y")).cast("long").alias("swy"),
+        F.sum("wk").cast("long").alias("swn"),
+        F.sum(F.col("wk") * F.col("wk")).cast("long").alias("sw2n"),
+    )
+    n, yy = F.col("n"), F.col("yy")
+    pbar = yy.cast("double") / n
+    ok = (yy > 0) & (yy < n) & (
+        n * F.col("sw2n") - F.col("swn") * F.col("swn") > 0
+    )
+    z = (
+        F.col("swy") - yy.cast("double") * F.col("swn") / n
+    ) / F.sqrt(
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.col("sw2n") - F.col("swn").cast("double") * F.col("swn") / n)
+    )
+    return s.select(
+        "n",
+        yy.alias("n_success"),
+        F.col("swn").alias("sum_w"),
+        F.col("swy").alias("sum_wy"),
+        F.when(ok, qround(z, 6)).alias("z_trend"),
+    )

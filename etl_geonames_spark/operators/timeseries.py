@@ -3621,3 +3621,126 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_perm",
         qround(F.col("h_perm") / F.lit(_LN6), 6).alias("h_norm"),
     )
+
+
+_SPC_N = 5        # fixed subgroup size (first 5 events of each day)
+_SPC_A2 = 0.577   # X-bar chart factor for n = 5 (public SPC tables)
+_SPC_D4 = 2.114   # R chart upper factor for n = 5 (D3 = 0)
+
+
+@query(
+    "ts_spc_xbar_r",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    sub AS (
+      SELECT event_type, day,
+             {sql_qround(f'SUM(value) / {_SPC_N}', 6)} AS m5,
+             {sql_qround('MAX(value) - MIN(value)', 6)} AS r5
+      FROM r WHERE rn <= {_SPC_N}
+      GROUP BY event_type, day
+      HAVING COUNT(*) = {_SPC_N}
+    ),
+    lim AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+             {sql_qround('AVG(m5)', 6)} AS xbar,
+             {sql_qround('AVG(r5)', 6)} AS rbar
+      FROM sub GROUP BY event_type
+    )
+    SELECT lim.event_type, lim.n_subgroups, lim.xbar, lim.rbar,
+           {sql_qround(f'lim.xbar + {_SPC_A2} * lim.rbar', 6)} AS ucl_x,
+           {sql_qround(f'lim.xbar - {_SPC_A2} * lim.rbar', 6)} AS lcl_x,
+           {sql_qround(f'{_SPC_D4} * lim.rbar', 6)} AS ucl_r,
+           CAST(COUNT(*) FILTER (WHERE
+               sub.m5 > {sql_qround(f'lim.xbar + {_SPC_A2} * lim.rbar', 6)}
+               OR sub.m5 < {sql_qround(f'lim.xbar - {_SPC_A2} * lim.rbar',
+                                       6)})
+             AS BIGINT) AS n_out_xbar,
+           CAST(COUNT(*) FILTER (WHERE
+               sub.r5 > {sql_qround(f'{_SPC_D4} * lim.rbar', 6)})
+             AS BIGINT) AS n_out_r
+    FROM lim JOIN sub ON sub.event_type = lim.event_type
+    GROUP BY lim.event_type, lim.n_subgroups, lim.xbar, lim.rbar
+    """,
+)
+def ts_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄-R control charts per event type: fixed n = 5
+    subgroups (the first five events of each day, deterministic
+    (ts, event_id) order), limits X̄̄ ± A₂·R̄ and D₄·R̄ from the
+    public SPC constants for n = 5 — statistical process control's
+    answer to "is today's metric out of control or just noisy",
+    distinguishing MEAN shifts (X̄ chart) from VOLATILITY shifts
+    (R chart), which ts_anomaly_zscore's single global z conflates.
+    The rational-subgroup convention (small fixed-size samples at
+    regular intervals) is exactly why n is pinned at 5 instead of
+    using whole days of varying size.
+
+    Float discipline: subgroup means (5-term sums, sub-grid drift)
+    and ranges (max−min, order-free) are qround(6); the grand
+    averages and limits are qround(6) single expressions; the
+    out-of-control flags compare those IDENTICAL qround'd doubles on
+    both engines (the float-threshold rule), so no boundary flip.
+    Days with fewer than 5 events drop (contractual).
+
+    100 TB shape: one (event_type, day)-partitioned window to pick
+    the subgroup, one subgroup aggregate, a per-type limits
+    aggregate broadcast back for the flag count — the subgroup table
+    is days×types-sized, metadata next to the fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    sub = (
+        r.filter(F.col("rn") <= _SPC_N)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            qround(F.sum("value") / _SPC_N, 6).alias("m5"),
+            qround(F.max("value") - F.min("value"), 6).alias("r5"),
+        )
+        .filter(F.col("cnt") == _SPC_N)
+        .drop("cnt")
+        .localCheckpoint()
+    )
+    lim = sub.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subgroups"),
+        qround(F.avg("m5"), 6).alias("xbar"),
+        qround(F.avg("r5"), 6).alias("rbar"),
+    )
+    j = sub.join(F.broadcast(lim), "event_type")
+    ucl_x = qround(F.col("xbar") + F.lit(_SPC_A2) * F.col("rbar"), 6)
+    lcl_x = qround(F.col("xbar") - F.lit(_SPC_A2) * F.col("rbar"), 6)
+    ucl_r = qround(F.lit(_SPC_D4) * F.col("rbar"), 6)
+    return (
+        j.withColumn("ucl_x", ucl_x)
+        .withColumn("lcl_x", lcl_x)
+        .withColumn("ucl_r", ucl_r)
+        .groupBy(
+            "event_type", "n_subgroups", "xbar", "rbar",
+            "ucl_x", "lcl_x", "ucl_r",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("m5") > F.col("ucl_x"))
+                    | (F.col("m5") < F.col("lcl_x")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_xbar"),
+            F.sum(F.when(F.col("r5") > F.col("ucl_r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_r"),
+        )
+    )

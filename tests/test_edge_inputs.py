@@ -238,6 +238,11 @@ def edge_ddb(edge_sf_dir):
         # and none reach k=8/16 (zero eligible rows must still emit
         # the per-k summary row)
         "llm_prefix_cache_stats",
+        # batch-3: all-'en' corpus makes the trend test's Y = n
+        # (NULL z); 2-wide images have no 2-grid boundary columns
+        # (n_boundary 0 rows must agree)
+        "stat_cochran_armitage",
+        "mm_image_blockiness",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -1675,3 +1675,46 @@ def test_watermark_detect_matches_binomial_replay(spark, sf_dir):
         )
         assert r["z"] == pytest.approx(z, abs=1e-6)
         assert r["flagged"] == (z >= 2.0)
+
+
+def test_round7_batch3_invariants(spark, sf_dir):
+    """Cross-op and bound invariants for the batch-3 operators:
+    - blockiness: g_boundary + g_interior equals mm_image_gradient's
+      grad_sum per image (same pixels, partitioned two ways) and the
+      position counts partition w-1 columns x h rows.
+    - polyline simplify: kept interior <= interior, n_out <= n_points,
+      and interior = max(n_points - 2, 0).
+    - SPC: lcl_x <= xbar <= ucl_x, rbar <= ucl_r, flags bounded by
+      subgroup count.
+    - Cochran-Armitage: consistent sufficient statistics
+      (0 <= sum_wy <= sum_w, n_success <= n).
+    """
+    blk = {
+        r["doc_id"]: r for r in _rows(spark, sf_dir, "mm_image_blockiness")
+    }
+    grad = {
+        r["doc_id"]: r["grad_sum"]
+        for r in _rows(spark, sf_dir, "mm_image_gradient")
+    }
+    assert set(blk) == set(grad)
+    for d, r in blk.items():
+        assert r["g_boundary"] + r["g_interior"] == grad[d], d
+        assert (
+            r["n_boundary"] + r["n_interior"]
+            == (r["width"] - 1) * r["height"]
+        ), d
+
+    for r in _rows(spark, sf_dir, "geo_polyline_simplify"):
+        assert r["n_interior"] == max(r["n_points"] - 2, 0)
+        assert 0 <= r["n_kept_interior"] <= r["n_interior"]
+        assert r["n_out"] <= r["n_points"]
+
+    for r in _rows(spark, sf_dir, "ts_spc_xbar_r"):
+        assert r["lcl_x"] <= r["xbar"] <= r["ucl_x"]
+        assert r["rbar"] <= r["ucl_r"]
+        assert 0 <= r["n_out_xbar"] <= r["n_subgroups"]
+        assert 0 <= r["n_out_r"] <= r["n_subgroups"]
+
+    (r,) = _rows(spark, sf_dir, "stat_cochran_armitage")
+    assert 0 <= r["n_success"] <= r["n"]
+    assert 0 <= r["sum_wy"] <= r["sum_w"]
