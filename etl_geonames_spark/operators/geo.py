@@ -1639,34 +1639,32 @@ _VW_AREA2_T = 75_000_000  # keep interior points with 2*area >= this
       SELECT user_id,
              (event_id * 7919) % 18000 AS ilat,
              (event_id * 104729) % 36000 AS ilon,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
-             COUNT(*) OVER (PARTITION BY user_id) AS n
+             LEAD((event_id * 7919) % 18000, 1) OVER w AS lat1,
+             LEAD((event_id * 104729) % 36000, 1) OVER w AS lon1,
+             LEAD((event_id * 7919) % 18000, 2) OVER w AS lat2,
+             LEAD((event_id * 104729) % 36000, 2) OVER w AS lon2
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     tri AS (
-      SELECT a.user_id,
-             CAST(ABS((b.ilat - a.ilat) * (c.ilon - a.ilon)
-                      - (c.ilat - a.ilat) * (b.ilon - a.ilon))
-                  AS BIGINT) AS a2
-      FROM pts a
-      JOIN pts b ON b.user_id = a.user_id AND b.rn = a.rn + 1
-      JOIN pts c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+      SELECT user_id,
+             CASE WHEN lat2 IS NOT NULL THEN
+               CAST(ABS((lat1 - ilat) * (lon2 - ilon)
+                        - (lat2 - ilat) * (lon1 - ilon)) AS BIGINT)
+             END AS a2
+      FROM pts
     )
-    SELECT p.user_id,
-           CAST(MAX(p.n) AS BIGINT) AS n_points,
-           CAST(COALESCE(MAX(t.ni), 0) AS BIGINT) AS n_interior,
-           CAST(COALESCE(MAX(t.nk), 0) AS BIGINT) AS n_kept_interior,
-           CAST(LEAST(MAX(p.n), 2)
-                + COALESCE(MAX(t.nk), 0) AS BIGINT) AS n_out
-    FROM (SELECT user_id, MAX(n) AS n FROM pts GROUP BY user_id) p
-    LEFT JOIN (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ni,
-             CAST(COUNT(*) FILTER (WHERE a2 >= {_VW_AREA2_T}) AS BIGINT)
-                 AS nk
-      FROM tri GROUP BY user_id
-    ) t ON p.user_id = t.user_id
-    GROUP BY p.user_id
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(a2) AS BIGINT) AS n_interior,
+           CAST(COALESCE(SUM(CASE WHEN a2 >= {_VW_AREA2_T}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_kept_interior,
+           CAST(LEAST(COUNT(*), 2)
+                + COALESCE(SUM(CASE WHEN a2 >= {_VW_AREA2_T}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_out
+    FROM tri GROUP BY user_id
     """,
 )
 def geo_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,64 +1681,48 @@ def geo_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product (b−a)×(c−a) on the scaled 0.01° int grid is exact
     int64, so the keep predicate is an integer comparison — no
     float-boundary retention flips. Endpoints (≤ 2 per trajectory)
-    are always kept; n_out = kept interior + endpoints.
+    are always kept; n_out = kept interior + endpoints. Each row's
+    neighbor pair comes from lead(·,1)/lead(·,2) over the SAME
+    user-partitioned window (round-7 review: the original two
+    rn-shifted self-joins + checkpoint paid two extra exchanges for
+    what one window pass provides — unlike geo_trajectory_stats'
+    first-to-last pairing, everything here is adjacent-neighbor).
 
-    100 TB shape: one user-partitioned window for ordering, two
-    rn-shifted self-joins co-partitioned on user_id (one shuffle
-    carries all three), per-user aggregate — never a global sort."""
+    100 TB shape: ONE user-partitioned window shuffle carries the
+    ordering, both leads, and the per-user aggregate — never a
+    global sort."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = Window.partitionBy("user_id")
-    pts = ev.select(
+    ilat = ((F.col("event_id") * 7919) % 18000).alias("ilat")
+    ilon = ((F.col("event_id") * 104729) % 36000).alias("ilon")
+    pts = ev.select("user_id", "ts", "event_id", ilat, ilon).select(
         "user_id",
-        ((F.col("event_id") * 7919) % 18000).alias("ilat"),
-        ((F.col("event_id") * 104729) % 36000).alias("ilon"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    ).localCheckpoint()
-    a, b, c = pts.alias("a"), pts.alias("b"), pts.alias("c")
-    a2 = F.abs(
-        (F.col("b.ilat") - F.col("a.ilat"))
-        * (F.col("c.ilon") - F.col("a.ilon"))
-        - (F.col("c.ilat") - F.col("a.ilat"))
-        * (F.col("b.ilon") - F.col("a.ilon"))
-    ).cast("long")
-    tri = (
-        a.join(
-            b,
-            (F.col("b.user_id") == F.col("a.user_id"))
-            & (F.col("b.rn") == F.col("a.rn") + 1),
-        )
-        .join(
-            c,
-            (F.col("c.user_id") == F.col("a.user_id"))
-            & (F.col("c.rn") == F.col("a.rn") + 2),
-        )
-        .select(F.col("a.user_id").alias("user_id"), a2.alias("a2"))
+        "ilat",
+        "ilon",
+        F.lead("ilat", 1).over(w).alias("lat1"),
+        F.lead("ilon", 1).over(w).alias("lon1"),
+        F.lead("ilat", 2).over(w).alias("lat2"),
+        F.lead("ilon", 2).over(w).alias("lon2"),
     )
-    t = tri.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("ni"),
-        F.sum(F.when(F.col("a2") >= _VW_AREA2_T, 1).otherwise(0))
+    a2 = F.when(
+        F.col("lat2").isNotNull(),
+        F.abs(
+            (F.col("lat1") - F.col("ilat"))
+            * (F.col("lon2") - F.col("ilon"))
+            - (F.col("lat2") - F.col("ilat"))
+            * (F.col("lon1") - F.col("ilon"))
+        ).cast("long"),
+    )
+    tri = pts.select("user_id", a2.alias("a2"))
+    kept = F.coalesce(
+        F.sum(F.when(F.col("a2") >= _VW_AREA2_T, 1).otherwise(0)),
+        F.lit(0),
+    )
+    return tri.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.count("a2").cast("long").alias("n_interior"),
+        kept.cast("long").alias("n_kept_interior"),
+        (F.least(F.count(F.lit(1)), F.lit(2)) + kept)
         .cast("long")
-        .alias("nk"),
-    )
-    p = pts.groupBy("user_id").agg(F.max("n").cast("long").alias("n"))
-    return (
-        p.join(t, "user_id", "left")
-        .select(
-            "user_id",
-            F.col("n").alias("n_points"),
-            F.coalesce(F.col("ni"), F.lit(0)).cast("long").alias(
-                "n_interior"
-            ),
-            F.coalesce(F.col("nk"), F.lit(0)).cast("long").alias(
-                "n_kept_interior"
-            ),
-            (
-                F.least(F.col("n"), F.lit(2))
-                + F.coalesce(F.col("nk"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_out"),
-        )
+        .alias("n_out"),
     )

@@ -1388,15 +1388,8 @@ def _image_gradient_batches(
         )
 
 
-@query(
-    "mm_image_gradient",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
-      FROM documents
-    ),
-    gpx AS (
-      SELECT d.doc_id, d.w, d.h,
+_HGRAD_GPX_SQL = """
+      SELECT d.doc_id, d.w, d.h, gx.x,
              ABS(((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 0) % 256
                  + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 11) % 256
                  + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 22) % 256
@@ -1406,7 +1399,21 @@ def _image_gradient_batches(
       FROM dims d,
            LATERAL unnest(generate_series(0, d.w - 2)) AS gx(x),
            LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
-    )
+"""
+# One copy of the per-pixel horizontal-gradient replay (the rule in
+# _synth_rgb, channel offsets 0/11/22): mm_image_gradient and
+# mm_image_blockiness both consume it, so the rule cannot desync
+# between the two oracles (round-7 review; the shared-CMS-SQL rule).
+
+
+@query(
+    "mm_image_gradient",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+      FROM documents
+    ),
+    gpx AS ({_HGRAD_GPX_SQL})
     SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(SUM(g) AS BIGINT) AS grad_sum
     FROM gpx GROUP BY doc_id, w, h
@@ -1876,18 +1883,12 @@ def _blockiness_batches(
       SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
       FROM documents
     ),
+    hg AS ({_HGRAD_GPX_SQL}),
     gpx AS (
-      SELECT d.doc_id, d.w, d.h,
-             CASE WHEN (gx.x + 1) % {_BLK_B} = 0 THEN 1 ELSE 0 END AS bnd,
-             ABS(((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 0) % 256
-                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 11) % 256
-                 + ((gx.x + 1) * 3 + gy.y * 5 + d.doc_id + 22) % 256
-                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 0) % 256
-                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 11) % 256
-                 - (gx.x * 3 + gy.y * 5 + d.doc_id + 22) % 256) AS g
-      FROM dims d,
-           LATERAL unnest(generate_series(0, d.w - 2)) AS gx(x),
-           LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+      SELECT doc_id, w, h,
+             CASE WHEN (x + 1) % {_BLK_B} = 0 THEN 1 ELSE 0 END AS bnd,
+             g
+      FROM hg
     )
     SELECT doc_id, CAST(MAX(w) AS INT) AS width,
            CAST(MAX(h) AS INT) AS height,
