@@ -12,14 +12,13 @@ tiers:
   encode → binary column → Arrow batch → decode → pixel-stat pipeline
   whose DuckDB oracle recomputes the same pixel arithmetic, so a
   wrong stride/padding/channel-order anywhere breaks the hash.
-- STUB fallback (:func:`decode_blob`): deterministic fake metadata
-  from the byte length, for payload formats the container cannot
-  decode (JPEG/PNG — no PIL/ffmpeg here). No registry query uses it
-  anymore (the round-2 ``*_stub`` queries were all retired once the
-  real codecs landed); its remaining consumer is the incremental-
-  ingest media-decode pipeline test (tests/test_ingest_pruning.py,
-  via :func:`_decode_batches`), and a PIL-style decoder drops in by
-  replacing the one function.
+- External-file ingestion (:func:`_image_meta_batches`): the
+  ``binaryFile`` source → Arrow batch → real BMP decode pipeline
+  pinned by tests/test_ingest_pruning.py. Formats the container
+  cannot decode (JPEG/PNG — no PIL/ffmpeg here) surface as NULL
+  dimensions; a PIL-style decoder drops in by replacing the one
+  decode call. (The round-2 synthetic ``decode_blob`` stub this
+  replaced is retired — every decode path now runs the real codecs.)
 
 Arrow binary transport (a payload surviving worker → JVM → worker
 byte-for-byte) is pinned by ``mm_feature_extract``'s two-stage
@@ -50,44 +49,27 @@ from etl_geonames_spark.functions import sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
-REAL_DECODE = False  # flip (or monkeypatch decode_blob) when codecs exist
-
-
-def decode_blob(blob: bytes) -> dict:
-    """STUB decode: deterministic fake metadata from the byte length.
-
-    A real implementation would e.g. ``PIL.Image.open(io.BytesIO(blob))``
-    and return true dimensions. The fake keeps the full Spark plumbing
-    (binary transfer, Arrow batching, schema contract) testable in
-    this container.
-    """
-    if REAL_DECODE:
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not in this container"
-        )
-    n = len(blob)
-    return {
-        "width": n * 7 % 640 + 1,
-        "height": n * 13 % 480 + 1,
-        "n_frames": n % 30 + 1,
-    }
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in → decoded metadata batch out.
+def _image_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch of opaque image blobs in →
+    real-codec metadata batch out (codecs.decode_image parses the BMP
+    header and pixel rows; undecodable blobs emit NULL dimensions).
 
     Batch-at-a-time (not row-at-a-time) is the scale contract: one
-    Python round-trip per ~10k rows, columnar transfer both ways.
+    Python round-trip per ~10k rows, columnar transfer both ways. A
+    JPEG/PNG decoder drops in by swapping decode_image for
+    PIL.Image.open — the binaryFile-source ingestion path around it
+    (tests/test_ingest_pruning.py) is format-agnostic.
     """
     for pdf in batches:
-        meta = [decode_blob(b) for b in pdf["blob"]]
+        meta = [decode_image(bytes(b)) for b in pdf["blob"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [len(b) for b in pdf["blob"]],
-                "width": [m["width"] for m in meta],
-                "height": [m["height"] for m in meta],
-                "n_frames": [m["n_frames"] for m in meta],
+                "width": [m[0] if m else None for m in meta],
+                "height": [m[1] if m else None for m in meta],
             }
         )
 

@@ -3545,9 +3545,9 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(n_chars) AS BIGINT) AS s1,
              CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
-             CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
-             CAST(SUM(n_chars * n_chars * n_chars * n_chars)
-                  AS BIGINT) AS s4
+             SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars) AS s3,
+             SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars
+                 * n_chars) AS s4
       FROM documents
     ),
     c AS (
@@ -3587,22 +3587,28 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_higher_moments reports per group, here composed into the one
     decision number (Jarque & Bera 1980).
 
-    Integer core: the four raw power sums S1..S4 over int64 n_chars
-    are exact (n_chars⁴ ≲ 1e14 at fixture magnitudes, Σ < 2⁶³); the
-    central moments m2/m3/m4 and JB are fixed-shape double
-    expressions over (n, S1..S4) — identical IEEE evaluation on both
-    engines, qround(6) at emit. Zero variance NULLs all three.
+    Mixed-precision core: S1/S2 are exact int64 sums (Σx² needs
+    ~1e9 max-length docs to threaten 2⁶³); S3/S4 are DOUBLE sums
+    with a per-term cast-before-multiply (CAST(x AS DOUBLE)·x·x·x)
+    so no intermediate ever overflows at ANY corpus size — raw
+    int64 power sums up to Σx⁴ would throw under ANSI at larger
+    corpora than the fixture (ADVICE r7). The per-term products are
+    identical IEEE doubles on both engines; summation-order drift
+    is ~ulp-scale relative to the O(1) standardized moments and
+    sits far inside the qround(6) grid. Zero variance NULLs all
+    three.
 
     Scale: one map-side power expression + a 1-row global reduce —
     the same single-aggregate shape as agg_higher_moments."""
     docs = load_table(spark, sf_dir, "documents")
     x = F.col("n_chars").cast("long")
+    xd = F.col("n_chars").cast("double")
     s = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x).cast("long").alias("s1"),
         F.sum(x * x).cast("long").alias("s2"),
-        F.sum(x * x * x).cast("long").alias("s3"),
-        F.sum(x * x * x * x).cast("long").alias("s4"),
+        F.sum(xd * x * x).alias("s3"),
+        F.sum(xd * x * x * x).alias("s4"),
     )
     n = F.col("n")
     nd = n.cast("double")

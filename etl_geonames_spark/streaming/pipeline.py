@@ -608,6 +608,18 @@ def streaming_cdc_chunk_maintenance(
     tests/test_streaming.py) — duplicated-passage detection that
     keeps up with corpus ingestion instead of rescanning it.
 
+    DELIVERY CONTRACT (ADVICE r7): n_docs is exact only when each
+    document is delivered in exactly ONE micro-batch — the
+    availableNow file-source contract this pipeline targets, where
+    checkpointed file tracking guarantees each input file (and so
+    each doc) is consumed once, and a crash replay re-runs the SAME
+    batch_id against the predecessor snapshot (idempotent). A source
+    that RE-delivers a document under a different batch_id
+    (at-least-once brokers, re-ingested files) would silently
+    inflate the summed per-batch COUNT(DISTINCT doc_id); feeding
+    such a source requires doc_id-level state (a seen-docs keyed
+    store) instead of this additive merge.
+
     At 100 TB the snapshot is chunk-vocabulary-sized (not corpus-
     sized) and partitions by chunk hash; a batch only touches the
     hash partitions its chunks land in."""

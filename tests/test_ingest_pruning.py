@@ -97,31 +97,41 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
 
 def test_binary_file_source_feeds_decode(spark, tmp_path):
     """Real media ingestion path: spark.read.format('binaryFile') over
-    a directory of opaque blobs → the mapInPandas decode pipeline.
-    The codec is stubbed; the source, binary transfer, and batch
-    plumbing are real."""
-    from etl_geonames_spark.operators.multimodal import _decode_batches
+    a directory of opaque blobs → the mapInPandas real-codec decode
+    pipeline (codecs.encode_bmp on disk, codecs.decode_image in the
+    worker). A non-image blob rides along and must surface as NULL
+    dimensions, not an error."""
+    from etl_geonames_spark.operators.codecs import encode_bmp
+    from etl_geonames_spark.operators.multimodal import _image_meta_batches
 
     from pyspark.sql import functions as F
 
     media = tmp_path / "media"
     media.mkdir()
-    payloads = {f"img_{i}.bin": bytes(range(10 + i)) for i in range(5)}
+    dims = {f"img_{i}.bmp": (3 + i, 2 + i) for i in range(5)}
+    payloads = {
+        name: encode_bmp(w, h, bytes((j * 17) % 256 for j in range(w * h * 3)))
+        for name, (w, h) in dims.items()
+    }
+    payloads["not_an_image.bin"] = b"plain bytes, no BMP header"
     for name, blob in payloads.items():
         (media / name).write_bytes(blob)
 
     raw = spark.read.format("binaryFile").load(str(media))
     blobs = raw.select(
-        F.monotonically_increasing_id().alias("doc_id"),
         F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.monotonically_increasing_id().alias("doc_id"),
         F.col("content").alias("blob"),
     )
-    decoded = blobs.select("doc_id", "blob").mapInPandas(
-        _decode_batches,
-        schema="doc_id long, n_bytes long, width int, height int, n_frames int",
+    decoded = blobs.select("doc_id", "fname", "blob").mapInPandas(
+        _image_meta_batches,
+        schema="doc_id long, n_bytes long, width int, height int",
     )
-    got = {r["n_bytes"] for r in decoded.collect()}
-    assert got == {len(b) for b in payloads.values()}
+    rows = decoded.collect()
+    assert {r["n_bytes"] for r in rows} == {len(b) for b in payloads.values()}
+    got_dims = {(r["width"], r["height"]) for r in rows if r["width"] is not None}
+    assert got_dims == set(dims.values())
+    assert sum(1 for r in rows if r["width"] is None) == 1
 
 
 def test_cluster_parquet_by_produces_disjoint_file_ranges(
