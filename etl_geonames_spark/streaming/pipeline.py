@@ -407,6 +407,52 @@ def _read_versioned(
     return spark.read.parquet(f"{root}/{versions[-1]}")
 
 
+def _index_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of inverted-index maintenance: the batch's
+    (word → postings) partial merges into the PREDECESSOR snapshot by
+    union + distinct + re-sort per touched word. Postings are SETS, so
+    a crash-window replay of the same batch_id is idempotent by
+    algebra (distinct absorbs the re-union), not just by the
+    predecessor-read discipline. Module-level for the crash-replay
+    tests (same pattern as :func:`_cms_merge_batch`)."""
+    spark = batch.sparkSession
+    partial = (
+        batch.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .groupBy("word")
+        .agg(F.collect_list("doc_id").alias("postings"))
+    )
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.select("word", "postings")
+            .unionByName(partial)
+            .groupBy("word")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list("postings"))
+                    )
+                ).alias("postings")
+            )
+        )
+    else:
+        partial = partial.select(
+            "word",
+            F.array_sort(F.array_distinct("postings")).alias("postings"),
+        )
+    partial.select(
+        "word",
+        F.size("postings").cast("bigint").alias("df"),
+        "postings",
+    ).write.mode("overwrite").parquet(f"{state_root}/v{batch_id:05d}")
+
+
 def streaming_index_maintenance(
     docs: DataFrame, state_root: str, checkpoint: str
 ) -> None:
@@ -423,44 +469,12 @@ def streaming_index_maintenance(
     batch) want the same skew handling as the batch BM25 docstring
     describes."""
 
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = (
-            batch.select(
-                "doc_id", F.explode(F.split("text", " ")).alias("word")
-            )
-            .filter(F.col("word") != "")
-            .distinct()
-            .groupBy("word")
-            .agg(F.collect_list("doc_id").alias("postings"))
-        )
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = (
-                prev.select("word", "postings")
-                .unionByName(partial)
-                .groupBy("word")
-                .agg(
-                    F.array_sort(
-                        F.array_distinct(
-                            F.flatten(F.collect_list("postings"))
-                        )
-                    ).alias("postings")
-                )
-            )
-        else:
-            partial = partial.select(
-                "word",
-                F.array_sort(F.array_distinct("postings")).alias("postings"),
-            )
-        partial.select(
-            "word",
-            F.size("postings").cast("bigint").alias("df"),
-            "postings",
-        ).write.mode("overwrite").parquet(f"{state_root}/v{batch_id:05d}")
-
     q = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _index_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -694,6 +708,32 @@ def streaming_cms_maintenance(
     q.awaitTermination()
 
 
+def _kmv_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of KMV maintenance: bottom-k of (PREDECESSOR
+    state ∪ batch members). Members dedupe before re-ranking, so a
+    crash-window replay — and even a broken latest-read self-merge —
+    cannot corrupt the member SET; what the predecessor read protects
+    here is the versioning ledger, and what the crash-replay test
+    pins is that a merge which skips the re-rank (raw union append)
+    IS detected. Module-level for the crash-replay tests."""
+    from etl_geonames_spark.operators.reshape import kmv_bottomk
+
+    spark = batch.sparkSession
+    partial = kmv_bottomk(batch)
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = kmv_bottomk(
+            prev.select("event_type", "user_id").unionByName(
+                partial.select("event_type", "user_id")
+            )
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
+
+
 def streaming_kmv_maintenance(
     events: DataFrame, state_root: str, checkpoint: str
 ) -> None:
@@ -715,29 +755,46 @@ def streaming_kmv_maintenance(
     At 100 TB: state is ≤ |groups|·k rows forever — per-group distinct
     tracking over an unbounded stream with no per-member state store;
     estimates serve at any moment from the latest snapshot."""
-    from etl_geonames_spark.operators.reshape import kmv_bottomk
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = kmv_bottomk(batch)
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = kmv_bottomk(
-                prev.select("event_type", "user_id").unionByName(
-                    partial.select("event_type", "user_id")
-                )
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
-
     q = (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(
+            lambda batch, batch_id: _kmv_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _band_stats_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of LSH bucket-census maintenance: per-bucket
+    ADDITIVE counts merge into the PREDECESSOR snapshot — a
+    latest-read merge would double every bucket the batch touched
+    (same counter-store failure mode as :func:`_cms_merge_batch`;
+    the crash-replay test proves the red case). Module-level for the
+    crash-replay tests."""
+    from etl_geonames_spark.operators.llm import _poly_minhash_bands
+
+    spark = batch.sparkSession
+    partial = (
+        _poly_minhash_bands(batch)
+        .groupBy("band", "b_lo", "b_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("band", "b_lo", "b_hi")
+            .agg(F.sum("sz").cast("long").alias("sz"))
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
 
 
 def streaming_band_stats_maintenance(
@@ -764,33 +821,41 @@ def streaming_band_stats_maintenance(
     At 100 TB the state is |buckets| rows (bounded by corpus/bucket
     granularity, heavy-tailed but census-sized) — the capacity
     planner's view of an unbounded ingest with no per-doc state."""
-    from etl_geonames_spark.operators.llm import _poly_minhash_bands
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = (
-            _poly_minhash_bands(batch)
-            .groupBy("band", "b_lo", "b_hi")
-            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
-        )
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = (
-                prev.unionByName(partial)
-                .groupBy("band", "b_lo", "b_hi")
-                .agg(F.sum("sz").cast("long").alias("sz"))
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
-
     q = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _band_stats_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _hh_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of heavy-hitters maintenance: per-(shard, word)
+    ADDITIVE counts merge into the PREDECESSOR snapshot — a
+    latest-read merge would double every count the batch touched
+    (counter-store failure mode; the crash-replay test proves the red
+    case). Module-level for the crash-replay tests."""
+    from etl_geonames_spark.operators.reshape import hh_shard_counts
+
+    spark = batch.sparkSession
+    partial = hh_shard_counts(batch)
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("shard", "word")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
 
 
 def streaming_hh_maintenance(
@@ -820,29 +885,43 @@ def streaming_hh_maintenance(
     would keep k+1 rows per shard and pay a wider certificate; the
     full table is the right trade while vocab ≪ corpus (Heaps' law
     keeps it sublinear in tokens)."""
-    from etl_geonames_spark.operators.reshape import hh_shard_counts
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = hh_shard_counts(batch)
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = (
-                prev.unionByName(partial)
-                .groupBy("shard", "word")
-                .agg(F.sum("cnt").cast("long").alias("cnt"))
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
-
     q = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _hh_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _bloom_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str
+) -> None:
+    """One micro-batch of Bloom-signature maintenance: the batch's
+    signature ORs into the PREDECESSOR snapshot. OR is idempotent —
+    even a broken latest-read self-merge cannot corrupt THIS state
+    (the crash-replay test pins that algebraic property); what the
+    test's red case proves instead is that a merge which DROPS the
+    predecessor (losing earlier batches' bits → false negatives) is
+    detected. Module-level for the crash-replay tests."""
+    from etl_geonames_spark.operators.relational import bloom_signature
+
+    spark = batch.sparkSession
+    partial = bloom_signature(batch.select("doc_id"), "doc_id")
+    prev = _read_versioned(spark, state_root, batch_id)
+    if prev is not None:
+        partial = (
+            prev.unionByName(partial)
+            .groupBy("word")
+            .agg(F.bit_or("s").alias("s"))
+        )
+    partial.write.mode("overwrite").parquet(
+        f"{state_root}/v{batch_id:05d}"
+    )
 
 
 def streaming_bloom_maintenance(
@@ -874,24 +953,12 @@ def streaming_bloom_maintenance(
     the key cardinality in production; the geometry is one constant).
     The filter never forgets: deletions need a rebuild or a counting
     variant — documented, not implemented."""
-    from etl_geonames_spark.operators.relational import bloom_signature
-
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        partial = bloom_signature(batch.select("doc_id"), "doc_id")
-        prev = _read_versioned(spark, state_root, batch_id)
-        if prev is not None:
-            partial = (
-                prev.unionByName(partial)
-                .groupBy("word")
-                .agg(F.bit_or("s").alias("s"))
-            )
-        partial.write.mode("overwrite").parquet(
-            f"{state_root}/v{batch_id:05d}"
-        )
-
     q = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _bloom_merge_batch(
+                batch, batch_id, state_root
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

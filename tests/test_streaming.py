@@ -839,3 +839,320 @@ def test_streaming_cdc_chunk_crash_replay(spark, sf_dir, tmp_path):
         for r in _read_versioned(spark, state, before=10**6).collect()
     }
     assert retried == once
+
+
+def test_streaming_kmv_crash_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Crash-mid-batch replay for the KMV maintenance path (VERDICT r7
+    item 3): batch 1 replayed after its v00001 write but before the
+    checkpoint commit must leave estimates equal to the batch sketch —
+    bottom-k-of-union over deduped members is self-merge idempotent.
+    Red case: a BROKEN merge that skips the re-rank (raw union append)
+    leaves > k members per group and a different kth_hash, proving the
+    test detects a wrong merge even though set algebra forgives the
+    replay itself."""
+    from etl_geonames_spark.operators.reshape import kmv_bottomk, kmv_estimate
+    from etl_geonames_spark.streaming.pipeline import (
+        _kmv_merge_batch,
+        _read_versioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    state = str(tmp_path / "kmv_state")
+
+    _kmv_merge_batch(b0, 0, state)
+    _kmv_merge_batch(b1, 1, state)
+    _kmv_merge_batch(b1, 1, state)  # crash-window replay, same batch_id
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {
+        r["event_type"]: (r["kth_hash"], round(r["est_distinct"], 6))
+        for r in kmv_estimate(final).collect()
+    }
+    want = {
+        r["event_type"]: (r["kth_hash"], round(r["est_distinct"], 6))
+        for r in kmv_estimate(kmv_bottomk(ev)).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # red: raw union append (no bottom-k re-rank) must be detectable —
+    # the state balloons past k members per group
+    broken = final.unionByName(kmv_bottomk(b1))
+    per_group = {r["event_type"]: r["n"] for r in final.groupBy(
+        "event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    broken_per_group = {r["event_type"]: r["n"] for r in broken.groupBy(
+        "event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert any(
+        broken_per_group[g] > per_group[g] for g in per_group
+    )
+
+
+def test_streaming_hh_crash_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Crash-mid-batch replay for the heavy-hitters maintenance path:
+    replayed batch 1 must leave the derived certificate equal to the
+    batch certificate, and the deliberately BROKEN commit order
+    (merging batch 1 onto the LATEST snapshot — its own output) must
+    double-count, proving the counter-store failure mode is detected."""
+    from etl_geonames_spark.operators.reshape import (
+        hh_certificate,
+        hh_shard_counts,
+    )
+    from etl_geonames_spark.streaming.pipeline import (
+        _hh_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "hh_state")
+
+    _hh_merge_batch(b0, 0, state)
+    _hh_merge_batch(b1, 1, state)
+    _hh_merge_batch(b1, 1, state)  # crash-window replay
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {tuple(r) for r in hh_certificate(final).collect()}
+    want = {tuple(r) for r in hh_certificate(hh_shard_counts(docs)).collect()}
+    assert got == want and len(want) > 0
+
+    # red under broken commit order: latest-read merge double-counts
+    broken_total = (
+        final.unionByName(hh_shard_counts(b1))
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    correct_total = final.agg(F.sum("cnt")).collect()[0][0]
+    assert broken_total > correct_total
+
+
+def test_streaming_band_stats_crash_replay_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Crash-mid-batch replay for the LSH bucket-census maintenance
+    path: replayed batch 1 must leave bucket sizes equal to the batch
+    build; the broken latest-read merge double-counts every bucket
+    batch 1 touched (red case)."""
+    from etl_geonames_spark.operators.llm import _poly_minhash_bands
+    from etl_geonames_spark.streaming.pipeline import (
+        _band_stats_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "band_state")
+
+    _band_stats_merge_batch(b0, 0, state)
+    _band_stats_merge_batch(b1, 1, state)
+    _band_stats_merge_batch(b1, 1, state)  # crash-window replay
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {
+        (r["band"], r["b_lo"], r["b_hi"]): r["sz"] for r in final.collect()
+    }
+    want = {
+        (r["band"], r["b_lo"], r["b_hi"]): r["sz"]
+        for r in _poly_minhash_bands(docs)
+        .groupBy("band", "b_lo", "b_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # red under broken commit order
+    broken_total = (
+        final.unionByName(
+            _poly_minhash_bands(b1)
+            .groupBy("band", "b_lo", "b_hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        )
+        .agg(F.sum("sz"))
+        .collect()[0][0]
+    )
+    assert broken_total > sum(want.values())
+
+
+def test_streaming_bloom_crash_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Crash-mid-batch replay for the Bloom maintenance path: replayed
+    batch 1 must leave the signature equal to the batch signature of
+    the whole corpus (OR is idempotent, so even the broken latest-read
+    self-merge cannot corrupt it — both pinned). The red case for THIS
+    store is predecessor LOSS: a merge that writes the batch partial
+    without merging drops earlier batches' bits and introduces false
+    negatives, which the equality check detects."""
+    from etl_geonames_spark.operators.relational import bloom_signature
+    from etl_geonames_spark.streaming.pipeline import (
+        _bloom_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "bloom_state")
+
+    _bloom_merge_batch(b0, 0, state)
+    _bloom_merge_batch(b1, 1, state)
+    _bloom_merge_batch(b1, 1, state)  # crash-window replay
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {(r["word"], r["s"]) for r in final.collect()}
+    want = {
+        (r["word"], r["s"])
+        for r in bloom_signature(docs.select("doc_id"), "doc_id").collect()
+    }
+    assert got == want and len(want) > 0
+
+    # OR-idempotence: even merging batch 1's signature onto the LATEST
+    # snapshot changes nothing — the one counter-free store where the
+    # broken commit order is algebraically harmless
+    self_merged = {
+        (r["word"], r["s"])
+        for r in final.unionByName(
+            bloom_signature(b1.select("doc_id"), "doc_id")
+        )
+        .groupBy("word")
+        .agg(F.bit_or("s").alias("s"))
+        .collect()
+    }
+    assert self_merged == want
+
+    # red: dropping the predecessor loses batch-0 bits
+    lost = {
+        (r["word"], r["s"])
+        for r in bloom_signature(b1.select("doc_id"), "doc_id").collect()
+    }
+    assert lost != want
+
+
+def test_streaming_index_crash_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Crash-mid-batch replay for the inverted-index maintenance path:
+    replayed batch 1 must leave postings equal to the batch index
+    (postings are sets — distinct absorbs the re-union). Red case: a
+    BROKEN merge that appends postings without array_distinct inflates
+    df for every word batch 1 touched, proving set discipline (not
+    luck) is what makes the replay idempotent."""
+    import __spark_entry__ as entry_mod
+
+    from etl_geonames_spark.streaming.pipeline import (
+        _index_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "index_state")
+
+    _index_merge_batch(b0, 0, state)
+    _index_merge_batch(b1, 1, state)
+    _index_merge_batch(b1, 1, state)  # crash-window replay
+
+    final = _read_versioned(spark, state, before=10**6)
+    got = {r["word"]: (r["df"], list(r["postings"])) for r in final.collect()}
+    batch = entry_mod.queries()["llm_inverted_index"](spark, sf_dir)
+    want = {
+        r["word"]: (r["df"], [int(x) for x in r["postings"].split(",")])
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # red: append-without-distinct inflates total posting mass
+    b1_partial = (
+        b1.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .groupBy("word")
+        .agg(F.collect_list("doc_id").alias("postings"))
+    )
+    broken_mass = (
+        final.select("word", "postings")
+        .unionByName(b1_partial)
+        .groupBy("word")
+        .agg(F.flatten(F.collect_list("postings")).alias("postings"))
+        .agg(F.sum(F.size("postings")))
+        .collect()[0][0]
+    )
+    correct_mass = sum(len(p) for _, p in got.values())
+    assert broken_mass > correct_mass
+
+
+def test_streaming_rollup_broken_commit_order_is_red(
+    spark, sf_dir, tmp_path
+):
+    """Companion red case for test_streaming_rollup_retry_is_idempotent
+    (VERDICT r7 item 3): merging batch 1 onto the LATEST snapshot (its
+    own v00001 output) double-counts — the failure mode the
+    predecessor-read discipline exists to prevent, shown detectable."""
+    from etl_geonames_spark.streaming import read_upsert_state
+    from etl_geonames_spark.streaming.pipeline import _rollup_merge_batch
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+
+    _rollup_merge_batch(b0, 0, state)
+    _rollup_merge_batch(b1, 1, state)
+    cur = read_upsert_state(spark, state)
+    correct_n = cur.agg(F.sum("n_events")).collect()[0][0]
+    assert correct_n == ev.count()
+
+    b1_partial = b1.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    broken_n = (
+        cur.select("hour", "event_type", "n_events", "sum_value")
+        .unionByName(b1_partial)
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert broken_n == correct_n + b1.count() > correct_n
+
+
+def test_streaming_cdc_chunk_broken_commit_order_is_red(
+    spark, sf_dir, tmp_path
+):
+    """Companion red case for test_streaming_cdc_chunk_crash_replay:
+    merging batch 1's chunk partial onto the LATEST snapshot inflates
+    occurrence counts — detectable, so the green replay test is
+    meaningful."""
+    from etl_geonames_spark.operators.curation import cdc_chunks
+    from etl_geonames_spark.streaming.pipeline import (
+        _cdc_chunk_merge_batch,
+        _read_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "cdc_state")
+    _cdc_chunk_merge_batch(b0, 0, state)
+    _cdc_chunk_merge_batch(b1, 1, state)
+
+    cur = _read_versioned(spark, state, before=10**6)
+    correct_occ = cur.agg(F.sum("n_occ")).collect()[0][0]
+    b1_partial = cdc_chunks(b1).groupBy(
+        F.col("c.chash").alias("chunk_hash")
+    ).agg(
+        F.min("c.clen").cast("long").alias("chunk_len"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    broken = (
+        cur.unionByName(b1_partial)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_occ").cast("long").alias("n_occ"),
+        )
+    )
+    broken_occ = broken.agg(F.sum("n_occ")).collect()[0][0]
+    assert broken_occ > correct_occ
