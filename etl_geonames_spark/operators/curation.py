@@ -3897,42 +3897,45 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCS_KS = (2, 4, 8, 16)  # prefix lengths probed (tokens)
 
 
-def _pcs_k_sql(k: int) -> str:
-    return f"""
-    SELECT {k} AS prefix_k,
-           CAST(COUNT(*) AS BIGINT) AS n_docs_eligible,
-           CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT)
-               AS n_docs_shared,
-           CAST(COUNT(DISTINCT CASE WHEN c >= 2 THEN ph END) AS BIGINT)
-               AS n_shared_groups,
-           CAST(COALESCE(SUM(CASE WHEN c >= 2 AND rn > 1
-                                  THEN {k} ELSE 0 END), 0) AS BIGINT)
-               AS saved_tokens
-    FROM (
-      SELECT ph, COUNT(*) OVER (PARTITION BY ph) AS c,
-             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id) AS rn
-      FROM (
-        SELECT doc_id,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(tk[1:{k}],
-                       w -> {{PH}})),
-                   (acc, x) -> (acc * 131 + x) % {_FH_P}) AS ph
-        FROM tt WHERE len(tk) >= {k}
-      ) h
-    ) g
-    """
-
-
 @query(
     "llm_prefix_cache_stats",
     oracle=f"""
     WITH tt AS (
       SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS tk
       FROM documents
+    ),
+    ex AS (
+      SELECT ks.k AS prefix_k,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk[1:ks.k],
+                     w -> {_PH_SQL.format(w="w")})),
+                 (acc, x) -> (acc * 131 + x) % {_FH_P}) AS ph
+      FROM tt, (VALUES (2), (4), (8), (16)) ks(k)
+      WHERE len(tk) >= ks.k
+    ),
+    g AS (
+      SELECT prefix_k, ph, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex GROUP BY prefix_k, ph
+    ),
+    a AS (
+      SELECT prefix_k,
+             CAST(SUM(c) AS BIGINT) AS n_docs_eligible,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+                 AS n_docs_shared,
+             CAST(COUNT(*) FILTER (WHERE c >= 2) AS BIGINT)
+                 AS n_shared_groups,
+             CAST(COALESCE(SUM((c - 1) * prefix_k)
+                           FILTER (WHERE c >= 2), 0) AS BIGINT)
+                 AS saved_tokens
+      FROM g GROUP BY prefix_k
     )
-    {" UNION ALL ".join(
-        _pcs_k_sql(k).replace("{PH}", _PH_SQL.format(w="w"))
-        for k in _PCS_KS)}
+    SELECT ks.k AS prefix_k,
+           CAST(COALESCE(n_docs_eligible, 0) AS BIGINT) AS n_docs_eligible,
+           CAST(COALESCE(n_docs_shared, 0) AS BIGINT) AS n_docs_shared,
+           CAST(COALESCE(n_shared_groups, 0) AS BIGINT) AS n_shared_groups,
+           CAST(COALESCE(saved_tokens, 0) AS BIGINT) AS saved_tokens
+    FROM (VALUES (2), (4), (8), (16)) ks(k)
+    LEFT JOIN a ON a.prefix_k = ks.k
     """,
 )
 def llm_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3948,59 +3951,70 @@ def llm_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether prefix caching is worth deploying on a workload.
 
     Prefix identity is the cross-engine Horner fold over the first k
-    token hashes (full value-hash oracle); the per-k membership is a
-    window count over the prefix-hash groups with a deterministic
-    first-document exemption (row_number by doc_id — the cache's
-    one mandatory cold fill per group).
+    token hashes (full value-hash oracle). The exemption of one
+    mandatory cold fill per shared group needs no per-row ranking:
+    saved_tokens = Σ_group (c − 1)·k depends only on group SIZES, so
+    the whole query is two keyed aggregates — no window at all.
 
-    100 TB shape: per k one map-side projection (one 8-byte hash per
-    doc) + one hash-partitioned window over prefix groups — group
-    sizes are the only state; the 4-k union is 4 independent narrow
-    passes, each column-pruned to (doc_id, k tokens)."""
+    100 TB shape (fused, VERDICT r7 item 5 — replaces the original
+    4-independent-passes × 2-windows form, census 12 shuffles → 2):
+    one map-side explode of k ∈ {{2,4,8,16}} per eligible doc (≤ 4
+    rows of (k, 8-byte hash) each), ONE map-side-combined hash
+    aggregate to (k, prefix)-group sizes, then a 4-row per-k
+    re-aggregate; a broadcast left join against the static k dim
+    keeps empty-k rows present (all-short corpora emit zeros, not
+    missing rows — pinned in tests/test_edge_inputs.py)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
-    tt = docs.select("doc_id", tk.alias("tk")).localCheckpoint()
+    tt = docs.select("doc_id", tk.alias("tk"))
     P = _FH_P
-    out = None
-    for k in _PCS_KS:
-        h = tt.filter(F.size("tk") >= k).select(
-            "doc_id",
+    ks_arr = F.array(*[F.lit(k) for k in _PCS_KS])
+
+    def _pair(k):
+        return F.struct(
+            k.alias("prefix_k"),
             F.aggregate(
-                F.transform(F.slice("tk", 1, k), poly_hash),
+                F.transform(F.slice("tk", F.lit(1), k), poly_hash),
                 F.lit(0).cast("long"),
                 lambda acc, x: (acc * 131 + x) % P,
             ).alias("ph"),
         )
-        w = Window.partitionBy("ph")
-        wrn = Window.partitionBy("ph").orderBy("doc_id")
-        g = h.select(
-            "ph",
-            F.count(F.lit(1)).over(w).alias("c"),
-            F.row_number().over(wrn).alias("rn"),
-        )
-        row = g.agg(
-            F.lit(k).alias("prefix_k"),
-            F.count(F.lit(1)).cast("long").alias("n_docs_eligible"),
-            F.coalesce(
-                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)), F.lit(0)
+
+    ex = tt.select(
+        F.explode(
+            F.transform(
+                F.filter(ks_arr, lambda k: k <= F.size("tk")), _pair
             )
-            .cast("long")
-            .alias("n_docs_shared"),
-            F.countDistinct(
-                F.when(F.col("c") >= 2, F.col("ph"))
+        ).alias("p")
+    ).select("p.prefix_k", "p.ph")
+    g = ex.groupBy("prefix_k", "ph").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c = F.col("c")
+    a = g.groupBy("prefix_k").agg(
+        F.sum(c).cast("long").alias("n_docs_eligible"),
+        F.coalesce(F.sum(F.when(c >= 2, c)), F.lit(0))
+        .cast("long")
+        .alias("n_docs_shared"),
+        F.coalesce(F.sum(F.when(c >= 2, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_shared_groups"),
+        F.coalesce(F.sum(F.when(c >= 2, (c - 1) * F.col("prefix_k"))), F.lit(0))
+        .cast("long")
+        .alias("saved_tokens"),
+    )
+    kdim = spark.createDataFrame(
+        [(k,) for k in _PCS_KS], "prefix_k int"
+    )
+    return kdim.join(F.broadcast(a), "prefix_k", "left").select(
+        "prefix_k",
+        *[
+            F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+            for col in (
+                "n_docs_eligible",
+                "n_docs_shared",
+                "n_shared_groups",
+                "saved_tokens",
             )
-            .cast("long")
-            .alias("n_shared_groups"),
-            F.coalesce(
-                F.sum(
-                    F.when((F.col("c") >= 2) & (F.col("rn") > 1), k).otherwise(
-                        0
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("saved_tokens"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        ],
+    )
