@@ -68,6 +68,11 @@ OPS = [
     # is the bill)
     "llm_cdc_chunk_dedup",
     "llm_overlap_stitch",
+    # round-8 (VERDICT r7 item 4): fused prefix-cache stats — one
+    # (k, prefix-hash) keyed agg; replication multiplies group SIZES
+    # 10x, keys stay fixed, so wall should track the explode/count
+    # pass (~linear in docs), like the CDC chunk census
+    "llm_prefix_cache_stats",
 ]
 
 
@@ -102,7 +107,37 @@ def main() -> None:
         timings[name] = {"wall_s": wall, "rows": rows}
         print(f"# {name}: {wall}s, {rows} rows", file=sys.stderr)
 
-    print(json.dumps({"n_docs": n_docs, "ops": timings}))
+    # ROUGE-L length-scaling stanza (VERDICT r7 item 4): the eval
+    # slice is pinned at doc_id < 200 (pairs can't be replicated into
+    # it), so the per-pair O(m·n) DP bill is probed on the LENGTH
+    # axis instead — text x4 (~390 tokens/side, under the 512 cap:
+    # ~16x DP cells vs base) and x8 (~780 tokens, the cap CLAMPS both
+    # sides to 512: cells grow ~27x vs base instead of the uncapped
+    # 64x, and every pair flips `capped`). Linear-in-pairs follows
+    # from the plan shape (one equi-join + map-side DP); this pins
+    # the other factor of the bill and proves the guard engages.
+    rouge_probe = {}
+    for mult in (1, 4, 8):
+        rdir = f"{tmp}/rouge_x{mult}"
+        docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.array_repeat(F.col("text"), mult)
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).write.mode("overwrite").parquet(f"{rdir}/documents.parquet")
+        t0 = time.perf_counter()
+        df = qs["llm_rouge_l"](spark, rdir)
+        df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        n_capped = df.filter(F.col("capped")).count()
+        rouge_probe[f"x{mult}"] = {"wall_s": wall, "n_capped": n_capped}
+        print(f"# llm_rouge_l x{mult}: {wall}s, capped={n_capped}",
+              file=sys.stderr)
+
+    print(json.dumps(
+        {"n_docs": n_docs, "ops": timings, "rouge_len_probe": rouge_probe}
+    ))
 
 
 if __name__ == "__main__":

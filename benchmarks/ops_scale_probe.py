@@ -54,6 +54,11 @@ OPS = [
     "ts_allen_relations",
     "geo_kde_grid",
     "llm_pq_search_adc",
+    # round-8 (VERDICT r7 item 4): frontier BFS with min-dist labels —
+    # bill = rounds x |E| (one edge equi-join + one (seed, node)
+    # min-agg per hop); 10x edges should give ~linear wall like the
+    # khop sibling, never path-count blowup (the min-agg dedups)
+    "graph_harmonic_centrality",
 ]
 
 

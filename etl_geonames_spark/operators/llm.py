@@ -4772,21 +4772,32 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# O(m·n) DP guard: each ROUGE-L side is truncated to this many tokens
+# before the LCS fold (a `capped` marker records truncation). 512²
+# ≈ 262k cells is the per-pair ceiling regardless of document length —
+# same contractual-cap pattern as llm_exact_shared_run's extension cap.
+_ROUGE_MAX_TOKENS = 512
+
+
 @query(
     "llm_rouge_l",
+    # keep the SQL's [1:512] slices in sync with _ROUGE_MAX_TOKENS
     oracle=f"""
     WITH t AS (
       SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
-             list_filter(str_split(text, ' '), w -> w <> '') AS tk
+             list_filter(str_split(text, ' '), w -> w <> '')[1:512] AS tk,
+             len(list_filter(str_split(text, ' '), w -> w <> '')) > 512
+                 AS side_capped
       FROM documents WHERE doc_id < 200
     ),
     p AS (
-      SELECT a.pair_id, a.tk AS ta, b.tk AS tb
+      SELECT a.pair_id, a.tk AS ta, b.tk AS tb,
+             a.side_capped OR b.side_capped AS capped
       FROM t a JOIN t b ON a.pair_id = b.pair_id
       WHERE a.side = 0 AND b.side = 1
     ),
     d AS (
-      SELECT pair_id,
+      SELECT pair_id, capped,
              CAST(len(ta) AS BIGINT) AS ref_len,
              CAST(len(tb) AS BIGINT) AS cand_len,
              CAST(CASE WHEN len(ta) > 0 AND len(tb) > 0 THEN
@@ -4807,7 +4818,7 @@ def llm_edit_distance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 0 END AS BIGINT) AS lcs
       FROM p
     )
-    SELECT pair_id, ref_len, cand_len, lcs,
+    SELECT pair_id, ref_len, cand_len, lcs, capped,
            CASE WHEN ref_len > 0
                 THEN {sql_qround('lcs / CAST(ref_len AS DOUBLE)', 6)}
            END AS rouge_l_r,
@@ -4847,25 +4858,31 @@ def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-evaluated DP per pair — an eval-slice op (doc_id < 200
     contract, like the BLEU sibling), not a corpus-pairs op; behind
     a blocked candidate generator it is the order-aware refine
-    stage."""
+    stage. The per-pair DP is bounded by the _ROUGE_MAX_TOKENS = 512
+    truncation cap (`capped` marks affected pairs; fixture docs
+    max out under 100 tokens, so fixture output is unchanged) —
+    without it one pathological pair of book-length docs would own
+    the stage wall. Probe-pinned linear-in-pairs in
+    benchmarks/dedup_scale_probe.py."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
+    tk_full = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     t = docs.select(
         (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
-        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias(
-            "tk"
-        ),
+        F.slice(tk_full, 1, _ROUGE_MAX_TOKENS).alias("tk"),
+        (F.size(tk_full) > _ROUGE_MAX_TOKENS).alias("side_capped"),
     )
     a = t.filter(F.col("side") == 0).select(
-        "pair_id", F.col("tk").alias("ta")
+        "pair_id", F.col("tk").alias("ta"), F.col("side_capped").alias("ac")
     )
     b = t.filter(F.col("side") == 1).select(
-        "pair_id", F.col("tk").alias("tb")
+        "pair_id", F.col("tk").alias("tb"), F.col("side_capped").alias("bc")
     )
     d = a.join(b, "pair_id").select(
         "pair_id",
+        (F.col("ac") | F.col("bc")).alias("capped"),
         F.size("ta").cast("long").alias("ref_len"),
         F.size("tb").cast("long").alias("cand_len"),
         F.expr(
@@ -4889,6 +4906,7 @@ def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_len",
         "cand_len",
         "lcs",
+        "capped",
         F.when(
             F.col("ref_len") > 0,
             qround(F.col("lcs") / F.col("ref_len").cast("double"), 6),
