@@ -4018,3 +4018,294 @@ def llm_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier feature export + bucketed bin packing (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_quality_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             list_filter(str_split(text, ' '), w -> w <> '') AS tk,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             END AS ttr_raw,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(COALESCE(list_sum(
+                           list_transform(tk, w -> length(w))), 0) AS DOUBLE)
+                       / len(tk)
+             END AS mwl_raw,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(len(list_filter(tk,
+                           w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                       / len(tk)
+             END AS alpha_raw,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(len(list_filter(tk,
+                           w -> list_contains([{_STOP_SQL}], w))) AS DOUBLE)
+                       / len(tk)
+             END AS stop_raw,
+             CASE WHEN len(tk) >= 2
+                  THEN CAST(len(list_distinct(list_transform(
+                           generate_series(1, len(tk) - 1),
+                           i -> tk[i] || chr(1) || tk[i + 1]))) AS DOUBLE)
+                       / (len(tk) - 1)
+             END AS bttr_raw
+      FROM s
+    ),
+    counts AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> '' GROUP BY doc_id, word
+    ),
+    vocab AS (
+      SELECT word, CAST(SUM(n) AS BIGINT) AS c FROM counts GROUP BY word
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS top_cnt,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             SUM(n * LN(v.c / t.total)) AS lpsum
+      FROM counts JOIN vocab v USING (word), tot t
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens,
+           FLOOR(ttr_raw * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+           FLOOR(mwl_raw * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+           FLOOR(alpha_raw * 1000000.0 + 0.5) / 1000000.0 AS alpha_frac,
+           FLOOR(stop_raw * 1000000.0 + 0.5) / 1000000.0 AS stop_frac,
+           FLOOR(bttr_raw * 1000000.0 + 0.5) / 1000000.0 AS bigram_ttr,
+           CASE WHEN p.nt > 0
+                THEN FLOOR(CAST(p.top_cnt AS DOUBLE) / p.nt
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS top_frac,
+           CASE WHEN p.nt > 0
+                THEN FLOOR(p.lpsum / p.nt * 1000000.0 + 0.5) / 1000000.0
+           END AS mean_logprob,
+           COALESCE(b.n_tokens >= 10 AND mwl_raw >= 2.0 AND mwl_raw <= 12.0
+                    AND alpha_raw >= 0.7 AND stop_raw > 0.0, FALSE)
+               AS gopher_pass
+    FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+    """,
+)
+def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier feature-vector export (VERDICT r7 item 7):
+    one training-ready table joining the corpus quality signals the
+    individual ops report separately — type-token ratio and bigram
+    TTR (compressibility proxies for the zlib signal), mean word
+    length / alphabetic fraction / stop-word fraction (the Gopher
+    rule family, Rae et al. 2021 §A1.1), top-token share (repetition),
+    unigram mean log-probability (the CCNet-style perplexity proxy,
+    Wenzek et al. 2020), and the composed boolean Gopher gate. This
+    is the table a fastText/logreg quality classifier trains on —
+    label column joined by the caller.
+
+    Shape: the map-only features ride the scan; ONE corpus explode
+    builds (doc_id, word) counts, localCheckpointed because it feeds
+    BOTH the per-doc branch (top count, token total, logprob sum) and
+    the vocab branch (word totals → broadcast back); one doc-keyed
+    left join stitches the branches. Ratios guard zero denominators
+    (ANSI + edge fixtures: empty docs emit NULL features, absent
+    explode rows LEFT-JOIN to NULL top_frac/mean_logprob, empty
+    corpus yields zero rows). qround(6) floor-form everywhere.
+
+    100 TB: 3 corpus-scale shuffles (doc-word agg, per-doc agg, the
+    doc-keyed stitch join) + vocab-sized broadcasts — same bill as
+    llm_unigram_logprob plus one join; never a second text scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    n = F.size("tk")
+    nd = n.cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    big = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at("tk", i), F.lit("\x01"), F.element_at("tk", i + 1)
+        ),
+    )
+    base = docs.select("doc_id", "lang", tk.alias("tk")).select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct("tk")) / nd).alias("ttr_raw"),
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.transform("tk", F.length),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / nd,
+        ).alias("mwl_raw"),
+        F.when(
+            n > 0,
+            F.size(F.filter("tk", lambda w: w.rlike("[a-zA-Z]"))) / nd,
+        ).alias("alpha_raw"),
+        F.when(
+            n > 0,
+            F.size(
+                F.filter("tk", lambda w: F.array_contains(stop_arr, w))
+            )
+            / nd,
+        ).alias("stop_raw"),
+        F.when(
+            n >= 2, F.size(F.array_distinct(big)) / (nd - F.lit(1.0))
+        ).alias("bttr_raw"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    vocab = counts.groupBy("word").agg(F.sum("n").cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    perdoc = (
+        counts.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("top_cnt"),
+            F.sum("n").cast("long").alias("nt"),
+            F.sum(
+                F.col("n") * F.log(F.col("c") / F.col("total"))
+            ).alias("lpsum"),
+        )
+    )
+    out = base.join(perdoc, "doc_id", "left")
+    nt = F.col("nt")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        qround(F.col("ttr_raw"), 6).alias("ttr"),
+        qround(F.col("mwl_raw"), 6).alias("mean_word_len"),
+        qround(F.col("alpha_raw"), 6).alias("alpha_frac"),
+        qround(F.col("stop_raw"), 6).alias("stop_frac"),
+        qround(F.col("bttr_raw"), 6).alias("bigram_ttr"),
+        F.when(nt > 0, qround(F.col("top_cnt") / nt.cast("double"), 6)).alias(
+            "top_frac"
+        ),
+        F.when(nt > 0, qround(F.col("lpsum") / nt, 6)).alias("mean_logprob"),
+        F.coalesce(
+            (F.col("n_tokens") >= 10)
+            & (F.col("mwl_raw") >= 2.0)
+            & (F.col("mwl_raw") <= 12.0)
+            & (F.col("alpha_raw") >= 0.7)
+            & (F.col("stop_raw") > 0.0),
+            F.lit(False),
+        ).alias("gopher_pass"),
+    )
+
+
+_PACK_CTX = 8192  # packing-v2 context budget (tokens per bin)
+
+
+@query(
+    "llm_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                  WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                  WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+                  WHEN nt <= 4096 THEN 4096 ELSE 8192 END AS bucket
+      FROM t
+    ),
+    r AS (
+      SELECT bucket, nt,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+                 AS rk
+      FROM b
+    ),
+    a AS (
+      SELECT bucket,
+             CAST(rk // GREATEST({_PACK_CTX} // bucket, 1) AS BIGINT)
+                 AS bin_id,
+             nt
+      FROM r
+    )
+    SELECT CAST(bucket AS INT) AS bucket, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           FLOOR(CAST(SUM(nt) AS DOUBLE) / {_PACK_CTX}
+                 * 1000000.0 + 0.5) / 1000000.0 AS utilization
+    FROM a GROUP BY bucket, bin_id
+    """,
+)
+def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware packing v2 (VERDICT r7 item 7): deterministic
+    bucketed bin packing against llm_bucket_by_length's power-of-two
+    ladder. Within each bucket, capacity = ⌊CTX / bucket⌋ same-bucket
+    documents fill one _PACK_CTX = 8192-token bin (bucket-64 docs
+    pack 128 per bin, bucket-8192 docs get a bin each); bin identity
+    is the per-bucket doc_id-order rank divided by capacity. This is
+    the practical pretraining packing scheme — same-bucket grouping
+    bounds per-bin padding waste by the bucket's own pad_waste, while
+    true first-fit-decreasing is inherently sequential and
+    unshardable. Output per (bucket, bin): document count, real token
+    mass, and utilization = tokens / CTX (the packing efficiency a
+    batch scheduler reads; (1 − utilization) is paid as padding).
+
+    Per-bucket rank is NOT a bucket-partitioned window — ≤ 8 buckets
+    means each partition is ~corpus/8, a near-global single-task sort
+    (the global-window ban, CLAUDE.md). Instead the GLOBAL
+    distributed_rank on (bucket, doc_id) — one range exchange +
+    metadata-sized offsets — gives per-bucket rank as
+    _grn − min(_grn over the bucket), with the 8-row minimum table
+    broadcast back.
+
+    100 TB: one range repartition, one ≤8-row broadcast join, one
+    (bucket, bin) hash aggregate. Deterministic: rank order is
+    (bucket, doc_id), no floats in the assignment."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split("text", " ")).cast("long")
+    bucket = F.lit(8192)
+    for bb in reversed(_LEN_BUCKETS):
+        bucket = F.when(nt <= bb, bb).otherwise(bucket)
+    b = docs.select(
+        "doc_id", nt.alias("nt"), bucket.cast("int").alias("bucket")
+    )
+    ranked = distributed_rank(b, ["bucket", "doc_id"])
+    first = ranked.groupBy("bucket").agg(F.min("_grn").alias("_bbase"))
+    cap = F.greatest(
+        F.floor(F.lit(_PACK_CTX) / F.col("bucket")), F.lit(1)
+    )
+    return (
+        ranked.join(F.broadcast(first), "bucket")
+        .select(
+            "bucket",
+            F.floor((F.col("_grn") - F.col("_bbase")) / cap)
+            .cast("long")
+            .alias("bin_id"),
+            "nt",
+        )
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "utilization",
+            qround(
+                F.col("sum_tokens").cast("double") / F.lit(_PACK_CTX), 6
+            ),
+        )
+    )

@@ -243,6 +243,13 @@ def edge_ddb(edge_sf_dir):
         # (n_boundary 0 rows must agree)
         "stat_cochran_armitage",
         "mm_image_blockiness",
+        # round-8: feature export over empty/1-token docs (NULL
+        # ratios, LEFT-JOIN NULL logprob, gopher_pass coalesces to
+        # FALSE); packing over the tiny-bucket-only corpus; the
+        # substring census where no doc reaches 3 tokens (0 rows)
+        "llm_quality_features",
+        "llm_pack_bins",
+        "llm_substring_census",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -1718,3 +1718,75 @@ def test_round7_batch3_invariants(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "stat_cochran_armitage")
     assert 0 <= r["n_success"] <= r["n"]
     assert 0 <= r["sum_wy"] <= r["sum_w"]
+
+
+def test_substring_census_exact_vs_python_and_dominates_capped(
+    spark, sf_dir
+):
+    """llm_substring_census is the uncapped ground truth of the
+    shared-substring family: (a) on a bounded sub-slice it EQUALS a
+    pure-Python brute-force third implementation pair-for-pair, and
+    (b) corpus-wide it dominates both capped approximations —
+    llm_exact_shared_run's seed-and-extend (df/occ/extension caps)
+    and llm_longest_shared_gram's doubling probe (df caps) can only
+    report real shared runs, so census.lcs_tokens >= their reported
+    lengths on every common pair."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    census = {
+        (r["doc_a"], r["doc_b"]): (r["lcs_tokens"], r["n_shared_3grams"])
+        for r in qs["llm_substring_census"](spark, sf_dir).collect()
+    }
+    assert census, "census must find shared runs on the fixture"
+
+    # (a) exact equality vs python brute force on doc_id < 60
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+        for r in rows
+    }
+    gram_docs: dict = {}
+    for d, tk in toks.items():
+        n = len(tk)
+        seen = set()
+        for l in range(3, n + 1):
+            for s in range(0, n - l + 1):
+                g = (l, tuple(tk[s : s + l]))
+                if g not in seen:
+                    seen.add(g)
+                    gram_docs.setdefault(g, []).append(d)
+    want: dict = {}
+    for (l, _), ds in gram_docs.items():
+        for i in range(len(ds)):
+            for k in range(i + 1, len(ds)):
+                pair = (ds[i], ds[k])
+                best, c3 = want.get(pair, (0, 0))
+                want[pair] = (max(best, l), c3 + (1 if l == 3 else 0))
+    got_sub = {
+        p: v for p, v in census.items() if p[0] < 60 and p[1] < 60
+    }
+    assert got_sub == want
+
+    # (b) census dominates the capped approximations on common pairs
+    dominated = 0
+    for name, lcol in (
+        ("llm_exact_shared_run", "exact_l"),
+        ("llm_longest_shared_gram", "longest_l"),
+    ):
+        for r in qs[name](spark, sf_dir).collect():
+            if r["doc_a"] < 200 and r["doc_b"] < 200 and r[lcol] >= 3:
+                pair = (r["doc_a"], r["doc_b"])
+                assert pair in census, (name, pair)
+                assert census[pair][0] >= r[lcol], (name, pair)
+                dominated += 1
+    assert dominated > 0
