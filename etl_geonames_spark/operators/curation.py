@@ -4309,3 +4309,144 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_metric_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(
+                 list_filter(str_split(text, ' '), t -> t <> '')))
+                 AS BIGINT) AS y
+      FROM documents WHERE doc_id < 200
+    ),
+    p AS (
+      SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM m a JOIN m b ON a.doc_id < b.doc_id
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN (xa < xb AND ya < yb)
+                                      OR (xa > xb AND ya > yb)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS concordant,
+             CAST(COALESCE(SUM(CASE WHEN (xa < xb AND ya > yb)
+                                      OR (xa > xb AND ya < yb)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS discordant,
+             CAST(COALESCE(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS ties_x,
+             CAST(COALESCE(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS ties_y
+      FROM p
+    )
+    SELECT n, concordant, discordant, ties_x, ties_y,
+           CASE WHEN n * (n - 1) / 2 - ties_x > 0
+                 AND n * (n - 1) / 2 - ties_y > 0
+                THEN FLOOR(CAST(concordant - discordant AS DOUBLE)
+                     / sqrt(CAST(n * (n - 1) / 2 - ties_x AS DOUBLE)
+                            * CAST(n * (n - 1) / 2 - ties_y AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS tau_b
+    FROM s
+    """,
+)
+def llm_metric_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the same two per-document metrics
+    llm_metric_spearman correlates (length in chars vs vocabulary
+    size) — the concordance-based association measure eval
+    methodology prefers when comparing METRIC RANKINGS (e.g. does an
+    automatic quality score order documents the way a gold signal
+    does): τ counts pairwise order agreements directly, so it is
+    robust to the outlier pairs that stretch Spearman's rank
+    differences, and τ-b corrects both tie margins (Kendall 1945).
+
+    Exact integer core: concordant / discordant / tie-pair counts
+    over all slice pairs, one float division at emit (qround 6;
+    n0 − n1 and n0 − n2 guards cover the all-tied degenerate corpus).
+
+    Scale contract, honestly: the pair census is O(n²) in the slice
+    (doc_id < 200 like the ROUGE/BLEU eval ops — 19.9k pairs), which
+    is the textbook exact form; the corpus-scale path is a
+    merge-sort inversion count (O(n log n)), worth building only if
+    τ is ever needed corpus-wide — Spearman (distributed_rank-based,
+    corpus-wide) is the production-scale rank correlation here."""
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("x"),
+            F.size(
+                F.array_distinct(
+                    F.filter(
+                        F.split("text", " "), lambda t: t != F.lit("")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = m.select(
+        F.col("doc_id").alias("ida"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = m.select(
+        F.col("doc_id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = a.crossJoin(F.broadcast(b)).filter(F.col("ida") < F.col("idb"))
+    xa, xb, ya, yb = (F.col(c) for c in ("xa", "xb", "ya", "yb"))
+    s = p.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((xa < xb) & (ya < yb)) | ((xa > xb) & (ya > yb)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((xa < xb) & (ya > yb)) | ((xa > xb) & (ya < yb)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("discordant"),
+        F.coalesce(F.sum(F.when(xa == xb, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("ties_x"),
+        F.coalesce(F.sum(F.when(ya == yb, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("ties_y"),
+    )
+    n_tbl = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = n_tbl.crossJoin(s)
+    n = F.col("n")
+    n0 = n * (n - 1) / 2
+    dx = (n0 - F.col("ties_x")).cast("double")
+    dy = (n0 - F.col("ties_y")).cast("double")
+    return out.select(
+        "n",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(
+            (n0 - F.col("ties_x") > 0) & (n0 - F.col("ties_y") > 0),
+            qround(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(dx * dy),
+                6,
+            ),
+        ).alias("tau_b"),
+    )

@@ -3829,3 +3829,121 @@ def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("swy").alias("sum_wy"),
         F.when(ok, qround(z, 6)).alias("z_trend"),
     )
+
+
+@query(
+    "stat_fleiss_kappa",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             (CASE WHEN len(tk) >= 10 THEN 1 ELSE 0 END
+              + CASE WHEN len(tk) > 0 AND
+                          CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                          >= 0.5 THEN 1 ELSE 0 END
+              + CASE WHEN len(tk) > 0 AND
+                          CAST(COALESCE(list_sum(list_transform(tk,
+                              w -> length(w))), 0) AS DOUBLE) / len(tk)
+                          BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS n1
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n1) AS BIGINT) AS t1,
+             CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
+      FROM v
+    )
+    SELECT n, t1,
+           CASE WHEN n > 0 THEN
+             {sql_qround('(sq - 3.0 * n) / (6.0 * n)', 6)} END AS p_bar,
+           CASE WHEN n > 0 THEN
+             {sql_qround(
+                 '(CAST(t1 AS DOUBLE) * t1'
+                 ' + (3.0 * n - t1) * (3.0 * n - t1))'
+                 ' / (9.0 * n * n)', 6)} END AS p_e,
+           CASE WHEN n > 0 AND
+                     (CAST(t1 AS DOUBLE) * t1
+                      + (3.0 * n - t1) * (3.0 * n - t1))
+                     / (9.0 * n * n) < 1.0 THEN
+             {sql_qround(
+                 '((sq - 3.0 * n) / (6.0 * n)'
+                 ' - (CAST(t1 AS DOUBLE) * t1'
+                 '    + (3.0 * n - t1) * (3.0 * n - t1)) / (9.0 * n * n))'
+                 ' / (1.0 - (CAST(t1 AS DOUBLE) * t1'
+                 '    + (3.0 * n - t1) * (3.0 * n - t1)) / (9.0 * n * n))',
+                 6)}
+           END AS kappa
+    FROM s
+    """,
+)
+def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ (Fleiss 1971) for m = 3 raters × 2 categories: the
+    multi-rater generalization of stat_cohens_kappa, here measuring
+    agreement between three independent rule-based quality gates
+    (token-count ≥ 10, type-token ratio ≥ 0.5, mean word length in
+    [2, 12]) each voting good/bad per document. High κ says the
+    cheap gates are redundant; κ near 0 says they capture different
+    failure modes and a curation funnel needs all of them — the
+    quantified version of the question llm_quality_funnel answers by
+    stage counts.
+
+    Exact integer core: per-doc good-vote count n1 ∈ {{0..3}} and the
+    two corpus sums Σn1 and Σ(n1² + (3−n1)²); P̄, P_e and κ are
+    fixed-shape double expressions over (n, t1, sq), qround(6).
+    Unanimity (P_e = 1, κ undefined) and the empty corpus emit NULL.
+
+    100 TB: the votes are map-only array expressions riding the scan;
+    one 1-row global aggregate — the agg_global shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = docs.select(tk.alias("tk"))
+    n = F.size("tk")
+    # NULL-guarded ratios: a plain n > 0 conjunct would not stop ANSI
+    # from evaluating the division on empty docs (no short-circuit) —
+    # the when() wraps make the ratio itself NULL, and NULL predicates
+    # fall through to otherwise(0), matching the oracle's FALSE gates
+    nd = F.when(n > 0, n.cast("double"))
+    ttr = F.size(F.array_distinct("tk")) / nd
+    mwl = (
+        F.aggregate(
+            F.transform("tk", F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nd
+    )
+    n1 = (
+        F.when(n >= 10, 1).otherwise(0)
+        + F.when(ttr >= 0.5, 1).otherwise(0)
+        + F.when((mwl >= 2.0) & (mwl <= 12.0), 1).otherwise(0)
+    )
+    s = t.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("n1"), F.lit(0)).cast("long").alias("t1"),
+        F.coalesce(
+            F.sum(
+                F.col("n1") * F.col("n1")
+                + (F.lit(3) - F.col("n1")) * (F.lit(3) - F.col("n1"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    nn = F.col("n")
+    t1 = F.col("t1").cast("double")
+    p_bar = (F.col("sq") - 3.0 * nn) / (6.0 * nn)
+    p_e = (t1 * t1 + (3.0 * nn - t1) * (3.0 * nn - t1)) / (9.0 * nn * nn)
+    return s.select(
+        "n",
+        "t1",
+        F.when(nn > 0, qround(p_bar, 6)).alias("p_bar"),
+        F.when(nn > 0, qround(p_e, 6)).alias("p_e"),
+        F.when((nn > 0) & (p_e < 1.0), qround((p_bar - p_e) / (1.0 - p_e), 6)).alias(
+            "kappa"
+        ),
+    )

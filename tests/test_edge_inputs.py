@@ -250,6 +250,12 @@ def edge_ddb(edge_sf_dir):
         "llm_quality_features",
         "llm_pack_bins",
         "llm_substring_census",
+        # kendall over the near-degenerate slice (tie-dominated
+        # denominators NULL tau_b when a factor hits zero); fleiss
+        # gates on empty docs (NULL-guarded ratios vote 0, never
+        # throw) and unanimity NULLs kappa
+        "llm_metric_kendall",
+        "stat_fleiss_kappa",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

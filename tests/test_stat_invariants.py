@@ -1790,3 +1790,82 @@ def test_substring_census_exact_vs_python_and_dominates_capped(
                 assert census[pair][0] >= r[lcol], (name, pair)
                 dominated += 1
     assert dominated > 0
+
+
+def test_kendall_and_fleiss_match_python_replay(spark, sf_dir):
+    """Pure-Python third implementations of the round-8 agreement
+    stats: tau-b recomputed pair-by-pair from the fixture texts and
+    Fleiss' kappa recomputed vote-by-vote must equal the engine
+    outputs on the same qround grid (the differential only proves
+    Spark == DuckDB; this pins the math)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from etl_geonames_spark.sources import load_table
+
+    qs = entry_mod.queries()
+
+    # --- Kendall tau-b
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    pts = []
+    for r in rows:
+        tk = [w for w in r["text"].split(" ") if w != ""]
+        pts.append((r["n_chars"], len(set(tk))))
+    C = D = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            if xa == xb:
+                tx += 1
+            if ya == yb:
+                ty += 1
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                C += 1
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                D += 1
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    want_tau = math.floor(
+        (C - D) / math.sqrt((n0 - tx) * (n0 - ty)) * 1e6 + 0.5
+    ) / 1e6
+    got = qs["llm_metric_kendall"](spark, sf_dir).collect()[0]
+    assert (got["n"], got["concordant"], got["discordant"]) == (n, C, D)
+    assert (got["ties_x"], got["ties_y"]) == (tx, ty)
+    assert got["tau_b"] == want_tau
+
+    # --- Fleiss kappa
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    t1 = sq = 0
+    for text in texts:
+        tk = [w for w in text.split(" ") if w != ""]
+        nw = len(tk)
+        votes = 0
+        if nw >= 10:
+            votes += 1
+        if nw > 0 and len(set(tk)) / nw >= 0.5:
+            votes += 1
+        if nw > 0 and 2.0 <= sum(len(w) for w in tk) / nw <= 12.0:
+            votes += 1
+        t1 += votes
+        sq += votes * votes + (3 - votes) * (3 - votes)
+    N = len(texts)
+    p_bar = (sq - 3.0 * N) / (6.0 * N)
+    p_e = (t1 * t1 + (3.0 * N - t1) * (3.0 * N - t1)) / (9.0 * N * N)
+    want_kappa = math.floor((p_bar - p_e) / (1.0 - p_e) * 1e6 + 0.5) / 1e6
+    gf = qs["stat_fleiss_kappa"](spark, sf_dir).collect()[0]
+    assert (gf["n"], gf["t1"]) == (N, t1)
+    assert gf["kappa"] == want_kappa
+    # agreement bound: kappa <= 1 always; P_bar in [1/3, 1] for m=3
+    assert gf["kappa"] <= 1.0 and 1.0 / 3.0 <= gf["p_bar"] <= 1.0
