@@ -4283,13 +4283,28 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "doc_id", nt.alias("nt"), bucket.cast("int").alias("bucket")
     )
+    # Per-bucket rank base = 1 + Σ sizes of earlier buckets, derived
+    # from the ≤8-row bucket HISTOGRAM (window-free 8×8 self-join) —
+    # NOT min(_grn) over `ranked`: a second consumer of `ranked`
+    # re-executes the whole rank subplan per branch (census showed
+    # 14 shuffles / 4 windows; this form is 2 windows, win_ntile's)
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    prior = sizes.select(
+        F.col("bucket").alias("_pb"), F.col("_bn").alias("_pn")
+    )
+    base = (
+        sizes.join(prior, F.col("_pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            (F.coalesce(F.sum("_pn"), F.lit(0)) + F.lit(1)).alias("_bbase")
+        )
+    )
     ranked = distributed_rank(b, ["bucket", "doc_id"])
-    first = ranked.groupBy("bucket").agg(F.min("_grn").alias("_bbase"))
     cap = F.greatest(
         F.floor(F.lit(_PACK_CTX) / F.col("bucket")), F.lit(1)
     )
     return (
-        ranked.join(F.broadcast(first), "bucket")
+        ranked.join(F.broadcast(base), "bucket")
         .select(
             "bucket",
             F.floor((F.col("_grn") - F.col("_bbase")) / cap)

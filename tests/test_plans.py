@@ -684,3 +684,57 @@ def test_hurst_windows_partition_by_block(spark, sf_dir):
     )
     plan = explain_str(_hurst_blocks(idx, 8))
     assert "windowspecdefinition(blk" in plan
+
+
+def test_substring_census_is_hash_equi_join_on_gram_identity(
+    spark, sf_dir
+):
+    """The exact census pair generation must meet by (l, g1, g2)
+    equi-key — a hash join over the distinct gram table — never a
+    nested loop over document pairs; the double-hash identity is the
+    join key, so no raw-text comparison survives into the join."""
+    df = QUERIES["llm_substring_census"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "g1" in plan and "g2" in plan
+
+
+def test_pack_bins_ranks_via_range_exchange_not_bucket_window(
+    spark, sf_dir
+):
+    """Packing v2's per-bucket rank must come from the GLOBAL
+    distributed_rank (rangepartitioning exchange + _pid-partitioned
+    row_number + broadcast offsets), never a bucket-partitioned
+    corpus window — 8 buckets would make each window partition a
+    near-global single task."""
+    df = QUERIES["llm_pack_bins"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(bucket" not in plan
+
+
+def test_quality_features_broadcasts_vocab_single_explode(
+    spark, sf_dir
+):
+    """The feature export must broadcast the vocab back to the counts
+    table (vocab-sized, never shuffled against the corpus) and read
+    the documents text through exactly ONE explode (generate) — the
+    map-only features ride the scan, the checkpointed counts table
+    feeds both branches."""
+    df = QUERIES["llm_quality_features"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Generate explode") <= 1
+
+
+def test_metric_kendall_is_broadcast_loop_on_slice_only(spark, sf_dir):
+    """The tau-b pair census is an intentional O(slice²) nested loop
+    (join_theta's pattern): the non-equi doc_id < doc_id pairing must
+    be a BROADCAST nested loop over the bounded eval slice — never a
+    CartesianProduct, and never a shuffle of the pair table."""
+    df = QUERIES["llm_metric_kendall"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
