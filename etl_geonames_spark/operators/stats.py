@@ -3947,3 +3947,121 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+def _esd_round_sql(src: str, rnd: int) -> str:
+    """One unrolled generalized-ESD round over CTE ``src``: moments,
+    integer argmax of |n·x − Σx| (doc_id tie-break), and the
+    studentized R emitted as a summary row CTE trio (s{r}, o{r},
+    r{r})."""
+    return f"""
+    s{rnd} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS q
+      FROM {src}
+    ),
+    o{rnd} AS (
+      SELECT m.doc_id, m.x
+      FROM {src} m, s{rnd}
+      ORDER BY abs(m.x * s{rnd}.n - s{rnd}.s) DESC, m.doc_id
+      LIMIT 1
+    ),
+    r{rnd} AS (
+      SELECT {rnd} AS round, s{rnd}.n,
+             o{rnd}.doc_id AS outlier_doc,
+             CAST(o{rnd}.x AS BIGINT) AS outlier_x,
+             CASE WHEN s{rnd}.n >= 3
+                       AND CAST(s{rnd}.n AS DOUBLE) * s{rnd}.q
+                           - CAST(s{rnd}.s AS DOUBLE) * s{rnd}.s > 0
+                  THEN FLOOR(
+                    abs(CAST(o{rnd}.x * s{rnd}.n - s{rnd}.s AS DOUBLE))
+                    / (s{rnd}.n * sqrt(
+                        (CAST(s{rnd}.n AS DOUBLE) * s{rnd}.q
+                         - CAST(s{rnd}.s AS DOUBLE) * s{rnd}.s)
+                        / s{rnd}.n / (s{rnd}.n - 1)))
+                    * 1000000.0 + 0.5) / 1000000.0
+             END AS r_stat
+      FROM s{rnd}, o{rnd}
+    )"""
+
+
+@query(
+    "dq_esd_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    {_esd_round_sql('m', 1)},
+    m2 AS (SELECT * FROM m WHERE doc_id NOT IN (SELECT doc_id FROM o1)),
+    {_esd_round_sql('m2', 2)},
+    m3 AS (SELECT * FROM m2 WHERE doc_id NOT IN (SELECT doc_id FROM o2)),
+    {_esd_round_sql('m3', 3)}
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+    SELECT * FROM r3
+    """,
+)
+def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner 1983), k = 3 rounds unrolled: the
+    multi-outlier extension of stat_grubbs — Grubbs' test is only
+    valid for ONE outlier (a second masks the first by inflating s),
+    so ESD recomputes the studentized max deviate after removing the
+    previous round's argmax, yielding the R_1..R_3 sequence you
+    compare to the t-derived λ_i ladder downstream. The standard DQ
+    screen when "how many points are bad?" matters, not just
+    "is the worst point bad?".
+
+    Integer argmax discipline per round (the stat_grubbs rule):
+    |x − x̄| ordering ≡ |n·x − Σx| ordering, so each round's removal
+    is picked on exact int64 keys with doc_id tie-break — no
+    float-boundary selection anywhere; R_i is one fixed-shape double
+    over that round's (n, Σx, Σx²), qround(6). n < 3 or zero
+    variance NULLs R_i (the removal itself still proceeds, matching
+    the oracle's LIMIT 1 on the all-tied key).
+
+    100 TB shape: k = 3 fixed rounds, each one 1-row moment
+    aggregate + one TakeOrdered(1) argmax over the column-pruned
+    scan + one broadcast-anti removal — k·O(scan), never a sort; the
+    removed set is ≤ k rows, broadcast by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("doc_id", F.col("n_chars").cast("long").alias("x"))
+    out_rows = None
+    remaining = m
+    for rnd in (1, 2, 3):
+        s = remaining.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s"),
+            F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+            .cast("long")
+            .alias("q"),
+        ).localCheckpoint()
+        o = (
+            remaining.crossJoin(F.broadcast(s))
+            .orderBy(
+                F.abs(F.col("x") * F.col("n") - F.col("s")).desc(),
+                "doc_id",
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        n, ssum, q = F.col("n"), F.col("s"), F.col("q")
+        var_num = n.cast("double") * q - ssum.cast("double") * ssum
+        row = o.select(
+            F.lit(rnd).alias("round"),
+            "n",
+            F.col("doc_id").alias("outlier_doc"),
+            F.col("x").cast("long").alias("outlier_x"),
+            F.when(
+                (n >= 3) & (var_num > 0),
+                qround(
+                    F.abs((F.col("x") * n - ssum).cast("double"))
+                    / (n * F.sqrt(var_num / n / (n - F.lit(1)))),
+                    6,
+                ),
+            ).alias("r_stat"),
+        )
+        out_rows = row if out_rows is None else out_rows.unionByName(row)
+        remaining = remaining.join(
+            o.select("doc_id"), "doc_id", "anti"
+        )
+    return out_rows

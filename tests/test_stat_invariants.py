@@ -1869,3 +1869,61 @@ def test_kendall_and_fleiss_match_python_replay(spark, sf_dir):
     assert gf["kappa"] == want_kappa
     # agreement bound: kappa <= 1 always; P_bar in [1/3, 1] for m=3
     assert gf["kappa"] <= 1.0 and 1.0 / 3.0 <= gf["p_bar"] <= 1.0
+
+
+def test_esd_outliers_matches_python_replay(spark, sf_dir):
+    """Pure-Python replay of the 3 generalized-ESD rounds: integer
+    argmax of |n·x − Σx| with doc_id tie-break, then removal — the
+    engine's round table must match doc-for-doc and R-for-R; the
+    round-1 row must equal stat_grubbs' maximum studentized deviate
+    (ESD round 1 IS Grubbs)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from etl_geonames_spark.sources import load_table
+
+    qs = entry_mod.queries()
+    xs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    want = []
+    remaining = dict(xs)
+    for rnd in (1, 2, 3):
+        if not remaining:
+            break
+        n = len(remaining)
+        s = sum(remaining.values())
+        q = sum(v * v for v in remaining.values())
+        pick = min(
+            remaining, key=lambda d: (-abs(remaining[d] * n - s), d)
+        )
+        r_stat = None
+        if n >= 3 and float(n) * q - float(s) * s > 0:
+            sd = math.sqrt((float(n) * q - float(s) * s) / n / (n - 1))
+            r_stat = (
+                math.floor(
+                    abs(float(remaining[pick] * n - s)) / (n * sd) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+        want.append((rnd, n, pick, remaining[pick], r_stat))
+        del remaining[pick]
+    got = [
+        (r["round"], r["n"], r["outlier_doc"], r["outlier_x"], r["r_stat"])
+        for r in qs["dq_esd_outliers"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == want
+    # round 1 is Grubbs: same statistic from the sibling op
+    g = qs["stat_grubbs"](spark, sf_dir).collect()[0]
+    assert got[0][4] == g["g_stat"]
+    # distinct removals, and R non-increasing is NOT guaranteed
+    # (masking is the point) — but docs must be distinct
+    assert len({row[2] for row in got}) == len(got)
