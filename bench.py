@@ -105,7 +105,7 @@ def main() -> None:
     # elevation on an llm_dedup_* query is adjudicated collectively
     # as run-shape noise UNLESS a solo noop-sink run (quiet box,
     # warmed session, 3 runs) confirms the elevation.
-    _GC_BEFORE = "llm_dedup_canonical"  # alphabetical head of the block
+    _GC_BEFORE = "llm_dedup_band_stats"  # alphabetical head of the block
 
     def _settle_gc() -> None:
         spark.sparkContext._jvm.System.gc()

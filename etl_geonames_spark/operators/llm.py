@@ -4781,13 +4781,13 @@ _ROUGE_MAX_TOKENS = 512
 
 @query(
     "llm_rouge_l",
-    # keep the SQL's [1:512] slices in sync with _ROUGE_MAX_TOKENS
     oracle=f"""
     WITH t AS (
       SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
-             list_filter(str_split(text, ' '), w -> w <> '')[1:512] AS tk,
-             len(list_filter(str_split(text, ' '), w -> w <> '')) > 512
-                 AS side_capped
+             list_filter(str_split(text, ' '),
+                 w -> w <> '')[1:{_ROUGE_MAX_TOKENS}] AS tk,
+             len(list_filter(str_split(text, ' '), w -> w <> ''))
+                 > {_ROUGE_MAX_TOKENS} AS side_capped
       FROM documents WHERE doc_id < 200
     ),
     p AS (

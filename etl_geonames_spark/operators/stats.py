@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -3552,7 +3552,7 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT n,
-             (s2 - s1 * s1 / CAST(n AS DOUBLE)) / n AS m2,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / CAST(n AS DOUBLE)) / n AS m2,
              (s3 - 3.0 * s1 * s2 / n
                  + 2.0 * s1 * s1 * s1 / CAST(n AS DOUBLE) / n) / n AS m3,
              (s4 - 4.0 * s1 * s3 / n
@@ -3612,7 +3612,9 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     nd = n.cast("double")
-    m2 = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / n
+    # s1 cast-before-multiply: the int64 square overflows past
+    # Σ n_chars ≈ 3e9 (same ANSI-overflow class as the s3/s4 fix)
+    m2 = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / nd) / n
     m3 = (
         F.col("s3")
         - F.lit(3.0) * F.col("s1") * F.col("s2") / n
@@ -3853,8 +3855,9 @@ def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(n1) AS BIGINT) AS t1,
-             CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
+             CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS t1,
+             CAST(COALESCE(SUM(n1 * n1 + (3 - n1) * (3 - n1)), 0)
+                 AS BIGINT) AS sq
       FROM v
     )
     SELECT n, t1,
@@ -3897,8 +3900,9 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unanimity (P_e = 1, κ undefined) and the empty corpus emit NULL.
 
     100 TB: the votes are map-only array expressions riding the scan;
-    one 1-row global aggregate — the agg_global shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    one 1-row global aggregate — the agg_global shape (spread() for
+    the single-file fixture's one-partition scan, CLAUDE.md)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     t = docs.select(tk.alias("tk"))
     n = F.size("tk")

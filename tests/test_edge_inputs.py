@@ -636,3 +636,43 @@ def test_edit_distance_non_ascii_matches_oracle(spark, tmp_path):
         ).df().itertuples()
     }
     assert duck == got
+
+
+def test_fleiss_empty_corpus_matches_oracle(spark, tmp_path):
+    """stat_fleiss_kappa on an EMPTY documents table: one row with
+    n = 0, t1 = 0, NULL p_bar/p_e/kappa on BOTH engines — the
+    oracle's SUMs carry COALESCE(., 0) to match Spark's coalesced
+    conditional sums (the NULL-vs-0 family, round-8 review)."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    # explicit arrow schema: an all-empty pandas frame otherwise
+    # writes `text` as a non-string type and the oracle's str_split
+    # fails to bind
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    rows = QUERIES["stat_fleiss_kappa"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n"], r["t1"]) == (0, 0)
+    assert r["p_bar"] is None and r["p_e"] is None and r["kappa"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    o = con.sql(ORACLES["stat_fleiss_kappa"]).df()
+    assert len(o) == 1
+    assert int(o["n"][0]) == 0 and int(o["t1"][0]) == 0
+    assert pd.isna(o["kappa"][0])
