@@ -3976,15 +3976,14 @@ def _esd_round_sql(src: str, rnd: int) -> str:
              o{rnd}.doc_id AS outlier_doc,
              CAST(o{rnd}.x AS BIGINT) AS outlier_x,
              CASE WHEN s{rnd}.n >= 3
-                       AND CAST(s{rnd}.n AS DOUBLE) * s{rnd}.q
-                           - CAST(s{rnd}.s AS DOUBLE) * s{rnd}.s > 0
-                  THEN FLOOR(
-                    abs(CAST(o{rnd}.x * s{rnd}.n - s{rnd}.s AS DOUBLE))
-                    / (s{rnd}.n * sqrt(
-                        (CAST(s{rnd}.n AS DOUBLE) * s{rnd}.q
-                         - CAST(s{rnd}.s AS DOUBLE) * s{rnd}.s)
-                        / s{rnd}.n / (s{rnd}.n - 1)))
-                    * 1000000.0 + 0.5) / 1000000.0
+                       AND s{rnd}.n * s{rnd}.q - s{rnd}.s * s{rnd}.s > 0
+                  THEN {sql_qround(
+                    f'ABS(o{rnd}.x * s{rnd}.n - s{rnd}.s)'
+                    f' / CAST(s{rnd}.n AS DOUBLE)'
+                    f' / sqrt(CAST(s{rnd}.n * s{rnd}.q'
+                    f' - s{rnd}.s * s{rnd}.s AS DOUBLE)'
+                    f' / (CAST(s{rnd}.n AS DOUBLE) * (s{rnd}.n - 1)))',
+                    6)}
              END AS r_stat
       FROM s{rnd}, o{rnd}
     )"""
@@ -4032,13 +4031,16 @@ def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = None
     remaining = m
     for rnd in (1, 2, 3):
+        # moments agg has ONE consumer (the broadcast into the argmax
+        # scan) — no checkpoint; `o` has two (summary row + anti
+        # removal) and anchors each round's base, so it keeps one
         s = remaining.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s"),
             F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
             .cast("long")
             .alias("q"),
-        ).localCheckpoint()
+        )
         o = (
             remaining.crossJoin(F.broadcast(s))
             .orderBy(
@@ -4049,20 +4051,27 @@ def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         n, ssum, q = F.col("n"), F.col("s"), F.col("q")
-        var_num = n.cast("double") * q - ssum.cast("double") * ssum
+        # EXACT int64 variance numerator AND stat_grubbs' exact
+        # division order (maxdev / n / sqrt(var / (n·(n−1)))) —
+        # round 1 ≡ Grubbs is a pinned invariant, and either a double
+        # numerator or a reassociated divide chain could diverge by
+        # an ulp across a qround boundary. Shares grubbs' documented
+        # int64 headroom bound.
+        var_num = n * q - ssum * ssum
+        r_stat = (
+            F.abs(F.col("x") * n - ssum) / n.cast("double")
+            / F.sqrt(
+                var_num.cast("double") / (n.cast("double") * (n - F.lit(1)))
+            )
+        )
         row = o.select(
             F.lit(rnd).alias("round"),
             "n",
             F.col("doc_id").alias("outlier_doc"),
             F.col("x").cast("long").alias("outlier_x"),
-            F.when(
-                (n >= 3) & (var_num > 0),
-                qround(
-                    F.abs((F.col("x") * n - ssum).cast("double"))
-                    / (n * F.sqrt(var_num / n / (n - F.lit(1)))),
-                    6,
-                ),
-            ).alias("r_stat"),
+            F.when((n >= 3) & (var_num > 0), qround(r_stat, 6)).alias(
+                "r_stat"
+            ),
         )
         out_rows = row if out_rows is None else out_rows.unionByName(row)
         remaining = remaining.join(

@@ -738,3 +738,43 @@ def test_metric_kendall_is_broadcast_loop_on_slice_only(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_esd_round_shape_pinned_on_uncheckpointed_rebuild(spark, sf_dir):
+    """dq_esd_outliers localCheckpoints each round's argmax row, so
+    the registered query's plan (and the census/cartesian sweep) sees
+    only checkpointed scans — the CLAUDE.md rule: pin the
+    pre-checkpoint shape on an UN-checkpointed rebuild plus its
+    effect on the output. One round rebuilt without checkpoints must
+    be TakeOrdered(1) over a broadcast of the 1-row moments (never a
+    cartesian or a global sort), and its pick must equal the
+    registered query's round-1 row."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    m = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s"),
+    )
+    o = (
+        m.crossJoin(F.broadcast(s))
+        .orderBy(F.abs(F.col("x") * F.col("n") - F.col("s")).desc(), "doc_id")
+        .limit(1)
+    )
+    plan = explain_str(o)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row moments broadcast
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+    pick = o.collect()[0]
+    r1 = (
+        QUERIES["dq_esd_outliers"](spark, sf_dir)
+        .filter(F.col("round") == 1)
+        .collect()[0]
+    )
+    assert (r1["outlier_doc"], r1["outlier_x"]) == (pick["doc_id"], pick["x"])

@@ -1879,8 +1879,6 @@ def test_esd_outliers_matches_python_replay(spark, sf_dir):
     (ESD round 1 IS Grubbs)."""
     import math
 
-    from pyspark.sql import functions as F
-
     import __spark_entry__ as entry_mod
     from etl_geonames_spark.sources import load_table
 
@@ -1903,15 +1901,16 @@ def test_esd_outliers_matches_python_replay(spark, sf_dir):
             remaining, key=lambda d: (-abs(remaining[d] * n - s), d)
         )
         r_stat = None
-        if n >= 3 and float(n) * q - float(s) * s > 0:
-            sd = math.sqrt((float(n) * q - float(s) * s) / n / (n - 1))
-            r_stat = (
-                math.floor(
-                    abs(float(remaining[pick] * n - s)) / (n * sd) * 1e6
-                    + 0.5
-                )
-                / 1e6
+        var = n * q - s * s  # exact int, like both engines
+        if n >= 3 and var > 0:
+            # same division order as stat_grubbs / the engine:
+            # maxdev / n / sqrt(var / (n·(n−1)))
+            r = (
+                abs(remaining[pick] * n - s)
+                / float(n)
+                / math.sqrt(var / (float(n) * (n - 1)))
             )
+            r_stat = math.floor(r * 1e6 + 0.5) / 1e6
         want.append((rnd, n, pick, remaining[pick], r_stat))
         del remaining[pick]
     got = [
