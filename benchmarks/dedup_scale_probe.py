@@ -73,6 +73,18 @@ OPS = [
     # 10x, keys stay fixed, so wall should track the explode/count
     # pass (~linear in docs), like the CDC chunk census
     "llm_prefix_cache_stats",
+    # round-8 corpus-facing additions: packing (one range exchange +
+    # bucket histogram — linear in docs), the feature export (one
+    # corpus explode + vocab broadcast — replication multiplies
+    # counts, not keys), the 3-gate agreement scan (map-only + 1-row
+    # agg), and ESD's 3 remove-and-recompute passes (3·O(scan));
+    # the substring census and kendall are slice-bounded by contract
+    # (replicas shift doc_ids out of the < 200 window) and are
+    # probed on the length axis / pinned by plan shape instead
+    "llm_pack_bins",
+    "llm_quality_features",
+    "stat_fleiss_kappa",
+    "dq_esd_outliers",
 ]
 
 

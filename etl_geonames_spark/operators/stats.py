@@ -4078,3 +4078,88 @@ def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.select("doc_id"), "doc_id", "anti"
         )
     return out_rows
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS qx
+      FROM documents GROUP BY lang
+    ),
+    d AS (
+      SELECT lang, nh, sx, qx,
+             CASE WHEN nh >= 2 AND nh * qx - sx * sx >= 0
+                  THEN sqrt(CAST(nh * qx - sx * sx AS DOUBLE)
+                            / (CAST(nh AS DOUBLE) * (nh - 1)))
+             END AS sd
+      FROM s
+    ),
+    t AS (SELECT SUM(nh * sd) AS total FROM d)
+    SELECT lang, nh AS n_docs,
+           {sql_qround('sx / CAST(nh AS DOUBLE)', 6)} AS mean_chars,
+           {sql_qround('sd', 6)} AS sd_chars,
+           CASE WHEN sd IS NOT NULL AND t.total > 0
+                THEN {sql_qround('nh * sd / t.total', 6)}
+           END AS neyman_weight,
+           CASE WHEN sd IS NOT NULL AND t.total > 0
+                THEN {sql_qround('1000.0 * nh * sd / t.total', 4)}
+           END AS alloc_1000
+    FROM d, t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) for stratified
+    sampling over language strata: n_h ∝ N_h·S_h — the sample-design
+    table that tells a curation/eval pipeline how many documents to
+    draw per stratum for a fixed labeling budget (here 1000) to
+    minimize the variance of the estimated corpus mean. Strata that
+    are large AND internally diverse get more budget; a
+    zero-variance stratum needs none (one doc tells you everything).
+    The design-stage companion to llm_sample_stratified (which draws
+    proportionally) and sample_weighted_es (which draws by weight).
+
+    Exact integer per-stratum moments (N_h, Σx, Σx²); S_h, the
+    weights, and the allocation are fixed-shape double expressions,
+    qround(6)/(4). Singleton strata (S_h undefined) and an all-
+    degenerate corpus (total weight 0 — ANSI divide guard) emit NULL
+    weights; the grand total re-aggregates from the ≤|langs|-row
+    stratum table so both engines derive it identically (the
+    global-anchor rule, CLAUDE.md).
+
+    100 TB: one hash aggregate to |strata| rows, then arithmetic on
+    the metadata-sized table — the agg_group shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("qx"),
+    )
+    nh, sx, qx = F.col("nh"), F.col("sx"), F.col("qx")
+    var_num = nh * qx - sx * sx
+    d = s.select(
+        "lang",
+        "nh",
+        "sx",
+        F.when(
+            (nh >= 2) & (var_num >= 0),
+            F.sqrt(var_num.cast("double") / (nh.cast("double") * (nh - 1))),
+        ).alias("sd"),
+    )
+    t = d.agg(F.sum(nh * F.col("sd")).alias("total"))
+    j = d.crossJoin(F.broadcast(t))
+    ok = F.col("sd").isNotNull() & (F.col("total") > 0)
+    return j.select(
+        "lang",
+        nh.alias("n_docs"),
+        qround(sx / nh.cast("double"), 6).alias("mean_chars"),
+        qround(F.col("sd"), 6).alias("sd_chars"),
+        F.when(ok, qround(nh * F.col("sd") / F.col("total"), 6)).alias(
+            "neyman_weight"
+        ),
+        F.when(
+            ok, qround(F.lit(1000.0) * nh * F.col("sd") / F.col("total"), 4)
+        ).alias("alloc_1000"),
+    )

@@ -260,6 +260,9 @@ def edge_ddb(edge_sf_dir):
         # remaining-set size drop out identically on both engines;
         # zero-variance remainders NULL r_stat but still remove)
         "dq_esd_outliers",
+        # Neyman allocation on the single-stratum all-'en' corpus
+        # (weight 1.0; singleton/zero-variance strata NULL out)
+        "sample_neyman_allocation",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

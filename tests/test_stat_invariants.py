@@ -1926,3 +1926,29 @@ def test_esd_outliers_matches_python_replay(spark, sf_dir):
     # distinct removals, and R non-increasing is NOT guaranteed
     # (masking is the point) — but docs must be distinct
     assert len({row[2] for row in got}) == len(got)
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """Neyman weights are a probability vector over the defined
+    strata (Σw = 1 on the qround grid), the allocation sums to the
+    1000 budget, and equal-variance strata reduce to proportional
+    allocation: w_h ∝ N_h·S_h replayed in Python from the collected
+    stratum table."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["sample_neyman_allocation"](
+        spark, sf_dir
+    ).collect()
+    defined = [r for r in rows if r["neyman_weight"] is not None]
+    assert defined, "fixture has multi-doc strata"
+    assert abs(sum(r["neyman_weight"] for r in defined) - 1.0) < 1e-4
+    assert abs(sum(r["alloc_1000"] for r in defined) - 1000.0) < 1e-2
+    # python replay of w_h from the emitted (n_docs, sd_chars)
+    total = sum(r["n_docs"] * r["sd_chars"] for r in defined)
+    for r in defined:
+        want = math.floor(r["n_docs"] * r["sd_chars"] / total * 1e6 + 0.5) / 1e6
+        # sd_chars is already qround(6)-coarsened, so replay on that
+        # grid agrees only to ~1e-6-scale slack, not exactly
+        assert abs(r["neyman_weight"] - want) < 5e-5
