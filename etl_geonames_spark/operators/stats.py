@@ -4163,3 +4163,137 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok, qround(F.lit(1000.0) * nh * F.col("sd") / F.col("total"), 4)
         ).alias("alloc_1000"),
     )
+
+
+@query(
+    "stat_dunn_posthoc",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    rk AS (
+        SELECT source, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT) AS rn
+        FROM m
+    ),
+    mid AS (
+        SELECT source,
+               (MIN(rn) OVER (PARTITION BY x)
+                + MAX(rn) OVER (PARTITION BY x)) / 2.0 AS mr
+        FROM rk
+    ),
+    g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS ng, SUM(mr) AS rg
+        FROM mid GROUP BY source
+    ),
+    ties AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY x),
+    tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3 FROM ties),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.ng AS n_a, b.ng AS n_b,
+           {sql_qround('a.rg / CAST(a.ng AS DOUBLE)', 6)} AS mean_rank_a,
+           {sql_qround('b.rg / CAST(b.ng AS DOUBLE)', 6)} AS mean_rank_b,
+           CASE WHEN tot.n > 1 AND
+                     (CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0
+                      - CAST(tt.sum_t3 AS DOUBLE) / (12.0 * (tot.n - 1)))
+                     > 0.0
+                THEN {sql_qround(
+                    '(a.rg / CAST(a.ng AS DOUBLE)'
+                    ' - b.rg / CAST(b.ng AS DOUBLE))'
+                    ' / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0'
+                    '   - CAST(tt.sum_t3 AS DOUBLE) / (12.0 * (tot.n - 1)))'
+                    '  * (1.0 / a.ng + 1.0 / b.ng))', 6)}
+           END AS z_dunn
+    FROM g a, g b, tot, tt
+    WHERE a.source < b.source
+    """,
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964) with tie correction: after
+    stat_kruskal_wallis rejects "all sources share a location", WHICH
+    source pairs differ? z_ij = (R̄_i − R̄_j) / √((N(N+1)/12 −
+    Σ(t³−t)/(12(N−1))) · (1/n_i + 1/n_j)) on the SAME global
+    midranks — the pairwise drill-down every omnibus rank test needs
+    (feed the z's to stat_bh_fdr for the multiple-comparison gate;
+    that composition is the standard Kruskal-Wallis → Dunn → BH
+    pipeline).
+
+    Identical rank machinery as Kruskal-Wallis: one distributed_rank
+    pass + the (min+max)/2 midrank tie table (exact .5-rationals),
+    one k-row group table, then the k(k−1)/2 pair rows come from a
+    broadcast self-join of the GROUP table — pairs of groups, never
+    pairs of rows. All-tied corpora NULL z (variance 0, ANSI guard).
+
+    100 TB: the rank pass is the only corpus-scale exchange;
+    everything downstream is k rows."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    rk = distributed_rank(docs, ["x", "doc_id"]).select(
+        "source", "x", F.col("_grn").cast("long").alias("rn")
+    )
+    ties = rk.groupBy("x").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).localCheckpoint()
+    g = (
+        rk.join(F.broadcast(ties.select("x", "mr")), "x")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("mr").alias("rg"),
+        )
+        .localCheckpoint()
+    )
+    tt = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("sum_t3")
+    )
+    tot = g.agg(F.sum("ng").cast("long").alias("n"))
+    a = g.select(
+        F.col("source").alias("source_a"),
+        F.col("ng").alias("n_a"),
+        F.col("rg").alias("rg_a"),
+    )
+    b = g.select(
+        F.col("source").alias("source_b"),
+        F.col("ng").alias("n_b"),
+        F.col("rg").alias("rg_b"),
+    )
+    p = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tt))
+    )
+    nd = F.col("n").cast("double")
+    var = nd * (F.col("n") + 1) / 12.0 - F.col("sum_t3").cast("double") / (
+        12.0 * (F.col("n") - 1)
+    )
+    ra = F.col("rg_a") / F.col("n_a").cast("double")
+    rb = F.col("rg_b") / F.col("n_b").cast("double")
+    return p.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        qround(ra, 6).alias("mean_rank_a"),
+        qround(rb, 6).alias("mean_rank_b"),
+        F.when(
+            (F.col("n") > 1) & (var > 0.0),
+            qround(
+                (ra - rb)
+                / F.sqrt(
+                    var
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
+                ),
+                6,
+            ),
+        ).alias("z_dunn"),
+    )

@@ -263,6 +263,9 @@ def edge_ddb(edge_sf_dir):
         # Neyman allocation on the single-stratum all-'en' corpus
         # (weight 1.0; singleton/zero-variance strata NULL out)
         "sample_neyman_allocation",
+        # Dunn on the single-source edge corpus: zero pair rows on
+        # both engines (no a.source < b.source pairs exist)
+        "stat_dunn_posthoc",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

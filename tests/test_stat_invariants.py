@@ -1952,3 +1952,26 @@ def test_neyman_allocation_invariants(spark, sf_dir):
         # sd_chars is already qround(6)-coarsened, so replay on that
         # grid agrees only to ~1e-6-scale slack, not exactly
         assert abs(r["neyman_weight"] - want) < 5e-5
+
+
+def test_dunn_posthoc_consistent_with_kruskal_wallis(spark, sf_dir):
+    """Dunn pairs share Kruskal-Wallis' rank machinery: the pair
+    table covers exactly k(k−1)/2 source pairs, mean ranks are
+    midranks (Σ n_g·R̄_g = N(N+1)/2, the rank-sum identity), and
+    z antisymmetry holds by construction (a < b ordering)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    rows = qs["stat_dunn_posthoc"](spark, sf_dir).collect()
+    kw = qs["stat_kruskal_wallis"](spark, sf_dir).collect()[0]
+    k, n = kw["k"], kw["n"]
+    assert len(rows) == k * (k - 1) // 2
+    # rank-sum identity from the per-pair mean ranks: reconstruct
+    # each group's rank sum once (every group appears in k-1 pairs)
+    sums = {}
+    for r in rows:
+        sums[r["source_a"]] = r["n_a"] * r["mean_rank_a"]
+        sums[r["source_b"]] = r["n_b"] * r["mean_rank_b"]
+    total = sum(sums.values())
+    want = n * (n + 1) / 2
+    assert abs(total - want) / want < 1e-6
