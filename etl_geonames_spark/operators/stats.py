@@ -4297,3 +4297,89 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_dunn"),
     )
+
+
+@query(
+    "dq_embedding_norm_qa",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
+                 (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    med AS (SELECT median(nrm) AS med FROM v),
+    dev AS (
+      SELECT v.nrm, abs(v.nrm - med.med) AS dv FROM v, med
+    ),
+    mad AS (SELECT median(dv) AS mad FROM dev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev.nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           {sql_qround('MAX(med.med)', 6)} AS med_norm,
+           {sql_qround('MAX(mad.mad)', 6)} AS mad_norm,
+           CAST(SUM(CASE WHEN {sql_qround('dev.dv', 6)}
+                              > {sql_qround(
+                                  f'({_MAD_K_NUM} / {_MAD_K_DEN})'
+                                  ' * mad.mad', 6)}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev, med, mad
+    """,
+)
+def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health gate: L2-norm census with the robust
+    median/MAD outlier rule (Iglewicz-Hoaglin |M| > 3.5, restated
+    multiplicatively like dq_outlier_mad so MAD = 0 cannot ANSI-
+    throw) plus the exact-zero-vector count — the QA pass run before
+    any cosine-based dedup/ANN stage, because zero and extreme-norm
+    vectors silently poison cosine gates (undefined similarity) and
+    IVF centroid updates. The embeddings-table sibling of
+    dq_outlier_mad's event census.
+
+    The norm is a left-fold Σx² (identical fold order on both
+    engines — bit-identical doubles in, so the exact medians agree
+    bit-for-bit before the qround(6) emit); both outlier compare
+    sides are qround(6)'d (the float-predicate discipline).
+
+    100 TB: one map pass for norms, two 1-row exact-median
+    aggregates broadcast back, one counting aggregate — at real
+    scale the exact median swaps for approx_percentile or
+    distributed_rank, census logic unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nrm"),
+    )
+    med = v.agg(F.median("nrm").alias("med"))
+    dev = v.crossJoin(F.broadcast(med)).select(
+        "nrm", F.abs(F.col("nrm") - F.col("med")).alias("dv"), "med"
+    )
+    mad = dev.agg(F.median("dv").alias("mad"))
+    thr = qround(
+        F.lit(_MAD_K_NUM) / F.lit(_MAD_K_DEN) * F.col("mad"), 6
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            qround(F.max("med"), 6).alias("med_norm"),
+            qround(F.max("mad"), 6).alias("mad_norm"),
+            F.sum(
+                F.when(qround(F.col("dv"), 6) > thr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -266,6 +266,9 @@ def edge_ddb(edge_sf_dir):
         # Dunn on the single-source edge corpus: zero pair rows on
         # both engines (no a.source < b.source pairs exist)
         "stat_dunn_posthoc",
+        # norm QA over the 3-vector edge table INCLUDING the zero
+        # vector (n_zero = 1; MAD-0 restatement must not throw)
+        "dq_embedding_norm_qa",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):
