@@ -2708,9 +2708,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ts_seasonal_decompose",
-    oracle=f"""
+_SEAS_DECOMP_SQL = f"""
     WITH dc AS (
       SELECT event_type,
              (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS d,
@@ -2746,7 +2744,12 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS residual
     FROM full7 f JOIN seas s
       ON s.event_type = f.event_type AND s.dow = f.dow
-    """,
+    """
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=_SEAS_DECOMP_SQL,
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the daily series per event
@@ -3743,4 +3746,74 @@ def ts_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_out_r"),
         )
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=f"""
+    WITH base AS ({_SEAS_DECOMP_SQL}),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             var_pop(residual) AS vr,
+             var_pop(seasonal + residual) AS vsr,
+             var_pop(trend + residual) AS vtr
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN vsr > 0 THEN
+             {sql_qround('GREATEST(0.0, 1.0 - vr / vsr)', 6)}
+           END AS seasonal_strength,
+           CASE WHEN vtr > 0 THEN
+             {sql_qround('GREATEST(0.0, 1.0 - vr / vtr)', 6)}
+           END AS trend_strength
+    FROM g
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH per event type (Hyndman's
+    tsfeatures / STL-features definition): F_s = max(0, 1 −
+    Var(R)/Var(S+R)) and F_t = max(0, 1 − Var(R)/Var(T+R)) over the
+    classical decomposition ts_seasonal_decompose already computes —
+    the one-number-per-series answer to "is this series worth
+    seasonal modeling?" that feeds model selection (snaive vs drift)
+    and dashboard triage, where the decomposition itself is the
+    per-day detail view.
+
+    Composition, not duplication: the Spark side CALLS
+    ts_seasonal_decompose and aggregates its output; the oracle
+    wraps the SAME shared SQL (_SEAS_DECOMP_SQL) — one decomposition
+    definition total, so the two ops cannot drift (the r7 shared-
+    gradient-SQL pattern). Inputs are the decomposition's qround(6)
+    doubles (identical on both engines); var_pop's float sums are
+    order-dependent, absorbed by qround(6) on the O(1)-scale
+    strengths (the corr/covar precedent). Degenerate series
+    (Var(S+R) = 0) NULL out — ANSI guard.
+
+    100 TB: inherits the decomposition's shape (one bounded-frame
+    keyed window + one (type, dow) aggregate) plus one |types|-row
+    aggregate."""
+    base = ts_seasonal_decompose(spark, sf_dir)
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.var_pop("residual").alias("vr"),
+        F.var_pop(F.col("seasonal") + F.col("residual")).alias("vsr"),
+        F.var_pop(F.col("trend") + F.col("residual")).alias("vtr"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("vsr") > 0,
+            qround(
+                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")), 6
+            ),
+        ).alias("seasonal_strength"),
+        F.when(
+            F.col("vtr") > 0,
+            qround(
+                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")), 6
+            ),
+        ).alias("trend_strength"),
     )

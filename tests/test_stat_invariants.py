@@ -1975,3 +1975,46 @@ def test_dunn_posthoc_consistent_with_kruskal_wallis(spark, sf_dir):
     total = sum(sums.values())
     want = n * (n + 1) / 2
     assert abs(total - want) / want < 1e-6
+
+
+def test_seasonal_strength_bounds_and_python_replay(spark, sf_dir):
+    """Strengths are clamped to [0, 1] by definition, and a
+    pure-Python var_pop replay over the decomposition's own output
+    rows must reproduce them on the qround grid (pins that the op is
+    a pure aggregate of ts_seasonal_decompose, nothing more)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    base = qs["ts_seasonal_decompose"](spark, sf_dir).collect()
+    rows = qs["ts_seasonal_strength"](spark, sf_dir).collect()
+    per = {}
+    for r in base:
+        per.setdefault(r["event_type"], []).append(
+            (r["residual"], r["seasonal"], r["trend"])
+        )
+
+    def var_pop(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    assert rows
+    for r in rows:
+        vals = per[r["event_type"]]
+        assert r["n_days"] == len(vals)
+        vr = var_pop([v[0] for v in vals])
+        vsr = var_pop([v[1] + v[0] for v in vals])
+        vtr = var_pop([v[2] + v[0] for v in vals])
+        for got, vden in (
+            (r["seasonal_strength"], vsr),
+            (r["trend_strength"], vtr),
+        ):
+            if vden <= 0:
+                assert got is None
+                continue
+            assert 0.0 <= got <= 1.0
+            want = math.floor(max(0.0, 1.0 - vr / vden) * 1e6 + 0.5) / 1e6
+            # engine var_pop is a streaming algorithm; python's is
+            # two-pass — agree to ~1e-6-scale slack, not bit-exact
+            assert abs(got - want) < 5e-5
