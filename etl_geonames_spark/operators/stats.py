@@ -1780,10 +1780,14 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stat_kruskal_wallis",
-    oracle=f"""
-    WITH m AS (
+# Shared global-midrank machinery for the rank-test family: ONE
+# definition of the m/rk/mid/g/ties/tt/tot CTE chain, used verbatim by
+# BOTH stat_kruskal_wallis and stat_dunn_posthoc oracles (the
+# _SEAS_DECOMP_SQL pattern — a tie-handling fix propagates to both or
+# neither, and the Dunn docstring's "SAME global midranks" claim stays
+# structurally true).
+_MIDRANK_SQL = """
+    m AS (
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
     ),
     rk AS (
@@ -1807,7 +1811,50 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COUNT(DISTINCT source) AS INT) AS k
         FROM m
-    ),
+    )
+"""
+
+
+def _midrank_tables(spark, sf_dir):
+    """Spark side of _MIDRANK_SQL: one distributed_rank pass over
+    (source, n_chars), the (min+max)/2 midrank tie table, the k-row
+    group table (localCheckpointed — it feeds totals AND the
+    consuming statistic, and without the checkpoint each consumer
+    re-executes the whole rank pipeline), and the tie-cube total.
+    Returns (g, tt) with columns (source, ng, rg) / (sum_t3,)."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    rk = distributed_rank(docs, ["x", "doc_id"]).select(
+        "source", "x", F.col("_grn").cast("long").alias("rn")
+    )
+    ties = rk.groupBy("x").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).localCheckpoint()
+    g = (
+        rk.join(F.broadcast(ties.select("x", "mr")), "x")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("mr").alias("rg"),
+        )
+        .localCheckpoint()
+    )
+    tt = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("sum_t3")
+    )
+    return g, tt
+
+
+@query(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH {_MIDRANK_SQL},
     hh AS (
         SELECT tot.n, tot.k, tt.sum_t3,
                12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
@@ -1840,32 +1887,10 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties (C = 0 — ANSI would throw). The ΣR²/n float sum is k terms,
     qround-ed on both sides (the chi-square precedent for unavoidable
     float sums). At 100 TB the rank pass is the only corpus-scale
-    exchange; everything after is k rows."""
-    from etl_geonames_spark.operators.relational import distributed_rank
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
-    )
-    rk = distributed_rank(docs, ["x", "doc_id"]).select(
-        "source", "x", F.col("_grn").cast("long").alias("rn")
-    )
-    ties = rk.groupBy("x").agg(
-        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
-        F.count(F.lit(1)).cast("long").alias("t"),
-    ).localCheckpoint()
-    g = (
-        rk.join(F.broadcast(ties.select("x", "mr")), "x")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("ng"),
-            F.sum("mr").alias("rg"),
-        )
-    )
-    tt = ties.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
-        .alias("sum_t3")
-    )
+    exchange; everything after is k rows. The rank machinery is the
+    shared :func:`_midrank_tables` / ``_MIDRANK_SQL`` pair — one
+    definition for this test and stat_dunn_posthoc."""
+    g, tt = _midrank_tables(spark, sf_dir)
     tot = g.agg(
         F.sum("ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("int").alias("k"),
@@ -4168,27 +4193,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_dunn_posthoc",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
-    ),
-    rk AS (
-        SELECT source, x,
-               CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS BIGINT) AS rn
-        FROM m
-    ),
-    mid AS (
-        SELECT source,
-               (MIN(rn) OVER (PARTITION BY x)
-                + MAX(rn) OVER (PARTITION BY x)) / 2.0 AS mr
-        FROM rk
-    ),
-    g AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS ng, SUM(mr) AS rg
-        FROM mid GROUP BY source
-    ),
-    ties AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY x),
-    tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3 FROM ties),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+    WITH {_MIDRANK_SQL}
     SELECT a.source AS source_a, b.source AS source_b,
            a.ng AS n_a, b.ng AS n_b,
            {sql_qround('a.rg / CAST(a.ng AS DOUBLE)', 6)} AS mean_rank_a,
@@ -4218,40 +4223,17 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     that composition is the standard Kruskal-Wallis → Dunn → BH
     pipeline).
 
-    Identical rank machinery as Kruskal-Wallis: one distributed_rank
-    pass + the (min+max)/2 midrank tie table (exact .5-rationals),
-    one k-row group table, then the k(k−1)/2 pair rows come from a
-    broadcast self-join of the GROUP table — pairs of groups, never
-    pairs of rows. All-tied corpora NULL z (variance 0, ANSI guard).
+    LITERALLY the same rank machinery as Kruskal-Wallis — both ops
+    call the shared :func:`_midrank_tables` (and both oracles embed
+    the shared ``_MIDRANK_SQL``): one distributed_rank pass + the
+    (min+max)/2 midrank tie table (exact .5-rationals), one k-row
+    group table, then the k(k−1)/2 pair rows come from a broadcast
+    self-join of the GROUP table — pairs of groups, never pairs of
+    rows. All-tied corpora NULL z (variance 0, ANSI guard).
 
     100 TB: the rank pass is the only corpus-scale exchange;
     everything downstream is k rows."""
-    from etl_geonames_spark.operators.relational import distributed_rank
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
-    )
-    rk = distributed_rank(docs, ["x", "doc_id"]).select(
-        "source", "x", F.col("_grn").cast("long").alias("rn")
-    )
-    ties = rk.groupBy("x").agg(
-        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
-        F.count(F.lit(1)).cast("long").alias("t"),
-    ).localCheckpoint()
-    g = (
-        rk.join(F.broadcast(ties.select("x", "mr")), "x")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("ng"),
-            F.sum("mr").alias("rg"),
-        )
-        .localCheckpoint()
-    )
-    tt = ties.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
-        .alias("sum_t3")
-    )
+    g, tt = _midrank_tables(spark, sf_dir)
     tot = g.agg(F.sum("ng").cast("long").alias("n"))
     a = g.select(
         F.col("source").alias("source_a"),
@@ -4304,9 +4286,8 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
       SELECT vec_id,
-             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
-                 (a, b) -> a + b)) AS nrm
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
     ),
     med AS (SELECT median(nrm) AS med FROM v),
@@ -4337,28 +4318,28 @@ def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF centroid updates. The embeddings-table sibling of
     dq_outlier_mad's event census.
 
-    The norm is a left-fold Σx² (identical fold order on both
-    engines — bit-identical doubles in, so the exact medians agree
-    bit-for-bit before the qround(6) emit); both outlier compare
-    sides are qround(6)'d (the float-predicate discipline).
+    The norm is llm.py's shared _dot/_as_double sequential fold
+    (sqrt(list_dot_product) oracle form — the cosine family's
+    order-compatibility contract, one fold definition repo-wide), so
+    the doubles are bit-identical on both engines and the exact
+    medians agree bit-for-bit before the qround(6) emit; both
+    outlier compare sides are qround(6)'d (the float-predicate
+    discipline).
 
-    100 TB: one map pass for norms, two 1-row exact-median
-    aggregates broadcast back, one counting aggregate — at real
-    scale the exact median swaps for approx_percentile or
-    distributed_rank, census logic unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    100 TB: one spread map pass computes norms ONCE into a
+    localCheckpointed (vec_id, norm) projection — 16 bytes/vec,
+    dims× smaller than the vectors — which the three downstream
+    aggregates (median, MAD, census) consume without re-folding the
+    embedding column per branch (the multi-consumer rule); the two
+    exact medians swap for approx_percentile or distributed_rank at
+    real scale, census logic unchanged."""
+    from etl_geonames_spark.operators.llm import _as_double, _dot
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    ed = _as_double("embedding")
     v = emb.select(
-        "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform(
-                    "embedding", lambda x: x.cast("double") * x
-                ),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-        ).alias("nrm"),
-    )
+        "vec_id", F.sqrt(_dot(ed, ed)).alias("nrm")
+    ).localCheckpoint()
     med = v.agg(F.median("nrm").alias("med"))
     dev = v.crossJoin(F.broadcast(med)).select(
         "nrm", F.abs(F.col("nrm") - F.col("med")).alias("dv"), "med"

@@ -3762,10 +3762,10 @@ def ts_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY event_type
     )
     SELECT event_type, n_days,
-           CASE WHEN vsr > 0 THEN
+           CASE WHEN {sql_qround('vsr', 6)} > 0 THEN
              {sql_qround('GREATEST(0.0, 1.0 - vr / vsr)', 6)}
            END AS seasonal_strength,
-           CASE WHEN vtr > 0 THEN
+           CASE WHEN {sql_qround('vtr', 6)} > 0 THEN
              {sql_qround('GREATEST(0.0, 1.0 - vr / vtr)', 6)}
            END AS trend_strength
     FROM g
@@ -3789,7 +3789,10 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (identical on both engines); var_pop's float sums are
     order-dependent, absorbed by qround(6) on the O(1)-scale
     strengths (the corr/covar precedent). Degenerate series
-    (Var(S+R) = 0) NULL out — ANSI guard.
+    (Var(S+R) = 0) NULL out — ANSI guard, and the GATE compares the
+    qround(6)'d variance on both engines (the float-predicate
+    discipline: each engine's streaming var_pop could straddle 0 on
+    a near-constant series built from catastrophic cancellation).
 
     100 TB: inherits the decomposition's shape (one bounded-frame
     keyed window + one (type, dow) aggregate) plus one |types|-row
@@ -3805,13 +3808,13 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_days",
         F.when(
-            F.col("vsr") > 0,
+            qround(F.col("vsr"), 6) > 0,
             qround(
                 F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")), 6
             ),
         ).alias("seasonal_strength"),
         F.when(
-            F.col("vtr") > 0,
+            qround(F.col("vtr"), 6) > 0,
             qround(
                 F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")), 6
             ),
