@@ -22,6 +22,44 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+_ADJ_CAP = 15  # max solo re-times per record
+
+
+def _adjudicate(
+    spark, qs, sf_dir, names, timings, baselines, settle
+) -> dict[str, dict]:
+    """Solo re-time each breached query — GC settle, one discarded
+    warm-up, 3 timed noop-sink runs — and return both numbers plus a
+    reverts/elevated verdict vs the 2x gate (the BASELINE.md solo
+    adjudication ritual, run by the bench itself so the committed
+    artifact carries its own adjudication)."""
+    import time
+
+    out: dict[str, dict] = {}
+    for name in names:
+        settle()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # discarded warm-up
+        solo = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            solo.append(round(time.perf_counter() - t0, 4))
+        solo_min = min(solo)
+        out[name] = {
+            "in_bench": timings[name],
+            "baseline": baselines[name],
+            "solo": solo,
+            "solo_min": solo_min,
+            "verdict": (
+                "reverts" if solo_min <= 2.0 * baselines[name] else "elevated"
+            ),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # derive sf from the dir name (e.g. .../sf0.1 -> 0.1)
@@ -154,6 +192,66 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
+
+    # SELF-ADJUDICATION (VERDICT r8 item 3): the roving in-bench spike
+    # lands on a different query each full-registry record and has
+    # fully reverted in EVERY solo noop-sink re-run across rounds 4-8
+    # (BASELINE.md adjudication sections). Rather than minting a fresh
+    # un-adjudicated 2x-vs-first-seen breach per round for a human to
+    # chase, the bench now adjudicates its own record: any query whose
+    # warm in-bench wall exceeds 2x its baseline (first-seen from the
+    # committed BENCH_DETAIL history, overridden by the re-baselines
+    # documented in BASELINE.md) AND 0.4 s absolute is re-timed solo in
+    # the same session — GC settle, one discarded warm-up, then 3 timed
+    # noop-sink runs — and BOTH numbers ship in BENCH_DETAIL.json. The
+    # warm `queries` map stays the honest in-bench record; the
+    # adjudication column is evidence, not a substitute.
+    bench_dir = Path(__file__).resolve().parent / "benchmarks"
+    first_seen: dict[str, float] = {}
+    fs_path = bench_dir / "first_seen.json"
+    if fs_path.exists():
+        first_seen = json.loads(fs_path.read_text())
+    rb_path = bench_dir / "rebaselines.json"
+    rebaselines = (
+        {k: v["sec"] for k, v in json.loads(rb_path.read_text()).items()}
+        if rb_path.exists()
+        else {}
+    )
+    baselines = {**first_seen, **rebaselines}
+
+    # baselines are sf0.1 records — the gate (and the re-times it
+    # triggers) only means anything at the driver's sf0.1
+    breaches = sorted(
+        (
+            n
+            for n, w in timings.items()
+            if sf == 0.1
+            and n in baselines
+            and w > 0.4
+            and w > 2.0 * baselines[n]
+        ),
+        key=lambda n: timings[n] / baselines[n],
+        reverse=True,
+    )
+    # bound the adjudication bill; anything dropped is named, not silent
+    adjudication_skipped = breaches[_ADJ_CAP:]
+    adjudications = _adjudicate(
+        spark, qs, sf_dir, breaches[:_ADJ_CAP], timings, baselines, _settle_gc
+    )
+    # self-maintain the first-seen record: a query with no baseline yet
+    # (new this round) gets its first warm number pinned here, so next
+    # round's gate covers it too. ONLY at the driver's sf0.1 — a local
+    # sf0.01 smoke run would otherwise pin a ~10x-too-low baseline that
+    # the next official record then "breaches"
+    new_firsts = (
+        {n: w for n, w in timings.items() if n not in first_seen}
+        if sf == 0.1
+        else {}
+    )
+    if new_firsts:
+        first_seen.update(new_firsts)
+        fs_path.write_text(json.dumps(dict(sorted(first_seen.items())), indent=1))
+
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
         json.dumps(
@@ -165,6 +263,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_value": cold_total,
                 "n_queries": len(timings),
+                "adjudications": adjudications,
+                "adjudication_skipped": adjudication_skipped,
                 "sf": sf,
             },
             indent=1,
@@ -200,6 +300,9 @@ def main() -> None:
     # than asserting (a crash here would lose the one guaranteed-
     # parseable line), drop slowest-query entries until it fits.
     slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    adj_compact = {
+        n: [a["solo_min"], a["verdict"]] for n, a in adjudications.items()
+    }
     while True:
         compact = json.dumps(
             {
@@ -207,6 +310,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": dict(slowest),
+                "adjudicated": adj_compact,
                 "n_queries": len(timings),
                 "median": round(
                     sorted(timings.values())[len(timings) // 2], 4
@@ -217,9 +321,12 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-        if len(compact) < 1900 or not slowest:
+        if len(compact) < 1900 or (not slowest and not adj_compact):
             break
-        slowest = slowest[:-1]
+        if slowest:
+            slowest = slowest[:-1]
+        else:
+            adj_compact.pop(next(iter(adj_compact)))
     print(compact)
 
 
