@@ -85,6 +85,12 @@ OPS = [
     "llm_quality_features",
     "stat_fleiss_kappa",
     "dq_esd_outliers",
+    # round-9: corpus-wide exact LCS under maximal 10-copy cliques —
+    # the 8-token seed threshold is the pair-bill guard under test
+    # (every within-clique pair shares everything: candidates = all
+    # 45 pairs x 5k cliques, and the binary search converges up in
+    # ~2 steps since share(hi) is true for exact copies)
+    "llm_lcs_corpus_exact",
 ]
 
 

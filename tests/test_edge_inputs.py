@@ -107,6 +107,10 @@ def edge_ddb(edge_sf_dir):
         # must agree across engines)
         "llm_ngram_novelty",
         "llm_boilerplate_ngrams",
+        # round-9: corpus-wide exact LCS — every edge doc is shorter
+        # than the 8-token seed threshold, so the prefix-array build
+        # must filter them out (empty result, no ANSI sequence throw)
+        "llm_lcs_corpus_exact",
         "llm_rrf_fusion",
         "stat_mann_whitney",
         "stat_ks_two_sample",

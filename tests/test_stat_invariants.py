@@ -2019,3 +2019,34 @@ def test_seasonal_strength_bounds_and_python_replay(spark, sf_dir):
             # engine var_pop is a streaming algorithm; python's is
             # two-pass — agree to ~1e-6-scale slack, not bit-exact
             assert abs(got - want) < 5e-5
+
+
+def test_lcs_corpus_exact_matches_census_on_slice(spark, sf_dir):
+    """llm_lcs_corpus_exact is llm_substring_census without the slice
+    bound (threshold >= 8 instead): restricted to pairs with both
+    doc_ids inside the census slice, its lcs_tokens must equal the
+    census's pair-for-pair on every census pair with lcs_tokens >= 8
+    — the VERDICT r8 item 4 exactness pin for the corpus-wide path.
+    Also checks the corpus op finds pairs OUTSIDE the slice (it is
+    genuinely corpus-wide, not a re-sliced census)."""
+    census = {
+        (r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+        for r in _rows(spark, sf_dir, "llm_substring_census")
+        if r["lcs_tokens"] >= 8
+    }
+    corpus_rows = _rows(spark, sf_dir, "llm_lcs_corpus_exact")
+    corpus_slice = {
+        (r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+        for r in corpus_rows
+        if r["doc_a"] < 200 and r["doc_b"] < 200
+    }
+    assert census, "fixture must have slice pairs with lcs >= 8"
+    assert corpus_slice == census
+    assert any(
+        r["doc_a"] >= 200 or r["doc_b"] >= 200 for r in corpus_rows
+    ), "corpus-wide op must also report pairs outside the census slice"
+    # every reported run is >= the seed threshold and every pair
+    # carries at least one shared seed gram by construction
+    for r in corpus_rows:
+        assert r["lcs_tokens"] >= 8
+        assert r["n_shared_seed_grams"] >= 1
