@@ -14,7 +14,7 @@ numbers derived from ``doc_id``) — built with IDENTICAL expressions on
 the Spark and DuckDB sides — and then clean it. The cleaning logic is
 the real operator; the dirt is just a reproducible fixture transform.
 
-Dialect notes (cost time once already — see CLAUDE.md):
+Dialect notes (cost time once already — see the repo working notes, CLAUDE.md):
 - DuckDB ``regexp_replace`` replaces the FIRST match unless passed the
   ``'g'`` flag; Spark's is global by default. Every oracle here passes
   ``'g'``.
@@ -311,7 +311,7 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials) — never raw text.
 
     qround (floor-form), not ROUND: the share is a ratio (e.g. 7/40)
-    that can sit exactly on a rounding boundary (CLAUDE.md invariant).
+    that can sit exactly on a rounding boundary (repo working-notes invariant).
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -1015,7 +1015,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions are vocabulary-sized after the one corpus-wide count.
     The vocab table feeds TWO branches (grand total + top-20) — it is
     localCheckpointed so the corpus explode+count runs ONCE, not once
-    per branch (the llm_semdedup multi-use lesson, CLAUDE.md); spread()
+    per branch (the llm_semdedup multi-use lesson, repo working notes); spread()
     parallelizes the tokenize off the single-file fixture partition.
     """
     words = (
@@ -1827,7 +1827,7 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan family, then broadcast-joined: the unigram table rides onto
     the bigram aggregate twice. Bigrams are built with the ANSI-
     guarded element_at pattern (sequence(1,0) counts DOWN — the
-    llm_bigram_logprob trap, CLAUDE.md).
+    llm_bigram_logprob trap, repo working notes).
 
     100 TB shape: two map-side-combined hash aggregates + broadcast
     of the (post-gate, tiny) dictionary sides; final top-k is
@@ -2036,7 +2036,7 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final (nothing: it is row-per-doc map only); no UDFs, whole
     plan stays in codegen. Short docs degrade gracefully (< window:
     one global min; < gram: empty set) behind CASE guards (ANSI
-    sequence() gotcha, CLAUDE.md)."""
+    sequence() gotcha, repo working notes)."""
     docs = load_table(spark, sf_dir, "documents")
     P = _FH_P
     W = _WINNOW_K_WINDOW
@@ -4119,6 +4119,17 @@ def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode rows LEFT-JOIN to NULL top_frac/mean_logprob, empty
     corpus yields zero rows). qround(6) floor-form everywhere.
 
+    Parity class (ADVICE r8): mean_logprob is qround(lpsum/nt, 6)
+    where lpsum is an order-dependent float sum of n·ln(c/total)
+    terms each engine accumulates in its own order — the accepted
+    chi-square-precedent class for unavoidable libm sums, here with
+    ONE qround(6) boundary-flip opportunity PER DOCUMENT rather than
+    per corpus (flake probability ≈ n_docs · sum_spread/grid ≈
+    5000 · 1e-13/1e-6 ≈ 5e-4 at sf0.1 — accepted; a flip is a
+    comparator artifact, not an engine defect, and shows up only as
+    a one-row hash mismatch that re-running reproduces with the same
+    magnitude-1e-13 delta).
+
     100 TB: 3 corpus-scale shuffles (doc-word agg, per-doc agg, the
     doc-keyed stitch join) + vocab-sized broadcasts — same bill as
     llm_unigram_logprob plus one join; never a second text scan."""
@@ -4264,7 +4275,7 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-bucket rank is NOT a bucket-partitioned window — ≤ 8 buckets
     means each partition is ~corpus/8, a near-global single-task sort
-    (the global-window ban, CLAUDE.md). Instead the GLOBAL
+    (the global-window ban, repo working notes). Instead the GLOBAL
     distributed_rank on (bucket, doc_id) — one range exchange +
     metadata-sized offsets — gives per-bucket rank as
     _grn − min(_grn over the bucket), with the 8-row minimum table

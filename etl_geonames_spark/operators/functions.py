@@ -545,7 +545,7 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     First runtime (non-constant-folded) collation use loads the ICU
     machinery once per session (~seconds) — a known fixed cost, see
-    CLAUDE.md."""
+    the repo working notes (CLAUDE.md)."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.filter(
         F.expr("collate(c_mktsegment, 'UTF8_LCASE') = 'BuIlDiNg'")

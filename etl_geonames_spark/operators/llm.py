@@ -4622,7 +4622,7 @@ def llm_pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def make_lut_entry(m, start, length, sub_q):
         # closure factory — default-arg capture reads as an n-arg
-        # lambda to Spark's HOF binder (CLAUDE.md gotcha)
+        # lambda to Spark's HOF binder (repo working-notes gotcha)
         def lut_entry(c):
             cs = F.slice(c["cq"], start, F.greatest(length, F.lit(0)))
             return F.struct(

@@ -59,7 +59,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned on the merge key (AQE handles skew); with a
     lakehouse table format the same plan becomes file-level MERGE
     INTO — this operator is the engine-side core of it. Sums of 2dp
-    inputs round at their own 2dp grid (CLAUDE.md invariant).
+    inputs round at their own 2dp grid (repo working-notes invariant).
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")

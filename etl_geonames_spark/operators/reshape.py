@@ -95,7 +95,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL, the job survives). try_divide hits a real zero
     denominator (quantity=25) and try_cast a non-numeric string.
 
-    qround on the ratio (CLAUDE.md invariant); NULLs pass through
+    qround on the ratio (repo working-notes invariant); NULLs pass through
     qround as NULL on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(

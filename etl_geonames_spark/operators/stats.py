@@ -1376,7 +1376,7 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ·MAD): no division, so an all-constant group (MAD = 0) counts any
     deviation as an outlier instead of throwing ANSI DIVIDE_BY_ZERO.
     Both compare sides are qround(6)'d before the >, the cross-engine
-    float-predicate discipline (CLAUDE.md). Exact medians are
+    float-predicate discipline (repo working notes). Exact medians are
     interpolated identically (mean of middle two) by both engines.
 
     Shape: two keyed exact-median aggregates (each one shuffle on
@@ -3033,7 +3033,7 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float discipline: the decision predicate compares the qround(6)'d
     statistics against the literal critical value on BOTH engines
-    (the threshold-predicate rule, CLAUDE.md) — never raw libm
+    (the threshold-predicate rule, repo working notes) — never raw libm
     output. Same six exact int64 moments and one-row shape as
     stat_welch_ttest; degenerate groups NULL out. One corpus scan at
     any scale."""
@@ -3083,7 +3083,7 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # se2 = 0 (both groups constant) must NULL, not throw: Spark ANSI
     # raises DIVIDE_BY_ZERO where DuckDB's double x/0.0 quietly NULLs
-    # (CLAUDE.md ratio rule; caught in round-6 self-review)
+    # (the working-notes ratio rule; caught in round-6 self-review)
     ok2 = ok & (se2 > 0)
     t_lower = qround((d + F.lit(_TOST_MARGIN)) / F.sqrt(se2), 6)
     t_upper = qround((F.lit(_TOST_MARGIN) - d) / F.sqrt(se2), 6)
@@ -3926,7 +3926,7 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the votes are map-only array expressions riding the scan;
     one 1-row global aggregate — the agg_global shape (spread() for
-    the single-file fixture's one-partition scan, CLAUDE.md)."""
+    the single-file fixture's one-partition scan, repo working notes)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     t = docs.select(tk.alias("tk"))
@@ -4152,7 +4152,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate corpus (total weight 0 — ANSI divide guard) emit NULL
     weights; the grand total re-aggregates from the ≤|langs|-row
     stratum table so both engines derive it identically (the
-    global-anchor rule, CLAUDE.md).
+    global-anchor rule, repo working notes).
 
     100 TB: one hash aggregate to |strata| rows, then arithmetic on
     the metadata-sized table — the agg_group shape."""
@@ -4324,7 +4324,10 @@ def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubles are bit-identical on both engines and the exact
     medians agree bit-for-bit before the qround(6) emit; both
     outlier compare sides are qround(6)'d (the float-predicate
-    discipline).
+    discipline). The even-count case additionally relies on both
+    engines using the same lower + (upper−lower)/2 interpolation —
+    pinned, not assumed, by the dedicated even-cardinality fixture in
+    tests/test_edge_inputs.py (ADVICE r8 item 2).
 
     100 TB: one spread map pass computes norms ONCE into a
     localCheckpointed (vec_id, norm) projection — 16 bytes/vec,

@@ -1391,7 +1391,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 2024-01-01, y in half-up cents, and the triangle area
     cross-multiplied by n_prev²·n_next to clear both centroid
     divisions — so the argmax ranks on a BIGINT and the differential
-    hash cannot be flipped by float accumulation order (CLAUDE.md's
+    hash cannot be flipped by float accumulation order (the repo working notes'
     prefer-all-integer rule; magnitudes stay < 2^63 by the rebase).
     Interior buckets only (both neighbors must exist) — endpoint
     buckets are kept wholesale by real renderers anyway.
@@ -3093,7 +3093,7 @@ def _hurst_blocks(idx: DataFrame, m: int) -> DataFrame:
     factored so the plan contract can pin the block-partitioned
     window shape on an UN-checkpointed rebuild (the query checkpoints
     its 4-row union, which truncates this stage out of the final
-    plan; see the adamic-adar pattern in CLAUDE.md)."""
+    plan; see the adamic-adar pattern in the repo working notes)."""
     blk = ((F.col("t") - 1) / F.lit(m)).cast("long")
     bl = idx.select(
         "c",
@@ -3475,7 +3475,7 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|types|-bounded fan per user); the census is a 13-row
     aggregate. The interval table feeds BOTH join sides —
     localCheckpointed so the events scan + aggregate runs once
-    (CLAUDE.md multi-branch rule)."""
+    (the working-notes multi-branch rule)."""
     iv = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")

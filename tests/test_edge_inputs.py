@@ -689,3 +689,63 @@ def test_fleiss_empty_corpus_matches_oracle(spark, tmp_path):
     assert len(o) == 1
     assert int(o["n"][0]) == 0 and int(o["t1"][0]) == 0
     assert pd.isna(o["kappa"][0])
+
+
+def test_norm_qa_even_count_median_interpolation(spark, tmp_path):
+    """dq_embedding_norm_qa's docstring asserts Spark F.median and
+    DuckDB median agree bit-for-bit; for EVEN counts both must use
+    lower + (upper - lower)/2 interpolation between two DISTINCT
+    middle norms — this fixture pins that identity (ADVICE r8
+    item 2) instead of assuming it: 4 vectors whose L2 norms are
+    4 distinct values (3, 5, 13, 25), so med = (5+13)/2 = 9 and
+    MAD = median(|{6,4,4,16}|) = (4+6)/2 = 5 exactly, and the
+    n_outliers rule fires deterministically on the 25-norm vector."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_even"
+    d.mkdir()
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                [3.0, 0.0],     # norm 3
+                [3.0, 4.0],     # norm 5
+                [5.0, 12.0],    # norm 13
+                [7.0, 24.0],    # norm 25
+            ],
+            "label": pd.array([0, 1, 0, 1], dtype="int32"),
+        }
+    )
+    tbl = pa.Table.from_pandas(
+        emb,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    rows = QUERIES["dq_embedding_norm_qa"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 4 and r["n_zero"] == 0
+    assert r["med_norm"] == 9.0      # interpolated (5+13)/2
+    assert r["mad_norm"] == 5.0      # interpolated (4+6)/2
+    # dv values are {6, 4, 4, 16}; the MAD gate is 3.5/0.6745 * 5
+    # ≈ 25.9, so no outliers here — the pin is that BOTH engines
+    # derive the same interpolated medians and agree on the count
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    o = con.sql(ORACLES["dq_embedding_norm_qa"]).df()
+    assert len(o) == 1
+    assert float(o["med_norm"][0]) == 9.0
+    assert float(o["mad_norm"][0]) == 5.0
+    assert int(o["n_outliers"][0]) == r["n_outliers"]
+    assert int(o["n_zero"][0]) == 0
