@@ -4487,3 +4487,195 @@ def metric_kendall(
             ),
         ).alias("tau_b"),
     )
+
+
+_DSIR_B = 512  # hashed-bigram feature buckets
+
+
+def _dsir_ph_sql(expr: str) -> str:
+    """DuckDB twin of :func:`poly_hash` over an arbitrary string
+    expression (the llm_feature_hashing fold, shared params)."""
+    # fold variable is _ci, NOT i: callers inline ``expr`` containing
+    # their own unnest/lambda indices named i, which a same-named
+    # inner lambda variable would silently shadow (cost a debug
+    # cycle: every char position hashed a different bigram)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(generate_series(1, len({expr})),"
+        f" _ci -> CAST(ascii(substr({expr}, _ci, 1)) AS BIGINT))),"
+        f" (acc, c) -> (acc * 31 + c) % {_FH_P})"
+    )
+
+
+@query(
+    "llm_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(str_split(text, ' '), w -> w <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST({_dsir_ph_sql("tk[i] || chr(1) || tk[i+1]")}
+                  % {_DSIR_B} AS INT) AS b
+      FROM t, unnest(generate_series(1, len(tk) - 1)) g(i)
+      WHERE len(tk) >= 2
+    ),
+    db AS (
+      SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    r AS (SELECT b, CAST(SUM(nb) AS BIGINT) AS cr FROM db GROUP BY b),
+    tg AS (
+      SELECT b, CAST(SUM(nb) AS BIGINT) AS ct
+      FROM db WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS rr,
+             (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tg) AS tt
+      FROM r
+    ),
+    lam AS (
+      SELECT r.b,
+             ln(CAST(COALESCE(tg.ct, 0) + 1 AS DOUBLE)
+                / (tot.tt + {_DSIR_B}))
+             - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.rr + {_DSIR_B})) AS lam
+      FROM r LEFT JOIN tg USING (b), tot
+    ),
+    w AS (
+      SELECT db.doc_id, db.lang, SUM(db.nb * lam.lam) AS w
+      FROM db JOIN lam USING (b) GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM t GROUP BY lang
+    )
+    SELECT base.lang, base.n_docs,
+           CAST(COUNT(w.doc_id) AS BIGINT) AS n_scored,
+           CASE WHEN COUNT(w.doc_id) > 0
+                THEN {sql_qround('SUM(w.w) / COUNT(w.doc_id)', 6)}
+           END AS avg_logweight,
+           CAST(COALESCE(SUM(CASE WHEN {sql_qround('w.w', 6)} > 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_positive
+    FROM base LEFT JOIN w ON w.lang = base.lang
+    GROUP BY base.lang, base.n_docs
+    """,
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-bigram
+    log-likelihood-ratio weights log p_target(doc)/p_raw(doc) under
+    bag-of-hashed-features unigram models with add-1 smoothing —
+    THE published cheap method for tilting a raw crawl toward a
+    target distribution before pretraining. Target here is the
+    lang='en' slice (the fixture's stand-in for a curated corpus);
+    features are bigrams hashed into {_DSIR_B} buckets via the
+    shared cross-engine :func:`poly_hash` fold (the
+    llm_feature_hashing trick — no vocabulary pass, bounded state at
+    ANY corpus size, which is DSIR's entire point).
+
+    Emitted per language: doc counts, scored-doc counts (docs with
+    >= 1 bigram), the mean log-weight, and how many docs score
+    positive (lean target-ward) — the table a mixing/resampling
+    stage consumes (llm_mix_weights / llm_apply_mix_weights are the
+    downstream consumers of exactly such a signal; this op produces
+    the weights those ops assume given).
+
+    Parity class: per-doc w = Σ_b n_b·λ_b and the per-lang mean are
+    order-dependent float sums (λ is ln of exact-integer ratios —
+    deterministic; the SUMS are the accepted chi-square-precedent
+    class, one qround(6) boundary per lang row plus one per doc on
+    the sign count — the documented llm_quality_features class).
+    The n >= 2 bigram guard is the standard ANSI sequence trap
+    guard; single-token/empty docs count in n_docs but not n_scored.
+
+    100 TB shape: explode → map-side hash → ONE (doc, bucket)
+    combined aggregate (shuffle rows bounded by docs x {_DSIR_B});
+    bucket stats re-aggregate THAT table ({_DSIR_B}-row outputs,
+    broadcast back); one doc-keyed weight aggregate; one k-row lang
+    rollup. The (doc, bucket) table is localCheckpointed — it feeds
+    the raw counts, the target counts, and the weight join."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias(
+            "tk"
+        ),
+    )
+    n = F.size("tk")
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at("tk", i),
+                F.lit("\x01"),
+                F.element_at("tk", i + 1),
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    db = (
+        spread(t, "doc_id")
+        .select("doc_id", "lang", F.explode(bg).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            (poly_hash(F.col("g")) % _DSIR_B).cast("int").alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        .localCheckpoint()
+    )
+    r = db.groupBy("b").agg(F.sum("nb").cast("long").alias("cr"))
+    tg = (
+        db.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("nb").cast("long").alias("ct"))
+    )
+    tot = r.agg(F.sum("cr").cast("long").alias("rr")).crossJoin(
+        tg.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    )
+    lam = (
+        r.join(tg, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + _DSIR_B)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("rr") + _DSIR_B)
+                )
+            ).alias("lam"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("nb") * F.col("lam")).alias("w"))
+    )
+    base = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        base.join(w, "lang", "left")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_scored"),
+            F.when(
+                F.count("doc_id") > 0,
+                qround(F.sum("w") / F.count("doc_id"), 6),
+            ).alias("avg_logweight"),
+            F.coalesce(
+                F.sum(F.when(qround(F.col("w"), 6) > 0, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_positive"),
+        )
+    )

@@ -4367,3 +4367,268 @@ def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "stat_kendall_w",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS m0,
+             CAST(len(list_distinct(list_filter(str_split(text, ' '),
+                 w -> w <> ''))) AS BIGINT) AS m1,
+             CAST(len(list_filter(str_split(text, ' '),
+                 w -> w <> '')) AS BIGINT) AS m2
+      FROM documents
+    ),
+    long AS (
+      SELECT doc_id, 0 AS rid, m0 AS v FROM t
+      UNION ALL SELECT doc_id, 1, m1 FROM t
+      UNION ALL SELECT doc_id, 2, m2 FROM t
+    ),
+    rk AS (
+      SELECT doc_id, rid, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY rid ORDER BY v, doc_id)
+                  AS BIGINT) AS rn
+      FROM long
+    ),
+    mid AS (
+      SELECT doc_id, rid,
+             (MIN(rn) OVER (PARTITION BY rid, v)
+              + MAX(rn) OVER (PARTITION BY rid, v)) / 2.0 AS mr
+      FROM rk
+    ),
+    ri AS (SELECT doc_id, SUM(mr) AS r FROM mid GROUP BY doc_id),
+    ties AS (
+      SELECT rid, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM long GROUP BY rid, v
+    ),
+    tt AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS sum_t3 FROM ties),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    s AS (
+      SELECT tot.n, tt.sum_t3,
+             SUM((ri.r - 3.0 * (tot.n + 1) / 2.0)
+                 * (ri.r - 3.0 * (tot.n + 1) / 2.0)) AS ss
+      FROM ri, tot, tt GROUP BY tot.n, tt.sum_t3
+    )
+    SELECT n, CAST(3 AS INT) AS m,
+           CASE WHEN n > 1 AND
+                     9.0 * (CAST(n AS DOUBLE) * n * n - n)
+                     - 3.0 * sum_t3 > 0.0
+                THEN {sql_qround(
+                    '12.0 * ss / (9.0 * (CAST(n AS DOUBLE) * n * n - n)'
+                    ' - 3.0 * sum_t3)', 6)}
+           END AS w_stat,
+           CASE WHEN n > 1 AND
+                     9.0 * (CAST(n AS DOUBLE) * n * n - n)
+                     - 3.0 * sum_t3 > 0.0
+                THEN {sql_qround(
+                    '3.0 * (n - 1) * (12.0 * ss'
+                    ' / (9.0 * (CAST(n AS DOUBLE) * n * n - n)'
+                    ' - 3.0 * sum_t3))', 6)}
+           END AS chi2_r
+    FROM s
+    """,
+)
+def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) across m = 3 metric "raters" ranking every document
+    CORPUS-WIDE: length in chars, vocabulary size, token count — do
+    the cheap quality signals produce the SAME document ordering
+    (W → 1, they are redundant) or independent ones (W → 0, each adds
+    information)? The k-rater completion of the agreement family:
+    llm_metric_kendall (τ-b, 2 raters, slice pairs) and
+    stat_fleiss_kappa (categorical votes) — W is the RANKING-valued
+    m-rater statistic, with the tie-corrected denominator
+    m²(n³−n) − m·ΣT and the χ²_r = m(n−1)W approximation emitted
+    alongside.
+
+    Rank machinery is the rank-test family's decomposition restated
+    on a 3n-row long table: ONE distributed_rank pass over
+    (rid, v, doc_id) — raters are contiguous blocks of the global
+    order, so the within-rater row number is _grn − rid·n exactly
+    (every rater ranks the same n docs) — then (rid, v)-group
+    midranks ((min+max)/2, exact .5-rationals), one doc-keyed
+    aggregate for R_i, one 1-row moment aggregate. No global window
+    (the global-window ban); midranks and R_i are exact binary
+    rationals, so S = Σ(R_i − m(n+1)/2)² is deterministic in both
+    engines and the single qround(6) emit carries no
+    accumulation-order risk beyond the accepted 1-row class.
+
+    100 TB: the rank pass is the only corpus-scale exchange (range
+    repartition); ties/R_i/moments are one combined-agg each, and m
+    is a constant — same bill as stat_kruskal_wallis on a 3x long
+    table. Guard: n <= 1 or an all-tied corpus (denominator 0) emits
+    NULL, not an ANSI throw."""
+    from etl_geonames_spark.operators.relational import distributed_rank
+
+    tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("m0"),
+        F.size(F.array_distinct(tk)).cast("long").alias("m1"),
+        F.size(tk).cast("long").alias("m2"),
+    )
+    long = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("rid"), F.col("m0").alias("v")),
+                F.struct(F.lit(1).alias("rid"), F.col("m1").alias("v")),
+                F.struct(F.lit(2).alias("rid"), F.col("m2").alias("v")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.rid", "p.v")
+    ranked = distributed_rank(long, ["rid", "v", "doc_id"]).select(
+        "doc_id",
+        "rid",
+        "v",
+        # rater blocks are contiguous in the global order and each
+        # holds exactly n rows: within-rater rank = _grn - rid*n
+        # (_total = 3n exactly; the double division is exact for
+        # these magnitudes and the cast pins the integer type)
+        (
+            F.col("_grn").cast("long")
+            - (F.col("rid").cast("long") * (F.col("_total") / 3)).cast(
+                "long"
+            )
+        ).alias("rn"),
+    )
+    mids = ranked.groupBy("rid", "v").agg(
+        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    ).localCheckpoint()
+    ri = (
+        ranked.join(F.broadcast(mids.select("rid", "v", "mr")), ["rid", "v"])
+        .groupBy("doc_id")
+        .agg(F.sum("mr").alias("r"))
+    )
+    tt = mids.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("sum_t3")
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = F.col("n").cast("double")
+    dev = F.col("r") - 3.0 * (F.col("n") + 1) / 2.0
+    s = (
+        ri.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tt))
+        .groupBy("n", "sum_t3")
+        .agg(F.sum(dev * dev).alias("ss"))
+    )
+    denom = 9.0 * (nn * nn * nn - nn) - 3.0 * F.col("sum_t3")
+    w = 12.0 * F.col("ss") / denom
+    ok = (F.col("n") > 1) & (denom > 0.0)
+    return s.select(
+        "n",
+        F.lit(3).cast("int").alias("m"),
+        F.when(ok, qround(w, 6)).alias("w_stat"),
+        F.when(ok, qround(3.0 * (F.col("n") - 1) * w, 6)).alias("chi2_r"),
+    )
+
+
+@query(
+    "stat_bartlett",
+    oracle=f"""
+    WITH x AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(v * v) AS BIGINT) AS q
+        FROM x GROUP BY lang
+    ),
+    gv AS (
+        SELECT lang, n,
+               CAST(n * q - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+        FROM g WHERE n >= 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               SUM((n - 1) * s2) AS pooled_num,
+               SUM((n - 1) * ln(s2)) AS sum_ln,
+               SUM(1.0 / (n - 1)) AS sum_inv,
+               CAST(MIN(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS INT)
+                   AS all_pos
+        FROM gv
+    )
+    SELECT k, nn,
+           CASE WHEN k >= 2 AND nn > k AND all_pos = 1
+                THEN {sql_qround(
+                    '((nn - k) * ln(pooled_num / (nn - k)) - sum_ln)'
+                    ' / (1.0 + (sum_inv - 1.0 / (nn - k))'
+                    '          / (3.0 * (k - 1)))', 6)}
+           END AS t_stat
+    FROM tot
+    """,
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the per-lang
+    document-length groups — the parametric (normality-assuming,
+    maximally powerful) complement of the SAME comparison
+    stat_levene runs robustly on the SAME column: a pipeline reports
+    both, and Levene-rejects-while-Bartlett-doesn't flags heavy
+    tails rather than true variance differences.
+    T = [(N−k)·ln S_p² − Σ(n_i−1)·ln s_i²] / C with the standard
+    Bartlett correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)),
+    ~χ²(k−1) under H0.
+
+    Determinism: n_chars is integer, so every group moment (n, Σx,
+    Σx²) is an EXACT int64 aggregate — the group variances
+    s_i² = (n·q − s²)/(n(n−1)) are single IEEE divisions of exact
+    integers, identical on both engines, and the k-term ln sums fold
+    over identical doubles (k = 5 rows; the one qround(6) emit is
+    the accepted k-term class). Groups with n_i < 2 are excluded
+    from the statistic (their variance is undefined); a zero
+    variance in any group (ln → −inf / ANSI risk) or k < 2 or
+    N ≤ k NULLs the statistic.
+
+    100 TB: one corpus-scale hash aggregate (map-side combined,
+    integer sums); everything after is k rows."""
+    x = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    g = x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    nn_i = F.col("n")
+    gv = g.filter(nn_i >= 2).select(
+        "lang",
+        "n",
+        (
+            (nn_i * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (nn_i.cast("double") * (nn_i - 1))
+        ).alias("s2"),
+    )
+    tot = gv.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+        F.sum((F.col("n") - 1) * F.log(F.col("s2"))).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1).cast("double")).alias("sum_inv"),
+        F.min(F.when(F.col("s2") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("all_pos"),
+    )
+    k = F.col("k")
+    nn = F.col("nn")
+    ok = (k >= 2) & (nn > k) & (F.col("all_pos") == 1)
+    t = (
+        (nn - k).cast("double")
+        * F.log(F.col("pooled_num") / (nn - k).cast("double"))
+        - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (nn - k).cast("double"))
+        / (3.0 * (k - 1).cast("double"))
+    )
+    return tot.select(
+        "k", "nn", F.when(ok, qround(t, 6)).alias("t_stat")
+    )

@@ -3820,3 +3820,174 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("trend_strength"),
     )
+
+
+@query(
+    "ts_kpss",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, n, v,
+             list_transform(v, x -> x -
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+                           (acc, y) -> acc + y) / n) AS e,
+             len(list_filter(generate_series(1, 16),
+                 j -> 256 * CAST(n AS BIGINT)
+                      >= 100 * CAST(j AS BIGINT) * j * j * j)) AS l
+      FROM arr
+    ),
+    st AS (
+      SELECT event_type, n, l,
+             list_reduce(
+               list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                 list_transform(e, x -> [x, CAST(0 AS DOUBLE)])),
+               (acc, xv) -> [acc[1] + xv[1],
+                             acc[2] + (acc[1] + xv[1]) * (acc[1] + xv[1])]
+             )[2] AS ss,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(e, x -> x * x)), (acc, y) -> acc + y)
+               AS g0,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, l), j ->
+                   CAST(l + 1 - j AS DOUBLE) / (l + 1) *
+                   CASE WHEN n > j THEN
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(generate_series(1, n - j),
+                                      t -> e[t] * e[t + j])),
+                       (acc, y) -> acc + y)
+                   ELSE 0.0 END)),
+               (acc, y) -> acc + y) AS gw
+      FROM e
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS lag_l,
+           CASE WHEN n >= 2 AND g0 + 2.0 * gw > 0.0
+                THEN {{q}}
+           END AS kpss_stat
+    FROM st
+    """.replace("{q}", sql_qround(
+        "ss / (CAST(n AS DOUBLE) * (g0 + 2.0 * gw))", 6)),
+)
+def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) per event type over the daily-count series —
+    the stationarity screen that complements the trend/autocorrelation
+    family (stat_mann_kendall detects monotone trend, stat_ljung_box
+    whiteness, ts_hurst_rs long memory): η = n⁻²ΣS_t² / σ̂²_lrv with
+    S_t the partial sums of demeaned counts and the long-run variance
+    estimated under a Bartlett window of the standard l = ⌊4(n/100)^¼⌋
+    lags. Large η rejects level-stationarity — the pipeline signal
+    that a metric needs differencing/decomposition before
+    control-chart rules (ts_spc_xbar_r, ts_cusum_drift) apply.
+
+    Determinism: the whole statistic folds sequentially over the
+    date-sorted per-series array in the SAME order on both engines
+    (the ts_holt_winters contract) — mean, partial-sum squares
+    ([s, Σs²] LIST-state fold; never a struct state, the documented
+    DuckDB rebinding trap), γ_j cross-products, and the Bartlett
+    weighting are bit-identical IEEE before the one qround(6) emit,
+    and the denominator predicate compares identical doubles. The
+    Bartlett lag is computed ALL-INTEGER (l = #{{j ≤ 16 :
+    256n ≥ 100j⁴}} — the monotone-count restatement of ⌊4(n/100)^¼⌋),
+    because a libm pow(·, 0.25) landing exactly on an integer could
+    floor differently across engines (the float-threshold rule
+    applied to an exponent).
+
+    γ_j terms with j ≥ n are guarded to 0 inside the lazy value
+    branch (Spark's sequence(1, n−j) would DESCEND and index out of
+    bounds under ANSI; DuckDB's generate_series is naturally empty).
+
+    100 TB: one corpus-scale daily hash aggregate; everything after
+    is per-series array arithmetic of O(n·l) distributed by series
+    key — the same bill class as ts_acf (which shares the
+    autocovariance core at fixed demeaning)."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+
+    def fsum(a):
+        return F.aggregate(
+            a, F.lit(0.0), lambda acc, y: acc + y
+        )
+
+    n = F.col("n")
+    mean = fsum(F.col("v")) / n
+    e = F.transform(F.col("v"), lambda x: x - mean)
+    l_col = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: F.lit(256) * n.cast("long")
+            >= F.lit(100) * j.cast("long") * j * j * j,
+        )
+    )
+    prep = arr.select("event_type", "n", e.alias("e"), l_col.alias("l"))
+    ec = F.col("e")
+    ss = F.element_at(
+        F.aggregate(
+            ec,
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) + x,
+                F.element_at(acc, 2)
+                + (F.element_at(acc, 1) + x) * (F.element_at(acc, 1) + x),
+            ),
+        ),
+        2,
+    )
+    g0 = fsum(F.transform(ec, lambda x: x * x))
+
+    def gamma(j):
+        return fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - j),
+                lambda t: F.element_at(ec, t) * F.element_at(ec, t + j),
+            )
+        )
+
+    gw = fsum(
+        F.transform(
+            F.sequence(F.lit(1), F.col("l")),
+            lambda j: (F.col("l") + 1 - j).cast("double")
+            / (F.col("l") + 1)
+            * F.when(F.col("n") > j, gamma(j)).otherwise(F.lit(0.0)),
+        )
+    )
+    st = prep.select(
+        "event_type",
+        "n",
+        "l",
+        ss.alias("ss"),
+        g0.alias("g0"),
+        gw.alias("gw"),
+    )
+    den = F.col("g0") + 2.0 * F.col("gw")
+    return st.select(
+        F.col("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("l").cast("long").alias("lag_l"),
+        F.when(
+            (F.col("n") >= 2) & (den > 0.0),
+            qround(F.col("ss") / (F.col("n").cast("double") * den), 6),
+        ).alias("kpss_stat"),
+    )

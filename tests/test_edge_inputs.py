@@ -109,8 +109,18 @@ def edge_ddb(edge_sf_dir):
         "llm_boilerplate_ngrams",
         # round-9: corpus-wide exact LCS — every edge doc is shorter
         # than the 8-token seed threshold, so the prefix-array build
-        # must filter them out (empty result, no ANSI sequence throw)
+        # must filter them out (empty result, no ANSI sequence throw);
+        # Kendall W's rank pass over the degenerate 6-doc corpus
+        # (ties everywhere, the empty doc ranks with 0 tokens);
+        # Bartlett on the single-lang corpus (k = 1 → NULL statistic,
+        # no ln(0) divergence)
         "llm_lcs_corpus_exact",
+        "stat_kendall_w",
+        "stat_bartlett",
+        # DSIR on the degenerate all-'en' corpus: target == raw, so
+        # smoothed log-ratios collapse toward 0; single-token/empty
+        # docs are unscored (n >= 2 bigram guard) but still counted
+        "llm_dsir_weights",
         "llm_rrf_fusion",
         "stat_mann_whitney",
         "stat_ks_two_sample",

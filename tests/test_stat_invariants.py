@@ -2050,3 +2050,112 @@ def test_lcs_corpus_exact_matches_census_on_slice(spark, sf_dir):
     for r in corpus_rows:
         assert r["lcs_tokens"] >= 8
         assert r["n_shared_seed_grams"] >= 1
+
+
+def test_kendall_w_matches_python_replay(spark, sf_dir):
+    """Pure-Python third implementation of Kendall's W: midranks per
+    metric-rater recomputed from the fixture texts, tie correction
+    included — must equal the engine outputs on the qround grid (the
+    differential only proves Spark == DuckDB)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    metrics = []
+    for r in rows:
+        tk = [w for w in r["text"].split(" ") if w != ""]
+        metrics.append((r["doc_id"], r["n_chars"], len(set(tk)), len(tk)))
+    n = len(metrics)
+    m = 3
+    ranks = {d: 0.0 for d, *_ in metrics}
+    sum_t3 = 0
+    for col in (1, 2, 3):
+        order = sorted(metrics, key=lambda t: (t[col], t[0]))
+        byval: dict = {}
+        for pos, t in enumerate(order, start=1):
+            byval.setdefault(t[col], []).append((pos, t[0]))
+        for v, entries in byval.items():
+            mr = (entries[0][0] + entries[-1][0]) / 2.0
+            tcnt = len(entries)
+            sum_t3 += tcnt**3 - tcnt
+            for _, d in entries:
+                ranks[d] += mr
+    s = sum((r - m * (n + 1) / 2.0) ** 2 for r in ranks.values())
+    denom = m * m * (n**3 - n) - m * sum_t3
+    w = 12.0 * s / denom
+    got = _rows(spark, sf_dir, "stat_kendall_w")[0]
+    assert got["n"] == n and got["m"] == m
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert abs(got["w_stat"] - q6(w)) <= 1e-6
+    assert abs(got["chi2_r"] - q6(m * (n - 1) * w)) <= 1e-6
+    assert 0.0 <= got["w_stat"] <= 1.0  # W is a concordance in [0, 1]
+
+
+def test_dsir_weights_python_replay(spark, sf_dir):
+    """Pure-Python DSIR replay: hashed-bigram counts, add-1 smoothed
+    target/raw models, per-doc log-likelihood-ratio weights — per-lang
+    aggregates must match the engine outputs on the qround grid, and
+    the scored/doc counts exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    B, P = 512, 1_000_003
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+
+    def ph(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    raw = Counter()
+    tgt = Counter()
+    docs = []
+    for r in rows:
+        tk = [w for w in r["text"].split(" ") if w != ""]
+        bs = [
+            ph(tk[i] + "\x01" + tk[i + 1]) % B
+            for i in range(len(tk) - 1)
+        ]
+        docs.append((r["lang"], Counter(bs)))
+        raw.update(bs)
+        if r["lang"] == "en":
+            tgt.update(bs)
+    rr, tt = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: math.log((tgt.get(b, 0) + 1) / (tt + B))
+        - math.log((c + 1) / (rr + B))
+        for b, c in raw.items()
+    }
+    per_lang = defaultdict(lambda: [0, 0, 0.0, 0])  # docs, scored, sum, pos
+    for lang, cnt in docs:
+        per_lang[lang][0] += 1
+        if cnt:
+            w = sum(nb * lam[b] for b, nb in cnt.items())
+            per_lang[lang][1] += 1
+            per_lang[lang][2] += w
+            if math.floor(w * 1e6 + 0.5) / 1e6 > 0:
+                per_lang[lang][3] += 1
+    got = {r["lang"]: r for r in _rows(spark, sf_dir, "llm_dsir_weights")}
+    assert set(got) == set(per_lang)
+    for lang, (nd, ns, sw, np_) in per_lang.items():
+        g = got[lang]
+        assert g["n_docs"] == nd and g["n_scored"] == ns
+        assert g["n_positive"] == np_
+        assert abs(g["avg_logweight"] - sw / ns) <= 2e-6
