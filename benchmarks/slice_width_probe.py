@@ -29,9 +29,15 @@ WIDTHS = [50, 100, 200, 400, 800]
 
 
 def main() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from etl_geonames_spark import get_spark
     from etl_geonames_spark.operators.curation import metric_kendall
     from etl_geonames_spark.operators.llm import substring_census
+    from etl_geonames_spark.registry import collect
+    from etl_geonames_spark.sources import load_table
 
     spark = get_spark("slice-width-probe")
     # warm: one run at the contractual width so session costs don't
@@ -59,6 +65,24 @@ def main() -> None:
             "pairs": w * (w - 1) // 2,
         }
         print(f"# kendall W={w}: {wall}s", file=sys.stderr)
+    # llm_lcs_corpus_exact over id-filtered corpus copies of the same
+    # widths: the threshold form's pair bill tracks the corpus' TRUE
+    # shared-run structure (how many pairs share an 8-gram), not W² —
+    # the contrast with the census column is the point
+    qs, _ = collect()
+    out["lcs"] = {}
+    docs = load_table(spark, SF, "documents")
+    for w in WIDTHS:
+        tmp = tempfile.mkdtemp(prefix=f"lcs_w{w}_")
+        docs.filter(F.col("doc_id") < w).write.mode("overwrite").parquet(
+            f"{tmp}/documents.parquet"
+        )
+        t0 = time.perf_counter()
+        df = qs["llm_lcs_corpus_exact"](spark, tmp)
+        df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        out["lcs"][str(w)] = {"wall_s": wall, "pairs": df.count()}
+        print(f"# lcs W={w}: {out['lcs'][str(w)]}", file=sys.stderr)
     print(json.dumps({"sf": 0.1, "widths": WIDTHS, **out}))
 
 

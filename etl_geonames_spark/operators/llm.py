@@ -5310,9 +5310,15 @@ def llm_lcs_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-pair binary-search state is an array<long> [lo, hi] fold
     (NOT a struct: DuckDB's list_reduce rebinds struct-state fields
     sequentially — the ts_holt_winters trap); lo starts at the seed
-    level (verified shared by the join), hi at min(na, nb). Double
-    61-bit-prime hashing keeps collision risk negligible and —
-    because both engines share the hash params — engine-identical.
+    level (verified shared by the join), hi at min(na, nb). Hashing
+    is TWO independent ~2^30 primes (the census's _SC_P1/_SC_P2): a
+    false share(mid) needs a SIMULTANEOUS collision in both chains,
+    ~(na·nb)/2^60 per level — negligible at any realistic document
+    length, and engine-identical either way since both engines share
+    the params. The per-component space is only ~30 bits though
+    (int64 headroom bounds the Horner multiply), so the honest
+    collision knob for a corpus whose per-level gram tables reach
+    billions of entries is the seed threshold, not the primes.
 
     Exactness pin: on the census slice this op's pairs with both
     doc_ids < 200 equal llm_substring_census rows with lcs_tokens >=

@@ -4463,7 +4463,9 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonames_spark.operators.relational import distributed_rank
 
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
-    t = load_table(spark, sf_dir, "documents").select(
+    # spread(): the tokenize is a compute-bound map over the
+    # single-file fixture's one scan partition (the r5 text-stack rule)
+    t = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("m0"),
         F.size(F.array_distinct(tk)).cast("long").alias("m1"),
@@ -4551,7 +4553,7 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS nn,
                SUM((n - 1) * s2) AS pooled_num,
-               SUM((n - 1) * ln(s2)) AS sum_ln,
+               SUM(CASE WHEN s2 > 0 THEN (n - 1) * ln(s2) END) AS sum_ln,
                SUM(1.0 / (n - 1)) AS sum_inv,
                CAST(MIN(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS INT)
                    AS all_pos
@@ -4585,8 +4587,12 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     over identical doubles (k = 5 rows; the one qround(6) emit is
     the accepted k-term class). Groups with n_i < 2 are excluded
     from the statistic (their variance is undefined); a zero
-    variance in any group (ln → −inf / ANSI risk) or k < 2 or
-    N ≤ k NULLs the statistic.
+    variance in any group or k < 2 or N ≤ k NULLs the statistic.
+    The ln(s_i²) term is NULL-guarded SYMMETRICALLY: Spark's log()
+    returns NULL on non-positive input while DuckDB's ln(0) THROWS —
+    the oracle's CASE WHEN s2 > 0 mirror makes both engines drop the
+    term and fall through to the all_pos NULL (zero-variance-group
+    differential pinned in tests/test_edge_inputs.py).
 
     100 TB: one corpus-scale hash aggregate (map-side combined,
     integer sums); everything after is k rows."""

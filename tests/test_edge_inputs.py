@@ -759,3 +759,38 @@ def test_norm_qa_even_count_median_interpolation(spark, tmp_path):
     assert float(o["mad_norm"][0]) == 5.0
     assert int(o["n_outliers"][0]) == r["n_outliers"]
     assert int(o["n_zero"][0]) == 0
+
+
+def test_bartlett_zero_variance_group_nulls_not_throws(spark, tmp_path):
+    """A lang group whose lengths are all identical has exact sample
+    variance 0: DuckDB ln(0) THROWS where Spark log(0) is NULL — the
+    oracle's CASE WHEN s2 > 0 guard must make both engines drop the
+    term and NULL the statistic via the all_pos gate (code-review
+    r9 finding). Differential over a self-contained fixture."""
+    import duckdb
+
+    d = tmp_path / "sf_zv"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3, 4], dtype="int64"),
+            "text": ["a b", "c d", "e f g", "h i", "j k l m"],
+            "lang": ["en", "en", "de", "de", "de"],
+            "source": ["s"] * 5,
+            # en group: constant length -> s2 = 0 exactly
+            "n_chars": pd.array([7, 7, 9, 11, 13], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    rows = QUERIES["stat_bartlett"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 2 and r["nn"] == 5
+    assert r["t_stat"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    o = con.sql(ORACLES["stat_bartlett"]).df()
+    assert len(o) == 1 and int(o["k"][0]) == 2 and int(o["nn"][0]) == 5
+    assert pd.isna(o["t_stat"][0])

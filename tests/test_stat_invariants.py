@@ -2158,4 +2158,9 @@ def test_dsir_weights_python_replay(spark, sf_dir):
         g = got[lang]
         assert g["n_docs"] == nd and g["n_scored"] == ns
         assert g["n_positive"] == np_
-        assert abs(g["avg_logweight"] - sw / ns) <= 2e-6
+        if ns:
+            assert abs(g["avg_logweight"] - sw / ns) <= 2e-6
+        else:
+            # a lang whose docs are all empty/single-token has no
+            # scored docs: the engine must emit NULL, not crash
+            assert g["avg_logweight"] is None
