@@ -56,16 +56,16 @@ _OPERATOR_MODULES = [
 # ALL 47 never-driver-checked names (37 legacy stat_*/ts_*/dq_*/mm_*
 # backlog + the 10 round-8 additions), computed programmatically as
 # registry-order names absent from every CORRECTNESS_r01–r08; the
-# window's 3 filler slots are the oldest previously-green names
-# (udf_scalar/udf_grouped_map/udf_agg). Then all other
-# previously-green names in prior relative order, with the 50
-# CORRECTNESS_r08 names at the very back. After this round EVERY
-# registry query has a driver correctness row. Every rotated-out name
-# stays guarded by tests/test_oracle_parity.py, which checks ALL
-# queries every run.
+# window's 3 filler slots go to round-9 additions (llm_lcs_corpus_
+# exact, llm_dsir_weights, stat_kendall_w) rather than re-checking
+# old green names. Then all other previously-green names in prior
+# relative order, with the 50 CORRECTNESS_r08 names at the very
+# back. After this round every pre-round-9 registry query has a
+# driver correctness row. Every rotated-out name stays guarded by
+# tests/test_oracle_parity.py, which checks ALL queries every run.
 # ROUND-10 PLAN: move CORRECTNESS_r09 names to the back and promote
-# any round-9 additions (they land after the priority tail in
-# collect() order) into the window.
+# the two remaining round-9 additions (ts_kpss, stat_bartlett — at
+# the collect() tail) plus any round-10 additions into the window.
 _DRIVER_PRIORITY = [
     'stat_conformal_interval', 'stat_mutual_information', 'stat_benford',
     'dq_outlier_mad', 'stat_cohens_kappa', 'llm_calibration_bins',
@@ -83,7 +83,8 @@ _DRIVER_PRIORITY = [
     'llm_substring_census', 'llm_quality_features', 'llm_pack_bins',
     'llm_metric_kendall', 'stat_fleiss_kappa', 'dq_esd_outliers',
     'sample_neyman_allocation', 'stat_dunn_posthoc',
-    'dq_embedding_norm_qa', 'udf_scalar', 'udf_grouped_map', 'udf_agg',
+    'dq_embedding_norm_qa', 'llm_lcs_corpus_exact', 'llm_dsir_weights',
+    'stat_kendall_w', 'udf_scalar', 'udf_grouped_map', 'udf_agg',
     'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
     'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',
     'llm_dedup_paragraphs', 'ts_winsorize', 'join_asof_nearest',
