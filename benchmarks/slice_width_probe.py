@@ -29,6 +29,7 @@ WIDTHS = [50, 100, 200, 400, 800]
 
 
 def main() -> None:
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -40,6 +41,19 @@ def main() -> None:
     from etl_geonames_spark.sources import load_table
 
     spark = get_spark("slice-width-probe")
+    sc = spark.sparkContext
+
+    def drop_checkpoints() -> None:
+        # bench.py's per-query storage hygiene: the 15 curve points
+        # localCheckpoint corpus-sized tables; without unpersisting
+        # between points, later measurements run under monotonically
+        # growing storage pressure — the interference the curve is
+        # supposed to be free of
+        post = sc._jsc.getPersistentRDDs()
+        for rid in post.keySet().toArray():
+            rdd = post.get(rid)
+            if rdd is not None:
+                rdd.unpersist(True)
     # warm: one run at the contractual width so session costs don't
     # land on the first curve point
     substring_census(spark, SF, 50).write.format("noop").mode(
@@ -53,6 +67,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
         rows = df.count()
+        drop_checkpoints()
         out["census"][str(w)] = {"wall_s": wall, "pairs": rows}
         print(f"# census W={w}: {wall}s, {rows} pairs", file=sys.stderr)
     for w in WIDTHS:
@@ -60,6 +75,7 @@ def main() -> None:
         df = metric_kendall(spark, SF, w)
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
+        drop_checkpoints()
         out["kendall"][str(w)] = {
             "wall_s": wall,
             "pairs": w * (w - 1) // 2,
@@ -82,6 +98,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
         out["lcs"][str(w)] = {"wall_s": wall, "pairs": df.count()}
+        drop_checkpoints()
+        shutil.rmtree(tmp, ignore_errors=True)
         print(f"# lcs W={w}: {out['lcs'][str(w)]}", file=sys.stderr)
     print(json.dumps({"sf": 0.1, "widths": WIDTHS, **out}))
 

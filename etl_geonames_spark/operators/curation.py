@@ -1732,6 +1732,23 @@ def poly_hash(word):
     )
 
 
+def _poly_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`poly_hash` over an arbitrary string
+    expression — ONE definition for every oracle that hashes strings
+    (llm_feature_hashing, llm_dsir_weights), so a fix to the fold
+    propagates to all or none (the _MIDRANK_SQL pattern). The fold
+    variable is _ci, NOT i: callers inline ``expr`` containing their
+    own unnest/lambda indices named i, which a same-named inner
+    lambda variable would silently shadow (cost a debug cycle —
+    every char position hashed a different bigram)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(generate_series(1, len({expr})),"
+        f" _ci -> CAST(ascii(substr({expr}, _ci, 1)) AS BIGINT))),"
+        f" (acc, c) -> (acc * 31 + c) % {_FH_P})"
+    )
+
+
 @query(
     "llm_feature_hashing",
     oracle=f"""
@@ -1740,12 +1757,7 @@ def poly_hash(word):
         FROM documents
     ),
     h AS (
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(generate_series(1, len(word)),
-                           i -> CAST(ascii(substr(word, i, 1)) AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % {_FH_P}) AS ph
+        SELECT doc_id, {_poly_hash_sql("word")} AS ph
         FROM w WHERE word <> ''
     )
     SELECT doc_id, CAST(ph % {_FH_DIMS} AS INT) AS dim,
@@ -4491,22 +4503,6 @@ def metric_kendall(
 
 _DSIR_B = 512  # hashed-bigram feature buckets
 
-
-def _dsir_ph_sql(expr: str) -> str:
-    """DuckDB twin of :func:`poly_hash` over an arbitrary string
-    expression (the llm_feature_hashing fold, shared params)."""
-    # fold variable is _ci, NOT i: callers inline ``expr`` containing
-    # their own unnest/lambda indices named i, which a same-named
-    # inner lambda variable would silently shadow (cost a debug
-    # cycle: every char position hashed a different bigram)
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(generate_series(1, len({expr})),"
-        f" _ci -> CAST(ascii(substr({expr}, _ci, 1)) AS BIGINT))),"
-        f" (acc, c) -> (acc * 31 + c) % {_FH_P})"
-    )
-
-
 @query(
     "llm_dsir_weights",
     oracle=f"""
@@ -4517,7 +4513,7 @@ def _dsir_ph_sql(expr: str) -> str:
     ),
     bg AS (
       SELECT doc_id, lang,
-             CAST({_dsir_ph_sql("tk[i] || chr(1) || tk[i+1]")}
+             CAST({_poly_hash_sql("tk[i] || chr(1) || tk[i+1]")}
                   % {_DSIR_B} AS INT) AS b
       FROM t, unnest(generate_series(1, len(tk) - 1)) g(i)
       WHERE len(tk) >= 2

@@ -3841,7 +3841,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(v, x -> x -
                list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
                            (acc, y) -> acc + y) / n) AS e,
-             len(list_filter(generate_series(1, 16),
+             len(list_filter(generate_series(1, 128),
                  j -> 256 * CAST(n AS BIGINT)
                       >= 100 * CAST(j AS BIGINT) * j * j * j)) AS l
       FROM arr
@@ -3898,8 +3898,11 @@ def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB rebinding trap), γ_j cross-products, and the Bartlett
     weighting are bit-identical IEEE before the one qround(6) emit,
     and the denominator predicate compares identical doubles. The
-    Bartlett lag is computed ALL-INTEGER (l = #{{j ≤ 16 :
-    256n ≥ 100j⁴}} — the monotone-count restatement of ⌊4(n/100)^¼⌋),
+    Bartlett lag is computed ALL-INTEGER (l = #{{j ≤ 128 :
+    256n ≥ 100j⁴}} — the monotone-count restatement of ⌊4(n/100)^¼⌋,
+    exact for every series up to 128 lags ≡ n ≤ 104,857,600 daily
+    points ≈ 287k years, i.e. unbounded for any daily series; the
+    candidate range is an explicit bound, not a hidden truncation),
     because a libm pow(·, 0.25) landing exactly on an integer could
     floor differently across engines (the float-threshold rule
     applied to an exponent).
@@ -3936,7 +3939,7 @@ def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.transform(F.col("v"), lambda x: x - mean)
     l_col = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.lit(16)),
+            F.sequence(F.lit(1), F.lit(128)),
             lambda j: F.lit(256) * n.cast("long")
             >= F.lit(100) * j.cast("long") * j * j * j,
         )

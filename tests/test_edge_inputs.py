@@ -708,8 +708,10 @@ def test_norm_qa_even_count_median_interpolation(spark, tmp_path):
     middle norms — this fixture pins that identity (ADVICE r8
     item 2) instead of assuming it: 4 vectors whose L2 norms are
     4 distinct values (3, 5, 13, 25), so med = (5+13)/2 = 9 and
-    MAD = median(|{6,4,4,16}|) = (4+6)/2 = 5 exactly, and the
-    n_outliers rule fires deterministically on the 25-norm vector."""
+    MAD = median(|{6,4,4,16}|) = (4+6)/2 = 5 exactly; no vector
+    crosses the Iglewicz-Hoaglin gate (max dv 16 < 3.5/0.6745*5 ≈
+    25.9), and both engines must agree on that count through the
+    same interpolated medians."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -2059,8 +2059,6 @@ def test_kendall_w_matches_python_replay(spark, sf_dir):
     differential only proves Spark == DuckDB)."""
     import math
 
-    from pyspark.sql import functions as F
-
     from etl_geonames_spark.sources import load_table
 
     rows = (
