@@ -4522,22 +4522,22 @@ _DSIR_B = 512  # hashed-bigram feature buckets
       SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS nb
       FROM bg GROUP BY 1, 2, 3
     ),
-    r AS (SELECT b, CAST(SUM(nb) AS BIGINT) AS cr FROM db GROUP BY b),
-    tg AS (
-      SELECT b, CAST(SUM(nb) AS BIGINT) AS ct
-      FROM db WHERE lang = 'en' GROUP BY b
+    bs AS (
+      SELECT b, CAST(SUM(nb) AS BIGINT) AS cr,
+             CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN nb END), 0)
+                  AS BIGINT) AS ct
+      FROM db GROUP BY b
     ),
     tot AS (
       SELECT CAST(SUM(cr) AS BIGINT) AS rr,
-             (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tg) AS tt
-      FROM r
+             CAST(SUM(ct) AS BIGINT) AS tt
+      FROM bs
     ),
     lam AS (
-      SELECT r.b,
-             ln(CAST(COALESCE(tg.ct, 0) + 1 AS DOUBLE)
-                / (tot.tt + {_DSIR_B}))
-             - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.rr + {_DSIR_B})) AS lam
-      FROM r LEFT JOIN tg USING (b), tot
+      SELECT bs.b,
+             ln(CAST(bs.ct + 1 AS DOUBLE) / (tot.tt + {_DSIR_B}))
+             - ln(CAST(bs.cr + 1 AS DOUBLE) / (tot.rr + {_DSIR_B})) AS lam
+      FROM bs, tot
     ),
     w AS (
       SELECT db.doc_id, db.lang, SUM(db.nb * lam.lam) AS w
@@ -4624,31 +4624,29 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("nb"))
         .localCheckpoint()
     )
-    r = db.groupBy("b").agg(F.sum("nb").cast("long").alias("cr"))
-    tg = (
-        db.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("nb").cast("long").alias("ct"))
-    )
-    tot = r.agg(F.sum("cr").cast("long").alias("rr")).crossJoin(
-        tg.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
-    )
-    lam = (
-        r.join(tg, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tt") + _DSIR_B)
-                )
-                - F.log(
-                    (F.col("cr") + 1).cast("double")
-                    / (F.col("rr") + _DSIR_B)
-                )
-            ).alias("lam"),
+    # ONE conditional aggregate produces raw AND target bucket counts
+    # (a separate target groupBy + left join re-shuffled db and joined
+    # twice for the same information — round-9 review trim)
+    bs = db.groupBy("b").agg(
+        F.sum("nb").cast("long").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("nb"))), F.lit(0)
         )
+        .cast("long")
+        .alias("ct"),
+    )
+    tot = bs.agg(
+        F.sum("cr").cast("long").alias("rr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    lam = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+            - F.log(
+                (F.col("cr") + 1).cast("double") / (F.col("rr") + _DSIR_B)
+            )
+        ).alias("lam"),
     )
     w = (
         db.join(F.broadcast(lam), "b")
