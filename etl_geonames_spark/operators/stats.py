@@ -4404,7 +4404,9 @@ def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM long GROUP BY rid, v
     ),
     tt AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS sum_t3 FROM ties),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    tot AS (
+      SELECT CAST(SUM(c) / 3 AS BIGINT) AS n FROM ties
+    ),
     s AS (
       SELECT tot.n, tt.sum_t3,
              SUM((ri.r - 3.0 * (tot.n + 1) / 2.0)
@@ -4510,7 +4512,10 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_t3")
     )
-    tot = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # global anchor re-aggregated from the (rid, v) tie table (the
+    # agg_theil_index pattern): sum(c) = 3n exactly, so this saves a
+    # second corpus scan AND derives n identically on both engines
+    tot = mids.agg((F.sum("c") / 3).cast("long").alias("n"))
     nn = F.col("n").cast("double")
     dev = F.col("r") - 3.0 * (F.col("n") + 1) / 2.0
     s = (
