@@ -85,6 +85,13 @@ OPS = [
     "llm_quality_features",
     "stat_fleiss_kappa",
     "dq_esd_outliers",
+    # round-9 corpus-facing additions: DSIR (bucket keys are FIXED at
+    # 512 — replication multiplies counts, wall tracks the explode);
+    # Kendall W (one range-shuffle rank pass over 3n rows — sublinear
+    # via AQE); Bartlett (one integer-moment agg, flat)
+    "llm_dsir_weights",
+    "stat_kendall_w",
+    "stat_bartlett",
     # round-9: corpus-wide exact LCS under maximal 10-copy cliques —
     # the 8-token seed threshold is the pair-bill guard under test
     # (every within-clique pair shares everything: candidates = all
