@@ -88,7 +88,8 @@ OPS = [
     # round-9 corpus-facing additions: DSIR (bucket keys are FIXED at
     # 512 — replication multiplies counts, wall tracks the explode);
     # Kendall W (one range-shuffle rank pass over 3n rows — sublinear
-    # via AQE); Bartlett (one integer-moment agg, flat)
+    # via AQE); Bartlett (one integer-moment agg, flat). ts_kpss is
+    # events-facing and lives in ops_scale_probe.py
     "llm_dsir_weights",
     "stat_kendall_w",
     "stat_bartlett",

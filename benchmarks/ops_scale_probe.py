@@ -59,6 +59,11 @@ OPS = [
     # min-agg per hop); 10x edges should give ~linear wall like the
     # khop sibling, never path-count blowup (the min-agg dedups)
     "graph_harmonic_centrality",
+    # round-9: KPSS over the densified event stream — same days, 10x
+    # denser daily counts: per-series array lengths are UNCHANGED, so
+    # the wall must track the daily hash agg only (measured 0.5 ->
+    # 1.0 s at 10x, BASELINE.md)
+    "ts_kpss",
 ]
 
 
