@@ -4627,13 +4627,19 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE conditional aggregate produces raw AND target bucket counts
     # (a separate target groupBy + left join re-shuffled db and joined
     # twice for the same information — round-9 review trim)
-    bs = db.groupBy("b").agg(
-        F.sum("nb").cast("long").alias("cr"),
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == "en", F.col("nb"))), F.lit(0)
+    bs = (
+        db.groupBy("b")
+        .agg(
+            F.sum("nb").cast("long").alias("cr"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == "en", F.col("nb"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("ct"),
         )
-        .cast("long")
-        .alias("ct"),
+        # 512-row table with two consumers (tot and lam): without the
+        # checkpoint the bucket aggregate over db executes twice
+        .localCheckpoint()
     )
     tot = bs.agg(
         F.sum("cr").cast("long").alias("rr"),
