@@ -4643,3 +4643,336 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "k", "nn", F.when(ok, qround(t, 6)).alias("t_stat")
     )
+
+
+def _ad_prefix_sql(arr: str) -> str:
+    """DuckDB BIGINT prefix-sum array with leading 0 (length
+    len(arr)+1): cum[j+1] = sum of arr[1..j]."""
+    return (
+        f"list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+        f" list_transform({arr}, x -> [x])),"
+        f" (acc, xv) -> list_append(acc, acc[len(acc)] + xv[1]))"
+    )
+
+
+_AD_FSUM = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}),"
+    " (acc, y) -> acc + y)"
+)
+
+
+@query(
+    "stat_ad_ksample",
+    oracle=f"""
+    WITH x AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS l FROM x GROUP BY v
+    ),
+    pool0 AS (
+        SELECT list_transform(list_sort(list({{'v': v, 'l': l}})), s -> s.v) AS vs,
+               list_transform(list_sort(list({{'v': v, 'l': l}})), s -> s.l) AS ls,
+               CAST(SUM(l) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS p
+        FROM pv
+    ),
+    pool AS (
+        SELECT vs, ls, n, p,
+               {_ad_prefix_sql('ls')} AS lcum
+        FROM pool0
+    ),
+    gi AS (
+        SELECT lang,
+               map_from_entries(list({{'k': v, 'v': c}})) AS m,
+               CAST(SUM(c) AS BIGINT) AS ni
+        FROM (
+            SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM x GROUP BY lang, v
+        ) GROUP BY lang
+    ),
+    gif AS (
+        SELECT gi.lang, gi.ni, g.n, g.p, g.ls, g.lcum,
+               {_ad_prefix_sql(
+                   "list_transform(g.vs, vv ->"
+                   " COALESCE(gi.m[vv][1], CAST(0 AS BIGINT)))")} AS fcum
+        FROM gi, pool g
+    ),
+    pg AS (
+        SELECT lang, ni, n, p,
+               {_AD_FSUM.format(terms='''
+                 list_transform(generate_series(1, CAST(p AS INT)), j ->
+                   CAST(ls[j] AS DOUBLE)
+                   * CAST(n * (2 * fcum[j + 1] - (fcum[j + 1] - fcum[j]))
+                       - (2 * lcum[j + 1] - ls[j]) * ni AS DOUBLE)
+                   * CAST(n * (2 * fcum[j + 1] - (fcum[j + 1] - fcum[j]))
+                       - (2 * lcum[j + 1] - ls[j]) * ni AS DOUBLE)
+                   / (CAST(n AS DOUBLE)
+                      * ((2 * lcum[j + 1] - ls[j])
+                         * (2 * n - (2 * lcum[j + 1] - ls[j]))
+                         - n * ls[j])))''')} / ni AS contrib
+        FROM gif
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n, MAX(p) AS p,
+               SUM(contrib) AS s, SUM(1.0 / ni) AS hh
+        FROM pg
+    ),
+    hsum AS (
+        SELECT k, n, p, hh,
+               (n - 1.0) / n * s AS a2,
+               {_AD_FSUM.format(terms=
+                   "list_transform(generate_series(1, CAST(n AS INT) - 1),"
+                   " r -> 1.0 / r)")} AS h
+        FROM tot
+    ),
+    harm AS (
+        SELECT k, n, p, hh, a2, h,
+               list_reduce(
+                 list_prepend([CAST(0 AS DOUBLE)],
+                   list_transform(
+                     generate_series(1, CAST(n AS INT) - 1),
+                     r -> [CAST(0 AS DOUBLE)])),
+                 (acc, xv) -> list_append(acc, acc[len(acc)]
+                                               + 1.0 / len(acc))) AS harr
+        FROM hsum
+    ),
+    gpoly AS (
+        SELECT k, n, p, hh, a2, h,
+               {_AD_FSUM.format(terms=
+                   "list_transform(generate_series(2, CAST(n AS INT) - 1),"
+                   " s2 -> (harr[CAST(n AS INT)]"
+                   " - harr[CAST(n AS INT) - s2 + 1]) / s2)")} AS g
+        FROM harm
+    )
+    SELECT k, CAST(n AS BIGINT) AS n,
+           CASE WHEN p >= 2 THEN {sql_qround('a2', 6)} END AS a2akn,
+           CASE WHEN p >= 2 AND n > 3 AND
+                ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh - 4.0*g + 6.0)
+                  * n * n * n
+                + ((2.0*g - 4.0)*(k-1)*(k-1) + 8.0*h*(k-1)
+                   + (2.0*g - 14.0*h - 4.0)*hh - 8.0*h + 4.0*g - 6.0)
+                  * n * n
+                + ((6.0*h + 2.0*g - 2.0)*(k-1)*(k-1)
+                   + (4.0*h - 4.0*g + 6.0)*(k-1)
+                   + (2.0*h - 6.0)*hh + 4.0*h) * n
+                + ((2.0*h + 6.0)*(k-1)*(k-1) - 4.0*h*(k-1)) > 0.0
+           THEN {sql_qround(
+               '(a2 - (k - 1.0)) / sqrt(('
+               ' ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh - 4.0*g + 6.0)'
+               '   * n * n * n'
+               ' + ((2.0*g - 4.0)*(k-1)*(k-1) + 8.0*h*(k-1)'
+               '    + (2.0*g - 14.0*h - 4.0)*hh - 8.0*h + 4.0*g - 6.0)'
+               '   * n * n'
+               ' + ((6.0*h + 2.0*g - 2.0)*(k-1)*(k-1)'
+               '    + (4.0*h - 4.0*g + 6.0)*(k-1)'
+               '    + (2.0*h - 6.0)*hh + 4.0*h) * n'
+               ' + ((2.0*h + 6.0)*(k-1)*(k-1) - 4.0*h*(k-1))'
+               ') / ((n - 1.0) * (n - 2.0) * (n - 3.0)))', 6)}
+           END AS ad_stat
+    FROM gpoly
+    """,
+)
+def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling k-sample test (Scholz & Stephens 1987, the
+    tie-aware midrank A²akN) across the per-lang document-length
+    distributions — the omnibus distributional-equality completion of
+    the rank-test family: stat_ks_two_sample compares two ECDFs at
+    their sup-norm point, stat_kruskal_wallis compares k locations;
+    AD k-sample weights EVERY quantile (tail-sensitively) across all
+    k groups at once, which is the screen used before pooling corpora
+    that "look similar on medians".
+
+    Exactness: Bj and M_ij are half-integers; the implementation
+    carries their DOUBLED forms (b2_j = 2·cum_j − l_j,
+    m2_ij = 2·cumI_ij − f_ij — exact int64 from two prefix-sum
+    folds), so each term's numerator N·m2 − b2·n_i is an EXACT int64
+    difference squared in double (the chi-square cross-multiplied
+    pattern) over an exact-int64 denominator; the per-group fold and
+    the harmonic/g sums run in identical sequential order on both
+    engines. Standardization follows the published variance
+    polynomial (a·N³+b·N²+c·N+d)/((N−1)(N−2)(N−3)) with
+    H = Σ1/n_i, h = H_{{N−1}}, and g restated as
+    Σ_{{s=2}}^{{N−1}} (H_{{N−1}} − H_{{N−s}})/s so it costs one
+    O(N) harmonic prefix array instead of the textbook O(N²) double
+    sum. Guards: a single-distinct-value corpus (p < 2) or N ≤ 3 or
+    a non-positive variance polynomial NULLs the statistics.
+
+    100 TB: two corpus-scale hash aggregates (pooled per-value,
+    per-group per-value); everything after is k rows x O(p)-array
+    arithmetic plus one O(N) fold — same bill class as
+    stat_kruskal_wallis without the rank exchange (the value-count
+    table IS the sufficient statistic)."""
+    x = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("l"))
+
+    def dprefix(arr):
+        return F.aggregate(
+            arr,
+            F.array(F.lit(0).cast("long")),
+            lambda acc, y: F.concat(
+                acc, F.array(F.element_at(acc, -1) + y)
+            ),
+        )
+
+    def fsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, y: acc + y)
+
+    glob = pv.agg(
+        F.array_sort(F.collect_list(F.struct("v", "l"))).alias("vl"),
+        F.sum("l").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("p"),
+    ).select(
+        F.transform("vl", lambda s: s["v"]).alias("vs"),
+        F.transform("vl", lambda s: s["l"]).alias("ls"),
+        "n",
+        "p",
+    ).select(
+        "vs", "ls", "n", "p", dprefix(F.col("ls")).alias("lcum")
+    )
+    gi = (
+        x.groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("v", "c"))
+            ).alias("m"),
+            F.sum("c").cast("long").alias("ni"),
+        )
+    )
+    gif = gi.crossJoin(F.broadcast(glob)).select(
+        "lang",
+        "ni",
+        "n",
+        "p",
+        "ls",
+        "lcum",
+        dprefix(
+            F.transform(
+                "vs",
+                lambda vv: F.coalesce(
+                    F.element_at("m", vv), F.lit(0).cast("long")
+                ),
+            )
+        ).alias("fcum"),
+    )
+
+    def term(j):
+        fj = F.element_at("fcum", j + 1) - F.element_at("fcum", j)
+        m2 = 2 * F.element_at("fcum", j + 1) - fj
+        b2 = 2 * F.element_at("lcum", j + 1) - F.element_at("ls", j)
+        lj = F.element_at("ls", j)
+        diff = (F.col("n") * m2 - b2 * F.col("ni")).cast("double")
+        den = (
+            b2 * (2 * F.col("n") - b2) - F.col("n") * lj
+        ).cast("double")
+        return lj.cast("double") * diff * diff / (
+            F.col("n").cast("double") * den
+        )
+
+    pg = gif.select(
+        "lang",
+        "ni",
+        "n",
+        "p",
+        (
+            fsum(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("p").cast("int")), term
+                )
+            )
+            / F.col("ni")
+        ).alias("contrib"),
+    )
+    tot = pg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+        F.sum("contrib").alias("s"),
+        F.sum(1.0 / F.col("ni").cast("double")).alias("hh"),
+    )
+    nd = F.col("n").cast("double")
+    ni32 = F.col("n").cast("int")
+    hsum = tot.select(
+        "k",
+        "n",
+        "p",
+        "hh",
+        ((nd - 1.0) / nd * F.col("s")).alias("a2"),
+        # n = 1 would make Spark's sequence(1, 0) DESCEND into a 1/0
+        # term (ANSI throw); the h consumer is NULL-guarded at n <= 3
+        # anyway, so the lazy value branch is the safe home
+        F.when(
+            F.col("n") >= 2,
+            fsum(
+                F.transform(
+                    F.sequence(F.lit(1), ni32 - 1), lambda r: 1.0 / r
+                )
+            ),
+        ).alias("h"),
+        F.aggregate(
+            F.sequence(F.lit(1), ni32 - 1),
+            F.array(F.lit(0.0)),
+            lambda acc, _r: F.concat(
+                acc,
+                F.array(F.element_at(acc, -1) + 1.0 / F.size(acc)),
+            ),
+        ).alias("harr"),
+    )
+    gpoly = hsum.select(
+        "k",
+        "n",
+        "p",
+        "hh",
+        "a2",
+        "h",
+        fsum(
+            F.transform(
+                F.sequence(F.lit(2), ni32 - 1),
+                lambda s2: (
+                    F.element_at("harr", ni32)
+                    - F.element_at("harr", ni32 - s2 + 1)
+                )
+                / s2,
+            )
+        ).alias("g"),
+    )
+    k1 = (F.col("k") - 1).cast("double")
+    hh, h, g = F.col("hh"), F.col("h"), F.col("g")
+    var_num = (
+        ((4.0 * g - 6.0) * k1 + (10.0 - 6.0 * g) * hh - 4.0 * g + 6.0)
+        * nd
+        * nd
+        * nd
+        + (
+            (2.0 * g - 4.0) * k1 * k1
+            + 8.0 * h * k1
+            + (2.0 * g - 14.0 * h - 4.0) * hh
+            - 8.0 * h
+            + 4.0 * g
+            - 6.0
+        )
+        * nd
+        * nd
+        + (
+            (6.0 * h + 2.0 * g - 2.0) * k1 * k1
+            + (4.0 * h - 4.0 * g + 6.0) * k1
+            + (2.0 * h - 6.0) * hh
+            + 4.0 * h
+        )
+        * nd
+        + ((2.0 * h + 6.0) * k1 * k1 - 4.0 * h * k1)
+    )
+    varr = var_num / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0))
+    return gpoly.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("p") >= 2, qround(F.col("a2"), 6)).alias("a2akn"),
+        F.when(
+            (F.col("p") >= 2) & (F.col("n") > 3) & (var_num > 0.0),
+            qround((F.col("a2") - k1) / F.sqrt(varr), 6),
+        ).alias("ad_stat"),
+    )

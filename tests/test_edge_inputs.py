@@ -117,6 +117,11 @@ def edge_ddb(edge_sf_dir):
         "llm_lcs_corpus_exact",
         "stat_kendall_w",
         "stat_bartlett",
+        # AD k-sample on the single-group corpus: every per-value
+        # doubled count equals the pooled one, so each term's
+        # N*m2 - b2*ni is exactly 0 and A2akN = 0; k=1 NULLs the
+        # standardized stat via the variance-polynomial guard
+        "stat_ad_ksample",
         # DSIR on the degenerate all-'en' corpus: target == raw, so
         # smoothed log-ratios collapse toward 0; single-token/empty
         # docs are unscored (n >= 2 bigram guard) but still counted

@@ -2162,3 +2162,80 @@ def test_dsir_weights_python_replay(spark, sf_dir):
             # a lang whose docs are all empty/single-token has no
             # scored docs: the engine must emit NULL, not crash
             assert g["avg_logweight"] is None
+
+
+def test_ad_ksample_matches_python_replay(spark, sf_dir):
+    """Pure-Python third implementation of Scholz-Stephens A²akN
+    (midrank version) plus the variance polynomial — must match the
+    engine outputs on the qround grid, with the g double-sum computed
+    the TEXTBOOK O(N²) way (the engines use the harmonic-prefix
+    restatement; agreeing across the two formulations pins the
+    restatement, not just the transcription)."""
+    import math
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(int(r["n_chars"]))
+    k = len(by_lang)
+    pooled = Counter(v for vs in by_lang.values() for v in vs)
+    zstar = sorted(pooled)
+    n = sum(pooled.values())
+    a2 = 0.0
+    for vs in by_lang.values():
+        ni = len(vs)
+        ci = Counter(vs)
+        cum_pool = 0
+        cum_i = 0
+        inner = 0.0
+        for v in zstar:
+            lj = pooled[v]
+            fij = ci.get(v, 0)
+            cum_pool += lj
+            cum_i += fij
+            bj = cum_pool - lj / 2.0
+            mij = cum_i - fij / 2.0
+            den = bj * (n - bj) - n * lj / 4.0
+            inner += lj / n * (n * mij - bj * ni) ** 2 / den
+        a2 += inner / ni
+    a2 *= (n - 1.0) / n
+    hh = sum(1.0 / len(vs) for vs in by_lang.values())
+    h = sum(1.0 / r for r in range(1, n))
+    g = sum(
+        1.0 / ((n - i) * j)
+        for i in range(1, n - 1)
+        for j in range(i + 1, n)
+    )
+    m = k - 1
+    a = (4 * g - 6) * m + (10 - 6 * g) * hh - 4 * g + 6
+    b = (
+        (2 * g - 4) * m * m
+        + 8 * h * m
+        + (2 * g - 14 * h - 4) * hh
+        - 8 * h
+        + 4 * g
+        - 6
+    )
+    c = (
+        (6 * h + 2 * g - 2) * m * m
+        + (4 * h - 4 * g + 6) * m
+        + (2 * h - 6) * hh
+        + 4 * h
+    )
+    d = (2 * h + 6) * m * m - 4 * h * m
+    var = (a * n**3 + b * n**2 + c * n + d) / (
+        (n - 1.0) * (n - 2.0) * (n - 3.0)
+    )
+    stat = (a2 - m) / math.sqrt(var)
+    got = _rows(spark, sf_dir, "stat_ad_ksample")[0]
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["a2akn"] - a2) <= 2e-6
+    assert abs(got["ad_stat"] - stat) <= 2e-6
+    assert got["a2akn"] >= 0.0  # sum of squared terms
