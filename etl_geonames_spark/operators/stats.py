@@ -4976,3 +4976,173 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround((F.col("a2") - k1) / F.sqrt(varr), 6),
         ).alias("ad_stat"),
     )
+
+
+@query(
+    "stat_moods_median",
+    oracle=f"""
+    WITH x AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS l FROM x GROUP BY v
+    ),
+    pool AS (
+        SELECT list_transform(list_sort(list({{'v': v, 'l': l}})),
+                              s -> s.v) AS vs,
+               {_ad_prefix_sql(
+                   "list_transform(list_sort(list({'v': v, 'l': l})),"
+                   " s -> s.l)")} AS lcum,
+               CAST(SUM(l) AS BIGINT) AS n
+        FROM pv
+    ),
+    med AS (
+        SELECT n,
+               vs[CAST(len(list_filter(lcum[2:],
+                   c -> c < (n + 1) // 2)) AS INT) + 1] AS gm
+        FROM pool
+    ),
+    g AS (
+        SELECT x.lang,
+               CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(SUM(CASE WHEN x.v > med.gm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ai
+        FROM x, med GROUP BY x.lang
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ni) AS BIGINT) AS n,
+               CAST(SUM(ai) AS BIGINT) AS a
+        FROM g
+    ),
+    terms AS (
+        SELECT tot.k, tot.n, tot.a,
+               CAST(tot.n * g.ai - tot.a * g.ni AS DOUBLE)
+               * CAST(tot.n * g.ai - tot.a * g.ni AS DOUBLE)
+               * (1.0 / (CAST(tot.n AS DOUBLE) * tot.a * g.ni)
+                  + 1.0 / (CAST(tot.n AS DOUBLE) * (tot.n - tot.a)
+                           * g.ni)) AS t
+        FROM g, tot
+    )
+    SELECT k, n, (SELECT CAST(gm AS BIGINT) FROM med) AS grand_median,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CASE WHEN k >= 2 AND a > 0 AND a < n
+                THEN {sql_qround('SUM(t)', 6)}
+           END AS chi2
+    FROM terms GROUP BY k, n, a
+    """,
+)
+def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the per-lang length distributions —
+    the robust-counts member of the k-sample trio (stat_kruskal_wallis
+    ranks everything, stat_ad_ksample weights every quantile; Mood's
+    only asks "does each group straddle the POOLED median the same
+    way?", making it the test of record under gross outliers or
+    heavily censored values). Counts above vs not-above the grand
+    median per group, Pearson chi2 over the k x 2 table with margins
+    (a, n - a), ~chi2(k - 1).
+
+    Conventions pinned for exactness: the grand median is the pooled
+    LOWER median — the order statistic at ceil(N/2), an actual data
+    value computed all-integer from the pooled value-count prefix
+    array (#{{cum < (N+1)/2}} + 1 indexes the first value whose
+    cumulative reaches the half) — and ties at the median count as
+    "not above" (the ties='below' convention), so every cell count is
+    an exact integer and chi2's per-cell terms use the chi-square
+    cross-multiplied form (n·a_i − a·n_i is an exact int64, squared
+    in double). No interpolated median, no float predicate anywhere.
+    Guards: k < 2 or a degenerate split (every value above or none)
+    NULLs the statistic.
+
+    100 TB: one value-count hash aggregate (the sufficient statistic,
+    like stat_ad_ksample), one broadcast of the 1-row median, one
+    k-row group aggregate."""
+    x = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("v")
+    )
+    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("l"))
+    pool = pv.agg(
+        F.array_sort(F.collect_list(F.struct("v", "l"))).alias("vl"),
+        F.sum("l").cast("long").alias("n"),
+    ).select(
+        F.transform("vl", lambda s: s["v"]).alias("vs"),
+        F.aggregate(
+            F.transform("vl", lambda s: s["l"]),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, y: F.concat(
+                acc, F.array(F.element_at(acc, -1) + y)
+            ),
+        ).alias("lcum"),
+        "n",
+    )
+    med = pool.select(
+        "n",
+        F.element_at(
+            "vs",
+            F.size(
+                F.filter(
+                    F.slice(F.col("lcum"), 2, F.size("lcum") - 1),
+                    lambda c: c
+                    < F.floor((F.col("n") + 1).cast("double") / 2).cast(
+                        "long"
+                    ),
+                )
+            ).cast("int")
+            + 1,
+        ).alias("gm"),
+    )
+    g = (
+        x.crossJoin(F.broadcast(med.select("gm")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ni"),
+            F.sum(F.when(F.col("v") > F.col("gm"), 1).otherwise(0))
+            .cast("long")
+            .alias("ai"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("ai").cast("long").alias("a"),
+    )
+    t = (
+        (F.col("n") * F.col("ai") - F.col("a") * F.col("ni"))
+        .cast("double")
+        * (F.col("n") * F.col("ai") - F.col("a") * F.col("ni")).cast(
+            "double"
+        )
+        * (
+            1.0
+            / (
+                F.col("n").cast("double")
+                * F.col("a")
+                * F.col("ni")
+            )
+            + 1.0
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - F.col("a"))
+                * F.col("ni")
+            )
+        )
+    )
+    ok = (F.col("k") >= 2) & (F.col("a") > 0) & (F.col("a") < F.col("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "a")
+        .agg(F.sum(F.when(ok, t)).alias("chi2_raw"))
+        .crossJoin(F.broadcast(med.select(F.col("gm"))))
+        .select(
+            "k",
+            "n",
+            F.col("gm").cast("long").alias("grand_median"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            F.when(
+                (F.col("k") >= 2)
+                & (F.col("a") > 0)
+                & (F.col("a") < F.col("n")),
+                qround(F.col("chi2_raw"), 6),
+            ).alias("chi2"),
+        )
+    )

@@ -122,6 +122,10 @@ def edge_ddb(edge_sf_dir):
         # N*m2 - b2*ni is exactly 0 and A2akN = 0; k=1 NULLs the
         # standardized stat via the variance-polynomial guard
         "stat_ad_ksample",
+        # Mood's median on the single-group corpus: k=1 NULLs chi2;
+        # the lower-median order statistic (20 on the 6-doc fixture)
+        # must still emit identically from both prefix arrays
+        "stat_moods_median",
         # DSIR on the degenerate all-'en' corpus: target == raw, so
         # smoothed log-ratios collapse toward 0; single-token/empty
         # docs are unscored (n >= 2 bigram guard) but still counted

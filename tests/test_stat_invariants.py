@@ -2239,3 +2239,40 @@ def test_ad_ksample_matches_python_replay(spark, sf_dir):
     assert abs(got["a2akn"] - a2) <= 2e-6
     assert abs(got["ad_stat"] - stat) <= 2e-6
     assert got["a2akn"] >= 0.0  # sum of squared terms
+
+
+def test_moods_median_matches_python_replay(spark, sf_dir):
+    """Pure-Python Mood's median replay: pooled lower median, per-group
+    above counts with ties-below, Pearson chi2 over the k x 2 table —
+    exact integer agreement on counts and qround-grid agreement on
+    chi2."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(int(r["n_chars"]))
+    pooled = sorted(v for vs in by_lang.values() for v in vs)
+    n = len(pooled)
+    gm = pooled[(n + 1) // 2 - 1]  # lower median (order stat ceil(N/2))
+    k = len(by_lang)
+    a = sum(1 for v in pooled if v > gm)
+    chi2 = 0.0
+    for vs in by_lang.values():
+        ni, ai = len(vs), sum(1 for v in vs if v > gm)
+        for obs, margin in ((ai, a), (ni - ai, n - a)):
+            e = margin * ni / n
+            chi2 += (obs - e) ** 2 / e
+    got = _rows(spark, sf_dir, "stat_moods_median")[0]
+    assert got["k"] == k and got["n"] == n
+    assert got["grand_median"] == gm
+    assert got["dof"] == k - 1
+    assert abs(got["chi2"] - math.floor(chi2 * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert got["chi2"] >= 0.0
