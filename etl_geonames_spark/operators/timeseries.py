@@ -3994,3 +3994,166 @@ def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("ss") / (F.col("n").cast("double") * den), 6),
         ).alias("kpss_stat"),
     )
+
+
+@query(
+    "ts_dickey_fuller",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             CAST(n - 1 AS BIGINT) AS m,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1), t -> v[t])),
+               (acc, y) -> acc + y) AS sx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> v[t + 1] - v[t])), (acc, y) -> acc + y) AS sd,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> v[t] * (v[t + 1] - v[t]))),
+               (acc, y) -> acc + y) AS sxd,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> v[t] * v[t])), (acc, y) -> acc + y) AS sxx,
+             v
+      FROM arr WHERE n >= 4
+    ),
+    fit AS (
+      SELECT event_type, n, m, v,
+             (m * sxd - sx * sd) / (m * sxx - sx * sx) AS gam,
+             (sd - (m * sxd - sx * sd) / (m * sxx - sx * sx) * sx) / m
+                 AS alpha,
+             (m * sxx - sx * sx) / m AS ssx
+      FROM mom WHERE m * sxx - sx * sx > 0
+    ),
+    res AS (
+      SELECT event_type, n, m, gam, ssx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(m AS INT)), t ->
+                 (v[t + 1] - v[t] - alpha - gam * v[t])
+                 * (v[t + 1] - v[t] - alpha - gam * v[t]))),
+               (acc, y) -> acc + y) AS rss
+      FROM fit
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           {sql_qround('gam', 6)} AS gamma_hat,
+           CASE WHEN m > 2 AND rss > 0
+                THEN {sql_qround(
+                    'gam / sqrt(rss / (m - 2) / ssx)', 6)}
+           END AS df_t
+    FROM res
+    """,
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per event type over the
+    daily-count series: OLS of Δy_t on (1, y_{{t−1}}), reporting γ̂
+    and its t-ratio — the unit-root half of the standard stationarity
+    PAIR with ts_kpss (KPSS's null is stationary, DF's null is a unit
+    root: agreement in either direction is conclusive, disagreement
+    flags near-integrated series). Constant-only form (no lag
+    augmentation, no trend — the fixture series carry no trend term;
+    the augmented lags are a documented extension, not a hidden cap).
+
+    Closed-form two-regressor OLS from five sequential fold-sums over
+    the date-sorted array (γ̂ = (mΣxd − ΣxΣd)/(mΣx² − (Σx)²), then
+    the residual-sum fold with α̂, γ̂ inlined so both engines square
+    the identical IEEE doubles), s²  = RSS/(m−2),
+    SE(γ̂) = sqrt(s²/Σ(x−x̄)²) — the ts_holt_winters determinism
+    contract throughout; one qround(6) per emitted column. Guards:
+    n < 4, zero regressor variance (constant series), or zero RSS
+    (perfect fit) NULL out instead of dividing.
+
+    100 TB: one corpus-scale daily hash aggregate; O(n) per-series
+    array arithmetic after — the ts_kpss bill exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    ).filter(F.col("n") >= 4)
+
+    def fsum(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda acc, y: acc + y)
+
+    def over_m(f):
+        return fsum(
+            F.transform(F.sequence(F.lit(1), F.col("n") - 1), f)
+        )
+
+    vv = F.col("v")
+    x = lambda t: F.element_at(vv, t)
+    d = lambda t: F.element_at(vv, t + 1) - F.element_at(vv, t)
+    mom = arr.select(
+        "event_type",
+        "n",
+        (F.col("n") - 1).cast("long").alias("m"),
+        over_m(lambda t: x(t)).alias("sx"),
+        over_m(lambda t: d(t)).alias("sd"),
+        over_m(lambda t: x(t) * d(t)).alias("sxd"),
+        over_m(lambda t: x(t) * x(t)).alias("sxx"),
+        "v",
+    )
+    m = F.col("m").cast("double")
+    det = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    gam = (m * F.col("sxd") - F.col("sx") * F.col("sd")) / det
+    alpha = (F.col("sd") - gam * F.col("sx")) / m
+    fit = mom.filter(det > 0).select(
+        "event_type",
+        "n",
+        "m",
+        "v",
+        gam.alias("gam"),
+        alpha.alias("alpha"),
+        (det / m).alias("ssx"),
+    )
+    resid = lambda t: (
+        F.element_at(vv, t + 1)
+        - F.element_at(vv, t)
+        - F.col("alpha")
+        - F.col("gam") * F.element_at(vv, t)
+    )
+    res = fit.select(
+        "event_type",
+        "n",
+        "m",
+        "gam",
+        "ssx",
+        fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m").cast("int")),
+                lambda t: resid(t) * resid(t),
+            )
+        ).alias("rss"),
+    )
+    md = F.col("m").cast("double")
+    return res.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        qround(F.col("gam"), 6).alias("gamma_hat"),
+        F.when(
+            (F.col("m") > 2) & (F.col("rss") > 0),
+            qround(
+                F.col("gam")
+                / F.sqrt(F.col("rss") / (md - 2) / F.col("ssx")),
+                6,
+            ),
+        ).alias("df_t"),
+    )

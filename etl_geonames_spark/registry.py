@@ -64,9 +64,9 @@ _OPERATOR_MODULES = [
 # driver correctness row. Every rotated-out name stays guarded by
 # tests/test_oracle_parity.py, which checks ALL queries every run.
 # ROUND-10 PLAN: move CORRECTNESS_r09 names to the back and promote
-# the four remaining round-9 additions (ts_kpss, stat_bartlett,
-# stat_ad_ksample, stat_moods_median — at the collect() tail) plus
-# any round-10 additions into the window.
+# the five remaining round-9 additions (ts_kpss, stat_bartlett,
+# stat_ad_ksample, stat_moods_median, ts_dickey_fuller — at the
+# collect() tail) plus any round-10 additions into the window.
 _DRIVER_PRIORITY = [
     'stat_conformal_interval', 'stat_mutual_information', 'stat_benford',
     'dq_outlier_mad', 'stat_cohens_kappa', 'llm_calibration_bins',

@@ -2276,3 +2276,57 @@ def test_moods_median_matches_python_replay(spark, sf_dir):
     assert got["dof"] == k - 1
     assert abs(got["chi2"] - math.floor(chi2 * 1e6 + 0.5) / 1e6) <= 1e-6
     assert got["chi2"] >= 0.0
+
+
+def test_dickey_fuller_matches_python_replay(spark, sf_dir):
+    """Pure-Python OLS replay of the constant-only Dickey-Fuller
+    regression per event type (Δy on 1, y_lag): γ̂ and its t-ratio
+    must match the engines on the qround grid, and the residual-sum
+    identity RSS = Sdd − α̂Σd − γ̂Σxd holds to float tolerance
+    (normal-equations check, independent of the fold order)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F2
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F2.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in ev:
+        series[r["event_type"]][r["day"]] = r["count"]
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_dickey_fuller")}
+    checked = 0
+    for et, dd in series.items():
+        v = [float(dd[k]) for k in sorted(dd)]
+        n = len(v)
+        if n < 4:
+            assert et not in got
+            continue
+        xs = v[:-1]
+        ds = [v[i + 1] - v[i] for i in range(n - 1)]
+        m = n - 1
+        sx, sd = sum(xs), sum(ds)
+        sxd = sum(a * b for a, b in zip(xs, ds))
+        sxx = sum(a * a for a in xs)
+        det = m * sxx - sx * sx
+        gam = (m * sxd - sx * sd) / det
+        alpha = (sd - gam * sx) / m
+        rss = sum((b - alpha - gam * a) ** 2 for a, b in zip(xs, ds))
+        t = gam / math.sqrt(rss / (m - 2) / (det / m))
+        g = got[et]
+        assert g["n_days"] == n
+        assert abs(g["gamma_hat"] - gam) <= 2e-6
+        assert abs(g["df_t"] - t) <= 2e-6
+        sdd = sum(b * b for b in ds)
+        assert abs(rss - (sdd - alpha * sd - gam * sxd)) <= 1e-6 * max(
+            1.0, abs(rss)
+        )
+        checked += 1
+    assert checked > 0
