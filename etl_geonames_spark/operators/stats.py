@@ -5091,6 +5091,9 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1,
         ).alias("gm"),
     )
+    # gm rides the aggregates as a constant column (max of a
+    # constant) so the final projection does not re-execute the
+    # pooled-median subplan a second time (multi-consumer rule)
     g = (
         x.crossJoin(F.broadcast(med.select("gm")))
         .groupBy("lang")
@@ -5099,12 +5102,14 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("v") > F.col("gm"), 1).otherwise(0))
             .cast("long")
             .alias("ai"),
+            F.max("gm").alias("gm"),
         )
     )
     tot = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("ni").cast("long").alias("n"),
         F.sum("ai").cast("long").alias("a"),
+        F.max("gm").alias("gm"),
     )
     t = (
         (F.col("n") * F.col("ai") - F.col("a") * F.col("ni"))
@@ -5129,10 +5134,10 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ok = (F.col("k") >= 2) & (F.col("a") > 0) & (F.col("a") < F.col("n"))
     return (
-        g.crossJoin(F.broadcast(tot))
-        .groupBy("k", "n", "a")
+        g.drop("gm")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "a", "gm")
         .agg(F.sum(F.when(ok, t)).alias("chi2_raw"))
-        .crossJoin(F.broadcast(med.select(F.col("gm"))))
         .select(
             "k",
             "n",
