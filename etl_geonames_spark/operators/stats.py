@@ -4711,7 +4711,7 @@ _AD_FSUM = (
                       * ((2 * lcum[j + 1] - ls[j])
                          * (2 * n - (2 * lcum[j + 1] - ls[j]))
                          - n * ls[j])))''')} / ni AS contrib
-        FROM gif
+        FROM gif WHERE p >= 2
     ),
     tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n, MAX(p) AS p,
@@ -4748,26 +4748,26 @@ _AD_FSUM = (
     SELECT k, CAST(n AS BIGINT) AS n,
            CASE WHEN p >= 2 THEN {sql_qround('a2', 6)} END AS a2akn,
            CASE WHEN p >= 2 AND n > 3 AND
-                ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh - 4.0*g + 6.0)
+                ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh)
                   * n * n * n
-                + ((2.0*g - 4.0)*(k-1)*(k-1) + 8.0*h*(k-1)
+                + ((2.0*g - 4.0)*k*k + 8.0*h*k
                    + (2.0*g - 14.0*h - 4.0)*hh - 8.0*h + 4.0*g - 6.0)
                   * n * n
-                + ((6.0*h + 2.0*g - 2.0)*(k-1)*(k-1)
-                   + (4.0*h - 4.0*g + 6.0)*(k-1)
+                + ((6.0*h + 2.0*g - 2.0)*k*k
+                   + (4.0*h - 4.0*g + 6.0)*k
                    + (2.0*h - 6.0)*hh + 4.0*h) * n
-                + ((2.0*h + 6.0)*(k-1)*(k-1) - 4.0*h*(k-1)) > 0.0
+                + ((2.0*h + 6.0)*k*k - 4.0*h*k) > 0.0
            THEN {sql_qround(
                '(a2 - (k - 1.0)) / sqrt(('
-               ' ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh - 4.0*g + 6.0)'
+               ' ((4.0*g - 6.0)*(k-1) + (10.0 - 6.0*g)*hh)'
                '   * n * n * n'
-               ' + ((2.0*g - 4.0)*(k-1)*(k-1) + 8.0*h*(k-1)'
+               ' + ((2.0*g - 4.0)*k*k + 8.0*h*k'
                '    + (2.0*g - 14.0*h - 4.0)*hh - 8.0*h + 4.0*g - 6.0)'
                '   * n * n'
-               ' + ((6.0*h + 2.0*g - 2.0)*(k-1)*(k-1)'
-               '    + (4.0*h - 4.0*g + 6.0)*(k-1)'
+               ' + ((6.0*h + 2.0*g - 2.0)*k*k'
+               '    + (4.0*h - 4.0*g + 6.0)*k'
                '    + (2.0*h - 6.0)*hh + 4.0*h) * n'
-               ' + ((2.0*h + 6.0)*(k-1)*(k-1) - 4.0*h*(k-1))'
+               ' + ((2.0*h + 6.0)*k*k - 4.0*h*k)'
                ') / ((n - 1.0) * (n - 2.0) * (n - 3.0)))', 6)}
            END AS ad_stat
     FROM gpoly
@@ -4791,7 +4791,10 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern) over an exact-int64 denominator; the per-group fold and
     the harmonic/g sums run in identical sequential order on both
     engines. Standardization follows the published variance
-    polynomial (a·N³+b·N²+c·N+d)/((N−1)(N−2)(N−3)) with
+    polynomial (a·N³+b·N²+c·N+d)/((N−1)(N−2)(N−3)) — a in (k−1),
+    b/c/d in k, the exact coefficient split the round-9 fourth review
+    pass refuted a mistranscription of against exact permutation
+    enumeration (now pinned in tests/test_stat_invariants.py) — with
     H = Σ1/n_i, h = H_{{N−1}}, and g restated as
     Σ_{{s=2}}^{{N−1}} (H_{{N−1}} − H_{{N−s}})/s so it costs one
     O(N) harmonic prefix array instead of the textbook O(N²) double
@@ -4873,7 +4876,11 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * den
         )
 
-    pg = gif.select(
+    # p = 1 (single distinct value) makes every term's denominator
+    # exactly 0 — ANSI throws on 0/0 doubles, so the whole corpus
+    # filter mirrors the oracle's WHERE p >= 2 (output then comes
+    # from the guarded tot/fin chain with k = 0 rows upstream)
+    pg = gif.filter(F.col("p") >= 2).select(
         "lang",
         "ni",
         "n",
@@ -4929,27 +4936,41 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hh",
         "a2",
         "h",
-        fsum(
-            F.transform(
-                F.sequence(F.lit(2), ni32 - 1),
-                lambda s2: (
-                    F.element_at("harr", ni32)
-                    - F.element_at("harr", ni32 - s2 + 1)
+        # n <= 2: Spark's sequence(2, n-1) DESCENDS (through s2 = 0
+        # at n = 1 — a division throw); DuckDB's generate_series is
+        # empty there, so the guard pins g = 0.0 to match
+        F.when(
+            F.col("n") >= 3,
+            fsum(
+                F.transform(
+                    F.sequence(F.lit(2), ni32 - 1),
+                    lambda s2: (
+                        F.element_at("harr", ni32)
+                        - F.element_at("harr", ni32 - s2 + 1)
+                    )
+                    / s2,
                 )
-                / s2,
-            )
-        ).alias("g"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("g"),
     )
     k1 = (F.col("k") - 1).cast("double")
+    kd = F.col("k").cast("double")
     hh, h, g = F.col("hh"), F.col("h"), F.col("g")
+    # Scholz-Stephens variance polynomial — a in (k-1), b/c/d in k
+    # (a first transcription used k-1 throughout plus a spurious
+    # -4g+6 tail in a; review round 4 refuted it against exact
+    # permutation enumeration and the paper's worked example, and
+    # tests/test_stat_invariants.py now pins the enumeration)
     var_num = (
-        ((4.0 * g - 6.0) * k1 + (10.0 - 6.0 * g) * hh - 4.0 * g + 6.0)
+        ((4.0 * g - 6.0) * k1 + (10.0 - 6.0 * g) * hh)
         * nd
         * nd
         * nd
         + (
-            (2.0 * g - 4.0) * k1 * k1
-            + 8.0 * h * k1
+            (2.0 * g - 4.0) * kd * kd
+            + 8.0 * h * kd
             + (2.0 * g - 14.0 * h - 4.0) * hh
             - 8.0 * h
             + 4.0 * g
@@ -4958,13 +4979,13 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
         * nd
         * nd
         + (
-            (6.0 * h + 2.0 * g - 2.0) * k1 * k1
-            + (4.0 * h - 4.0 * g + 6.0) * k1
+            (6.0 * h + 2.0 * g - 2.0) * kd * kd
+            + (4.0 * h - 4.0 * g + 6.0) * kd
             + (2.0 * h - 6.0) * hh
             + 4.0 * h
         )
         * nd
-        + ((2.0 * h + 6.0) * k1 * k1 - 4.0 * h * k1)
+        + ((2.0 * h + 6.0) * kd * kd - 4.0 * h * kd)
     )
     varr = var_num / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0))
     return gpoly.select(

@@ -805,3 +805,37 @@ def test_bartlett_zero_variance_group_nulls_not_throws(spark, tmp_path):
     o = con.sql(ORACLES["stat_bartlett"]).df()
     assert len(o) == 1 and int(o["k"][0]) == 2 and int(o["nn"][0]) == 5
     assert pd.isna(o["t_stat"][0])
+
+
+def test_ad_ksample_single_distinct_value_nulls_not_throws(spark, tmp_path):
+    """Every document sharing one n_chars value gives p = 1: every
+    AD term's denominator is exactly 0, which ANSI would throw on —
+    the p >= 2 corpus filter must NULL the statistics on BOTH engines
+    instead (code-review r9 pass-4 finding). Differential over a
+    self-contained fixture."""
+    import duckdb
+
+    d = tmp_path / "sf_onev"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "text": ["a b", "c d", "e f", "g h"],
+            "lang": ["en", "en", "de", "de"],
+            "source": ["s"] * 4,
+            "n_chars": pd.array([7, 7, 7, 7], dtype="int64"),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    rows = QUERIES["stat_ad_ksample"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 0  # no group survives the p >= 2 filter
+    assert r["a2akn"] is None and r["ad_stat"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    o = con.sql(ORACLES["stat_ad_ksample"]).df()
+    assert len(o) == 1 and int(o["k"][0]) == 0
+    assert pd.isna(o["a2akn"][0]) and pd.isna(o["ad_stat"][0])

@@ -2214,22 +2214,22 @@ def test_ad_ksample_matches_python_replay(spark, sf_dir):
         for j in range(i + 1, n)
     )
     m = k - 1
-    a = (4 * g - 6) * m + (10 - 6 * g) * hh - 4 * g + 6
+    a = (4 * g - 6) * m + (10 - 6 * g) * hh
     b = (
-        (2 * g - 4) * m * m
-        + 8 * h * m
+        (2 * g - 4) * k * k
+        + 8 * h * k
         + (2 * g - 14 * h - 4) * hh
         - 8 * h
         + 4 * g
         - 6
     )
     c = (
-        (6 * h + 2 * g - 2) * m * m
-        + (4 * h - 4 * g + 6) * m
+        (6 * h + 2 * g - 2) * k * k
+        + (4 * h - 4 * g + 6) * k
         + (2 * h - 6) * hh
         + 4 * h
     )
-    d = (2 * h + 6) * m * m - 4 * h * m
+    d = (2 * h + 6) * k * k - 4 * h * k
     var = (a * n**3 + b * n**2 + c * n + d) / (
         (n - 1.0) * (n - 2.0) * (n - 3.0)
     )
@@ -2316,6 +2316,10 @@ def test_dickey_fuller_matches_python_replay(spark, sf_dir):
         sxd = sum(a * b for a, b in zip(xs, ds))
         sxx = sum(a * a for a in xs)
         det = m * sxx - sx * sx
+        if det <= 0:
+            # constant series: the engine filters it out (det > 0)
+            assert et not in got
+            continue
         gam = (m * sxd - sx * sd) / det
         alpha = (sd - gam * sx) / m
         rss = sum((b - alpha - gam * a) ** 2 for a, b in zip(xs, ds))
@@ -2330,3 +2334,91 @@ def test_dickey_fuller_matches_python_replay(spark, sf_dir):
         )
         checked += 1
     assert checked > 0
+
+
+def test_ad_ksample_variance_polynomial_matches_exact_enumeration():
+    """The Scholz-Stephens variance polynomial (a·N³+b·N²+c·N+d)/
+    ((N−1)(N−2)(N−3)) — a in (k−1), b/c/d in k — IS the exact
+    permutation variance of A²kN under no ties: full enumeration over
+    all assignments of distinct ranks must reproduce it (and the mean
+    must be exactly k−1). This pins the COEFFICIENT SPLIT itself: the
+    round-9 fourth review pass refuted a mistranscription (k−1
+    everywhere plus a spurious −4g+6 term) that Spark, the oracle,
+    and the replay all shared — the one error class no differential
+    can see. Uses the right-continuous A²kN (whose variance the
+    polynomial is); the engine's midrank A²akN is standardized by the
+    same σ per the published convention."""
+    from collections import Counter
+    from itertools import combinations
+
+    def a2kn_right(groups):
+        pooled = Counter(v for g in groups for v in g)
+        zstar = sorted(pooled)[:-1]
+        n = sum(len(g) for g in groups)
+        a2 = 0.0
+        for vs in groups:
+            ni = len(vs)
+            ci = Counter(vs)
+            cum_pool = cum_i = 0
+            inner = 0.0
+            for v in zstar:
+                lj = pooled[v]
+                cum_pool += lj
+                cum_i += ci.get(v, 0)
+                inner += (
+                    lj
+                    / n
+                    * (n * cum_i - cum_pool * ni) ** 2
+                    / (cum_pool * (n - cum_pool))
+                )
+            a2 += inner / ni
+        return a2
+
+    def poly_var(k, ns):
+        # the SAME coefficient split the engines ship
+        n = sum(ns)
+        hh = sum(1.0 / x for x in ns)
+        h = sum(1.0 / r for r in range(1, n))
+        g = sum(
+            1.0 / ((n - i) * j)
+            for i in range(1, n - 1)
+            for j in range(i + 1, n)
+        )
+        a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * hh
+        b = (
+            (2 * g - 4) * k * k
+            + 8 * h * k
+            + (2 * g - 14 * h - 4) * hh
+            - 8 * h
+            + 4 * g
+            - 6
+        )
+        c = (
+            (6 * h + 2 * g - 2) * k * k
+            + (4 * h - 4 * g + 6) * k
+            + (2 * h - 6) * hh
+            + 4 * h
+        )
+        d = (2 * h + 6) * k * k - 4 * h * k
+        return (a * n**3 + b * n**2 + c * n + d) / (
+            (n - 1.0) * (n - 2.0) * (n - 3.0)
+        )
+
+    for ns in [(4, 4), (3, 5), (3, 3, 3)]:
+        vals = list(range(1, sum(ns) + 1))
+        stats = []
+        if len(ns) == 2:
+            for combo in combinations(vals, ns[0]):
+                g1 = list(combo)
+                g2 = [v for v in vals if v not in combo]
+                stats.append(a2kn_right([g1, g2]))
+        else:
+            for c1 in combinations(vals, ns[0]):
+                rest = [v for v in vals if v not in c1]
+                for c2 in combinations(rest, ns[1]):
+                    g3 = [v for v in rest if v not in c2]
+                    stats.append(a2kn_right([list(c1), list(c2), g3]))
+        mean = sum(stats) / len(stats)
+        var = sum((s - mean) ** 2 for s in stats) / len(stats)
+        assert abs(mean - (len(ns) - 1)) < 1e-9, ns
+        assert abs(var - poly_var(len(ns), ns)) < 1e-9, ns
