@@ -5005,8 +5005,12 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
     ),
+    lv AS (
+        SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY lang, v
+    ),
     pv AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS l FROM x GROUP BY v
+        SELECT v, CAST(SUM(c) AS BIGINT) AS l FROM lv GROUP BY v
     ),
     pool AS (
         SELECT list_transform(list_sort(list({{'v': v, 'l': l}})),
@@ -5024,11 +5028,11 @@ def stat_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pool
     ),
     g AS (
-        SELECT x.lang,
-               CAST(COUNT(*) AS BIGINT) AS ni,
-               CAST(SUM(CASE WHEN x.v > med.gm THEN 1 ELSE 0 END)
+        SELECT lv.lang,
+               CAST(SUM(lv.c) AS BIGINT) AS ni,
+               CAST(SUM(CASE WHEN lv.v > med.gm THEN lv.c ELSE 0 END)
                     AS BIGINT) AS ai
-        FROM x, med GROUP BY x.lang
+        FROM lv, med GROUP BY lv.lang
     ),
     tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -5075,13 +5079,23 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guards: k < 2 or a degenerate split (every value above or none)
     NULLs the statistic.
 
-    100 TB: one value-count hash aggregate (the sufficient statistic,
-    like stat_ad_ksample), one broadcast of the 1-row median, one
-    k-row group aggregate."""
+    100 TB: ONE corpus-scale hash aggregate — the (lang, value) cell
+    table is the sufficient statistic (localCheckpointed; it feeds
+    both the pooled value counts and the per-group above counts as
+    tiny re-aggregates), plus one broadcast of the 1-row median."""
     x = load_table(spark, sf_dir, "documents").select(
         "lang", F.col("n_chars").cast("long").alias("v")
     )
-    pv = x.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("l"))
+    # ONE corpus-scale aggregate: the (lang, v) cell table is the
+    # sufficient statistic; the pooled value counts AND the per-group
+    # above counts are both broadcast re-aggregates of it (the module
+    # rule — never a second corpus scan)
+    lv = (
+        x.groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    pv = lv.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
     pool = pv.agg(
         F.array_sort(F.collect_list(F.struct("v", "l"))).alias("vl"),
         F.sum("l").cast("long").alias("n"),
@@ -5116,11 +5130,11 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant) so the final projection does not re-execute the
     # pooled-median subplan a second time (multi-consumer rule)
     g = (
-        x.crossJoin(F.broadcast(med.select("gm")))
+        lv.crossJoin(F.broadcast(med.select("gm")))
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("ni"),
-            F.sum(F.when(F.col("v") > F.col("gm"), 1).otherwise(0))
+            F.sum("c").cast("long").alias("ni"),
+            F.sum(F.when(F.col("v") > F.col("gm"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("ai"),
             F.max("gm").alias("gm"),
