@@ -5110,20 +5110,28 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lcum"),
         "n",
     )
+    # size guard: on an EMPTY corpus pool still aggregates to one row
+    # with vs=[] and element_at(vs, 1) would THROW under ANSI (the
+    # broadcast med subplan executes even though lv is empty); NULL gm
+    # matches the oracle's empty-list-index NULL and the downstream
+    # joins stay empty either way (ADVICE r9)
     med = pool.select(
         "n",
-        F.element_at(
-            "vs",
-            F.size(
-                F.filter(
-                    F.slice(F.col("lcum"), 2, F.size("lcum") - 1),
-                    lambda c: c
-                    < F.floor((F.col("n") + 1).cast("double") / 2).cast(
-                        "long"
-                    ),
-                )
-            ).cast("int")
-            + 1,
+        F.when(
+            F.size("vs") > 0,
+            F.element_at(
+                "vs",
+                F.size(
+                    F.filter(
+                        F.slice(F.col("lcum"), 2, F.size("lcum") - 1),
+                        lambda c: c
+                        < F.floor(
+                            (F.col("n") + 1).cast("double") / 2
+                        ).cast("long"),
+                    )
+                ).cast("int")
+                + 1,
+            ),
         ).alias("gm"),
     )
     # gm rides the aggregates as a constant column (max of a

@@ -49,25 +49,138 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Rounds 1-8 produced
-# green driver rows (or by-design rows-only records) for 396 distinct
-# names (393 of the 440 live queries + 3 retired stubs). ROUND-9
-# ROTATION (VERDICT r8 item 1 — drains the backlog): the window is
-# ALL 47 never-driver-checked names (37 legacy stat_*/ts_*/dq_*/mm_*
-# backlog + the 10 round-8 additions), computed programmatically as
-# registry-order names absent from every CORRECTNESS_r01–r08; the
-# window's 3 filler slots go to round-9 additions (llm_lcs_corpus_
-# exact, llm_dsir_weights, stat_kendall_w) rather than re-checking
-# old green names. Then all other previously-green names in prior
-# relative order, with the 50 CORRECTNESS_r08 names at the very
-# back. After this round every pre-round-9 registry query has a
-# driver correctness row. Every rotated-out name stays guarded by
-# tests/test_oracle_parity.py, which checks ALL queries every run.
-# ROUND-10 PLAN: move CORRECTNESS_r09 names to the back and promote
-# the five remaining round-9 additions (ts_kpss, stat_bartlett,
-# stat_ad_ksample, stat_moods_median, ts_dickey_fuller — at the
-# collect() tail) plus any round-10 additions into the window.
+# queries in ``queries()`` dict order each round. Rounds 1-9 produced
+# green driver rows (or by-design rows-only records) for 443 of the
+# 448 registry names; the only driver-unseen names entering round 10
+# are the five late round-9 additions. ROUND-10 ROTATION (VERDICT r9
+# item 1): the window head is exactly those five (ts_kpss,
+# stat_bartlett, stat_ad_ksample, stat_moods_median,
+# ts_dickey_fuller) plus any round-10 additions as they land (new
+# ops enter the window the round they land — the steady state now
+# that the backlog is drained); the window's remaining slots re-check
+# the oldest-green names (the pre-r9 order resumes at position 6).
+# The 50 CORRECTNESS_r09 names moved to the very back. Every
+# rotated-out name stays guarded by tests/test_oracle_parity.py,
+# which checks ALL queries every run.
 _DRIVER_PRIORITY = [
+    'ts_kpss', 'stat_bartlett', 'stat_ad_ksample', 'stat_moods_median',
+    'ts_dickey_fuller', 'udf_scalar', 'udf_grouped_map', 'udf_agg',
+    'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
+    'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',
+    'llm_dedup_paragraphs', 'ts_winsorize', 'join_asof_nearest',
+    'profile_skew', 'sql_recursive_cte', 'sql_lateral_topk', 'join_null_safe',
+    'llm_unigram_logprob', 'fn_collation', 'llm_curate_pipeline',
+    'fn_explode_outer', 'fn_xml_roundtrip', 'llm_dedup_report',
+    'llm_bigram_f1', 'geo_polyline_length', 'llm_dataset_card', 'sql_pivot',
+    'fn_aes_roundtrip', 'graph_degree_distribution', 'win_distinct_rolling',
+    'agg_regression', 'ts_seasonal_profile', 'dq_contract_check',
+    'win_nth_value', 'fn_date_arith', 'llm_hard_negatives',
+    'llm_class_balance', 'ts_max_gap', 'fn_crypto_hash', 'sql_window_clause',
+    'llm_mask_tokens', 'llm_vocab_coverage', 'llm_dedup_incremental',
+    'ts_weekly_active', 'ts_funnel_windowed', 'udf_scalar_iter',
+    'fn_cast_double', 'fn_concat_ws', 'fn_concat', 'fn_replace',
+    'fn_prefix_match', 'fn_array_compact', 'fn_map_lookup', 'fn_math',
+    'fn_date_trunc', 'fn_string_ops', 'fn_regexp', 'fn_null_ops',
+    'fn_date_extract', 'fn_variant_get', 'fn_json_extract', 'llm_dedup_exact',
+    'llm_dedup_minhash', 'llm_dedup_simhash', 'llm_dedup_ngram',
+    'llm_sim_topk', 'llm_ann_lsh', 'llm_dedup_embedding',
+    'llm_dedup_verified', 'llm_dedup_cluster', 'llm_dedup_canonical',
+    'llm_sample_stratified', 'llm_pack_sequences', 'llm_tfidf_top_terms',
+    'llm_wordcount', 'llm_text_stats', 'llm_lang_dist', 'llm_lang_id',
+    'llm_quality_score', 'llm_token_count', 'llm_fingerprint', 'project_pit',
+    'rel_liesin', 'pit_pipeline', 'scan_tsv', 'scan_dim', 'filter_whereeq',
+    'filter_any_of', 'filter_extra_uris', 'filter_typed', 'join_admin2',
+    'join_self_parent_fallback', 'join_inner', 'join_left', 'join_semi',
+    'join_anti', 'join_range', 'join_theta', 'join_cross', 'join_asof',
+    'join_skew_salted', 'agg_group', 'agg_global', 'agg_distinct',
+    'agg_count_distinct', 'agg_approx_distinct', 'agg_rollup', 'agg_cube',
+    'agg_median', 'dedup_latest_per_key', 'agg_approx_percentile',
+    'agg_stats', 'agg_collect', 'agg_pivot', 'win_rank', 'win_distribution',
+    'win_lag_lead', 'win_running_sum', 'win_range_frame', 'win_first_last',
+    'win_ntile', 'sort_orderby', 'sort_limit', 'set_union', 'set_intersect',
+    'set_except', 'sql_tpch_q3', 'sql_tpch_q5', 'sql_tpch_q18', 'sql_tpch_q6',
+    'sql_tpch_q12', 'sql_tpch_q14', 'sql_tpch_q4', 'sql_tpch_q16',
+    'sql_tpch_q19', 'sql_tpch_q13', 'sql_tpch_q17', 'sql_tpch_q22',
+    'sql_grouping_sets', 'stream_tumbling', 'stream_sliding', 'ts_funnel',
+    'ts_cohort_retention', 'ts_gap_fill', 'stream_session',
+    'llm_inverted_index', 'udf_map_in_arrow', 'llm_quantize_embeddings',
+    'fn_array_setops', 'llm_embedding_centroids', 'mm_image_phash_dedup',
+    'agg_collect_salted', 'llm_simhash_verifiable', 'llm_ann_lsh_verifiable',
+    'scd2_asof_lookup', 'agg_string_concat', 'graph_reciprocity',
+    'fn_surrogate_key', 'ts_sli_availability', 'llm_apply_mix_weights',
+    'fn_printf', 'sql_filter_clause', 'fn_base64_roundtrip',
+    'agg_higher_moments', 'llm_bigram_logprob', 'geo_extent_by_group',
+    'agg_histogram', 'agg_mode', 'agg_conditional', 'sql_tpch_q1',
+    'sql_tpch_q2', 'sql_tpch_q7', 'sql_tpch_q8', 'sql_tpch_q9',
+    'sql_tpch_q10', 'sql_tpch_q11', 'sql_tpch_q15', 'sql_tpch_q20',
+    'sql_tpch_q21', 'fn_bit_ops', 'fn_levenshtein', 'ts_resample_ohlc',
+    'ts_anomaly_zscore', 'join_interval_overlap', 'llm_decontaminate',
+    'llm_cap_per_source', 'llm_kmeans', 'llm_dedup_keep_best',
+    'llm_shuffle_order', 'geo_bbox_filter', 'geo_haversine',
+    'geo_morton_cell', 'geo_grid_join', 'llm_embedding_dim_stats',
+    'stat_kruskal_wallis', 'stat_anova_oneway', 'stat_two_proportion_z',
+    'stat_mann_kendall', 'stat_ljung_box', 'ts_holt_winters', 'ts_rsi',
+    'ts_interpolate_linear', 'mm_audio_resample', 'mm_image_histogram',
+    'graph_cc_bounded', 'agg_kmv_setops', 'llm_dedup_band_stats',
+    'llm_minhash_jaccard_est', 'ts_rolling_corr', 'ts_seasonal_decompose',
+    'stat_cronbach_alpha', 'dq_schema_drift', 'graph_copurchase',
+    'mm_video_keyframes', 'stat_xi_correlation', 'fn_date_edge', 'ts_peaks',
+    'mm_image_gradient', 'geo_voronoi_assign', 'llm_kneser_ney_bigram',
+    'ts_lateness_histogram', 'llm_quality_funnel', 'geo_trajectory_stats',
+    'stat_sample_size', 'mm_modality_route', 'dq_observed_metrics',
+    'maintenance_compaction_plan', 'llm_dedup_embedding_verifiable',
+    'stat_wilson_ci', 'ts_crosscorr_lags', 'geo_knn', 'mm_decode_image',
+    'mm_resize_image', 'mm_decode_audio', 'mm_video_frames',
+    'mm_audio_features', 'mm_video_scene_cuts', 'mm_audio_vad',
+    'mm_image_entropy', 'cdc_merge_upsert', 'scd2_history',
+    'split_train_test', 'mm_feature_extract', 'llm_bpe_train_rounds',
+    'llm_html_extract', 'llm_ann_ivf_verifiable', 'llm_longest_shared_gram',
+    'llm_cross_source_dup_matrix', 'llm_ann_recall_eval', 'agg_heavy_hitters',
+    'stat_friedman', 'stat_permutation_test', 'ts_period_detect',
+    'geo_polygon_centroid', 'mm_image_ssim', 'mm_audio_pitch', 'graph_hits',
+    'join_bloom_prefilter', 'llm_pq_quantize', 'sample_per_key',
+    'profile_columns', 'llm_normalize_text', 'llm_pii_redact',
+    'llm_repetition_ratio', 'llm_mix_weights', 'fn_url_parse',
+    'ts_sessionize', 'llm_chunk_documents', 'llm_ngram_counts',
+    'llm_bucket_by_length', 'graph_pagerank', 'graph_triangle_count',
+    'fn_unpivot', 'fn_posexplode', 'fn_try_arith', 'llm_gopher_quality',
+    'llm_perplexity_buckets', 'llm_dedup_containment', 'ts_interval_union',
+    'llm_bpe_pair_counts', 'geo_geohash', 'agg_bitmap_distinct',
+    'agg_corr_covar', 'geo_point_in_polygon', 'agg_skew_two_phase',
+    'join_fuzzy_name', 'set_intersect_all', 'sql_relational_division',
+    'ts_autocorr', 'graph_jaccard_neighbors', 'llm_tokenizer_fertility',
+    'llm_ngram_span_dedup', 'llm_source_overlap', 'ts_hurst_rs',
+    'join_interval_grid', 'ts_allen_relations', 'llm_exact_shared_run',
+    'llm_bleu_bigram', 'llm_minhash_band_tuning', 'llm_pq_search_adc',
+    'geo_kde_grid', 'maintenance_cluster_metric', 'dq_referential_integrity',
+    'dq_psi_drift', 'llm_ttr_curve', 'llm_dp_histogram',
+    'llm_longest_self_repeat', 'llm_span_corruption', 'graph_scc_bounded',
+    'join_size_cms_estimate', 'stat_tost_equivalence', 'stat_grubbs',
+    'ts_entropy_rate', 'stat_page_trend', 'llm_ann_ivf', 'agg_sketch_hll',
+    'agg_sketch_kll', 'llm_compression_ratio', 'agg_ab_ttest',
+    'agg_chi_square', 'ts_cusum_drift', 'agg_mann_whitney',
+    'sql_session_variables', 'sql_parameterized', 'llm_semdedup',
+    'ts_event_regex', 'udtf_analyze', 'graph_khop_reachability',
+    'agg_sketch_cms', 'agg_percentile_disc', 'ts_calendar_dim',
+    'geo_tile_pyramid', 'graph_label_propagation', 'llm_embedding_power_iter',
+    'llm_abtt_transform', 'llm_zipf_slope', 'agg_gini', 'llm_topp_vocab',
+    'llm_feature_hashing', 'llm_minhash_verifiable', 'sql_group_by_all',
+    'sql_distinct_on', 'ts_backtest_snaive', 'llm_langid_confusion',
+    'llm_ndcg_eval', 'llm_pmi_collocations', 'ts_fano_burstiness',
+    'geo_shoelace_area', 'llm_lm_crossentropy', 'llm_kmeans_quality',
+    'ts_gaps_islands', 'agg_weighted_median', 'set_except_all', 'sql_qualify',
+    'llm_winnowing', 'llm_shard_manifest', 'llm_dpo_pairs', 'sample_bottom_k',
+    'geo_bearing_profile', 'llm_url_dedup', 'join_band_time', 'fn_ip_cidr',
+    'ts_lttb_downsample', 'llm_bootstrap_ci', 'llm_metric_spearman',
+    'mm_frame_sample', 'llm_mix_kl_divergence', 'llm_sft_render',
+    'llm_bpe_apply', 'geo_dbscan_core', 'geo_point_in_concave_polygon',
+    'graph_adamic_adar', 'graph_kcore_peel', 'graph_clustering_coefficient',
+    'graph_assortativity', 'llm_ngram_novelty', 'llm_boilerplate_ngrams',
+    'llm_mrr_eval', 'dq_freshness', 'sample_weighted_es', 'agg_sketch_kmv',
+    'llm_rrf_fusion', 'sql_asof_join', 'stat_mann_whitney',
+    'stat_ks_two_sample', 'stat_chi2_independence', 'stat_bh_fdr',
+    'stat_markov_transitions', 'stat_welch_ttest', 'stat_levene',
+    'stat_bootstrap_diff', 'stat_runs_test', 'stat_best_split',
     'stat_conformal_interval', 'stat_mutual_information', 'stat_benford',
     'dq_outlier_mad', 'stat_cohens_kappa', 'llm_calibration_bins',
     'agg_theil_index', 'stat_wilcoxon_signed', 'ts_acf', 'ts_pacf',
@@ -80,137 +193,11 @@ _DRIVER_PRIORITY = [
     'llm_cdc_chunk_dedup', 'llm_overlap_stitch', 'llm_watermark_detect',
     'llm_prefix_cache_stats', 'graph_harmonic_centrality', 'stat_mcnemar',
     'stat_cochran_q', 'stat_jarque_bera', 'stat_cohens_d',
-    'stat_cochran_armitage', 'ts_seasonal_strength',
-    'llm_substring_census', 'llm_quality_features', 'llm_pack_bins',
-    'llm_metric_kendall', 'stat_fleiss_kappa', 'dq_esd_outliers',
-    'sample_neyman_allocation', 'stat_dunn_posthoc',
-    'dq_embedding_norm_qa', 'llm_lcs_corpus_exact', 'llm_dsir_weights',
-    'stat_kendall_w', 'udf_scalar', 'udf_grouped_map', 'udf_agg',
-    'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
-    'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',
-    'llm_dedup_paragraphs', 'ts_winsorize', 'join_asof_nearest',
-    'profile_skew', 'sql_recursive_cte', 'sql_lateral_topk',
-    'join_null_safe', 'llm_unigram_logprob', 'fn_collation',
-    'llm_curate_pipeline', 'fn_explode_outer', 'fn_xml_roundtrip',
-    'llm_dedup_report', 'llm_bigram_f1', 'geo_polyline_length',
-    'llm_dataset_card', 'sql_pivot', 'fn_aes_roundtrip',
-    'graph_degree_distribution', 'win_distinct_rolling', 'agg_regression',
-    'ts_seasonal_profile', 'dq_contract_check', 'win_nth_value',
-    'fn_date_arith', 'llm_hard_negatives', 'llm_class_balance',
-    'ts_max_gap', 'fn_crypto_hash', 'sql_window_clause',
-    'llm_mask_tokens', 'llm_vocab_coverage', 'llm_dedup_incremental',
-    'ts_weekly_active', 'ts_funnel_windowed', 'udf_scalar_iter',
-    'fn_cast_double', 'fn_concat_ws', 'fn_concat', 'fn_replace',
-    'fn_prefix_match', 'fn_array_compact', 'fn_map_lookup', 'fn_math',
-    'fn_date_trunc', 'fn_string_ops', 'fn_regexp', 'fn_null_ops',
-    'fn_date_extract', 'fn_variant_get', 'fn_json_extract',
-    'llm_dedup_exact', 'llm_dedup_minhash', 'llm_dedup_simhash',
-    'llm_dedup_ngram', 'llm_sim_topk', 'llm_ann_lsh',
-    'llm_dedup_embedding', 'llm_dedup_verified', 'llm_dedup_cluster',
-    'llm_dedup_canonical', 'llm_sample_stratified', 'llm_pack_sequences',
-    'llm_tfidf_top_terms', 'llm_wordcount', 'llm_text_stats',
-    'llm_lang_dist', 'llm_lang_id', 'llm_quality_score',
-    'llm_token_count', 'llm_fingerprint', 'project_pit', 'rel_liesin',
-    'pit_pipeline', 'scan_tsv', 'scan_dim', 'filter_whereeq',
-    'filter_any_of', 'filter_extra_uris', 'filter_typed', 'join_admin2',
-    'join_self_parent_fallback', 'join_inner', 'join_left', 'join_semi',
-    'join_anti', 'join_range', 'join_theta', 'join_cross', 'join_asof',
-    'join_skew_salted', 'agg_group', 'agg_global', 'agg_distinct',
-    'agg_count_distinct', 'agg_approx_distinct', 'agg_rollup', 'agg_cube',
-    'agg_median', 'dedup_latest_per_key', 'agg_approx_percentile',
-    'agg_stats', 'agg_collect', 'agg_pivot', 'win_rank',
-    'win_distribution', 'win_lag_lead', 'win_running_sum',
-    'win_range_frame', 'win_first_last', 'win_ntile', 'sort_orderby',
-    'sort_limit', 'set_union', 'set_intersect', 'set_except',
-    'sql_tpch_q3', 'sql_tpch_q5', 'sql_tpch_q18', 'sql_tpch_q6',
-    'sql_tpch_q12', 'sql_tpch_q14', 'sql_tpch_q4', 'sql_tpch_q16',
-    'sql_tpch_q19', 'sql_tpch_q13', 'sql_tpch_q17', 'sql_tpch_q22',
-    'sql_grouping_sets', 'stream_tumbling', 'stream_sliding', 'ts_funnel',
-    'ts_cohort_retention', 'ts_gap_fill', 'stream_session',
-    'llm_inverted_index', 'udf_map_in_arrow', 'llm_quantize_embeddings',
-    'fn_array_setops', 'llm_embedding_centroids', 'mm_image_phash_dedup',
-    'agg_collect_salted', 'llm_simhash_verifiable',
-    'llm_ann_lsh_verifiable', 'scd2_asof_lookup', 'agg_string_concat',
-    'graph_reciprocity', 'fn_surrogate_key', 'ts_sli_availability',
-    'llm_apply_mix_weights', 'fn_printf', 'sql_filter_clause',
-    'fn_base64_roundtrip', 'agg_higher_moments', 'llm_bigram_logprob',
-    'geo_extent_by_group', 'agg_histogram', 'agg_mode', 'agg_conditional',
-    'sql_tpch_q1', 'sql_tpch_q2', 'sql_tpch_q7', 'sql_tpch_q8',
-    'sql_tpch_q9', 'sql_tpch_q10', 'sql_tpch_q11', 'sql_tpch_q15',
-    'sql_tpch_q20', 'sql_tpch_q21', 'fn_bit_ops', 'fn_levenshtein',
-    'ts_resample_ohlc', 'ts_anomaly_zscore', 'join_interval_overlap',
-    'llm_decontaminate', 'llm_cap_per_source', 'llm_kmeans',
-    'llm_dedup_keep_best', 'llm_shuffle_order', 'geo_bbox_filter',
-    'geo_haversine', 'geo_morton_cell', 'geo_grid_join',
-    'llm_embedding_dim_stats', 'stat_kruskal_wallis', 'stat_anova_oneway',
-    'stat_two_proportion_z', 'stat_mann_kendall', 'stat_ljung_box',
-    'ts_holt_winters', 'ts_rsi', 'ts_interpolate_linear',
-    'mm_audio_resample', 'mm_image_histogram', 'graph_cc_bounded',
-    'agg_kmv_setops', 'llm_dedup_band_stats', 'llm_minhash_jaccard_est',
-    'ts_rolling_corr', 'ts_seasonal_decompose', 'stat_cronbach_alpha',
-    'dq_schema_drift', 'graph_copurchase', 'mm_video_keyframes',
-    'stat_xi_correlation', 'fn_date_edge', 'ts_peaks',
-    'mm_image_gradient', 'geo_voronoi_assign', 'llm_kneser_ney_bigram',
-    'ts_lateness_histogram', 'llm_quality_funnel', 'geo_trajectory_stats',
-    'stat_sample_size', 'mm_modality_route', 'dq_observed_metrics',
-    'maintenance_compaction_plan', 'llm_dedup_embedding_verifiable',
-    'stat_wilson_ci', 'ts_crosscorr_lags', 'geo_knn', 'mm_decode_image',
-    'mm_resize_image', 'mm_decode_audio', 'mm_video_frames',
-    'mm_audio_features', 'mm_video_scene_cuts', 'mm_audio_vad',
-    'mm_image_entropy', 'cdc_merge_upsert', 'scd2_history',
-    'split_train_test', 'mm_feature_extract', 'llm_bpe_train_rounds',
-    'llm_html_extract', 'llm_ann_ivf_verifiable',
-    'llm_longest_shared_gram', 'llm_cross_source_dup_matrix',
-    'llm_ann_recall_eval', 'agg_heavy_hitters', 'stat_friedman',
-    'stat_permutation_test', 'ts_period_detect', 'geo_polygon_centroid',
-    'mm_image_ssim', 'mm_audio_pitch', 'graph_hits',
-    'join_bloom_prefilter', 'llm_pq_quantize', 'sample_per_key',
-    'profile_columns', 'llm_normalize_text', 'llm_pii_redact',
-    'llm_repetition_ratio', 'llm_mix_weights', 'fn_url_parse',
-    'ts_sessionize', 'llm_chunk_documents', 'llm_ngram_counts',
-    'llm_bucket_by_length', 'graph_pagerank', 'graph_triangle_count',
-    'fn_unpivot', 'fn_posexplode', 'fn_try_arith', 'llm_gopher_quality',
-    'llm_perplexity_buckets', 'llm_dedup_containment',
-    'ts_interval_union', 'llm_bpe_pair_counts', 'geo_geohash',
-    'agg_bitmap_distinct', 'agg_corr_covar', 'geo_point_in_polygon',
-    'agg_skew_two_phase', 'join_fuzzy_name', 'set_intersect_all',
-    'sql_relational_division', 'ts_autocorr', 'graph_jaccard_neighbors',
-    'llm_tokenizer_fertility', 'llm_ngram_span_dedup',
-    'llm_source_overlap', 'ts_hurst_rs', 'join_interval_grid',
-    'ts_allen_relations', 'llm_exact_shared_run', 'llm_bleu_bigram',
-    'llm_minhash_band_tuning', 'llm_pq_search_adc', 'geo_kde_grid',
-    'maintenance_cluster_metric', 'dq_referential_integrity',
-    'dq_psi_drift', 'llm_ttr_curve', 'llm_dp_histogram',
-    'llm_longest_self_repeat', 'llm_span_corruption', 'graph_scc_bounded',
-    'join_size_cms_estimate', 'stat_tost_equivalence', 'stat_grubbs',
-    'ts_entropy_rate', 'stat_page_trend', 'llm_ann_ivf', 'agg_sketch_hll',
-    'agg_sketch_kll', 'llm_compression_ratio', 'agg_ab_ttest',
-    'agg_chi_square', 'ts_cusum_drift', 'agg_mann_whitney',
-    'sql_session_variables', 'sql_parameterized', 'llm_semdedup',
-    'ts_event_regex', 'udtf_analyze', 'graph_khop_reachability',
-    'agg_sketch_cms', 'agg_percentile_disc', 'ts_calendar_dim',
-    'geo_tile_pyramid', 'graph_label_propagation',
-    'llm_embedding_power_iter', 'llm_abtt_transform', 'llm_zipf_slope',
-    'agg_gini', 'llm_topp_vocab', 'llm_feature_hashing',
-    'llm_minhash_verifiable', 'sql_group_by_all', 'sql_distinct_on',
-    'ts_backtest_snaive', 'llm_langid_confusion', 'llm_ndcg_eval',
-    'llm_pmi_collocations', 'ts_fano_burstiness', 'geo_shoelace_area',
-    'llm_lm_crossentropy', 'llm_kmeans_quality', 'ts_gaps_islands',
-    'agg_weighted_median', 'set_except_all', 'sql_qualify',
-    'llm_winnowing', 'llm_shard_manifest', 'llm_dpo_pairs',
-    'sample_bottom_k', 'geo_bearing_profile', 'llm_url_dedup',
-    'join_band_time', 'fn_ip_cidr', 'ts_lttb_downsample',
-    'llm_bootstrap_ci', 'llm_metric_spearman', 'mm_frame_sample',
-    'llm_mix_kl_divergence', 'llm_sft_render', 'llm_bpe_apply',
-    'geo_dbscan_core', 'geo_point_in_concave_polygon',
-    'graph_adamic_adar', 'graph_kcore_peel',
-    'graph_clustering_coefficient', 'graph_assortativity',
-    'llm_ngram_novelty', 'llm_boilerplate_ngrams', 'llm_mrr_eval',
-    'dq_freshness', 'sample_weighted_es', 'agg_sketch_kmv',
-    'llm_rrf_fusion', 'sql_asof_join', 'stat_mann_whitney',
-    'stat_ks_two_sample', 'stat_chi2_independence', 'stat_bh_fdr',
-    'stat_markov_transitions', 'stat_welch_ttest', 'stat_levene',
-    'stat_bootstrap_diff', 'stat_runs_test', 'stat_best_split',
+    'stat_cochran_armitage', 'ts_seasonal_strength', 'llm_substring_census',
+    'llm_quality_features', 'llm_pack_bins', 'llm_metric_kendall',
+    'stat_fleiss_kappa', 'dq_esd_outliers', 'sample_neyman_allocation',
+    'stat_dunn_posthoc', 'dq_embedding_norm_qa', 'llm_lcs_corpus_exact',
+    'llm_dsir_weights', 'stat_kendall_w',
 ]
 
 

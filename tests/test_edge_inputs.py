@@ -839,3 +839,36 @@ def test_ad_ksample_single_distinct_value_nulls_not_throws(spark, tmp_path):
     o = con.sql(ORACLES["stat_ad_ksample"]).df()
     assert len(o) == 1 and int(o["k"][0]) == 0
     assert pd.isna(o["a2akn"][0]) and pd.isna(o["ad_stat"][0])
+
+
+def test_moods_median_empty_corpus_matches_oracle(spark, tmp_path):
+    """stat_moods_median on an EMPTY documents table: the pooled
+    aggregate still produces one row with vs = [], and the
+    grand-median projection must NULL through (size-guarded
+    element_at) rather than throw INVALID_ARRAY_INDEX under ANSI;
+    both engines then emit 0 rows because the per-group table is
+    empty (ADVICE r9)."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    rows = QUERIES["stat_moods_median"](spark, str(d)).collect()
+    assert rows == []
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    assert len(con.sql(ORACLES["stat_moods_median"]).df()) == 0
