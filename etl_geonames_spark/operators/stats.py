@@ -4445,33 +4445,52 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     m²(n³−n) − m·ΣT and the χ²_r = m(n−1)W approximation emitted
     alongside.
 
-    Rank machinery is the rank-test family's decomposition restated
-    on a 3n-row long table: ONE distributed_rank pass over
-    (rid, v, doc_id) — raters are contiguous blocks of the global
-    order, so the within-rater row number is _grn − rid·n exactly
-    (every rater ranks the same n docs) — then (rid, v)-group
-    midranks ((min+max)/2, exact .5-rationals), one doc-keyed
-    aggregate for R_i, one 1-row moment aggregate. No global window
-    (the global-window ban); midranks and R_i are exact binary
-    rationals, so S = Σ(R_i − m(n+1)/2)² is deterministic in both
-    engines and the single qround(6) emit carries no
-    accumulation-order risk beyond the accepted 1-row class.
+    Rank machinery is the stat_moods_median sufficient-statistic
+    argument applied to ranks (the r10 fusion of the r9 ladder, which
+    ranked the 3n-row long table row-by-row): the (rid, v) CELL table
+    — one count per distinct (rater, value) — determines midranks,
+    the tie correction ΣT AND n all at once. Midrank of value v in
+    rater rid = within-rater exclusive prefix count + (c+1)/2, and
+    because raters are contiguous blocks of the (rid, v) order each
+    holding exactly n counts, that prefix is the GLOBAL exclusive
+    running sum minus rid·n — so ONE distributed_cumsum_multi pass
+    over the cell table (carrying c and c³−c together) yields every
+    midrank plus both grand moments, with no per-row rank, no
+    rank-table re-execution, and no global window. Midranks and R_i
+    are exact binary rationals, so S = Σ(R_i − m(n+1)/2)² is
+    deterministic in both engines and the single qround(6) emit
+    carries no accumulation-order risk beyond the accepted 1-row
+    class. Verified unchanged vs the r9 ladder by the driver oracle
+    hash (same oracle, same values).
 
-    100 TB: the rank pass is the only corpus-scale exchange (range
-    repartition); ties/R_i/moments are one combined-agg each, and m
-    is a constant — same bill as stat_kruskal_wallis on a 3x long
-    table. Guard: n <= 1 or an all-tied corpus (denominator 0) emits
-    NULL, not an ANSI throw."""
-    from etl_geonames_spark.operators.relational import distributed_rank
+    100 TB: tokenize runs ONCE (the doc-metric table is
+    localCheckpointed — 4 longs per doc, the smallest sufficient
+    data); the corpus-scale exchanges are the cell-table aggregate
+    and the R_i doc-keyed aggregate, while the cumsum machinery runs
+    on the (typically far smaller) cell table. The midrank broadcast
+    assumes the distinct-value cardinality is broadcastable (same
+    contract as the r9 shape); at pathological cardinality it
+    degrades to a shuffled equi-join, never a window. Guard: n <= 1
+    or an all-tied corpus (denominator 0) emits NULL, not an ANSI
+    throw."""
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
 
     tk = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     # spread(): the tokenize is a compute-bound map over the
-    # single-file fixture's one scan partition (the r5 text-stack rule)
-    t = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("m0"),
-        F.size(F.array_distinct(tk)).cast("long").alias("m1"),
-        F.size(tk).cast("long").alias("m2"),
+    # single-file fixture's one scan partition (the r5 text-stack
+    # rule); checkpointed so it runs ONCE — the R_i branch re-reads
+    # 4 longs per doc instead of re-tokenizing the corpus
+    t = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("m0"),
+            F.size(F.array_distinct(tk)).cast("long").alias("m1"),
+            F.size(tk).cast("long").alias("m2"),
+        )
+        .localCheckpoint()
     )
     long = t.select(
         "doc_id",
@@ -4483,47 +4502,57 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.rid", "p.v")
-    ranked = distributed_rank(long, ["rid", "v", "doc_id"]).select(
-        "doc_id",
+    # the (rid, v) cell table is the sufficient statistic: midranks,
+    # the tie correction and n are all re-aggregates of it; c³−c is
+    # carried as a column so ONE cumsum pass yields both moments
+    cells = (
+        long.groupBy("rid", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "t3", F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .localCheckpoint()
+    )
+    rc = distributed_cumsum_multi(
+        cells, ["rid", "v"], ["c", "t3"], ["cs", "t3s"], ["n3", "sum_t3"]
+    )
+    # within-rater exclusive prefix = global exclusive prefix − rid·n
+    # (rater blocks are contiguous and each holds exactly n counts;
+    # n3 = 3n exactly, the double division is exact at these
+    # magnitudes); midrank = prefix + (c+1)/2, the same exact
+    # .5-rational as the r9 (min_rn + max_rn)/2
+    n_col = (F.col("n3") / 3).cast("long")
+    # checkpointed (the ts_acf shared-rank-table precedent): the
+    # midrank table is broadcast-size by contract, so the cumsum
+    # bookkeeping executes exactly once instead of riding the
+    # broadcast subtree of every consumer
+    mids = rc.select(
         "rid",
         "v",
-        # rater blocks are contiguous in the global order and each
-        # holds exactly n rows: within-rater rank = _grn - rid*n
-        # (_total = 3n exactly; the double division is exact for
-        # these magnitudes and the cast pins the integer type)
         (
-            F.col("_grn").cast("long")
-            - (F.col("rid").cast("long") * (F.col("_total") / 3)).cast(
-                "long"
-            )
-        ).alias("rn"),
-    )
-    mids = ranked.groupBy("rid", "v").agg(
-        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
-        F.count(F.lit(1)).cast("long").alias("c"),
+            (
+                F.col("cs") - F.col("c") - F.col("rid").cast("long") * n_col
+            ).cast("double")
+            + (F.col("c") + 1) / 2.0
+        ).alias("mr"),
+        n_col.alias("n"),
+        F.col("sum_t3").cast("long").alias("sum_t3"),
     ).localCheckpoint()
+    # n and sum_t3 are constant columns riding the broadcast — max()
+    # carries them through the aggregates so no separate moment
+    # subplan executes (the moods_median multi-consumer rule)
     ri = (
-        ranked.join(F.broadcast(mids.select("rid", "v", "mr")), ["rid", "v"])
+        long.join(F.broadcast(mids), ["rid", "v"])
         .groupBy("doc_id")
-        .agg(F.sum("mr").alias("r"))
+        .agg(
+            F.sum("mr").alias("r"),
+            F.max("n").alias("n"),
+            F.max("sum_t3").alias("sum_t3"),
+        )
     )
-    tt = mids.agg(
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("long")
-        .alias("sum_t3")
-    )
-    # global anchor re-aggregated from the (rid, v) tie table (the
-    # agg_theil_index pattern): sum(c) = 3n exactly, so this saves a
-    # second corpus scan AND derives n identically on both engines
-    tot = mids.agg((F.sum("c") / 3).cast("long").alias("n"))
     nn = F.col("n").cast("double")
     dev = F.col("r") - 3.0 * (F.col("n") + 1) / 2.0
-    s = (
-        ri.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(tt))
-        .groupBy("n", "sum_t3")
-        .agg(F.sum(dev * dev).alias("ss"))
-    )
+    s = ri.groupBy("n", "sum_t3").agg(F.sum(dev * dev).alias("ss"))
     denom = 9.0 * (nn * nn * nn - nn) - 3.0 * F.col("sum_t3")
     w = 12.0 * F.col("ss") / denom
     ok = (F.col("n") > 1) & (denom > 0.0)
@@ -5148,49 +5177,40 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gm").alias("gm"),
         )
     )
-    tot = g.agg(
+    # r10 fusion (VERDICT r9 item 3): instead of broadcasting a
+    # totals row back INTO the group table (a second execution of g's
+    # subplan), collect the k×2 table itself — k = #langs, bounded —
+    # into ONE final aggregate row and fold the chi2 terms with
+    # F.aggregate. One corpus aggregate + one group aggregate + one
+    # 1-row aggregate total; the k>0 filter preserves the 0-rows
+    # empty-corpus contract (tests/test_edge_inputs.py).
+    one = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("ni").cast("long").alias("n"),
         F.sum("ai").cast("long").alias("a"),
         F.max("gm").alias("gm"),
+        F.collect_list(F.struct("ni", "ai")).alias("cells"),
     )
-    t = (
-        (F.col("n") * F.col("ai") - F.col("a") * F.col("ni"))
-        .cast("double")
-        * (F.col("n") * F.col("ai") - F.col("a") * F.col("ni")).cast(
-            "double"
-        )
-        * (
-            1.0
-            / (
-                F.col("n").cast("double")
-                * F.col("a")
-                * F.col("ni")
-            )
+
+    def term(acc, s):
+        d = (F.col("n") * s["ai"] - F.col("a") * s["ni"]).cast("double")
+        return acc + d * d * (
+            1.0 / (F.col("n").cast("double") * F.col("a") * s["ni"])
             + 1.0
             / (
                 F.col("n").cast("double")
                 * (F.col("n") - F.col("a"))
-                * F.col("ni")
+                * s["ni"]
             )
         )
-    )
+
     ok = (F.col("k") >= 2) & (F.col("a") > 0) & (F.col("a") < F.col("n"))
-    return (
-        g.drop("gm")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("k", "n", "a", "gm")
-        .agg(F.sum(F.when(ok, t)).alias("chi2_raw"))
-        .select(
-            "k",
-            "n",
-            F.col("gm").cast("long").alias("grand_median"),
-            (F.col("k") - 1).cast("long").alias("dof"),
-            F.when(
-                (F.col("k") >= 2)
-                & (F.col("a") > 0)
-                & (F.col("a") < F.col("n")),
-                qround(F.col("chi2_raw"), 6),
-            ).alias("chi2"),
-        )
+    return one.where(F.col("k") > 0).select(
+        "k",
+        "n",
+        F.col("gm").cast("long").alias("grand_median"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(
+            ok, qround(F.aggregate("cells", F.lit(0.0), term), 6)
+        ).alias("chi2"),
     )
