@@ -4157,3 +4157,708 @@ def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("df_t"),
     )
+
+
+def _daily_series(spark: SparkSession, sf_dir: str, min_n: int):
+    """Shared round-10 econometric-test input: the per-event-type
+    daily-count series as a date-sorted DOUBLE array plus its length
+    (the ts_kpss / ts_dickey_fuller shape, factored). One corpus-scale
+    daily hash aggregate, one per-type collect — everything after is
+    O(n) per-series array arithmetic, the family's 100 TB bill."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        dc.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("v"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= min_n)
+    )
+
+
+_DAILY_SQL = """
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    )"""
+
+
+def _fsum(terms):
+    return F.aggregate(terms, F.lit(0.0), lambda acc, y: acc + y)
+
+
+@query(
+    "ts_variance_ratio",
+    oracle=f"""{_DAILY_SQL},
+    mom AS (
+      SELECT event_type, n,
+             CAST(n - 1 AS BIGINT) AS m,
+             (v[n] - v[1]) / (n - 1) AS mu, v
+      FROM arr WHERE n >= 8
+    ),
+    st AS (
+      SELECT event_type, n, m, mu,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(m AS INT)),
+                 t -> (v[t + 1] - v[t] - mu) * (v[t + 1] - v[t] - mu))),
+               (acc, y) -> acc + y) AS s1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, CAST(m AS INT) - 3),
+                 t -> (v[t + 4] - v[t] - 4 * mu)
+                      * (v[t + 4] - v[t] - 4 * mu))),
+               (acc, y) -> acc + y) AS sq
+      FROM mom
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN s1 > 0
+                THEN {sql_qround(
+                    '(sq / (4.0 * (m - 3))) / (s1 / m)', 6)}
+           END AS vr,
+           CASE WHEN s1 > 0
+                THEN {sql_qround(
+                    '((sq / (4.0 * (m - 3))) / (s1 / m) - 1.0)'
+                    ' / sqrt(2.0 * 7 * 3 / (3.0 * 4 * m))', 6)}
+           END AS z_stat
+    FROM st
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test VR(q), q = 4, per event type
+    over the daily-count series — the random-walk screen that
+    completes the stationarity trio (ts_kpss: null stationary;
+    ts_dickey_fuller: null unit root; VR: null random walk, with the
+    DIRECTION of departure readable — VR > 1 means positively
+    autocorrelated/trending increments, VR < 1 mean-reverting ones).
+    VR(q) = σ̂²_q/σ̂²_1 where σ̂²_1 = Σ(d_t − μ̂)²/m over the m = n−1
+    daily increments and σ̂²_q averages over the overlapping q-day
+    sums, σ̂²_q = Σ_{{t=1}}^{{m−q+1}}(v_{{t+q}} − v_t − qμ̂)²/(q(m−q+1));
+    z = (VR−1)/√(2(2q−1)(q−1)/(3qm)) is the asymptotic homoskedastic
+    form (Lo & MacKinlay 1988, eq. 12 family; the overlap-unbiased
+    small-sample corrections are a documented extension).
+
+    Determinism: μ̂ = (v_n − v_1)/m telescopes to a closed form (no
+    fold), and both q-sums telescope to v_{{t+q}} − v_t, so each engine
+    folds the SAME squared doubles in the same date order (the
+    ts_holt_winters contract); one qround(6) per emitted column.
+    Guards: n < 8 rows out; an all-constant series (s1 = 0) NULLs.
+
+    100 TB: the _daily_series bill — one corpus-scale daily
+    aggregate, O(n) per-series arithmetic after."""
+    arr = _daily_series(spark, sf_dir, 8)
+    vv = F.col("v")
+    m = (F.col("n") - 1).cast("long")
+    mu = (F.element_at(vv, F.col("n")) - F.element_at(vv, 1)) / m
+    mom = arr.select(
+        "event_type", "n", m.alias("m"), mu.alias("mu"), "v"
+    )
+    d4 = lambda t: (
+        F.element_at(vv, t + 4) - F.element_at(vv, t) - 4 * F.col("mu")
+    )
+    d1 = lambda t: (
+        F.element_at(vv, t + 1) - F.element_at(vv, t) - F.col("mu")
+    )
+    st = mom.select(
+        "event_type",
+        "n",
+        "m",
+        _fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m").cast("int")),
+                lambda t: d1(t) * d1(t),
+            )
+        ).alias("s1"),
+        _fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m").cast("int") - 3),
+                lambda t: d4(t) * d4(t),
+            )
+        ).alias("sq"),
+    )
+    md = F.col("m").cast("double")
+    vr = (F.col("sq") / (4.0 * (md - 3))) / (F.col("s1") / md)
+    z = (vr - 1.0) / F.sqrt(F.lit(2.0 * 7 * 3) / (3.0 * 4 * md))
+    return st.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("s1") > 0, qround(vr, 6)).alias("vr"),
+        F.when(F.col("s1") > 0, qround(z, 6)).alias("z_stat"),
+    )
+
+
+@query(
+    "ts_arch_lm",
+    oracle=f"""{_DAILY_SQL},
+    mom AS (
+      SELECT event_type, n,
+             CAST(n - 1 AS BIGINT) AS m,
+             (v[n] - v[1]) / (n - 1) AS mu, v
+      FROM arr WHERE n >= 5
+    ),
+    u AS (
+      SELECT event_type, n, m,
+             list_transform(generate_series(1, CAST(m AS INT)),
+               t -> (v[t + 1] - v[t] - mu) * (v[t + 1] - v[t] - mu)) AS uu
+      FROM mom
+    ),
+    st AS (
+      SELECT event_type, n, CAST(m - 1 AS BIGINT) AS np,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, CAST(m AS INT)),
+                 t -> uu[t - 1])), (acc, y) -> acc + y) AS sx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, CAST(m AS INT)),
+                 t -> uu[t])), (acc, y) -> acc + y) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, CAST(m AS INT)),
+                 t -> uu[t - 1] * uu[t - 1])), (acc, y) -> acc + y) AS sxx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, CAST(m AS INT)),
+                 t -> uu[t] * uu[t])), (acc, y) -> acc + y) AS syy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, CAST(m AS INT)),
+                 t -> uu[t - 1] * uu[t])), (acc, y) -> acc + y) AS sxy
+      FROM u
+    ),
+    cen AS (
+      SELECT event_type, n, np,
+             sxx - sx * sx / np AS cxx,
+             syy - sy * sy / np AS cyy,
+             sxy - sx * sy / np AS cxy
+      FROM st
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN cxx > 0 AND cyy > 0
+                THEN {sql_qround('cxy * cxy / (cxx * cyy)', 6)}
+           END AS r2,
+           CASE WHEN cxx > 0 AND cyy > 0
+                THEN {sql_qround('np * cxy * cxy / (cxx * cyy)', 6)}
+           END AS lm_stat
+    FROM cen
+    """,
+)
+def ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test at lag 1 per event type over the daily
+    increments — volatility clustering (conditional
+    heteroskedasticity), the second-moment complement of the
+    level-dynamics trio (kpss/dickey_fuller/variance_ratio all test
+    the MEAN process; ARCH asks whether today's squared shock
+    predicts tomorrow's). u_t = (d_t − μ̂)² on the m = n−1 demeaned
+    increments; regress u_t on u_{{t−1}} over the m−1 lag pairs;
+    LM = (m−1)·R² ~ χ²(1) under the no-ARCH null (Engle 1982, p = 1;
+    higher lag orders are a documented extension).
+
+    R² of a simple regression is Sxy²/(Sxx·Syy) — five raw fold-sums
+    over the date-sorted array then closed-form centered moments, so
+    both engines square identical IEEE doubles (the ts_holt_winters
+    contract); μ̂ telescopes like ts_variance_ratio. One qround(6)
+    per emitted column. Guards: n < 5 rows out; zero variance in
+    either side of the lag regression (constant squared shocks, e.g.
+    a perfectly linear series) NULLs.
+
+    100 TB: the _daily_series bill."""
+    arr = _daily_series(spark, sf_dir, 5)
+    vv = F.col("v")
+    m = (F.col("n") - 1).cast("long")
+    mu = (F.element_at(vv, F.col("n")) - F.element_at(vv, 1)) / m
+    mom = arr.select(
+        "event_type", "n", m.alias("m"), mu.alias("mu"), "v"
+    )
+    u = mom.select(
+        "event_type",
+        "n",
+        "m",
+        F.transform(
+            F.sequence(F.lit(1), F.col("m").cast("int")),
+            lambda t: (
+                F.element_at(vv, t + 1) - F.element_at(vv, t) - F.col("mu")
+            )
+            * (
+                F.element_at(vv, t + 1) - F.element_at(vv, t) - F.col("mu")
+            ),
+        ).alias("uu"),
+    )
+    uu = F.col("uu")
+    rng = F.sequence(F.lit(2), F.col("m").cast("int"))
+    st = u.select(
+        "event_type",
+        "n",
+        (F.col("m") - 1).cast("long").alias("np"),
+        _fsum(F.transform(rng, lambda t: F.element_at(uu, t - 1))).alias(
+            "sx"
+        ),
+        _fsum(F.transform(rng, lambda t: F.element_at(uu, t))).alias("sy"),
+        _fsum(
+            F.transform(
+                rng,
+                lambda t: F.element_at(uu, t - 1) * F.element_at(uu, t - 1),
+            )
+        ).alias("sxx"),
+        _fsum(
+            F.transform(
+                rng, lambda t: F.element_at(uu, t) * F.element_at(uu, t)
+            )
+        ).alias("syy"),
+        _fsum(
+            F.transform(
+                rng,
+                lambda t: F.element_at(uu, t - 1) * F.element_at(uu, t),
+            )
+        ).alias("sxy"),
+    )
+    np_ = F.col("np").cast("double")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / np_
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / np_
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / np_
+    cen = st.select(
+        "event_type",
+        "n",
+        "np",
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+    )
+    ok = (F.col("cxx") > 0) & (F.col("cyy") > 0)
+    r2 = F.col("cxy") * F.col("cxy") / (F.col("cxx") * F.col("cyy"))
+    return cen.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(ok, qround(r2, 6)).alias("r2"),
+        F.when(ok, qround(F.col("np").cast("double") * r2, 6)).alias(
+            "lm_stat"
+        ),
+    )
+
+
+@query(
+    "ts_durbin_watson",
+    oracle=f"""{_DAILY_SQL},
+    mom AS (
+      SELECT event_type, n, v,
+             CAST(n AS BIGINT) * (n + 1) / 2 AS st,
+             CAST(n AS BIGINT) * (n + 1) * (2 * CAST(n AS BIGINT) + 1)
+                 / 6 AS stt,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+               (acc, y) -> acc + y) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n), t -> t * v[t])),
+               (acc, y) -> acc + y) AS sty
+      FROM arr WHERE n >= 4
+    ),
+    fit AS (
+      SELECT event_type, n, v,
+             (n * sty - st * sy) / (n * stt - CAST(st AS DOUBLE) * st)
+                 AS b,
+             (sy - (n * sty - st * sy)
+                 / (n * stt - CAST(st AS DOUBLE) * st) * st) / n AS a
+      FROM mom
+    ),
+    res AS (
+      SELECT event_type, n, b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n),
+                 t -> (v[t] - a - b * t) * (v[t] - a - b * t))),
+               (acc, y) -> acc + y) AS den,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(2, n),
+                 t -> (v[t] - v[t - 1] - b) * (v[t] - v[t - 1] - b))),
+               (acc, y) -> acc + y) AS num
+      FROM fit
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           {sql_qround('b', 6)} AS slope,
+           CASE WHEN den > 0 THEN {sql_qround('num / den', 6)}
+           END AS dw
+    FROM res
+    """,
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic per event type on the residuals of the
+    daily-count-vs-time OLS line: d = Σ(e_t − e_{{t−1}})²/Σe_t², the
+    classic lag-1 residual-autocorrelation screen (d ≈ 2 white,
+    d → 0 positive, d → 4 negative autocorrelation). Distinct from
+    ts_dickey_fuller (unit root in the SERIES) and ts_arch_lm
+    (second-moment dynamics): DW asks whether a trend-line fit leaves
+    serially correlated errors — the "is a linear trend model
+    adequate" gate before ts_theil_sen_daily/forecast backtests.
+
+    Exactness: Σt = n(n+1)/2 and Σt² = n(n+1)(2n+1)/6 are closed-form
+    integers; Σy and Σty are date-ordered folds; slope/intercept are
+    then identical IEEE doubles on both engines, the residual
+    differences telescope to (v_t − v_{{t−1}} − b), and the two
+    residual folds run in the same order (the ts_holt_winters
+    contract). One qround(6) per emitted column. Invariant pinned in
+    tests/test_stat_invariants.py: d ∈ [0, 4]. Guards: n < 4 rows
+    out; a perfect linear fit (den = 0) NULLs d.
+
+    100 TB: the _daily_series bill."""
+    arr = _daily_series(spark, sf_dir, 4)
+    vv = F.col("v")
+    n = F.col("n").cast("long")
+    mom = arr.select(
+        "event_type",
+        "n",
+        "v",
+        (n * (n + 1) / 2).cast("long").alias("st"),
+        (n * (n + 1) * (2 * n + 1) / 6).cast("long").alias("stt"),
+        _fsum(F.col("v")).alias("sy"),
+        _fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda t: t.cast("double") * F.element_at(vv, t),
+            )
+        ).alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    b = (nd * F.col("sty") - F.col("st") * F.col("sy")) / det
+    a = (F.col("sy") - b * F.col("st")) / nd
+    fit = mom.select(
+        "event_type", "n", "v", b.alias("b"), a.alias("a")
+    )
+    e = lambda t: (
+        F.element_at(vv, t) - F.col("a") - F.col("b") * t.cast("double")
+    )
+    dd = lambda t: (
+        F.element_at(vv, t) - F.element_at(vv, t - 1) - F.col("b")
+    )
+    res = fit.select(
+        "event_type",
+        "n",
+        "b",
+        _fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")), lambda t: e(t) * e(t)
+            )
+        ).alias("den"),
+        _fsum(
+            F.transform(
+                F.sequence(F.lit(2), F.col("n")), lambda t: dd(t) * dd(t)
+            )
+        ).alias("num"),
+    )
+    return res.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        qround(F.col("b"), 6).alias("slope"),
+        F.when(
+            F.col("den") > 0, qround(F.col("num") / F.col("den"), 6)
+        ).alias("dw"),
+    )
+
+
+@query(
+    "ts_turning_points",
+    oracle=f"""{_DAILY_SQL},
+    tp AS (
+      SELECT event_type, n,
+             CAST(len(list_filter(generate_series(2, n - 1),
+               t -> (v[t] - v[t - 1]) * (v[t] - v[t + 1]) > 0))
+               AS BIGINT) AS t_count
+      FROM arr WHERE n >= 4
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, t_count,
+           {sql_qround('2.0 * (n - 2) / 3.0', 6)} AS expected,
+           {sql_qround(
+               '(t_count - 2.0 * (n - 2) / 3.0)'
+               ' / sqrt((16.0 * n - 29.0) / 90.0)', 6)} AS z_stat
+    FROM tp
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's turning-point test per event type over the daily
+    series: count the strict local extrema (v_{{t−1}} < v_t > v_{{t+1}}
+    or the mirror; plateau ties do NOT count — the strict-inequality
+    convention, stated because integer counts tie often), compare to
+    the i.i.d. expectation E[T] = 2(n−2)/3, Var[T] = (16n−29)/90
+    (Kendall & Stuart, vol. 3). Too FEW turning points ⟹ trending/
+    sticky series; too many ⟹ negative lag-1 dependence. The
+    randomness screen complementary to stat_runs_test (signs around a
+    level) and ts_permutation_entropy (ordinal patterns): turning
+    points are the m = 3 ordinal-pattern statistic with an exact
+    closed-form null.
+
+    The count is ALL-INTEGER (daily counts are exact in double, the
+    strict > on their products is tie-free by construction), so the
+    only float arithmetic is the final two emitted expressions —
+    no accumulation-order risk at all. Guards: n < 4 rows out.
+
+    100 TB: the _daily_series bill."""
+    arr = _daily_series(spark, sf_dir, 4)
+    vv = F.col("v")
+    tp = arr.select(
+        "event_type",
+        "n",
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.col("n") - 1),
+                lambda t: (F.element_at(vv, t) - F.element_at(vv, t - 1))
+                * (F.element_at(vv, t) - F.element_at(vv, t + 1))
+                > 0,
+            )
+        )
+        .cast("long")
+        .alias("t_count"),
+    )
+    nd = F.col("n").cast("double")
+    exp_t = 2.0 * (nd - 2) / 3.0
+    return tp.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        "t_count",
+        qround(exp_t, 6).alias("expected"),
+        qround(
+            (F.col("t_count") - exp_t)
+            / F.sqrt((16.0 * nd - 29.0) / 90.0),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "ts_granger_lag1",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.event_type AS cause, b.event_type AS effect, a.day,
+             CAST(a.c AS DOUBLE) AS cx, CAST(b.c AS DOUBLE) AS cy
+      FROM dc a JOIN dc b USING (day)
+      WHERE a.event_type <> b.event_type
+    ),
+    arr AS (
+      SELECT cause, effect,
+             list_transform(list_sort(list({{'day': day, 'cx': cx,
+                 'cy': cy}})), s -> s.cx) AS vx,
+             list_transform(list_sort(list({{'day': day, 'cx': cx,
+                 'cy': cy}})), s -> s.cy) AS vy,
+             CAST(COUNT(*) AS INT) AS n
+      FROM pr GROUP BY cause, effect
+    ),
+    st AS (
+      SELECT cause, effect, n, CAST(n - 1 AS BIGINT) AS m,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t])), (acc, y) -> acc + y) AS s1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vx[t])), (acc, y) -> acc + y) AS s2,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t + 1])), (acc, y) -> acc + y) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t] * vy[t])), (acc, y) -> acc + y) AS s11,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vx[t] * vx[t])), (acc, y) -> acc + y) AS s22,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t] * vx[t])), (acc, y) -> acc + y) AS s12,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t] * vy[t + 1])), (acc, y) -> acc + y) AS s1y,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vx[t] * vy[t + 1])), (acc, y) -> acc + y) AS s2y,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, n - 1),
+                 t -> vy[t + 1] * vy[t + 1])), (acc, y) -> acc + y) AS syy
+      FROM arr WHERE n >= 6
+    ),
+    cen AS (
+      SELECT cause, effect, n, m,
+             s11 - s1 * s1 / m AS c11,
+             s22 - s2 * s2 / m AS c22,
+             s12 - s1 * s2 / m AS c12,
+             s1y - s1 * sy / m AS c1y,
+             s2y - s2 * sy / m AS c2y,
+             syy - sy * sy / m AS cyy
+      FROM st
+    ),
+    fit AS (
+      SELECT cause, effect, n, m, c11, cyy, c1y,
+             c11 * c22 - c12 * c12 AS det,
+             (c22 * c1y - c12 * c2y) AS b1n,
+             (c11 * c2y - c12 * c1y) AS b2n,
+             c1y, c2y
+      FROM cen
+    ),
+    ssr AS (
+      SELECT cause, effect, n, m, c11, c1y, det,
+             b2n / det AS b2,
+             cyy - (b1n / det) * c1y - (b2n / det) * c2y AS ssr_u,
+             cyy - c1y * c1y / c11 AS ssr_r
+      FROM fit WHERE det > 0 AND c11 > 0
+    )
+    SELECT cause, effect, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN ssr_u > 0 AND m > 3
+                THEN {sql_qround('(ssr_r - ssr_u) * (m - 3) / ssr_u', 6)}
+           END AS f_stat,
+           {sql_qround('b2', 6)} AS b_cause
+    FROM ssr
+    """,
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 between every ordered pair of event
+    types' daily-count series: does yesterday's CAUSE count improve
+    the one-step forecast of today's EFFECT count beyond the effect's
+    own yesterday? F = ((SSR_r − SSR_u)/1)/(SSR_u/(m−3)) comparing the
+    restricted AR(1) y_t ~ (1, y_{{t−1}}) against the unrestricted
+    ADL(1,1) y_t ~ (1, y_{{t−1}}, x_{{t−1}}) (Granger 1969), with the
+    cause coefficient b_cause emitted alongside for sign. The
+    cross-series member of the dependence family: ts_crosscorr_lags
+    measures symmetric lagged correlation; Granger's F is the
+    directional regression test pipelines actually gate alerts on.
+
+    Series are aligned on their COMMON days (inner join on the day
+    grid — a day missing either series contributes no observation;
+    zero-filling is a documented alternative, not a hidden default).
+    Two-regressor OLS is closed-form from nine raw fold-sums over the
+    date-sorted arrays (centered moments via Cramer's rule — both
+    engines fold identical IEEE doubles in the same order, the
+    ts_holt_winters contract), one qround(6) per emitted column.
+    Guards: fewer than 6 common days, a singular normal matrix
+    (constant either series), or a perfect unrestricted fit NULL/drop
+    instead of dividing.
+
+    100 TB: the day grid aggregates corpus-scale data down to
+    (days × types) rows BEFORE the self-join, so the pairwise join is
+    metadata-sized (the checkpointed dc table scans events once); the
+    k² pair series are bounded by the type cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    a = dc.select(
+        F.col("event_type").alias("cause"),
+        "day",
+        F.col("c").cast("double").alias("cx"),
+    )
+    b = dc.select(
+        F.col("event_type").alias("effect"),
+        "day",
+        F.col("c").cast("double").alias("cy"),
+    )
+    pr = a.join(b, "day").filter(F.col("cause") != F.col("effect"))
+    arr = (
+        pr.groupBy("cause", "effect")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "cx", "cy"))
+            ).alias("s"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= 6)
+        .select(
+            "cause",
+            "effect",
+            "n",
+            F.transform("s", lambda r: r["cx"]).alias("vx"),
+            F.transform("s", lambda r: r["cy"]).alias("vy"),
+        )
+    )
+    vx, vy = F.col("vx"), F.col("vy")
+    rng = F.sequence(F.lit(1), F.col("n") - 1)
+
+    def fold(f):
+        return _fsum(F.transform(rng, f))
+
+    st = arr.select(
+        "cause",
+        "effect",
+        "n",
+        (F.col("n") - 1).cast("long").alias("m"),
+        fold(lambda t: F.element_at(vy, t)).alias("s1"),
+        fold(lambda t: F.element_at(vx, t)).alias("s2"),
+        fold(lambda t: F.element_at(vy, t + 1)).alias("sy"),
+        fold(
+            lambda t: F.element_at(vy, t) * F.element_at(vy, t)
+        ).alias("s11"),
+        fold(
+            lambda t: F.element_at(vx, t) * F.element_at(vx, t)
+        ).alias("s22"),
+        fold(
+            lambda t: F.element_at(vy, t) * F.element_at(vx, t)
+        ).alias("s12"),
+        fold(
+            lambda t: F.element_at(vy, t) * F.element_at(vy, t + 1)
+        ).alias("s1y"),
+        fold(
+            lambda t: F.element_at(vx, t) * F.element_at(vy, t + 1)
+        ).alias("s2y"),
+        fold(
+            lambda t: F.element_at(vy, t + 1) * F.element_at(vy, t + 1)
+        ).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    cen = st.select(
+        "cause",
+        "effect",
+        "n",
+        "m",
+        (F.col("s11") - F.col("s1") * F.col("s1") / md).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / md).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / md).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / md).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / md).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / md).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1n = F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")
+    b2n = F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")
+    ssr = (
+        cen.filter((det > 0) & (F.col("c11") > 0))
+        .select(
+            "cause",
+            "effect",
+            "n",
+            "m",
+            (b2n / det).alias("b2"),
+            (
+                F.col("cyy")
+                - (b1n / det) * F.col("c1y")
+                - (b2n / det) * F.col("c2y")
+            ).alias("ssr_u"),
+            (
+                F.col("cyy")
+                - F.col("c1y") * F.col("c1y") / F.col("c11")
+            ).alias("ssr_r"),
+        )
+    )
+    md2 = F.col("m").cast("double")
+    return ssr.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (F.col("ssr_u") > 0) & (F.col("m") > 3),
+            qround(
+                (F.col("ssr_r") - F.col("ssr_u"))
+                * (md2 - 3)
+                / F.col("ssr_u"),
+                6,
+            ),
+        ).alias("f_stat"),
+        qround(F.col("b2"), 6).alias("b_cause"),
+    )

@@ -2422,3 +2422,218 @@ def test_ad_ksample_variance_polynomial_matches_exact_enumeration():
         var = sum((s - mean) ** 2 for s in stats) / len(stats)
         assert abs(mean - (len(ns) - 1)) < 1e-9, ns
         assert abs(var - poly_var(len(ns), ns)) < 1e-9, ns
+
+
+def _daily_series_py(spark, sf_dir):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F2
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F2.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in ev:
+        series[r["event_type"]][r["day"]] = r["count"]
+    return {
+        et: [float(dd[k]) for k in sorted(dd)] for et, dd in series.items()
+    }
+
+
+def test_variance_ratio_python_replay(spark, sf_dir):
+    """Pure-Python replay of VR(4) and its z per event type; VR > 0
+    by construction whenever emitted."""
+    series = _daily_series_py(spark, sf_dir)
+    got = {
+        r["event_type"]: r for r in _rows(spark, sf_dir, "ts_variance_ratio")
+    }
+    q = 4
+    checked = 0
+    for et, v in series.items():
+        n = len(v)
+        if n < 8:
+            assert et not in got
+            continue
+        m = n - 1
+        mu = (v[-1] - v[0]) / m
+        s1 = sum((v[t + 1] - v[t] - mu) ** 2 for t in range(m))
+        sq = sum((v[t + q] - v[t] - q * mu) ** 2 for t in range(m - q + 1))
+        g = got[et]
+        if s1 <= 0:
+            assert g["vr"] is None
+            continue
+        vr = (sq / (q * (m - q + 1))) / (s1 / m)
+        z = (vr - 1.0) / math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * m))
+        assert vr > 0
+        assert abs(g["vr"] - vr) <= 2e-6
+        assert abs(g["z_stat"] - z) <= 2e-6
+        checked += 1
+    assert checked > 0
+
+
+def test_arch_lm_python_replay(spark, sf_dir):
+    """Pure-Python replay of the lag-1 squared-shock regression;
+    0 ≤ R² ≤ 1 and LM = (m−1)·R² ≥ 0 whenever emitted."""
+    series = _daily_series_py(spark, sf_dir)
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_arch_lm")}
+    checked = 0
+    for et, v in series.items():
+        n = len(v)
+        if n < 5:
+            assert et not in got
+            continue
+        m = n - 1
+        mu = (v[-1] - v[0]) / m
+        u = [(v[t + 1] - v[t] - mu) ** 2 for t in range(m)]
+        xs, ys = u[:-1], u[1:]
+        np_ = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        cxx = sum(a * a for a in xs) - sx * sx / np_
+        cyy = sum(b * b for b in ys) - sy * sy / np_
+        cxy = sum(a * b for a, b in zip(xs, ys)) - sx * sy / np_
+        g = got[et]
+        if cxx <= 0 or cyy <= 0:
+            assert g["r2"] is None
+            continue
+        r2 = cxy * cxy / (cxx * cyy)
+        assert -_EPS <= r2 <= 1 + _EPS
+        assert abs(g["r2"] - r2) <= 2e-6
+        assert abs(g["lm_stat"] - np_ * r2) <= 2e-5
+        checked += 1
+    assert checked > 0
+
+
+def test_durbin_watson_python_replay_and_bounds(spark, sf_dir):
+    """Pure-Python OLS-on-time replay; DW ∈ [0, 4] by the
+    Cauchy-Schwarz argument whenever emitted."""
+    series = _daily_series_py(spark, sf_dir)
+    got = {
+        r["event_type"]: r for r in _rows(spark, sf_dir, "ts_durbin_watson")
+    }
+    checked = 0
+    for et, v in series.items():
+        n = len(v)
+        if n < 4:
+            assert et not in got
+            continue
+        st = n * (n + 1) // 2
+        stt = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(v)
+        sty = sum((t + 1) * v[t] for t in range(n))
+        det = n * stt - st * st
+        b = (n * sty - st * sy) / det
+        a = (sy - b * st) / n
+        e = [v[t] - a - b * (t + 1) for t in range(n)]
+        den = sum(x * x for x in e)
+        num = sum((e[t] - e[t - 1]) ** 2 for t in range(1, n))
+        g = got[et]
+        assert abs(g["slope"] - b) <= 2e-6
+        if den <= 0:
+            assert g["dw"] is None
+            continue
+        dw = num / den
+        assert -_EPS <= dw <= 4 + _EPS
+        assert abs(g["dw"] - dw) <= 2e-5
+        checked += 1
+    assert checked > 0
+
+
+def test_turning_points_python_replay(spark, sf_dir):
+    """Exact integer replay of the strict-extrema count and the
+    closed-form null moments."""
+    series = _daily_series_py(spark, sf_dir)
+    got = {
+        r["event_type"]: r for r in _rows(spark, sf_dir, "ts_turning_points")
+    }
+    checked = 0
+    for et, v in series.items():
+        n = len(v)
+        if n < 4:
+            assert et not in got
+            continue
+        t_count = sum(
+            1
+            for t in range(1, n - 1)
+            if (v[t] - v[t - 1]) * (v[t] - v[t + 1]) > 0
+        )
+        g = got[et]
+        assert g["t_count"] == t_count
+        exp_t = 2.0 * (n - 2) / 3.0
+        z = (t_count - exp_t) / math.sqrt((16.0 * n - 29.0) / 90.0)
+        assert abs(g["expected"] - exp_t) <= 2e-6
+        assert abs(g["z_stat"] - z) <= 2e-6
+        checked += 1
+    assert checked > 0
+
+
+def test_granger_matches_numpy_lstsq(spark, sf_dir):
+    """Third implementation by a DIFFERENT method: numpy least-squares
+    on the actual design matrices (restricted AR(1) vs unrestricted
+    ADL(1,1)) must reproduce the closed-form Cramer F within the
+    qround grid — validating the centered-moment algebra, not just
+    the fold order. Also pins F ≥ 0 (nested models)."""
+    import numpy as np
+
+    series = _daily_series_py(spark, sf_dir)
+    got = {
+        (r["cause"], r["effect"]): r
+        for r in _rows(spark, sf_dir, "ts_granger_lag1")
+    }
+    # common-day alignment: rebuild from per-day dicts
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F2
+
+    from etl_geonames_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F2.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    per = defaultdict(dict)
+    for r in ev:
+        per[r["event_type"]][r["day"]] = float(r["count"])
+    types = sorted(per)
+    checked = 0
+    for ca in types:
+        for ef in types:
+            if ca == ef:
+                continue
+            days = sorted(set(per[ca]) & set(per[ef]))
+            n = len(days)
+            if n < 6:
+                assert (ca, ef) not in got
+                continue
+            vx = [per[ca][d] for d in days]
+            vy = [per[ef][d] for d in days]
+            m = n - 1
+            y = np.array(vy[1:])
+            Xu = np.column_stack(
+                [np.ones(m), np.array(vy[:-1]), np.array(vx[:-1])]
+            )
+            Xr = Xu[:, :2]
+            if (ca, ef) not in got:
+                continue  # singular fit dropped by the engine guard
+            ssr_u = float(
+                np.sum((y - Xu @ np.linalg.lstsq(Xu, y, rcond=None)[0]) ** 2)
+            )
+            ssr_r = float(
+                np.sum((y - Xr @ np.linalg.lstsq(Xr, y, rcond=None)[0]) ** 2)
+            )
+            g = got[(ca, ef)]
+            if g["f_stat"] is None:
+                continue
+            f = (ssr_r - ssr_u) * (m - 3) / ssr_u
+            assert f >= -1e-6
+            assert abs(g["f_stat"] - f) <= max(2e-5, 1e-5 * abs(f))
+            checked += 1
+    assert checked > 0
