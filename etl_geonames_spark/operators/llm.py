@@ -5461,3 +5461,204 @@ def llm_lcs_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.sequence(F.lit(1), steps), init, bs_step), 1
         ).alias("lcs_tokens"),
     )
+
+
+@query(
+    "llm_chrf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             substr(replace(text, ' ', ''), 1, 256) AS s
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT pair_id, side,
+             CAST(len(s) AS BIGINT) AS nch,
+             CASE WHEN len(s) >= 1 THEN list_transform(
+                 generate_series(1, len(s)), i -> substr(s, i, 1))
+               ELSE [] END AS g1,
+             CASE WHEN len(s) >= 2 THEN list_transform(
+                 generate_series(1, len(s) - 1), i -> substr(s, i, 2))
+               ELSE [] END AS g2,
+             CASE WHEN len(s) >= 3 THEN list_transform(
+                 generate_series(1, len(s) - 2), i -> substr(s, i, 3))
+               ELSE [] END AS g3
+      FROM t
+    ),
+    p AS (
+      SELECT a.pair_id, a.nch AS ref_nch, b.nch AS cand_nch,
+             a.g1 AS r1, a.g2 AS r2, a.g3 AS r3,
+             b.g1 AS c1, b.g2 AS c2, b.g3 AS c3
+      FROM g a JOIN g b ON a.pair_id = b.pair_id
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    m AS (
+      SELECT pair_id, ref_nch, cand_nch,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(c1),
+                 w -> LEAST(len(list_filter(r1, x -> x = w)),
+                            len(list_filter(c1, x -> x = w))))), 0)
+                 AS BIGINT) AS m1,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(c2),
+                 w -> LEAST(len(list_filter(r2, x -> x = w)),
+                            len(list_filter(c2, x -> x = w))))), 0)
+                 AS BIGINT) AS m2,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(c3),
+                 w -> LEAST(len(list_filter(r3, x -> x = w)),
+                            len(list_filter(c3, x -> x = w))))), 0)
+                 AS BIGINT) AS m3,
+             CAST(len(r1) AS BIGINT) AS t1r,
+             CAST(len(r2) AS BIGINT) AS t2r,
+             CAST(len(r3) AS BIGINT) AS t3r,
+             CAST(len(c1) AS BIGINT) AS t1c,
+             CAST(len(c2) AS BIGINT) AS t2c,
+             CAST(len(c3) AS BIGINT) AS t3c
+      FROM p
+    ),
+    pr AS (
+      SELECT pair_id, ref_nch, cand_nch, m1, m2, m3,
+             ((CASE WHEN t1c > 0 THEN m1 / CAST(t1c AS DOUBLE)
+                    ELSE 0.0 END)
+              + (CASE WHEN t2c > 0 THEN m2 / CAST(t2c AS DOUBLE)
+                      ELSE 0.0 END)
+              + (CASE WHEN t3c > 0 THEN m3 / CAST(t3c AS DOUBLE)
+                      ELSE 0.0 END)) / 3.0 AS chrp,
+             ((CASE WHEN t1r > 0 THEN m1 / CAST(t1r AS DOUBLE)
+                    ELSE 0.0 END)
+              + (CASE WHEN t2r > 0 THEN m2 / CAST(t2r AS DOUBLE)
+                      ELSE 0.0 END)
+              + (CASE WHEN t3r > 0 THEN m3 / CAST(t3r AS DOUBLE)
+                      ELSE 0.0 END)) / 3.0 AS chrr
+      FROM m
+    )
+    SELECT pair_id, ref_nch, cand_nch, m1, m2, m3,
+           CASE WHEN 4.0 * chrp + chrr > 0
+                THEN FLOOR(5.0 * chrp * chrr / (4.0 * chrp + chrr)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE CAST(0.0 AS DOUBLE) END AS chrf2
+    FROM pr
+    """,
+)
+def llm_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popović 2015) between paired documents (even doc =
+    reference, odd doc = candidate — the llm_bleu_bigram pairing):
+    character n-gram precision and recall macro-averaged over orders
+    n = 1..3, combined with β = 2 (recall-weighted), chrF =
+    (1+β²)·P·R/(β²P + R). The CHARACTER-level member of the eval
+    trio — llm_bleu_bigram is word precision with brevity penalty,
+    llm_rouge_l is subsequence recall; chrF is the tokenizer-free
+    metric that survives morphology-rich languages and spelling
+    variants, which is why WMT adopted it as the default baseline
+    metric. Whitespace is removed before gram extraction (the chrF
+    convention) and grams are taken over the first 256 characters
+    (the bounded eval window, stated — not a hidden cap; the
+    reference tool's N = 6 orders is a documented extension, n ≤ 3
+    keeps the clip arithmetic O(len·n) per pair).
+
+    Multiset clipping stays in array built-ins exactly like
+    llm_bleu_bigram (per distinct candidate gram,
+    least(count-in-ref, count-in-cand) via filter+size); per-order
+    P/R are exact integer ratios and the fixed three-term averages
+    carry no accumulation-order risk, so the single qround(6) emit is
+    deterministic. Order-n gram totals of 0 contribute P_n = R_n = 0
+    (fixed-N averaging, stated); a pair with no overlap at all emits
+    chrF = 0.0, never NULL/ln(0).
+
+    Scale shape: one co-partitioned equi-join on pair_id, everything
+    else map-side array arithmetic — the llm_bleu_bigram bill."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    t = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.expr("substr(replace(text, ' ', ''), 1, 256)").alias("s"),
+    )
+    gram = (
+        "CASE WHEN length(s) >= {n} THEN"
+        " transform(sequence(1, length(s) - {n} + 1),"
+        " i -> substr(s, i, {n}))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+    g = t.select(
+        "pair_id",
+        "side",
+        F.length("s").cast("long").alias("nch"),
+        F.expr(gram.format(n=1)).alias("g1"),
+        F.expr(gram.format(n=2)).alias("g2"),
+        F.expr(gram.format(n=3)).alias("g3"),
+    )
+    a = g.filter(F.col("side") == 0).select(
+        "pair_id",
+        F.col("nch").alias("ref_nch"),
+        F.col("g1").alias("r1"),
+        F.col("g2").alias("r2"),
+        F.col("g3").alias("r3"),
+    )
+    b = g.filter(F.col("side") == 1).select(
+        "pair_id",
+        F.col("nch").alias("cand_nch"),
+        F.col("g1").alias("c1"),
+        F.col("g2").alias("c2"),
+        F.col("g3").alias("c3"),
+    )
+    clip = (
+        "aggregate(transform(array_distinct({cand}), "
+        "w -> least(size(filter({ref}, x -> x = w)), "
+        "size(filter({cand}, x -> x = w)))), 0, (acc, x) -> acc + x)"
+    )
+    m = a.join(b, "pair_id").select(
+        "pair_id",
+        "ref_nch",
+        "cand_nch",
+        F.expr(clip.format(cand="c1", ref="r1")).cast("long").alias("m1"),
+        F.expr(clip.format(cand="c2", ref="r2")).cast("long").alias("m2"),
+        F.expr(clip.format(cand="c3", ref="r3")).cast("long").alias("m3"),
+        F.size("r1").cast("long").alias("t1r"),
+        F.size("r2").cast("long").alias("t2r"),
+        F.size("r3").cast("long").alias("t3r"),
+        F.size("c1").cast("long").alias("t1c"),
+        F.size("c2").cast("long").alias("t2c"),
+        F.size("c3").cast("long").alias("t3c"),
+    )
+
+    def ratio(mm, tt):
+        return F.when(
+            F.col(tt) > 0, F.col(mm) / F.col(tt).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    chrp = (
+        ratio("m1", "t1c") + ratio("m2", "t2c") + ratio("m3", "t3c")
+    ) / 3.0
+    chrr = (
+        ratio("m1", "t1r") + ratio("m2", "t2r") + ratio("m3", "t3r")
+    ) / 3.0
+    pr = m.select(
+        "pair_id",
+        "ref_nch",
+        "cand_nch",
+        "m1",
+        "m2",
+        "m3",
+        chrp.alias("chrp"),
+        chrr.alias("chrr"),
+    )
+    return pr.select(
+        "pair_id",
+        "ref_nch",
+        "cand_nch",
+        "m1",
+        "m2",
+        "m3",
+        F.when(
+            4.0 * F.col("chrp") + F.col("chrr") > 0,
+            qround(
+                5.0
+                * F.col("chrp")
+                * F.col("chrr")
+                / (4.0 * F.col("chrp") + F.col("chrr")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chrf2"),
+    )

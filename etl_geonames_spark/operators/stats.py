@@ -5214,3 +5214,331 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok, qround(F.aggregate("cells", F.lit(0.0), term), 6)
         ).alias("chi2"),
     )
+
+
+@query(
+    "stat_cvm_two_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    pv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(SUM(1 - g) AS BIGINT) AS c2
+        FROM m GROUP BY v
+    ),
+    c AS (
+        SELECT v, c1, c2,
+               SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM pv
+    ),
+    t AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM pv
+    ),
+    s AS (
+        SELECT t.n1, t.n2,
+               SUM(CAST(c.c1 + c.c2 AS DOUBLE)
+                   * CAST(c.cum1 * t.n2 - c.cum2 * t.n1 AS DOUBLE)
+                   * CAST(c.cum1 * t.n2 - c.cum2 * t.n1 AS DOUBLE)) AS num
+        FROM c, t GROUP BY t.n1, t.n2
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN {sql_qround(
+                    'num / (CAST(n1 AS DOUBLE) * n2'
+                    ' * (n1 + n2) * (n1 + n2)'
+                    ' * (n1 + n2) * (n1 + n2))', 6)}
+           END AS t_stat,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN {sql_qround(
+                    '(num / (CAST(n1 AS DOUBLE) * n2'
+                    ' * (n1 + n2) * (n1 + n2)'
+                    ' * (n1 + n2) * (n1 + n2))'
+                    ' - (n1 + n2 + 1.0) / (6.0 * (n1 + n2)))'
+                    ' / sqrt((n1 + n2 + 1.0)'
+                    ' * (4.0 * n1 * n2 * (n1 + n2)'
+                    '    - 3.0 * (CAST(n1 AS DOUBLE) * n1'
+                    '             + CAST(n2 AS DOUBLE) * n2)'
+                    '    - 2.0 * n1 * n2)'
+                    ' / (180.0 * CAST(n1 + n2 AS DOUBLE)'
+                    '    * (n1 + n2) * n1 * n2))', 6)}
+           END AS z_stat
+    FROM s
+    """,
+)
+def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between the English and
+    non-English length distributions — the INTEGRATED-difference
+    member of the two-sample trio: stat_ks_two_sample takes the
+    supremum |F1 − F2| (sensitive to one large local gap),
+    stat_ad_ksample weights the tails, CvM integrates the squared gap
+    over the pooled sample, T = n1·n2/N² · Σ_z (F1(z) − F2(z))²
+    summed over all N pooled observations (per distinct value,
+    weighted by its pooled multiplicity). The drift statistic of
+    record when MANY small distributional shifts matter more than one
+    spike. z standardizes with the exact no-ties null moments
+    E[T] = (N+1)/(6N) and Var[T] = (N+1)(4n1n2N − 3(n1²+n2²) −
+    2n1n2)/(180·N²·n1n2) (Anderson 1962) — BOTH verified against
+    brute-force enumeration over all C(N, n1) assignments in
+    tests/test_stat_invariants.py, the stat_ad_ksample precedent.
+
+    Exactness: per distinct value the gap numerator cum1·n2 − cum2·n1
+    is an exact integer (the stat_ks_two_sample grid); only the final
+    weighted sum-of-squares accumulates in double (1-row qround(6)
+    class). The cumulative table is value-distinct-sized and both
+    running counts come from ONE distributed_cumsum_multi pass (range
+    exchange + per-partition window + broadcast offsets — never a
+    global window). Guards: an empty side (n1·n2 = 0) NULLs both
+    statistics; an empty corpus emits zero rows.
+
+    100 TB: one corpus-scale value-count aggregate, then cumsum
+    machinery on the (typically tiny) distinct-value table — the
+    stat_ks_two_sample bill exactly."""
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pv = (
+        docs.select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+        )
+        # the cumsum machinery consumes pv three ways (local rows,
+        # per-partition totals, grand totals): checkpoint so the
+        # documents scan + aggregate runs once (the ks convention)
+        .localCheckpoint()
+    )
+    rc = distributed_cumsum_multi(
+        pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
+    )
+    gap = (
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    ).cast("double")
+    s = rc.groupBy("n1", "n2").agg(
+        F.sum((F.col("c1") + F.col("c2")).cast("double") * gap * gap).alias(
+            "num"
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    t_stat = F.col("num") / (n1d * n2d * nd * nd * nd * nd)
+    et = (nd + 1.0) / (6.0 * nd)
+    vt = (
+        (nd + 1.0)
+        * (4.0 * n1d * n2d * nd - 3.0 * (n1d * n1d + n2d * n2d) - 2.0 * n1d * n2d)
+        / (180.0 * nd * nd * n1d * n2d)
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return s.select(
+        "n1",
+        "n2",
+        F.when(ok, qround(t_stat, 6)).alias("t_stat"),
+        F.when(ok, qround((t_stat - et) / F.sqrt(vt), 6)).alias("z_stat"),
+    )
+
+
+@query(
+    "stat_cmh",
+    oracle=f"""
+    WITH x AS (
+        SELECT lang, doc_id % 2 AS arm,
+               CAST(n_chars AS BIGINT) AS v
+        FROM documents
+    ),
+    lvc AS (
+        SELECT lang, arm, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY lang, arm, v
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS l FROM lvc GROUP BY v
+    ),
+    pool AS (
+        SELECT list_transform(list_sort(list({{'v': v, 'l': l}})),
+                              s -> s.v) AS vs,
+               {_ad_prefix_sql(
+                   "list_transform(list_sort(list({'v': v, 'l': l})),"
+                   " s -> s.l)")} AS lcum,
+               CAST(SUM(l) AS BIGINT) AS n
+        FROM pv
+    ),
+    med AS (
+        SELECT n,
+               vs[CAST(len(list_filter(lcum[2:],
+                   c -> c < (n + 1) // 2)) AS INT) + 1] AS gm
+        FROM pool
+    ),
+    g AS (
+        SELECT lvc.lang,
+               CAST(SUM(lvc.c) AS BIGINT) AS nk,
+               CAST(SUM(CASE WHEN lvc.arm = 1 THEN lvc.c ELSE 0 END)
+                    AS BIGINT) AS n1k,
+               CAST(SUM(CASE WHEN lvc.v > med.gm THEN lvc.c ELSE 0 END)
+                    AS BIGINT) AS m1k,
+               CAST(SUM(CASE WHEN lvc.arm = 1 AND lvc.v > med.gm
+                             THEN lvc.c ELSE 0 END) AS BIGINT) AS ak,
+               MAX(med.gm) AS gm
+        FROM lvc, med GROUP BY lvc.lang
+    ),
+    f AS (SELECT * FROM g WHERE nk >= 2),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nk) AS BIGINT) AS n,
+               MAX(gm) AS gm,
+               SUM(ak - CAST(n1k AS DOUBLE) * m1k / nk) AS dev,
+               SUM(CAST(n1k AS DOUBLE) * (nk - n1k) * m1k * (nk - m1k)
+                   / (CAST(nk AS DOUBLE) * nk * (nk - 1))) AS vsum,
+               SUM(CAST(ak AS DOUBLE)
+                   * (nk - n1k - m1k + ak) / nk) AS orn,
+               SUM(CAST(n1k - ak AS DOUBLE) * (m1k - ak) / nk) AS ord
+        FROM f
+    )
+    SELECT k, n, CAST(gm AS BIGINT) AS grand_median,
+           CASE WHEN vsum > 0
+                THEN {sql_qround('dev * dev / vsum', 6)}
+           END AS chi2,
+           CASE WHEN ord > 0 THEN {sql_qround('orn / ord', 6)}
+           END AS or_mh
+    FROM agg WHERE k > 0
+    """,
+)
+def stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of a 2×2 association held ACROSS
+    strata — the stratified-experiment primitive: arm = doc_id parity
+    (the deterministic A/B split, split_train_test's convention),
+    outcome = length above the pooled grand median (the
+    stat_moods_median order statistic), strata = lang. CMH asks
+    whether the arm→outcome association persists after conditioning
+    on language — the guard against Simpson's paradox that a flat
+    2×2 chi-square (stat_chi2_independence) cannot give. χ²_CMH =
+    (Σ_k(a_k − n1k·m1k/nk))² / Σ_k n1k(nk−n1k)m1k(nk−m1k)/(nk²(nk−1))
+    ~ χ²(1) (Mantel & Haenszel 1959, no continuity correction), with
+    the MH common odds ratio Σ(a_k d_k/nk)/Σ(b_k c_k/nk) alongside.
+
+    Exactness: every cell count a/b/c/d is an exact integer derived
+    from the (lang, arm, value) CELL table — the sufficient statistic
+    (the stat_moods_median argument): the pooled grand median, the
+    per-stratum margins and the cells are ALL tiny re-aggregates of
+    it, so the corpus is scanned and aggregated exactly once. Strata
+    with nk < 2 are excluded from BOTH sums (V_k is undefined there)
+    — stated, not hidden. The per-stratum E/V terms are rationals
+    accumulated in double over k ≤ |langs| strata (1-row qround(6)
+    class). Guards: all-tied corpus (vsum = 0) or an empty odds
+    denominator NULLs; an empty corpus emits zero rows.
+
+    100 TB: ONE corpus-scale hash aggregate (the cell table,
+    localCheckpointed), a broadcast 1-row median, and bounded-k
+    re-aggregates — the stat_moods_median bill exactly."""
+    x = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2).alias("arm"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    lvc = (
+        x.groupBy("lang", "arm", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    pv = lvc.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
+    pool = pv.agg(
+        F.array_sort(F.collect_list(F.struct("v", "l"))).alias("vl"),
+        F.sum("l").cast("long").alias("n"),
+    ).select(
+        F.transform("vl", lambda s: s["v"]).alias("vs"),
+        F.aggregate(
+            F.transform("vl", lambda s: s["l"]),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, y: F.concat(
+                acc, F.array(F.element_at(acc, -1) + y)
+            ),
+        ).alias("lcum"),
+        "n",
+    )
+    med = pool.select(
+        F.when(
+            F.size("vs") > 0,
+            F.element_at(
+                "vs",
+                F.size(
+                    F.filter(
+                        F.slice(F.col("lcum"), 2, F.size("lcum") - 1),
+                        lambda c: c
+                        < F.floor(
+                            (F.col("n") + 1).cast("double") / 2
+                        ).cast("long"),
+                    )
+                ).cast("int")
+                + 1,
+            ),
+        ).alias("gm")
+    )
+    g = (
+        lvc.crossJoin(F.broadcast(med))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("nk"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n1k"),
+            F.sum(F.when(F.col("v") > F.col("gm"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("m1k"),
+            F.sum(
+                F.when(
+                    (F.col("arm") == 1) & (F.col("v") > F.col("gm")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ak"),
+            F.max("gm").alias("gm"),
+        )
+        .filter(F.col("nk") >= 2)
+    )
+    nkd = F.col("nk").cast("double")
+    ek = F.col("n1k").cast("double") * F.col("m1k") / nkd
+    vk = (
+        F.col("n1k").cast("double")
+        * (F.col("nk") - F.col("n1k"))
+        * F.col("m1k")
+        * (F.col("nk") - F.col("m1k"))
+        / (nkd * nkd * (nkd - 1))
+    )
+    dk = F.col("nk") - F.col("n1k") - F.col("m1k") + F.col("ak")
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nk").cast("long").alias("n"),
+        F.max("gm").alias("gm"),
+        F.sum(F.col("ak") - ek).alias("dev"),
+        F.sum(vk).alias("vsum"),
+        F.sum(F.col("ak").cast("double") * dk / nkd).alias("orn"),
+        F.sum(
+            (F.col("n1k") - F.col("ak")).cast("double")
+            * (F.col("m1k") - F.col("ak"))
+            / nkd
+        ).alias("ord"),
+    )
+    return agg.where(F.col("k") > 0).select(
+        "k",
+        "n",
+        F.col("gm").cast("long").alias("grand_median"),
+        F.when(
+            F.col("vsum") > 0,
+            qround(F.col("dev") * F.col("dev") / F.col("vsum"), 6),
+        ).alias("chi2"),
+        F.when(
+            F.col("ord") > 0, qround(F.col("orn") / F.col("ord"), 6)
+        ).alias("or_mh"),
+    )

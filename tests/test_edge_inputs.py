@@ -292,6 +292,15 @@ def edge_ddb(edge_sf_dir):
         # norm QA over the 3-vector edge table INCLUDING the zero
         # vector (n_zero = 1; MAD-0 restatement must not throw)
         "dq_embedding_norm_qa",
+        # round-10: CvM on the all-'en' corpus (n2 = 0 NULLs both
+        # statistics, no divide); CMH's pooled median + strata cells
+        # on the 6-doc single-lang corpus (one stratum, tied cells);
+        # chrF over the empty-text pair (zero grams on one side must
+        # average P_n = 0, emit chrf2 = 0.0, never ANSI-throw on the
+        # sequence(1, 0) trap)
+        "stat_cvm_two_sample",
+        "stat_cmh",
+        "llm_chrf",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -2637,3 +2637,196 @@ def test_granger_matches_numpy_lstsq(spark, sf_dir):
             assert abs(g["f_stat"] - f) <= max(2e-5, 1e-5 * abs(f))
             checked += 1
     assert checked > 0
+
+
+def test_cvm_null_moments_match_exact_enumeration():
+    """The z-standardization constants E[T] = (N+1)/(6N) and
+    Var[T] = (N+1)(4n1n2N − 3(n1²+n2²) − 2n1n2)/(180N²n1n2)
+    (Anderson 1962) verified by brute-force enumeration of ALL
+    C(N, n1) group assignments over distinct pooled values — the
+    stat_ad_ksample variance-polynomial precedent (where exactly this
+    kind of constant was wrong and both engines agreed on the wrong
+    answer)."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    def t_stat(assign, n1, n2):
+        N = n1 + n2
+        cum1 = cum2 = 0
+        s = Fraction(0)
+        for v in range(N):
+            if v in assign:
+                cum1 += 1
+            else:
+                cum2 += 1
+            gap = cum1 * n2 - cum2 * n1
+            s += Fraction(gap * gap)
+        return s / (n1 * n2 * N * N)
+
+    for n1, n2 in [(4, 4), (3, 5), (2, 6)]:
+        N = n1 + n2
+        ts = [t_stat(set(c), n1, n2) for c in combinations(range(N), n1)]
+        k = len(ts)
+        mean = sum(ts) / k
+        var = sum((t - mean) ** 2 for t in ts) / k
+        assert mean == Fraction(N + 1, 6 * N)
+        assert var == Fraction(N + 1) * (
+            4 * n1 * n2 * N - 3 * (n1 * n1 + n2 * n2) - 2 * n1 * n2
+        ) / (180 * N * N * n1 * n2)
+
+
+def test_cvm_two_sample_python_replay(spark, sf_dir):
+    """Pure-Python replay of T over the fixture corpus; T ≥ 0 by
+    construction and agrees with the engines on the qround grid."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    c1, c2 = Counter(), Counter()
+    for r in rows:
+        (c1 if r["lang"] == "en" else c2)[int(r["n_chars"])] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    (g,) = _rows(spark, sf_dir, "stat_cvm_two_sample")
+    assert (g["n1"], g["n2"]) == (n1, n2)
+    if n1 == 0 or n2 == 0:
+        assert g["t_stat"] is None
+        return
+    cum1 = cum2 = 0
+    num = 0.0
+    for v in sorted(set(c1) | set(c2)):
+        cum1 += c1[v]
+        cum2 += c2[v]
+        gap = cum1 * n2 - cum2 * n1
+        num += (c1[v] + c2[v]) * float(gap) * float(gap)
+    N = n1 + n2
+    t = num / (n1 * n2 * N**4)
+    assert t >= 0
+    assert abs(g["t_stat"] - t) <= 2e-6
+    et = (N + 1.0) / (6.0 * N)
+    vt = (
+        (N + 1.0)
+        * (4.0 * n1 * n2 * N - 3.0 * (n1 * n1 + n2 * n2) - 2.0 * n1 * n2)
+        / (180.0 * N * N * n1 * n2)
+    )
+    assert abs(g["z_stat"] - (t - et) / math.sqrt(vt)) <= 2e-6
+
+
+def test_cmh_python_replay(spark, sf_dir):
+    """Exact pure-Python replay of the stratified 2×2 machinery:
+    grand median (pooled lower order statistic), per-stratum cells,
+    CMH chi2 and the MH common odds ratio; chi2 ≥ 0 whenever
+    emitted."""
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    if not rows:
+        assert _rows(spark, sf_dir, "stat_cmh") == []
+        return
+    pooled = Counter(int(r["n_chars"]) for r in rows)
+    n_total = sum(pooled.values())
+    half = (n_total + 1) // 2
+    cum = 0
+    gm = None
+    for v in sorted(pooled):
+        cum += pooled[v]
+        if cum >= half:
+            gm = v
+            break
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # nk, n1k, m1k, ak
+    for r in rows:
+        arm = int(r["doc_id"]) % 2
+        above = int(r["n_chars"]) > gm
+        c = cells[r["lang"]]
+        c[0] += 1
+        c[1] += arm
+        c[2] += int(above)
+        c[3] += int(arm and above)
+    dev = vsum = orn = ordn = 0.0
+    k = n = 0
+    for nk, n1k, m1k, ak in cells.values():
+        if nk < 2:
+            continue
+        k += 1
+        n += nk
+        dev += ak - n1k * m1k / nk
+        vsum += n1k * (nk - n1k) * m1k * (nk - m1k) / (nk * nk * (nk - 1))
+        dk = nk - n1k - m1k + ak
+        orn += ak * dk / nk
+        ordn += (n1k - ak) * (m1k - ak) / nk
+    got = _rows(spark, sf_dir, "stat_cmh")
+    if k == 0:
+        assert got == []
+        return
+    (g,) = got
+    assert (g["k"], g["n"], g["grand_median"]) == (k, n, gm)
+    if vsum > 0:
+        chi2 = dev * dev / vsum
+        assert chi2 >= 0
+        assert abs(g["chi2"] - chi2) <= 2e-6
+    else:
+        assert g["chi2"] is None
+    if ordn > 0:
+        assert abs(g["or_mh"] - orn / ordn) <= 2e-6
+    else:
+        assert g["or_mh"] is None
+
+
+def test_chrf_python_replay_and_bounds(spark, sf_dir):
+    """Counter-based pure-Python replay of the char n-gram clipping
+    and the β = 2 combination; 0 ≤ chrF2 ≤ 1 always, and a pair whose
+    sides are identical non-empty strings scores exactly 1."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sides = {}
+    for r in rows:
+        s = r["text"].replace(" ", "")[:256]
+        sides[(int(r["doc_id"]) // 2, int(r["doc_id"]) % 2)] = s
+    got = {r["pair_id"]: r for r in _rows(spark, sf_dir, "llm_chrf")}
+    checked = 0
+    for pid in sorted({p for p, _ in sides}):
+        if (pid, 0) not in sides or (pid, 1) not in sides:
+            assert pid not in got
+            continue
+        ref, cand = sides[(pid, 0)], sides[(pid, 1)]
+        ps, rs = [], []
+        ms = []
+        for n in (1, 2, 3):
+            rg = Counter(ref[i : i + n] for i in range(len(ref) - n + 1))
+            cg = Counter(cand[i : i + n] for i in range(len(cand) - n + 1))
+            m = sum(min(c, rg[w]) for w, c in cg.items())
+            ms.append(m)
+            ps.append(m / sum(cg.values()) if cg else 0.0)
+            rs.append(m / sum(rg.values()) if rg else 0.0)
+        chrp, chrr = sum(ps) / 3.0, sum(rs) / 3.0
+        chrf = (
+            5.0 * chrp * chrr / (4.0 * chrp + chrr)
+            if 4.0 * chrp + chrr > 0
+            else 0.0
+        )
+        g = got[pid]
+        assert (g["m1"], g["m2"], g["m3"]) == tuple(ms)
+        assert -_EPS <= g["chrf2"] <= 1 + _EPS
+        assert abs(g["chrf2"] - chrf) <= 2e-6
+        if ref and ref == cand:
+            assert abs(g["chrf2"] - 1.0) <= 2e-6
+        checked += 1
+    assert checked > 0
