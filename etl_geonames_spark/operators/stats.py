@@ -160,18 +160,22 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     length distributions — the drift check a corpus-versioning
     pipeline runs between snapshots. D = sup_x |F1(x) - F2(x)|,
     computed on an exact integer grid: per distinct value, per-group
-    counts; cumulative counts via ``distributed_cumsum`` (the
-    prefix-sum primitive — range exchange + per-partition window +
-    broadcast offsets, never a global window); and the supremum as
-    max|cum1·n2 - cum2·n1| so no division happens until the final
-    one-expression D.
+    counts; BOTH cumulative counts AND both totals from ONE
+    ``distributed_cumsum_multi`` pass (range exchange + per-partition
+    window + broadcast offsets, never a global window — the r10
+    fusion of the original two-branch cumsum + realign join + totals
+    crossJoin, values unchanged because every quantity is an exact
+    integer); and the supremum as max|cum1·n2 - cum2·n1| so no
+    division happens until the final one-expression D.
 
     The cumulative table is value-distinct (|distinct metric values|
     rows, not corpus rows) — at 100 TB the corpus aggregates down
     before anything is ranked.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from etl_geonames_spark.operators.relational import distributed_cumsum
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
 
     pv = (
         docs.select(
@@ -185,18 +189,14 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("c1"),
             F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
         )
-        # three downstream consumers (two cumsum branches + totals):
-        # checkpoint so the documents scan + aggregate runs once, not
-        # per branch (same multi-consumer shape as stat_best_split)
+        # the cumsum machinery consumes pv three ways (local rows,
+        # per-partition totals, grand totals): checkpoint so the
+        # documents scan + aggregate runs once, not per branch
         .localCheckpoint()
     )
-    cum1 = distributed_cumsum(pv, ["v"], "c1", "cum1").select("v", "cum1")
-    cum2 = distributed_cumsum(pv, ["v"], "c2", "cum2").select("v", "cum2")
-    totals = pv.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+    c = distributed_cumsum_multi(
+        pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
     )
-    c = cum1.join(cum2, "v").crossJoin(F.broadcast(totals))
     gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     # same NULL-not-throw contract as stat_mann_whitney's AUC
     return (

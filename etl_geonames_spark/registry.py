@@ -64,7 +64,13 @@ _OPERATOR_MODULES = [
 # which checks ALL queries every run.
 _DRIVER_PRIORITY = [
     'ts_kpss', 'stat_bartlett', 'stat_ad_ksample', 'stat_moods_median',
-    'ts_dickey_fuller', 'udf_scalar', 'udf_grouped_map', 'udf_agg',
+    'ts_dickey_fuller',
+    # round-10 additions enter the window the round they land (the
+    # steady-state rule):
+    'ts_variance_ratio', 'ts_arch_lm', 'ts_granger_lag1',
+    'ts_durbin_watson', 'ts_turning_points', 'stat_cvm_two_sample',
+    'stat_cmh', 'llm_chrf',
+    'udf_scalar', 'udf_grouped_map', 'udf_agg',
     'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
     'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',
     'llm_dedup_paragraphs', 'ts_winsorize', 'join_asof_nearest',
