@@ -99,6 +99,14 @@ OPS = [
     # 45 pairs x 5k cliques, and the binary search converges up in
     # ~2 steps since share(hi) is true for exact copies)
     "llm_lcs_corpus_exact",
+    # round-10 corpus-facing additions: CvM (value-count grid —
+    # replication multiplies counts, keys fixed: flat like Bartlett);
+    # CMH (one (lang, arm, value) cell agg + bounded-k re-aggregates
+    # — same contract); chrF is slice-bounded by doc_id < 200
+    # (replicas shift out of the window) like bleu/rouge and is
+    # pinned by plan shape instead
+    "stat_cvm_two_sample",
+    "stat_cmh",
 ]
 
 

@@ -64,6 +64,13 @@ OPS = [
     # the wall must track the daily hash agg only (measured 0.5 ->
     # 1.0 s at 10x, BASELINE.md)
     "ts_kpss",
+    # round-10 econometric battery: same contract as ts_kpss (daily
+    # agg dominates, arrays unchanged); granger additionally pins
+    # that the pairwise join stays metadata-sized (days x types) —
+    # 10x denser events must NOT grow the pair table
+    "ts_variance_ratio",
+    "ts_granger_lag1",
+    "ts_durbin_watson",
 ]
 
 

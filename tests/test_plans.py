@@ -841,3 +841,46 @@ def test_moods_median_one_group_pass_no_totals_rejoin(spark, sf_dir):
     assert plan.count("hashpartitioning(lang") == 1
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_cvm_and_ks_share_one_cumsum_pass(spark, sf_dir):
+    """Round-10 contract: both two-sample grid statistics ride ONE
+    distributed_cumsum_multi pass over the checkpointed value-count
+    table — one range exchange, no realignment join, no second cumsum
+    branch (the r10 KS fusion; a regression doubles the machinery)."""
+    for name in ("stat_cvm_two_sample", "stat_ks_two_sample"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert len(re.findall(r"Exchange rangepartitioning", plan)) <= 2, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Scan ExistingRDD" in plan, name  # checkpointed pv
+
+
+def test_cmh_one_corpus_aggregate(spark, sf_dir):
+    """stat_cmh's sufficient-statistic contract: the (lang, arm,
+    value) cell table is checkpointed, the censused plan contains the
+    median broadcast + two bounded re-aggregates — at most 4
+    shuffles, one nested-loop (the 1-row median broadcast), the lang
+    exchange exactly once (the stat_moods_median shape)."""
+    df = QUERIES["stat_cmh"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 4
+    assert plan.count("hashpartitioning(lang") == 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_granger_pair_join_is_metadata_sized_broadcast(spark, sf_dir):
+    """ts_granger_lag1's scale contract: events aggregate to the
+    (day, type) grid BEFORE the pairwise self-join, which must be a
+    broadcast hash join over the checkpointed grid — never a
+    sort-merge or cartesian over event rows; one pair-keyed exchange
+    after."""
+    df = QUERIES["ts_granger_lag1"](spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_hash_join(df)
+    assert shuffle_exchange_count(df) <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed day grid
