@@ -50,3 +50,121 @@ def spread(df, *cols):
     return df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, *cols
     )
+
+
+# --- cross-engine normal distribution primitives (round 10) -------------
+#
+# Both engines evaluate the SAME Horner-form polynomial approximations:
+# Phi via Hastings/A&S 26.2.17 (|err| <= 7.5e-8) and Phi^-1 via Acklam's
+# rational approximation (|err| <= 5e-9, validated against a bisection
+# on math.erf in tests/test_stat_invariants.py). Cross-engine parity
+# does NOT depend on the approximation error: both sides run identical
+# IEEE arithmetic in identical order (verified bit-identical
+# DuckDB-vs-CPython over 5000 random points before landing), so the
+# only divergence source is a <=1-ulp exp/ln libm difference — the
+# same accepted class as the existing bleu/logprob exp/ln usage,
+# absorbed by qround(6) on O(1)-magnitude outputs. The THRESHOLD rule
+# still applies: never use these inside a cross-engine float
+# PREDICATE, only in emitted values and sums.
+
+_INV_SQRT_2PI = 2.5066282746310002  # sqrt(2*pi) as a shared literal
+
+
+def norm_cdf(x: Column) -> Column:
+    """Standard normal CDF Phi(x) — Hastings (A&S 26.2.17), Horner
+    form matching :func:`sql_norm_cdf` term for term."""
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.2316419 * ax)
+    poly = (
+        (((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+         - 0.356563782) * t + 0.319381530
+    ) * t
+    up = 1.0 - F.exp(-0.5 * x * x) / _INV_SQRT_2PI * poly
+    return F.when(x >= 0.0, up).otherwise(1.0 - up)
+
+
+def sql_norm_cdf(x: str) -> str:
+    """DuckDB mirror of :func:`norm_cdf` (same Horner order). ``x``
+    is inlined several times — pass a simple column reference."""
+    t = f"(1.0/(1.0+0.2316419*abs({x})))"
+    poly = (
+        "((((1.330274429*{t}-1.821255978)*{t}+1.781477937)*{t}"
+        "-0.356563782)*{t}+0.319381530)*{t}"
+    ).format(t=t)
+    up = f"(1.0 - exp(-0.5*({x})*({x}))/{_INV_SQRT_2PI}*{poly})"
+    return f"CASE WHEN {x} >= 0.0 THEN {up} ELSE 1.0-{up} END"
+
+
+def _acklam_c(q):
+    return (
+        ((((-7.784894002430293e-03 * q - 3.223964580411365e-01) * q
+           - 2.400758277161838e+00) * q - 2.549732539343734e+00) * q
+         + 4.374664141464968e+00) * q + 2.938163982698783e+00
+    )
+
+
+def _acklam_d(q):
+    return (
+        (((7.784695709041462e-03 * q + 3.224671290700398e-01) * q
+          + 2.445134137142996e+00) * q + 3.754408661907416e+00) * q + 1.0
+    )
+
+
+def norm_ppf(p: Column) -> Column:
+    """Standard normal quantile Phi^-1(p), p in (0, 1) — Acklam's
+    three-branch rational approximation, Horner form matching
+    :func:`sql_norm_ppf` term for term. Callers guarantee p in (0,1);
+    the tail branches' log(p)/log(1-p) sit in lazy when() VALUE
+    branches, so the ANSI domain is respected whenever the guard
+    holds."""
+    ql = F.sqrt(-2.0 * F.log(p))
+    qh = F.sqrt(-2.0 * F.log(1.0 - p))
+    r = (p - 0.5) * (p - 0.5)
+    anum = (
+        (((((-3.969683028665376e+01 * r + 2.209460984245205e+02) * r
+            - 2.759285104469687e+02) * r + 1.383577518672690e+02) * r
+          - 3.066479806614716e+01) * r + 2.506628277459239e+00)
+        * (p - 0.5)
+    )
+    bden = (
+        ((((-5.447609879822406e+01 * r + 1.615858368580409e+02) * r
+           - 1.556989798598866e+02) * r + 6.680131188771972e+01) * r
+         - 1.328068155288572e+01) * r + 1.0
+    )
+    return (
+        F.when(p < 0.02425, _acklam_c(ql) / _acklam_d(ql))
+        .when(p > 0.97575, -(_acklam_c(qh)) / _acklam_d(qh))
+        .otherwise(anum / bden)
+    )
+
+
+def sql_norm_ppf(p: str) -> str:
+    """DuckDB mirror of :func:`norm_ppf` (same Horner order). ``p``
+    is inlined many times — pass a simple column reference."""
+    c = (
+        "(((((-7.784894002430293e-03*{q}-3.223964580411365e-01)*{q}"
+        "-2.400758277161838e+00)*{q}-2.549732539343734e+00)*{q}"
+        "+4.374664141464968e+00)*{q}+2.938163982698783e+00)"
+    )
+    d = (
+        "((((7.784695709041462e-03*{q}+3.224671290700398e-01)*{q}"
+        "+2.445134137142996e+00)*{q}+3.754408661907416e+00)*{q}+1.0)"
+    )
+    a = (
+        "((((((-3.969683028665376e+01*{r}+2.209460984245205e+02)*{r}"
+        "-2.759285104469687e+02)*{r}+1.383577518672690e+02)*{r}"
+        "-3.066479806614716e+01)*{r}+2.506628277459239e+00)*({p}-0.5))"
+    )
+    b = (
+        "(((((-5.447609879822406e+01*{r}+1.615858368580409e+02)*{r}"
+        "-1.556989798598866e+02)*{r}+6.680131188771972e+01)*{r}"
+        "-1.328068155288572e+01)*{r}+1.0)"
+    )
+    ql = f"sqrt(-2.0*ln({p}))"
+    qh = f"sqrt(-2.0*ln(1.0-({p})))"
+    r = f"(({p}-0.5)*({p}-0.5))"
+    return (
+        f"CASE WHEN {p} < 0.02425 THEN {c.format(q=ql)}/{d.format(q=ql)} "
+        f"WHEN {p} > 0.97575 THEN -({c.format(q=qh)})/{d.format(q=qh)} "
+        f"ELSE {a.format(r=r, p=p)}/{b.format(r=r)} END"
+    )

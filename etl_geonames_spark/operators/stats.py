@@ -36,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, spread, sql_qround
+from etl_geonames_spark.functions import (
+    qround,
+    spread,
+    sql_norm_cdf,
+    sql_norm_ppf,
+    sql_qround,
+)
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -5541,4 +5547,479 @@ def stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("ord") > 0, qround(F.col("orn") / F.col("ord"), 6)
         ).alias("or_mh"),
+    )
+
+
+@query(
+    "stat_lilliefors",
+    oracle=f"""
+    WITH pv AS (
+        SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS BIGINT) AS sv,
+               CAST(SUM(v * v * c) AS BIGINT) AS svv
+        FROM pv
+    ),
+    cc AS (
+        SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM pv
+    ),
+    z AS (
+        SELECT cc.v, cc.c, cc.cum, mom.n,
+               CAST(mom.sv AS DOUBLE) / mom.n AS mu,
+               CASE WHEN mom.n >= 4
+                         AND mom.n * mom.svv - mom.sv * mom.sv > 0
+                    THEN sqrt((CAST(mom.n AS DOUBLE) * mom.svv
+                               - CAST(mom.sv AS DOUBLE) * mom.sv)
+                              / (CAST(mom.n AS DOUBLE) * (mom.n - 1)))
+               END AS sd
+        FROM cc, mom
+    ),
+    ph AS (
+        SELECT v, c, cum, n, mu, sd,
+               {sql_norm_cdf('((v - mu) / sd)')} AS phi
+        FROM z
+    )
+    SELECT n,
+           {sql_qround('MAX(mu)', 6)} AS mean,
+           {sql_qround('MAX(sd)', 6)} AS sd,
+           {sql_qround(
+               'MAX(GREATEST(cum / CAST(n AS DOUBLE) - phi,'
+               ' phi - (cum - c) / CAST(n AS DOUBLE)))', 6)} AS d_stat
+    FROM ph GROUP BY n
+    """,
+)
+def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality test on the pooled length distribution:
+    the Kolmogorov-Smirnov D against a normal with ESTIMATED mean and
+    variance (Lilliefors 1967) — the EDF-based member of the
+    normality pair with stat_jarque_bera (moment-based; JB sees
+    skew/kurtosis, Lilliefors sees any shape misfit including
+    bimodality that third/fourth moments miss). D = sup_x of
+    max(F̂(x) − Φ(z_x), Φ(z_x) − F̂(x⁻)) over the exact value-count
+    grid — both one-sided gaps per distinct value, the same grid
+    discipline as stat_ks_two_sample.
+
+    Φ is the shared cross-engine Hastings polynomial
+    (functions.norm_cdf / sql_norm_cdf — identical Horner IEEE
+    arithmetic on both engines; see the primitive's contract). μ̂, σ̂
+    come from exact int64 moment sums, so z per grid value is
+    bit-identical before Φ; the sup is a MAX over per-row doubles
+    both engines derive identically (never an argmax row — the
+    float-ORDER-BY rule doesn't bite), and the one emitted row is
+    the qround(6) class. Guards: n < 4 or zero variance NULLs sd and
+    d_stat (mean still emits); an empty corpus emits zero rows.
+
+    100 TB: one corpus-scale value-count aggregate, one
+    distributed_cumsum_multi pass over the distinct-value grid, one
+    1-row moment broadcast — the stat_ks_two_sample bill."""
+    from etl_geonames_spark.functions import norm_cdf
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
+
+    pv = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("n_chars").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    mom = pv.agg(
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v") * F.col("c"))
+        .cast("long")
+        .alias("svv"),
+    )
+    cc = distributed_cumsum_multi(pv, ["v"], ["c"], ["cum"], ["n"])
+    nd = F.col("n").cast("double")
+    disc = nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv")
+    z = cc.crossJoin(F.broadcast(mom)).select(
+        "v",
+        "c",
+        "cum",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mu"),
+        F.when(
+            (F.col("n") >= 4) & (disc > 0),
+            F.sqrt(disc / (nd * (F.col("n") - 1))),
+        ).alias("sd"),
+    )
+    ph = z.select(
+        "v",
+        "c",
+        "cum",
+        "n",
+        "mu",
+        "sd",
+        norm_cdf((F.col("v") - F.col("mu")) / F.col("sd")).alias("phi"),
+    )
+    nd2 = F.col("n").cast("double")
+    gap = F.greatest(
+        F.col("cum") / nd2 - F.col("phi"),
+        F.col("phi") - (F.col("cum") - F.col("c")) / nd2,
+    )
+    return ph.groupBy("n").agg(
+        qround(F.max("mu"), 6).alias("mean"),
+        qround(F.max("sd"), 6).alias("sd"),
+        qround(F.max(gap), 6).alias("d_stat"),
+    )
+
+
+@query(
+    "stat_fligner_killeen",
+    oracle=f"""
+    WITH lvc AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    gpool AS (
+        SELECT lang,
+               list_transform(list_sort(list({{'v': v, 'c': c}})),
+                              s -> s.v) AS vs,
+               {_ad_prefix_sql(
+                   "list_transform(list_sort(list({'v': v, 'c': c})),"
+                   " s -> s.c)")} AS lcum,
+               CAST(SUM(c) AS BIGINT) AS ng
+        FROM lvc GROUP BY lang
+    ),
+    gmed AS (
+        SELECT lang,
+               vs[CAST(len(list_filter(lcum[2:],
+                   x -> x < (ng + 1) // 2)) AS INT) + 1] AS med
+        FROM gpool
+    ),
+    dcell AS (
+        SELECT lvc.lang, abs(lvc.v - gmed.med) AS d,
+               CAST(SUM(lvc.c) AS BIGINT) AS c
+        FROM lvc JOIN gmed USING (lang) GROUP BY 1, 2
+    ),
+    pooled AS (
+        SELECT d, CAST(SUM(c) AS BIGINT) AS cd FROM dcell GROUP BY d
+    ),
+    nn AS (SELECT CAST(SUM(cd) AS BIGINT) AS n FROM pooled),
+    sp AS (
+        SELECT d, cd, nn.n,
+               0.5 + ((SUM(cd) OVER (ORDER BY d) - cd) + (cd + 1) / 2.0)
+                     / (2.0 * (nn.n + 1)) AS p
+        FROM pooled, nn
+    ),
+    sa AS (SELECT d, cd, n, {sql_norm_ppf('p')} AS a FROM sp),
+    gl AS (
+        SELECT MAX(n) AS n, SUM(cd * a) AS s1, SUM(cd * a * a) AS s2
+        FROM sa
+    ),
+    g AS (
+        SELECT dcell.lang, CAST(SUM(dcell.c) AS BIGINT) AS ng,
+               SUM(dcell.c * sa.a) AS sag
+        FROM dcell JOIN sa USING (d) GROUP BY 1
+    ),
+    res AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(gl.n) AS n,
+               SUM(g.ng * (g.sag / g.ng - gl.s1 / gl.n)
+                        * (g.sag / g.ng - gl.s1 / gl.n)) AS st,
+               MAX(gl.s2) AS s2, MAX(gl.s1) AS s1
+        FROM g, gl
+    )
+    SELECT k, CAST(n AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS dof,
+           CASE WHEN k >= 2 AND n >= 2
+                     AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN {sql_qround(
+                    'st / ((s2 - s1 * s1 / n) / (n - 1))', 6)}
+           END AS chi2
+    FROM res WHERE k > 0
+    """,
+)
+def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen test of variance homogeneity across the
+    per-lang length distributions — the RANK-based member of the
+    scale-test trio (stat_bartlett: parametric, normal-sensitive;
+    stat_levene: mean-centered absolute deviations; FK: normal
+    scores of ranked MEDIAN-centered deviations — the most
+    outlier-robust of the three and R's recommended default for
+    non-normal data). a_i = Φ⁻¹(1/2 + r̄_i/(2(N+1))) on midranks r̄ of
+    |x − med_g| pooled across groups; χ² = Σ n_g(ā_g − ā)²/V with
+    V the score variance, ~χ²(k−1) (Conover, Johnson & Johnson 1981).
+
+    Machinery is the round-10 sufficient-statistic stack end to end:
+    per-group LOWER medians from the (lang, value) cell table (the
+    stat_moods_median fold per group), deviation cells re-aggregated,
+    pooled midranks from ONE distributed_cumsum_multi pass (the
+    stat_kendall_w trick — no per-row rank), and normal scores via
+    the shared cross-engine Acklam polynomial (functions.norm_ppf /
+    sql_norm_ppf; p ∈ (1/2, 1] by construction so only the central
+    and upper branches evaluate). Per-group score sums accumulate in
+    double (order-nondeterministic) but feed the single 1-row
+    qround(6) emit — the stat_bartlett accepted class. Guards: k < 2
+    or zero score variance (all deviations equal, e.g. a constant
+    corpus) NULLs χ²; an empty corpus emits zero rows.
+
+    100 TB: ONE corpus-scale cell aggregate (checkpointed), bounded
+    re-aggregates, cumsum machinery on the deviation-value grid —
+    the moods/kendall bill."""
+    from etl_geonames_spark.functions import norm_ppf
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
+
+    lvc = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.col("n_chars").cast("long").alias("v"))
+        .groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    gpool = lvc.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.struct("v", "c"))).alias("vl"),
+        F.sum("c").cast("long").alias("ng"),
+    ).select(
+        "lang",
+        F.transform("vl", lambda s: s["v"]).alias("vs"),
+        F.aggregate(
+            F.transform("vl", lambda s: s["c"]),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, y: F.concat(
+                acc, F.array(F.element_at(acc, -1) + y)
+            ),
+        ).alias("lcum"),
+        "ng",
+    )
+    gmed = gpool.select(
+        "lang",
+        F.element_at(
+            "vs",
+            F.size(
+                F.filter(
+                    F.slice(F.col("lcum"), 2, F.size("lcum") - 1),
+                    lambda x: x
+                    < F.floor(
+                        (F.col("ng") + 1).cast("double") / 2
+                    ).cast("long"),
+                )
+            ).cast("int")
+            + 1,
+        ).alias("med"),
+    )
+    dcell = (
+        lvc.join(F.broadcast(gmed), "lang")
+        .select(
+            "lang", F.abs(F.col("v") - F.col("med")).alias("d"), "c"
+        )
+        .groupBy("lang", "d")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    pooled = dcell.groupBy("d").agg(F.sum("c").cast("long").alias("cd"))
+    rc = distributed_cumsum_multi(pooled, ["d"], ["cd"], ["cum"], ["nn"])
+    mr = (F.col("cum") - F.col("cd")).cast("double") + (
+        F.col("cd") + 1
+    ) / 2.0
+    p = 0.5 + mr / (2.0 * (F.col("nn") + 1))
+    sa = rc.select(
+        "d",
+        "cd",
+        F.col("nn").alias("n"),
+        norm_ppf(p).alias("a"),
+    ).localCheckpoint()
+    glob = sa.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("cd") * F.col("a")).alias("s1"),
+        F.sum(F.col("cd") * F.col("a") * F.col("a")).alias("s2"),
+    )
+    g = (
+        dcell.join(F.broadcast(sa.select("d", "a")), "d")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("a")).alias("sag"),
+        )
+    )
+    abar = F.col("s1") / F.col("n")
+    dev = F.col("sag") / F.col("ng") - abar
+    res = g.crossJoin(F.broadcast(glob)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("ng") * dev * dev).alias("st"),
+        F.max("s2").alias("s2"),
+        F.max("s1").alias("s1"),
+    )
+    vv = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return res.where(F.col("k") > 0).select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") >= 2) & (vv > 0),
+            qround(F.col("st") / vv, 6),
+        ).alias("chi2"),
+    )
+
+
+@query(
+    "stat_shapiro_francia",
+    oracle=f"""
+    WITH pv AS (
+        SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS BIGINT) AS sv,
+               CAST(SUM(v * v * c) AS BIGINT) AS svv
+        FROM pv
+    ),
+    cc AS (
+        SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT n FROM mom) AS n
+        FROM pv
+    ),
+    ms AS (
+        SELECT v, c, n,
+               list_transform(generate_series(1, CAST(c AS INT)),
+                 _fj -> {sql_norm_ppf(
+                     '((cum - c + _fj - 0.375) / (n + 0.25))')}) AS mm
+        FROM cc
+    ),
+    cells AS (
+        SELECT v, c, n,
+               {_AD_FSUM.format(terms='mm')} AS sm,
+               {_AD_FSUM.format(
+                   terms='list_transform(mm, _y -> _y * _y)')} AS sm2
+        FROM ms
+    ),
+    gl AS (
+        SELECT MAX(n) AS n,
+               SUM(v * sm) AS s1x,
+               SUM(sm) AS sm,
+               SUM(sm2) AS m2
+        FROM cells
+    ),
+    fit AS (
+        SELECT gl.n,
+               (s1x - (CAST(mom.sv AS DOUBLE) / gl.n) * sm) AS num,
+               (m2 - sm * sm / gl.n) AS m2c,
+               (mom.svv - CAST(mom.sv AS DOUBLE) * mom.sv / gl.n)
+                   AS sxx
+        FROM gl, mom
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 5 AND m2c > 0 AND sxx > 0
+                THEN {sql_qround('num * num / (m2c * sxx)', 6)}
+           END AS w_stat,
+           CASE WHEN n >= 5 AND m2c > 0 AND sxx > 0
+                     AND num * num / (m2c * sxx) < 1.0
+                THEN {sql_qround(
+                    '(ln(1.0 - num * num / (m2c * sxx))'
+                    ' - (1.0521 * (ln(ln(n)) - ln(n)) - 1.2725))'
+                    ' / (1.0308 - 0.26758 * (ln(ln(n)) + 2.0 / ln(n)))',
+                    6)}
+           END AS z_stat
+    FROM fit WHERE n IS NOT NULL
+    """,
+)
+def stat_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapiro-Francia normality W′ on the pooled length distribution:
+    the squared correlation between the ordered sample and Blom's
+    expected normal order statistics m_i = Φ⁻¹((i − 3/8)/(n + 1/4))
+    (Shapiro & Francia 1972), with Royston's 1993 ln(1 − W′)
+    standardization to z. The ORDER-STATISTIC member of the normality
+    trio — stat_jarque_bera reads moments, stat_lilliefors reads the
+    EDF, W′ reads the QQ-plot straightness — and deliberately
+    Shapiro-FRANCIA rather than Shapiro-Wilk: Wilk's coefficients
+    need the O(n²) order-statistic covariance matrix (a
+    single-machine construct), Francia's simplification needs only
+    Blom scores per rank and is the version a distributed engine can
+    honestly compute.
+
+    Ties discipline: distinct value v occupies the contiguous rank
+    block (cum − c, cum]; Σ m_i x_(i) over the block = v·Σ m_i, so
+    each value-cell folds its OWN rank range via the shared Acklam
+    polynomial — O(c) per cell, Σc = n total work, never a
+    corpus-length array on one row. Both the score sum and its square
+    fold in the same order per cell on both engines; the cross-cell
+    sums are the 1-row qround(6) accepted class. The numerator is
+    CENTERED (S − x̄·Σm) because the Acklam branches make Σm only
+    approximately 0. Guards: n < 5, zero variance, or zero score
+    variance NULLs; W′ ≥ 1 (numerically) NULLs z; empty corpus emits
+    zero rows (no pv cells).
+
+    100 TB: one corpus-scale value-count aggregate, one cumsum pass
+    over the distinct-value grid, one 1-row moment broadcast — the
+    stat_lilliefors bill."""
+    from etl_geonames_spark.functions import norm_ppf
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
+
+    pv = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("n_chars").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    mom = pv.agg(
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v") * F.col("c"))
+        .cast("long")
+        .alias("svv"),
+    )
+    cc = distributed_cumsum_multi(pv, ["v"], ["c"], ["cum"], ["n"])
+
+    def blom(j):
+        return norm_ppf(
+            (F.col("cum") - F.col("c") + j - 0.375) / (F.col("n") + 0.25)
+        )
+
+    ms = cc.select(
+        "v",
+        "c",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("c").cast("int")), blom
+        ).alias("mm"),
+    )
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda a, y: a + y)
+    cells = ms.select(
+        "v",
+        "c",
+        "n",
+        fsum(F.col("mm")).alias("sm"),
+        fsum(F.transform("mm", lambda y: y * y)).alias("sm2"),
+    )
+    glob = cells.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("v") * F.col("sm")).alias("s1x"),
+        F.sum("sm").alias("sm"),
+        F.sum("sm2").alias("m2"),
+    )
+    nd = F.col("n").cast("double")
+    fit = glob.crossJoin(F.broadcast(mom)).select(
+        "n",
+        (
+            F.col("s1x") - (F.col("sv").cast("double") / F.col("n")) * F.col("sm")
+        ).alias("num"),
+        (F.col("m2") - F.col("sm") * F.col("sm") / F.col("n")).alias(
+            "m2c"
+        ),
+        (
+            F.col("svv") - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+        ).alias("sxx"),
+    )
+    w = F.col("num") * F.col("num") / (F.col("m2c") * F.col("sxx"))
+    ok = (F.col("n") >= 5) & (F.col("m2c") > 0) & (F.col("sxx") > 0)
+    lnn = F.log(nd)
+    mu_z = 1.0521 * (F.log(lnn) - lnn) - 1.2725
+    sd_z = 1.0308 - 0.26758 * (F.log(lnn) + 2.0 / lnn)
+    return fit.where(F.col("n").isNotNull()).select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, qround(w, 6)).alias("w_stat"),
+        F.when(ok & (w < 1.0), qround((F.log(1.0 - w) - mu_z) / sd_z, 6)).alias(
+            "z_stat"
+        ),
     )

@@ -301,6 +301,14 @@ def edge_ddb(edge_sf_dir):
         "stat_cvm_two_sample",
         "stat_cmh",
         "llm_chrf",
+        # round-10 normal-theory trio on the 6-doc corpus: lilliefors
+        # emits D from 5 distinct values; fligner's single stratum
+        # (k = 1) NULLs chi2 without evaluating the tail branches;
+        # shapiro-francia's Blom folds cover rank blocks of size 2
+        # (the tied 22s)
+        "stat_lilliefors",
+        "stat_fligner_killeen",
+        "stat_shapiro_francia",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -2830,3 +2830,179 @@ def test_chrf_python_replay_and_bounds(spark, sf_dir):
             assert abs(g["chrf2"] - 1.0) <= 2e-6
         checked += 1
     assert checked > 0
+
+
+def _true_cdf(x):
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _true_ppf(p):
+    lo, hi = -10.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if _true_cdf(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def test_norm_primitives_match_erf_reference(spark):
+    """The shared cross-engine polynomials (functions.norm_cdf /
+    norm_ppf) vs math.erf + bisection: |Phi err| <= 1e-7 and
+    |Phi^-1 err| <= 1e-8 over a deterministic grid, INCLUDING the
+    Acklam branch boundaries — validating the approximation itself,
+    which engine-vs-engine hashing cannot see."""
+    from pyspark.sql import functions as F2
+
+    from etl_geonames_spark.functions import norm_cdf, norm_ppf
+
+    xs = [i / 10.0 for i in range(-60, 61)]
+    ps = [0.001, 0.01, 0.02425, 0.024251, 0.1, 0.3, 0.5, 0.7, 0.9,
+          0.97574, 0.97575, 0.99, 0.999]
+    df = spark.createDataFrame(
+        [(x,) for x in xs], "x double"
+    ).select("x", norm_cdf(F2.col("x")).alias("c"))
+    for r in df.collect():
+        assert abs(r["c"] - _true_cdf(r["x"])) <= 1e-7
+    dfp = spark.createDataFrame(
+        [(p,) for p in ps], "p double"
+    ).select("p", norm_ppf(F2.col("p")).alias("q"))
+    for r in dfp.collect():
+        assert abs(r["q"] - _true_ppf(r["p"])) <= 1e-8
+
+
+def test_lilliefors_python_replay(spark, sf_dir):
+    """Replay D with the TRUE Phi (math.erf): the Hastings polynomial
+    error (<= 7.5e-8) must not move the emitted grid statistic at the
+    assertion tolerance. 0 <= D <= 1 by construction."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    vals = [
+        int(r["n_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("n_chars")
+        .collect()
+    ]
+    got = _rows(spark, sf_dir, "stat_lilliefors")
+    if not vals:
+        assert got == []
+        return
+    (g,) = got
+    n = len(vals)
+    cnt = Counter(vals)
+    sv, svv = sum(vals), sum(v * v for v in vals)
+    mu = sv / n
+    assert g["n"] == n
+    assert abs(g["mean"] - mu) <= 2e-6
+    if n < 4 or n * svv - sv * sv <= 0:
+        assert g["sd"] is None and g["d_stat"] is None
+        return
+    sd = math.sqrt((n * svv - sv * sv) / (n * (n - 1)))
+    assert abs(g["sd"] - sd) <= 2e-6
+    cum = 0
+    d = 0.0
+    for v in sorted(cnt):
+        lo = cum
+        cum += cnt[v]
+        ph = _true_cdf((v - mu) / sd)
+        d = max(d, cum / n - ph, ph - lo / n)
+    assert 0 <= d <= 1
+    assert abs(g["d_stat"] - d) <= 2e-6
+
+
+def test_fligner_killeen_python_replay(spark, sf_dir):
+    """Replay with TRUE normal quantiles (bisection on math.erf):
+    per-lang lower medians, pooled midranks of |x - med_g|, normal
+    scores, chi2 = sum n_g(abar_g - abar)^2 / V; chi2 >= 0."""
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    got = _rows(spark, sf_dir, "stat_fligner_killeen")
+    if not rows:
+        assert got == []
+        return
+    per = defaultdict(list)
+    for r in rows:
+        per[r["lang"]].append(int(r["n_chars"]))
+    devs = defaultdict(Counter)  # lang -> Counter of |x - med|
+    for lang, xs in per.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]
+        for x in xs:
+            devs[lang][abs(x - med)] += 1
+    pooled = Counter()
+    for c in devs.values():
+        pooled.update(c)
+    n = sum(pooled.values())
+    mr = {}
+    cum = 0
+    for d in sorted(pooled):
+        mr[d] = cum + (pooled[d] + 1) / 2.0
+        cum += pooled[d]
+    a = {d: _true_ppf(0.5 + r / (2.0 * (n + 1))) for d, r in mr.items()}
+    s1 = sum(pooled[d] * a[d] for d in pooled)
+    s2 = sum(pooled[d] * a[d] ** 2 for d in pooled)
+    abar = s1 / n
+    k = len(devs)
+    (g,) = got
+    assert (g["k"], g["n"], g["dof"]) == (k, n, k - 1)
+    vv = (s2 - s1 * s1 / n) / (n - 1) if n >= 2 else 0.0
+    if k < 2 or n < 2 or vv <= 0:
+        assert g["chi2"] is None
+        return
+    st = sum(
+        sum(c.values())
+        * (sum(cc * a[d] for d, cc in c.items()) / sum(c.values()) - abar)
+        ** 2
+        for c in devs.values()
+    )
+    chi2 = st / vv
+    assert chi2 >= 0
+    assert abs(g["chi2"] - chi2) <= max(2e-5, 1e-5 * chi2)
+
+
+def test_shapiro_francia_python_replay(spark, sf_dir):
+    """Replay W' with TRUE Blom scores (bisection on math.erf) and
+    Royston's z; 0 <= W' <= 1 by Cauchy-Schwarz."""
+    from etl_geonames_spark.sources import load_table
+
+    vals = sorted(
+        int(r["n_chars"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("n_chars")
+        .collect()
+    )
+    got = _rows(spark, sf_dir, "stat_shapiro_francia")
+    if not vals:
+        assert got == []
+        return
+    (g,) = got
+    n = len(vals)
+    assert g["n"] == n
+    m = [_true_ppf((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)]
+    xbar = sum(vals) / n
+    sm = sum(m)
+    num = sum(mi * x for mi, x in zip(m, vals)) - xbar * sm
+    m2c = sum(mi * mi for mi in m) - sm * sm / n
+    sxx = sum((x - xbar) ** 2 for x in vals)
+    if n < 5 or m2c <= 0 or sxx <= 0:
+        assert g["w_stat"] is None
+        return
+    w = num * num / (m2c * sxx)
+    assert -_EPS <= w <= 1 + _EPS
+    assert abs(g["w_stat"] - w) <= 2e-5
+    if w < 1.0:
+        u = math.log(n)
+        mu_z = 1.0521 * (math.log(u) - u) - 1.2725
+        sd_z = 1.0308 - 0.26758 * (math.log(u) + 2.0 / u)
+        z = (math.log(1.0 - w) - mu_z) / sd_z
+        assert abs(g["z_stat"] - z) <= max(2e-4, 1e-4 * abs(z))
