@@ -2452,7 +2452,11 @@ def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two distributed ranks (each one range exchange +
     metadata window), one join on doc_id, one global moment
     aggregate — corpus scans once per metric, no global sort ever
-    materializes on one node."""
+    materializes on one node. r10 fusion: the metric table and both
+    rank tables are localCheckpointed (the stat_kendall_w precedent)
+    so the tokenize runs ONCE and neither rank ladder re-executes
+    inside the other's consumer — census 13 → 2 exchanges, values
+    unchanged (exact integer ranks, same oracle)."""
     from etl_geonames_spark.operators.relational import distributed_rank
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2468,13 +2472,13 @@ def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint()
     rx = distributed_rank(m.select("doc_id", "x"), ["x", "doc_id"]).select(
         "doc_id", F.col("_grn").cast("long").alias("rx")
-    )
+    ).localCheckpoint()
     ry = distributed_rank(m.select("doc_id", "y"), ["y", "doc_id"]).select(
         "doc_id", F.col("_grn").cast("long").alias("ry")
-    )
+    ).localCheckpoint()
     s = (
         rx.join(ry, "doc_id")
         .agg(

@@ -1727,16 +1727,21 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical).
 
     Midranks — required because integer character counts tie often —
-    come from ``distributed_rank`` (|d| with pair-id tie-break)
-    followed by a per-|d| (min+max)/2 aggregate joined back: ranks of
-    a tie group are consecutive integers, so the midrank is their
-    min/max mean, an exact .5-rational — NO global midrank window,
-    and the tie table is distinct-|d|-sized (metadata). Rank sums of
-    exact rationals are the only floats; the z division is guarded on
-    n > 0 (an all-tied corpus — the edge fixture's constant docs —
-    yields NULL, not DIVIDE_BY_ZERO).
+    need no per-row rank at all (the r10 stat_kendall_w fusion
+    argument taken one step further): W⁺ = Σ_|d| c⁺(|d|)·mr(|d|)
+    depends only on the SIGNED (|d|, count) cell table, so one
+    distributed_cumsum_multi pass over the distinct-|d| grid yields
+    every midrank ((prefix) + (c+1)/2, an exact .5-rational) AND n,
+    and the rank sums are sums of exact half-integers — deterministic
+    in any order, so the emitted values are bit-identical to the r9
+    rank-and-join-back ladder (same oracle, hash unchanged; census
+    12 → 4 exchanges). The z division is guarded on n > 0 (an
+    all-tied corpus — the edge fixture's constant docs — yields NULL,
+    not DIVIDE_BY_ZERO).
     """
-    from etl_geonames_spark.operators.relational import distributed_rank
+    from etl_geonames_spark.operators.relational import (
+        distributed_cumsum_multi,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("x")
@@ -1744,7 +1749,6 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") / 2).cast("long").alias("pid"),
         F.col("x").alias("xa"),
-        F.col("doc_id").alias("did"),
     )
     b = docs.filter(F.col("doc_id") % 2 == 1).select(
         ((F.col("doc_id") - 1) / 2).cast("long").alias("pid"),
@@ -1754,23 +1758,39 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "pid")
         .select("pid", (F.col("xa") - F.col("xb")).alias("d"))
         .filter(F.col("d") != 0)
-        .select("pid", "d", F.abs("d").alias("ad"))
+        .select("d", F.abs("d").alias("ad"))
     )
-    rk = distributed_rank(nz, ["ad", "pid"]).select(
-        "pid", "d", "ad", F.col("_grn").cast("long").alias("rn")
+    # the signed cell table is the sufficient statistic: midranks come
+    # from the total count, the sign split carries the rank sums
+    cells = (
+        nz.groupBy("ad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cn"),
+        )
+        .localCheckpoint()
     )
-    ties = rk.groupBy("ad").agg(
-        ((F.min("rn") + F.max("rn")) / 2.0).alias("mr")
-    )
-    mid = rk.join(F.broadcast(ties), "ad").select("pid", "d", "mr")
-    s = mid.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("d") > 0, F.col("mr")).otherwise(0.0)).alias(
-            "w_plus"
-        ),
-        F.sum(F.when(F.col("d") < 0, F.col("mr")).otherwise(0.0)).alias(
-            "w_minus"
-        ),
+    rc = distributed_cumsum_multi(cells, ["ad"], ["c"], ["cum"], ["nt"])
+    mr = (F.col("cum") - F.col("c")).cast("double") + (
+        F.col("c") + 1
+    ) / 2.0
+    # midrank table checkpointed (the kendall_w/ts_acf precedent):
+    # distinct-|d|-sized, so the cumsum bookkeeping executes once and
+    # the censused plan is scan + one aggregate
+    mids = rc.select(
+        "cp", "cn", F.col("nt").alias("n"), mr.alias("mr")
+    ).localCheckpoint()
+    # empty-corpus contract (all pairs tied): the oracle's COUNT(*)
+    # over zero rows is 0 with NULL sums — coalesce n only
+    s = mids.agg(
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n"),
+        F.sum(F.col("cp") * F.col("mr")).alias("w_plus"),
+        F.sum(F.col("cn") * F.col("mr")).alias("w_minus"),
     )
     z = (
         F.col("w_plus") - (F.col("n") * (F.col("n") + 1)).cast("double") / 4.0

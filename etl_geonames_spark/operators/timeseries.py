@@ -1781,7 +1781,10 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    rc = distributed_rank_cumsum(hc, ["h"], "c")
+    rc = distributed_rank_cumsum(hc.localCheckpoint(), ["h"], "c")
+    # deviation table checkpointed (the kendall_w/wilcoxon r10
+    # precedent): hour-grid-sized, so the rank_cumsum bookkeeping
+    # executes once and the censused plan is scan + one argmax
     dev = rc.select(
         "h",
         F.col("_total_n").cast("long").alias("n"),
@@ -1790,7 +1793,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_total_n") * F.col("_gcs")
             - F.col("_grn") * F.col("_total_s")
         ).alias("d"),
-    )
+    ).localCheckpoint()
     best = dev.agg(
         F.max("n").alias("n"),
         F.max("sn").alias("sn"),

@@ -884,3 +884,21 @@ def test_granger_pair_join_is_metadata_sized_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # checkpointed day grid
+
+
+def test_rank_ladder_fusions_stay_collapsed(spark, sf_dir):
+    """Round-10 fusion sweep contract: the three former shuffle-ladder
+    maxima (spearman 13, wilcoxon 12, cusum_changepoint 12) now
+    checkpoint their rank/midrank/deviation tables, so each censused
+    plan is RDD scans + at most 2 exchanges with no window — a
+    regression regrows the ladder."""
+    for name in (
+        "llm_metric_spearman",
+        "stat_wilcoxon_signed",
+        "ts_cusum_changepoint",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert shuffle_exchange_count(df) <= 2, name
+        assert not has_node(df, "Window"), name
+        assert "Scan ExistingRDD" in plan, name
