@@ -200,9 +200,12 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # documents scan + aggregate runs once, not per branch
         .localCheckpoint()
     )
+    # cumulative table checkpointed (the r10 ladder-collapse sweep):
+    # value-grid-sized, so the cumsum bookkeeping executes once and
+    # the censused plan is scan + one aggregate
     c = distributed_cumsum_multi(
         pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
-    )
+    ).localCheckpoint()
     gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     # same NULL-not-throw contract as stat_mann_whitney's AUC
     return (
@@ -5346,9 +5349,10 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # documents scan + aggregate runs once (the ks convention)
         .localCheckpoint()
     )
+    # cumulative table checkpointed (the r10 ladder-collapse sweep)
     rc = distributed_cumsum_multi(
         pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
-    )
+    ).localCheckpoint()
     gap = (
         F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
     ).cast("double")
@@ -5653,7 +5657,10 @@ def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("svv"),
     )
-    cc = distributed_cumsum_multi(pv, ["v"], ["c"], ["cum"], ["n"])
+    # cumulative table checkpointed (the r10 ladder-collapse sweep)
+    cc = distributed_cumsum_multi(
+        pv, ["v"], ["c"], ["cum"], ["n"]
+    ).localCheckpoint()
     nd = F.col("n").cast("double")
     disc = nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv")
     z = cc.crossJoin(F.broadcast(mom)).select(
@@ -5989,7 +5996,10 @@ def stat_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("svv"),
     )
-    cc = distributed_cumsum_multi(pv, ["v"], ["c"], ["cum"], ["n"])
+    # cumulative table checkpointed (the r10 ladder-collapse sweep)
+    cc = distributed_cumsum_multi(
+        pv, ["v"], ["c"], ["cum"], ["n"]
+    ).localCheckpoint()
 
     def blom(j):
         return norm_ppf(
