@@ -6053,3 +6053,131 @@ def stat_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+@query(
+    "stat_hellinger",
+    oracle=f"""
+    WITH m AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    pv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(SUM(1 - g) AS BIGINT) AS c2
+        FROM m GROUP BY v
+    ),
+    t AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM pv
+    ),
+    s AS (
+        SELECT t.n1, t.n2,
+               CAST(SUM(ABS(c1 * t.n2 - c2 * t.n1)) AS BIGINT)
+                   AS tvd_num,
+               SUM(sqrt((CASE WHEN t.n1 > 0
+                              THEN c1 / CAST(t.n1 AS DOUBLE) END)
+                        * (CASE WHEN t.n2 > 0
+                                THEN c2 / CAST(t.n2 AS DOUBLE) END)))
+                   AS bc
+        FROM pv, t GROUP BY t.n1, t.n2
+    )
+    SELECT n1, n2, tvd_num,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN {sql_qround(
+                    'tvd_num / (2.0 * n1 * n2)', 6)}
+           END AS tvd,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN {sql_qround('bc', 6)}
+           END AS bc,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN {sql_qround(
+                    'sqrt(GREATEST(0.0, 1.0 - bc))', 6)}
+           END AS hellinger
+    FROM s
+    """,
+)
+def stat_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-distance suite between the English and
+    non-English length distributions on the exact value-count grid —
+    total variation distance, Bhattacharyya coefficient and Hellinger
+    distance in one pass. Completes the drift family along its third
+    axis: stat_ks_two_sample reads the CDF supremum,
+    stat_cvm_two_sample the integrated CDF gap, dq_psi_drift a binned
+    log-ratio over time; TVD/Hellinger read the POINTWISE mass
+    differences, the quantities that actually bound downstream error
+    (TVD bounds any event-probability shift; Hellinger bounds sample
+    distinguishability), which is why mixture-rebalance pipelines
+    gate on them rather than on a sup-norm.
+
+    Exactness: TVD = Σ|c1·n2 − c2·n1| / (2·n1·n2) carries an exact
+    int64 numerator (the stat_ks_two_sample cross-multiplication —
+    no division until the final expression); BC = Σ√(p̂·q̂) sums
+    per-cell doubles both engines derive identically (1-row qround(6)
+    class), and Hellinger = √(max(0, 1 − BC)) clamps the ≤1-ulp
+    BC > 1 case of identical distributions instead of NaN-ing.
+    Guards: an empty side (n1·n2 = 0) NULLs all three ratios
+    (tvd_num still emits); an empty corpus emits zero rows.
+
+    100 TB: one corpus-scale value-count aggregate + one broadcast
+    totals row + one reduce — no cumsum, no join, the cheapest member
+    of the family."""
+    docs = load_table(spark, sf_dir, "documents")
+    pv = (
+        docs.select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+        )
+        .localCheckpoint()
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    p1 = F.when(
+        F.col("n1") > 0, F.col("c1") / F.col("n1").cast("double")
+    )
+    p2 = F.when(
+        F.col("n2") > 0, F.col("c2") / F.col("n2").cast("double")
+    )
+    s = (
+        pv.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("tvd_num"),
+            F.sum(F.sqrt(p1 * p2)).alias("bc"),
+        )
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return s.select(
+        "n1",
+        "n2",
+        "tvd_num",
+        F.when(
+            ok,
+            qround(
+                F.col("tvd_num") / (2.0 * F.col("n1") * F.col("n2")), 6
+            ),
+        ).alias("tvd"),
+        F.when(ok, qround(F.col("bc"), 6)).alias("bc"),
+        F.when(
+            ok,
+            qround(
+                F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.col("bc"))), 6
+            ),
+        ).alias("hellinger"),
+    )

@@ -70,7 +70,7 @@ _DRIVER_PRIORITY = [
     'ts_variance_ratio', 'ts_arch_lm', 'ts_granger_lag1',
     'ts_durbin_watson', 'ts_turning_points', 'stat_cvm_two_sample',
     'stat_cmh', 'llm_chrf', 'stat_lilliefors', 'stat_fligner_killeen',
-    'stat_shapiro_francia',
+    'stat_shapiro_francia', 'stat_hellinger',
     'udf_scalar', 'udf_grouped_map', 'udf_agg',
     'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
     'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',

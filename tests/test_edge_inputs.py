@@ -309,6 +309,9 @@ def edge_ddb(edge_sf_dir):
         "stat_lilliefors",
         "stat_fligner_killeen",
         "stat_shapiro_francia",
+        # the distance suite on the all-'en' corpus: n2 = 0 NULLs the
+        # three ratios while the exact tvd_num still emits
+        "stat_hellinger",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3006,3 +3006,48 @@ def test_shapiro_francia_python_replay(spark, sf_dir):
         sd_z = 1.0308 - 0.26758 * (math.log(u) + 2.0 / u)
         z = (math.log(1.0 - w) - mu_z) / sd_z
         assert abs(g["z_stat"] - z) <= max(2e-4, 1e-4 * abs(z))
+
+
+def test_hellinger_python_replay_and_bounds(spark, sf_dir):
+    """Counter replay of TVD/BC/Hellinger; identities: 0 ≤ TVD ≤ 1,
+    0 ≤ BC ≤ 1, H² = 1 − BC, and H² ≤ TVD ≤ H·√(2 − H²) (the
+    standard Hellinger-TVD sandwich)."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    got = _rows(spark, sf_dir, "stat_hellinger")
+    if not rows:
+        assert got == []
+        return
+    c1, c2 = Counter(), Counter()
+    for r in rows:
+        (c1 if r["lang"] == "en" else c2)[int(r["n_chars"])] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    (g,) = got
+    assert (g["n1"], g["n2"]) == (n1, n2)
+    tvd_num = sum(
+        abs(c1[v] * n2 - c2[v] * n1) for v in set(c1) | set(c2)
+    )
+    assert g["tvd_num"] == tvd_num
+    if n1 == 0 or n2 == 0:
+        assert g["tvd"] is None and g["bc"] is None
+        return
+    tvd = tvd_num / (2.0 * n1 * n2)
+    bc = sum(
+        math.sqrt((c1[v] / n1) * (c2[v] / n2))
+        for v in set(c1) | set(c2)
+    )
+    h = math.sqrt(max(0.0, 1.0 - bc))
+    assert -_EPS <= tvd <= 1 + _EPS
+    assert -_EPS <= bc <= 1 + _EPS
+    assert abs(g["tvd"] - tvd) <= 2e-6
+    assert abs(g["bc"] - bc) <= 2e-6
+    assert abs(g["hellinger"] - h) <= 2e-6
+    assert h * h <= tvd + 1e-9
+    assert tvd <= h * math.sqrt(2.0 - h * h) + 1e-9
