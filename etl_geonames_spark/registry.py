@@ -49,19 +49,20 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. Rounds 1-9 produced
-# green driver rows (or by-design rows-only records) for 443 of the
-# 448 registry names; the only driver-unseen names entering round 10
-# are the five late round-9 additions. ROUND-10 ROTATION (VERDICT r9
-# item 1): the window head is exactly those five (ts_kpss,
-# stat_bartlett, stat_ad_ksample, stat_moods_median,
-# ts_dickey_fuller) plus any round-10 additions as they land (new
-# ops enter the window the round they land — the steady state now
-# that the backlog is drained); the window's remaining slots re-check
-# the oldest-green names (the pre-r9 order resumes at position 6).
-# The 50 CORRECTNESS_r09 names moved to the very back. Every
-# rotated-out name stays guarded by tests/test_oracle_parity.py,
-# which checks ALL queries every run.
+# queries in ``queries()`` dict order each round. ROUND-10 WINDOW:
+# the 5 driver-unseen round-9 ops (ts_kpss, stat_bartlett,
+# stat_ad_ksample, stat_moods_median, ts_dickey_fuller) + the 12
+# round-10 additions (ts_variance_ratio/arch_lm/granger_lag1/
+# durbin_watson/turning_points, stat_cvm_two_sample/cmh/lilliefors/
+# fligner_killeen/shapiro_francia/hellinger, llm_chrf) lead; the
+# remaining ~33 slots re-check the oldest-green names (the pre-r9
+# order resumes after them). The 50 CORRECTNESS_r09 names sit at the
+# very back. ROUND-11 PLAN: move the CORRECTNESS_r10 names to the
+# back, promote any round-11 additions to the head (the steady-state
+# rule: new ops enter the window the round they land), and let the
+# oldest-green re-check order continue. Every rotated-out name stays
+# guarded by tests/test_oracle_parity.py, which checks ALL queries
+# every run.
 _DRIVER_PRIORITY = [
     'ts_kpss', 'stat_bartlett', 'stat_ad_ksample', 'stat_moods_median',
     'ts_dickey_fuller',
