@@ -902,3 +902,27 @@ def test_rank_ladder_fusions_stay_collapsed(spark, sf_dir):
         assert shuffle_exchange_count(df) <= 2, name
         assert not has_node(df, "Window"), name
         assert "Scan ExistingRDD" in plan, name
+
+
+def test_normal_theory_trio_and_distance_suite_shapes(spark, sf_dir):
+    """Round-10 batch-2 contracts: the grid statistics (lilliefors,
+    shapiro_francia) are scan + broadcast-moments + one aggregate
+    (<=2 exchanges, the checkpointed cumulative table carries the
+    machinery); fligner_killeen is the cell-table stack (<=3
+    exchanges, lang appears exactly once as a group key in the final
+    plan); hellinger is one reduce with no cumsum and no join beyond
+    the 1-row totals broadcast (<=2 exchanges). None plans a window,
+    a cartesian, or a sort-merge join."""
+    caps = {
+        "stat_lilliefors": 2,
+        "stat_shapiro_francia": 2,
+        "stat_fligner_killeen": 3,
+        "stat_hellinger": 2,
+    }
+    for name, cap in caps.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert shuffle_exchange_count(df) <= cap, name
+        assert not has_node(df, "Window"), name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
