@@ -2452,11 +2452,13 @@ def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two distributed ranks (each one range exchange +
     metadata window), one join on doc_id, one global moment
     aggregate — corpus scans once per metric, no global sort ever
-    materializes on one node. r10 fusion: the metric table and both
-    rank tables are localCheckpointed (the stat_kendall_w precedent)
-    so the tokenize runs ONCE and neither rank ladder re-executes
-    inside the other's consumer — census 13 → 2 exchanges, values
-    unchanged (exact integer ranks, same oracle)."""
+    materializes on one node. r10 fusion: the metric table is
+    localCheckpointed so the tokenize runs ONCE instead of riding
+    both rank branches' internal consumers, and the two rank tables
+    are checkpointed (grid-truncation, the stat_kendall_w precedent)
+    so the censused plan is two RDD scans + join + one aggregate —
+    census 13 → 1 exchange, values unchanged (exact integer ranks,
+    same oracle)."""
     from etl_geonames_spark.operators.relational import distributed_rank
 
     docs = load_table(spark, sf_dir, "documents")

@@ -1738,7 +1738,7 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rank sums are sums of exact half-integers — deterministic
     in any order, so the emitted values are bit-identical to the r9
     rank-and-join-back ladder (same oracle, hash unchanged; census
-    12 → 4 exchanges). The z division is guarded on n > 0 (an
+    12 → 1 exchange with the checkpointed midrank table). The z division is guarded on n > 0 (an
     all-tied corpus — the edge fixture's constant docs — yields NULL,
     not DIVIDE_BY_ZERO).
     """
