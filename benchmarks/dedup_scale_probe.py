@@ -107,6 +107,15 @@ OPS = [
     # pinned by plan shape instead
     "stat_cvm_two_sample",
     "stat_cmh",
+    # round-10 batch 2: the normal-theory trio + distance suite are
+    # all value-count-grid shapes — replication multiplies counts,
+    # keys fixed, so walls must stay near-flat; shapiro additionally
+    # pins that the per-cell Blom folds scale with Σc = n (10x longer
+    # rank blocks per cell, one pass)
+    "stat_lilliefors",
+    "stat_fligner_killeen",
+    "stat_shapiro_francia",
+    "stat_hellinger",
 ]
 
 
