@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     'ts_durbin_watson', 'ts_turning_points', 'stat_cvm_two_sample',
     'stat_cmh', 'llm_chrf', 'stat_lilliefors', 'stat_fligner_killeen',
     'stat_shapiro_francia', 'stat_hellinger',
+    'stat_mann_kendall_seasonal',
     'udf_scalar', 'udf_grouped_map', 'udf_agg',
     'udtf_python', 'udtf_explode', 'fn_higher_order', 'llm_bm25_topk',
     'llm_token_entropy', 'ts_rollup_hierarchy', 'ts_ewma',

@@ -3051,3 +3051,64 @@ def test_hellinger_python_replay_and_bounds(spark, sf_dir):
     assert abs(g["hellinger"] - h) <= 2e-6
     assert h * h <= tvd + 1e-9
     assert tvd <= h * math.sqrt(2.0 - h * h) + 1e-9
+
+
+def test_mann_kendall_seasonal_python_replay(spark, sf_dir):
+    """Exact integer replay of the within-season S and tie-corrected
+    variance sums (day-of-week strata); consistency: |S'| is bounded
+    by the total within-season pair count."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F2
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F2.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    per = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        d = r["day"]
+        per[r["event_type"]][d.weekday()].append((d, r["count"]))
+    got = {
+        r["event_type"]: r
+        for r in _rows(spark, sf_dir, "stat_mann_kendall_seasonal")
+    }
+    checked = 0
+    for et, seasons in per.items():
+        s_tot = 0
+        var = 0.0
+        n = 0
+        pairs = 0
+        for xs in seasons.values():
+            xs.sort()
+            ng = len(xs)
+            n += ng
+            pairs += ng * (ng - 1) // 2
+            for i in range(ng):
+                for j in range(i + 1, ng):
+                    d = xs[j][1] - xs[i][1]
+                    s_tot += (d > 0) - (d < 0)
+            from collections import Counter
+
+            t = Counter(c for _, c in xs)
+            tie = sum(v * (v - 1) * (2 * v + 5) for v in t.values())
+            var += (ng * (ng - 1) * (2 * ng + 5) - tie) / 18.0
+        g = got[et]
+        assert (g["n"], g["n_seasons"], g["s_stat"]) == (
+            n,
+            len(seasons),
+            s_tot,
+        )
+        assert abs(s_tot) <= pairs
+        if var > 0:
+            cc = (s_tot > 0) - (s_tot < 0)
+            assert abs(g["z"] - (s_tot - cc) / math.sqrt(var)) <= 2e-6
+        else:
+            assert g["z"] is None
+        checked += 1
+    assert checked > 0
