@@ -67,7 +67,7 @@ def spread(df, *cols):
 # still applies: never use these inside a cross-engine float
 # PREDICATE, only in emitted values and sums.
 
-_INV_SQRT_2PI = 2.5066282746310002  # sqrt(2*pi) as a shared literal
+_SQRT_2PI = 2.5066282746310002  # sqrt(2*pi) as a shared literal
 
 
 def norm_cdf(x: Column) -> Column:
@@ -79,7 +79,7 @@ def norm_cdf(x: Column) -> Column:
         (((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
          - 0.356563782) * t + 0.319381530
     ) * t
-    up = 1.0 - F.exp(-0.5 * x * x) / _INV_SQRT_2PI * poly
+    up = 1.0 - F.exp(-0.5 * x * x) / _SQRT_2PI * poly
     return F.when(x >= 0.0, up).otherwise(1.0 - up)
 
 
@@ -91,7 +91,7 @@ def sql_norm_cdf(x: str) -> str:
         "((((1.330274429*{t}-1.821255978)*{t}+1.781477937)*{t}"
         "-0.356563782)*{t}+0.319381530)*{t}"
     ).format(t=t)
-    up = f"(1.0 - exp(-0.5*({x})*({x}))/{_INV_SQRT_2PI}*{poly})"
+    up = f"(1.0 - exp(-0.5*({x})*({x}))/{_SQRT_2PI}*{poly})"
     return f"CASE WHEN {x} >= 0.0 THEN {up} ELSE 1.0-{up} END"
 
 

@@ -6257,6 +6257,9 @@ def stat_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # Spark dayofweek is 1-7 (Sun=1) while DuckDB's is 0-6: the
+        # values are ENGINE-LOCAL grouping keys whose partitions agree
+        # — season must never be emitted or cross-engine-compared
         .withColumn("season", F.dayofweek("day"))
         .localCheckpoint()
     )

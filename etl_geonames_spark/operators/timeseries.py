@@ -4701,7 +4701,7 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
              c11 * c22 - c12 * c12 AS det,
              (c22 * c1y - c12 * c2y) AS b1n,
              (c11 * c2y - c12 * c1y) AS b2n,
-             c1y, c2y
+             c2y
       FROM cen
     ),
     ssr AS (
