@@ -1864,7 +1864,13 @@ def semdedup_keep(
     calls this directly with k≈√n to demonstrate the paper's scaling
     lever — pair fan-out is Σ|cell|², so k MUST grow with corpus
     size or within-cell pairs re-approach O(n²)."""
-    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    # divisor clamped to 1e-12 (identically in the oracles) so an
+    # all-zero vector normalizes to the zero vector instead of an
+    # ANSI DIVIDE_BY_ZERO — the llm_quantize_embeddings pattern; a
+    # zero u dots 0 < tau with everything, so it is never dropped
+    nrm = F.greatest(
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))), F.lit(1e-12)
+    )
     base = (
         _arrow_cells(spark, sf_dir, k)
         if arrow_assign
@@ -1911,13 +1917,15 @@ def semdedup_keep(
         .distinct()
     )
     return cells.join(drops, "vec_id", "left_anti").select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster")
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "u"
     )
 
 
-@query(
-    "llm_semdedup",
-    oracle=f"""
+# CTE chain shared by llm_semdedup and llm_d4_diversify — ends at the
+# ``keep`` table (SemDeDup survivors with unit vectors), mirroring
+# semdedup_keep() exactly; callers append their own CTEs/SELECT. The
+# norm divisor clamp matches the engine (zero vector → zero u).
+_SEMDEDUP_KEEP_SQL = f"""
     WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
     c0 AS (SELECT CAST(vec_id AS INT) AS cluster, emb AS cent
@@ -1929,7 +1937,8 @@ def semdedup_keep(
         SELECT a1.vec_id, a1.cluster,
                list_transform(
                    p.emb,
-                   x -> x / sqrt(list_dot_product(p.emb, p.emb))
+                   x -> x / greatest(
+                       sqrt(list_dot_product(p.emb, p.emb)), 1e-12)
                ) AS u
         FROM a1 JOIN pts p ON a1.vec_id = p.vec_id
     ),
@@ -1939,10 +1948,18 @@ def semdedup_keep(
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE FLOOR(list_dot_product(a.u, b.u) * 1000000.0 + 0.5)
               / 1000000.0 >= {_SEMDEDUP_TAU}
-    )
-    SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster
-    FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
-    WHERE d.vec_id IS NULL
+    ),
+    keep AS (
+        SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster, c.u
+        FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    )"""
+
+
+@query(
+    "llm_semdedup",
+    oracle=_SEMDEDUP_KEEP_SQL + """
+    SELECT vec_id, cluster FROM keep
     """,
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,7 +1986,108 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one shuffle on cluster for the pair join;
     everything upstream is the already-scaled kmeans plan (broadcast
     centroids, map-side assignment)."""
-    return semdedup_keep(spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU)
+    return semdedup_keep(spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU).select(
+        "vec_id", "cluster"
+    )
+
+
+_D4_DROP_NUM = 1  # drop the floor(n_cell/4) most prototypical
+_D4_DROP_DEN = 4
+
+
+@query(
+    "llm_d4_diversify",
+    oracle=_SEMDEDUP_KEEP_SQL + f"""
+    , proto AS (
+        SELECT cluster,
+               list(FLOOR(m * 1000000.0 + 0.5) / 1000000.0
+                    ORDER BY pos) AS pd
+        FROM (
+            SELECT k.cluster, gi.i AS pos, AVG(k.u[gi.i]) AS m
+            FROM keep k,
+                 unnest(generate_series(1, len(k.u))) AS gi(i)
+            GROUP BY k.cluster, gi.i
+        ) GROUP BY cluster
+    ),
+    sc AS (
+        SELECT k.vec_id, k.cluster,
+               FLOOR(list_dot_product(k.u, p.pd) * 1000000.0 + 0.5)
+                 / 1000000.0 AS proto
+        FROM keep k JOIN proto p USING (cluster)
+    ),
+    rk AS (
+        SELECT vec_id, cluster, proto,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY proto DESC, vec_id) AS r,
+               COUNT(*) OVER (PARTITION BY cluster) AS nc
+        FROM sc
+    )
+    SELECT vec_id, cluster, proto
+    FROM rk WHERE {_D4_DROP_DEN} * r > {_D4_DROP_NUM} * nc
+    """,
+)
+def llm_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 diversification (Tirumala et al. 2023, arXiv:2308.12284):
+    the full document-selection recipe = SemDeDup pruning followed by
+    SSL-prototype pruning (Sorscher et al. 2022) — after semantic
+    dedup, the examples CLOSEST to their cluster's mean direction are
+    the most "prototypical" (over-represented boilerplate-like
+    content) and contribute the least to data diversity, so within
+    each k-means cell the top floor(n/4) by cosine-to-prototype are
+    dropped and the diverse remainder kept. Composes
+    :func:`semdedup_keep` (k=32, τ=0.40 — byte-identical to
+    llm_semdedup's survivor set, shared code AND shared oracle CTE
+    chain) with one per-cell prototype pass; VERDICT r9/r10's named
+    LLM-pipeline extension.
+
+    Cross-engine discipline: the per-cell prototype direction is the
+    per-dim AVG of survivor unit vectors qround'd to the 1e-6 grid
+    (the _km_update_sql centroid rule — accumulation-order drift is
+    absorbed by the grid); prototypicality = sequential dot of the
+    raw unit vector with the grid-valued prototype, qround'd BEFORE
+    ranking; the keep rule ranks on that grid with vec_id tie-break
+    (the sample_weighted_es float-ordering rule) and the cutoff
+    predicate is ALL-INTEGER (4·r > n_c), so no float threshold ever
+    crosses engines.
+
+    100 TB shape: survivors are localCheckpointed once (they feed the
+    prototype aggregate AND the scoring join — the multi-consumer
+    rule); the prototype table is k×d metadata broadcast to the
+    scoring join; ranking windows are PARTITIONED BY cell (bounded by
+    cell size, k≈√n keeps cells ~√n — never a global window). Total:
+    the SemDeDup plan + one keyed aggregate + one broadcast join."""
+    keep = semdedup_keep(
+        spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU
+    ).localCheckpoint()
+    per_dim = (
+        keep.select("cluster", F.posexplode("u").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(qround(F.avg("val"), 6).alias("m"))
+    )
+    proto = per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("pd")
+    )
+    sc = keep.join(F.broadcast(proto), "cluster").select(
+        "vec_id",
+        "cluster",
+        qround(_dot(F.col("u"), F.col("pd")), 6).alias("proto"),
+    )
+    w = Window.partitionBy("cluster")
+    rk = sc.select(
+        "vec_id",
+        "cluster",
+        "proto",
+        F.row_number()
+        .over(w.orderBy(F.col("proto").desc(), "vec_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    )
+    return rk.where(
+        F.lit(_D4_DROP_DEN) * F.col("r") > F.lit(_D4_DROP_NUM) * F.col("nc")
+    ).select("vec_id", "cluster", "proto")
 
 def _arrow_cells(
     spark: SparkSession, sf_dir: str, k: int

@@ -312,6 +312,11 @@ def edge_ddb(edge_sf_dir):
         # the distance suite on the all-'en' corpus: n2 = 0 NULLs the
         # three ratios while the exact tvd_num still emits
         "stat_hellinger",
+        # round-11: SemDeDup + D4 over the 3-vector corpus incl. the
+        # zero vector (norm divisor clamp → zero u, dot 0 < τ keeps
+        # it; D4 cells of size 1 rank r=1 > nc/4 and all survive)
+        "llm_semdedup",
+        "llm_d4_diversify",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -926,3 +926,22 @@ def test_normal_theory_trio_and_distance_suite_shapes(spark, sf_dir):
         assert not has_node(df, "Window"), name
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_d4_diversify_broadcasts_prototypes_and_keys_windows(spark, sf_dir):
+    """D4 post-checkpoint shape: the k×d prototype table reaches the
+    scoring join by BROADCAST (never a shuffle of the survivor side),
+    and the ranking window is PARTITIONED BY cluster — a global
+    window here would serialize the corpus through one task at
+    100 TB. The SemDeDup survivor subplan is localCheckpointed (its
+    own contracts live with llm_semdedup/llm_kmeans), so this plan
+    starts at the checkpointed scan — exactly the multi-consumer
+    truncation the working notes prescribe."""
+    df = QUERIES["llm_d4_diversify"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert re.search(r"Window.*cluster", plan, re.S), plan
+    # the window spec must carry a partition key (no global window):
+    # hashpartitioning on cluster feeds it
+    assert "hashpartitioning(cluster" in plan
+    assert not has_node(df, "CartesianProduct")

@@ -3112,3 +3112,113 @@ def test_mann_kendall_seasonal_python_replay(spark, sf_dir):
             assert g["z"] is None
         checked += 1
     assert checked > 0
+
+
+def test_d4_diversify_python_replay(spark, sf_dir):
+    """Pure-Python third implementation of the full D4 pipeline —
+    1-round k=32 k-means cells, SemDeDup survivor set (τ = 0.40),
+    per-cell prototype direction, prototypicality ranking and the
+    4·r > n_c keep rule — must match llm_d4_diversify row for row
+    (vec_id, cluster, AND the emitted proto value on the qround
+    grid). All folds run left-to-right like the engines'
+    aggregate()/list_reduce forms."""
+    import math
+
+    from etl_geonames_spark.sources import load_table
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = sorted(
+        (
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    )
+    K, TAU = 32, 0.40
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = {vid: emb for vid, emb in rows if vid < K}
+
+    def assign(c):
+        out = {}
+        for vid, emb in rows:
+            best = min(c, key=lambda cl: (d2(emb, c[cl]), cl))
+            out[vid] = best
+        return out
+
+    def update(a):
+        sums, cnts = {}, {}
+        for vid, emb in rows:
+            cl = a[vid]
+            if cl not in sums:
+                sums[cl] = [0.0] * len(emb)
+                cnts[cl] = 0
+            cnts[cl] += 1
+            for i, v in enumerate(emb):
+                sums[cl][i] += v
+        return {
+            cl: [q6(s / cnts[cl]) for s in sums[cl]] for cl in sums
+        }
+
+    a1 = assign(update(assign(cents)))
+
+    u = {
+        vid: [x / max(math.sqrt(dot(emb, emb)), 1e-12) for x in emb]
+        for vid, emb in rows
+    }
+    dropped = set()
+    ids = [vid for vid, _ in rows]
+    for i in ids:
+        for j in ids:
+            if i < j and a1[i] == a1[j] and q6(dot(u[i], u[j])) >= TAU:
+                dropped.add(j)
+    keep = [vid for vid in ids if vid not in dropped]
+
+    proto = {}
+    for cl in set(a1[v] for v in keep):
+        members = [v for v in keep if a1[v] == cl]
+        dim = len(u[members[0]])
+        pd_ = []
+        for i in range(dim):
+            s = 0.0
+            for v in members:
+                s += u[v][i]
+            pd_.append(q6(s / len(members)))
+        proto[cl] = pd_
+    scored = [(v, a1[v], q6(dot(u[v], proto[a1[v]]))) for v in keep]
+    expect = {}
+    for cl in proto:
+        cell = sorted(
+            [s for s in scored if s[1] == cl],
+            key=lambda s: (-s[2], s[0]),
+        )
+        nc = len(cell)
+        for r_, (v, _, p) in enumerate(cell, start=1):
+            if 4 * r_ > nc:
+                expect[v] = (cl, p)
+
+    got = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["proto"]))
+        for r in _rows(spark, sf_dir, "llm_d4_diversify")
+    }
+    assert set(got) == set(expect)
+    for v, (cl, p) in expect.items():
+        assert got[v][0] == cl
+        # avg-fold order in the engines' per-dim means is partial-
+        # aggregate shaped; the qround grid absorbs it, so proto
+        # values agree to one grid step
+        assert abs(got[v][1] - p) <= 2e-6
