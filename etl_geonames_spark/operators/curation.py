@@ -1188,10 +1188,10 @@ _STOPWORDS = (
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
-@query(
-    "llm_gopher_quality",
-    oracle=f"""
-    WITH s AS (
+# Gopher-gate CTE chain + pass predicate, shared by llm_gopher_quality
+# and llm_quality_classifier's training labels (one definition — a
+# threshold change propagates to all or none, the _poly_hash_sql rule)
+_GOPHER_M_SQL = f"""s AS (
       SELECT doc_id,
              str_split(text, ' ') AS t,
              len(str_split(text, ' ')) AS n_words,
@@ -1207,28 +1207,21 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
              CAST(len(list_filter(t, w -> list_contains([{_STOP_SQL}], w)))
                   AS BIGINT) AS n_stop
       FROM s
-    )
-    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-           FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
-           FLOOR(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_frac,
-           n_stop,
-           (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
-            AND alpha_frac >= 0.7 AND n_stop >= 1) AS passes
-    FROM m
-    """,
+    )"""
+_GOPHER_PASS_PRED = (
+    "(n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0"
+    " AND alpha_frac >= 0.7 AND n_stop >= 1)"
 )
-def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule-based quality gate (the public heuristic set
-    of Rae et al. 2021 §A1.1, thresholds adapted to the fixture's
-    short synthetic docs): word count, mean word length inside a sane
-    band, fraction of words containing an alphabetic character, and
-    stop-word presence — the cheap first-pass filter every
-    pretraining pipeline runs before any model-based scoring.
 
-    All map-side string/array expressions (mean word length comes
-    from total chars minus separators — no explode at all); one
-    whole-stage-codegen'd pass over the scan, trivially 100 TB-shaped."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def _gopher_cols():
+    """Spark twin of _GOPHER_M_SQL + _GOPHER_PASS_PRED: the Gopher
+    gate's (n_words, mean_wl, alpha_frac, n_stop, passes) columns
+    over a ``documents`` scan — one definition for the gate query and
+    the classifier's labels. mean_wl's operands are exact integers,
+    so the float thresholds compare identical doubles cross-engine
+    (correctly-rounded int/int division — the reason these
+    predicates are oracle-safe without qround)."""
     t = F.split(F.col("text"), " ")
     n_words = F.size(t)
     mean_wl = (
@@ -1251,6 +1244,34 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_frac >= 0.7)
         & (n_stop >= 1)
     )
+    return n_words, mean_wl, alpha_frac, n_stop, passes
+
+
+@query(
+    "llm_gopher_quality",
+    oracle=f"""
+    WITH {_GOPHER_M_SQL}
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+           FLOOR(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_frac,
+           n_stop,
+           {_GOPHER_PASS_PRED} AS passes
+    FROM m
+    """,
+)
+def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (the public heuristic set
+    of Rae et al. 2021 §A1.1, thresholds adapted to the fixture's
+    short synthetic docs): word count, mean word length inside a sane
+    band, fraction of words containing an alphabetic character, and
+    stop-word presence — the cheap first-pass filter every
+    pretraining pipeline runs before any model-based scoring.
+
+    All map-side string/array expressions (mean word length comes
+    from total chars minus separators — no explode at all); one
+    whole-stage-codegen'd pass over the scan, trivially 100 TB-shaped."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words, mean_wl, alpha_frac, n_stop, passes = _gopher_cols()
     return docs.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
@@ -1749,20 +1770,46 @@ def _poly_hash_sql(expr: str) -> str:
     )
 
 
-@query(
-    "llm_feature_hashing",
-    oracle=f"""
-    WITH w AS (
+# hashed-feature CTE chain (ends at ``feats``: doc_id, dim, n) shared
+# by llm_feature_hashing and llm_quality_classifier
+_FH_FEATS_SQL = f"""w AS (
         SELECT doc_id, unnest(str_split(text, ' ')) AS word
         FROM documents
     ),
     h AS (
         SELECT doc_id, {_poly_hash_sql("word")} AS ph
         FROM w WHERE word <> ''
+    ),
+    feats AS (
+        SELECT doc_id, CAST(ph % {_FH_DIMS} AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM h GROUP BY doc_id, dim
+    )"""
+
+
+def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of _FH_FEATS_SQL — the (doc_id, dim, n) hashed
+    bag-of-words table llm_feature_hashing registers and
+    llm_quality_classifier trains on (shared code, shared oracle
+    fragment: the two can never disagree about the feature space)."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
     )
-    SELECT doc_id, CAST(ph % {_FH_DIMS} AS INT) AS dim,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM h GROUP BY doc_id, dim
+    ph = poly_hash(F.col("word"))
+    return (
+        w.select("doc_id", (ph % _FH_DIMS).cast("int").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH {_FH_FEATS_SQL}
+    SELECT doc_id, dim, n FROM feats
     """,
 )
 def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,16 +1828,190 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (doc_id, dim): shuffle rows are bounded by docs×32
     regardless of document length — the whole point of hashed
     features vs vocabulary joins."""
-    w = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+    return hashed_features(spark, sf_dir)
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH {_FH_FEATS_SQL},
+    {_GOPHER_M_SQL},
+    y AS (
+        SELECT doc_id,
+               CASE WHEN {_GOPHER_PASS_PRED}
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS y
+        FROM m
+    ),
+    fx AS (
+        SELECT doc_id, dim, n FROM feats
+        UNION ALL
+        SELECT doc_id, CAST({_FH_DIMS} AS INT) AS dim,
+               CAST(1 AS BIGINT) AS n
+        FROM documents
+    ),
+    r1 AS (
+        SELECT f.dim,
+               CAST(SUM(f.n) AS BIGINT) AS support,
+               CAST(2 * SUM(f.n * (2 * y.y - 1)) AS BIGINT) AS g1num,
+               CAST(SUM(f.n * f.n) AS BIGINT) AS g1den
+        FROM fx f JOIN y USING (doc_id) GROUP BY f.dim
+    ),
+    w1t AS (
+        SELECT dim, support,
+               CAST(g1num AS DOUBLE) / CAST(g1den AS DOUBLE) AS w1,
+               CAST(FLOOR(CAST(g1num AS DOUBLE) / CAST(g1den AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS w1q
+        FROM r1
+    ),
+    z AS (
+        SELECT f.doc_id, CAST(SUM(f.n * w.w1q) AS BIGINT) AS z_int
+        FROM fx f JOIN w1t w USING (dim) GROUP BY f.doc_id
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN z_int > 30000000 THEN CAST(1000000 AS BIGINT)
+                    WHEN z_int < -30000000 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(1000000.0
+                        / (1.0 + exp(-(CAST(z_int AS DOUBLE)
+                                       / 1000000.0))) + 0.5) AS BIGINT)
+               END AS pq
+        FROM z
+    ),
+    r2 AS (
+        SELECT f.dim,
+               CAST(SUM(f.n * (1000000 * y.y - p.pq)) AS BIGINT) AS gnum,
+               CAST(SUM(f.n * f.n
+                    * CAST(FLOOR(CAST(p.pq * (1000000 - p.pq) AS DOUBLE)
+                                 / 1000000.0) AS BIGINT))
+                    AS BIGINT) AS hden
+        FROM fx f JOIN y USING (doc_id) JOIN p USING (doc_id)
+        GROUP BY f.dim
     )
-    ph = poly_hash(F.col("word"))
-    return (
-        w.select("doc_id", (ph % _FH_DIMS).cast("int").alias("dim"))
-        .groupBy("doc_id", "dim")
-        .agg(F.count(F.lit(1)).alias("n"))
+    SELECT w.dim, w.support,
+           {sql_qround('w.w1', 6)} AS w1,
+           {sql_qround(
+               "CASE WHEN r2.hden > 0"
+               " THEN CAST(w.w1q AS DOUBLE) / 1000000.0"
+               "      + CAST(r2.gnum AS DOUBLE) / CAST(r2.hden AS DOUBLE)"
+               " ELSE CAST(w.w1q AS DOUBLE) / 1000000.0 END",
+               6,
+           )} AS w2
+    FROM w1t w JOIN r2 USING (dim)
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier — a 2-round per-coordinate-Newton
+    (diagonal-IRLS) logistic probe over llm_feature_hashing's 32-dim
+    hashed bag-of-words (+ intercept dim 32), trained on the Gopher
+    gate's pass/fail labels: the fastText-filter stand-in (Joulin et
+    al. 2016's linear-probe role; VERDICT r9/r10's named extension).
+    Emits per-dim (support, w1, w2) — round-1 and round-2 weights —
+    33 rows; llm_quality_score is the hand-tuned heuristic, THIS is
+    the trained replacement whose labels can later come from any
+    oracle (human ratings, LM judgments) without changing the plan.
+
+    Cross-engine exactness by construction: round 1 starts at w = 0
+    where the sigmoid is EXACTLY 1/2, so w1_j = 2·Σx(2y−1)/Σx² is a
+    ratio of exact int64s (identical correctly-rounded double both
+    engines). Weights snap to the 1e-6 integer grid (w1q), so the
+    round-2 logit z = Σ x·w1q is an EXACT int64 sum — order-free.
+    The single libm crossing (sigmoid) lands on the 1e-6 grid
+    immediately (pq; z clamped to ±30 first — beyond that the
+    sigmoid is 0/1 at grid resolution, and DuckDB/Java exp overflow
+    semantics never engage), after which gradient Σx(10⁶y − pq) and
+    curvature Σx²·⌊pq(10⁶−pq)/10⁶⌋ are again exact int64 — the
+    norm_cdf discipline (libm only in immediately-gridded values,
+    never in a cross-engine predicate). Saturated cells (hden = 0)
+    fall back to w2 = w1, the standard Newton no-op, mirrored with
+    CASE. Int64 headroom: terms stay < 2⁶³ to ~10⁹ tokens/dim-pair
+    sums at this grid — beyond that, coarsen the h grid or move the
+    round-2 sums to DECIMAL(38); documented, not silent.
+
+    100 TB shape: features/labels are each ONE map-side pass; the fx
+    table is localCheckpointed (it feeds rounds 1, z, and 2 — the
+    multi-consumer rule); every aggregate is keyed on dim (33 groups,
+    map-side combined) or doc_id (the z sum — bounded by docs×33
+    rows); the 33-row weight table broadcasts. Two Newton rounds is
+    the classic IRLS cold-start budget (McCullagh & Nelder 1989) —
+    more rounds are the same plan repeated with pq re-gridded."""
+    feats = hashed_features(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    fx = feats.unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(_FH_DIMS).cast("int").alias("dim"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+    ).localCheckpoint()
+    passes = _gopher_cols()[4]
+    y = docs.select(
+        "doc_id", passes.cast("long").alias("y")
+    ).localCheckpoint()
+    r1 = (
+        fx.join(y, "doc_id")
+        .groupBy("dim")
+        .agg(
+            F.sum("n").cast("long").alias("support"),
+            (F.lit(2) * F.sum(F.col("n") * (2 * F.col("y") - 1)))
+            .cast("long")
+            .alias("g1num"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("g1den"),
+        )
+    )
+    w1d = F.col("g1num").cast("double") / F.col("g1den").cast("double")
+    w1t = r1.select(
+        "dim",
+        "support",
+        w1d.alias("w1"),
+        F.floor(w1d * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("w1q"),
+    )
+    z = (
+        fx.join(F.broadcast(w1t.select("dim", "w1q")), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w1q")).cast("long").alias("z_int"))
+    )
+    zi = F.col("z_int")
+    p = z.select(
+        "doc_id",
+        F.when(zi > 30000000, F.lit(1000000).cast("long"))
+        .when(zi < -30000000, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                / (F.lit(1.0) + F.exp(-(zi.cast("double") / F.lit(1000000.0))))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("pq"),
+    )
+    hq = F.floor(
+        (F.col("pq") * (F.lit(1000000) - F.col("pq"))).cast("double")
+        / F.lit(1000000.0)
+    ).cast("long")
+    r2 = (
+        fx.join(y, "doc_id")
+        .join(p, "doc_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("n") * (F.lit(1000000) * F.col("y") - F.col("pq")))
+            .cast("long")
+            .alias("gnum"),
+            F.sum(F.col("n") * F.col("n") * hq).cast("long").alias("hden"),
+        )
+    )
+    base = F.col("w1q").cast("double") / F.lit(1000000.0)
+    w2 = F.when(
+        F.col("hden") > 0,
+        base + F.col("gnum").cast("double") / F.col("hden").cast("double"),
+    ).otherwise(base)
+    return w1t.join(r2, "dim").select(
+        "dim",
+        "support",
+        qround(F.col("w1"), 6).alias("w1"),
+        qround(w2, 6).alias("w2"),
     )
 
 

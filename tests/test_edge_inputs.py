@@ -317,6 +317,12 @@ def edge_ddb(edge_sf_dir):
         # it; D4 cells of size 1 rank r=1 > nc/4 and all survive)
         "llm_semdedup",
         "llm_d4_diversify",
+        # IRLS probe on the one-sided 6-doc corpus (every Gopher
+        # label is 0): round-1 weights go uniformly negative, the
+        # empty doc contributes only its intercept row, and the
+        # saturated-cell hden = 0 fallback must emit w2 = w1 from
+        # both engines, not divide
+        "llm_quality_classifier",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -945,3 +945,17 @@ def test_d4_diversify_broadcasts_prototypes_and_keys_windows(spark, sf_dir):
     # hashpartitioning on cluster feeds it
     assert "hashpartitioning(cluster" in plan
     assert not has_node(df, "CartesianProduct")
+
+
+def test_quality_classifier_broadcasts_weights_keyed_aggs_only(spark, sf_dir):
+    """IRLS probe: the 33-row weight table reaches the corpus-sized
+    logit sum by BROADCAST; every aggregate is hash-keyed (dim or
+    doc_id) with map-side partials; no sort aggregates, no cartesian,
+    no window at all. The feature/label tables are localCheckpointed
+    (three consumers), so the plan starts at checkpointed scans."""
+    df = QUERIES["llm_quality_classifier"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+    assert not has_node(df, "CartesianProduct")
+    assert not re.search(r"\bWindow\b", plan)

@@ -3222,3 +3222,105 @@ def test_d4_diversify_python_replay(spark, sf_dir):
         # aggregate shaped; the qround grid absorbs it, so proto
         # values agree to one grid step
         assert abs(got[v][1] - p) <= 2e-6
+
+
+def test_quality_classifier_python_replay(spark, sf_dir):
+    """Pure-Python third implementation of the 2-round diagonal-IRLS
+    logistic probe — hashed features, Gopher labels, exact-int round
+    1, gridded sigmoid, exact-int round 2 — must match
+    llm_quality_classifier EXACTLY on every column (the op's core
+    claim is integer-exactness everywhere except the one gridded
+    sigmoid, so no tolerance except one grid step on the emitted
+    rounded doubles)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    B, P = 32, 1_000_003
+    STOP = {"the", "a", "an", "and", "of", "to", "in", "is", "it"}
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def ph(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    feats = {}
+    labels = {}
+    for r in rows:
+        did = int(r["doc_id"])
+        toks_all = r["text"].split(" ")
+        toks = [w for w in toks_all if w != ""]
+        c = Counter(ph(w) % B for w in toks)
+        c[B] = 1  # intercept
+        feats[did] = c
+        n_words = len(toks_all)
+        mean_wl = (len(r["text"]) - (n_words - 1)) / n_words
+        alpha = sum(
+            1 for w in toks_all if any(ch.isascii() and ch.isalpha() for ch in w)
+        ) / n_words
+        n_stop = sum(1 for w in toks_all if w in STOP)
+        labels[did] = int(
+            n_words >= 10
+            and 2.0 <= mean_wl <= 12.0
+            and alpha >= 0.7
+            and n_stop >= 1
+        )
+
+    g1num = defaultdict(int)
+    g1den = defaultdict(int)
+    supp = defaultdict(int)
+    for did, c in feats.items():
+        y = labels[did]
+        for d, x in c.items():
+            supp[d] += x
+            g1num[d] += x * (2 * y - 1)
+            g1den[d] += x * x
+    w1 = {d: (2 * g1num[d]) / g1den[d] for d in g1den}
+    w1q = {d: math.floor(w1[d] * 1000000.0 + 0.5) for d in w1}
+
+    pq = {}
+    for did, c in feats.items():
+        z = sum(x * w1q[d] for d, x in c.items())
+        if z > 30_000_000:
+            pq[did] = 1_000_000
+        elif z < -30_000_000:
+            pq[did] = 0
+        else:
+            pq[did] = math.floor(
+                1000000.0 / (1.0 + math.exp(-(z / 1000000.0))) + 0.5
+            )
+
+    gnum = defaultdict(int)
+    hden = defaultdict(int)
+    for did, c in feats.items():
+        y, p = labels[did], pq[did]
+        h = math.floor(p * (1_000_000 - p) / 1000000.0)
+        for d, x in c.items():
+            gnum[d] += x * (1_000_000 * y - p)
+            hden[d] += x * x * h
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    got = {
+        int(r["dim"]): r
+        for r in _rows(spark, sf_dir, "llm_quality_classifier")
+    }
+    assert set(got) == set(w1)
+    for d in w1:
+        g = got[d]
+        assert g["support"] == supp[d]
+        assert abs(g["w1"] - q6(w1[d])) <= 1.1e-6, (d, g["w1"], w1[d])
+        w2 = (
+            w1q[d] / 1000000.0 + gnum[d] / hden[d]
+            if hden[d] > 0
+            else w1q[d] / 1000000.0
+        )
+        assert abs(g["w2"] - q6(w2)) <= 1.1e-6, (d, g["w2"], w2)
