@@ -58,6 +58,11 @@ OPS = [
     # the df-16/occ-8 caps are the pair-bill guard under test (orig
     # df-1 seeds hit df 10, still kept; df>=2 seeds cap out at 20)
     "llm_exact_shared_run",
+    # round-11: IRLS probe over the replicated corpus — hashed
+    # features replicate (10x counts, same 33 dims), labels replicate,
+    # so every per-dim sum multiplies while group keys stay fixed:
+    # near-flat expectation like the BPE counts pass
+    "llm_quality_classifier",
     # map-only per-doc array expressions: must scale linearly with
     # corpus size, indifferent to the duplication structure
     "llm_longest_self_repeat",

@@ -68,6 +68,12 @@ OPS = [
     # agg dominates, arrays unchanged); granger additionally pins
     # that the pairwise join stays metadata-sized (days x types) —
     # 10x denser events must NOT grow the pair table
+    # round-11: D4 over the 10x vector corpus — every source vector
+    # heads a 10-copy identical clique, so SemDeDup collapses each
+    # clique to its min-id member (pair bill = within-cell pairs, the
+    # k~sqrt(n) lever) and D4 ranks the survivors; wall should track
+    # the semdedup pair join, with the prototype pass cell-bounded
+    "llm_d4_diversify",
     "ts_variance_ratio",
     "ts_granger_lag1",
     "ts_durbin_watson",
