@@ -959,3 +959,34 @@ def test_quality_classifier_broadcasts_weights_keyed_aggs_only(spark, sf_dir):
     assert "SortAggregate" not in plan
     assert not has_node(df, "CartesianProduct")
     assert not re.search(r"\bWindow\b", plan)
+
+
+def test_daily_series_battery_and_seasonal_mk_shapes(spark, sf_dir):
+    """Round-11 audit (VERDICT r10 item 5): the remaining §2.28 ops'
+    docstring shapes, pinned. The four daily-series diagnostics
+    (variance_ratio, arch_lm, durbin_watson, turning_points) are the
+    _daily_series bill — one corpus-scale daily hash aggregate + the
+    per-type collected fold, ≤2 exchanges, no window, no join at all.
+    stat_mann_kendall_seasonal is the checkpointed daily cell table +
+    the within-season day-pair broadcast self-join + bounded keyed
+    re-aggregates: ≤4 exchanges, broadcast join (days are a bounded
+    domain), never a sort-merge or cartesian."""
+    for name in (
+        "ts_variance_ratio",
+        "ts_arch_lm",
+        "ts_durbin_watson",
+        "ts_turning_points",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert shuffle_exchange_count(df) <= 2, name
+        assert not has_node(df, "Window"), name
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    df = QUERIES["stat_mann_kendall_seasonal"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 4
+    assert has_broadcast_hash_join(df)
+    assert "Scan ExistingRDD" in plan  # checkpointed daily cell table
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
