@@ -166,7 +166,22 @@ def main() -> None:
     # elevation on an llm_dedup_* query is adjudicated collectively
     # as run-shape noise UNLESS a solo noop-sink run (quiet box,
     # warmed session, 3 runs) confirms the elevation.
-    _GC_BEFORE = "llm_dedup_band_stats"  # alphabetical head of the block
+    # ROUND-11 EXTENSION (VERDICT r10 item 4): the r10 driver record
+    # showed the same roving class on the cheap llm_* TEXT aggregates
+    # (llm_lang_dist .. llm_topp_vocab, 4-10x in-bench, all revert
+    # solo), and the r11 opening anchor's two spikes landed OUTSIDE
+    # the text block entirely (win_distinct_rolling,
+    # join_interval_grid) — both observations say position/GC-shape,
+    # not query-shape. Experiment: settle barriers at the heads of
+    # the two text-stat neighborhoods too, so any old-gen collection
+    # triggered by the preceding dedup/embedding broadcasts lands in
+    # an UNTIMED gap. A/B read-out = whether the text-block spike
+    # class still appears in warm-box driver records (BASELINE.md).
+    _GC_BEFORE = {
+        "llm_dedup_band_stats",  # alphabetical head of the dedup block
+        "llm_lang_dist",  # head of the lang/mix text-stat run
+        "llm_text_stats",  # head of the llm_t* token-stat run
+    }
 
     def _settle_gc() -> None:
         spark.sparkContext._jvm.System.gc()
@@ -177,7 +192,7 @@ def main() -> None:
     sc = spark.sparkContext
     for pass_timings in (cold, timings):
         for name in sorted(qs):
-            if name == _GC_BEFORE:
+            if name in _GC_BEFORE:
                 _settle_gc()
             # construction is INSIDE the timed window: iterative queries
             # (dedup clustering) and scalar-subquery queries (tfidf's
