@@ -1831,10 +1831,10 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(spark, sf_dir)
 
 
-@query(
-    "llm_quality_classifier",
-    oracle=f"""
-    WITH {_FH_FEATS_SQL},
+# full IRLS CTE chain (ends at ``w2t``: dim, support, w1, w1q,
+# w2_raw), shared by llm_quality_classifier and llm_classifier_eval —
+# the fit and its evaluation can never disagree about the weights
+_IRLS_CORE_SQL = f"""{_FH_FEATS_SQL},
     {_GOPHER_M_SQL},
     y AS (
         SELECT doc_id,
@@ -1887,17 +1887,26 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS hden
         FROM fx f JOIN y USING (doc_id) JOIN p USING (doc_id)
         GROUP BY f.dim
-    )
-    SELECT w.dim, w.support,
-           {sql_qround('w.w1', 6)} AS w1,
-           {sql_qround(
-               "CASE WHEN r2.hden > 0"
-               " THEN CAST(w.w1q AS DOUBLE) / 1000000.0"
-               "      + CAST(r2.gnum AS DOUBLE) / CAST(r2.hden AS DOUBLE)"
-               " ELSE CAST(w.w1q AS DOUBLE) / 1000000.0 END",
-               6,
-           )} AS w2
-    FROM w1t w JOIN r2 USING (dim)
+    ),
+    w2t AS (
+        SELECT w.dim, w.support, w.w1, w.w1q,
+               CASE WHEN r2.hden > 0
+                    THEN CAST(w.w1q AS DOUBLE) / 1000000.0
+                         + CAST(r2.gnum AS DOUBLE)
+                           / CAST(r2.hden AS DOUBLE)
+                    ELSE CAST(w.w1q AS DOUBLE) / 1000000.0 END AS w2_raw
+        FROM w1t w JOIN r2 USING (dim)
+    )"""
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH {_IRLS_CORE_SQL}
+    SELECT dim, support,
+           {sql_qround('w1', 6)} AS w1,
+           {sql_qround('w2_raw', 6)} AS w2
+    FROM w2t
     """,
 )
 def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,6 +1944,21 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the 33-row weight table broadcasts. Two Newton rounds is
     the classic IRLS cold-start budget (McCullagh & Nelder 1989) —
     more rounds are the same plan repeated with pq re-gridded."""
+    _fx, _y, w2t = _irls_fit(spark, sf_dir)
+    return w2t.select(
+        "dim",
+        "support",
+        qround(F.col("w1"), 6).alias("w1"),
+        qround(F.col("w2_raw"), 6).alias("w2"),
+    )
+
+
+def _irls_fit(spark: SparkSession, sf_dir: str):
+    """Engine twin of _IRLS_CORE_SQL: returns (fx, y, w2t) — the
+    checkpointed feature/label tables plus the 33-row weight table
+    with RAW round-2 weights (w2_raw) — shared by
+    llm_quality_classifier (rounds and emits) and llm_classifier_eval
+    (applies the weights back to the corpus)."""
     feats = hashed_features(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     fx = feats.unionByName(
@@ -2003,15 +2027,125 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = F.col("w1q").cast("double") / F.lit(1000000.0)
-    w2 = F.when(
+    w2_raw = F.when(
         F.col("hden") > 0,
         base + F.col("gnum").cast("double") / F.col("hden").cast("double"),
     ).otherwise(base)
-    return w1t.join(r2, "dim").select(
+    w2t = w1t.join(r2, "dim").select(
+        "dim", "support", "w1", "w1q", w2_raw.alias("w2_raw")
+    )
+    return fx, y, w2t
+
+
+@query(
+    "llm_classifier_eval",
+    oracle=f"""
+    WITH {_IRLS_CORE_SQL},
+    w2q AS (
+        SELECT dim,
+               CAST(FLOOR(w2_raw * 1000000.0 + 0.5) AS BIGINT) AS wq
+        FROM w2t
+    ),
+    z2 AS (
+        SELECT f.doc_id, CAST(SUM(f.n * w.wq) AS BIGINT) AS z2
+        FROM fx f JOIN w2q w USING (dim) GROUP BY f.doc_id
+    ),
+    cm AS (
+        SELECT
+            CAST(SUM(CASE WHEN y.y = 1 AND z2.z2 >= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN y.y = 0 AND z2.z2 >= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN y.y = 0 AND z2.z2 < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+            CAST(SUM(CASE WHEN y.y = 1 AND z2.z2 < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM z2 JOIN y USING (doc_id)
+    )
+    SELECT tp, fp, tn, fn,
+           {sql_qround(
+               "CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn)", 6
+           )} AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN {sql_qround("CAST(tp AS DOUBLE) / (tp + fp)", 6)}
+           END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN {sql_qround("CAST(tp AS DOUBLE) / (tp + fn)", 6)}
+           END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN {sql_qround(
+                    "CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)", 6
+                )}
+           END AS f1
+    FROM cm
+    """,
+)
+def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set evaluation of the IRLS quality probe: apply the
+    round-2 weights back to every document and report the confusion
+    matrix vs the Gopher labels plus accuracy / precision / recall /
+    F1 — the readout that tells a pipeline operator whether the
+    learned filter actually tracks its training signal before anyone
+    swaps the labels for better ones (the fastText-filter workflow's
+    sanity gate; pairs with llm_calibration_bins for probability
+    quality).
+
+    The decision rule is ALL-INTEGER: sigmoid is monotone, so
+    p ≥ 1/2 ⇔ z₂ ≥ 0 where z₂ = Σ x·w2q is an exact int64 sum over
+    the 1e-6-grid weights — no sigmoid, no float threshold, no
+    cross-engine predicate risk anywhere in this query. F1 is
+    computed from counts (2tp/(2tp+fp+fn)) so it needs ONE guard,
+    not a precision·recall compose; one-sided corpora NULL the
+    undefined ratios via CASE on both engines (the
+    stat_fleiss_kappa discipline).
+
+    100 TB shape: _irls_fit's plan (shared, checkpointed) + one
+    broadcast of the 33-row gridded weights + one doc-keyed sum +
+    a single global aggregate — evaluation costs one corpus pass
+    more than training."""
+    fx, y, w2t = _irls_fit(spark, sf_dir)
+    w2q = w2t.select(
         "dim",
-        "support",
-        qround(F.col("w1"), 6).alias("w1"),
-        qround(w2, 6).alias("w2"),
+        F.floor(F.col("w2_raw") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+    )
+    z2 = (
+        fx.join(F.broadcast(w2q), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("wq")).cast("long").alias("z2"))
+    )
+    j = z2.join(y, "doc_id")
+    pos = F.col("z2") >= 0
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    cm = j.agg(
+        _cnt((F.col("y") == 1) & pos).alias("tp"),
+        _cnt((F.col("y") == 0) & pos).alias("fp"),
+        _cnt((F.col("y") == 0) & ~pos).alias("tn"),
+        _cnt((F.col("y") == 1) & ~pos).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        qround(
+            (tp + tn).cast("double") / (tp + fp + tn + fn), 6
+        ).alias("accuracy"),
+        F.when(
+            tp + fp > 0, qround(tp.cast("double") / (tp + fp), 6)
+        ).alias("prec"),
+        F.when(
+            tp + fn > 0, qround(tp.cast("double") / (tp + fn), 6)
+        ).alias("rec"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            qround((2 * tp).cast("double") / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
     )
 
 

@@ -323,6 +323,10 @@ def edge_ddb(edge_sf_dir):
         # saturated-cell hden = 0 fallback must emit w2 = w1 from
         # both engines, not divide
         "llm_quality_classifier",
+        # eval on the same one-sided corpus: tp = fn = 0, so
+        # precision/recall/F1 all hit their CASE guards (prec is
+        # defined iff the probe predicts any positive)
+        "llm_classifier_eval",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

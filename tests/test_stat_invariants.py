@@ -3324,3 +3324,31 @@ def test_quality_classifier_python_replay(spark, sf_dir):
             else w1q[d] / 1000000.0
         )
         assert abs(g["w2"] - q6(w2)) <= 1.1e-6, (d, g["w2"], w2)
+
+
+def test_classifier_eval_counts_consistent(spark, sf_dir):
+    """Cross-query consistency: the eval's confusion matrix must
+    tile the corpus (tp+fp+tn+fn = n_docs) with the positive margin
+    equal to llm_gopher_quality's pass count (tp+fn = #passes), and
+    the emitted ratios must equal their count identities on the
+    qround grid."""
+    import math
+
+    (r,) = _rows(spark, sf_dir, "llm_classifier_eval")
+    gq = _rows(spark, sf_dir, "llm_gopher_quality")
+    n_docs = len(gq)
+    n_pass = sum(1 for g in gq if g["passes"])
+    tp, fp, tn, fn = r["tp"], r["fp"], r["tn"], r["fn"]
+    assert tp + fp + tn + fn == n_docs
+    assert tp + fn == n_pass
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert r["accuracy"] == q6((tp + tn) / n_docs)
+    if tp + fp > 0:
+        assert r["prec"] == q6(tp / (tp + fp))
+    else:
+        assert r["prec"] is None
+    if 2 * tp + fp + fn > 0:
+        assert r["f1"] == q6(2 * tp / (2 * tp + fp + fn))
