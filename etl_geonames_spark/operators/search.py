@@ -168,6 +168,110 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
 
 
+_QL_MU = 100.0  # Dirichlet pseudo-count, fixture-calibrated (classic
+# web-scale default is ~2000; the synthetic docs average ~50 tokens,
+# so mu is scaled to keep smoothing in the informative regime)
+
+
+@query(
+    "llm_query_likelihood",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ),
+    words_ne AS (SELECT * FROM words WHERE word <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM words_ne GROUP BY doc_id
+    ),
+    coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM words_ne),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words_ne WHERE word IN {_BM25_TERMS!r}
+      GROUP BY doc_id, word
+    ),
+    cf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM words_ne WHERE word IN {_BM25_TERMS!r}
+      GROUP BY word
+    ),
+    s1 AS (
+      SELECT tf.doc_id,
+             SUM(LN(1.0 + CAST(tf.tf * coll.ctot AS DOUBLE)
+                          / ({_QL_MU} * cf.cf))) AS s1
+      FROM tf JOIN cf USING (word), coll
+      GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT s1.doc_id,
+             s1.s1 + 3.0 * LN({_QL_MU} / (dl.dl + {_QL_MU})) AS s
+      FROM s1 JOIN dl USING (doc_id)
+    )
+    SELECT doc_id, FLOOR(s * 1000000.0 + 0.5) / 1000000.0 AS ql
+    FROM scored
+    ORDER BY 2 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def llm_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) for the same fixed 3-term query as llm_bm25_topk — the
+    language-modeling ranker that, with BM25, spans the two classic
+    lexical retrieval families (tf-saturation vs LM smoothing); run
+    both and llm_rrf_fusion has its second lexical leg.
+
+    Scores use the efficient decomposition score(d) =
+    Sigma_matching ln(1 + tf*|C| / (mu*cf_t)) + |q|*ln(mu/(dl+mu)),
+    which needs ONLY matching (doc, term) rows plus per-doc length —
+    the posting-intersection form a real engine executes; docs
+    matching no query term are not candidates (standard retrieval
+    semantics — the rank-only length term would otherwise "retrieve"
+    the shortest documents). All ratio operands are exact int64
+    counts cast to double identically on both engines; the ln sums
+    are qround(6)-quantized BEFORE ranking with doc_id tie-break
+    (the bm25 float-ordering discipline).
+
+    Plan shape mirrors llm_bm25_topk: term filter reaches the
+    exploded stream, (1-row ctot, 3-row cf) broadcast, one doc-keyed
+    sum, TakeOrdered top-k — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    coll = words.agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    qws = words.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = qws.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cf = qws.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    term = F.log(
+        F.lit(1.0)
+        + (F.col("tf") * F.col("ctot")).cast("double")
+        / (F.lit(_QL_MU) * F.col("cf"))
+    )
+    s1 = (
+        tf.join(F.broadcast(cf), "word")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("s1"))
+    )
+    s = F.col("s1") + F.lit(3.0) * F.log(
+        F.lit(_QL_MU) / (F.col("dl") + F.lit(_QL_MU))
+    )
+    return (
+        s1.join(dl, "doc_id")
+        .select("doc_id", qround(s, 6).alias("ql"))
+        .orderBy(F.col("ql").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 _RRF_K = 60  # the standard reciprocal-rank-fusion constant
 _RRF_SHORTLIST = 20
 _RRF_TOPK = 10

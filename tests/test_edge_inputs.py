@@ -327,6 +327,10 @@ def edge_ddb(edge_sf_dir):
         # precision/recall/F1 all hit their CASE guards (prec is
         # defined iff the probe predicts any positive)
         "llm_classifier_eval",
+        # QL retrieval where NO query term occurs in the corpus: the
+        # candidate set is empty and both engines must return zero
+        # rows (not every-doc length-only scores)
+        "llm_query_likelihood",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -928,6 +928,17 @@ def test_normal_theory_trio_and_distance_suite_shapes(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_query_likelihood_is_takeordered_with_broadcasts(spark, sf_dir):
+    """QL retrieval mirrors the bm25 contract: corpus stats and the
+    3-row collection-frequency table broadcast, final top-k is
+    TakeOrdered — never a global sort of scored docs."""
+    df = QUERIES["llm_query_likelihood"](spark, sf_dir)
+    plan = explain_str(df)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_d4_diversify_broadcasts_prototypes_and_keys_windows(spark, sf_dir):
     """D4 post-checkpoint shape: the k×d prototype table reaches the
     scoring join by BROADCAST (never a shuffle of the survivor side),
