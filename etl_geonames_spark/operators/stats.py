@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_geonames_spark.functions import (
     qround,
@@ -6329,4 +6330,203 @@ def stat_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seasons",
         "s_stat",
         F.when(F.col("var_s") > 0.0, qround(z, 6)).alias("z"),
+    )
+
+
+@query(
+    "stat_jonckheere",
+    oracle="""
+    WITH cells AS (
+        SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    grid AS (
+        SELECT g.g, v.x FROM (SELECT DISTINCT g FROM cells) g
+        CROSS JOIN (SELECT DISTINCT x FROM cells) v
+    ),
+    full_g AS (
+        SELECT grid.g, grid.x, COALESCE(cells.c, CAST(0 AS BIGINT)) AS c
+        FROM grid LEFT JOIN cells USING (g, x)
+    ),
+    below AS (
+        SELECT g, x, c,
+               COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS b
+        FROM full_g
+    ),
+    jt AS (
+        SELECT CAST(SUM(2 * i.b * j.c + i.c * j.c) AS BIGINT) AS jt2
+        FROM below i JOIN full_g j ON i.x = j.x AND i.g < j.g
+    ),
+    gs AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(c * c) AS BIGINT) AS sn2,
+               CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS gA,
+               CAST(SUM(c * (c - 1) * (c - 2)) AS BIGINT) AS gB,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS gC
+        FROM (SELECT g, SUM(c) AS c FROM cells GROUP BY g)
+    ),
+    ts AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tA,
+               CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS tB,
+               CAST(SUM(t * (t - 1)) AS BIGINT) AS tC
+        FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY x)
+    ),
+    v AS (
+        SELECT gs.n, gs.k, jt.jt2,
+               CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5) - gs.gA - ts.tA
+                    AS DOUBLE) / 72.0
+               + CAST(gs.gB AS DOUBLE) * CAST(ts.tB AS DOUBLE)
+                 / CAST(36 * gs.n * (gs.n - 1) * (gs.n - 2) AS DOUBLE)
+               + CAST(gs.gC AS DOUBLE) * CAST(ts.tC AS DOUBLE)
+                 / CAST(8 * gs.n * (gs.n - 1) AS DOUBLE) AS var_jt,
+               CAST(2 * jt.jt2 - (gs.n * gs.n - gs.sn2) AS BIGINT)
+                   AS num4
+        FROM gs, jt, ts
+    )
+    SELECT n, k, jt2, num4,
+           CASE WHEN k >= 2 AND var_jt > 0 THEN
+               FLOOR(CAST(num4 AS DOUBLE) / (4.0 * SQRT(var_jt))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM v
+    """,
+)
+def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    per-source document-length distributions (sources ordered
+    lexicographically — the fixture's ordinal stand-in; real
+    pipelines order by crawl date, dose, model size): JT = Σ_{i<j}
+    U_ij, the sum of pairwise Mann-Whitney counts in factor order.
+    Strictly more powerful than stat_kruskal_wallis when the
+    departure is monotone (KW spends power on every permutation of
+    group means; JT spends it on the trend) — the between-groups
+    sibling of stat_page_trend's within-block L.
+
+    Sufficient-statistic form throughout: the corpus collapses to the
+    (source, n_chars, count) cell table; per-group below-counts come
+    from a group-PARTITIONED cumulative window over the pooled value
+    grid (k·V rows, never a per-row rank), and JT2 = 2·JT =
+    Σ_x Σ_{i<j} (2·b_i(x)·c_j(x) + c_i(x)·c_j(x)) is an EXACT int64
+    assembled from a value-equi-join with group inequality (k²·V
+    cell pairs, k and the value domain both bounded). The
+    tie-corrected null variance (Hollander & Wolfe 1999, eq. 6.19)
+    is three ratios of exact int64 polynomials summed in one fixed
+    left-associative expression — both engines run identical IEEE
+    ops; the only emitted float, z = (2·JT2 − (N²−Σn²))/(4σ), is
+    qround(6)'d with an all-integer numerator. k = 1 or all-tied
+    corpora NULL z (CASE, both engines). Int64 headroom: N³-scale
+    terms stay exact to N ≈ 2·10⁶ rows per... per-statistic cell
+    counts — beyond that move the polynomials to DECIMAL(38),
+    documented not silent.
+
+    100 TB shape: one map-side-combined hash aggregate down to cells
+    (checkpointed: it feeds the grid, margins, and tie table), then
+    everything is grid-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.col("source").alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    grid = (
+        cells.select("g").distinct()
+        .crossJoin(cells.select("x").distinct())
+    )
+    full_g = grid.join(cells, ["g", "x"], "left").select(
+        "g", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    below = full_g.select(
+        "g",
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("b"),
+    )
+    i = below.select(
+        F.col("g").alias("gi"), "x",
+        F.col("c").alias("ci"), F.col("b").alias("bi"),
+    )
+    j = full_g.select(
+        F.col("g").alias("gj"), "x", F.col("c").alias("cj")
+    )
+    jt = (
+        i.join(j, "x")
+        .where(F.col("gi") < F.col("gj"))
+        .agg(
+            F.sum(
+                2 * F.col("bi") * F.col("cj") + F.col("ci") * F.col("cj")
+            )
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    gs = (
+        cells.groupBy("g")
+        .agg(F.sum("c").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sn2"),
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).cast("long").alias("gA"),
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (F.col("c") - 2)
+            ).cast("long").alias("gB"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("gC"),
+        )
+    )
+    ts = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tA"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.col("t") - 2)
+            ).cast("long").alias("tB"),
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tC"),
+        )
+    )
+    n = F.col("n")
+    var_jt = (
+        (n * (n - 1) * (2 * n + 5) - F.col("gA") - F.col("tA")).cast(
+            "double"
+        )
+        / F.lit(72.0)
+        + F.col("gB").cast("double")
+        * F.col("tB").cast("double")
+        / (36 * n * (n - 1) * (n - 2)).cast("double")
+        + F.col("gC").cast("double")
+        * F.col("tC").cast("double")
+        / (8 * n * (n - 1)).cast("double")
+    )
+    num4 = (2 * F.col("jt2") - (n * n - F.col("sn2"))).cast("long")
+    return (
+        gs.crossJoin(F.broadcast(jt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "n",
+            "k",
+            "jt2",
+            num4.alias("num4"),
+            F.when(
+                (F.col("k") >= 2) & (var_jt > 0),
+                qround(
+                    num4.cast("double") / (F.lit(4.0) * F.sqrt(var_jt)), 6
+                ),
+            ).alias("z"),
+        )
     )

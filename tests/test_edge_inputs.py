@@ -331,6 +331,9 @@ def edge_ddb(edge_sf_dir):
         # candidate set is empty and both engines must return zero
         # rows (not every-doc length-only scores)
         "llm_query_likelihood",
+        # JT on the single-source corpus: k = 1 gives jt2 = 0 and a
+        # NULL z from both engines (no cross-group pairs exist)
+        "stat_jonckheere",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3352,3 +3352,62 @@ def test_classifier_eval_counts_consistent(spark, sf_dir):
         assert r["prec"] is None
     if 2 * tp + fp + fn > 0:
         assert r["f1"] == q6(2 * tp / (2 * tp + fp + fn))
+
+
+def test_jonckheere_python_replay(spark, sf_dir):
+    """Brute-force JT replay: count pairwise (a < b) + half-ties over
+    all cross-group pairs in lexicographic source order, plus the
+    Hollander-Wolfe tie-corrected variance — must match the engine's
+    grid form exactly (jt2, num4 are int64; z to one grid step)."""
+    import math
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    groups = sorted(set(r["source"] for r in rows))
+    vals = {g: [int(r["n_chars"]) for r in rows if r["source"] == g]
+            for g in groups}
+    jt2 = 0
+    for ii in range(len(groups)):
+        for jj in range(ii + 1, len(groups)):
+            for a in vals[groups[ii]]:
+                for b in vals[groups[jj]]:
+                    if a < b:
+                        jt2 += 2
+                    elif a == b:
+                        jt2 += 1
+    ns = [len(vals[g]) for g in groups]
+    N = sum(ns)
+    sn2 = sum(n * n for n in ns)
+    t = Counter(int(r["n_chars"]) for r in rows)
+    gA = sum(n * (n - 1) * (2 * n + 5) for n in ns)
+    gB = sum(n * (n - 1) * (n - 2) for n in ns)
+    gC = sum(n * (n - 1) for n in ns)
+    tA = sum(c * (c - 1) * (2 * c + 5) for c in t.values())
+    tB = sum(c * (c - 1) * (c - 2) for c in t.values())
+    tC = sum(c * (c - 1) for c in t.values())
+    var_jt = (
+        float(N * (N - 1) * (2 * N + 5) - gA - tA) / 72.0
+        + float(gB) * float(tB) / float(36 * N * (N - 1) * (N - 2))
+        + float(gC) * float(tC) / float(8 * N * (N - 1))
+    )
+    num4 = 2 * jt2 - (N * N - sn2)
+
+    (r,) = _rows(spark, sf_dir, "stat_jonckheere")
+    assert r["n"] == N and r["k"] == len(groups)
+    assert r["jt2"] == jt2
+    assert r["num4"] == num4
+    # bound: 0 <= JT2 <= N^2 - sum n_i^2, so |num4| <= N^2 - sum n_i^2
+    assert 0 <= jt2 <= N * N - sn2
+    if len(groups) >= 2 and var_jt > 0:
+        want = math.floor(
+            num4 / (4.0 * math.sqrt(var_jt)) * 1e6 + 0.5
+        ) / 1e6
+        assert abs(r["z"] - want) <= 1.1e-6
+    else:
+        assert r["z"] is None
