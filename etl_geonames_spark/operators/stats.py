@@ -6530,3 +6530,231 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@query(
+    "stat_brunner_munzel",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY g, x
+    ),
+    grid AS (
+        SELECT gg.g, v.x FROM (SELECT 0 AS g UNION ALL SELECT 1) gg
+        CROSS JOIN (SELECT DISTINCT x FROM cells) v
+    ),
+    full_g AS (
+        SELECT grid.g, grid.x, COALESCE(cells.c, CAST(0 AS BIGINT)) AS c
+        FROM grid LEFT JOIN cells USING (g, x)
+    ),
+    cum AS (
+        SELECT g, x, c,
+               COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS b
+        FROM full_g
+    ),
+    piv AS (
+        SELECT x,
+               CAST(MAX(CASE WHEN g = 0 THEN c END) AS BIGINT) AS c0,
+               CAST(MAX(CASE WHEN g = 1 THEN c END) AS BIGINT) AS c1,
+               CAST(MAX(CASE WHEN g = 0 THEN b END) AS BIGINT) AS b0,
+               CAST(MAX(CASE WHEN g = 1 THEN b END) AS BIGINT) AS b1
+        FROM cum GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0 * (2 * (b0 + b1) + c0 + c1 + 1)) AS BIGINT)
+                   AS rs0,
+               CAST(SUM(c1 * (2 * (b0 + b1) + c0 + c1 + 1)) AS BIGINT)
+                   AS rs1
+        FROM piv
+    ),
+    ss AS (
+        SELECT
+            SUM(p.c0 * POWER(CAST(
+                t.n0 * ((2 * (p.b0 + p.b1) + p.c0 + p.c1 + 1)
+                        - (2 * p.b0 + p.c0 + 1))
+                - t.rs0 + t.n0 * (t.n0 + 1) AS DOUBLE), 2)) AS q0,
+            SUM(p.c1 * POWER(CAST(
+                t.n1 * ((2 * (p.b0 + p.b1) + p.c0 + p.c1 + 1)
+                        - (2 * p.b1 + p.c1 + 1))
+                - t.rs1 + t.n1 * (t.n1 + 1) AS DOUBLE), 2)) AS q1
+        FROM piv p, tot t
+    ),
+    fin AS (
+        SELECT t.n0, t.n1, t.rs0, t.rs1,
+               CASE WHEN t.n0 > 1 THEN ss.q0
+                    / (4.0 * t.n0 * t.n0 * (t.n0 - 1)) END AS s0,
+               CASE WHEN t.n1 > 1 THEN ss.q1
+                    / (4.0 * t.n1 * t.n1 * (t.n1 - 1)) END AS s1
+        FROM tot t, ss
+    )
+    SELECT n0, n1,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               FLOOR(CAST(rs1 - n1 * (n1 + 1) AS DOUBLE)
+                     / (2.0 * n0 * n1) * 1000000.0 + 0.5) / 1000000.0
+           END AS p_hat,
+           CASE WHEN n0 > 1 AND n1 > 1
+                     AND n0 * s0 + n1 * s1 > 0 THEN
+               FLOOR(CAST(n0 * rs1 - n1 * rs0 AS DOUBLE)
+                     / (2.0 * (n0 + n1) * SQRT(n0 * s0 + n1 * s1))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS w_bm,
+           CASE WHEN n0 > 1 AND n1 > 1
+                     AND (CASE WHEN n0 > 1 THEN
+                              (n0*s0) * (n0*s0) / (n0 - 1) END
+                          + CASE WHEN n1 > 1 THEN
+                              (n1*s1) * (n1*s1) / (n1 - 1) END) > 0 THEN
+               FLOOR((n0 * s0 + n1 * s1) * (n0 * s0 + n1 * s1)
+                     / (CASE WHEN n0 > 1 THEN
+                            (n0*s0) * (n0*s0) / (n0 - 1) END
+                        + CASE WHEN n1 > 1 THEN
+                            (n1*s1) * (n1*s1) / (n1 - 1) END)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS df
+    FROM fin
+    """,
+)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Behrens-Fisher test (Brunner &
+    Munzel 2000): does P(X_en > X_other) = 1/2, WITHOUT assuming
+    equal variances of the two length distributions — the modern
+    replacement for Mann-Whitney when spread differs between groups
+    (exactly the en-vs-rest length comparison where web/other
+    sources have wildly different tails). Emits the relative effect
+    p̂ = P(X₀ < X₁) + ½P(=), the studentized W, and the
+    Welch-Satterthwaite df the t-approximation uses.
+
+    Pure value-grid sufficient statistics: pooled and within-group
+    midranks are EXACT integers on the doubled grid (pm2 = 2·cumP +
+    t + 1, wm2 = 2·cum_g + c_g + 1 — the stat_wilcoxon_signed
+    .5-rational trick), the rank-variance terms are c·A² where
+    A = n_g·(pm2 − wm2) − Rsum2_g + n_g(n_g+1) is exact int64 cast
+    to double before squaring (A² would overflow int64 at sf0.1),
+    and every emitted float has an exact-int core divided once and
+    qround(6)'d. p̂'s numerator Rsum2₁ − n₁(n₁+1) and W's numerator
+    n₀·Rsum2₁ − n₁·Rsum2₀ are all-integer. One-sided corpora or
+    n_g < 2 NULL the guarded statistics (CASE both engines).
+    Int64 headroom: Rsum2 ≤ 2N² — exact to N ≈ 2·10⁹ rows.
+
+    100 TB shape: one map-side-combined hash aggregate to the
+    (group, value) cell table (checkpointed — feeds the pivot, the
+    rank sums, and the variance pass), group-PARTITIONED cumulative
+    windows over the 2×V grid, then 1-row algebra. The corpus scans
+    once; no per-row ranks, no global window, no distributed_rank
+    machinery at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    grid = (
+        spark.range(2)
+        .select(F.col("id").cast("int").alias("g"))
+        .crossJoin(cells.select("x").distinct())
+    )
+    full_g = grid.join(cells, ["g", "x"], "left").select(
+        "g", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = full_g.select(
+        "g",
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("b"),
+    )
+
+    def _of(gv, col):
+        return F.max(F.when(F.col("g") == gv, F.col(col))).cast("long")
+
+    piv = (
+        cum.groupBy("x")
+        .agg(
+            _of(0, "c").alias("c0"),
+            _of(1, "c").alias("c1"),
+            _of(0, "b").alias("b0"),
+            _of(1, "b").alias("b1"),
+        )
+        # V rows; feeds the rank-sum totals AND the variance pass
+        .localCheckpoint()
+    )
+    pm2 = 2 * (F.col("b0") + F.col("b1")) + F.col("c0") + F.col("c1") + 1
+    tot = piv.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c0") * pm2).cast("long").alias("rs0"),
+        F.sum(F.col("c1") * pm2).cast("long").alias("rs1"),
+    )
+    wm2_0 = 2 * F.col("b0") + F.col("c0") + 1
+    wm2_1 = 2 * F.col("b1") + F.col("c1") + 1
+    a0 = (
+        F.col("n0") * (pm2 - wm2_0) - F.col("rs0")
+        + F.col("n0") * (F.col("n0") + 1)
+    ).cast("double")
+    a1 = (
+        F.col("n1") * (pm2 - wm2_1) - F.col("rs1")
+        + F.col("n1") * (F.col("n1") + 1)
+    ).cast("double")
+    ss = piv.crossJoin(F.broadcast(tot)).agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max("rs0").alias("rs0"),
+        F.max("rs1").alias("rs1"),
+        F.sum(F.col("c0") * a0 * a0).alias("q0"),
+        F.sum(F.col("c1") * a1 * a1).alias("q1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0 = F.when(
+        n0 > 1, F.col("q0") / (F.lit(4.0) * n0 * n0 * (n0 - 1))
+    )
+    s1 = F.when(
+        n1 > 1, F.col("q1") / (F.lit(4.0) * n1 * n1 * (n1 - 1))
+    )
+    fin = ss.select("n0", "n1", "rs0", "rs1", s0.alias("s0"), s1.alias("s1"))
+    var_w = n0 * F.col("s0") + n1 * F.col("s1")
+    # the /(n_g - 1) divisions live inside when-VALUES (lazy), never
+    # bare in a condition: ANSI evaluates every conjunct of a when
+    # CONDITION, and a single-doc group would fire DIVIDE_BY_ZERO
+    # (the stat_fleiss_kappa rule; s_g is NULL there anyway so the
+    # sum falls through to NULL)
+    df_den = F.when(
+        n0 > 1, (n0 * F.col("s0")) * (n0 * F.col("s0")) / (n0 - 1)
+    ) + F.when(n1 > 1, (n1 * F.col("s1")) * (n1 * F.col("s1")) / (n1 - 1))
+    return fin.select(
+        "n0",
+        "n1",
+        F.when(
+            (n0 > 0) & (n1 > 0),
+            qround(
+                (F.col("rs1") - n1 * (n1 + 1)).cast("double")
+                / (F.lit(2.0) * n0 * n1),
+                6,
+            ),
+        ).alias("p_hat"),
+        F.when(
+            (n0 > 1) & (n1 > 1) & (var_w > 0),
+            qround(
+                (n0 * F.col("rs1") - n1 * F.col("rs0")).cast("double")
+                / (F.lit(2.0) * (n0 + n1) * F.sqrt(var_w)),
+                6,
+            ),
+        ).alias("w_bm"),
+        F.when(
+            (n0 > 1) & (n1 > 1) & (df_den > 0),
+            qround(var_w * var_w / df_den, 6),
+        ).alias("df"),
+    )

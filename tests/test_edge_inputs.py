@@ -334,6 +334,10 @@ def edge_ddb(edge_sf_dir):
         # JT on the single-source corpus: k = 1 gives jt2 = 0 and a
         # NULL z from both engines (no cross-group pairs exist)
         "stat_jonckheere",
+        # BM on the one-sided corpus: n0 = 0 NULLs p_hat/W/df and the
+        # guarded /(n_g - 1) terms must never evaluate (ANSI fires on
+        # both conjuncts of a condition — the fleiss_kappa rule)
+        "stat_brunner_munzel",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3411,3 +3411,65 @@ def test_jonckheere_python_replay(spark, sf_dir):
         assert abs(r["z"] - want) <= 1.1e-6
     else:
         assert r["z"] is None
+
+
+def test_brunner_munzel_python_replay(spark, sf_dir):
+    """From-scratch BM replay on raw midranks (no grid): pooled and
+    within-sample midranks per observation, S_g^2 rank variances,
+    p-hat / W / Welch df — must match the engine's value-grid form on
+    the qround grid."""
+    import math
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    g0 = sorted(int(r["n_chars"]) for r in rows if r["lang"] != "en")
+    g1 = sorted(int(r["n_chars"]) for r in rows if r["lang"] == "en")
+    pooled = sorted(g0 + g1)
+
+    def midranks(vals, within):
+        # midrank of each element of vals within the sorted list
+        # `within` (1-based): count_less + (count_eq + 1) / 2
+        import bisect
+
+        out = []
+        for v in vals:
+            lo = bisect.bisect_left(within, v)
+            hi = bisect.bisect_right(within, v)
+            out.append(lo + (hi - lo + 1) / 2)
+        return out
+
+    n0, n1 = len(g0), len(g1)
+    (r,) = _rows(spark, sf_dir, "stat_brunner_munzel")
+    assert r["n0"] == n0 and r["n1"] == n1
+    if n0 < 2 or n1 < 2:
+        assert r["w_bm"] is None
+        return
+    pm0 = midranks(g0, pooled)
+    pm1 = midranks(g1, pooled)
+    wm0 = midranks(g0, g0)
+    wm1 = midranks(g1, g1)
+    rb0 = sum(pm0) / n0
+    rb1 = sum(pm1) / n1
+    s0 = sum(
+        (pm0[i] - wm0[i] - rb0 + (n0 + 1) / 2) ** 2 for i in range(n0)
+    ) / (n0 - 1)
+    s1 = sum(
+        (pm1[i] - wm1[i] - rb1 + (n1 + 1) / 2) ** 2 for i in range(n1)
+    ) / (n1 - 1)
+    N = n0 + n1
+    p_hat = (rb1 - (n1 + 1) / 2) / n0
+    var_w = n0 * s0 + n1 * s1
+    w_bm = n0 * n1 * (rb1 - rb0) / (N * math.sqrt(var_w))
+    df = var_w * var_w / (
+        (n0 * s0) ** 2 / (n0 - 1) + (n1 * s1) ** 2 / (n1 - 1)
+    )
+    assert abs(r["p_hat"] - p_hat) <= 2e-6
+    assert abs(r["w_bm"] - w_bm) <= 2e-6
+    assert abs(r["df"] - df) <= max(2e-6, abs(df) * 1e-9)
+    # relative-effect bound: p_hat in [0, 1]
+    assert -1e-9 <= r["p_hat"] <= 1 + 1e-9
