@@ -6532,10 +6532,12 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stat_brunner_munzel",
-    oracle="""
-    WITH cells AS (
+# Two-group (en vs rest) value-grid CTE chain, ending at ``piv``:
+# per pooled n_chars value, per-group counts (c0, c1) and per-group
+# counts strictly below (b0, b1). Shared by stat_brunner_munzel and
+# stat_ansari_bradley — the _MIDRANK_SQL pattern, so a grid fix
+# propagates to the whole two-sample family or none of it.
+_TWO_GROUP_GRID_SQL = """cells AS (
         SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
                CAST(n_chars AS BIGINT) AS x,
                CAST(COUNT(*) AS BIGINT) AS c
@@ -6563,7 +6565,65 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(CASE WHEN g = 0 THEN b END) AS BIGINT) AS b0,
                CAST(MAX(CASE WHEN g = 1 THEN b END) AS BIGINT) AS b1
         FROM cum GROUP BY x
-    ),
+    )"""
+
+
+def _two_group_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TWO_GROUP_GRID_SQL: the checkpointed V-row
+    pivot (x, c0, c1, b0, b1) both two-sample grid tests consume.
+    One map-side-combined corpus aggregate + group-partitioned
+    cumulative windows over the 2×V grid — the corpus scans once."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    grid = (
+        spark.range(2)
+        .select(F.col("id").cast("int").alias("g"))
+        .crossJoin(cells.select("x").distinct())
+    )
+    full_g = grid.join(cells, ["g", "x"], "left").select(
+        "g", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = full_g.select(
+        "g",
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("b"),
+    )
+
+    def _of(gv, col):
+        return F.max(F.when(F.col("g") == gv, F.col(col))).cast("long")
+
+    return (
+        cum.groupBy("x")
+        .agg(
+            _of(0, "c").alias("c0"),
+            _of(1, "c").alias("c1"),
+            _of(0, "b").alias("b0"),
+            _of(1, "b").alias("b1"),
+        )
+        # V rows; every consumer runs ≥2 passes over it
+        .localCheckpoint()
+    )
+
+
+@query(
+    "stat_brunner_munzel",
+    oracle=f"""
+    WITH {_TWO_GROUP_GRID_SQL},
     tot AS (
         SELECT CAST(SUM(c0) AS BIGINT) AS n0,
                CAST(SUM(c1) AS BIGINT) AS n1,
@@ -6647,51 +6707,7 @@ def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the 2×V grid, then 1-row algebra. The corpus scans
     once; no per-row ranks, no global window, no distributed_rank
     machinery at all."""
-    docs = load_table(spark, sf_dir, "documents")
-    cells = (
-        docs.groupBy(
-            F.when(F.col("lang") == "en", F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("g"),
-            F.col("n_chars").cast("long").alias("x"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
-    )
-    grid = (
-        spark.range(2)
-        .select(F.col("id").cast("int").alias("g"))
-        .crossJoin(cells.select("x").distinct())
-    )
-    full_g = grid.join(cells, ["g", "x"], "left").select(
-        "g", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
-    )
-    w = (
-        Window.partitionBy("g")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = full_g.select(
-        "g",
-        "x",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("b"),
-    )
-
-    def _of(gv, col):
-        return F.max(F.when(F.col("g") == gv, F.col(col))).cast("long")
-
-    piv = (
-        cum.groupBy("x")
-        .agg(
-            _of(0, "c").alias("c0"),
-            _of(1, "c").alias("c1"),
-            _of(0, "b").alias("b0"),
-            _of(1, "b").alias("b1"),
-        )
-        # V rows; feeds the rank-sum totals AND the variance pass
-        .localCheckpoint()
-    )
+    piv = _two_group_grid(spark, sf_dir)
     pm2 = 2 * (F.col("b0") + F.col("b1")) + F.col("c0") + F.col("c1") + 1
     tot = piv.agg(
         F.sum("c0").cast("long").alias("n0"),
@@ -6757,4 +6773,154 @@ def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n0 > 1) & (n1 > 1) & (df_den > 0),
             qround(var_w * var_w / df_den, 6),
         ).alias("df"),
+    )
+
+
+def _ab_s2_sql(x: str) -> str:
+    """Doubled cumulative Ansari-Bradley score sum 2·S(x) =
+    2·Σ_{r=1..x} min(r, N+1−r) as a closed form (c = (N+1) div 2 is
+    the peak; both branches are exact int64). Inlined with the
+    caller's x expression; mirrors :func:`_ab_s2_col`."""
+    return (
+        f"(CASE WHEN ({x}) <= ab_c THEN ({x}) * (({x}) + 1)"
+        f" ELSE ab_c * (ab_c + 1)"
+        f" + (2 * n - 1 - ab_c - ({x}) + 2) * (({x}) - ab_c) END)"
+    )
+
+
+def _ab_s2_col(x, c, n):
+    """Spark twin of :func:`_ab_s2_sql` (identical branch arithmetic:
+    2N+1−c−x written as 2n−1−c−x+2 in both so the expression trees
+    match term for term)."""
+    return F.when(x <= c, x * (x + 1)).otherwise(
+        c * (c + 1) + (2 * n - 1 - c - x + 2) * (x - c)
+    )
+
+
+@query(
+    "stat_ansari_bradley",
+    oracle=f"""
+    WITH {_TWO_GROUP_GRID_SQL},
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0 + c1) AS BIGINT) AS n,
+               CAST((SUM(c0 + c1) + 1) // 2 AS BIGINT) AS ab_c
+        FROM piv
+    ),
+    terms AS (
+        SELECT t.n0, t.n1, t.n, t.ab_c,
+               p.c1, p.c0 + p.c1 AS tv,
+               {_ab_s2_sql("p.b0 + p.b1 + p.c0 + p.c1")}
+               - {_ab_s2_sql("p.b0 + p.b1")} AS s2diff
+        FROM piv p, tot t
+    ),
+    agg AS (
+        SELECT MAX(n0) AS n0, MAX(n1) AS n1, MAX(n) AS n,
+               MAX(ab_c) AS ab_c,
+               SUM(CAST(c1 * s2diff AS DOUBLE) / tv) AS ab2,
+               SUM(CAST(s2diff AS DOUBLE) * s2diff / (4.0 * tv))
+                   AS ssbar
+        FROM terms
+    ),
+    fin AS (
+        SELECT n0, n1, n, ab2,
+               {_ab_s2_sql("n")} AS s2n,
+               ssbar
+        FROM agg
+    )
+    SELECT n0, n1,
+           FLOOR(ab2 / 2.0 * 1000000.0 + 0.5) / 1000000.0 AS ab,
+           CASE WHEN n > 0 THEN
+               FLOOR(CAST(n1 * s2n AS DOUBLE) / (2.0 * n)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS e_ab,
+           CASE WHEN n0 > 0 AND n1 > 0 AND n > 1
+                     AND n * ssbar - (s2n / 2.0) * (s2n / 2.0) > 0 THEN
+               FLOOR(
+                 ((ab2 * n - n1 * s2n) / (2.0 * n))
+                 / SQRT(CAST(n0 AS DOUBLE) * n1
+                        * (n * ssbar - (s2n / 2.0) * (s2n / 2.0))
+                        / (CAST(n AS DOUBLE) * n * (n - 1)))
+                 * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM fin
+    """,
+)
+def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE alternative between the
+    en and non-en length distributions (Ansari & Bradley 1960): do
+    the two groups differ in dispersion around a common center?
+    Completes the two-sample battery — Mann-Whitney/Brunner-Munzel
+    answer location, stat_levene answers spread with moments, AB
+    answers spread with ranks (heavy-tail-safe, like the rest of the
+    rank family). Scores rank from BOTH ends (min(r, N+1−r), peaked
+    at the center); tied runs get the AVERAGE of their scores —
+    computed by the closed-form cumulative 2·S(x) (arithmetic-series
+    split at the peak, exact int64; score-of-midrank would be WRONG
+    for runs crossing the peak, the classic AB tie mistake). Normal
+    approximation uses the tie-CONDITIONAL moments (sums over the
+    actual assigned scores), matching R's ansari.test.
+
+    Value-grid sufficient statistics on the shared _two_group_grid
+    pivot: per pooled value the doubled score-sum difference
+    S2(b)−S2(B) is exact int64; the group sum AB and the pooled
+    second moment Σs̄² are assembled in double from those exact
+    integers (per-term /t is one correctly-rounded division) and
+    every emitted float is qround(6) with integer guards — z's
+    structure (N·AB2 − n1·S2(N))/(2N·σ) keeps the mean subtraction
+    on an exact-int spine. One-sided or constant corpora NULL z.
+
+    100 TB shape: identical to stat_brunner_munzel — one corpus
+    aggregate to cells, grid-sized everything after."""
+    piv = _two_group_grid(spark, sf_dir)
+    tot = piv.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c0") + F.col("c1")).cast("long").alias("n"),
+        F.expr("(sum(c0 + c1) + 1) div 2").cast("long").alias("ab_c"),
+    )
+    n, c = F.col("n"), F.col("ab_c")
+    b_lo = F.col("b0") + F.col("b1")
+    b_hi = b_lo + F.col("c0") + F.col("c1")
+    s2diff = _ab_s2_col(b_hi, c, n) - _ab_s2_col(b_lo, c, n)
+    tv = F.col("c0") + F.col("c1")
+    agg = piv.crossJoin(F.broadcast(tot)).agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max("n").alias("n"),
+        F.max("ab_c").alias("ab_c"),
+        F.sum((F.col("c1") * s2diff).cast("double") / tv).alias("ab2"),
+        F.sum(
+            s2diff.cast("double") * s2diff / (F.lit(4.0) * tv)
+        ).alias("ssbar"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s2n = _ab_s2_col(F.col("n"), F.col("ab_c"), F.col("n"))
+    fin = agg.select(
+        "n0", "n1", "n", "ab2", s2n.alias("s2n"), "ssbar"
+    )
+    n = F.col("n")
+    var_core = n * F.col("ssbar") - (F.col("s2n") / F.lit(2.0)) * (
+        F.col("s2n") / F.lit(2.0)
+    )
+    z = (
+        (F.col("ab2") * n - n1 * F.col("s2n")) / (F.lit(2.0) * n)
+    ) / F.sqrt(
+        n0.cast("double") * n1 * var_core
+        / (n.cast("double") * n * (n - 1))
+    )
+    return fin.select(
+        "n0",
+        "n1",
+        qround(F.col("ab2") / F.lit(2.0), 6).alias("ab"),
+        F.when(
+            n > 0,
+            qround(
+                (n1 * F.col("s2n")).cast("double") / (F.lit(2.0) * n), 6
+            ),
+        ).alias("e_ab"),
+        F.when(
+            (n0 > 0) & (n1 > 0) & (n > 1) & (var_core > 0), qround(z, 6)
+        ).alias("z"),
     )

@@ -338,6 +338,9 @@ def edge_ddb(edge_sf_dir):
         # guarded /(n_g - 1) terms must never evaluate (ANSI fires on
         # both conjuncts of a condition — the fleiss_kappa rule)
         "stat_brunner_munzel",
+        # AB on the one-sided corpus: n0 = 0 NULLs z while ab/e_ab
+        # still emit (every doc is group 1)
+        "stat_ansari_bradley",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

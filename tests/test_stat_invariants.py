@@ -3473,3 +3473,55 @@ def test_brunner_munzel_python_replay(spark, sf_dir):
     assert abs(r["df"] - df) <= max(2e-6, abs(df) * 1e-9)
     # relative-effect bound: p_hat in [0, 1]
     assert -1e-9 <= r["p_hat"] <= 1 + 1e-9
+
+
+def test_ansari_bradley_python_replay(spark, sf_dir):
+    """From-scratch AB replay with explicit per-position scores and
+    tie-averaging (no closed forms): assign min(r, N+1-r) to every
+    pooled position, average within tie runs, sum over the en group;
+    conditional moments from the assigned scores. Must match the
+    engine's closed-form grid on the qround grid — this is the test
+    that would catch a peak-crossing tie-run mistake."""
+    import math
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    )
+    data = sorted(
+        (int(r["n_chars"]), 1 if r["lang"] == "en" else 0) for r in rows
+    )
+    N = len(data)
+    scores = [min(r, N + 1 - r) for r in range(1, N + 1)]
+    # average scores over tie runs
+    runs = Counter(v for v, _ in data)
+    assigned = {}
+    pos = 0
+    for v in sorted(runs):
+        t = runs[v]
+        assigned[v] = sum(scores[pos:pos + t]) / t
+        pos += t
+    ab = sum(assigned[v] for v, g in data if g == 1)
+    n1 = sum(g for _, g in data)
+    n0 = N - n1
+    s_all = [assigned[v] for v, _ in data]
+    e_ab = n1 * sum(s_all) / N
+    var_ab = (
+        n0 * n1
+        * (N * sum(s * s for s in s_all) - sum(s_all) ** 2)
+        / (N * N * (N - 1))
+    ) if N > 1 else 0.0
+
+    (r,) = _rows(spark, sf_dir, "stat_ansari_bradley")
+    assert r["n0"] == n0 and r["n1"] == n1
+    assert abs(r["ab"] - ab) <= 2e-6
+    assert abs(r["e_ab"] - e_ab) <= 2e-6
+    if n0 > 0 and n1 > 0 and N > 1 and var_ab > 0:
+        want = (ab - e_ab) / math.sqrt(var_ab)
+        assert abs(r["z"] - want) <= 2e-6
+    else:
+        assert r["z"] is None
