@@ -4865,3 +4865,228 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         qround(F.col("b2"), 6).alias("b_cause"),
     )
+
+
+def _eg_fold_sql(expr: str, upper: str) -> str:
+    """DuckDB sequential fold Σ over t = 1..{upper} of {expr} — LIST
+    state prepend-0.0 list_reduce, the ts_granger_lag1 fold shape
+    (one definition per term keeps the two engines' accumulation
+    order identical)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(generate_series(1, {upper}),"
+        f" t -> {expr})), (acc, y) -> acc + y)"
+    )
+
+
+@query(
+    "ts_cointegration",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.event_type AS y_type, b.event_type AS x_type, a.day,
+             CAST(a.c AS DOUBLE) AS cy, CAST(b.c AS DOUBLE) AS cx
+      FROM dc a JOIN dc b USING (day)
+      WHERE a.event_type <> b.event_type
+    ),
+    arr AS (
+      SELECT y_type, x_type,
+             list_transform(list_sort(list({{'day': day, 'cx': cx,
+                 'cy': cy}})), s -> s.cx) AS vx,
+             list_transform(list_sort(list({{'day': day, 'cx': cx,
+                 'cy': cy}})), s -> s.cy) AS vy,
+             CAST(COUNT(*) AS INT) AS n
+      FROM pr GROUP BY y_type, x_type
+    ),
+    st AS (
+      SELECT y_type, x_type, n, vx, vy,
+             {_eg_fold_sql("vx[t]", "n")} AS sx,
+             {_eg_fold_sql("vy[t]", "n")} AS sy,
+             {_eg_fold_sql("vx[t] * vx[t]", "n")} AS sxx,
+             {_eg_fold_sql("vx[t] * vy[t]", "n")} AS sxy
+      FROM arr WHERE n >= 6
+    ),
+    ab AS (
+      SELECT y_type, x_type, n, vx, vy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 AS a
+      FROM st WHERE n * sxx - sx * sx > 0
+    ),
+    ef AS (
+      SELECT y_type, x_type, n, vx, vy, a, b,
+             {_eg_fold_sql(
+                 "(vy[t] - a - b * vx[t]) * (vy[t] - a - b * vx[t])",
+                 "n - 1")} AS see,
+             {_eg_fold_sql(
+                 "(vy[t] - a - b * vx[t])"
+                 " * ((vy[t + 1] - a - b * vx[t + 1])"
+                 "    - (vy[t] - a - b * vx[t]))",
+                 "n - 1")} AS sed
+      FROM ab
+    ),
+    gm AS (
+      SELECT y_type, x_type, n, vx, vy, a, b, see, sed / see AS gam
+      FROM ef WHERE see > 0
+    ),
+    fin AS (
+      SELECT y_type, x_type, n, b, see, gam,
+             {_eg_fold_sql(
+                 "((vy[t + 1] - a - b * vx[t + 1])"
+                 " - (vy[t] - a - b * vx[t])"
+                 " - gam * (vy[t] - a - b * vx[t]))"
+                 " * ((vy[t + 1] - a - b * vx[t + 1])"
+                 "    - (vy[t] - a - b * vx[t])"
+                 "    - gam * (vy[t] - a - b * vx[t]))",
+                 "n - 1")} AS rss
+      FROM gm
+    )
+    SELECT y_type, x_type, CAST(n AS BIGINT) AS n_days,
+           FLOOR(b * 1000000.0 + 0.5) / 1000000.0 AS b,
+           FLOOR(gam * 1000000.0 + 0.5) / 1000000.0 AS gamma,
+           CASE WHEN rss > 0 AND n > 3 THEN
+               FLOOR(gam / SQRT(rss / (n - 2) / see)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS t_stat
+    FROM fin
+    """,
+)
+def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test (Engle & Granger
+    1987) for every ordered pair of event types' daily-count series:
+    step 1 fits the long-run relation y_t = a + b·x_t by OLS; step 2
+    runs a no-constant Dickey-Fuller regression Δe_t = γ·e_{{t-1}} on
+    the residuals — a strongly negative t-ratio rejects the unit
+    root in e and says the two series share a common stochastic
+    trend (they drift TOGETHER even when each is nonstationary).
+    Completes the econometric battery's cross-series axis:
+    ts_granger_lag1 asks who forecasts whom; cointegration asks
+    whether a stable long-run spread exists at all — the pair-trade /
+    shared-load-balancer signal neither correlation nor Granger
+    answers.
+
+    Determinism is the ts_granger_lag1 contract verbatim: series
+    align on common days, every sum is a sequential fold over the
+    date-sorted arrays (one shared fold helper per engine), residuals
+    inline (a, b) so both engines square identical IEEE doubles, and
+    each emitted column is qround(6). Guards: < 6 common days,
+    constant x (singular step-1), all-zero residuals (see = 0 — an
+    exact linear relation IS cointegration but has no DF statistic),
+    and perfect step-2 fit (rss = 0) drop or NULL instead of
+    dividing. The t-ratio uses s² = RSS/(m−1) with m = n−1 fold
+    terms and one estimated parameter.
+
+    100 TB: the checkpointed day grid aggregates events once; the
+    pairwise join and all folds are (days × types²) metadata — the
+    granger bill exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    a_side = dc.select(
+        F.col("event_type").alias("y_type"),
+        "day",
+        F.col("c").cast("double").alias("cy"),
+    )
+    b_side = dc.select(
+        F.col("event_type").alias("x_type"),
+        "day",
+        F.col("c").cast("double").alias("cx"),
+    )
+    pr = a_side.join(b_side, "day").filter(
+        F.col("y_type") != F.col("x_type")
+    )
+    arr = (
+        pr.groupBy("y_type", "x_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "cx", "cy"))
+            ).alias("s"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= 6)
+        .select(
+            "y_type",
+            "x_type",
+            "n",
+            F.transform(F.col("s"), lambda r: r["cx"]).alias("vx"),
+            F.transform(F.col("s"), lambda r: r["cy"]).alias("vy"),
+        )
+    )
+
+    def fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda acc, y: acc + y)
+
+    def over(upper, f):
+        return fold(F.transform(F.sequence(F.lit(1), upper), f))
+
+    vx = lambda t: F.element_at(F.col("vx"), t)
+    vy = lambda t: F.element_at(F.col("vy"), t)
+    nc = F.col("n")
+    st = arr.select(
+        "y_type",
+        "x_type",
+        "n",
+        "vx",
+        "vy",
+        over(nc, lambda t: vx(t)).alias("sx"),
+        over(nc, lambda t: vy(t)).alias("sy"),
+        over(nc, lambda t: vx(t) * vx(t)).alias("sxx"),
+        over(nc, lambda t: vx(t) * vy(t)).alias("sxy"),
+    )
+    detx = nc * F.col("sxx") - F.col("sx") * F.col("sx")
+    bq = (nc * F.col("sxy") - F.col("sx") * F.col("sy")) / detx
+    ab = st.filter(detx > 0).select(
+        "y_type",
+        "x_type",
+        "n",
+        "vx",
+        "vy",
+        bq.alias("b"),
+        ((F.col("sy") - bq * F.col("sx")) / nc).alias("a"),
+    )
+    e = lambda t: vy(t) - F.col("a") - F.col("b") * vx(t)
+    ef = ab.select(
+        "y_type",
+        "x_type",
+        "n",
+        "vx",
+        "vy",
+        "a",
+        "b",
+        over(nc - 1, lambda t: e(t) * e(t)).alias("see"),
+        over(nc - 1, lambda t: e(t) * (e(t + 1) - e(t))).alias("sed"),
+    )
+    gm = ef.filter(F.col("see") > 0).withColumn(
+        "gam", F.col("sed") / F.col("see")
+    )
+    de = lambda t: e(t + 1) - e(t) - F.col("gam") * e(t)
+    fin = gm.select(
+        "y_type",
+        "x_type",
+        "n",
+        "b",
+        "see",
+        "gam",
+        over(nc - 1, lambda t: de(t) * de(t)).alias("rss"),
+    )
+    t_stat = F.col("gam") / F.sqrt(
+        F.col("rss") / (nc - 2) / F.col("see")
+    )
+    return fin.select(
+        "y_type",
+        "x_type",
+        nc.cast("long").alias("n_days"),
+        qround(F.col("b"), 6).alias("b"),
+        qround(F.col("gam"), 6).alias("gamma"),
+        F.when((F.col("rss") > 0) & (nc > 3), qround(t_stat, 6)).alias(
+            "t_stat"
+        ),
+    )

@@ -886,6 +886,20 @@ def test_granger_pair_join_is_metadata_sized_broadcast(spark, sf_dir):
     assert "Scan ExistingRDD" in plan  # checkpointed day grid
 
 
+def test_cointegration_pair_join_is_metadata_sized_broadcast(spark, sf_dir):
+    """ts_cointegration inherits ts_granger_lag1's scale contract:
+    events aggregate to the checkpointed (day, type) grid BEFORE the
+    pairwise self-join (broadcast hash), one pair-keyed exchange
+    after, no sort-merge, no cartesian."""
+    df = QUERIES["ts_cointegration"](spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_hash_join(df)
+    assert shuffle_exchange_count(df) <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_rank_ladder_fusions_stay_collapsed(spark, sf_dir):
     """Round-10 fusion sweep contract: the three former shuffle-ladder
     maxima (spearman 13, wilcoxon 12, cusum_changepoint 12) now

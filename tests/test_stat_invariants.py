@@ -3525,3 +3525,78 @@ def test_ansari_bradley_python_replay(spark, sf_dir):
         assert abs(r["z"] - want) <= 2e-6
     else:
         assert r["z"] is None
+
+
+def test_cointegration_python_replay(spark, sf_dir):
+    """Pure-Python Engle-Granger replay: align the daily series on
+    common days, OLS y~x, no-constant DF on the residuals — every
+    pair's (b, gamma, t_stat) must match on the qround grid."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in dc:
+        series[r["event_type"]][r["day"]] = float(r["count"])
+
+    got = {
+        (r["y_type"], r["x_type"]): r
+        for r in _rows(spark, sf_dir, "ts_cointegration")
+    }
+    expect = {}
+    types = sorted(series)
+    for yt in types:
+        for xt in types:
+            if yt == xt:
+                continue
+            days = sorted(set(series[yt]) & set(series[xt]))
+            n = len(days)
+            if n < 6:
+                continue
+            vy = [series[yt][d] for d in days]
+            vx = [series[xt][d] for d in days]
+            sx = sum(vx)
+            sy = sum(vy)
+            sxx = sum(v * v for v in vx)
+            sxy = sum(a * b for a, b in zip(vx, vy))
+            detx = n * sxx - sx * sx
+            if detx <= 0:
+                continue
+            b = (n * sxy - sx * sy) / detx
+            a = (sy - b * sx) / n
+            e = [vy[t] - a - b * vx[t] for t in range(n)]
+            see = sum(e[t] * e[t] for t in range(n - 1))
+            if see <= 0:
+                continue
+            sed = sum(e[t] * (e[t + 1] - e[t]) for t in range(n - 1))
+            gam = sed / see
+            rss = sum(
+                (e[t + 1] - e[t] - gam * e[t]) ** 2 for t in range(n - 1)
+            )
+            t_stat = (
+                gam / math.sqrt(rss / (n - 2) / see)
+                if rss > 0 and n > 3
+                else None
+            )
+            expect[(yt, xt)] = (n, b, gam, t_stat)
+
+    assert set(got) == set(expect)
+    for k, (n, b, gam, t_stat) in expect.items():
+        g = got[k]
+        assert g["n_days"] == n
+        assert abs(g["b"] - b) <= 2e-6
+        assert abs(g["gamma"] - gam) <= 2e-6
+        if t_stat is None:
+            assert g["t_stat"] is None
+        else:
+            assert abs(g["t_stat"] - t_stat) <= 2e-6
