@@ -1309,3 +1309,119 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "harmonic6",
         qround(F.col("harmonic6") / F.lit(6.0), 6).alias("harmonic"),
     )
+
+
+
+_RICH_CLUB_KS = (1, 2, 4, 8, 16)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES {", ".join(f"({k})" for k in _RICH_CLUB_KS)})
+           t(k)),
+    club AS (
+        SELECT ks.k,
+               CAST(COUNT(CASE WHEN deg.d > ks.k THEN 1 END) AS BIGINT)
+                   AS n_club
+        FROM ks CROSS JOIN deg GROUP BY ks.k
+    ),
+    de AS (
+        SELECT da.d AS dj, db.d AS dk
+        FROM und u
+        JOIN deg da ON da.s = u.s
+        JOIN deg db ON db.s = u.t
+    ),
+    ce AS (
+        SELECT ks.k,
+               CAST(COUNT(CASE WHEN de.dj > ks.k AND de.dk > ks.k
+                          THEN 1 END) AS BIGINT) AS rows2
+        FROM ks CROSS JOIN de GROUP BY ks.k
+    )
+    SELECT c.k, c.n_club, ce.rows2,
+           CASE WHEN c.n_club >= 2 THEN
+               FLOOR(CAST(ce.rows2 AS DOUBLE)
+                     / (c.n_club * (c.n_club - 1))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS phi
+    FROM club c JOIN ce ON c.k = ce.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) over the degree ladder k ∈
+    {{1, 2, 4, 8, 16}} (Zhou & Mondragon 2004): among nodes of degree
+    > k (the "club"), what fraction of possible links exist?
+    phi(k) = 2·E_club / (N_club·(N_club−1)) — rising phi with k says
+    hubs preferentially interconnect (a core-periphery crawl graph),
+    flat/falling says hub links spread out. Completes the
+    degree-structure family: graph_degree_distribution (the ladder
+    itself), graph_assortativity (one global correlation), rich-club
+    (the k-resolved version of the same question). The
+    degree-preserving-rewiring NORMALIZED variant is a randomized
+    extension, documented not silently substituted — raw phi is the
+    deterministic, oracle-checkable core.
+
+    All-integer statistics: the symmetrized und list counts each
+    club edge twice, so rows2 = 2·E_club exactly and phi's ratio has
+    an exact int64 numerator and denominator (the one emitted float
+    is a single correctly-rounded division, qround(6) for uniformity
+    with the family). Clubs smaller than 2 NULL phi (CASE both
+    engines).
+
+    100 TB shape: one degree aggregate, two broadcast-eligible
+    degree-decoration joins (the assortativity plan), then ONE pass
+    over decorated edges × the 5-row broadcast ladder with
+    conditional counts — the ladder never re-scans the graph."""
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _RICH_CLUB_KS], "k long"
+    )
+    club = (
+        ks.crossJoin(F.broadcast(deg))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("d") > F.col("k"), 1))
+            .cast("long")
+            .alias("n_club")
+        )
+    )
+    da = deg.select(F.col("s").alias("u_s"), F.col("d").alias("dj"))
+    db = deg.select(F.col("s").alias("u_t"), F.col("d").alias("dk"))
+    de = (
+        und.withColumnRenamed("s", "u_s")
+        .withColumnRenamed("t", "u_t")
+        .join(da, "u_s")
+        .join(db, "u_t")
+        .select("dj", "dk")
+    )
+    ce = (
+        de.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("dj") > F.col("k"))
+                    & (F.col("dk") > F.col("k")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("rows2")
+        )
+    )
+    phi = F.col("rows2").cast("double") / (
+        F.col("n_club") * (F.col("n_club") - 1)
+    )
+    return club.join(ce, "k").select(
+        "k",
+        "n_club",
+        "rows2",
+        F.when(F.col("n_club") >= 2, qround(phi, 6)).alias("phi"),
+    )

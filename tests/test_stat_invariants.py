@@ -3600,3 +3600,50 @@ def test_cointegration_python_replay(spark, sf_dir):
             assert g["t_stat"] is None
         else:
             assert abs(g["t_stat"] - t_stat) <= 2e-6
+
+
+def test_rich_club_python_replay_and_bounds(spark, sf_dir):
+    """From-scratch rich-club replay over the orders-derived graph,
+    plus the structural bounds: rows2 is even (symmetrized list),
+    phi in [0, 1], and both n_club and rows2 are non-increasing in
+    k (clubs nest)."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    orows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .collect()
+    )
+    und = set()
+    for r in orows:
+        s = int(r["o_custkey"])
+        t = (s * 7 + int(r["o_orderkey"]) * 3) % 2000
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    deg = defaultdict(int)
+    for s, _ in und:
+        deg[s] += 1
+
+    got = {int(r["k"]): r for r in _rows(spark, sf_dir, "graph_rich_club")}
+    assert set(got) == {1, 2, 4, 8, 16}
+    prev_n, prev_r = None, None
+    for k in (1, 2, 4, 8, 16):
+        club = {v for v, d in deg.items() if d > k}
+        rows2 = sum(1 for s, t in und if s in club and t in club)
+        g = got[k]
+        assert g["n_club"] == len(club)
+        assert g["rows2"] == rows2
+        assert rows2 % 2 == 0
+        if len(club) >= 2:
+            phi = rows2 / (len(club) * (len(club) - 1))
+            assert abs(g["phi"] - math.floor(phi * 1e6 + 0.5) / 1e6) < 1e-12
+            assert -1e-12 <= g["phi"] <= 1 + 1e-12
+        else:
+            assert g["phi"] is None
+        if prev_n is not None:
+            assert g["n_club"] <= prev_n and g["rows2"] <= prev_r
+        prev_n, prev_r = g["n_club"], g["rows2"]
