@@ -5090,3 +5090,217 @@ def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+def _pp_u_sql(t: str) -> str:
+    """Inlined PP regression residual u_t = Δv_t − α̂ − γ̂·v_t at
+    index expression {t} (the ts_dickey_fuller inline-coefficients
+    discipline: both engines square identical IEEE doubles)."""
+    return (
+        f"(v[({t}) + 1] - v[({t})] - alpha - gam * v[({t})])"
+    )
+
+
+@query(
+    "ts_phillips_perron",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n, v, CAST(n - 1 AS BIGINT) AS m,
+             {_eg_fold_sql("v[t]", "n - 1")} AS sx,
+             {_eg_fold_sql("v[t + 1] - v[t]", "n - 1")} AS sd,
+             {_eg_fold_sql("v[t] * (v[t + 1] - v[t])", "n - 1")} AS sxd,
+             {_eg_fold_sql("v[t] * v[t]", "n - 1")} AS sxx
+      FROM arr WHERE n >= 6
+    ),
+    fit AS (
+      SELECT event_type, n, v, m,
+             (m * sxd - sx * sd) / (m * sxx - sx * sx) AS gam,
+             (sd - (m * sxd - sx * sd) / (m * sxx - sx * sx) * sx) / m
+                 AS alpha,
+             (m * sxx - sx * sx) / m AS ssx,
+             CAST(len(list_filter(generate_series(1, 128),
+                 j -> 256 * (n - 1) >= 100 * j * j * j * j)) AS BIGINT)
+                 AS l
+      FROM st WHERE m * sxx - sx * sx > 0
+    ),
+    resf AS (
+      SELECT event_type, n, m, l, gam, ssx,
+             {_eg_fold_sql(_pp_u_sql("t") + " * " + _pp_u_sql("t"),
+                           "n - 1")} AS su2,
+             list_sum(list_transform(generate_series(1, l),
+                 j -> CAST(l + 1 - j AS DOUBLE) / (l + 1)
+                      * (CASE WHEN m > j THEN
+                          {_eg_fold_sql(
+                              _pp_u_sql("t") + " * " + _pp_u_sql("t + j"),
+                              "n - 1 - j")}
+                         ELSE 0.0 END))) AS gwsum
+      FROM fit
+    ),
+    z AS (
+      SELECT event_type, n, m, l, gam, ssx, su2,
+             su2 / m AS g0,
+             su2 / m + 2.0 * COALESCE(gwsum, 0.0) / m AS l2
+      FROM resf
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS lag_l,
+           FLOOR(gam * 1000000.0 + 0.5) / 1000000.0 AS gamma,
+           CASE WHEN l2 > 0 AND su2 > 0 AND m > 2 THEN
+               FLOOR((SQRT(g0 / l2)
+                      * (gam / SQRT((su2 / (m - 2)) / ssx))
+                      - 0.5 * (l2 - g0) / SQRT(l2)
+                        * (m * SQRT((su2 / (m - 2)) / ssx)
+                           / SQRT(su2 / (m - 2))))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS z_tau,
+           CASE WHEN l2 > 0 AND su2 > 0 AND m > 2 THEN
+               FLOOR((m * gam
+                      - 0.5 * (l2 - g0)
+                        * (m * m * ((su2 / (m - 2)) / ssx)
+                           / (su2 / (m - 2))))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS z_rho
+    FROM z
+    """,
+)
+def ts_phillips_perron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phillips-Perron unit-root test (Phillips & Perron 1988;
+    Hamilton 1994 eqs. 17.6.6/17.6.8, constant-only form) per event
+    type: the SAME Δy_t = α + γ·y_{{t-1}} regression as
+    ts_dickey_fuller, but the statistics are nonparametrically
+    corrected for serial correlation in u_t with a Newey-West
+    long-run variance instead of lag augmentation — Z_tau (the
+    corrected t-ratio, compare to the same DF critical values) and
+    Z_rho (the corrected m·γ̂ coefficient test). Closes the
+    unit-root corner of the battery: DF assumes white residuals, PP
+    buys robustness with the λ² correction, KPSS flips the null.
+
+    Machinery is entirely reused: the DF closed-form fold regression
+    (coefficients inlined into the residual folds), ts_kpss's
+    ALL-INTEGER Bartlett lag rule (l = #{{j ≤ 128: 256m ≥ 100j⁴}} —
+    no libm pow in an integer threshold) and its j-guarded
+    autocovariance folds (m > j lazily, the ANSI descending-sequence
+    trap), and the shared per-engine fold helpers. λ² ≤ 0 (possible
+    with strongly negative autocovariances under Bartlett weights),
+    zero residual variance, or m ≤ 2 NULL the statistics — CASE on
+    identical fixed-shape doubles both engines; qround(6) emits.
+
+    100 TB: the _daily_series bill — one corpus-scale daily hash
+    aggregate, then O(n·l) per-series array arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = (
+        dc.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("v"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= 6)
+    )
+
+    def fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda acc, y: acc + y)
+
+    def over(upper, f):
+        return fold(F.transform(F.sequence(F.lit(1), upper), f))
+
+    vv = lambda t: F.element_at(F.col("v"), t)
+    n = F.col("n")
+    m = F.col("m")
+    st = arr.select(
+        "event_type",
+        "n",
+        "v",
+        (n - 1).cast("long").alias("m"),
+        over(n - 1, lambda t: vv(t)).alias("sx"),
+        over(n - 1, lambda t: vv(t + 1) - vv(t)).alias("sd"),
+        over(n - 1, lambda t: vv(t) * (vv(t + 1) - vv(t))).alias("sxd"),
+        over(n - 1, lambda t: vv(t) * vv(t)).alias("sxx"),
+    )
+    det = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    gam = (m * F.col("sxd") - F.col("sx") * F.col("sd")) / det
+    l_col = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(128)),
+            lambda j: F.lit(256) * (n - 1).cast("long")
+            >= F.lit(100) * j.cast("long") * j * j * j,
+        )
+    ).cast("int")
+    fit = st.filter(det > 0).select(
+        "event_type",
+        "n",
+        "v",
+        "m",
+        gam.alias("gam"),
+        ((F.col("sd") - gam * F.col("sx")) / m).alias("alpha"),
+        (det / m).alias("ssx"),
+        l_col.alias("l"),
+    )
+    u = lambda t: (
+        vv(t + 1) - vv(t) - F.col("alpha") - F.col("gam") * vv(t)
+    )
+    gw = fold(
+        F.transform(
+            F.sequence(F.lit(1), F.col("l")),
+            lambda j: (F.col("l") + 1 - j).cast("double")
+            / (F.col("l") + 1)
+            * F.when(
+                m > j,
+                over(n - 1 - j, lambda t: u(t) * u(t + j)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    resf = fit.select(
+        "event_type",
+        "n",
+        "m",
+        "l",
+        "gam",
+        "ssx",
+        over(n - 1, lambda t: u(t) * u(t)).alias("su2"),
+        gw.alias("gwsum"),
+    )
+    g0 = F.col("su2") / m
+    l2 = F.col("su2") / m + F.lit(2.0) * F.coalesce(
+        F.col("gwsum"), F.lit(0.0)
+    ) / m
+    z = resf.select(
+        "event_type", "n", "m", "l", "gam", "ssx", "su2",
+        g0.alias("g0"), l2.alias("l2"),
+    )
+    s2 = F.col("su2") / (m - 2)
+    se2 = s2 / F.col("ssx")
+    z_tau = F.sqrt(F.col("g0") / F.col("l2")) * (
+        F.col("gam") / F.sqrt(se2)
+    ) - F.lit(0.5) * (F.col("l2") - F.col("g0")) / F.sqrt(F.col("l2")) * (
+        m * F.sqrt(se2) / F.sqrt(s2)
+    )
+    z_rho = m * F.col("gam") - F.lit(0.5) * (
+        F.col("l2") - F.col("g0")
+    ) * (m * m * se2 / s2)
+    ok = (F.col("l2") > 0) & (F.col("su2") > 0) & (m > 2)
+    return z.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.col("l").cast("long").alias("lag_l"),
+        qround(F.col("gam"), 6).alias("gamma"),
+        F.when(ok, qround(z_tau, 6)).alias("z_tau"),
+        F.when(ok, qround(z_rho, 6)).alias("z_rho"),
+    )

@@ -3647,3 +3647,83 @@ def test_rich_club_python_replay_and_bounds(spark, sf_dir):
         if prev_n is not None:
             assert g["n_club"] <= prev_n and g["rows2"] <= prev_r
         prev_n, prev_r = g["n_club"], g["rows2"]
+
+
+def test_phillips_perron_python_replay(spark, sf_dir):
+    """Pure-Python PP replay: DF regression, Bartlett-weighted
+    Newey-West long-run variance with the all-integer lag rule,
+    Hamilton 17.6.6/17.6.8 corrections — per type, against the
+    engine on the qround grid. Consistency: with white residuals
+    (l2 == g0) z_tau reduces to the plain DF t-ratio."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in dc:
+        series[r["event_type"]][r["day"]] = float(r["count"])
+
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_phillips_perron")}
+    expect = {}
+    for et, sd in series.items():
+        v = [sd[d] for d in sorted(sd)]
+        n = len(v)
+        if n < 6:
+            continue
+        m = n - 1
+        x = v[:m]
+        d = [v[t + 1] - v[t] for t in range(m)]
+        sx, sdd = sum(x), sum(d)
+        sxd = sum(a * b for a, b in zip(x, d))
+        sxx = sum(a * a for a in x)
+        det = m * sxx - sx * sx
+        if det <= 0:
+            continue
+        gam = (m * sxd - sx * sdd) / det
+        alpha = (sdd - gam * sx) / m
+        ssx = det / m
+        u = [d[t] - alpha - gam * x[t] for t in range(m)]
+        su2 = sum(e * e for e in u)
+        l = sum(1 for j in range(1, 129) if 256 * m >= 100 * j ** 4)
+        gw = sum(
+            (l + 1 - j) / (l + 1)
+            * (sum(u[t] * u[t + j] for t in range(m - j)) if m > j else 0.0)
+            for j in range(1, l + 1)
+        )
+        g0 = su2 / m
+        l2 = su2 / m + 2.0 * gw / m
+        row = {"n": n, "l": l, "gam": gam}
+        if l2 > 0 and su2 > 0 and m > 2:
+            s2 = su2 / (m - 2)
+            se2 = s2 / ssx
+            row["z_tau"] = (
+                math.sqrt(g0 / l2) * (gam / math.sqrt(se2))
+                - 0.5 * (l2 - g0) / math.sqrt(l2)
+                * (m * math.sqrt(se2) / math.sqrt(s2))
+            )
+            row["z_rho"] = m * gam - 0.5 * (l2 - g0) * (m * m * se2 / s2)
+            # white-residual consistency: if the NW correction is
+            # zero, z_tau IS the DF t-ratio
+            if abs(l2 - g0) < 1e-12:
+                assert abs(row["z_tau"] - gam / math.sqrt(se2)) < 1e-9
+        expect[et] = row
+
+    assert set(got) == set(expect)
+    for et, e in expect.items():
+        g = got[et]
+        assert g["n_days"] == e["n"] and g["lag_l"] == e["l"]
+        assert abs(g["gamma"] - e["gam"]) <= 2e-6
+        if "z_tau" in e:
+            assert abs(g["z_tau"] - e["z_tau"]) <= 2e-6
+            assert abs(g["z_rho"] - e["z_rho"]) <= max(2e-6, abs(e["z_rho"]) * 1e-9)
+        else:
+            assert g["z_tau"] is None
