@@ -6437,9 +6437,9 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         cells.select("g").distinct()
-        .crossJoin(cells.select("x").distinct())
+        .crossJoin(F.broadcast(cells.select("x").distinct()))
     )
-    full_g = grid.join(cells, ["g", "x"], "left").select(
+    full_g = grid.join(F.broadcast(cells), ["g", "x"], "left").select(
         "g", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )
     w = (
@@ -6461,7 +6461,7 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("gj"), "x", F.col("c").alias("cj")
     )
     jt = (
-        i.join(j, "x")
+        i.join(F.broadcast(j), "x")
         .where(F.col("gi") < F.col("gj"))
         .agg(
             F.sum(

@@ -1015,3 +1015,37 @@ def test_daily_series_battery_and_seasonal_mk_shapes(spark, sf_dir):
     assert "Scan ExistingRDD" in plan  # checkpointed daily cell table
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round11_grid_stat_family_shapes(spark, sf_dir):
+    """Round-11 battery contracts. The two-group grid tests
+    (brunner_munzel, ansari_bradley) ride ONE checkpointed pivot —
+    ≤2 exchanges, no window in the censused plan, no sort-merge.
+    Jonckheere adds the grid pair join (broadcast, never SMJ) and the
+    group-partitioned window — ≤9 grid-sized exchanges, no cartesian.
+    Phillips-Perron is the daily-series bill (≤2 exchanges, no join).
+    Rich-club joins degree decorations and a 5-row broadcast ladder —
+    no cartesian, one pass over decorated edges."""
+    caps = {
+        "stat_brunner_munzel": 2,
+        "stat_ansari_bradley": 2,
+        "stat_jonckheere": 9,
+        "ts_phillips_perron": 2,
+        "graph_rich_club": 6,
+    }
+    for name, cap in caps.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert shuffle_exchange_count(df) <= cap, name
+        assert "CartesianProduct" not in plan, name
+    for name in ("stat_brunner_munzel", "stat_ansari_bradley"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert not has_node(df, "Window"), name
+        assert "SortMergeJoin" not in plan, name
+    assert "Join" not in explain_str(
+        QUERIES["ts_phillips_perron"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in explain_str(
+        QUERIES["stat_jonckheere"](spark, sf_dir)
+    )
