@@ -6924,3 +6924,170 @@ def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n0 > 0) & (n1 > 0) & (n > 1) & (var_core > 0), qround(z, 6)
         ).alias("z"),
     )
+
+
+@query(
+    "stat_quade",
+    oracle="""
+    WITH dc AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, t.event_type, COALESCE(dc.c, CAST(0 AS BIGINT)) AS c
+        FROM (SELECT DISTINCT day FROM dc) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM dc) t
+        LEFT JOIN dc USING (day, event_type)
+    ),
+    ranked AS (
+        SELECT day, event_type, c,
+               CAST(2 * RANK() OVER (PARTITION BY day ORDER BY c)
+                    + COUNT(*) OVER (PARTITION BY day, c) - 1
+                    AS BIGINT) AS r2
+        FROM grid
+    ),
+    blocks AS (
+        SELECT day, CAST(MAX(c) - MIN(c) AS BIGINT) AS d
+        FROM grid GROUP BY day
+    ),
+    dcnt AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS t FROM blocks GROUP BY d),
+    dlow AS (
+        SELECT a.d,
+               CAST(a.t AS BIGINT) AS t,
+               CAST(COALESCE(SUM(b.t), 0) AS BIGINT) AS below
+        FROM dcnt a LEFT JOIN dcnt b ON b.d < a.d
+        GROUP BY a.d, a.t
+    ),
+    q AS (
+        SELECT blocks.day, 2 * dlow.below + dlow.t + 1 AS q2
+        FROM blocks JOIN dlow ON blocks.d = dlow.d
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+                  CAST(COUNT(DISTINCT day) AS BIGINT) AS n
+           FROM dc),
+    s AS (
+        SELECT r.event_type,
+               CAST(SUM(q.q2 * (r.r2 - kk.k - 1)) AS BIGINT) AS sj4,
+               CAST(SUM(q.q2 * (r.r2 - kk.k - 1)
+                        * q.q2 * (r.r2 - kk.k - 1)) AS BIGINT) AS aj16
+        FROM ranked r JOIN q USING (day), kk
+        GROUP BY r.event_type
+    ),
+    agg AS (
+        SELECT CAST(SUM(sj4 * sj4) AS BIGINT) AS sb,
+               CAST(SUM(aj16) AS BIGINT) AS a16
+        FROM s
+    )
+    SELECT kk.n AS n_blocks, kk.k AS k,
+           CASE WHEN kk.n * agg.a16 - agg.sb > 0 THEN
+               FLOOR(CAST((kk.n - 1) * agg.sb AS DOUBLE)
+                     / CAST(kk.n * agg.a16 - agg.sb AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS quade_f
+    FROM kk, agg
+    """,
+)
+def stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test (Quade 1979; Conover 1999 §5.8) over blocks = days,
+    treatments = event types: Friedman's repeated-measures question —
+    do the types rank the same way every day? — but with blocks
+    WEIGHTED by their range midrank, so high-signal days (large
+    spread between types) count more than flat days. More powerful
+    than stat_friedman for small k; the pair ships both so the
+    monitoring playbook can quote whichever assumption fits.
+
+    ALL-INTEGER core, stronger than Friedman's: on the quadrupled
+    scale S4_ij = q2_i·(r2_ij − k − 1) (doubled block-weight midrank
+    × doubled centered within-block midrank) is exact int64, so
+    A = ΣS4², B-sums, and the variance-ratio F = (n−1)·SB /
+    (n·A16 − SB) have exact int64 numerator AND denominator — the
+    positivity guard is an integer predicate, immune to float drift
+    by construction (not merely absorbed by the grid). Headroom:
+    Sj4² ≤ 16n⁴k² — exact past 10⁴ daily blocks, DECIMAL(38) beyond,
+    documented. All-identical-ranking days (A = B) NULL the F (the
+    Conover degenerate case).
+
+    100 TB shape: one fact-scale aggregate to the day×type grid,
+    day-partitioned rank windows (never global), the block-weight
+    midranks from a tiny D-value self-join (broadcast, |distinct
+    ranges|²), one keyed sum per treatment."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    days = dc.select("day").distinct()
+    types = dc.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(dc, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = grid.select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("r2"),
+    )
+    blocks = grid.groupBy("day").agg(
+        (F.max("c") - F.min("c")).cast("long").alias("d")
+    )
+    dcnt = blocks.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    a = dcnt.select(F.col("d"), F.col("t"))
+    b = dcnt.select(F.col("d").alias("bd"), F.col("t").alias("bt"))
+    dlow = (
+        a.join(F.broadcast(b), F.col("bd") < F.col("d"), "left")
+        .groupBy("d", "t")
+        .agg(F.coalesce(F.sum("bt"), F.lit(0)).cast("long").alias("below"))
+    )
+    q = blocks.join(F.broadcast(dlow), "d").select(
+        "day", (2 * F.col("below") + F.col("t") + 1).alias("q2")
+    )
+    kk = dc.agg(
+        F.countDistinct("event_type").cast("long").alias("k"),
+        F.countDistinct("day").cast("long").alias("n"),
+    )
+    s4 = F.col("q2") * (F.col("r2") - F.col("k") - 1)
+    s = (
+        ranked.join(q, "day")
+        .crossJoin(F.broadcast(kk))
+        .groupBy("event_type")
+        .agg(
+            F.sum(s4).cast("long").alias("sj4"),
+            F.sum(s4 * s4).cast("long").alias("aj16"),
+        )
+    )
+    agg = s.agg(
+        F.sum(F.col("sj4") * F.col("sj4")).cast("long").alias("sb"),
+        F.sum("aj16").cast("long").alias("a16"),
+    )
+    nb, k = F.col("n"), F.col("k")
+    den = nb * F.col("a16") - F.col("sb")
+    return (
+        kk.crossJoin(F.broadcast(agg))
+        .select(
+            nb.alias("n_blocks"),
+            k.alias("k"),
+            F.when(
+                den > 0,
+                qround(
+                    ((nb - 1) * F.col("sb")).cast("double")
+                    / den.cast("double"),
+                    6,
+                ),
+            ).alias("quade_f"),
+        )
+    )

@@ -3727,3 +3727,64 @@ def test_phillips_perron_python_replay(spark, sf_dir):
             assert abs(g["z_rho"] - e["z_rho"]) <= max(2e-6, abs(e["z_rho"]) * 1e-9)
         else:
             assert g["z_tau"] is None
+
+
+def test_quade_python_replay(spark, sf_dir):
+    """From-scratch Quade replay with literal definitions (scipy's
+    formulation): within-block midranks, block-range midrank weights,
+    S_ij = Q_i*(r_ij - (k+1)/2), F = (n-1)B/(A-B) — must match the
+    engine's quadrupled-integer form on the qround grid."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .count()
+        .collect()
+    )
+    days = sorted(set(r["day"] for r in dc))
+    types = sorted(set(r["event_type"] for r in dc))
+    cnt = defaultdict(int)
+    for r in dc:
+        cnt[(r["day"], r["event_type"])] = int(r["count"])
+
+    def midranks(vals):
+        order = sorted(vals)
+        return [
+            (
+                sum(1 for o in order if o < v)
+                + (sum(1 for o in order if o == v) + 1) / 2
+            )
+            for v in vals
+        ]
+
+    n, k = len(days), len(types)
+    r = {}
+    D = []
+    for d in days:
+        row = [cnt[(d, t)] for t in types]
+        mr = midranks(row)
+        for j, t in enumerate(types):
+            r[(d, t)] = mr[j]
+        D.append(max(row) - min(row))
+    Q = midranks(D)
+    S = defaultdict(float)
+    A = 0.0
+    for i, d in enumerate(days):
+        for t in types:
+            sij = Q[i] * (r[(d, t)] - (k + 1) / 2)
+            S[t] += sij
+            A += sij * sij
+    B = sum(v * v for v in S.values()) / n
+    (row,) = _rows(spark, sf_dir, "stat_quade")
+    assert row["n_blocks"] == n and row["k"] == k
+    if A - B > 0:
+        want = (n - 1) * B / (A - B)
+        assert abs(row["quade_f"] - want) <= max(2e-6, want * 1e-9)
+    else:
+        assert row["quade_f"] is None
