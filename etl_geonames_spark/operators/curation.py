@@ -5040,3 +5040,128 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_positive"),
         )
     )
+
+
+_FIM_P = 1_000_003
+
+
+@query(
+    "llm_fim_transform",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), w -> w <> '') AS tk
+        FROM documents
+    ),
+    n_t AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+    sp AS (
+        SELECT doc_id, tk, n,
+               (doc_id * 2654435761 + 17) % {_FIM_P} % (n + 1) AS p1
+        FROM n_t
+    ),
+    sp2 AS (
+        SELECT doc_id, tk, n, p1,
+               p1 + (doc_id * 48271 + 99991) % {_FIM_P} % (n - p1 + 1)
+                   AS p2
+        FROM sp
+    ),
+    parts AS (
+        SELECT doc_id, p1, p2,
+               COALESCE(array_to_string(
+                   list_slice(tk, 1, CAST(p1 AS INT)), ' '), '') AS pre,
+               COALESCE(array_to_string(
+                   list_slice(tk, CAST(p1 + 1 AS INT),
+                              CAST(p2 AS INT)), ' '), '') AS mid,
+               COALESCE(array_to_string(
+                   list_slice(tk, CAST(p2 + 1 AS INT),
+                              CAST(n AS INT)), ' '), '') AS suf
+        FROM sp2
+    )
+    SELECT doc_id, p1, p2,
+           '<PRE> ' || pre || ' <SUF> ' || suf || ' <MID> ' || mid
+               AS psm,
+           '<PRE> <SUF> ' || suf || ' <MID> ' || pre || ' ' || mid
+               AS spm
+    FROM parts
+    """,
+)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): split
+    each document at two deterministic points into (prefix, middle,
+    suffix) and render BOTH canonical orders — PSM
+    "<PRE> p <SUF> s <MID> m" and SPM "<PRE> <SUF> s <MID> p m" —
+    the data-side half of infilling-capable pretraining (the paper's
+    core finding is that this transform is FREE: it costs no
+    left-to-right capability, so pipelines apply it to ~50% of
+    documents; the rate is a caller knob, the transform is the op).
+    Sibling of llm_span_corruption (T5 denoising pairs) and
+    llm_mask_tokens (BERT masking) — the three standard objective
+    materializations.
+
+    RNG-free split points (the split_train_test discipline): two
+    independent multiplicative hashes of doc_id reduced mod 10⁶+3
+    BEFORE the range mods (the llm_span_corruption degeneracy
+    lesson), giving 0 ≤ p1 ≤ p2 ≤ n with every arithmetic step exact
+    int64. Empty/one-token docs degrade to empty parts, never an
+    index throw; empty slices serialize as '' on BOTH engines
+    (DuckDB's array_to_string([]) is NULL — COALESCE'd, the
+    fn_array_setops rule).
+
+    Map-only: one pass of array/string expressions over the scan,
+    zero shuffles, zero Python — scan-speed pair generation, the
+    llm_span_corruption bill."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("tk"),
+    )
+    n = F.size("tk").cast("long")
+    p1 = (F.col("doc_id") * F.lit(2654435761) + 17) % _FIM_P % (
+        F.col("n") + 1
+    )
+    nt = t.select("doc_id", "tk", n.alias("n"))
+    sp = nt.select("doc_id", "tk", "n", p1.alias("p1"))
+    p2 = F.col("p1") + (F.col("doc_id") * F.lit(48271) + 99991) % _FIM_P % (
+        F.col("n") - F.col("p1") + 1
+    )
+    sp2 = sp.select("doc_id", "tk", "n", "p1", p2.alias("p2"))
+    pre = F.array_join(
+        F.slice(F.col("tk"), 1, F.col("p1").cast("int")), " "
+    )
+    mid = F.array_join(
+        F.expr("slice(tk, cast(p1 + 1 as int), cast(p2 - p1 as int))"),
+        " ",
+    )
+    suf = F.array_join(
+        F.expr("slice(tk, cast(p2 + 1 as int), cast(n - p2 as int))"),
+        " ",
+    )
+    parts = sp2.select(
+        "doc_id",
+        "p1",
+        "p2",
+        pre.alias("pre"),
+        mid.alias("mid"),
+        suf.alias("suf"),
+    )
+    return parts.select(
+        "doc_id",
+        "p1",
+        "p2",
+        F.concat(
+            F.lit("<PRE> "),
+            F.col("pre"),
+            F.lit(" <SUF> "),
+            F.col("suf"),
+            F.lit(" <MID> "),
+            F.col("mid"),
+        ).alias("psm"),
+        F.concat(
+            F.lit("<PRE> <SUF> "),
+            F.col("suf"),
+            F.lit(" <MID> "),
+            F.col("pre"),
+            F.lit(" "),
+            F.col("mid"),
+        ).alias("spm"),
+    )

@@ -341,6 +341,10 @@ def edge_ddb(edge_sf_dir):
         # AB on the one-sided corpus: n0 = 0 NULLs z while ab/e_ab
         # still emit (every doc is group 1)
         "stat_ansari_bradley",
+        # FIM on empty/one-token docs: n = 0 forces p1 = p2 = 0 and
+        # all three parts empty — both engines must render the bare
+        # sentinel skeleton, not throw or emit NULL
+        "llm_fim_transform",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3788,3 +3788,34 @@ def test_quade_python_replay(spark, sf_dir):
         assert abs(row["quade_f"] - want) <= max(2e-6, want * 1e-9)
     else:
         assert row["quade_f"] is None
+
+
+def test_fim_transform_python_replay(spark, sf_dir):
+    """FIM replay: recompute the hash split points and both
+    renderings in Python; also the reconstruction property — joining
+    (prefix, middle, suffix) recovers the tokenized document."""
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {int(r["doc_id"]): r for r in _rows(spark, sf_dir, "llm_fim_transform")}
+    P = 1_000_003
+    assert set(got) == {int(r["doc_id"]) for r in rows}
+    for r in rows:
+        did = int(r["doc_id"])
+        tk = [w for w in r["text"].split(" ") if w != ""]
+        n = len(tk)
+        p1 = (did * 2654435761 + 17) % P % (n + 1)
+        p2 = p1 + (did * 48271 + 99991) % P % (n - p1 + 1)
+        pre = " ".join(tk[:p1])
+        mid = " ".join(tk[p1:p2])
+        suf = " ".join(tk[p2:])
+        g = got[did]
+        assert g["p1"] == p1 and g["p2"] == p2
+        assert g["psm"] == f"<PRE> {pre} <SUF> {suf} <MID> {mid}"
+        assert g["spm"] == f"<PRE> <SUF> {suf} <MID> {pre} {mid}"
+        # reconstruction: parts tile the document
+        assert (pre + " " + mid + " " + suf).split() == tk
