@@ -5304,3 +5304,135 @@ def ts_phillips_perron(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, qround(z_tau, 6)).alias("z_tau"),
         F.when(ok, qround(z_rho, 6)).alias("z_rho"),
     )
+
+
+@query(
+    "ts_pettitt_changepoint",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    ),
+    rk AS (
+      SELECT event_type, n,
+             list_transform(v, x ->
+                 CAST(2 * len(list_filter(v, y -> y < x))
+                      + len(list_filter(v, y -> y = x)) + 1
+                      AS BIGINT)) AS r2
+      FROM arr WHERE n >= 2
+    ),
+    uu AS (
+      SELECT event_type, n,
+             list_transform(generate_series(1, n - 1), t ->
+                 CAST(t * (n + 1) AS BIGINT)
+                 - CAST(list_sum(r2[1:CAST(t AS INT)]) AS BIGINT)) AS u
+      FROM rk
+    ),
+    kk AS (
+      SELECT event_type, n,
+             list_max(list_transform(u, x -> abs(x))) AS k,
+             list_position(list_transform(u, x -> abs(x)),
+                 list_max(list_transform(u, x -> abs(x)))) AS cp
+      FROM uu
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS k_stat,
+           CAST(cp AS BIGINT) AS cp_index,
+           FLOOR(LEAST(1.0,
+               2.0 * EXP(-(6.0 * k * k)
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)))
+               * 1000000.0 + 0.5) / 1000000.0 AS p_value
+    FROM kk
+    """,
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test per event type (Pettitt 1979): the
+    rank-based single-changepoint detector — U_t compares the first t
+    days against the rest Mann-Whitney-style at EVERY split point;
+    K = max|U_t| locates the most probable break (cp_index) with the
+    classic approximate significance p ≈ 2·exp(−6K²/(n³+n²)).
+    Complements ts_cusum_changepoint (CUSUM needs a mean/σ model;
+    Pettitt is distribution-free, the standard hydrology/monitoring
+    pick when the metric is heavy-tailed) and stat_mann_kendall
+    (monotone trend vs single shift).
+
+    ALL-INTEGER core via the rank identity U_t = t(n+1) − Σ_{i≤t}
+    r2_i with doubled midranks r2 = 2·(#less) + (#eq) + 1 (exact —
+    the .5s cancel against t(n+1); ties contribute 0 to U exactly as
+    sgn = 0 requires). K and cp_index are exact int64; the ONLY
+    float is the emitted p-value (one exp, qround(6), clamped at 1).
+    First-maximum tie-break: both engines take the first position of
+    the max (Spark array_position / DuckDB list_position on the
+    leftmost match).
+
+    100 TB: the _daily_series bill + O(n²) per-series array
+    arithmetic (midranks and prefix sums over the collected daily
+    array — n = days, bounded; the corpus-scale work remains the one
+    daily hash aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = (
+        dc.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("v"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    vv = F.col("v")
+    r2 = F.transform(
+        vv,
+        lambda x: (
+            2 * F.size(F.filter(vv, lambda y: y < x))
+            + F.size(F.filter(vv, lambda y: y == x))
+            + 1
+        ).cast("long"),
+    )
+    rk = arr.select("event_type", "n", r2.alias("r2"))
+    n = F.col("n")
+    u = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda t: (t * (n + 1)).cast("long")
+        - F.aggregate(
+            F.slice(F.col("r2"), 1, t),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ),
+    )
+    uu = rk.select("event_type", "n", u.alias("u"))
+    au = F.transform(F.col("u"), lambda x: F.abs(x))
+    kk = uu.select(
+        "event_type",
+        "n",
+        F.array_max(au).alias("k"),
+        F.array_position(au, F.array_max(au)).alias("cp"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(-(F.lit(6.0) * kd * kd) / (nd * nd * nd + nd * nd)),
+    )
+    return kk.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_stat"),
+        F.col("cp").cast("long").alias("cp_index"),
+        qround(p, 6).alias("p_value"),
+    )

@@ -3819,3 +3819,50 @@ def test_fim_transform_python_replay(spark, sf_dir):
         assert g["spm"] == f"<PRE> <SUF> {suf} <MID> {pre} {mid}"
         # reconstruction: parts tile the document
         assert (pre + " " + mid + " " + suf).split() == tk
+
+
+def test_pettitt_python_replay(spark, sf_dir):
+    """Brute-force Pettitt replay from the DEFINITION (double sum of
+    sgn over cross pairs at every split) — pins the rank identity
+    U_t = t(n+1) - sum r2_i the engine uses, plus K/cp/p."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in dc:
+        series[r["event_type"]][r["day"]] = int(r["count"])
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_pettitt_changepoint")}
+    expect = {}
+    for et, sd in series.items():
+        v = [sd[d] for d in sorted(sd)]
+        n = len(v)
+        if n < 2:
+            continue
+        us = []
+        for t in range(1, n):
+            u = sum(
+                (v[j] > v[i]) - (v[j] < v[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            us.append(u)
+        k = max(abs(u) for u in us)
+        cp = next(i + 1 for i, u in enumerate(us) if abs(u) == k)
+        p = min(1.0, 2.0 * math.exp(-(6.0 * k * k) / (n**3 + n**2)))
+        expect[et] = (n, k, cp, p)
+    assert set(got) == set(expect)
+    for et, (n, k, cp, p) in expect.items():
+        g = got[et]
+        assert g["n_days"] == n and g["k_stat"] == k
+        assert g["cp_index"] == cp
+        assert abs(g["p_value"] - p) <= 2e-6
