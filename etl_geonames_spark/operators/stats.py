@@ -7062,7 +7062,9 @@ def stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s4 = F.col("q2") * (F.col("r2") - F.col("k") - 1)
     s = (
-        ranked.join(q, "day")
+        # q is day-sized (bounded domain at any corpus scale) —
+        # broadcast so the grid side never shuffles for this join
+        ranked.join(F.broadcast(q), "day")
         .crossJoin(F.broadcast(kk))
         .groupBy("event_type")
         .agg(

@@ -1049,3 +1049,23 @@ def test_round11_grid_stat_family_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in explain_str(
         QUERIES["stat_jonckheere"](spark, sf_dir)
     )
+
+
+def test_round11_batch4_shapes(spark, sf_dir):
+    """FIM is map-only (the single exchange is the fixture's
+    explicit spread() repartition, never an aggregation); Pettitt is
+    the daily-series bill; Quade's machinery is day-grid-sized with
+    the block-weight table broadcast (no sort-merge anywhere)."""
+    df = QUERIES["llm_fim_transform"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 1
+    assert "REPARTITION" in plan or shuffle_exchange_count(df) == 0
+    assert "HashAggregate" not in plan
+    df = QUERIES["ts_pettitt_changepoint"](spark, sf_dir)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in explain_str(df)
+    df = QUERIES["stat_quade"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 12
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
