@@ -1092,28 +1092,28 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_quality_score",
-    oracle="""
-    SELECT doc_id,
-           FLOOR((0.4 * LEAST(1.0, len(str_split(text, ' ')) / 100.0)
+# the composite quality score on its emit grid — ONE definition for
+# llm_quality_score and llm_source_winrate's ranking key
+_QUALITY_Q6_SQL = """FLOOR((0.4 * LEAST(1.0, len(str_split(text, ' ')) / 100.0)
                + 0.3 * (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
                         / len(str_split(text, ' ')))
                + 0.3 * LEAST(1.0,
                    (CAST(list_sum(list_transform(str_split(text, ' '),
                                                  w -> length(w))) AS DOUBLE)
                     / len(str_split(text, ' '))) / 8.0)) * 1000000.0 + 0.5)
-             / 1000000.0 AS quality
-    FROM documents
-    """,
-)
-def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score: length saturation + lexical diversity +
-    word-length saturation. All expression-level; at 100 TB this is a
-    free rider on whatever scan already touches the text."""
+             / 1000000.0"""
+
+
+def _quality_q6_col():
+    """Spark twin of _QUALITY_Q6_SQL: the composite quality score
+    qround'd to its 1e-6 emit grid (bounded to [0, 1] — at most 10⁶+1
+    distinct values, which is what makes it usable as a VALUE-GRID
+    key downstream)."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_words
+    )
     avg_wl = (
         F.aggregate(
             F.transform(toks, F.length),
@@ -1122,18 +1122,31 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / n_words
     )
-    quality = (
+    return qround(
         0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
         + 0.3 * distinct_ratio
-        + 0.3 * F.least(F.lit(1.0), avg_wl / 8.0)
+        + 0.3 * F.least(F.lit(1.0), avg_wl / 8.0),
+        6,
     )
-    from etl_geonames_spark.functions import qround
 
-    # qround (floor-form), not ROUND: the score's rational terms can
-    # sit exactly on decimal half-boundaries where Spark's decimal-repr
-    # ROUND and DuckDB's binary ROUND disagree.
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_Q6_SQL} AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    word-length saturation. All expression-level; at 100 TB this is a
+    free rider on whatever scan already touches the text. The score
+    expression lives in :func:`_quality_q6_col` (one definition,
+    shared with llm_source_winrate's ranking key); qround floor-form,
+    not ROUND — the rational terms sit exactly on decimal
+    half-boundaries where the engines' ROUNDs disagree."""
     return load_table(spark, sf_dir, "documents").select(
-        "doc_id", qround(quality, 6).alias("quality")
+        "doc_id", _quality_q6_col().alias("quality")
     )
 
 
@@ -5774,4 +5787,143 @@ def llm_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("chrf2"),
+    )
+
+
+@query(
+    "llm_source_winrate",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source, {_QUALITY_Q6_SQL} AS q,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, q
+    ),
+    grid AS (
+        SELECT s.source, v.q
+        FROM (SELECT DISTINCT source FROM cells) s
+        CROSS JOIN (SELECT DISTINCT q FROM cells) v
+    ),
+    full_g AS (
+        SELECT grid.source, grid.q,
+               COALESCE(cells.c, CAST(0 AS BIGINT)) AS c
+        FROM grid LEFT JOIN cells USING (source, q)
+    ),
+    cum AS (
+        SELECT source, q, c,
+               COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS b
+        FROM full_g
+    ),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           FROM cells GROUP BY source),
+    w AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(2 * a.c * b.b + a.c * b.c) AS BIGINT) AS w2
+        FROM full_g a JOIN cum b ON a.q = b.q
+        WHERE a.source <> b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT w.source_a, w.source_b, na.n AS n_a, nb.n AS n_b, w.w2,
+           FLOOR(CAST(w.w2 AS DOUBLE) / (2.0 * na.n * nb.n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS winrate
+    FROM w
+    JOIN ns na ON na.source = w.source_a
+    JOIN ns nb ON nb.source = w.source_b
+    """,
+)
+def llm_source_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head quality win-rate matrix across sources:
+    winrate(a, b) = P(quality_a > quality_b) + ½·P(=) over random
+    cross-source document pairs — the pairwise-AUC generalization of
+    stat_mann_whitney's two-group AUC to every ordered source pair.
+    THE data-sourcing dashboard number: "if I swap a random web doc
+    for a random books doc, how often do I trade up?" — it composes
+    mix decisions (llm_mix_weights) with a quality ordering that no
+    per-source mean survives heavy tails to deliver.
+
+    Value-grid sufficient statistics on the SHARED quality score
+    (one expression definition with llm_quality_score, so the
+    ranking key can never drift from the emitted score): the score
+    lives on its 1e-6 emit grid in [0, 1] — a BOUNDED domain of
+    ≤ 10⁶+1 values, which is what makes per-source (score, count)
+    cells + source-partitioned cumulative windows a complete
+    summary at any corpus size. W2(a, b) = Σ_q (2·c_a·below_b +
+    c_a·c_b) is exact int64; winrate = W2/(2·n_a·n_b) is one
+    correctly-rounded division of exact integers. Complementarity
+    winrate(a,b) + winrate(b,a) = 1 holds EXACTLY in the int domain
+    (W2(a,b) + W2(b,a) = 2·n_a·n_b — pinned as an invariant test).
+
+    100 TB shape: one map-side-combined hash aggregate to cells
+    (checkpointed, feeds the grid + margins + both join sides),
+    source-partitioned windows over the k×V grid, one grid-sized
+    equi-join on score value — the corpus scans once, k²
+    output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy(F.col("source"), _quality_q6_col().alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    grid = (
+        cells.select("source").distinct()
+        .crossJoin(F.broadcast(cells.select("q").distinct()))
+    )
+    full_g = grid.join(F.broadcast(cells), ["source", "q"], "left").select(
+        "source",
+        "q",
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = full_g.select(
+        "source",
+        "q",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")).alias("b"),
+    )
+    ns = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    a = full_g.select(
+        F.col("source").alias("source_a"), "q", F.col("c").alias("ca")
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        "q",
+        F.col("c").alias("cb"),
+        F.col("b").alias("bb"),
+    )
+    wtab = (
+        a.join(F.broadcast(b), "q")
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                2 * F.col("ca") * F.col("bb") + F.col("ca") * F.col("cb")
+            )
+            .cast("long")
+            .alias("w2")
+        )
+    )
+    na = ns.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        wtab.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "w2",
+            qround(
+                F.col("w2").cast("double")
+                / (F.lit(2.0) * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("winrate"),
+        )
     )

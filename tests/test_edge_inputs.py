@@ -345,6 +345,9 @@ def edge_ddb(edge_sf_dir):
         # all three parts empty — both engines must render the bare
         # sentinel skeleton, not throw or emit NULL
         "llm_fim_transform",
+        # winrate on the single-source corpus: no cross-source pairs
+        # exist, so the matrix is EMPTY from both engines
+        "llm_source_winrate",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

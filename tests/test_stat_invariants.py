@@ -3866,3 +3866,40 @@ def test_pettitt_python_replay(spark, sf_dir):
         assert g["n_days"] == n and g["k_stat"] == k
         assert g["cp_index"] == cp
         assert abs(g["p_value"] - p) <= 2e-6
+
+
+def test_source_winrate_complementarity_and_replay(spark, sf_dir):
+    """winrate(a,b) + winrate(b,a) must equal 1 EXACTLY in the
+    integer domain (W2(a,b) + W2(b,a) = 2 n_a n_b), and a brute-force
+    pair count over the qround'd scores must reproduce every W2."""
+    from collections import defaultdict
+
+    rows = _rows(spark, sf_dir, "llm_source_winrate")
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    for (sa, sb), r in got.items():
+        mirror = got[(sb, sa)]
+        assert r["w2"] + mirror["w2"] == 2 * r["n_a"] * r["n_b"]
+        assert r["n_a"] == mirror["n_b"] and r["n_b"] == mirror["n_a"]
+
+    qs = _rows(spark, sf_dir, "llm_quality_score")
+    from etl_geonames_spark.sources import load_table
+
+    src_of = {
+        int(d["doc_id"]): d["source"]
+        for d in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_src = defaultdict(list)
+    for q in qs:
+        by_src[src_of[int(q["doc_id"])]].append(q["quality"])
+    for (sa, sb), r in got.items():
+        w2 = 0
+        for x in by_src[sa]:
+            for y in by_src[sb]:
+                if x > y:
+                    w2 += 2
+                elif x == y:
+                    w2 += 1
+        assert r["w2"] == w2, (sa, sb)
+        assert r["n_a"] == len(by_src[sa])
