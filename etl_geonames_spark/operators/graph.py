@@ -504,6 +504,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — 15 census shuffles, the heaviest plan left after the
     pagerank/khop fixes. Bucketed edges remove the per-round edge
     exchange (pagerank_bucketed's plan argument, identical here)."""
+    und, labels = _lpa_labels(spark, sf_dir)
+    return labels
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(und, labels): the checkpointed symmetrized edge list (WITH
+    self-loops kept — label propagation's own convention) and the
+    3-round min-label table. Shared by graph_label_propagation and
+    graph_modularity so the communities being scored are exactly the
+    registered ones."""
     e = _edges(spark, sf_dir)
     # every round re-reads und (and the label chain re-derives it
     # transitively) — pin the small symmetrized edge list once so the
@@ -538,7 +548,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
             ).alias("label"),
         ).localCheckpoint()
-    return labels
+    return und, labels
 
 
 # ---------------------------------------------------------------------------
@@ -1424,4 +1434,120 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_club",
         "rows2",
         F.when(F.col("n_club") >= 2, qround(phi, 6)).alias("phi"),
+    )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    und AS (SELECT src, dst FROM e
+            UNION SELECT dst AS src, src AS dst FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({_lpa_round_sql("l0")}),
+    l2 AS ({_lpa_round_sql("l1")}),
+    l3 AS ({_lpa_round_sql("l2")}),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+    within AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w
+        FROM und u
+        JOIN l3 a ON a.node = u.src
+        JOIN l3 b ON b.node = u.dst
+        WHERE a.label = b.label
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    dc AS (
+        SELECT l3.label, CAST(SUM(deg.d) AS BIGINT) AS dcsum
+        FROM deg JOIN l3 ON l3.node = deg.node
+        GROUP BY l3.label
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+               CAST(SUM(dcsum * dcsum) AS BIGINT) AS sd2
+        FROM dc
+    )
+    SELECT agg.n_comm, m2.m2, within.w,
+           CAST(m2.m2 * within.w - agg.sd2 AS BIGINT) AS q_num,
+           CASE WHEN m2.m2 > 0 THEN
+               FLOOR(CAST(m2.m2 * within.w - agg.sd2 AS DOUBLE)
+                     / (CAST(m2.m2 AS DOUBLE) * m2.m2)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS modularity
+    FROM agg, m2, within
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the communities graph_label_propagation
+    registers (shared 3-round min-label machinery — the score and
+    the registered labels can never drift): Q = Σ_c [e_c/2m −
+    (D_c/2m)²], the standard "are these communities denser than a
+    degree-preserving random graph?" number that turns a raw
+    labeling into a quality metric (Newman & Girvan 2004; positive ≈
+    real structure, ~0 ≈ the partition explains nothing).
+
+    ALL-INTEGER core: on the symmetrized list 2m is the row count,
+    within-rows W = Σ_c e_c·2 (each within-edge counted twice — the
+    same double counting 2m carries, so the ratio is exactly e/m),
+    and Q·(2m)² = 2m·W − Σ_c D_c² is exact int64 — numerator AND the
+    m > 0 guard are integer predicates; the single emitted float is
+    one correctly-rounded division, qround(6). Headroom: 4m² exact
+    to m ≈ 1.5·10⁹ symmetrized rows, DECIMAL(38) beyond.
+
+    100 TB shape: the label-prop plan (checkpointed per round) + one
+    edge-pass with two label joins (labels are |nodes| rows,
+    broadcast-or-hash) + a degree aggregate — community count never
+    materializes more than |communities| rows."""
+    und, labels = _lpa_labels(spark, sf_dir)
+    m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    la = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("cla")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("clb")
+    )
+    within = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("cla") == F.col("clb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dcs = (
+        deg.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("label").alias("c")
+            ),
+            "src",
+        )
+        .groupBy("c")
+        .agg(F.sum("d").cast("long").alias("dcsum"))
+    )
+    agg = dcs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comm"),
+        F.sum(F.col("dcsum") * F.col("dcsum")).cast("long").alias("sd2"),
+    )
+    q_num = F.col("m2") * F.col("w") - F.col("sd2")
+    return (
+        agg.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(within))
+        .select(
+            "n_comm",
+            "m2",
+            "w",
+            q_num.cast("long").alias("q_num"),
+            F.when(
+                F.col("m2") > 0,
+                qround(
+                    q_num.cast("double")
+                    / (F.col("m2").cast("double") * F.col("m2")),
+                    6,
+                ),
+            ).alias("modularity"),
+        )
     )

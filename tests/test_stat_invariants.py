@@ -3903,3 +3903,53 @@ def test_source_winrate_complementarity_and_replay(spark, sf_dir):
                     w2 += 1
         assert r["w2"] == w2, (sa, sb)
         assert r["n_a"] == len(by_src[sa])
+
+
+def test_modularity_python_replay_and_bounds(spark, sf_dir):
+    """From-scratch modularity replay over the orders-derived graph
+    with 3-round min-label propagation; bound |Q| <= 1 and the exact
+    integer identity Q_num = 2m*W - sum D_c^2."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    orows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .collect()
+    )
+    und = set()
+    for r in orows:
+        s = int(r["o_custkey"])
+        t = (s * 7 + int(r["o_orderkey"]) * 3) % 2000
+        und.add((s, t))
+        und.add((t, s))
+    nodes = sorted(set(s for s, _ in und))
+    label = {v: v for v in nodes}
+    adj = defaultdict(list)
+    for s, t in und:
+        adj[s].append(t)
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            cand = [label[u] for u in adj[v]]
+            new[v] = min([label[v]] + cand)
+        label = new
+    m2 = len(und)
+    w = sum(1 for s, t in und if label[s] == label[t])
+    deg = defaultdict(int)
+    for s, _ in und:
+        deg[s] += 1
+    dcsum = defaultdict(int)
+    for v in nodes:
+        dcsum[label[v]] += deg[v]
+    sd2 = sum(d * d for d in dcsum.values())
+    q_num = m2 * w - sd2
+    q = q_num / (m2 * m2)
+    (r,) = _rows(spark, sf_dir, "graph_modularity")
+    assert r["m2"] == m2 and r["w"] == w
+    assert r["n_comm"] == len(set(label.values()))
+    assert r["q_num"] == q_num
+    assert abs(r["modularity"] - math.floor(q * 1e6 + 0.5) / 1e6) < 1e-12
+    assert -1 - 1e-9 <= r["modularity"] <= 1 + 1e-9
