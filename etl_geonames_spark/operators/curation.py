@@ -5165,3 +5165,103 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mid"),
         ).alias("spm"),
     )
+
+
+@query(
+    "llm_char_entropy_gate",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, length(text) AS ln_,
+               list_sort(list_distinct(str_split(text, ''))) AS dch,
+               str_split(text, '') AS cs
+        FROM documents
+    ),
+    ent AS (
+        SELECT doc_id, CAST(ln_ AS BIGINT) AS n_chars,
+               CAST(len(dch) AS BIGINT) AS n_distinct,
+               CASE WHEN ln_ > 0 THEN
+                   LN(CAST(ln_ AS DOUBLE))
+                   - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(dch, c ->
+                           CAST(len(list_filter(cs, x -> x = c))
+                                AS DOUBLE)
+                           * LN(CAST(len(list_filter(cs, x -> x = c))
+                                     AS DOUBLE)))),
+                       (acc, y) -> acc + y) / ln_
+               END AS h
+        FROM ch
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS char_entropy,
+           CASE WHEN h IS NOT NULL THEN
+               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 < 1.5
+           END AS flag_low,
+           CASE WHEN h IS NOT NULL THEN
+               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 > 4.5
+           END AS flag_high
+    FROM ent
+    """,
+)
+def llm_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate: per-document Shannon entropy
+    of the CHARACTER distribution in nats, with low/high flags —
+    repeated-character spam ("aaaa…") collapses entropy toward 0 and
+    base64/hex/random-token noise pushes it past natural-language
+    range (~2-4 nats for English prose), so the two flags bracket the
+    classic cheap gibberish screens (the char-level complement of
+    llm_repetition_ratio's token-level and llm_gopher_quality's
+    word-shape checks; CCNet/RefinedWeb-class pipelines run exactly
+    this family before any model scoring).
+
+    Determinism: H = ln L − (Σ c·ln c)/L keeps every ln argument an
+    exact integer (character counts — the all-integer-args form of
+    entropy; no p = c/L ratios enter the logs), the distinct-char
+    fold runs in SORTED order on both engines (UTF-8 byte order —
+    array_sort/list_sort agree; unordered list_distinct output is
+    never folded directly), and the flags compare the qround(6)'d
+    entropy against the thresholds on BOTH engines (the
+    float-threshold rule). Empty documents NULL all three derived
+    columns.
+
+    Map-only: one pass of array expressions over the scan (O(d·L)
+    per doc for d distinct chars), zero shuffles, zero Python —
+    scan-speed gating at any corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    cs = F.split(F.col("text"), "")
+    dch = F.array_sort(F.array_distinct(cs))
+    ln_ = F.length("text")
+    cnt = lambda c: F.size(F.filter(cs, lambda x: x == c))
+    h = F.when(
+        ln_ > 0,
+        F.log(ln_.cast("double"))
+        - F.aggregate(
+            F.transform(
+                dch,
+                lambda c: cnt(c).cast("double")
+                * F.log(cnt(c).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        / ln_,
+    )
+    base = docs.select(
+        "doc_id",
+        ln_.cast("long").alias("n_chars"),
+        F.size(dch).cast("long").alias("n_distinct"),
+        qround(h, 6).alias("char_entropy"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        "char_entropy",
+        F.when(
+            F.col("char_entropy").isNotNull(),
+            F.col("char_entropy") < 1.5,
+        ).alias("flag_low"),
+        F.when(
+            F.col("char_entropy").isNotNull(),
+            F.col("char_entropy") > 4.5,
+        ).alias("flag_high"),
+    )

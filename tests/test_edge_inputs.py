@@ -348,6 +348,9 @@ def edge_ddb(edge_sf_dir):
         # winrate on the single-source corpus: no cross-source pairs
         # exist, so the matrix is EMPTY from both engines
         "llm_source_winrate",
+        # char entropy on the empty doc (L = 0 NULLs everything
+        # derived; both engines split '' to ['']) and the 1-token doc
+        "llm_char_entropy_gate",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3953,3 +3953,37 @@ def test_modularity_python_replay_and_bounds(spark, sf_dir):
     assert r["q_num"] == q_num
     assert abs(r["modularity"] - math.floor(q * 1e6 + 0.5) / 1e6) < 1e-12
     assert -1 - 1e-9 <= r["modularity"] <= 1 + 1e-9
+
+
+def test_char_entropy_python_replay(spark, sf_dir):
+    """Replay H = ln L - (sum c ln c)/L per doc from raw text; bound
+    0 <= H <= ln(n_distinct)."""
+    import math
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {int(r["doc_id"]): r for r in _rows(spark, sf_dir, "llm_char_entropy_gate")}
+    for r in rows:
+        did = int(r["doc_id"])
+        text = r["text"]
+        g = got[did]
+        assert g["n_chars"] == len(text)
+        if len(text) == 0:
+            assert g["char_entropy"] is None
+            continue
+        c = Counter(text)
+        h = math.log(len(text)) - sum(
+            n * math.log(n) for n in c.values()
+        ) / len(text)
+        hq = math.floor(h * 1e6 + 0.5) / 1e6
+        assert abs(g["char_entropy"] - hq) <= 1.1e-6
+        assert g["n_distinct"] == len(c)
+        assert -1e-9 <= h <= math.log(len(c)) + 1e-9
+        assert g["flag_low"] == (g["char_entropy"] < 1.5)
+        assert g["flag_high"] == (g["char_entropy"] > 4.5)
