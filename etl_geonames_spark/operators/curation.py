@@ -5193,12 +5193,10 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_chars, n_distinct,
            FLOOR(h * 1000000.0 + 0.5) / 1000000.0 AS char_entropy,
-           CASE WHEN h IS NOT NULL THEN
-               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 < 1.5
-           END AS flag_low,
-           CASE WHEN h IS NOT NULL THEN
-               FLOOR(h * 1000000.0 + 0.5) / 1000000.0 > 4.5
-           END AS flag_high
+           COALESCE(FLOOR(h * 1000000.0 + 0.5) / 1000000.0 < 1.5,
+                    FALSE) AS flag_low,
+           COALESCE(FLOOR(h * 1000000.0 + 0.5) / 1000000.0 > 4.5,
+                    FALSE) AS flag_high
     FROM ent
     """,
 )
@@ -5256,12 +5254,13 @@ def llm_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_distinct",
         "char_entropy",
-        F.when(
-            F.col("char_entropy").isNotNull(),
-            F.col("char_entropy") < 1.5,
-        ).alias("flag_low"),
-        F.when(
-            F.col("char_entropy").isNotNull(),
-            F.col("char_entropy") > 4.5,
-        ).alias("flag_high"),
+        # flags are NON-NULL booleans (empty doc -> false, its own
+        # n_chars = 0 signal): a nullable boolean hits a pandas dtype
+        # seam in the differential comparator (None vs NaN)
+        F.coalesce(F.col("char_entropy") < 1.5, F.lit(False)).alias(
+            "flag_low"
+        ),
+        F.coalesce(F.col("char_entropy") > 4.5, F.lit(False)).alias(
+            "flag_high"
+        ),
     )

@@ -3985,5 +3985,5 @@ def test_char_entropy_python_replay(spark, sf_dir):
         assert abs(g["char_entropy"] - hq) <= 1.1e-6
         assert g["n_distinct"] == len(c)
         assert -1e-9 <= h <= math.log(len(c)) + 1e-9
-        assert g["flag_low"] == (g["char_entropy"] < 1.5)
-        assert g["flag_high"] == (g["char_entropy"] > 4.5)
+        assert g["flag_low"] == bool(g["char_entropy"] < 1.5)
+        assert g["flag_high"] == bool(g["char_entropy"] > 4.5)
