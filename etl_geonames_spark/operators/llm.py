@@ -2352,8 +2352,14 @@ def llm_abtt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POLY_LSH_SQL_CTES = f"""
-    t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+def _poly_lsh_sql_ctes(where: str = "") -> str:
+    """The t/g/h/perm/sig/bands CTE chain, optionally sliced (the
+    llm_lsh_pr_eval doc_id < 200 eval slice) — ONE text for every
+    consumer so the witness pipeline and its evaluation can never
+    hash differently."""
+    return f"""
+    t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+          {where}),
     g AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(tk) - 2),
@@ -2387,6 +2393,9 @@ _POLY_LSH_SQL_CTES = f"""
 """
 
 
+_POLY_LSH_SQL_CTES = _poly_lsh_sql_ctes()
+
+
 def _poly_minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, b_lo, b_hi) for the cross-engine poly-hash
     MinHash-LSH pipeline: 3-word shingles → Horner poly_hash → 4
@@ -2394,6 +2403,14 @@ def _poly_minhash_bands(docs: DataFrame) -> DataFrame:
     of llm_minhash_verifiable (candidate pairs) and
     llm_dedup_band_stats (bucket capacity census) — DuckDB replays it
     as ``_POLY_LSH_SQL_CTES``."""
+    return _poly_minhash_bands_from_hashes(_poly_gram_hashes(docs))
+
+
+def _poly_gram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, ph): distinct 3-word shingles Horner-hashed — the
+    witness pipeline's set representation, shared by the banding and
+    llm_lsh_pr_eval's exact-Jaccard ground truth (hash collisions
+    merge set elements identically in both consumers)."""
     from etl_geonames_spark.operators.curation import poly_hash
 
     grams = (
@@ -2401,8 +2418,7 @@ def _poly_minhash_bands(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(_shingles("tk", 3)).alias("gram"))
         .distinct()
     )
-    h = grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
-    return _poly_minhash_bands_from_hashes(h)
+    return grams.select("doc_id", poly_hash(F.col("gram")).alias("ph"))
 
 
 def _poly_minhash_bands_from_hashes(h: DataFrame) -> DataFrame:
@@ -5926,4 +5942,165 @@ def llm_source_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("winrate"),
         )
+    )
+
+
+_LSH_EVAL_SLICE = 200
+_LSH_EVAL_TAU_NUM = 1  # ground truth: Jaccard >= 1/2 -> 3i >= na+nb
+
+
+@query(
+    "llm_lsh_pr_eval",
+    oracle=f"""
+    WITH {_poly_lsh_sql_ctes(f"WHERE doc_id < {_LSH_EVAL_SLICE}")},
+    hs AS (SELECT DISTINCT doc_id, ph FROM h),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM hs GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM hs a JOIN hs b ON a.ph = b.ph AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    gt AS (
+        SELECT inter.da, inter.db
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.da
+        JOIN sizes sb ON sb.doc_id = inter.db
+        WHERE 3 * inter.i >= sa.sz + sb.sz
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.b_lo = b.b_lo AND a.b_hi = b.b_hi
+         AND a.doc_id < b.doc_id
+    ),
+    cm AS (
+        SELECT
+            CAST(SUM(CASE WHEN g.da IS NOT NULL AND c.da IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN g.da IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN c.da IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+        FROM gt g FULL OUTER JOIN cand c
+          ON g.da = c.da AND g.db = c.db
+    )
+    SELECT tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fp)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS prec,
+           CASE WHEN tp + fn > 0
+                THEN FLOOR(CAST(tp AS DOUBLE) / (tp + fn)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN FLOOR(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS f1
+    FROM cm
+    """,
+)
+def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator
+    against EXACT shingle-Jaccard ground truth on the bounded
+    doc_id < 200 eval slice — the dedup-stack analogue of
+    llm_ann_recall_eval: band-capacity censuses (llm_dedup_band_stats)
+    price the candidate join, THIS query says whether the candidates
+    are the right ones. Ground truth: exact Jaccard ≥ 1/2 as the
+    ALL-INTEGER predicate 3·|∩| ≥ |A|+|B| over the SAME hashed
+    shingle sets the signatures are built from (one shared
+    _poly_gram_hashes / CTE text — a collision merges elements
+    identically on both sides of the evaluation, so the measured
+    banding error is banding error alone).
+
+    Every count is exact int64 (the llm_classifier_eval confusion
+    discipline: F1 from counts, single guards, NULL on empty sides).
+    The slice cap is CONTRACTUAL — exact pairwise Jaccard is O(s²)
+    and exists to audit the stack, not to run at corpus scale; the
+    production recall statement is tests/test_dedup_recall.py.
+
+    Plan: the witness band join + one ph-keyed equi-join for
+    intersections (slice-bounded), both from ONE checkpointed hash
+    table; a full-outer merge of two pair sets; one global
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _LSH_EVAL_SLICE
+    )
+    # distinct on (doc_id, ph): two shingles COLLIDING to one hash
+    # must merge into one set element (the oracle's SELECT DISTINCT),
+    # or intersection counts drift at corpora large enough to collide
+    hs = (
+        _poly_gram_hashes(spread(docs, "doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = hs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = hs.select(F.col("doc_id").alias("da"), "ph")
+    b = hs.select(F.col("doc_id").alias("db"), "ph")
+    inter = (
+        a.join(b, "ph")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    gt = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .where(3 * F.col("i") >= F.col("sza") + F.col("szb"))
+        .select("da", "db")
+    )
+    bands = _poly_minhash_bands_from_hashes(hs)
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.b_lo") == F.col("b.b_lo"))
+            & (F.col("a.b_hi") == F.col("b.b_hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    g = gt.select("da", "db", F.lit(1).alias("in_gt"))
+    c = cand.select("da", "db", F.lit(1).alias("in_cand"))
+    merged = g.join(c, ["da", "db"], "full_outer")
+    cm = merged.agg(
+        F.sum(
+            F.when(
+                F.col("in_gt").isNotNull() & F.col("in_cand").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("in_gt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("in_cand").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            tp + fp > 0, qround(tp.cast("double") / (tp + fp), 6)
+        ).alias("prec"),
+        F.when(
+            tp + fn > 0, qround(tp.cast("double") / (tp + fn), 6)
+        ).alias("rec"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            qround((2 * tp).cast("double") / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
     )

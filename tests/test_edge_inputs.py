@@ -351,6 +351,9 @@ def edge_ddb(edge_sf_dir):
         # char entropy on the empty doc (L = 0 NULLs everything
         # derived; both engines split '' to ['']) and the 1-token doc
         "llm_char_entropy_gate",
+        # LSH eval where no doc has 3 tokens: empty hash/band/gt
+        # tables, tp=fp=fn=0, all three ratios NULL
+        "llm_lsh_pr_eval",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -3987,3 +3987,69 @@ def test_char_entropy_python_replay(spark, sf_dir):
         assert -1e-9 <= h <= math.log(len(c)) + 1e-9
         assert g["flag_low"] == bool(g["char_entropy"] < 1.5)
         assert g["flag_high"] == bool(g["char_entropy"] > 4.5)
+
+
+def test_lsh_pr_eval_python_replay(spark, sf_dir):
+    """Brute-force replay of BOTH sides of the evaluation: exact
+    hashed-shingle Jaccard ground truth (3i >= na+nb) and the
+    4-perm/2-band candidate generation — tp/fp/fn must match
+    exactly. Also LSH soundness: identical shingle sets are ALWAYS
+    candidates (identical signatures share every bucket)."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    P = 1_000_003
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def ph(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % P
+        return h
+
+    sets = {}
+    for r in rows:
+        tk = r["text"].split(" ")
+        grams = {
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        } if len(tk) >= 3 else set()
+        if grams:
+            sets[int(r["doc_id"])] = {ph(g) for g in grams}
+    ids = sorted(sets)
+    gt = set()
+    for i_, a in enumerate(ids):
+        for b in ids[i_ + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and 3 * inter >= len(sets[a]) + len(sets[b]):
+                gt.add((a, b))
+    # signatures
+    perms = [(2 * i * P + 1, i * 998_244_353 + 12_345) for i in range(4)]
+    sig = {
+        d: [min((a * x + b) % 2147483647 for x in s) for a, b in perms]
+        for d, s in sets.items()
+    }
+    buckets = defaultdict(set)
+    for d, sg in sig.items():
+        for band in range(2):
+            buckets[(band, sg[2 * band], sg[2 * band + 1])].add(d)
+    cand = set()
+    for mem in buckets.values():
+        ms = sorted(mem)
+        for i_, a in enumerate(ms):
+            for b in ms[i_ + 1:]:
+                cand.add((a, b))
+    for a in ids:
+        for b in ids:
+            if a < b and sets[a] == sets[b]:
+                assert (a, b) in cand  # identical sets always collide
+    tp = len(gt & cand)
+    fp = len(cand - gt)
+    fn = len(gt - cand)
+    (r,) = _rows(spark, sf_dir, "llm_lsh_pr_eval")
+    assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
