@@ -1069,3 +1069,26 @@ def test_round11_batch4_shapes(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 12
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round11_batch5_shapes(spark, sf_dir):
+    """winrate rides the bounded-grid windows (partitioned by source,
+    broadcast grid joins); modularity is the label-prop plan + one
+    edge pass (label joins may sort-merge — labels are node-sized,
+    honest); char-entropy is map-only; the LSH eval is two pair
+    generators + a full-outer merge, never a cartesian."""
+    caps = {
+        "llm_source_winrate": 6,
+        "graph_modularity": 7,
+        "llm_char_entropy_gate": 1,
+        "llm_lsh_pr_eval": 9,
+    }
+    for name, cap in caps.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df)
+        assert shuffle_exchange_count(df) <= cap, name
+        assert "CartesianProduct" not in plan, name
+    plan = explain_str(QUERIES["llm_char_entropy_gate"](spark, sf_dir))
+    assert "HashAggregate" not in plan
+    plan = explain_str(QUERIES["llm_source_winrate"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan  # partitioned window
