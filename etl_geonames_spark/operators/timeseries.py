@@ -5436,3 +5436,144 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cp").cast("long").alias("cp_index"),
         qround(p, 6).alias("p_value"),
     )
+
+
+@query(
+    "ts_record_counts",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS INT) AS n
+      FROM dc GROUP BY event_type
+    ),
+    rec AS (
+      SELECT event_type, n,
+             CAST(len(list_filter(generate_series(2, n),
+                 t -> v[CAST(t AS INT)]
+                      > list_max(v[1:CAST(t - 1 AS INT)])))
+                 + 1 AS BIGINT) AS u_rec,
+             CAST(len(list_filter(generate_series(2, n),
+                 t -> v[CAST(t AS INT)]
+                      < list_min(v[1:CAST(t - 1 AS INT)])))
+                 + 1 AS BIGINT) AS l_rec,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, n),
+                     k -> 1.0 / k)), (acc, y) -> acc + y) AS h_n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(2, n),
+                     k -> 2.0 / k)), (acc, y) -> acc + y) AS var_d
+      FROM arr WHERE n >= 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, u_rec, l_rec,
+           CAST(u_rec - l_rec AS BIGINT) AS d_stat,
+           FLOOR(h_n * 1000000.0 + 0.5) / 1000000.0 AS e_records,
+           CASE WHEN var_d > 0 THEN
+               FLOOR(CAST(u_rec - l_rec AS DOUBLE) / SQRT(var_d)
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS z
+    FROM rec
+    """,
+)
+def ts_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-statistics trend test per event type (Foster & Stuart
+    1954): count STRICT upper and lower records in the daily series
+    (day 1 is both by convention) — under exchangeability both counts
+    have mean H_n = Σ1/k, so D = U − L far from 0 flags monotone
+    drift with ZERO distributional assumptions and near-zero compute.
+    The classical third member of the trend family: stat_mann_kendall
+    uses all pairs, ts_pettitt_changepoint locates one break, records
+    use only the running extremes (and are therefore the one trend
+    signal that survives arbitrary monotone transforms of the
+    metric). z = D/√(2·Σ_{k≥2}1/k), the Foster-Stuart normal
+    approximation.
+
+    Record counts are EXACT integers from stateless array predicates
+    (v[t] vs max/min of the strict prefix — no recurrence, no fold
+    state; ties are not records, identically both engines on
+    integer-valued doubles); the harmonic sums fold sequentially (the
+    ts_holt_winters contract); the only floats are the emitted
+    expectation and z, qround(6). n = 1 series are dropped (the
+    prefix slice would hit the ANSI descending-sequence trap; a
+    1-day series has no trend to test).
+
+    100 TB: the _daily_series bill + O(n²) prefix-extreme checks per
+    series (days bounded; corpus-scale work is the daily hash
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = (
+        dc.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("v"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    vv = F.col("v")
+    n = F.col("n")
+    u_rec = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda t: F.element_at(vv, t)
+                > F.array_max(F.slice(vv, 1, t - 1)),
+            )
+        )
+        + 1
+    ).cast("long")
+    l_rec = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda t: F.element_at(vv, t)
+                < F.array_min(F.slice(vv, 1, t - 1)),
+            )
+        )
+        + 1
+    ).cast("long")
+
+    def hsum(lo, expr):
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(lo), n), expr),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    h_n = hsum(1, lambda k: F.lit(1.0) / k)
+    var_d = hsum(2, lambda k: F.lit(2.0) / k)
+    rec = arr.select(
+        "event_type",
+        "n",
+        u_rec.alias("u_rec"),
+        l_rec.alias("l_rec"),
+        h_n.alias("h_n"),
+        var_d.alias("var_d"),
+    )
+    d_stat = (F.col("u_rec") - F.col("l_rec")).cast("long")
+    return rec.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        "u_rec",
+        "l_rec",
+        d_stat.alias("d_stat"),
+        qround(F.col("h_n"), 6).alias("e_records"),
+        F.when(
+            F.col("var_d") > 0,
+            qround(
+                d_stat.cast("double") / F.sqrt(F.col("var_d")), 6
+            ),
+        ).alias("z"),
+    )

@@ -4053,3 +4053,49 @@ def test_lsh_pr_eval_python_replay(spark, sf_dir):
     fn = len(gt - cand)
     (r,) = _rows(spark, sf_dir, "llm_lsh_pr_eval")
     assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+
+
+def test_record_counts_python_replay(spark, sf_dir):
+    """Replay records directly (running extremes) plus the harmonic
+    expectation/variance; bound 1 <= U, L <= n."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in dc:
+        series[r["event_type"]][r["day"]] = int(r["count"])
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_record_counts")}
+    for et, sd in series.items():
+        v = [sd[d] for d in sorted(sd)]
+        n = len(v)
+        if n < 2:
+            assert et not in got
+            continue
+        u = l = 1
+        mx = mn = v[0]
+        for x in v[1:]:
+            if x > mx:
+                u += 1
+                mx = x
+            if x < mn:
+                l += 1
+                mn = x
+        h_n = sum(1.0 / k for k in range(1, n + 1))
+        var_d = sum(2.0 / k for k in range(2, n + 1))
+        g = got[et]
+        assert g["u_rec"] == u and g["l_rec"] == l
+        assert 1 <= u <= n and 1 <= l <= n
+        assert g["d_stat"] == u - l
+        assert abs(g["e_records"] - h_n) <= 2e-6
+        if var_d > 0:
+            assert abs(g["z"] - (u - l) / math.sqrt(var_d)) <= 2e-6
