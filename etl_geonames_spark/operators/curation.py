@@ -5264,3 +5264,91 @@ def llm_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_high"
         ),
     )
+
+
+@query(
+    "llm_df_prune",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        FROM documents
+    ),
+    wne AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM wne),
+    dfreq AS (
+        SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM wne GROUP BY word
+    ),
+    tagged AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN 2 * d.df > nd.n OR d.df = 1
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM wne t JOIN dfreq d USING (word), nd
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_kept,
+           FLOOR(CAST(n_kept AS DOUBLE) / n_tokens
+                 * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
+    FROM tagged
+    """,
+)
+def llm_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency vocabulary pruning census: drop tokens that
+    are corpus-level STOPWORDS (df > N/2 — appear in more than half
+    the documents) or HAPAX (df = 1 — appear in exactly one), and
+    report per-document retention — the standard index/embedding
+    vocabulary diet (Luhn's classic mid-frequency band), and the
+    pre-filter that shrinks boilerplate n-gram tables and inverted
+    indexes before the expensive ops run. Per-doc kept_frac near 0
+    flags documents made ENTIRELY of glue words or entirely of
+    singletons — both quality signals the length-based gates miss.
+
+    Both prune predicates are ALL-INTEGER (2·df > N, df = 1) on
+    exact distinct-doc counts — no float ever crosses engines except
+    the emitted retention ratio (one correctly-rounded division,
+    qround(6); n_tokens ≥ 1 for every emitted row since docs with no
+    non-empty token produce no join rows).
+
+    100 TB shape: one distinct aggregate for df (vocabulary-sized,
+    map-side combined), the corpus total as a 1-row broadcast, one
+    hash join token-stream × vocabulary (the llm_inverted_index
+    co-location; vocabulary hash-partitions the wide side), one
+    doc-keyed conditional sum. Empty-text documents simply don't
+    appear — their absence IS the signal, like the inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    wne = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        # feeds the doc total, the df aggregate, and the tagging join
+        .localCheckpoint()
+    )
+    nd = wne.agg(
+        F.countDistinct("doc_id").cast("long").alias("n")
+    )
+    dfreq = wne.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    drop = (2 * F.col("df") > F.col("n")) | (F.col("df") == 1)
+    tagged = (
+        wne.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(drop, 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return tagged.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        qround(
+            F.col("n_kept").cast("double") / F.col("n_tokens"), 6
+        ).alias("kept_frac"),
+    )

@@ -354,6 +354,10 @@ def edge_ddb(edge_sf_dir):
         # LSH eval where no doc has 3 tokens: empty hash/band/gt
         # tables, tp=fp=fn=0, all three ratios NULL
         "llm_lsh_pr_eval",
+        # df-prune on the 6-doc corpus: the empty doc vanishes (no
+        # token rows), 'the' has df 2 of 5 docs-with-tokens (kept),
+        # hapax singles drop
+        "llm_df_prune",
     ],
 )
 def test_edge_query_matches_oracle(name, spark, edge_sf_dir, edge_ddb):

@@ -4099,3 +4099,40 @@ def test_record_counts_python_replay(spark, sf_dir):
         assert abs(g["e_records"] - h_n) <= 2e-6
         if var_d > 0:
             assert abs(g["z"] - (u - l) / math.sqrt(var_d)) <= 2e-6
+
+
+def test_df_prune_python_replay(spark, sf_dir):
+    """Replay the df-band prune per doc; bounds 0 <= kept <= tokens,
+    and a word-level spot check that both predicates act."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    docs = {
+        int(r["doc_id"]): [w for w in r["text"].split(" ") if w != ""]
+        for r in rows
+    }
+    dfreq = defaultdict(set)
+    for did, tk in docs.items():
+        for w in tk:
+            dfreq[w].add(did)
+    n = len([d for d, tk in docs.items() if tk])
+    got = {int(r["doc_id"]): r for r in _rows(spark, sf_dir, "llm_df_prune")}
+    assert set(got) == {d for d, tk in docs.items() if tk}
+    for did, tk in docs.items():
+        if not tk:
+            continue
+        kept = sum(
+            1
+            for w in tk
+            if not (2 * len(dfreq[w]) > n or len(dfreq[w]) == 1)
+        )
+        g = got[did]
+        assert g["n_tokens"] == len(tk)
+        assert g["n_kept"] == kept
+        assert 0 <= kept <= len(tk)
