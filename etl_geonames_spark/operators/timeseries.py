@@ -5577,3 +5577,128 @@ def ts_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z"),
     )
+
+
+@query(
+    "ts_spc_ewma_chart",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM dc GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, v, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * (n - 1))) AS sig
+      FROM arr WHERE n >= 2 AND n * s2 - s1 * s1 > 0
+    ),
+    chart AS (
+      SELECT event_type, n, mu, sig,
+             list_reduce(
+                 list_prepend([mu, 0.0, 1.0],
+                     list_transform(v, x -> [x, 0.0, 0.0])),
+                 (acc, e) -> [
+                     0.2 * e[1] + 0.8 * acc[1],
+                     acc[2] + CASE WHEN
+                         abs(0.2 * e[1] + 0.8 * acc[1] - mu)
+                         > 3.0 * sig * sqrt(0.2 / 1.8
+                             * (1.0 - acc[3] * 0.64))
+                         THEN 1.0 ELSE 0.0 END,
+                     acc[3] * 0.64]) AS st
+      FROM mom
+    )
+    SELECT event_type, n AS n_days,
+           FLOOR(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_c,
+           FLOOR(sig * 1000000.0 + 0.5) / 1000000.0 AS sigma_c,
+           FLOOR(st[1] * 1000000.0 + 0.5) / 1000000.0 AS ewma_final,
+           CAST(st[2] AS BIGINT) AS n_violations
+    FROM chart
+    """,
+)
+def ts_spc_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per event type (Roberts 1959; Montgomery's
+    SPC ch. 9 form): z_t = λ·c_t + (1−λ)·z_{t−1} with λ = 0.2 from
+    z_0 = μ̄, flagged when |z_t − μ̄| exceeds the time-varying limit
+    L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})) with L = 3 — the small-shift
+    detector that completes the SPC pair: ts_spc_xbar_r catches big
+    jumps per subgroup, the EWMA chart accumulates evidence and
+    catches sustained ~1σ drifts Shewhart limits never see; the
+    monitoring chart SRE playbooks layer beside ts_cusum_drift.
+
+    Determinism ladder: μ̄ and σ̂ are exact-integer-moment ratios
+    under one sqrt (sqrt is CORRECTLY ROUNDED by IEEE — unlike
+    exp/ln it cannot diverge cross-engine); the recurrence folds a
+    3-element LIST state [z, violations, (1−λ)^{2t}] sequentially
+    (the ts_holt_winters LIST-state rule — never a struct state),
+    with the (1−λ)^{2t} factor carried MULTIPLICATIVELY in the fold
+    so no libm pow exists anywhere; the in-fold limit comparison
+    therefore compares identically-computed doubles on both engines
+    (the kpss denominator-predicate class) and the violation COUNT
+    is an exact integer. Constant or single-day series are dropped
+    by an integer predicate (n·Σc² − (Σc)² > 0).
+
+    100 TB: the _daily_series bill — one corpus-scale daily hash
+    aggregate, then O(n) per-series fold arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mom = arr.filter((n >= 2) & (n * s2 - s1 * s1 > 0)).select(
+        "event_type",
+        "v",
+        "n",
+        (s1.cast("double") / n).alias("mu"),
+        F.sqrt(
+            (n * s2 - s1 * s1).cast("double")
+            / (n.cast("double") * n * (n - 1))
+        ).alias("sig"),
+    )
+    mu, sig = F.col("mu"), F.col("sig")
+
+    def step(acc, x):
+        z = F.lit(0.2) * x + F.lit(0.8) * F.element_at(acc, 1)
+        fpow = F.element_at(acc, 3) * F.lit(0.64)
+        lim = (
+            F.lit(3.0)
+            * sig
+            * F.sqrt(F.lit(0.2) / F.lit(1.8) * (F.lit(1.0) - fpow))
+        )
+        viol = F.element_at(acc, 2) + F.when(
+            F.abs(z - mu) > lim, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return F.array(z, viol, fpow)
+
+    st = F.aggregate(
+        F.col("v"), F.array(mu, F.lit(0.0), F.lit(1.0)), step
+    )
+    chart = mom.select("event_type", "n", "mu", "sig", st.alias("st"))
+    return chart.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        qround(mu, 6).alias("mean_c"),
+        qround(sig, 6).alias("sigma_c"),
+        qround(F.element_at(F.col("st"), 1), 6).alias("ewma_final"),
+        F.element_at(F.col("st"), 2).cast("long").alias("n_violations"),
+    )

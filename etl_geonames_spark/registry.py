@@ -65,7 +65,7 @@ _OPERATOR_MODULES = [
 # tests/test_oracle_parity.py, which checks ALL queries every run.
 _DRIVER_PRIORITY = [
     # round-11 additions (steady-state rule: enter the window on landing)
-    'llm_d4_diversify', 'llm_quality_classifier', 'llm_classifier_eval', 'llm_query_likelihood', 'stat_jonckheere', 'stat_brunner_munzel', 'stat_ansari_bradley', 'ts_cointegration', 'graph_rich_club', 'ts_phillips_perron', 'stat_quade', 'llm_fim_transform', 'ts_pettitt_changepoint', 'llm_source_winrate', 'graph_modularity', 'llm_char_entropy_gate', 'llm_lsh_pr_eval', 'ts_record_counts', 'llm_df_prune',
+    'llm_d4_diversify', 'llm_quality_classifier', 'llm_classifier_eval', 'llm_query_likelihood', 'stat_jonckheere', 'stat_brunner_munzel', 'stat_ansari_bradley', 'ts_cointegration', 'graph_rich_club', 'ts_phillips_perron', 'stat_quade', 'llm_fim_transform', 'ts_pettitt_changepoint', 'llm_source_winrate', 'graph_modularity', 'llm_char_entropy_gate', 'llm_lsh_pr_eval', 'ts_record_counts', 'llm_df_prune', 'ts_spc_ewma_chart',
     'win_ntile', 'agg_collect_salted', 'stat_kruskal_wallis',
     'agg_kmv_setops', 'stat_xi_correlation', 'ts_lateness_histogram',
     'ts_hurst_rs', 'stat_page_trend', 'agg_mann_whitney',

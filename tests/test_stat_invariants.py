@@ -4136,3 +4136,51 @@ def test_df_prune_python_replay(spark, sf_dir):
         assert g["n_tokens"] == len(tk)
         assert g["n_kept"] == kept
         assert 0 <= kept <= len(tk)
+
+
+def test_ewma_chart_python_replay(spark, sf_dir):
+    """Sequential EWMA replay with the time-varying limits; also the
+    steady-state property: the limit factor sqrt(1-(1-l)^2t) is
+    monotone increasing toward 1."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in dc:
+        series[r["event_type"]][r["day"]] = int(r["count"])
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "ts_spc_ewma_chart")}
+    for et, sd in series.items():
+        v = [sd[d] for d in sorted(sd)]
+        n = len(v)
+        s1, s2 = sum(v), sum(x * x for x in v)
+        if n < 2 or n * s2 - s1 * s1 <= 0:
+            assert et not in got
+            continue
+        mu = s1 / n
+        sig = math.sqrt((n * s2 - s1 * s1) / (n * n * (n - 1)))
+        z, viol, fpow = mu, 0, 1.0
+        prev_lim = 0.0
+        for x in v:
+            z = 0.2 * x + 0.8 * z
+            fpow *= 0.64
+            lim = 3.0 * sig * math.sqrt(0.2 / 1.8 * (1.0 - fpow))
+            assert lim >= prev_lim - 1e-12  # monotone toward steady state
+            prev_lim = lim
+            if abs(z - mu) > lim:
+                viol += 1
+        g = got[et]
+        assert g["n_days"] == n
+        assert g["n_violations"] == viol
+        assert abs(g["ewma_final"] - math.floor(z * 1e6 + 0.5) / 1e6) <= 1.1e-6
+        assert abs(g["mean_c"] - mu) <= 2e-6
+        assert abs(g["sigma_c"] - sig) <= 2e-6
