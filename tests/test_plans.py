@@ -1092,3 +1092,18 @@ def test_round11_batch5_shapes(spark, sf_dir):
     assert "HashAggregate" not in plan
     plan = explain_str(QUERIES["llm_source_winrate"](spark, sf_dir))
     assert "hashpartitioning(source" in plan  # partitioned window
+
+
+def test_round11_batch6_shapes(spark, sf_dir):
+    """Records and the EWMA chart are the daily-series bill (≤2
+    exchanges, no join, no window); df-prune is the inverted-index
+    co-location (vocabulary hash join, ≤5 exchanges, no cartesian)."""
+    for name in ("ts_record_counts", "ts_spc_ewma_chart"):
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_exchange_count(df) <= 2, name
+        assert "Join" not in explain_str(df), name
+    df = QUERIES["llm_df_prune"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 5
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
