@@ -50,14 +50,17 @@ _OPERATOR_MODULES = [
 
 # The differential driver records correctness rows for the FIRST 50
 # queries in ``queries()`` dict order each round. ROUND-11 WINDOW
-# (executes the plan VERDICT r10 item 1 wrote at this spot): the 33
+# (executes the plan VERDICT r10 item 1 wrote at this spot): the 20
+# round-11 additions lead (the steady-state rule: new ops enter the
+# window the round they land), followed by the
 # distributed_rank/cumsum/midrank CONSUMERS whose shared machinery
-# the r10 fusion sweep refactored AFTER their last driver row lead
+# the r10 fusion sweep refactored AFTER their last driver row
 # (sorted oldest-checked first: win_ntile r1, agg_collect_salted r4,
-# ... stat_kendall_w r9), then the oldest-green r1-era names fill the
-# remaining slots; round-11 additions are PREPENDED the round they
-# land (the steady-state rule). The 50 CORRECTNESS_r10 names sit at
-# the very back; everything between is ordered by last-checked round
+# ...) — 30 of the 33 fit in the remaining slots, exactly meeting
+# the >=30 oldest-green re-checks the verdict required; the last 3
+# consumers (stat_dunn_posthoc, dq_embedding_norm_qa, stat_kendall_w,
+# all r9-checked) roll to the round-12 front. The 50 CORRECTNESS_r10 names sit at the very
+# back; everything between is ordered by last-checked round
 # ascending, so future rotations just keep draining the front.
 # ROUND-12 PLAN: same recipe — move the CORRECTNESS_r11 names to the
 # back, promote round-12 additions to the head, let the oldest-green
