@@ -1394,7 +1394,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k,) for k in _RICH_CLUB_KS], "k long"
     )
     club = (
-        ks.crossJoin(F.broadcast(deg))
+        deg.crossJoin(F.broadcast(ks))
         .groupBy("k")
         .agg(
             F.count(F.when(F.col("d") > F.col("k"), 1))

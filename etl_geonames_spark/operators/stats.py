@@ -6501,17 +6501,29 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.col("n")
+    # ANSI evaluates BOTH conjuncts of a when() CONDITION, and var_jt
+    # feeds one: the tie-correction denominators 36n(n-1)(n-2) and
+    # 8n(n-1) are 0 for n<=2 / n<=1, so wrap each ratio in a lazy
+    # when() VALUE (NULL propagates through the sum, the condition
+    # falls through to NULL z — matching the oracle's NULL).
+    # stat_fleiss_kappa / stat_brunner_munzel df_den rule.
     var_jt = (
         (n * (n - 1) * (2 * n + 5) - F.col("gA") - F.col("tA")).cast(
             "double"
         )
         / F.lit(72.0)
-        + F.col("gB").cast("double")
-        * F.col("tB").cast("double")
-        / (36 * n * (n - 1) * (n - 2)).cast("double")
-        + F.col("gC").cast("double")
-        * F.col("tC").cast("double")
-        / (8 * n * (n - 1)).cast("double")
+        + F.when(
+            n > 2,
+            F.col("gB").cast("double")
+            * F.col("tB").cast("double")
+            / (36 * n * (n - 1) * (n - 2)).cast("double"),
+        )
+        + F.when(
+            n > 1,
+            F.col("gC").cast("double")
+            * F.col("tC").cast("double")
+            / (8 * n * (n - 1)).cast("double"),
+        )
     )
     num4 = (2 * F.col("jt2") - (n * n - F.col("sn2"))).cast("long")
     return (
