@@ -4233,6 +4233,162 @@ def llm_dedup_embedding_verifiable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Semantic decontamination: eval vectors = the first _SDC_EVAL vec_ids
+# (a stand-in benchmark, the llm_decontaminate convention), planted
+# paraphrases get vec_id + _SDC_PLANT_BASE. Same integer cosine gate
+# as llm_dedup_embedding_verifiable (0.99^2 = 9801/10000 at the 1e-2
+# grid), reused constants _EDV_SCALE/_EDV_NUM/_EDV_DEN.
+_SDC_EVAL = 50
+_SDC_PLANT_BASE = 2_000_000
+
+
+@query(
+    "llm_decontaminate_semantic",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    plants AS (
+        SELECT vec_id + {_SDC_PLANT_BASE} AS vec_id,
+               list_transform(generate_series(1, len(e)),
+                   i -> e[i] + ((i - 1) % 7 - 3) * 0.002) AS e
+        FROM base WHERE vec_id < {_SDC_EVAL}
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(e,
+                   x -> CAST(floor(x * {_EDV_SCALE}.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM plants)
+    ),
+    nq AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                   AS n2
+        FROM qz
+    ),
+    ev AS (SELECT vec_id AS e_id, q AS eq, n2 AS ne FROM nq
+           WHERE vec_id < {_SDC_EVAL}),
+    corpus AS (SELECT vec_id, q, n2 FROM nq
+               WHERE vec_id >= {_SDC_EVAL}),
+    hits AS (
+        SELECT c.vec_id, e.e_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(c.q)),
+                   i -> c.q[i] * e.eq[i])) AS BIGINT) AS qdot,
+               c.n2 AS na, e.ne AS nb
+        FROM corpus c, ev e
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           CAST(SUM(qdot) AS BIGINT) AS sum_qdot,
+           CAST(CASE WHEN vec_id >= {_SDC_PLANT_BASE} THEN 1 ELSE 0 END
+                AS BIGINT) AS planted
+    FROM hits
+    WHERE na > 0 AND nb > 0 AND qdot >= 0
+      AND qdot * qdot * {_EDV_DEN} >= {_EDV_NUM} * na * nb
+    GROUP BY vec_id
+    """,
+)
+def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose cosine vs
+    ANY held-out eval vector clears 0.99 — the embedding-similarity
+    complement of llm_decontaminate's lexical 5-gram pass (published
+    as paraphrase/contamination detection over eval-set embeddings;
+    the eval set stands in as vec_id < 50). Planted paraphrases
+    (each eval vector's ±0.002-perturbed twin at vec_id + 2e6,
+    cosine ≈ 0.9995) prove the gate catches what it must —
+    pinned in tests/test_dedup_golden.py.
+
+    ALL-INTEGER (the llm_dedup_embedding_verifiable discipline):
+    both sides quantize to the 1e-2 grid, and the cos >= 0.99 gate is
+    the exact int64 predicate qdot >= 0 AND qdot^2 * 10^4 >= 9801 *
+    |a|^2 * |b|^2 — no float threshold crosses engines. Zero-norm
+    guards both sides (a zero vector has undefined cosine). Outputs
+    stay integral: hit count, summed integer dot, 0/1 planted flag
+    (never a nullable boolean — comparator dtype seam).
+
+    100 TB shape: eval sets are metadata-sized (thousands of rows),
+    so the eval side BROADCASTS and the corpus is never shuffled —
+    one map-only quantize pass, a broadcast-nested-loop theta join
+    against the tiny eval table (the deliberate-tiny-BNLJ family,
+    join_theta/fn_ip_cidr), then one aggregation shuffle over the
+    contamination-sized match set only. Contrast: blocking the corpus
+    by LSH bucket first (llm_ann_lsh_verifiable) trades the e×n dot
+    products for a corpus shuffle — at eval ≪ corpus the broadcast
+    wins outright."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    plants = base.filter(F.col("vec_id") < _SDC_EVAL).select(
+        (F.col("vec_id") + F.lit(_SDC_PLANT_BASE)).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: x + (i % F.lit(7) - F.lit(3)) * F.lit(0.002)
+        ).alias("e"),
+    )
+    nq = (
+        base.unionByName(plants)
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x: F.floor(x * _EDV_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        )
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+    )
+    ev = nq.filter(F.col("vec_id") < _SDC_EVAL).select(
+        F.col("vec_id").alias("e_id"),
+        F.col("q").alias("eq"),
+        F.col("n2").alias("ne"),
+    )
+    corpus = nq.filter(F.col("vec_id") >= _SDC_EVAL)
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("eq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("qdot", qdot)
+        .filter(
+            (F.col("n2") > 0)
+            & (F.col("ne") > 0)
+            & (F.col("qdot") >= 0)
+            & (
+                F.col("qdot") * F.col("qdot") * _EDV_DEN
+                >= F.lit(_EDV_NUM) * F.col("ne") * F.col("n2")
+            )
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.sum("qdot").cast("long").alias("sum_qdot"),
+        )
+        .select(
+            "vec_id",
+            "n_eval_hits",
+            "sum_qdot",
+            F.when(F.col("vec_id") >= _SDC_PLANT_BASE, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("planted"),
+        )
+    )
+
+
 _ESR_SEED = 4      # seed gram length: any shared run >= 4 starts with one
 _ESR_DF_CAP = 16   # boilerplate guard: drop seeds in > 16 docs
 _ESR_OCC_CAP = 8   # per-(doc, seed) occurrence cap (within-doc repeats)

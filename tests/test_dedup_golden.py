@@ -87,3 +87,40 @@ def test_cluster_is_a_partition_and_canonical_counts_labels(spark, sf_dir):
     assert n_marked == n_labels  # exactly one representative per cluster
     n_canonical = QUERIES["llm_dedup_canonical"](spark, sf_dir).count()
     assert n_canonical == n_labels
+
+
+def test_semantic_decontamination_catches_planted_paraphrases(spark, sf_dir):
+    """llm_decontaminate_semantic plants one ±0.002-perturbed twin of
+    every eval vector (cosine ≈ 0.9995, two orders above the 0.99
+    gate's grid fuzz) at vec_id + 2e6 — every NON-ZERO planted twin
+    must be flagged with at least its own source as a hit, and every
+    flagged planted row must carry planted = 1. The zero vector's
+    twin is NOT catchable (undefined cosine, guarded out)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    out = QUERIES["llm_decontaminate_semantic"](spark, sf_dir)
+    planted = {
+        r["vec_id"]: r["n_eval_hits"]
+        for r in out.filter(F.col("planted") == 1).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    nonzero_eval = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+        .collect()
+    }
+    expected = {v + 2_000_000 for v in nonzero_eval}
+    missing = expected - set(planted)
+    assert not missing, sorted(missing)[:5]
+    assert all(h >= 1 for h in planted.values())

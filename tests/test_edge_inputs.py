@@ -182,6 +182,11 @@ def edge_ddb(edge_sf_dir):
         "stat_two_proportion_z",
         "stat_wilson_ci",
         "llm_dedup_embedding_verifiable",
+        # round-12: semantic decontamination over the edge embeddings
+        # (zero vector in BOTH the eval slice and the corpus — the
+        # n2/ne > 0 guards must drop it from both sides, never pass
+        # the 0 >= 0 gate)
+        "llm_decontaminate_semantic",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

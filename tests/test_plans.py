@@ -1107,3 +1107,18 @@ def test_round11_batch6_shapes(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 5
     assert "CartesianProduct" not in plan
     assert not has_node(df, "Window")
+
+
+def test_decontaminate_semantic_broadcasts_eval_never_corpus(spark, sf_dir):
+    """Semantic decontamination's 100 TB claim: the metadata-sized
+    eval table is the BNLJ build side, the corpus is never shuffled
+    pre-match (the ONE exchange is the contamination-sized groupBy),
+    the integer cosine gate rides the join condition, and nothing is
+    cartesian or sort-merge."""
+    df = QUERIES["llm_decontaminate_semantic"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 1
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert not has_node(df, "Window")
