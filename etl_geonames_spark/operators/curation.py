@@ -3271,6 +3271,298 @@ def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda x, y: x.unionAll(y), rows)
 
 
+# Unigram-LM tokenizer (Kudo 2018), one EM round. Caps are
+# contractual: words over _UNI_MAX_WORD chars sit out this round
+# (SentencePiece's max-sentence-length analogue), candidate pieces
+# run 1.._UNI_MAX_TOK chars, and the seeded vocabulary is all single
+# chars (coverage guarantee) + the top-_UNI_TOPK multi-char
+# substrings by weighted occurrence count.
+_UNI_MAX_WORD = 10
+_UNI_MAX_TOK = 4
+_UNI_TOPK = 48
+
+# One DP fold body shared by the oracle's forward and backward passes:
+# state = boundary-indexed DOUBLE list (boundary b at 1-based index
+# b+1), items = [target_boundary, source_boundary, p] triples. The
+# lambda indexes the UNMODIFIED acc (LIST state, never STRUCT —
+# DuckDB's struct-state list_reduce rebinds fields mid-row).
+_UNI_FOLD_SQL = """(acc, x) -> list_transform(acc, (v, ix) ->
+             CASE WHEN ix = CAST(x[1] AS INT) + 1
+                  THEN v + acc[CAST(x[2] AS INT) + 1] * x[3]
+                  ELSE v END)"""
+
+
+@query(
+    "llm_unigram_em_round",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' AND length(w) <= {_UNI_MAX_WORD}
+        GROUP BY w
+    ),
+    cands AS (
+        SELECT u.s AS s, CAST(SUM(wf) AS BIGINT) AS c
+        FROM words, UNNEST(flatten(list_transform(
+            generate_series(1, length(w)),
+            jj -> list_transform(
+                generate_series(1, least({_UNI_MAX_TOK},
+                                         length(w) - jj + 1)),
+                ll -> substr(w, CAST(jj AS INT), CAST(ll AS INT))))))
+            AS u(s)
+        GROUP BY u.s
+    ),
+    vocab AS (
+        SELECT s, c FROM cands WHERE length(s) = 1
+        UNION ALL
+        SELECT s, c FROM (
+            SELECT s, c FROM cands WHERE length(s) > 1
+            ORDER BY c DESC, s LIMIT {_UNI_TOPK})
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM vocab),
+    vp AS (SELECT s, c, CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) AS p
+           FROM vocab, tot),
+    raw AS (
+        SELECT w, wf,
+               CAST(u.jl[1] - 1 AS INT) AS j,
+               CAST(u.jl[1] - 1 + u.jl[2] AS INT) AS i,
+               substr(w, CAST(u.jl[1] AS INT), CAST(u.jl[2] AS INT)) AS s
+        FROM words, UNNEST(flatten(list_transform(
+            generate_series(1, length(w)),
+            jj -> list_transform(
+                generate_series(1, least({_UNI_MAX_TOK},
+                                         length(w) - jj + 1)),
+                ll -> [jj, ll])))) AS u(jl)
+    ),
+    edges AS (
+        SELECT r.w, r.wf, r.j, r.i, r.s, v.p
+        FROM raw r JOIN vp v USING (s)
+    ),
+    ew AS (
+        SELECT w, wf,
+               list_sort(list({{'i': i, 'j': j, 'p': p, 's': s}})) AS ef,
+               list_reverse(list_sort(list({{'j': j, 'i': i, 'p': p}})))
+                   AS eb
+        FROM edges GROUP BY w, wf
+    ),
+    dp AS (
+        SELECT w, wf, ef,
+            list_reduce(list_prepend(
+                list_concat([CAST(1 AS DOUBLE)],
+                    list_transform(generate_series(1, length(w)),
+                                   x -> CAST(0 AS DOUBLE))),
+                list_transform(ef, e -> [CAST(e.i AS DOUBLE),
+                                         CAST(e.j AS DOUBLE), e.p])),
+              {_UNI_FOLD_SQL}) AS al,
+            list_reduce(list_prepend(
+                list_transform(generate_series(0, length(w)),
+                    x -> CASE WHEN x = length(w) THEN CAST(1 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END),
+                list_transform(eb, e -> [CAST(e.j AS DOUBLE),
+                                         CAST(e.i AS DOUBLE), e.p])),
+              {_UNI_FOLD_SQL}) AS be
+        FROM ew
+    ),
+    gam AS (
+        SELECT wf, g.s AS s,
+               CAST(floor((((dp.al[g.j + 1] * g.p) * dp.be[g.i + 1])
+                           / dp.al[length(w) + 1])
+                          * CAST(1e9 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e9
+        FROM dp, UNNEST(ef) AS u(g)
+    ),
+    newc AS (
+        SELECT s, CAST(SUM(wf * e9) AS BIGINT) AS nc
+        FROM gam GROUP BY s
+    )
+    SELECT v.s AS token,
+           CAST(length(v.s) AS BIGINT) AS tok_len,
+           v.c AS seed_count,
+           COALESCE(n.nc, CAST(0 AS BIGINT)) AS new_count_e9
+    FROM vocab v LEFT JOIN newc n ON n.s = v.s
+    """,
+)
+def llm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SOFT-EM round of unigram-LM tokenizer training (Kudo 2018,
+    the SentencePiece algorithm — the other public tokenizer next to
+    BPE, completing llm_bpe_train_rounds' family): seed a candidate
+    vocabulary from weighted substring counts, put the unigram
+    probabilities p(s) = c(s)/C on every candidate, run the
+    forward-backward lattice over every word, and emit each piece's
+    EXPECTED count under the current model — the E-step whose
+    posterior counts the next round's M-step would renormalize.
+
+    Cross-engine exactness WITHOUT logs: p(s) is one correctly-
+    rounded division of identical int64s; every alpha/beta entry is
+    built from identical doubles by identical +/× in an identically
+    SORTED edge order (forward (i asc, j asc), backward (j desc,
+    i desc) — both folds are explicit sorted-list reductions on both
+    engines), so the lattice is bit-identical IEEE; each edge
+    posterior gamma = ((alpha[j]·p)·beta[i])/alpha[L] rounds to the
+    1e-9 integer grid PER EDGE, and everything after is int64
+    summation — no engine-order float aggregation anywhere (the
+    per-word float work happens inside a deterministic fold, the
+    cross-word work is integer). alpha[L] > 0 is structural: every
+    single char of every capped word is in the vocabulary.
+
+    Scale shape (the BPE-training discipline): the corpus collapses
+    ONCE to the Heaps-law-bounded word-frequency table
+    (localCheckpoint, two consumers); the candidate census and the
+    EM pass are vocab-broadcast joins plus per-word bounded DP
+    (≤ L·K edges = 40 structs, ≤ 11 lattice boundaries — pure
+    codegen arithmetic distributed by the word-group hash); each of
+    the three aggregates is vocab-sized. K production EM rounds =
+    K such passes over vocab-sized data, never over the corpus;
+    at quadrillion-token scale the per-edge grid drops to 1e6 so
+    wf·e9 sums stay far inside int64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .localCheckpoint()  # two consumers: candidate census + EM pass
+    )
+    L = F.length("w")
+
+    def _spans(mk):
+        """All (start j0, len ln) spans as an array of mk(j0, ln)."""
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L),
+                lambda j0: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(_UNI_MAX_TOK), L - j0 + 1),
+                    ),
+                    lambda ln: mk(j0, ln),
+                ),
+            )
+        )
+
+    cands = (
+        words.select(
+            "wf",
+            F.explode(
+                _spans(lambda j0, ln: F.substring(F.col("w"), j0, ln))
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sum("wf").cast("long").alias("c"))
+    )
+    singles = cands.filter(F.length("s") == 1)
+    multis = (
+        cands.filter(F.length("s") > 1)
+        .orderBy(F.col("c").desc(), "s")
+        .limit(_UNI_TOPK)
+    )
+    # three consumers: total-count anchor, edge decoration, output
+    vocab = singles.unionByName(multis).localCheckpoint()
+    tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
+    vp = vocab.crossJoin(F.broadcast(tot)).select(
+        "s",
+        (F.col("c").cast("double") / F.col("tc").cast("double")).alias(
+            "p"
+        ),
+    )
+    raw = words.select(
+        "w",
+        "wf",
+        F.explode(
+            _spans(lambda j0, ln: F.struct(j0.alias("j0"), ln.alias("ln")))
+        ).alias("sp"),
+    ).select(
+        "w",
+        "wf",
+        (F.col("sp.j0") - 1).alias("j"),
+        (F.col("sp.j0") - 1 + F.col("sp.ln")).alias("i"),
+        F.substring(
+            F.col("w"), F.col("sp.j0"), F.col("sp.ln")
+        ).alias("s"),
+    )
+    edges = raw.join(F.broadcast(vp), "s")
+    ew = edges.groupBy("w", "wf").agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "j", "p", "s"))
+        ).alias("ef"),
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("j", "i", "p")))
+        ).alias("eb"),
+    )
+
+    alpha_init = F.concat(
+        F.array(F.lit(1.0)),
+        F.transform(F.sequence(F.lit(1), L), lambda x: F.lit(0.0)),
+    )
+    alpha = F.aggregate(
+        F.col("ef"),
+        alpha_init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, ix: F.when(
+                ix == e["i"],
+                v + F.element_at(acc, e["j"] + 1) * e["p"],
+            ).otherwise(v),
+        ),
+    )
+    beta_init = F.transform(
+        F.sequence(F.lit(0), L),
+        lambda x: F.when(x == L, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    beta = F.aggregate(
+        F.col("eb"),
+        beta_init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, ix: F.when(
+                ix == e["j"],
+                v + F.element_at(acc, e["i"] + 1) * e["p"],
+            ).otherwise(v),
+        ),
+    )
+    dp = ew.select("w", "wf", "ef", alpha.alias("al"), beta.alias("be"))
+    a_last = F.element_at(F.col("al"), F.length("w") + 1)
+    gam = dp.select(
+        "wf",
+        F.explode(
+            F.transform(
+                "ef",
+                lambda e: F.struct(
+                    e["s"].alias("s"),
+                    F.floor(
+                        (
+                            (
+                                F.element_at(F.col("al"), e["j"] + 1)
+                                * e["p"]
+                            )
+                            * F.element_at(F.col("be"), e["i"] + 1)
+                        )
+                        / a_last
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("e9"),
+                ),
+            )
+        ).alias("g"),
+    )
+    newc = gam.groupBy(F.col("g.s").alias("s")).agg(
+        F.sum(F.col("wf") * F.col("g.e9")).cast("long").alias("nc")
+    )
+    return vocab.join(F.broadcast(newc), "s", "left").select(
+        F.col("s").alias("token"),
+        F.length("s").cast("long").alias("tok_len"),
+        F.col("c").alias("seed_count"),
+        F.coalesce(F.col("nc"), F.lit(0).cast("long")).alias(
+            "new_count_e9"
+        ),
+    )
+
+
 _KN_D = 0.75
 _KN_TOPK = 20
 

@@ -187,6 +187,10 @@ def edge_ddb(edge_sf_dir):
         # n2/ne > 0 guards must drop it from both sides, never pass
         # the 0 >= 0 gate)
         "llm_decontaminate_semantic",
+        # round-12: unigram-LM EM over empty/single-char-word docs —
+        # one-edge lattices (alpha[L] = p(char), gamma exactly 1e9)
+        # and the empty-corpus path (empty vocab, no division)
+        "llm_unigram_em_round",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

@@ -1122,3 +1122,19 @@ def test_decontaminate_semantic_broadcasts_eval_never_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert not has_node(df, "Window")
+
+
+def test_unigram_em_collapses_corpus_to_word_table_once(spark, sf_dir):
+    """llm_unigram_em_round's 100 TB shape: the corpus collapses to
+    the checkpointed word-frequency table (the lattice DP reads an
+    RDD scan, not a second text scan), the vocabulary rides broadcast
+    joins (no sort-merge anywhere), and the per-word DP work sits
+    under the word-group hash — exchanges stay vocab/word-table-sized
+    and nothing is cartesian."""
+    df = QUERIES["llm_unigram_em_round"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert plan.count("BroadcastExchange") >= 2  # vocab p's + newc
+    assert shuffle_exchange_count(df) <= 6

@@ -4184,3 +4184,78 @@ def test_ewma_chart_python_replay(spark, sf_dir):
         assert abs(g["ewma_final"] - math.floor(z * 1e6 + 0.5) / 1e6) <= 1.1e-6
         assert abs(g["mean_c"] - mu) <= 2e-6
         assert abs(g["sigma_c"] - sig) <= 2e-6
+
+
+def test_unigram_em_round_python_replay(spark, sf_dir):
+    """llm_unigram_em_round equals a from-scratch Python replay of
+    the whole pipeline — seed census, vocab selection, and the
+    forward-backward lattice in the SAME IEEE op order (Python floats
+    are doubles; explicit loops reproduce the sorted-fold addition
+    sequence bit-for-bit, so new_count_e9 must match EXACTLY, not to
+    a tolerance). Also pins the posterior-mass invariant the EM
+    construction guarantees: per word, the gridded posteriors of
+    edges leaving boundary 0 sum to 1e9 within per-edge rounding."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    MAXW, MAXT, TOPK = 10, 4, 48
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    wf = Counter(
+        w
+        for t in texts
+        for w in t.split(" ")
+        if w != "" and len(w) <= MAXW
+    )
+    cand = Counter()
+    for w, f in wf.items():
+        for j in range(len(w)):
+            for l in range(1, min(MAXT, len(w) - j) + 1):
+                cand[w[j : j + l]] += f
+    vocab = {s: c for s, c in cand.items() if len(s) == 1}
+    multis = sorted(
+        ((s, c) for s, c in cand.items() if len(s) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:TOPK]
+    vocab.update(dict(multis))
+    C = sum(vocab.values())
+    p = {s: c / C for s, c in vocab.items()}
+    newc = defaultdict(int)
+    mass_lo = True
+    for w, f in wf.items():
+        L = len(w)
+        edges = [
+            (j + l, j, w[j : j + l])
+            for j in range(L)
+            for l in range(1, min(MAXT, L - j) + 1)
+            if w[j : j + l] in p
+        ]
+        ef = sorted(edges)  # (i asc, j asc)
+        eb = sorted(edges, key=lambda e: (-e[1], -e[0]))  # j desc, i desc
+        al = [1.0] + [0.0] * L
+        for i, j, s in ef:
+            al[i] = al[i] + al[j] * p[s]
+        be = [0.0] * L + [1.0]
+        for i, j, s in eb:
+            be[j] = be[j] + be[i] * p[s]
+        start_mass = 0
+        for i, j, s in ef:
+            e9 = math.floor(((al[j] * p[s]) * be[i]) / al[L] * 1e9 + 0.5)
+            newc[s] += f * e9
+            if j == 0:
+                start_mass += e9
+        # boundary-mass invariant: paths out of 0 carry posterior 1
+        assert abs(start_mass - 1_000_000_000) <= len(ef)
+    got = {
+        r["token"]: (r["seed_count"], r["new_count_e9"])
+        for r in _rows(spark, sf_dir, "llm_unigram_em_round")
+    }
+    assert set(got) == set(vocab)
+    for s in vocab:
+        assert got[s] == (vocab[s], newc[s]), (s, got[s], vocab[s], newc[s])
