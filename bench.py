@@ -324,12 +324,33 @@ def main() -> None:
     # artifacts had `parsed: null` because the single huge line was
     # cut mid-JSON).
     ascending = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    # Closing-checklist guard (VERDICT r11 item 3): the exchange
+    # census must cover the WHOLE registry, or its "0 cartesian at N
+    # plans" claim silently under-counts. Non-fatal (the bench line
+    # must always print) but loud in both JSON records.
+    census_path = Path(__file__).parent / "benchmarks/exchange_census.json"
+    census_n = 0
+    if census_path.exists():
+        census_n = sum(
+            1
+            for ln in census_path.read_text().splitlines()
+            if ln.startswith('{"query"')
+        )
+    census_stale = census_n != len(qs)
+    if census_stale:
+        print(
+            f"WARNING: exchange census covers {census_n} of {len(qs)} "
+            "registered queries — rerun benchmarks/exchange_census.py",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
                 "queries": ascending,
                 "cold_value": cold_total,
                 "n_queries": len(timings),
+                "census_plans": census_n,
+                "census_stale": census_stale,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "unit": "sec",
@@ -355,6 +376,7 @@ def main() -> None:
                 "queries": dict(slowest),
                 "adjudicated": adj_compact,
                 "n_queries": len(timings),
+                "census_stale": census_stale,
                 "median": round(
                     sorted(timings.values())[len(timings) // 2], 4
                 ),
