@@ -6210,7 +6210,11 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(3 * F.col("i") >= F.col("sza") + F.col("szb"))
         .select("da", "db")
     )
-    bands = _poly_minhash_bands_from_hashes(hs)
+    # slice-bounded signature table feeding BOTH sides of the band
+    # self-join: without the checkpoint each side re-executes the
+    # whole signature build (the r10 ladder-collapse rule —
+    # checkpoint grid-sized machinery output with >1 consumer)
+    bands = _poly_minhash_bands_from_hashes(hs).localCheckpoint()
     ba = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -6226,23 +6230,28 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    g = gt.select("da", "db", F.lit(1).alias("in_gt"))
-    c = cand.select("da", "db", F.lit(1).alias("in_cand"))
-    merged = g.join(c, ["da", "db"], "full_outer")
-    cm = merged.agg(
-        F.sum(
-            F.when(
-                F.col("in_gt").isNotNull() & F.col("in_cand").isNotNull(), 1
-            ).otherwise(0)
+    # tagged union instead of a full-outer join: both sides are
+    # distinct pair sets, so the per-pair flag sums are 0/1 and the
+    # confusion counts fall out of ONE (da, db) aggregation — one
+    # pair-set shuffle where full-outer shuffled both sides
+    g = gt.select(
+        "da", "db", F.lit(1).alias("in_gt"), F.lit(0).alias("in_cand")
+    )
+    c = cand.select(
+        "da", "db", F.lit(0).alias("in_gt"), F.lit(1).alias("in_cand")
+    )
+    merged = (
+        g.unionByName(c)
+        .groupBy("da", "db")
+        .agg(
+            F.sum("in_gt").alias("sg"),
+            F.sum("in_cand").alias("sc"),
         )
-        .cast("long")
-        .alias("tp"),
-        F.sum(F.when(F.col("in_gt").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("fp"),
-        F.sum(F.when(F.col("in_cand").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("fn"),
+    )
+    cm = merged.agg(
+        F.sum(F.col("sg") * F.col("sc")).cast("long").alias("tp"),
+        F.sum((1 - F.col("sg")) * F.col("sc")).cast("long").alias("fp"),
+        F.sum(F.col("sg") * (1 - F.col("sc"))).cast("long").alias("fn"),
     )
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     return cm.select(

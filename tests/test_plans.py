@@ -1081,7 +1081,7 @@ def test_round11_batch5_shapes(spark, sf_dir):
         "llm_source_winrate": 6,
         "graph_modularity": 7,
         "llm_char_entropy_gate": 1,
-        "llm_lsh_pr_eval": 9,
+        "llm_lsh_pr_eval": 5,  # r12: checkpointed bands + tagged-union merge
     }
     for name, cap in caps.items():
         df = QUERIES[name](spark, sf_dir)
