@@ -740,6 +740,99 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_renyi_efficiency",
+    oracle="""
+    WITH counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(str_split(text, ' ')) AS word FROM documents
+      ) t WHERE word <> '' GROUP BY word
+    ),
+    agg AS (
+      SELECT COALESCE(CAST(SUM(c) AS BIGINT), CAST(0 AS BIGINT))
+                 AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             COALESCE(CAST(SUM(c * c) AS BIGINT), CAST(0 AS BIGINT))
+                 AS sum_sq,
+             CASE WHEN COUNT(*) > 0 THEN
+                 FLOOR((2 * LN(CAST(SUM(c) AS DOUBLE))
+                        - LN(CAST(SUM(c * c) AS DOUBLE)))
+                       * 1000000.0 + 0.5) / 1000000.0
+             END AS renyi2
+      FROM counts
+    )
+    SELECT n_tokens, vocab_size, sum_sq, renyi2,
+           CASE WHEN vocab_size > 1 THEN
+               FLOOR(renyi2 / LN(CAST(vocab_size AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS efficiency
+    FROM agg
+    """,
+)
+def llm_renyi_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Rényi tokenizer efficiency (Zouhar et al. 2023,
+    "Tokenization and the Noiseless Channel"): the Rényi entropy of
+    the corpus token-frequency distribution, normalized by the
+    maximum ln|V| — the published predictor of downstream quality
+    when comparing tokenizers (pairs with llm_tokenizer_fertility's
+    length lens and llm_token_entropy's per-doc Shannon). KNOWN
+    DELTA, documented not silent: the paper recommends α = 2.5, but
+    a fractional power is libm pow — banned cross-engine — so this
+    op fixes α = 2 (collision entropy), where H₂ = −ln Σp² =
+    2·ln C − ln Σc² keeps EVERY log argument an exact int64 (the
+    llm_char_entropy_gate all-integer-args discipline; no p = c/C
+    ratio ever enters a log). The efficiency ratio divides two
+    qround-stable values and is itself a qround(6) value emit; the
+    vocab_size > 1 guard keeps ln V out of the denominator at 0.
+
+    Int64 headroom: Σc² stays exact to ~3·10⁹ occurrences of the
+    top token; past that the sum moves to DECIMAL(38), documented
+    not silent.
+
+    100 TB shape: one map-side-combined token aggregate (the
+    llm_wordcount shuffle) then a single-row global reduce — nothing
+    else moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.agg(
+        F.coalesce(F.sum("c").cast("long"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("sum_sq"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            qround(
+                2 * F.log(F.sum("c").cast("double"))
+                - F.log(F.sum(F.col("c") * F.col("c")).cast("double")),
+                6,
+            ),
+        ).alias("renyi2"),
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab_size",
+        "sum_sq",
+        "renyi2",
+        F.when(
+            F.col("vocab_size") > 1,
+            qround(
+                F.col("renyi2")
+                / F.log(F.col("vocab_size").cast("double")),
+                6,
+            ),
+        ).alias("efficiency"),
+    )
+
+
 _BOILER = "subscribe to our newsletter click here to continue reading now"
 
 

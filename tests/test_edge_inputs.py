@@ -191,6 +191,10 @@ def edge_ddb(edge_sf_dir):
         # one-edge lattices (alpha[L] = p(char), gamma exactly 1e9)
         # and the empty-corpus path (empty vocab, no division)
         "llm_unigram_em_round",
+        # round-12: Rényi efficiency where the edge corpus may have
+        # 0 or 1 distinct tokens (the vocab_size > 1 ln-denominator
+        # guard and the empty-aggregate CASE must agree)
+        "llm_renyi_efficiency",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

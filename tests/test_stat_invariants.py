@@ -4259,3 +4259,22 @@ def test_unigram_em_round_python_replay(spark, sf_dir):
     assert set(got) == set(vocab)
     for s in vocab:
         assert got[s] == (vocab[s], newc[s]), (s, got[s], vocab[s], newc[s])
+
+
+def test_renyi_efficiency_bounds_and_replay(spark, sf_dir):
+    """llm_renyi_efficiency: the emitted integers are a SUFFICIENT
+    STATISTIC — renyi2 must equal qround(2·ln C − ln Σc², 6)
+    recomputed in Python from the emitted counts, and collision
+    entropy is bounded by the uniform maximum: 0 ≤ H₂ ≤ ln V, so
+    efficiency ∈ [0, 1]."""
+    import math
+
+    (r,) = _rows(spark, sf_dir, "llm_renyi_efficiency")
+    C, V, S2 = r["n_tokens"], r["vocab_size"], r["sum_sq"]
+    assert S2 >= C  # sum c^2 >= sum c for integer counts
+    want = math.floor(
+        (2 * math.log(float(C)) - math.log(float(S2))) * 1e6 + 0.5
+    ) / 1e6
+    assert r["renyi2"] == want
+    assert 0 <= r["renyi2"] <= math.log(V) + 1e-6
+    assert 0 <= r["efficiency"] <= 1
