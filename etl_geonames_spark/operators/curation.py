@@ -3384,11 +3384,12 @@ _UNI_FOLD_SQL = """(acc, x) -> list_transform(acc, (v, ix) ->
                   THEN v + acc[CAST(x[2] AS INT) + 1] * x[3]
                   ELSE v END)"""
 
-
-@query(
-    "llm_unigram_em_round",
-    oracle=f"""
-    WITH words AS (
+# Shared seed CTEs (words -> candidate census -> seeded vocab -> edge
+# lattice) used verbatim by BOTH llm_unigram_em_round's and
+# llm_unigram_viterbi_apply's oracles — one definition, so seed/vocab
+# drift between the train and apply steps is structurally impossible
+# (the _IRLS_CORE_SQL discipline).
+_UNI_SEED_SQL = f"""words AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
         FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' AND length(w) <= {_UNI_MAX_WORD}
@@ -3413,8 +3414,6 @@ _UNI_FOLD_SQL = """(acc, x) -> list_transform(acc, (v, ix) ->
             ORDER BY c DESC, s LIMIT {_UNI_TOPK})
     ),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM vocab),
-    vp AS (SELECT s, c, CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) AS p
-           FROM vocab, tot),
     raw AS (
         SELECT w, wf,
                CAST(u.jl[1] - 1 AS INT) AS j,
@@ -3426,7 +3425,98 @@ _UNI_FOLD_SQL = """(acc, x) -> list_transform(acc, (v, ix) ->
                 generate_series(1, least({_UNI_MAX_TOK},
                                          length(w) - jj + 1)),
                 ll -> [jj, ll])))) AS u(jl)
-    ),
+    )"""
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped word-frequency table — the ONE corpus-scale pass both
+    unigram ops collapse to (checkpointed: census + lattice reuse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .localCheckpoint()
+    )
+
+
+def _unigram_spans(mk):
+    """All (start j0, len ln) candidate spans of the current word as
+    an array of mk(j0, ln) — j0/ln are 1-based (substring convention);
+    lattice boundaries are j0-1 and j0-1+ln."""
+    L = F.length("w")
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda j0: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_MAX_TOK), L - j0 + 1),
+                ),
+                lambda ln: mk(j0, ln),
+            ),
+        )
+    )
+
+
+def _unigram_vocab(words: DataFrame) -> DataFrame:
+    """Seeded vocabulary: every single char (coverage) + the
+    top-_UNI_TOPK multi-char substrings by weighted count,
+    (c desc, s asc)-deterministic. Checkpointed (multi-consumer)."""
+    cands = (
+        words.select(
+            "wf",
+            F.explode(
+                _unigram_spans(
+                    lambda j0, ln: F.substring(F.col("w"), j0, ln)
+                )
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sum("wf").cast("long").alias("c"))
+    )
+    singles = cands.filter(F.length("s") == 1)
+    multis = (
+        cands.filter(F.length("s") > 1)
+        .orderBy(F.col("c").desc(), "s")
+        .limit(_UNI_TOPK)
+    )
+    return singles.unionByName(multis).localCheckpoint()
+
+
+def _unigram_edges(words: DataFrame) -> DataFrame:
+    """Per-word candidate lattice edges (w, wf, j, i, s): boundary j
+    to boundary i spanning substring s."""
+    return words.select(
+        "w",
+        "wf",
+        F.explode(
+            _unigram_spans(
+                lambda j0, ln: F.struct(
+                    j0.alias("j0"), ln.alias("ln")
+                )
+            )
+        ).alias("sp"),
+    ).select(
+        "w",
+        "wf",
+        (F.col("sp.j0") - 1).alias("j"),
+        (F.col("sp.j0") - 1 + F.col("sp.ln")).alias("i"),
+        F.substring(
+            F.col("w"), F.col("sp.j0"), F.col("sp.ln")
+        ).alias("s"),
+    )
+
+
+@query(
+    "llm_unigram_em_round",
+    oracle=f"""
+    WITH {_UNI_SEED_SQL},
+    vp AS (SELECT s, c, CAST(c AS DOUBLE) / CAST(tc AS DOUBLE) AS p
+           FROM vocab, tot),
     edges AS (
         SELECT r.w, r.wf, r.j, r.i, r.s, v.p
         FROM raw r JOIN vp v USING (s)
@@ -3509,51 +3599,9 @@ def llm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     at quadrillion-token scale the per-edge grid drops to 1e6 so
     wf·e9 sums stay far inside int64.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(
-            (F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD)
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
-        .localCheckpoint()  # two consumers: candidate census + EM pass
-    )
+    words = _unigram_words(spark, sf_dir)
     L = F.length("w")
-
-    def _spans(mk):
-        """All (start j0, len ln) spans as an array of mk(j0, ln)."""
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), L),
-                lambda j0: F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.least(F.lit(_UNI_MAX_TOK), L - j0 + 1),
-                    ),
-                    lambda ln: mk(j0, ln),
-                ),
-            )
-        )
-
-    cands = (
-        words.select(
-            "wf",
-            F.explode(
-                _spans(lambda j0, ln: F.substring(F.col("w"), j0, ln))
-            ).alias("s"),
-        )
-        .groupBy("s")
-        .agg(F.sum("wf").cast("long").alias("c"))
-    )
-    singles = cands.filter(F.length("s") == 1)
-    multis = (
-        cands.filter(F.length("s") > 1)
-        .orderBy(F.col("c").desc(), "s")
-        .limit(_UNI_TOPK)
-    )
-    # three consumers: total-count anchor, edge decoration, output
-    vocab = singles.unionByName(multis).localCheckpoint()
+    vocab = _unigram_vocab(words)
     tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
     vp = vocab.crossJoin(F.broadcast(tot)).select(
         "s",
@@ -3561,22 +3609,7 @@ def llm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
-    raw = words.select(
-        "w",
-        "wf",
-        F.explode(
-            _spans(lambda j0, ln: F.struct(j0.alias("j0"), ln.alias("ln")))
-        ).alias("sp"),
-    ).select(
-        "w",
-        "wf",
-        (F.col("sp.j0") - 1).alias("j"),
-        (F.col("sp.j0") - 1 + F.col("sp.ln")).alias("i"),
-        F.substring(
-            F.col("w"), F.col("sp.j0"), F.col("sp.ln")
-        ).alias("s"),
-    )
-    edges = raw.join(F.broadcast(vp), "s")
+    edges = _unigram_edges(words).join(F.broadcast(vp), "s")
     ew = edges.groupBy("w", "wf").agg(
         F.sort_array(
             F.collect_list(F.struct("i", "j", "p", "s"))
@@ -3652,6 +3685,295 @@ def llm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("seed_count"),
         F.coalesce(F.col("nc"), F.lit(0).cast("long")).alias(
             "new_count_e9"
+        ),
+    )
+
+
+# Fixed-point integer log2 for the Viterbi scores: flog2(c) =
+# floor(2^16 · log2 c), computed with PURE int64 arithmetic (a
+# normalize fold to mantissa ∈ [2^30, 2^31), then 16 square-and-shift
+# steps) — the classic bit-by-bit binary logarithm. No libm anywhere,
+# so the value is exact and engine-identical BY CONSTRUCTION, safe in
+# selections (unlike ln/pow, banned from cross-engine predicates).
+_FLOG2_B = 16
+_FLOG2_ONE = 1 << 30
+_FLOG2_TWO = 1 << 31
+_VIT_NEG = -(1 << 40)  # unreachable-boundary sentinel
+
+
+def _flog2(c):
+    """floor(2^16 · log2(c)) for a positive integral Column, all-int."""
+    norm = F.aggregate(
+        F.sequence(F.lit(1), F.lit(63)),
+        F.array(c.cast("long"), F.lit(30).cast("long")),
+        lambda st, _x: F.when(
+            F.element_at(st, 1) >= _FLOG2_TWO,
+            F.array(
+                F.shiftright(F.element_at(st, 1), 1),
+                F.element_at(st, 2) + 1,
+            ),
+        )
+        .when(
+            F.element_at(st, 1) < _FLOG2_ONE,
+            F.array(
+                F.shiftleft(F.element_at(st, 1), 1),
+                F.element_at(st, 2) - 1,
+            ),
+        )
+        .otherwise(st),
+    )
+    sq = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_FLOG2_B)),
+        F.array(F.element_at(norm, 1), F.lit(0).cast("long")),
+        lambda st, _x: F.when(
+            F.shiftright(
+                F.element_at(st, 1) * F.element_at(st, 1), 30
+            )
+            >= _FLOG2_TWO,
+            F.array(
+                F.shiftright(
+                    F.shiftright(
+                        F.element_at(st, 1) * F.element_at(st, 1), 30
+                    ),
+                    1,
+                ),
+                F.element_at(st, 2) * 2 + 1,
+            ),
+        ).otherwise(
+            F.array(
+                F.shiftright(
+                    F.element_at(st, 1) * F.element_at(st, 1), 30
+                ),
+                F.element_at(st, 2) * 2,
+            )
+        ),
+    )
+    return F.element_at(norm, 2) * F.lit(1 << _FLOG2_B) + F.element_at(
+        sq, 2
+    )
+
+
+def _flog2_sql(cexpr: str) -> str:
+    """DuckDB mirror of :func:`_flog2` — same folds, same int64 ops.
+    ``cexpr`` must NOT contain lambda variables from the caller
+    (collision rule): both call sites pass bare column names."""
+    norm = (
+        f"list_reduce(list_prepend("
+        f"[CAST({cexpr} AS BIGINT), CAST(30 AS BIGINT)],"
+        f" list_transform(generate_series(1, 63),"
+        f" _fq -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),"
+        " (acc, x) -> CASE"
+        " WHEN acc[1] >= 2147483648 THEN [acc[1] >> 1, acc[2] + 1]"
+        " WHEN acc[1] < 1073741824 THEN [acc[1] << 1, acc[2] - 1]"
+        " ELSE acc END)"
+    )
+    sq = (
+        f"list_reduce(list_prepend("
+        f"[{norm}[1], CAST(0 AS BIGINT)],"
+        f" list_transform(generate_series(1, {_FLOG2_B}),"
+        f" _fq2 -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),"
+        " (acc, x) -> CASE"
+        " WHEN ((acc[1] * acc[1]) >> 30) >= 2147483648"
+        " THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]"
+        " ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END)"
+    )
+    return f"({norm}[2] * 65536 + {sq}[2])"
+
+
+@query(
+    "llm_unigram_viterbi_apply",
+    oracle=f"""
+    WITH {_UNI_SEED_SQL},
+    vw AS (
+        SELECT s, ({_flog2_sql("c")} - {_flog2_sql("tc")}) AS wgt
+        FROM vocab, tot
+    ),
+    edges AS (
+        SELECT r.w, r.wf, r.j, r.i, v.wgt
+        FROM raw r JOIN vw v USING (s)
+    ),
+    ew AS (
+        SELECT w, wf,
+               list_sort(list([CAST(i AS BIGINT), CAST(j AS BIGINT),
+                               wgt])) AS ev
+        FROM edges GROUP BY w, wf
+    ),
+    dp AS (
+        SELECT w, wf,
+            list_reduce(list_prepend(
+                list_concat(
+                    list_concat([CAST(0 AS BIGINT)],
+                        list_transform(generate_series(1, length(w)),
+                            _vq -> CAST({_VIT_NEG} AS BIGINT))),
+                    list_transform(generate_series(0, length(w)),
+                        _vq2 -> CAST(0 AS BIGINT))),
+                ev),
+              (acc, x) -> list_transform(acc, (v, ix) -> CASE
+                 WHEN ix = CAST(x[1] AS INT) + 1
+                  AND acc[CAST(x[2] AS INT) + 1] + x[3] > v
+                 THEN acc[CAST(x[2] AS INT) + 1] + x[3]
+                 WHEN ix = CAST(length(w) AS INT) + CAST(x[1] AS INT) + 2
+                  AND acc[CAST(x[2] AS INT) + 1] + x[3]
+                      > acc[CAST(x[1] AS INT) + 1]
+                 THEN x[2]
+                 ELSE v END)) AS st
+        FROM ew
+    ),
+    bt AS (
+        SELECT w, wf,
+            list_reduce(list_prepend(
+                [CAST(length(w) AS BIGINT)],
+                list_transform(generate_series(1, length(w)),
+                    _bq -> [CAST(0 AS BIGINT)])),
+              (acc, x) -> CASE WHEN acc[1] > 0
+                 THEN list_prepend(
+                     st[CAST(length(w) AS INT)
+                        + CAST(acc[1] AS INT) + 2], acc)
+                 ELSE acc END) AS chain
+        FROM dp
+    ),
+    pieces AS (
+        SELECT wf, u.s AS s
+        FROM bt, UNNEST(list_transform(
+            generate_series(1, len(chain) - 1),
+            _pk -> substr(w, CAST(chain[_pk] + 1 AS INT),
+                          CAST(chain[_pk + 1] - chain[_pk] AS INT))))
+            AS u(s)
+    ),
+    vit AS (
+        SELECT s, CAST(SUM(wf) AS BIGINT) AS vc
+        FROM pieces GROUP BY s
+    )
+    SELECT v.s AS token,
+           CAST(length(v.s) AS BIGINT) AS tok_len,
+           v.c AS seed_count,
+           COALESCE(t.vc, CAST(0 AS BIGINT)) AS viterbi_count
+    FROM vocab v LEFT JOIN vit t ON t.s = v.s
+    """,
+)
+def llm_unigram_viterbi_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi APPLY step of the unigram-LM tokenizer (Kudo 2018's
+    inference pass / hard-EM E-step — the counterpart of
+    llm_unigram_em_round's soft posteriors, pairing train/apply the
+    way llm_bpe_train_rounds/llm_bpe_apply do, over the SAME shared
+    seed vocabulary definition): segment every word into the
+    max-probability piece sequence and count how often each
+    vocabulary piece is actually chosen.
+
+    The argmax must be engine-exact, and log-probs are floats — so
+    the scores are fixed-point INTEGER logs: wgt(s) = flog2(c_s) −
+    flog2(C) with flog2 = floor(2^16·log2 ·), computed by the
+    bit-by-bit binary-logarithm folds in _flog2/_flog2_sql (pure
+    int64 normalize + square-and-shift — no libm, exact by
+    construction, hence legal INSIDE the selection where ln/pow are
+    banned). Viterbi maximizes the integer path score Σ wgt over an
+    identically (i, j)-sorted edge fold with strict-> updates, so
+    ties resolve identically on both engines (first-seen edge =
+    smallest start = LONGEST piece, the SentencePiece convention);
+    the backtrace and piece extraction are pure integer/substr work.
+    The 2^-16-of-a-bit score quantization is the documented delta
+    from float log-probs; at vocab scale it changes an argmax only
+    when two paths' probability ratio sits within 2^-16 bits.
+
+    100 TB shape: identical to the EM round — one corpus collapse to
+    the checkpointed word table, broadcast vocab weights (the 80-row
+    flog2 folds are driver-negligible), per-word bounded DP
+    (single int64-array state, ≤40 edges) under the word-group hash,
+    vocab-sized aggregates."""
+    words = _unigram_words(spark, sf_dir)
+    L = F.length("w")
+    vocab = _unigram_vocab(words)
+    tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
+    vw = vocab.crossJoin(F.broadcast(tot)).select(
+        "s", (_flog2(F.col("c")) - _flog2(F.col("tc"))).alias("wgt")
+    )
+    edges = _unigram_edges(words).join(F.broadcast(vw), "s")
+    ew = edges.groupBy("w", "wf").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"),
+                    F.col("wgt").alias("wgt"),
+                )
+            )
+        ).alias("ev")
+    )
+    # state layout (0-based ix): best[b] at ix b, bp[b] at ix L+1+b
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda _x: F.lit(_VIT_NEG).cast("long"),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), L), lambda _x: F.lit(0).cast("long")
+        ),
+    )
+    st = F.aggregate(
+        F.col("ev"),
+        init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, ix: F.when(
+                (ix == e["i"])
+                & (F.element_at(acc, (e["j"] + 1).cast("int")) + e["wgt"] > v),
+                F.element_at(acc, (e["j"] + 1).cast("int")) + e["wgt"],
+            )
+            .when(
+                (ix == L + 1 + e["i"])
+                & (
+                    F.element_at(acc, (e["j"] + 1).cast("int")) + e["wgt"]
+                    > F.element_at(acc, (e["i"] + 1).cast("int"))
+                ),
+                e["j"],
+            )
+            .otherwise(v),
+        ),
+    )
+    dp = ew.select("w", "wf", st.alias("st"))
+    chain = F.aggregate(
+        F.sequence(F.lit(1), L),
+        F.array(L.cast("long")),
+        lambda ch, _x: F.when(
+            F.element_at(ch, 1) > 0,
+            F.concat(
+                F.array(
+                    F.element_at(
+                        F.col("st"),
+                        (L + F.element_at(ch, 1) + 2).cast("int"),
+                    )
+                ),
+                ch,
+            ),
+        ).otherwise(ch),
+    )
+    bt = dp.select("w", "wf", chain.alias("chain"))
+    pieces = bt.select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("chain") - 1),
+                lambda k: F.substring(
+                    F.col("w"),
+                    (F.element_at(F.col("chain"), k) + 1).cast("int"),
+                    (
+                        F.element_at(F.col("chain"), k + 1)
+                        - F.element_at(F.col("chain"), k)
+                    ).cast("int"),
+                ),
+            )
+        ).alias("s"),
+    )
+    vit = pieces.groupBy("s").agg(
+        F.sum("wf").cast("long").alias("vc")
+    )
+    return vocab.join(F.broadcast(vit), "s", "left").select(
+        F.col("s").alias("token"),
+        F.length("s").cast("long").alias("tok_len"),
+        F.col("c").alias("seed_count"),
+        F.coalesce(F.col("vc"), F.lit(0).cast("long")).alias(
+            "viterbi_count"
         ),
     )
 

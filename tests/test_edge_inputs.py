@@ -195,6 +195,10 @@ def edge_ddb(edge_sf_dir):
         # 0 or 1 distinct tokens (the vocab_size > 1 ln-denominator
         # guard and the empty-aggregate CASE must agree)
         "llm_renyi_efficiency",
+        # round-12: Viterbi apply on the same degenerate lattices as
+        # the EM round (one-edge words, empty corpus) — the integer
+        # DP/backtrace must agree, not just not-crash
+        "llm_unigram_viterbi_apply",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

@@ -1138,3 +1138,17 @@ def test_unigram_em_collapses_corpus_to_word_table_once(spark, sf_dir):
     assert not has_node(df, "Window")
     assert plan.count("BroadcastExchange") >= 2  # vocab p's + newc
     assert shuffle_exchange_count(df) <= 6
+
+
+def test_unigram_viterbi_shares_the_em_round_shape(spark, sf_dir):
+    """The apply step inherits the EM round's 100 TB contract: one
+    corpus collapse to the checkpointed word table, broadcast vocab
+    weights, bounded per-word integer DP under the word-group hash —
+    no sort-merge, no cartesian, no window."""
+    df = QUERIES["llm_unigram_viterbi_apply"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert plan.count("BroadcastExchange") >= 2  # weights + counts
+    assert shuffle_exchange_count(df) <= 6

@@ -4278,3 +4278,101 @@ def test_renyi_efficiency_bounds_and_replay(spark, sf_dir):
     assert r["renyi2"] == want
     assert 0 <= r["renyi2"] <= math.log(V) + 1e-6
     assert 0 <= r["efficiency"] <= 1
+
+
+def test_unigram_viterbi_python_replay(spark, sf_dir):
+    """llm_unigram_viterbi_apply equals a from-scratch Python replay:
+    flog2 recomputed by the same normalize + square-and-shift integer
+    folds, the DP by the same sorted-edge strict-> updates — integer
+    end-to-end, so viterbi_count must match EXACTLY. Also pins the
+    tiling invariant (chosen pieces concatenate back to each word)
+    and flog2's defining bound 2^16·log2 c − 1 < flog2(c) ≤
+    2^16·log2 c."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    MAXW, MAXT, TOPK, B = 10, 4, 48, 16
+
+    def flog2(c):
+        y, e = c, 30
+        for _ in range(63):
+            if y >= 1 << 31:
+                y, e = y >> 1, e + 1
+            elif y < 1 << 30:
+                y, e = y << 1, e - 1
+        acc = 0
+        for _ in range(B):
+            y = (y * y) >> 30
+            if y >= 1 << 31:
+                y, acc = y >> 1, acc * 2 + 1
+            else:
+                acc = acc * 2
+        return e * (1 << B) + acc
+
+    for c in (1, 2, 3, 7, 1000, 12949, (1 << 31) + 12345):
+        got = flog2(c)
+        exact = (1 << B) * math.log2(c)
+        assert exact - 1 < got <= exact + 1e-6, (c, got, exact)
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    wf = Counter(
+        w
+        for t in texts
+        for w in t.split(" ")
+        if w != "" and len(w) <= MAXW
+    )
+    cand = Counter()
+    for w, f in wf.items():
+        for j in range(len(w)):
+            for l in range(1, min(MAXT, len(w) - j) + 1):
+                cand[w[j : j + l]] += f
+    vocab = {s: c for s, c in cand.items() if len(s) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((s, c) for s, c in cand.items() if len(s) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )[:TOPK]
+        )
+    )
+    C = sum(vocab.values())
+    fC = flog2(C)
+    wgt = {s: flog2(c) - fC for s, c in vocab.items()}
+    vit = defaultdict(int)
+    for w, f in wf.items():
+        L = len(w)
+        edges = sorted(
+            (j + l, j, wgt[w[j : j + l]])
+            for j in range(L)
+            for l in range(1, min(MAXT, L - j) + 1)
+            if w[j : j + l] in wgt
+        )
+        best = [0] + [-(1 << 40)] * L
+        bp = [0] * (L + 1)
+        for i, j, g in edges:
+            if best[j] + g > best[i]:
+                best[i], bp[i] = best[j] + g, j
+        chain, pos = [L], L
+        while pos > 0:
+            pos = bp[pos]
+            chain.insert(0, pos)
+        pieces = [
+            w[chain[k] : chain[k + 1]] for k in range(len(chain) - 1)
+        ]
+        assert "".join(pieces) == w  # tiling invariant
+        for s in pieces:
+            vit[s] += f
+    got = {
+        r["token"]: (r["seed_count"], r["viterbi_count"])
+        for r in _rows(spark, sf_dir, "llm_unigram_viterbi_apply")
+    }
+    assert set(got) == set(vocab)
+    for s in vocab:
+        assert got[s] == (vocab[s], vit[s]), (s, got[s], vocab[s], vit[s])
