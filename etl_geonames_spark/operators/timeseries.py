@@ -5702,3 +5702,165 @@ def ts_spc_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.element_at(F.col("st"), 1), 6).alias("ewma_final"),
         F.element_at(F.col("st"), 2).cast("long").alias("n_violations"),
     )
+
+
+_SE_M = 2  # template length m (A counts m+1 = 3)
+
+
+@query(
+    "ts_sample_entropy",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _sv -> _sv.c) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    tol AS (
+        SELECT event_type, v, n,
+               GREATEST(CAST(1 AS BIGINT),
+                        (list_max(v) - list_min(v)) >> 3) AS r
+        FROM arr
+    ),
+    cnt AS (
+        SELECT event_type, n, r,
+            CASE WHEN n >= 4 THEN
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, n - 1), _si ->
+                        CAST(len(list_filter(generate_series(1, n - 1),
+                            _sj -> _sj > _si
+                               AND abs(v[_si] - v[_sj]) <= r
+                               AND abs(v[_si + 1] - v[_sj + 1]) <= r))
+                             AS BIGINT))),
+                    (acc, x) -> acc + x)
+            END AS b_count,
+            CASE WHEN n >= 4 THEN
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, n - 2), _si ->
+                        CAST(len(list_filter(generate_series(1, n - 2),
+                            _sj -> _sj > _si
+                               AND abs(v[_si] - v[_sj]) <= r
+                               AND abs(v[_si + 1] - v[_sj + 1]) <= r
+                               AND abs(v[_si + 2] - v[_sj + 2]) <= r))
+                             AS BIGINT))),
+                    (acc, x) -> acc + x)
+            END AS a_count
+        FROM tol
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, r,
+           b_count, a_count,
+           CASE WHEN a_count > 0 THEN
+               FLOOR((LN(CAST(b_count AS DOUBLE))
+                      - LN(CAST(a_count AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS sampen
+    FROM cnt
+    """,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) of each event type's
+    daily-count series — the regularity/complexity diagnostic:
+    SampEn(m, r) = −ln(A/B) where B counts pairs of m-length
+    templates within Chebyshev tolerance r and A the same at m+1.
+    Low SampEn = self-similar/periodic load; high = irregular.
+    Completes the complexity corner next to ts_permutation_entropy
+    (ordinal patterns) and ts_entropy_rate (symbol blocks): SampEn
+    sees AMPLITUDE similarity, which ordinal/symbolic entropies
+    discard. m = 2, r = max(1, range >> 3) — an integer tolerance
+    derived from exact integer extremes (the published 0.2·σ choice
+    puts a float in the MATCH PREDICATE, banned; the documented
+    integer surrogate keeps every template comparison int64-exact).
+
+    All-integer counts: daily counts are exact int64, the tolerance
+    is a shift of their exact range, both template censuses are
+    integer comparisons folded over identical index sequences —
+    A ≤ B by construction (every m+1 match is an m match; pinned in
+    tests/test_stat_invariants.py), so SampEn = ln B − ln A ≥ 0 with
+    both log arguments exact integers (the all-integer-args entropy
+    discipline). Series under 4 days NULL the censuses; A = 0 NULLs
+    SampEn (CASE both engines; Spark's sequence would DESCEND on
+    n − 2 < 1 under ANSI, so the n >= 4 guard is load-bearing).
+
+    100 TB shape: one corpus-scale daily hash aggregate; the O(n²)
+    template census is per-series array arithmetic (n = |days|,
+    metadata-sized) distributed by series key — the ts_kpss bill
+    class."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    n = F.col("n")
+    r = F.greatest(
+        F.lit(1).cast("long"),
+        F.shiftright(
+            F.array_max(F.col("v")) - F.array_min(F.col("v")), 3
+        ),
+    )
+    tol = arr.select("event_type", "v", "n", r.alias("r"))
+    v = F.col("v")
+
+    def census(m: int):
+        """Σ_{i<j} [templates of length m+1 within r] over indices
+        1..n-m (1-based; template k spans v[k..k+m])."""
+        hi = n - m
+
+        def close(i, j):
+            cond = F.lit(True)
+            for d in range(m + 1):
+                cond = cond & (
+                    F.abs(
+                        F.element_at(v, i + d) - F.element_at(v, j + d)
+                    )
+                    <= F.col("r")
+                )
+            return cond
+
+        return F.aggregate(
+            F.sequence(F.lit(1), hi),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.size(
+                F.filter(
+                    F.sequence(F.lit(1), hi),
+                    lambda j: (j > i) & close(i, j),
+                )
+            ).cast("long"),
+        )
+
+    cnt = tol.select(
+        "event_type",
+        "n",
+        "r",
+        F.when(n >= 4, census(_SE_M - 1)).alias("b_count"),
+        F.when(n >= 4, census(_SE_M)).alias("a_count"),
+    )
+    return cnt.select(
+        F.col("event_type"),
+        n.cast("long").alias("n_days"),
+        "r",
+        "b_count",
+        "a_count",
+        F.when(
+            F.col("a_count") > 0,
+            qround(
+                F.log(F.col("b_count").cast("double"))
+                - F.log(F.col("a_count").cast("double")),
+                6,
+            ),
+        ).alias("sampen"),
+    )

@@ -1152,3 +1152,14 @@ def test_unigram_viterbi_shares_the_em_round_shape(spark, sf_dir):
     assert not has_node(df, "Window")
     assert plan.count("BroadcastExchange") >= 2  # weights + counts
     assert shuffle_exchange_count(df) <= 6
+
+
+def test_sample_entropy_is_daily_series_bill(spark, sf_dir):
+    """ts_sample_entropy: one corpus-scale daily aggregate, then
+    per-series array arithmetic — the ts_kpss bill class (≤2
+    exchanges, no join, no window)."""
+    df = QUERIES["ts_sample_entropy"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

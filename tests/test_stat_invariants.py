@@ -4376,3 +4376,62 @@ def test_unigram_viterbi_python_replay(spark, sf_dir):
     assert set(got) == set(vocab)
     for s in vocab:
         assert got[s] == (vocab[s], vit[s]), (s, got[s], vocab[s], vit[s])
+
+
+def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
+    """ts_sample_entropy: brute-force Python replay from the
+    definition (Chebyshev template censuses over the daily series)
+    matches b/a counts exactly; A ≤ B structurally (every m+1 match
+    is an m match) so SampEn ≥ 0."""
+    import math
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = {}
+    for row in daily:
+        series.setdefault(row["event_type"], []).append(
+            (row["day"], row["count"])
+        )
+    got = {
+        r["event_type"]: r
+        for r in _rows(spark, sf_dir, "ts_sample_entropy")
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        v = [c for _, c in sorted(pts)]
+        nn = len(v)
+        rr = max(1, (max(v) - min(v)) >> 3)
+        g = got[et]
+        assert g["n_days"] == nn and g["r"] == rr
+        if nn < 4:
+            assert g["b_count"] is None and g["a_count"] is None
+            continue
+
+        def cens(m):
+            hi = nn - m
+            return sum(
+                1
+                for i in range(hi)
+                for j in range(i + 1, hi)
+                if all(abs(v[i + d] - v[j + d]) <= rr for d in range(m + 1))
+            )
+
+        b, a = cens(1), cens(2)
+        assert (g["b_count"], g["a_count"]) == (b, a)
+        assert a <= b
+        if a > 0:
+            want = math.floor(
+                (math.log(float(b)) - math.log(float(a))) * 1e6 + 0.5
+            ) / 1e6
+            assert g["sampen"] == want and g["sampen"] >= 0
