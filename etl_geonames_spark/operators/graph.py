@@ -1551,3 +1551,73 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+@query(
+    "graph_local_bridges",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s),
+    ue AS (SELECT s, t FROM und WHERE s < t),
+    wedge AS (
+        SELECT DISTINCT a.t AS u, b.t AS v
+        FROM und a JOIN und b ON a.s = b.s AND a.t < b.t
+    ),
+    lb AS (
+        SELECT ue.s, ue.t FROM ue
+        LEFT JOIN wedge ON wedge.u = ue.s AND wedge.v = ue.t
+        WHERE wedge.u IS NULL
+    )
+    SELECT lb.s, lb.t, da.d AS deg_s, db.d AS deg_t
+    FROM lb JOIN deg da ON da.s = lb.s
+            JOIN deg db ON db.s = lb.t
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges (Easley & Kleinberg, Networks Crowds & Markets
+    §3.2): undirected edges whose endpoints share NO common neighbor —
+    deleting one leaves its endpoints at distance > 2 (span > 2), the
+    structural definition of a weak tie that actually spans parts of
+    the graph. Completes the tie-strength corner next to
+    graph_clustering_coefficient (an edge is a local bridge iff it
+    closes no triangle) and graph_adamic_adar (whose score is 0
+    exactly on local bridges).
+
+    EXACT, all-integer: the wedge pair set (node pairs with ≥1 common
+    neighbor) comes from the same center-joined wedge enumeration the
+    triangle ops use — no degree cap here, because a capped wedge set
+    would MISS a closure and certify a false bridge (the cap-safe
+    adamic_adar trades exactness for the bill; this op is the exact
+    complement and says so). Edges are certified by anti-join against
+    the wedge set; degrees decorate via the assortativity joins.
+
+    100 TB shape: the wedge enumeration is the graph_triangle_count
+    bill (Σ deg² wedge rows through one hash join on the center,
+    deduped) — hub-heavy graphs pay it there too; everything else is
+    edge-sized joins on the checkpointed und table."""
+    und = _und(spark, sf_dir)
+    deg = und.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ue = und.filter(F.col("s") < F.col("t"))
+    a = und.select(F.col("s").alias("c"), F.col("t").alias("u"))
+    b = und.select(F.col("s").alias("c"), F.col("t").alias("v"))
+    wedge = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    lb = ue.join(
+        wedge,
+        (F.col("s") == F.col("u")) & (F.col("t") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("s").alias("ds_key"), F.col("d").alias("deg_s"))
+    db = deg.select(F.col("s").alias("dt_key"), F.col("d").alias("deg_t"))
+    return (
+        lb.join(F.broadcast(da), F.col("s") == F.col("ds_key"))
+        .join(F.broadcast(db), F.col("t") == F.col("dt_key"))
+        .select("s", "t", "deg_s", "deg_t")
+    )

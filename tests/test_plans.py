@@ -1163,3 +1163,15 @@ def test_sample_entropy_is_daily_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 2
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_local_bridges_is_wedge_join_plus_anti(spark, sf_dir):
+    """graph_local_bridges: the wedge enumeration is one hash join on
+    the center over the checkpointed und table, the certification is
+    an anti-join, degrees decorate via broadcast — no sort-merge, no
+    cartesian."""
+    df = QUERIES["graph_local_bridges"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_exchange_count(df) <= 7

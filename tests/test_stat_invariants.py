@@ -4435,3 +4435,51 @@ def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
                 (math.log(float(b)) - math.log(float(a))) * 1e6 + 0.5
             ) / 1e6
             assert g["sampen"] == want and g["sampen"] >= 0
+
+
+def test_local_bridges_python_replay(spark, sf_dir):
+    """graph_local_bridges equals a from-scratch Python replay on the
+    same synthetic edge rule (adjacency sets, no common neighbor),
+    and no local bridge ever appears in the (capped) adamic_adar
+    candidate set — AA scores are wedge-derived, and a capped wedge
+    set is a SUBSET of the exact one."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ed = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("src"),
+            (
+                (F.col("o_custkey") * 7 + F.col("o_orderkey") * 3)
+                % 2000
+            ).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in ed:
+        s, t = r["src"], r["dst"]
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    want = {
+        (u, v)
+        for u in adj
+        for v in adj[u]
+        if u < v and not (adj[u] & adj[v])
+    }
+    rows = _rows(spark, sf_dir, "graph_local_bridges")
+    got = {(r["s"], r["t"]) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["deg_s"] == len(adj[r["s"]])
+        assert r["deg_t"] == len(adj[r["t"]])
+    aa_pairs = {
+        (r["na"], r["nb"])
+        for r in _rows(spark, sf_dir, "graph_adamic_adar")
+    }
+    assert not (got & aa_pairs)
