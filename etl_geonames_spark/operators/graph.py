@@ -1594,8 +1594,10 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the wedge enumeration is the graph_triangle_count
     bill (Σ deg² wedge rows through one hash join on the center,
-    deduped) — hub-heavy graphs pay it there too; everything else is
-    edge-sized joins on the checkpointed und table."""
+    deduped) — hub-heavy graphs pay it there too; the certification
+    anti-join is fact-to-fact (edge set vs wedge set), so it is the
+    one correctly-shuffled sort-merge in the plan; degree decoration
+    is broadcast over the checkpointed und table."""
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("d")
