@@ -5864,3 +5864,245 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sampen"),
     )
+
+
+_MP_M = 4  # subsequence window length
+
+
+@query(
+    "ts_matrix_profile",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _mv -> _mv.c) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    win AS (
+        SELECT event_type, v, n, n - {_MP_M} + 1 AS nw,
+            list_transform(generate_series(1, n - {_MP_M} + 1), _wi ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(0, {_MP_M} - 1),
+                        _wk -> v[CAST(_wi + _wk AS INT)])),
+                    (acc, x) -> acc + x)) AS sw,
+            list_transform(generate_series(1, n - {_MP_M} + 1), _wi ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(0, {_MP_M} - 1),
+                        _wk -> v[CAST(_wi + _wk AS INT)]
+                               * v[CAST(_wi + _wk AS INT)])),
+                    (acc, x) -> acc + x)) AS qw
+        FROM arr WHERE n >= 2 * {_MP_M}
+    ),
+    dnm AS (
+        SELECT event_type, v, n, nw, sw, qw,
+            list_transform(generate_series(1, nw), _di ->
+                {_MP_M} * qw[_di] - sw[_di] * sw[_di]) AS dint
+        FROM win
+    ),
+    mp AS (
+        SELECT event_type, CAST(u.i AS BIGINT) AS w_idx,
+            CASE WHEN dnm.dint[u.i] > 0 THEN
+                list_reduce(list_prepend(
+                    [CAST(1e300 AS DOUBLE), CAST(0 AS DOUBLE)],
+                    list_transform(generate_series(1, nw), _mj ->
+                        CASE WHEN abs(_mj - u.i) >= {_MP_M}
+                                  AND dnm.dint[_mj] > 0
+                             THEN [CAST(2 * {_MP_M} AS DOUBLE)
+                                   * (CAST(1 AS DOUBLE)
+                                      - CAST({_MP_M}
+                                          * list_reduce(list_prepend(
+                                                CAST(0 AS BIGINT),
+                                                list_transform(
+                                                  generate_series(0,
+                                                      {_MP_M} - 1),
+                                                  _mk -> v[CAST(u.i + _mk
+                                                           AS INT)]
+                                                     * v[CAST(_mj + _mk
+                                                           AS INT)])),
+                                            (acc, x) -> acc + x)
+                                          - sw[u.i] * sw[_mj] AS DOUBLE)
+                                        / (sqrt(CAST(dnm.dint[u.i]
+                                                     AS DOUBLE))
+                                           * sqrt(CAST(dnm.dint[_mj]
+                                                       AS DOUBLE)))),
+                                   CAST(_mj AS DOUBLE)]
+                             ELSE [CAST(1e300 AS DOUBLE),
+                                   CAST(0 AS DOUBLE)] END)),
+                    (_ma, _mx) ->
+                        [CASE WHEN _mx[1] < _ma[1] THEN _mx[1]
+                              ELSE _ma[1] END,
+                         CASE WHEN _mx[1] < _ma[1] THEN _mx[2]
+                              ELSE _ma[2] END])
+            END AS best
+        FROM dnm, UNNEST(generate_series(1, nw)) AS u(i)
+    )
+    SELECT event_type, w_idx,
+           CASE WHEN best IS NOT NULL AND best[2] > 0
+                THEN CAST(best[2] AS BIGINT) END AS nn_idx,
+           CASE WHEN best IS NOT NULL AND best[2] > 0 THEN
+               FLOOR(sqrt(GREATEST(CAST(0 AS DOUBLE), best[1]))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS nn_dist
+    FROM mp
+    """,
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of each event type's
+    daily-count series at window m = 4: for every subsequence, the
+    z-normalized Euclidean distance to its nearest non-trivial
+    neighbor (exclusion zone |i−j| ≥ m) and that neighbor's index —
+    THE modern motif/discord primitive: low profile = repeated motif,
+    high = discord/anomaly (the shape-aware upgrade of
+    ts_anomaly_zscore's pointwise screen).
+
+    Exactness: every moment is an exact int64 sufficient statistic
+    (window sums S, Q, cross-sums Σxy over integer daily counts), so
+    d²(i,j) = 2m(1 − (m·Σxy − S_i·S_j)/(√den_i·√den_j)) is assembled
+    from identical doubles by identical fixed-shape IEEE ops — sqrt
+    is correctly rounded (the one libm exception) and den stays
+    integral (den = m·Q − S², the constant-window test is an EXACT
+    integer = 0, never a float epsilon). The argmin therefore
+    compares bit-identical doubles on both engines; ties break to
+    the smaller j (strict-< fold over an identical index order).
+    m·Σxy and S·S stay in int64 to ~10⁹ events/day; the pair
+    product of dens is avoided exactly because it would overflow
+    (√·√ instead, documented).
+
+    Constant windows (den = 0) have no z-normalization: their rows
+    emit NULL nn_idx/nn_dist and they are excluded as neighbors —
+    mirrored CASEs both engines. Series shorter than 2m emit
+    nothing (no valid neighbor exists under the exclusion zone).
+
+    100 TB shape: one corpus-scale daily aggregate, then per-series
+    O(W²·m) array arithmetic (W = |days| − m + 1, metadata-sized)
+    under the series key — the ts_kpss bill class; the production
+    escape hatch for year-scale minutely series is the published
+    STOMP recurrence, same statistics, O(W²) total."""
+    ev = load_table(spark, sf_dir, "events")
+    m = _MP_M
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    win = arr.filter(F.col("n") >= 2 * m).select(
+        "event_type",
+        "v",
+        (F.col("n") - m + 1).alias("nw"),
+    )
+    v = F.col("v")
+
+    def wsum(i, fx):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc + fx(F.element_at(v, (i + k).cast("int"))),
+        )
+
+    nw = F.col("nw")
+    dnm = win.select(
+        "event_type",
+        "v",
+        "nw",
+        F.transform(
+            F.sequence(F.lit(1), nw), lambda i: wsum(i, lambda x: x)
+        ).alias("sw"),
+        F.transform(
+            F.sequence(F.lit(1), nw), lambda i: wsum(i, lambda x: x * x)
+        ).alias("qw"),
+    ).select(
+        "event_type",
+        "v",
+        "nw",
+        "sw",
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: m * F.element_at(F.col("qw"), i)
+            - F.element_at(F.col("sw"), i)
+            * F.element_at(F.col("sw"), i),
+        ).alias("dint"),
+    )
+    sw, dint = F.col("sw"), F.col("dint")
+
+    def xsum(i, j):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.element_at(v, (i + k).cast("int"))
+            * F.element_at(v, (j + k).cast("int")),
+        )
+
+    def d2(i, j):
+        num = (m * xsum(i, j) - F.element_at(sw, i) * F.element_at(sw, j)).cast(
+            "double"
+        )
+        den = F.sqrt(F.element_at(dint, i).cast("double")) * F.sqrt(
+            F.element_at(dint, j).cast("double")
+        )
+        return F.lit(float(2 * m)) * (F.lit(1.0) - num / den)
+
+    def best_for(i):
+        # d2 divides by sqrt(dint_j): it must live in lazy when()
+        # VALUES only — ANSI evaluates both conjuncts of a CONDITION,
+        # so a dint_j = 0 neighbor would throw DIVIDE_BY_ZERO there
+        # (the stat_fleiss_kappa rule). Invalid j's candidate becomes
+        # 1e301 (> the 1e300 init, never selected, division never
+        # evaluated).
+        def cand(j):
+            return F.when(
+                (F.abs(j - i) >= m) & (F.element_at(dint, j) > 0),
+                d2(i, j),
+            ).otherwise(F.lit(1e301))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), nw),
+            F.array(F.lit(1e300), F.lit(0.0)),
+            lambda acc, j: F.when(
+                cand(j) < F.element_at(acc, 1),
+                F.array(cand(j), j.cast("double")),
+            ).otherwise(acc),
+        )
+
+    mp = dnm.select(
+        "event_type",
+        "nw",
+        "v",
+        "sw",
+        "dint",
+        F.explode(F.sequence(F.lit(1), nw)).alias("i"),
+    ).select(
+        "event_type",
+        F.col("i").cast("long").alias("w_idx"),
+        F.when(
+            F.element_at(dint, F.col("i")) > 0, best_for(F.col("i"))
+        ).alias("best"),
+    )
+    b = F.col("best")
+    return mp.select(
+        "event_type",
+        "w_idx",
+        F.when(
+            b.isNotNull() & (F.element_at(b, 2) > 0),
+            F.element_at(b, 2).cast("long"),
+        ).alias("nn_idx"),
+        F.when(
+            b.isNotNull() & (F.element_at(b, 2) > 0),
+            qround(
+                F.sqrt(F.greatest(F.lit(0.0), F.element_at(b, 1))), 6
+            ),
+        ).alias("nn_dist"),
+    )

@@ -1180,3 +1180,13 @@ def test_local_bridges_is_wedge_join_plus_anti(spark, sf_dir):
     # tree line + numbered detail)
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
     assert shuffle_exchange_count(df) <= 7
+
+
+def test_matrix_profile_is_daily_series_bill(spark, sf_dir):
+    """ts_matrix_profile: one corpus-scale daily aggregate, then
+    per-series O(W²·m) array arithmetic — ts_kpss bill class."""
+    df = QUERIES["ts_matrix_profile"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

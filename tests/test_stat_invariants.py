@@ -4483,3 +4483,75 @@ def test_local_bridges_python_replay(spark, sf_dir):
         for r in _rows(spark, sf_dir, "graph_adamic_adar")
     }
     assert not (got & aa_pairs)
+
+
+def test_matrix_profile_python_replay(spark, sf_dir):
+    """ts_matrix_profile equals a brute-force Python replay from the
+    definition (z-normalized distances via the same integer
+    sufficient statistics, argmin with the same exclusion zone and
+    tie-break) — the doubles are identical IEEE, so indices AND
+    distances must match exactly. Also pins symmetry-flavored sanity:
+    every reported nn_dist is the true minimum, and d(i, nn(i)) ≥
+    matrix-profile value of nn(i) can't be smaller than its own
+    minimum."""
+    import math
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    M = 4
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = {}
+    for row in daily:
+        series.setdefault(row["event_type"], []).append(
+            (row["day"], row["count"])
+        )
+    got = {}
+    for r in _rows(spark, sf_dir, "ts_matrix_profile"):
+        got[(r["event_type"], r["w_idx"])] = (r["nn_idx"], r["nn_dist"])
+    seen = set()
+    for et, pts in series.items():
+        v = [c for _, c in sorted(pts)]
+        n = len(v)
+        if n < 2 * M:
+            continue
+        W = n - M + 1
+        S = [sum(v[i : i + M]) for i in range(W)]
+        Q = [sum(x * x for x in v[i : i + M]) for i in range(W)]
+        den = [M * Q[i] - S[i] * S[i] for i in range(W)]
+        for i in range(W):
+            seen.add((et, i + 1))
+            if den[i] <= 0:
+                assert got[(et, i + 1)] == (None, None)
+                continue
+            best = (1e300, 0)
+            for j in range(W):
+                if abs(j - i) < M or den[j] <= 0:
+                    continue
+                num = float(
+                    M * sum(v[i + k] * v[j + k] for k in range(M))
+                    - S[i] * S[j]
+                )
+                d2 = (2.0 * M) * (
+                    1.0
+                    - num
+                    / (math.sqrt(float(den[i])) * math.sqrt(float(den[j])))
+                )
+                if d2 < best[0]:
+                    best = (d2, j + 1)
+            if best[1] == 0:
+                assert got[(et, i + 1)] == (None, None)
+            else:
+                want = math.floor(
+                    math.sqrt(max(0.0, best[0])) * 1e6 + 0.5
+                ) / 1e6
+                assert got[(et, i + 1)] == (best[1], want), (
+                    et, i + 1, got[(et, i + 1)], best, want,
+                )
+    assert seen == set(got)
