@@ -3762,10 +3762,16 @@ def _flog2_sql(cexpr: str) -> str:
         f"[CAST({cexpr} AS BIGINT), CAST(30 AS BIGINT)],"
         f" list_transform(generate_series(1, 63),"
         f" _fq -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),"
-        " (acc, x) -> CASE"
-        " WHEN acc[1] >= 2147483648 THEN [acc[1] >> 1, acc[2] + 1]"
-        " WHEN acc[1] < 1073741824 THEN [acc[1] << 1, acc[2] - 1]"
-        " ELSE acc END)"
+        # element-wise rebuild, NEVER a bare list branch (`ELSE acc`):
+        # DuckDB list_reduce corrupts whole-list branch returns under
+        # multi-row vectorized execution (the ts_matrix_profile bug)
+        " (acc, x) -> ["
+        " CASE WHEN acc[1] >= 2147483648 THEN acc[1] >> 1"
+        " WHEN acc[1] < 1073741824 THEN acc[1] << 1"
+        " ELSE acc[1] END,"
+        " CASE WHEN acc[1] >= 2147483648 THEN acc[2] + 1"
+        " WHEN acc[1] < 1073741824 THEN acc[2] - 1"
+        " ELSE acc[2] END])"
     )
     sq = (
         f"list_reduce(list_prepend("
@@ -3821,15 +3827,21 @@ def _flog2_sql(cexpr: str) -> str:
     ),
     bt AS (
         SELECT w, wf,
-            list_reduce(list_prepend(
-                [CAST(length(w) AS BIGINT)],
-                list_transform(generate_series(1, length(w)),
-                    _bq -> [CAST(0 AS BIGINT)])),
-              (acc, x) -> CASE WHEN acc[1] > 0
-                 THEN list_prepend(
-                     st[CAST(length(w) AS INT)
-                        + CAST(acc[1] AS INT) + 2], acc)
-                 ELSE acc END) AS chain
+            /* always-prepend form (a bare `ELSE acc` list branch is
+               the vectorized list_reduce corruption): once the head
+               reaches 0 we prepend -1 sentinels, filtered before the
+               piece extraction */
+            list_filter(
+                list_reduce(list_prepend(
+                    [CAST(length(w) AS BIGINT)],
+                    list_transform(generate_series(1, length(w)),
+                        _bq -> [CAST(0 AS BIGINT)])),
+                  (acc, x) -> list_prepend(
+                     CASE WHEN acc[1] > 0
+                          THEN st[CAST(length(w) AS INT)
+                                  + CAST(acc[1] AS INT) + 2]
+                          ELSE CAST(-1 AS BIGINT) END, acc)),
+                _bf -> _bf >= 0) AS chain
         FROM dp
     ),
     pieces AS (
