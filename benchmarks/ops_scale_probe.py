@@ -47,6 +47,11 @@ SHIFTS = {
     "events": ["event_id", "user_id"],
     "customer": ["c_custkey"],
     "embeddings": ["vec_id"],
+    # round-12: texts replicate verbatim (10x exact-dup cliques), so
+    # the unigram word-frequency table keeps the SAME keys with wf*10
+    # - the "corpus collapses to vocab-sized work" bill is exactly
+    # what the probe must show staying flat
+    "documents": ["doc_id"],
 }
 OPS = [
     "graph_scc_bounded",
@@ -77,6 +82,25 @@ OPS = [
     "ts_variance_ratio",
     "ts_granger_lag1",
     "ts_durbin_watson",
+    # round-12 batch:
+    # - decontaminate_semantic: 10x corpus vs the FIXED vec_id<50 eval
+    #   slice (only copy 0 holds it) - the broadcast-BNLJ bill is
+    #   linear in corpus, eval side constant
+    # - unigram EM/viterbi + renyi: 10x docs replicate texts verbatim,
+    #   word/vocab tables keep the same keys (wf*10) - wall must track
+    #   the one corpus collapse, the lattice work is unchanged
+    # - sample_entropy / matrix_profile: same days, 10x denser daily
+    #   counts - per-series arrays unchanged, daily agg dominates
+    # - local_bridges: shifted src keys but dst stays mod-2000, so hub
+    #   degrees grow 10x and the wedge bill is the honest quadratic
+    #   (sum deg^2) the docstring promises on hub growth
+    "llm_decontaminate_semantic",
+    "llm_unigram_em_round",
+    "llm_unigram_viterbi_apply",
+    "llm_renyi_efficiency",
+    "ts_sample_entropy",
+    "ts_matrix_profile",
+    "graph_local_bridges",
 ]
 
 
