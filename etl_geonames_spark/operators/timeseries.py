@@ -6106,3 +6106,139 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("nn_dist"),
     )
+
+
+_SES_GRID = 9  # alpha = k/10 for k = 1..9
+
+
+@query(
+    "ts_ses_grid_search",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _gv -> CAST(_gv.c AS DOUBLE)) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    fit AS (
+        SELECT event_type, n,
+            list_reduce(list_prepend(
+                [CAST(1e300 AS DOUBLE), CAST(0 AS DOUBLE)],
+                list_transform(generate_series(1, {_SES_GRID}), _gk ->
+                    [list_reduce(list_prepend([v[1], CAST(0 AS DOUBLE)],
+                        list_transform(v[2:], _gx -> [_gx,
+                                                      CAST(0 AS DOUBLE)])),
+                        (acc, x) ->
+                          [(CAST(_gk AS DOUBLE) / CAST(10 AS DOUBLE))
+                               * x[1]
+                           + (CAST(1 AS DOUBLE)
+                              - CAST(_gk AS DOUBLE) / CAST(10 AS DOUBLE))
+                               * acc[1],
+                           acc[2] + (x[1] - acc[1]) * (x[1] - acc[1])]
+                        )[2],
+                     CAST(_gk AS DOUBLE)])),
+              (_ga, _gx2) ->
+                  [CASE WHEN _gx2[1] < _ga[1] THEN _gx2[1]
+                        ELSE _ga[1] END,
+                   CASE WHEN _gx2[1] < _ga[1] THEN _gx2[2]
+                        ELSE _ga[2] END]) AS best
+        FROM arr WHERE n >= 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(best[2] AS BIGINT) AS best_alpha_x10,
+           FLOOR(best[1] * 1000000.0 + 0.5) / 1000000.0 AS sse
+    FROM fit
+    """,
+)
+def ts_ses_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing parameter selection by grid
+    search: fit SES at alpha = 0.1..0.9 over each event type's daily
+    counts, score each fit by the one-step-ahead sum of squared
+    errors (err_t = x_t − s_{t−1}, s_t = alpha·x_t + (1−alpha)·s_{t−1},
+    s_1 = x_1), and pick the argmin — the model-selection step the
+    forecasting family (ts_ewma, ts_holt_winters, ts_backtest_snaive)
+    assumed a fixed parameter for. Low best-alpha = stable series
+    (history matters), high = level-shifting (react fast).
+
+    Exact selection on floats, the ts_matrix_profile discipline: x
+    are exact integer counts, alpha = k/10 is one correctly-rounded
+    division per engine, every SES state and SSE is built by
+    identical fixed-shape +/×/− folds over the identically-sorted
+    series — so all 9 SSEs are bit-identical doubles on both engines,
+    and the strict-< argmin (ties to the smaller alpha, fold order)
+    is engine-exact with no rounding grid in the SELECTION. The SSE
+    emits on the qround(6) grid. The oracle folds LIST states
+    element-wise throughout (the vectorized list_reduce rule) and
+    renames every fold's lambda vars apart (the nesting rule).
+    Single-day series (n < 2) have no one-step error and emit
+    nothing.
+
+    100 TB shape: one corpus-scale daily hash aggregate; 9 × O(n)
+    fold arithmetic per series (n = |days|) under the series key —
+    the ts_kpss bill class; a finer alpha grid multiplies only the
+    fold count."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    v = F.col("v")
+
+    def sse_for(alpha):
+        """One-step-ahead SSE of the SES fold at a (Column) alpha."""
+        return F.element_at(
+            F.aggregate(
+                F.slice(v, 2, F.size(v) - 1),
+                F.array(F.element_at(v, 1), F.lit(0.0)),
+                lambda acc, x: F.array(
+                    alpha * x
+                    + (F.lit(1.0) - alpha) * F.element_at(acc, 1),
+                    F.element_at(acc, 2)
+                    + (x - F.element_at(acc, 1))
+                    * (x - F.element_at(acc, 1)),
+                ),
+            ),
+            2,
+        )
+
+    def cand(k):
+        return sse_for(k.cast("double") / F.lit(10.0))
+
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_SES_GRID)),
+        F.array(F.lit(1e300), F.lit(0.0)),
+        lambda acc, k: F.array(
+            F.when(
+                cand(k) < F.element_at(acc, 1), cand(k)
+            ).otherwise(F.element_at(acc, 1)),
+            F.when(
+                cand(k) < F.element_at(acc, 1), k.cast("double")
+            ).otherwise(F.element_at(acc, 2)),
+        ),
+    )
+    return (
+        arr.filter(F.col("n") >= 2)
+        .select("event_type", "n", best.alias("best"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.element_at(F.col("best"), 2).cast("long").alias(
+                "best_alpha_x10"
+            ),
+            qround(F.element_at(F.col("best"), 1), 6).alias("sse"),
+        )
+    )

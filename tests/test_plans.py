@@ -1190,3 +1190,13 @@ def test_matrix_profile_is_daily_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 2
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_ses_grid_search_is_daily_series_bill(spark, sf_dir):
+    """ts_ses_grid_search: one daily aggregate + 9 per-series folds —
+    ts_kpss bill class."""
+    df = QUERIES["ts_ses_grid_search"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

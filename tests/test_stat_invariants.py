@@ -4555,3 +4555,47 @@ def test_matrix_profile_python_replay(spark, sf_dir):
                     et, i + 1, got[(et, i + 1)], best, want,
                 )
     assert seen == set(got)
+
+
+def test_ses_grid_search_python_replay(spark, sf_dir):
+    """ts_ses_grid_search equals a from-scratch Python replay (same
+    fold shapes, same IEEE ops, same strict-< argmin with
+    smaller-alpha ties) — best_alpha_x10 and the qround SSE must
+    match exactly; the winner's SSE is the true grid minimum."""
+    import math
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = {}
+    for row in daily:
+        series.setdefault(row["event_type"], []).append(
+            (row["day"], row["count"])
+        )
+    got = {
+        r["event_type"]: (r["n_days"], r["best_alpha_x10"], r["sse"])
+        for r in _rows(spark, sf_dir, "ts_ses_grid_search")
+    }
+    for et, pts in series.items():
+        v = [float(c) for _, c in sorted(pts)]
+        if len(v) < 2:
+            assert et not in got
+            continue
+        best = (1e300, 0)
+        for k in range(1, 10):
+            a = float(k) / 10.0
+            s, sse = v[0], 0.0
+            for x in v[1:]:
+                sse = sse + (x - s) * (x - s)
+                s = a * x + (1.0 - a) * s
+            if sse < best[0]:
+                best = (sse, k)
+        want_sse = math.floor(best[0] * 1e6 + 0.5) / 1e6
+        assert got[et] == (len(v), best[1], want_sse), (et, got[et], best)
