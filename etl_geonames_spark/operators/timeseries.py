@@ -6242,3 +6242,221 @@ def ts_ses_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.element_at(F.col("best"), 1), 6).alias("sse"),
         )
     )
+
+
+_EDIV_MMIN = 4  # minimum segment size either side of the split
+
+
+@query(
+    "ts_ediv_changepoint",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _ev -> _ev.c) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    lr AS (
+        SELECT event_type, v, n,
+            list_transform(generate_series(1, n), _ei ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, n), _ej ->
+                        CASE WHEN _ej < _ei
+                             THEN abs(v[_ei] - v[_ej])
+                             ELSE CAST(0 AS BIGINT) END)),
+                    (_la, _lx) -> _la + _lx)) AS lft,
+            list_transform(generate_series(1, n), _ei ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, n), _ej ->
+                        CASE WHEN _ej > _ei
+                             THEN abs(v[_ei] - v[_ej])
+                             ELSE CAST(0 AS BIGINT) END)),
+                    (_ra, _rx) -> _ra + _rx)) AS rgt
+        FROM arr WHERE n >= 2 * {_EDIV_MMIN}
+    ),
+    fit AS (
+        SELECT event_type, n,
+            list_reduce(list_prepend(
+                [CAST(rgt[1] AS DOUBLE),
+                 CAST(0 AS DOUBLE),
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lft),
+                                  (_ta, _tx) -> _ta + _tx)
+                      - rgt[1] AS DOUBLE),
+                 CAST(-1e300 AS DOUBLE),
+                 CAST(0 AS DOUBLE)],
+                list_transform(generate_series(2, n - 1), _ek ->
+                    [CAST(lft[_ek] AS DOUBLE), CAST(rgt[_ek] AS DOUBLE),
+                     CAST(_ek AS DOUBLE)])),
+              (_ea, _ex) ->
+                [_ea[1] - _ex[1] + _ex[2],
+                 _ea[2] + _ex[1],
+                 _ea[3] - _ex[2],
+                 CASE WHEN _ex[3] >= {_EDIV_MMIN}
+                       AND _ex[3] <= n - {_EDIV_MMIN}
+                       AND (CAST(2 AS DOUBLE) * (_ea[1] - _ex[1] + _ex[2]))
+                             / n
+                           - (CAST(2 AS DOUBLE) * (_ea[2] + _ex[1])
+                              * (n - _ex[3]))
+                             / (n * (_ex[3] - 1))
+                           - (CAST(2 AS DOUBLE) * (_ea[3] - _ex[2])
+                              * _ex[3])
+                             / (n * (n - _ex[3] - 1))
+                           > _ea[4]
+                      THEN (CAST(2 AS DOUBLE) * (_ea[1] - _ex[1] + _ex[2]))
+                             / n
+                           - (CAST(2 AS DOUBLE) * (_ea[2] + _ex[1])
+                              * (n - _ex[3]))
+                             / (n * (_ex[3] - 1))
+                           - (CAST(2 AS DOUBLE) * (_ea[3] - _ex[2])
+                              * _ex[3])
+                             / (n * (n - _ex[3] - 1))
+                      ELSE _ea[4] END,
+                 CASE WHEN _ex[3] >= {_EDIV_MMIN}
+                       AND _ex[3] <= n - {_EDIV_MMIN}
+                       AND (CAST(2 AS DOUBLE) * (_ea[1] - _ex[1] + _ex[2]))
+                             / n
+                           - (CAST(2 AS DOUBLE) * (_ea[2] + _ex[1])
+                              * (n - _ex[3]))
+                             / (n * (_ex[3] - 1))
+                           - (CAST(2 AS DOUBLE) * (_ea[3] - _ex[2])
+                              * _ex[3])
+                             / (n * (n - _ex[3] - 1))
+                           > _ea[4]
+                      THEN _ex[3]
+                      ELSE _ea[5] END]) AS st
+        FROM lr
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(st[5] AS BIGINT) AS cp_tau,
+           FLOOR(st[4] * 1000000.0 + 0.5) / 1000000.0 AS best_q
+    FROM fit
+    """,
+)
+def ts_ediv_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-divisive single changepoint (Matteson & James 2014, JASA):
+    the split of each event type's daily-count series maximizing the
+    scaled sample energy divergence Q(τ) = (τ(n−τ)/n)·Ê(τ), where Ê
+    compares BETWEEN-segment vs within-segment mean absolute
+    differences — a DISTRIBUTION-change detector (variance, shape,
+    tails), where ts_cusum_changepoint/ts_pettitt_changepoint see
+    only mean/location shifts. α = 1 (absolute differences) keeps
+    every pairwise statistic an exact int64.
+
+    Sufficient-statistic fold: precompute per-element left/right
+    absolute-difference sums L(k), R(k) (exact int64, O(n²) array
+    arithmetic); then one fold over τ carries [B, W_L, W_R] by the
+    exact transition B' = B − L(τ+1) + R(τ+1), W_L' += L, W_R' −= R
+    — all integer-valued doubles far inside 2⁵³, so Q's three-term
+    fixed-shape expression produces bit-identical doubles on both
+    engines and the strict-> argmax (ties to the EARLIEST τ) is
+    engine-exact (the ts_matrix_profile selection discipline).
+    Minimum segment m = 4 each side; series under 2m emit nothing —
+    and the m ≥ 2 floor keeps the τ(τ−1) denominators nonzero, so
+    no guard ratio ever evaluates at 0 (ANSI rule). Oracle folds an
+    element-wise LIST state with per-fold lambda names (both
+    vectorized list_reduce rules).
+
+    100 TB shape: one corpus-scale daily hash aggregate; O(n²)
+    per-series array arithmetic under the series key (ts_kpss bill
+    class). The full e-divisive recursion (binary segmentation with
+    a permutation stop) replays this op per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    m = _EDIV_MMIN
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    v, n = F.col("v"), F.col("n")
+
+    def absdiff_sum(side):
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.lit(0).cast("long"),
+                lambda a, j: a
+                + F.when(
+                    side(j, i),
+                    F.abs(
+                        F.element_at(v, i) - F.element_at(v, j)
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+
+    lr = arr.filter(n >= 2 * m).select(
+        "event_type",
+        "v",
+        "n",
+        absdiff_sum(lambda j, i: j < i).alias("lft"),
+        absdiff_sum(lambda j, i: j > i).alias("rgt"),
+    )
+    lft, rgt = F.col("lft"), F.col("rgt")
+    total = F.aggregate(
+        lft, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    init = F.array(
+        F.element_at(rgt, 1).cast("double"),
+        F.lit(0.0),
+        (total - F.element_at(rgt, 1)).cast("double"),
+        F.lit(-1e300),
+        F.lit(0.0),
+    )
+    items = F.transform(
+        F.sequence(F.lit(2), n - 1),
+        lambda k: F.array(
+            F.element_at(lft, k).cast("double"),
+            F.element_at(rgt, k).cast("double"),
+            k.cast("double"),
+        ),
+    )
+
+    def fold(acc, x):
+        b2 = F.element_at(acc, 1) - F.element_at(x, 1) + F.element_at(x, 2)
+        wl2 = F.element_at(acc, 2) + F.element_at(x, 1)
+        wr2 = F.element_at(acc, 3) - F.element_at(x, 2)
+        tau = F.element_at(x, 3)
+        nd = n.cast("double")
+        q = (
+            (F.lit(2.0) * b2) / nd
+            - (F.lit(2.0) * wl2 * (nd - tau)) / (nd * (tau - F.lit(1.0)))
+            - (F.lit(2.0) * wr2 * tau) / (nd * (nd - tau - F.lit(1.0)))
+        )
+        # q's (n-tau-1) denominator is 0 at tau = n-1, and ANSI
+        # evaluates both conjuncts of a condition - so q lives in a
+        # lazy when() VALUE gated by the segment-size guard (guard
+        # true => tau <= n-m => denominators positive); the NULL qc
+        # makes the comparison fall through (fleiss_kappa rule)
+        qc = F.when(
+            (tau >= F.lit(float(m))) & (tau <= nd - F.lit(float(m))), q
+        )
+        better = qc > F.element_at(acc, 4)
+        return F.array(
+            b2,
+            wl2,
+            wr2,
+            F.when(better, qc).otherwise(F.element_at(acc, 4)),
+            F.when(better, tau).otherwise(F.element_at(acc, 5)),
+        )
+
+    st = F.aggregate(items, init, fold)
+    return lr.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.element_at(st, 5).cast("long").alias("cp_tau"),
+        qround(F.element_at(st, 4), 6).alias("best_q"),
+    )

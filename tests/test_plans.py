@@ -1200,3 +1200,13 @@ def test_ses_grid_search_is_daily_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 2
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_ediv_changepoint_is_daily_series_bill(spark, sf_dir):
+    """ts_ediv_changepoint: one daily aggregate + O(n²) per-series
+    array arithmetic — ts_kpss bill class."""
+    df = QUERIES["ts_ediv_changepoint"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

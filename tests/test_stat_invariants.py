@@ -4599,3 +4599,66 @@ def test_ses_grid_search_python_replay(spark, sf_dir):
                 best = (sse, k)
         want_sse = math.floor(best[0] * 1e6 + 0.5) / 1e6
         assert got[et] == (len(v), best[1], want_sse), (et, got[et], best)
+
+
+def test_ediv_changepoint_python_replay(spark, sf_dir):
+    """ts_ediv_changepoint equals a brute-force Python replay from
+    the DEFINITION (between/within absolute-difference sums at every
+    admissible split, no incremental transition) — pins both the
+    B/W_L/W_R recurrence and the exact-double argmax."""
+    import math
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    M = 4
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = {}
+    for row in daily:
+        series.setdefault(row["event_type"], []).append(
+            (row["day"], row["count"])
+        )
+    got = {
+        r["event_type"]: (r["n_days"], r["cp_tau"], r["best_q"])
+        for r in _rows(spark, sf_dir, "ts_ediv_changepoint")
+    }
+    for et, pts in series.items():
+        v = [c for _, c in sorted(pts)]
+        n = len(v)
+        if n < 2 * M:
+            assert et not in got
+            continue
+        best = (-1e300, 0)
+        for tau in range(M, n - M + 1):
+            L, R = v[:tau], v[tau:]
+            B = float(sum(abs(a - b) for a in L for b in R))
+            WL = float(
+                sum(
+                    abs(L[i] - L[j])
+                    for i in range(tau)
+                    for j in range(i + 1, tau)
+                )
+            )
+            WR = float(
+                sum(
+                    abs(R[i] - R[j])
+                    for i in range(n - tau)
+                    for j in range(i + 1, n - tau)
+                )
+            )
+            nd, td = float(n), float(tau)
+            q = (
+                (2.0 * B) / nd
+                - (2.0 * WL * (nd - td)) / (nd * (td - 1.0))
+                - (2.0 * WR * td) / (nd * (nd - td - 1.0))
+            )
+            if q > best[0]:
+                best = (q, tau)
+        want_q = math.floor(best[0] * 1e6 + 0.5) / 1e6
+        assert got[et] == (n, best[1], want_q), (et, got[et], best)
