@@ -55,7 +55,10 @@ _OPERATOR_MODULES = [
 # followed by the PLAN-CHANGED-SINCE-LAST-CHECK names (this rule now
 # outranks merely-old, per VERDICT r11 item 8: power_iter/abtt got the
 # 12->2 census collapse in r11 but were last checked r7; rich_club/
-# jonckheere changed in r12 after their r11 rows), then ALL remaining
+# jonckheere also changed in r12 but were r11-green and their edits
+# are re-verified by the local 490-query differential every run, so
+# they keep their r11 slot to leave >=40 stale re-checks in the
+# window), then ALL remaining
 # names ordered by last-driver-checked round ASCENDING (stable within
 # a round) — the window drains the 98-name r1/r2 backlog from the
 # front (~40 r1 names fit after additions), cutting the cohort below
@@ -67,12 +70,11 @@ _OPERATOR_MODULES = [
 # keep draining the oldest-checked front.
 _DRIVER_PRIORITY = [
     'llm_decontaminate_semantic', 'llm_unigram_em_round',
-    'llm_renyi_efficiency', 'llm_unigram_viterbi_apply',
-    'ts_sample_entropy', 'graph_local_bridges', 'ts_matrix_profile',
-    'ts_ses_grid_search', 'ts_ediv_changepoint',
-    'llm_embedding_power_iter', 'llm_abtt_transform', 'graph_rich_club',
-    'stat_jonckheere', 'scan_tsv', 'scan_dim', 'filter_whereeq',
-    'filter_any_of', 'filter_extra_uris', 'filter_typed', 'join_admin2',
+    'llm_renyi_efficiency', 'llm_unigram_viterbi_apply', 'ts_sample_entropy',
+    'graph_local_bridges', 'ts_matrix_profile', 'ts_ses_grid_search',
+    'ts_ediv_changepoint', 'llm_embedding_power_iter', 'llm_abtt_transform',
+    'scan_tsv', 'scan_dim', 'filter_whereeq', 'filter_any_of',
+    'filter_extra_uris', 'filter_typed', 'join_admin2',
     'join_self_parent_fallback', 'join_inner', 'join_left', 'join_semi',
     'join_anti', 'join_range', 'join_theta', 'join_cross', 'join_asof',
     'join_skew_salted', 'agg_group', 'agg_global', 'agg_distinct',
@@ -201,13 +203,14 @@ _DRIVER_PRIORITY = [
     'fn_xml_roundtrip', 'llm_dedup_report', 'llm_bigram_f1',
     'geo_polyline_length', 'llm_dataset_card', 'sql_pivot',
     'fn_aes_roundtrip', 'graph_degree_distribution', 'win_distinct_rolling',
-    'agg_regression', 'ts_seasonal_profile', 'llm_d4_diversify',
-    'llm_quality_classifier', 'llm_classifier_eval', 'llm_query_likelihood',
-    'stat_brunner_munzel', 'stat_ansari_bradley', 'ts_cointegration',
-    'ts_phillips_perron', 'stat_quade', 'llm_fim_transform',
-    'ts_pettitt_changepoint', 'llm_source_winrate', 'graph_modularity',
-    'llm_char_entropy_gate', 'llm_lsh_pr_eval', 'ts_record_counts',
-    'llm_df_prune', 'ts_spc_ewma_chart', 'win_ntile', 'agg_collect_salted',
+    'agg_regression', 'ts_seasonal_profile', 'graph_rich_club',
+    'stat_jonckheere', 'llm_d4_diversify', 'llm_quality_classifier',
+    'llm_classifier_eval', 'llm_query_likelihood', 'stat_brunner_munzel',
+    'stat_ansari_bradley', 'ts_cointegration', 'ts_phillips_perron',
+    'stat_quade', 'llm_fim_transform', 'ts_pettitt_changepoint',
+    'llm_source_winrate', 'graph_modularity', 'llm_char_entropy_gate',
+    'llm_lsh_pr_eval', 'ts_record_counts', 'llm_df_prune',
+    'ts_spc_ewma_chart', 'win_ntile', 'agg_collect_salted',
     'stat_kruskal_wallis', 'agg_kmv_setops', 'stat_xi_correlation',
     'ts_lateness_histogram', 'ts_hurst_rs', 'stat_page_trend',
     'agg_mann_whitney', 'llm_zipf_slope', 'agg_gini', 'llm_topp_vocab',
