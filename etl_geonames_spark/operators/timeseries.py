@@ -6460,3 +6460,282 @@ def ts_ediv_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(st, 5).cast("long").alias("cp_tau"),
         qround(F.element_at(st, 4), 6).alias("best_q"),
     )
+
+
+_EDIV_B = 16  # deterministic permutations for the significance test
+
+# The Q(tau) three-term expression over the running [B, W_L, W_R]
+# state (_pa) and item (_px = [L(k), R(k), k]) — one definition
+# feeding the fold's candidate, value, and tau branches.
+_EDIV_Q_SQL = """(CAST(2 AS DOUBLE) * (_pa[1] - _px[1] + _px[2])) / n
+    - (CAST(2 AS DOUBLE) * (_pa[2] + _px[1]) * (n - _px[3]))
+      / (n * (_px[3] - 1))
+    - (CAST(2 AS DOUBLE) * (_pa[3] - _px[2]) * _px[3])
+      / (n * (n - _px[3] - 1))"""
+
+
+def _ediv_sig_lr_sql(v: str, pfx: str) -> tuple[str, str]:
+    """Left/right absolute-difference-sum array texts over column
+    ``v`` (lambda names suffixed by ``pfx`` — the nesting rule)."""
+    def one(op: str, tag: str) -> str:
+        return f"""list_transform(generate_series(1, n), _i{pfx}{tag} ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, n), _j{pfx}{tag} ->
+                    CASE WHEN _j{pfx}{tag} {op} _i{pfx}{tag}
+                         THEN abs({v}[_i{pfx}{tag}] - {v}[_j{pfx}{tag}])
+                         ELSE CAST(0 AS BIGINT) END)),
+                (_a{pfx}{tag}, _x{pfx}{tag}) ->
+                    _a{pfx}{tag} + _x{pfx}{tag}))"""
+    return one("<", "l"), one(">", "r")
+
+
+_EDIV_SIG_FOLD_SQL = f"""list_reduce(list_prepend(
+    [CAST(rgt[1] AS DOUBLE),
+     CAST(0 AS DOUBLE),
+     CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lft),
+                      (_sta, _stx) -> _sta + _stx)
+          - rgt[1] AS DOUBLE),
+     CAST(-1e300 AS DOUBLE),
+     CAST(0 AS DOUBLE)],
+    list_transform(generate_series(2, n - 1), _pk ->
+        [CAST(lft[_pk] AS DOUBLE), CAST(rgt[_pk] AS DOUBLE),
+         CAST(_pk AS DOUBLE)])),
+  (_pa, _px) ->
+    [_pa[1] - _px[1] + _px[2],
+     _pa[2] + _px[1],
+     _pa[3] - _px[2],
+     CASE WHEN _px[3] >= {_EDIV_MMIN} AND _px[3] <= n - {_EDIV_MMIN}
+           AND {_EDIV_Q_SQL} > _pa[4]
+          THEN {_EDIV_Q_SQL} ELSE _pa[4] END,
+     CASE WHEN _px[3] >= {_EDIV_MMIN} AND _px[3] <= n - {_EDIV_MMIN}
+           AND {_EDIV_Q_SQL} > _pa[4]
+          THEN _px[3] ELSE _pa[5] END])"""
+
+
+@query(
+    "ts_ediv_significance",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _sv -> _sv.c) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    reps AS (
+        SELECT event_type, n, u.b AS b,
+            CASE WHEN u.b = 0 THEN v ELSE
+                list_transform(
+                    list_sort(list_transform(generate_series(1, n),
+                        _qi -> {{'h': md5(CAST(u.b AS VARCHAR) || ':'
+                                          || CAST(_qi AS VARCHAR)),
+                                 'i': _qi}})),
+                    _qs -> v[CAST(_qs.i AS INT)])
+            END AS vb
+        FROM arr, UNNEST(generate_series(0, {_EDIV_B})) AS u(b)
+        WHERE n >= 2 * {_EDIV_MMIN}
+    ),
+    lr AS (
+        SELECT event_type, n, b,
+               {_ediv_sig_lr_sql("vb", "p")[0]} AS lft,
+               {_ediv_sig_lr_sql("vb", "p")[1]} AS rgt
+        FROM reps
+    ),
+    fit AS (
+        SELECT event_type, n, b, {_EDIV_SIG_FOLD_SQL} AS st
+        FROM lr
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_days,
+               MAX(CASE WHEN b = 0 THEN st[4] END) AS q_obs,
+               CAST(MAX(CASE WHEN b = 0 THEN st[5] END) AS BIGINT)
+                   AS cp_tau,
+               list(CASE WHEN b > 0 THEN st[4] END) AS perms
+        FROM fit GROUP BY event_type
+    )
+    SELECT event_type, n_days, cp_tau,
+           FLOOR(q_obs * 1000000.0 + 0.5) / 1000000.0 AS best_q,
+           CAST(len(list_filter(perms, _pq -> _pq >= q_obs))
+                AS BIGINT) AS perm_ge,
+           FLOOR(CAST(1 + len(list_filter(perms, _pq -> _pq >= q_obs))
+                      AS DOUBLE) / CAST({_EDIV_B + 1} AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_value
+    FROM agg
+    """,
+)
+def ts_ediv_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e-divisive PERMUTATION STOP RULE (Matteson & James 2014
+    §3.2): is ts_ediv_changepoint's best split real or noise? Q_obs
+    is compared against the max-Q of B = 16 DETERMINISTIC
+    permutations of the series (order = sort by md5(b:i) — both
+    engines produce the identical shuffle, the seeded-permutation
+    discipline of stat_permutation_test), and the permutation
+    p-value is (1 + #{{Q_b ≥ Q_obs}})/(B+1) — under no change the
+    split statistic is exchangeable, so small p flags a real
+    distribution change. tests/test_stat_invariants.py pins that the
+    b = 0 row REPRODUCES ts_ediv_changepoint exactly (the two ops
+    share semantics by differential pin, not just by code).
+
+    Exactness: the permuted series are integer arrays in an
+    engine-identical order, every Q is built by the same exact-int
+    sufficient-statistic fold as the changepoint op (bit-identical
+    doubles), and both the argmax and the ≥ comparisons against
+    Q_obs compare identical doubles — the p-value numerator is an
+    exact integer count. All folds element-wise LIST state,
+    per-instantiation lambda names (the vectorized list_reduce
+    rules).
+
+    100 TB shape: one daily hash aggregate, then (B+1) × O(n²)
+    per-series array arithmetic — a constant 17× of the
+    changepoint op's ts_kpss-class bill, still metadata-sized per
+    series; the full e-divisive recursion applies this stop rule
+    per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    m, B = _EDIV_MMIN, _EDIV_B
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    n = F.col("n")
+    reps = (
+        arr.filter(n >= 2 * m)
+        .select(
+            "event_type",
+            "n",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(B))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "b",
+            F.when(F.col("b") == 0, F.col("v"))
+            .otherwise(
+                F.transform(
+                    F.sort_array(
+                        F.transform(
+                            F.sequence(F.lit(1), n),
+                            lambda i: F.struct(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("b").cast("string"),
+                                        i.cast("string"),
+                                    ).cast("binary")
+                                ).alias("h"),
+                                i.alias("i"),
+                            ),
+                        )
+                    ),
+                    lambda s: F.element_at(F.col("v"), s["i"]),
+                )
+            )
+            .alias("vb"),
+        )
+    )
+    vb = F.col("vb")
+
+    def absdiff_sum(side):
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.lit(0).cast("long"),
+                lambda a, j: a
+                + F.when(
+                    side(j, i),
+                    F.abs(F.element_at(vb, i) - F.element_at(vb, j)),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+
+    lr = reps.select(
+        "event_type",
+        "n",
+        "b",
+        "vb",
+        absdiff_sum(lambda j, i: j < i).alias("lft"),
+        absdiff_sum(lambda j, i: j > i).alias("rgt"),
+    )
+    lft, rgt = F.col("lft"), F.col("rgt")
+    total = F.aggregate(lft, F.lit(0).cast("long"), lambda a, x: a + x)
+    init = F.array(
+        F.element_at(rgt, 1).cast("double"),
+        F.lit(0.0),
+        (total - F.element_at(rgt, 1)).cast("double"),
+        F.lit(-1e300),
+        F.lit(0.0),
+    )
+    items = F.transform(
+        F.sequence(F.lit(2), n - 1),
+        lambda k: F.array(
+            F.element_at(lft, k).cast("double"),
+            F.element_at(rgt, k).cast("double"),
+            k.cast("double"),
+        ),
+    )
+
+    def fold(acc, x):
+        b2 = F.element_at(acc, 1) - F.element_at(x, 1) + F.element_at(x, 2)
+        wl2 = F.element_at(acc, 2) + F.element_at(x, 1)
+        wr2 = F.element_at(acc, 3) - F.element_at(x, 2)
+        tau = F.element_at(x, 3)
+        nd = n.cast("double")
+        q = (
+            (F.lit(2.0) * b2) / nd
+            - (F.lit(2.0) * wl2 * (nd - tau)) / (nd * (tau - F.lit(1.0)))
+            - (F.lit(2.0) * wr2 * tau) / (nd * (nd - tau - F.lit(1.0)))
+        )
+        qc = F.when(
+            (tau >= F.lit(float(m))) & (tau <= nd - F.lit(float(m))), q
+        )
+        better = qc > F.element_at(acc, 4)
+        return F.array(
+            b2,
+            wl2,
+            wr2,
+            F.when(better, qc).otherwise(F.element_at(acc, 4)),
+            F.when(better, tau).otherwise(F.element_at(acc, 5)),
+        )
+
+    st = F.aggregate(items, init, fold)
+    fit = lr.select("event_type", "n", "b", st.alias("st"))
+    agg = fit.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(
+            F.when(F.col("b") == 0, F.element_at(F.col("st"), 4))
+        ).alias("q_obs"),
+        F.max(F.when(F.col("b") == 0, F.element_at(F.col("st"), 5)))
+        .cast("long")
+        .alias("cp_tau"),
+        F.collect_list(
+            F.when(F.col("b") > 0, F.element_at(F.col("st"), 4))
+        ).alias("perms"),
+    )
+    perm_ge = F.size(
+        F.filter(F.col("perms"), lambda x: x >= F.col("q_obs"))
+    ).cast("long")
+    return agg.select(
+        "event_type",
+        "n_days",
+        "cp_tau",
+        qround(F.col("q_obs"), 6).alias("best_q"),
+        perm_ge.alias("perm_ge"),
+        qround(
+            (1 + perm_ge).cast("double") / F.lit(float(B + 1)), 6
+        ).alias("p_value"),
+    )

@@ -1210,3 +1210,15 @@ def test_ediv_changepoint_is_daily_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 2
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_ediv_significance_is_replicated_series_bill(spark, sf_dir):
+    """ts_ediv_significance: one daily aggregate, a 17-way per-series
+    replicate explode, per-replicate O(n²) array arithmetic, one
+    series-keyed re-aggregation — still the ts_kpss bill class (≤3
+    exchanges, no join, no window)."""
+    df = QUERIES["ts_ediv_significance"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 3
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

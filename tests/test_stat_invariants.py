@@ -4662,3 +4662,26 @@ def test_ediv_changepoint_python_replay(spark, sf_dir):
                 best = (q, tau)
         want_q = math.floor(best[0] * 1e6 + 0.5) / 1e6
         assert got[et] == (n, best[1], want_q), (et, got[et], best)
+
+
+def test_ediv_significance_reproduces_changepoint_and_bounds(spark, sf_dir):
+    """ts_ediv_significance's b = 0 row must EQUAL
+    ts_ediv_changepoint per series (shared semantics pinned
+    differentially — the two ops are separate code); the permutation
+    p-value is bounded in [1/(B+1), 1] and perm_ge ∈ [0, B]."""
+    sig = {
+        r["event_type"]: r
+        for r in _rows(spark, sf_dir, "ts_ediv_significance")
+    }
+    cp = {
+        r["event_type"]: r
+        for r in _rows(spark, sf_dir, "ts_ediv_changepoint")
+    }
+    assert set(sig) == set(cp)
+    for et, s in sig.items():
+        c = cp[et]
+        assert (s["n_days"], s["cp_tau"], s["best_q"]) == (
+            c["n_days"], c["cp_tau"], c["best_q"],
+        ), et
+        assert 0 <= s["perm_ge"] <= 16
+        assert abs(s["p_value"] - (1 + s["perm_ge"]) / 17.0) < 1e-6
