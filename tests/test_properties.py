@@ -405,3 +405,20 @@ def test_fused_rank_cumsum_matches_parents(spark, vals):
         assert grn == want_rank[idx], idx
         assert gcs == want_cum[idx], idx
         assert tn == n and ts_ == s, idx
+
+
+def test_no_oracle_folds_a_bare_list_branch():
+    """Static lint for the round-12 DuckDB discovery: a list_reduce
+    lambda returning a WHOLE-LIST branch (`CASE ... ELSE acc END`)
+    silently corrupts state under multi-row vectorized execution.
+    Every oracle must rebuild fold state element-wise (or use the
+    always-prepend sentinel form) — this pins the common spelling of
+    the trap so it cannot quietly return."""
+    import __spark_entry__ as entry_mod
+
+    offenders = [
+        name
+        for name, sql in entry_mod.oracle_sql().items()
+        if "ELSE acc END" in sql or "THEN acc ELSE" in sql
+    ]
+    assert not offenders, offenders
