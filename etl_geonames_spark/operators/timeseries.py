@@ -6739,3 +6739,177 @@ def ts_ediv_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + perm_ge).cast("double") / F.lit(float(B + 1)), 6
         ).alias("p_value"),
     )
+
+
+_THETA_H = 7  # forecast horizon (days)
+
+
+@query(
+    "ts_theta_forecast",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _tv -> _tv.c) AS v,
+               CAST(COUNT(*) AS INT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    mom AS (
+        SELECT event_type, v, n,
+            CAST(n AS BIGINT) * (CAST(n AS BIGINT) + 1) // 2 AS st,
+            CAST(n AS BIGINT) * (CAST(n AS BIGINT) + 1)
+                * (2 * CAST(n AS BIGINT) + 1) // 6 AS st2,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+                        (_sa, _sx) -> _sa + _sx) AS sy,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, n),
+                    _ti -> _ti * v[_ti])),
+                (_ma, _mx) -> _ma + _mx) AS sty
+        FROM arr WHERE n >= 3
+    ),
+    ab AS (
+        SELECT event_type, v, n,
+            CAST(n * sty - st * sy AS DOUBLE)
+                / CAST(n * st2 - st * st AS DOUBLE) AS b,
+            (CAST(sy AS DOUBLE)
+             - (CAST(n * sty - st * sy AS DOUBLE)
+                / CAST(n * st2 - st * st AS DOUBLE))
+               * CAST(st AS DOUBLE))
+                / CAST(n AS DOUBLE) AS a
+        FROM mom
+    ),
+    ses AS (
+        SELECT event_type, n, a, b,
+            list_reduce(list_prepend(
+                CAST(2 AS DOUBLE) * CAST(v[1] AS DOUBLE)
+                    - (a + b * CAST(1 AS DOUBLE)),
+                list_transform(generate_series(2, n), _zi ->
+                    CAST(2 AS DOUBLE) * CAST(v[_zi] AS DOUBLE)
+                        - (a + b * CAST(_zi AS DOUBLE)))),
+              (_za, _zx) ->
+                  CAST(0.5 AS DOUBLE) * _zx
+                  + CAST(0.5 AS DOUBLE) * _za) AS l
+        FROM ab
+    )
+    SELECT event_type, CAST(u.h AS BIGINT) AS h,
+           FLOOR(((a + b * (CAST(n AS DOUBLE) + CAST(u.h AS DOUBLE)))
+                  + l) / CAST(2 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS forecast,
+           FLOOR(b * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           FLOOR(l * 1000000.0 + 0.5) / 1000000.0 AS ses_level
+    FROM ses, UNNEST(generate_series(1, {_THETA_H})) AS u(h)
+    """,
+)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner, still the benchmark-to-beat baseline):
+    per event type, decompose the daily-count series into the
+    theta = 0 line (the OLS linear trend, pure long-run signal) and
+    the theta = 2 line (2y_t − trend_t, doubled curvature), forecast
+    the first by extrapolation and the second by SES, and average —
+    7 daily steps ahead. Completes the forecasting family:
+    ts_holt_winters (trend+level smoothing), ts_backtest_snaive (the
+    evaluation harness), ts_ses_grid_search (the alpha lever this
+    method fixes at 0.5).
+
+    Exactness, all VALUE EMITS (no float selection anywhere): the
+    OLS moments are exact int64 (Σt, Σt² closed-form, Σy, Σty
+    folds), so slope/intercept are fixed-shape expressions over
+    identical doubles; the theta-2 line and its SES fold use
+    alpha = 0.5 — EXACTLY representable, so every product is one
+    correctly-rounded op on identical inputs; forecasts emit on the
+    qround(6) grid. n·Σty stays in int64 to ~10⁷-day series at
+    10⁹ events/day. Series under 3 days emit nothing (a 2-point
+    trend forecast is the line itself; the n ≥ 3 floor also keeps
+    the OLS denominator n·Σt² − (Σt)² > 0, no guard ratio).
+
+    100 TB shape: one corpus-scale daily hash aggregate, O(n)
+    per-series folds, a 7-row explode — the ts_kpss bill class."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    v = F.col("v")
+    mom = arr.filter(F.col("n") >= 3).select(
+        "event_type",
+        "v",
+        "n",
+        F.expr("CAST(n AS BIGINT) * (CAST(n AS BIGINT) + 1) DIV 2").alias(
+            "st"
+        ),
+        F.expr(
+            "CAST(n AS BIGINT) * (CAST(n AS BIGINT) + 1) "
+            "* (2 * CAST(n AS BIGINT) + 1) DIV 6"
+        ).alias("st2"),
+        F.aggregate(
+            v, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sy"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: i.cast("long") * F.element_at(v, i),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sty"),
+    )
+    nL = F.col("n").cast("long")
+    bnum = (nL * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    bden = (nL * F.col("st2") - F.col("st") * F.col("st")).cast("double")
+    b = bnum / bden
+    a = (
+        F.col("sy").cast("double") - b * F.col("st").cast("double")
+    ) / nL.cast("double")
+    ab = mom.select("event_type", "v", "n", b.alias("b"), a.alias("a"))
+
+    def z(i):
+        return F.lit(2.0) * F.element_at(v, i).cast("double") - (
+            F.col("a") + F.col("b") * i.cast("double")
+        )
+
+    l = F.aggregate(
+        F.transform(F.sequence(F.lit(2), F.col("n")), lambda i: z(i)),
+        z(F.lit(1)),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    ses = ab.select("event_type", "n", "a", "b", l.alias("l"))
+    h = F.col("h")
+    return ses.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(_THETA_H))).alias("h"),
+        "n",
+        "a",
+        "b",
+        "l",
+    ).select(
+        "event_type",
+        h.cast("long").alias("h"),
+        qround(
+            (
+                (
+                    F.col("a")
+                    + F.col("b")
+                    * (F.col("n").cast("double") + h.cast("double"))
+                )
+                + F.col("l")
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("forecast"),
+        qround(F.col("b"), 6).alias("slope"),
+        qround(F.col("l"), 6).alias("ses_level"),
+    )

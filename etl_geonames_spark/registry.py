@@ -72,7 +72,7 @@ _DRIVER_PRIORITY = [
     'llm_decontaminate_semantic', 'llm_unigram_em_round',
     'llm_renyi_efficiency', 'llm_unigram_viterbi_apply', 'ts_sample_entropy',
     'graph_local_bridges', 'ts_matrix_profile', 'ts_ses_grid_search',
-    'ts_ediv_changepoint', 'ts_ediv_significance',
+    'ts_ediv_changepoint', 'ts_ediv_significance', 'ts_theta_forecast',
     'llm_embedding_power_iter', 'llm_abtt_transform',
     'scan_tsv', 'scan_dim', 'filter_whereeq', 'filter_any_of',
     'filter_extra_uris', 'filter_typed', 'join_admin2',

@@ -1222,3 +1222,13 @@ def test_ediv_significance_is_replicated_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 3
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_theta_forecast_is_daily_series_bill(spark, sf_dir):
+    """ts_theta_forecast: one daily aggregate, O(n) per-series folds,
+    a 7-row explode — ts_kpss bill class."""
+    df = QUERIES["ts_theta_forecast"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")

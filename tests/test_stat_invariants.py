@@ -4685,3 +4685,64 @@ def test_ediv_significance_reproduces_changepoint_and_bounds(spark, sf_dir):
         ), et
         assert 0 <= s["perm_ge"] <= 16
         assert abs(s["p_value"] - (1 + s["perm_ge"]) / 17.0) < 1e-6
+
+
+def test_theta_forecast_python_replay(spark, sf_dir):
+    """ts_theta_forecast equals a from-scratch Python replay (OLS
+    moments, theta-2 SES fold at alpha = 0.5, equal-weight
+    combination) — identical IEEE ops, exact match. Also pins the
+    structural identities: forecasts advance by slope/2 per step
+    and the h-step forecast equals the closed combination."""
+    import math
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = {}
+    for row in daily:
+        series.setdefault(row["event_type"], []).append(
+            (row["day"], row["count"])
+        )
+    got = {}
+    for r in _rows(spark, sf_dir, "ts_theta_forecast"):
+        got[(r["event_type"], r["h"])] = (
+            r["forecast"], r["slope"], r["ses_level"],
+        )
+    seen = set()
+    for et, pts in series.items():
+        v = [c for _, c in sorted(pts)]
+        n = len(v)
+        if n < 3:
+            continue
+        st = n * (n + 1) // 2
+        st2 = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(v)
+        sty = sum((i + 1) * v[i] for i in range(n))
+        b = float(n * sty - st * sy) / float(n * st2 - st * st)
+        a = (float(sy) - b * float(st)) / float(n)
+        l = 2.0 * float(v[0]) - (a + b * 1.0)
+        for i in range(2, n + 1):
+            zi = 2.0 * float(v[i - 1]) - (a + b * float(i))
+            l = 0.5 * zi + 0.5 * l
+        for h in range(1, 8):
+            seen.add((et, h))
+            f = ((a + b * (float(n) + float(h))) + l) / 2.0
+            want = (
+                math.floor(f * 1e6 + 0.5) / 1e6,
+                math.floor(b * 1e6 + 0.5) / 1e6,
+                math.floor(l * 1e6 + 0.5) / 1e6,
+            )
+            assert got[(et, h)] == want, (et, h, got[(et, h)], want)
+    assert seen == set(got)
+    # step identity: consecutive forecasts differ by slope/2 (up to
+    # the emit grid)
+    for (et, h), (f, b, _l) in got.items():
+        if (et, h + 1) in got:
+            assert abs((got[(et, h + 1)][0] - f) - b / 2) < 2e-6
