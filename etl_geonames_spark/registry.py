@@ -61,9 +61,13 @@ _OPERATOR_MODULES = [
 # window), then ALL remaining
 # names ordered by last-driver-checked round ASCENDING (stable within
 # a round) — the window drains the 98-name r1/r2 backlog from the
-# front (~40 r1 names fit after additions), cutting the cohort below
-# 60 as the verdict required. CORRECTNESS_r11's 50 names sit at the
-# back. Every rotated-out name stays guarded by
+# front. TRADEOFF, recorded: the round grew to 11 additions, so the
+# window carries 39 stale re-checks (37 r1 + power_iter/abtt) and
+# cuts the r1/r2 cohort to 61 — one short of the verdict's ~40/~60
+# targets, because a NEVER-checked new op in the window outranks one
+# more stale re-check (the r9 verdict's never-checked standard).
+# r13 inherits the one-slot difference. CORRECTNESS_r11's 50 names
+# sit at the back. Every rotated-out name stays guarded by
 # tests/test_oracle_parity.py, which checks ALL queries every run.
 # ROUND-13 PLAN: same recipe — move the CORRECTNESS_r12 names to the
 # back, promote round-13 additions + plan-changed names to the head,
