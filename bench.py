@@ -177,10 +177,21 @@ def main() -> None:
     # triggered by the preceding dedup/embedding broadcasts lands in
     # an UNTIMED gap. A/B read-out = whether the text-block spike
     # class still appears in warm-box driver records (BASELINE.md).
+    # ROUND-13 EXTENSION (VERDICT r12 item 3): 7 of the 8 r12 driver
+    # in-bench spikes clustered on the classifier/quality block
+    # (llm_classifier_eval was the most expensive in-bench read two
+    # driver rounds running, 4.86 → 8.27 s, vs ~2 s solo) — the r11
+    # barrier treatment covered the text-stat neighborhoods but not
+    # this block. Settle in the untimed gap before each recurring
+    # spike name. A/B read-out = whether BENCH_r13's in-bench reads
+    # for the block sit within 2x pins without adjudication.
     _GC_BEFORE = {
         "llm_dedup_band_stats",  # alphabetical head of the dedup block
         "llm_lang_dist",  # head of the lang/mix text-stat run
         "llm_text_stats",  # head of the llm_t* token-stat run
+        "llm_classifier_eval",  # r12 spike: 8.27 in-bench / 2.02 solo
+        "llm_curate_pipeline",  # r12 spike: 2.16 in-bench / 0.71 solo
+        "llm_quality_classifier",  # r12 spike: 4.25 in-bench / 1.56 solo
     }
 
     def _settle_gc() -> None:
@@ -331,11 +342,18 @@ def main() -> None:
     census_path = Path(__file__).parent / "benchmarks/exchange_census.json"
     census_n = 0
     if census_path.exists():
-        census_n = sum(
-            1
-            for ln in census_path.read_text().splitlines()
-            if ln.startswith('{"query"')
-        )
+        # parse each line as JSON rather than string-matching a
+        # formatting convention (ADVICE r12): a reformat of the census
+        # file must not silently zero the count
+        for ln in census_path.read_text().splitlines():
+            if not ln.strip():
+                continue
+            try:
+                obj = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "query" in obj:
+                census_n += 1
     census_stale = census_n != len(qs)
     if census_stale:
         print(

@@ -1600,7 +1600,14 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-centralized probe: 212 s naive → 13.3 s oriented, identical
     output; BASELINE.md). Probe build and semi-join are edge-keyed
     hash joins over the checkpointed decorated edge table; the
-    certification anti-join is the one fact-to-fact sort-merge."""
+    certification anti-join is the one fact-to-fact sort-merge. The
+    degree decoration joins carry NO broadcast hint (VERDICT r12): the
+    degree table is |V|-sized, so a forced broadcast would OOM an
+    executor on a billions-of-nodes graph — they are plain equi joins
+    and AQE picks broadcast when the nodes DO fit (fixture scale) or
+    a shuffled hash join when they don't; unlike graph_pagerank (which
+    states a nodes-fit assumption and ships a bucketed variant) this
+    op makes no size assumption at all."""
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -1609,8 +1616,8 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = deg.select(F.col("s").alias("dt_key"), F.col("d").alias("deg_t"))
     ue = (
         und.filter(F.col("s") < F.col("t"))
-        .join(F.broadcast(da), F.col("s") == F.col("ds_key"))
-        .join(F.broadcast(db), F.col("t") == F.col("dt_key"))
+        .join(da, F.col("s") == F.col("ds_key"))
+        .join(db, F.col("t") == F.col("dt_key"))
         .select("s", "t", "deg_s", "deg_t")
         .localCheckpoint()  # two consumers: probe build + anti-join
     )

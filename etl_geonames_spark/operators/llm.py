@@ -6178,7 +6178,9 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the witness band join + one ph-keyed equi-join for
     intersections (slice-bounded), both from ONE checkpointed hash
-    table; a full-outer merge of two pair sets; one global
+    table; the candidate and truth pair sets merge as a TAGGED UNION
+    aggregated once per (da, db) — no outer join — so the plan stays
+    ≤5 shuffles (the contract tests/test_plans.py pins); one global
     aggregate."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _LSH_EVAL_SLICE

@@ -124,3 +124,12 @@ def test_semantic_decontamination_catches_planted_paraphrases(spark, sf_dir):
     missing = expected - set(planted)
     assert not missing, sorted(missing)[:5]
     assert all(h >= 1 for h in planted.values())
+    # the plant-id convention (vec_id + 2e6) assumes real vec_ids stay
+    # BELOW the base — a regenerated fixture with a larger id space
+    # would silently collide plant ids with real rows; fail loudly
+    # here instead (ADVICE r12)
+    max_real = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    assert max_real < 2_000_000, (
+        f"embeddings vec_id space grew to {max_real} — "
+        "llm_decontaminate_semantic's _SDC_PLANT_BASE must be raised"
+    )

@@ -1166,20 +1166,31 @@ def test_sample_entropy_is_daily_series_bill(spark, sf_dir):
 
 
 def test_local_bridges_is_wedge_join_plus_anti(spark, sf_dir):
-    """graph_local_bridges: the wedge enumeration is a broadcast hash
-    join on the center over the checkpointed und table; the
-    certification anti-join is fact-to-fact (edge set vs wedge set)
-    and correctly plans as a shuffled anti (SMJ/SHJ — the one
-    permitted sort-merge); degrees decorate via broadcast; nothing
-    is cartesian."""
+    """graph_local_bridges: the wedge enumeration is a hash join on
+    the center over the checkpointed und table; the certification
+    anti-join is fact-to-fact (edge set vs wedge set) and correctly
+    plans as a shuffled anti (SMJ/SHJ — the one permitted sort-merge);
+    degrees decorate via HINT-FREE equi joins (VERDICT r12: the degree
+    table is |V|-sized, a forced broadcast would OOM at
+    billions-of-nodes scale — AQE picks broadcast when nodes fit,
+    shuffle join when they don't); nothing is cartesian."""
     df = QUERIES["graph_local_bridges"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
     assert "LeftAnti" in plan
     # only the anti-join (formatted explain names each node twice:
     # tree line + numbered detail)
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
     assert shuffle_exchange_count(df) <= 7
+    # the degree joins execute pre-checkpoint (lineage truncation), so
+    # the de-pin is asserted at source: no forced broadcast anywhere
+    # in this op (the pagerank-style nodes-fit broadcast is a
+    # DOCUMENTED assumption; this op deliberately makes none)
+    import inspect
+
+    src = inspect.getsource(QUERIES["graph_local_bridges"])
+    assert "F.broadcast" not in src
 
 
 def test_matrix_profile_is_daily_series_bill(spark, sf_dir):

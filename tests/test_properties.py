@@ -413,12 +413,35 @@ def test_no_oracle_folds_a_bare_list_branch():
     silently corrupts state under multi-row vectorized execution.
     Every oracle must rebuild fold state element-wise (or use the
     always-prepend sentinel form) — this pins the common spelling of
-    the trap so it cannot quietly return."""
+    the trap so it cannot quietly return.
+
+    The accumulator name is EXTRACTED per lambda (ADVICE r12): the
+    repo's own nesting rule forces renamed fold vars (_ma, _pa, …),
+    so a literal-'acc' check would miss exactly the oracles most
+    likely to carry the trap. Any `(name, x) ->` lambda whose SQL
+    later returns the bare accumulator from a CASE branch
+    (`ELSE name END` / `THEN name ELSE` / `THEN name END`) is
+    flagged, whatever the name — PROVIDED the var is list-typed
+    (indexed as `name[...]` or list_transform'd somewhere in the same
+    oracle): scalar CASE folds and list_transform ELEMENT vars
+    returning themselves are the safe/normal spellings, only a
+    whole-LIST branch return corrupts."""
+    import re
+
     import __spark_entry__ as entry_mod
 
-    offenders = [
-        name
-        for name, sql in entry_mod.oracle_sql().items()
-        if "ELSE acc END" in sql or "THEN acc ELSE" in sql
-    ]
+    lam = re.compile(r"\(\s*(\w+)\s*,\s*\w+\s*\)\s*->")
+    offenders = []
+    for name, sql in entry_mod.oracle_sql().items():
+        for acc in set(lam.findall(sql)):
+            esc = re.escape(acc)
+            is_list = re.search(
+                rf"\b{esc}\s*\[|list_transform\(\s*{esc}\b", sql
+            )
+            if is_list and re.search(
+                rf"ELSE\s+{esc}\s+END\b"
+                rf"|THEN\s+{esc}\s+(?:ELSE|END)\b",
+                sql,
+            ):
+                offenders.append((name, acc))
     assert not offenders, offenders
