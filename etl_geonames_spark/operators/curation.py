@@ -3786,11 +3786,12 @@ def _flog2_sql(cexpr: str) -> str:
     return f"({norm}[2] * 65536 + {sq}[2])"
 
 
-@query(
-    "llm_unigram_viterbi_apply",
-    oracle=f"""
-    WITH {_UNI_SEED_SQL},
-    vw AS (
+# Viterbi-count CTE chain (integer-log weights -> per-word max-score
+# segmentation -> chosen-piece counts), shared VERBATIM by
+# llm_unigram_viterbi_apply's and llm_unigram_prune's oracles — one
+# definition, so the apply and prune steps segment with structurally
+# identical machinery (the _UNI_SEED_SQL discipline).
+_UNI_VIT_SQL = f"""vw AS (
         SELECT s, ({_flog2_sql("c")} - {_flog2_sql("tc")}) AS wgt
         FROM vocab, tot
     ),
@@ -3855,7 +3856,14 @@ def _flog2_sql(cexpr: str) -> str:
     vit AS (
         SELECT s, CAST(SUM(wf) AS BIGINT) AS vc
         FROM pieces GROUP BY s
-    )
+    )"""
+
+
+@query(
+    "llm_unigram_viterbi_apply",
+    oracle=f"""
+    WITH {_UNI_SEED_SQL},
+    {_UNI_VIT_SQL}
     SELECT v.s AS token,
            CAST(length(v.s) AS BIGINT) AS tok_len,
            v.c AS seed_count,
@@ -3893,12 +3901,34 @@ def llm_unigram_viterbi_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single int64-array state, ≤40 edges) under the word-group hash,
     vocab-sized aggregates."""
     words = _unigram_words(spark, sf_dir)
-    L = F.length("w")
     vocab = _unigram_vocab(words)
+    vw = _unigram_weights(vocab)
+    vit = _unigram_vit_counts(words, vw)
+    return vocab.join(F.broadcast(vit), "s", "left").select(
+        F.col("s").alias("token"),
+        F.length("s").cast("long").alias("tok_len"),
+        F.col("c").alias("seed_count"),
+        F.coalesce(F.col("vc"), F.lit(0).cast("long")).alias(
+            "viterbi_count"
+        ),
+    )
+
+
+def _unigram_weights(vocab: DataFrame) -> DataFrame:
+    """Fixed-point integer log-prob weights (s, wgt): wgt(s) =
+    flog2(c_s) − flog2(C) — the shared scoring table of the Viterbi
+    apply and prune steps (mirrors _UNI_VIT_SQL's vw CTE)."""
     tot = vocab.agg(F.sum("c").cast("long").alias("tc"))
-    vw = vocab.crossJoin(F.broadcast(tot)).select(
+    return vocab.crossJoin(F.broadcast(tot)).select(
         "s", (_flog2(F.col("c")) - _flog2(F.col("tc"))).alias("wgt")
     )
+
+
+def _unigram_vit_counts(words: DataFrame, vw: DataFrame) -> DataFrame:
+    """Viterbi chosen-piece counts (s, vc) over the capped word table
+    — the Spark mirror of _UNI_VIT_SQL, shared verbatim by
+    llm_unigram_viterbi_apply and llm_unigram_prune."""
+    L = F.length("w")
     edges = _unigram_edges(words).join(F.broadcast(vw), "s")
     ew = edges.groupBy("w", "wf").agg(
         F.sort_array(
@@ -3977,16 +4007,233 @@ def llm_unigram_viterbi_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    vit = pieces.groupBy("s").agg(
+    return pieces.groupBy("s").agg(
         F.sum("wf").cast("long").alias("vc")
     )
-    return vocab.join(F.broadcast(vit), "s", "left").select(
-        F.col("s").alias("token"),
-        F.length("s").cast("long").alias("tok_len"),
-        F.col("c").alias("seed_count"),
-        F.coalesce(F.col("vc"), F.lit(0).cast("long")).alias(
-            "viterbi_count"
+
+
+# Prune step: drop the bottom fifth of multi-char pieces by
+# loss-if-removed. Single chars are never prunable (coverage).
+_UNI_PRUNE_DIV = 5
+
+
+@query(
+    "llm_unigram_prune",
+    oracle=f"""
+    WITH {_UNI_SEED_SQL},
+    {_UNI_VIT_SQL},
+    mlat AS (
+        SELECT v.s AS tok,
+               CAST(u.jl[1] - 1 AS BIGINT) AS mj,
+               CAST(u.jl[1] - 1 + u.jl[2] AS BIGINT) AS mi,
+               substr(v.s, CAST(u.jl[1] AS INT), CAST(u.jl[2] AS INT))
+                   AS sub
+        FROM vocab v, UNNEST(flatten(list_transform(
+            generate_series(1, length(v.s)),
+            jj -> list_transform(
+                generate_series(1, least({_UNI_MAX_TOK},
+                                         length(v.s) - jj + 1)),
+                ll -> [jj, ll])))) AS u(jl)
+        WHERE length(v.s) > 1
+          AND NOT (u.jl[1] = 1 AND u.jl[2] = length(v.s))
+    ),
+    mew AS (
+        SELECT m.tok,
+               list_sort(list([m.mi, m.mj, w.wgt])) AS ev
+        FROM mlat m JOIN vw w ON w.s = m.sub
+        GROUP BY m.tok
+    ),
+    mdp AS (
+        SELECT tok,
+            list_reduce(list_prepend(
+                list_concat([CAST(0 AS BIGINT)],
+                    list_transform(generate_series(1, length(tok)),
+                        _pq -> CAST({_VIT_NEG} AS BIGINT))),
+                ev),
+              (acc, x) -> list_transform(acc, (v, ix) -> CASE
+                 WHEN ix = CAST(x[1] AS INT) + 1
+                  AND acc[CAST(x[2] AS INT) + 1] + x[3] > v
+                 THEN acc[CAST(x[2] AS INT) + 1] + x[3]
+                 ELSE v END)) AS best
+        FROM mew
+    ),
+    ml AS (
+        SELECT v.s AS token, w.wgt,
+               COALESCE(t.vc, CAST(0 AS BIGINT)) AS vfreq,
+               d.best[length(v.s) + 1] AS alt_score,
+               COALESCE(t.vc, CAST(0 AS BIGINT))
+                   * (w.wgt - d.best[length(v.s) + 1]) AS loss
+        FROM vocab v
+        JOIN vw w ON w.s = v.s
+        JOIN mdp d ON d.tok = v.s
+        LEFT JOIN vit t ON t.s = v.s
+        WHERE length(v.s) > 1
+    ),
+    np AS (SELECT CAST(COUNT(*) // {_UNI_PRUNE_DIV} AS BIGINT) AS k
+           FROM ml)
+    SELECT m.token,
+           CAST(length(m.token) AS BIGINT) AS tok_len,
+           m.vfreq AS viterbi_count,
+           m.wgt AS piece_wgt,
+           m.alt_score,
+           m.loss,
+           CAST(CASE WHEN (
+               SELECT COUNT(*) FROM ml m2
+               WHERE m2.loss < m.loss
+                  OR (m2.loss = m.loss AND m2.token < m.token)
+           ) < np.k THEN 1 ELSE 0 END AS BIGINT) AS pruned
+    FROM ml m, np
+    """,
+)
+def llm_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNE step of the unigram-LM tokenizer (Kudo 2018 §3.2 /
+    SentencePiece's PruneSentencePieces — the third leg of the train
+    cycle, after llm_unigram_em_round's E-step and
+    llm_unigram_viterbi_apply's segmentation, closing the family over
+    the SAME shared seed-vocab definition): for every prunable
+    (multi-char) piece x, price what the corpus loses if x is
+    removed — loss(x) = vfreq(x) · (wgt(x) − alt(x)), where vfreq is
+    how often Viterbi actually chooses x, wgt its log-prob score, and
+    alt the best score of re-segmenting x ITSELF by the rest of the
+    vocabulary (its own lattice minus the full-span edge; single
+    chars guarantee a path) — then flag the bottom fifth by loss as
+    pruned. Pieces the segmenter never uses (vfreq 0) price at 0 and
+    prune first; a piece whose alternative is nearly as good
+    (wgt − alt small) is cheap to drop even when frequent — exactly
+    the published selection rule.
+
+    ALL-INTEGER selection: wgt and alt both live on the fixed-point
+    ⌊2¹⁶·log2⌋ grid (_flog2 — the Viterbi apply's construction, legal
+    in selections where libm is banned), vfreq is an exact int64
+    Viterbi count, so loss is exact int64 and the bottom-k cut is an
+    integer (loss, token) rank — no float anywhere near the decision.
+    Rank via a vocab×vocab strictly-smaller broadcast self-join
+    (≤48² pairs — vocab-sized, never a global window; the
+    distributed_ntile decomposition is for corpus-scale ranks, this
+    table is metadata). At quadrillion-token scale vfreq·Δwgt stays
+    inside int64 (vfreq ≤ 1e12 · Δwgt ≤ ~2e6 ≈ 2e18 < 2^63).
+
+    100 TB shape: inherits the EM round's bill — one corpus collapse
+    to the checkpointed word table, one Viterbi apply pass (broadcast
+    vocab weights, bounded per-word DP under the word-group hash),
+    then STRICTLY vocab-sized work: each piece's own ≤4-char lattice
+    is ≤10 edges, and the rank join is vocab². The ml table is
+    localCheckpointed once (three consumers: rank left side, rank
+    right side, the threshold count)."""
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_vocab(words)
+    vw = _unigram_weights(vocab)
+    vit = _unigram_vit_counts(words, vw)
+
+    multis = vocab.filter(F.length("s") > 1)
+    medges = (
+        _unigram_edges(
+            multis.select(
+                F.col("s").alias("w"), F.lit(0).cast("long").alias("wf")
+            )
+        )
+        .filter(
+            ~((F.col("j") == 0) & (F.col("i") == F.length("w")))
+        )
+        .select(
+            F.col("w").alias("tok"),
+            F.col("j").cast("long").alias("mj"),
+            F.col("i").cast("long").alias("mi"),
+            F.col("s").alias("sub"),
+        )
+    )
+    mew = (
+        medges.join(
+            F.broadcast(vw.select(F.col("s").alias("sub"), "wgt")),
+            "sub",
+        )
+        .groupBy("tok")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("mi", "mj", "wgt"))
+            ).alias("ev")
+        )
+    )
+    Lt = F.length("tok")
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(
+            F.sequence(F.lit(1), Lt),
+            lambda _x: F.lit(_VIT_NEG).cast("long"),
         ),
+    )
+    best = F.aggregate(
+        F.col("ev"),
+        init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, ix: F.when(
+                (ix == e["mi"])
+                & (
+                    F.element_at(acc, (e["mj"] + 1).cast("int"))
+                    + e["wgt"]
+                    > v
+                ),
+                F.element_at(acc, (e["mj"] + 1).cast("int")) + e["wgt"],
+            ).otherwise(v),
+        ),
+    )
+    mdp = mew.select(
+        "tok", F.element_at(best, (Lt + 1).cast("int")).alias("alt_score")
+    )
+    ml = (
+        multis.join(F.broadcast(vw), "s")
+        .join(
+            F.broadcast(mdp.select(F.col("tok").alias("s"), "alt_score")),
+            "s",
+        )
+        .join(F.broadcast(vit), "s", "left")
+        .select(
+            F.col("s").alias("token"),
+            F.col("wgt"),
+            F.coalesce(F.col("vc"), F.lit(0).cast("long")).alias(
+                "vfreq"
+            ),
+            "alt_score",
+            (
+                F.coalesce(F.col("vc"), F.lit(0).cast("long"))
+                * (F.col("wgt") - F.col("alt_score"))
+            ).alias("loss"),
+        )
+        .localCheckpoint()  # three consumers: rank both sides + count
+    )
+    np_ = ml.agg(
+        (F.count(F.lit(1)) / F.lit(_UNI_PRUNE_DIV))
+        .cast("long")
+        .alias("k")
+    )
+    other = ml.select(
+        F.col("loss").alias("o_loss"), F.col("token").alias("o_token")
+    )
+    ranked = (
+        ml.join(
+            F.broadcast(other),
+            (F.col("o_loss") < F.col("loss"))
+            | (
+                (F.col("o_loss") == F.col("loss"))
+                & (F.col("o_token") < F.col("token"))
+            ),
+            "left",
+        )
+        .groupBy("token", "wgt", "vfreq", "alt_score", "loss")
+        .agg(F.count(F.col("o_token")).alias("rk"))
+    )
+    return ranked.crossJoin(F.broadcast(np_)).select(
+        "token",
+        F.length("token").cast("long").alias("tok_len"),
+        F.col("vfreq").alias("viterbi_count"),
+        F.col("wgt").alias("piece_wgt"),
+        "alt_score",
+        "loss",
+        F.when(F.col("rk") < F.col("k"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pruned"),
     )
 
 

@@ -199,6 +199,9 @@ def edge_ddb(edge_sf_dir):
         # the EM round (one-edge words, empty corpus) — the integer
         # DP/backtrace must agree, not just not-crash
         "llm_unigram_viterbi_apply",
+        # round-13: prune step where the edge corpus may seed ZERO
+        # multi-char pieces (empty ml table, k = 0, empty rank join)
+        "llm_unigram_prune",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

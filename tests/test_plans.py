@@ -1154,6 +1154,25 @@ def test_unigram_viterbi_shares_the_em_round_shape(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
+    spark, sf_dir
+):
+    """llm_unigram_prune inherits the Viterbi apply's corpus bill
+    (one word-table collapse, broadcast weights, bounded per-word DP)
+    and everything after is vocab-sized: the piece's own lattice,
+    the checkpointed ml table, and the rank join — which is the
+    deliberate tiny-broadcast theta (BNLJ) over ≤48² pairs, never a
+    global window, never cartesian-at-scale."""
+    df = QUERIES["llm_unigram_prune"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert "SortMergeJoin" not in plan
+    # rank = tiny-broadcast theta join (the join_theta family)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_exchange_count(df) <= 6
+
+
 def test_sample_entropy_is_daily_series_bill(spark, sf_dir):
     """ts_sample_entropy: one corpus-scale daily aggregate, then
     per-series array arithmetic — the ts_kpss bill class (≤2

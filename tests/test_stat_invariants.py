@@ -4378,6 +4378,119 @@ def test_unigram_viterbi_python_replay(spark, sf_dir):
         assert got[s] == (vocab[s], vit[s]), (s, got[s], vocab[s], vit[s])
 
 
+def test_unigram_prune_python_replay(spark, sf_dir):
+    """llm_unigram_prune equals a from-scratch Python replay of the
+    SentencePiece prune rule: per multi-char piece, alt = best
+    re-segmentation score of the piece ITSELF without its full-span
+    edge (same flog2 grid, same sorted strict-> DP), loss = vfreq ·
+    (wgt − alt), pruned = bottom n//5 by (loss, token). Also pins the
+    invariants alt ≤ wgt is NOT required (a composable piece can be
+    beaten by its parts) but alt > _VIT_NEG always (single-char
+    coverage guarantees a path), and |pruned| == n_multis // 5."""
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    MAXW, MAXT, TOPK, B = 10, 4, 48, 16
+
+    def flog2(c):
+        y, e = c, 30
+        for _ in range(63):
+            if y >= 1 << 31:
+                y, e = y >> 1, e + 1
+            elif y < 1 << 30:
+                y, e = y << 1, e - 1
+        acc = 0
+        for _ in range(B):
+            y = (y * y) >> 30
+            if y >= 1 << 31:
+                y, acc = y >> 1, acc * 2 + 1
+            else:
+                acc = acc * 2
+        return e * (1 << B) + acc
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    wf = Counter(
+        w
+        for t in texts
+        for w in t.split(" ")
+        if w != "" and len(w) <= MAXW
+    )
+    cand = Counter()
+    for w, f in wf.items():
+        for j in range(len(w)):
+            for l in range(1, min(MAXT, len(w) - j) + 1):
+                cand[w[j : j + l]] += f
+    vocab = {s: c for s, c in cand.items() if len(s) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((s, c) for s, c in cand.items() if len(s) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )[:TOPK]
+        )
+    )
+    C = sum(vocab.values())
+    fC = flog2(C)
+    wgt = {s: flog2(c) - fC for s, c in vocab.items()}
+
+    def viterbi_best(w, skip_full):
+        L = len(w)
+        edges = sorted(
+            (j + l, j, wgt[w[j : j + l]])
+            for j in range(L)
+            for l in range(1, min(MAXT, L - j) + 1)
+            if w[j : j + l] in wgt
+            and not (skip_full and j == 0 and l == L)
+        )
+        best = [0] + [-(1 << 40)] * L
+        bp = [0] * (L + 1)
+        for i, j, g in edges:
+            if best[j] + g > best[i]:
+                best[i], bp[i] = best[j] + g, j
+        return best, bp
+
+    vit = defaultdict(int)
+    for w, f in wf.items():
+        _best, bp = viterbi_best(w, skip_full=False)
+        chain, pos = [len(w)], len(w)
+        while pos > 0:
+            pos = bp[pos]
+            chain.insert(0, pos)
+        for k in range(len(chain) - 1):
+            vit[w[chain[k] : chain[k + 1]]] += f
+
+    multis = sorted(s for s in vocab if len(s) > 1)
+    want = {}
+    for s in multis:
+        alt = viterbi_best(s, skip_full=True)[0][len(s)]
+        assert alt > -(1 << 40)
+        want[s] = (vit[s], wgt[s], alt, vit[s] * (wgt[s] - alt))
+    losses = sorted((want[s][3], s) for s in multis)
+    k = len(multis) // 5
+    cut = {s for _l, s in losses[:k]}
+
+    got = {
+        r["token"]: (
+            r["viterbi_count"],
+            r["piece_wgt"],
+            r["alt_score"],
+            r["loss"],
+            r["pruned"],
+        )
+        for r in _rows(spark, sf_dir, "llm_unigram_prune")
+    }
+    assert set(got) == set(multis)
+    for s in multis:
+        assert got[s] == (*want[s], int(s in cut)), (s, got[s], want[s])
+    assert sum(v[4] for v in got.values()) == k
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
