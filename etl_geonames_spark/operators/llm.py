@@ -4389,6 +4389,250 @@ def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination-overlap census plants: semantic twins of eval
+# vectors 0.._DCO_SEM_PLANT land in corpus rows 50+e_id; the first
+# _DCO_LEX_PLANT of those ALSO take the eval doc's text, so all four
+# census cells are exercised (the fixture has natural lexical hits
+# but its real vectors never reach cosine 0.99 — measured max 0.49).
+_DCO_SEM_PLANT = 25
+_DCO_LEX_PLANT = 8
+
+
+@query(
+    "llm_decontamination_overlap",
+    oracle=f"""
+    WITH ptext AS (
+        SELECT doc_id + {_SDC_EVAL} AS doc_id, text AS pt
+        FROM documents WHERE doc_id < {_DCO_LEX_PLANT}
+    ),
+    train_docs AS (
+        SELECT d.doc_id, COALESCE(p.pt, d.text) AS text
+        FROM documents d LEFT JOIN ptext p USING (doc_id)
+        WHERE d.doc_id >= {_SDC_EVAL}
+    ),
+    toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM train_docs
+        UNION ALL
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        WHERE doc_id < {_SDC_EVAL}
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(t) - 4),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4]))) AS g
+        FROM toks
+    ),
+    test_grams AS (SELECT DISTINCT g FROM grams
+                   WHERE doc_id < {_SDC_EVAL}),
+    lex AS (
+        SELECT DISTINCT a.doc_id FROM grams a
+        JOIN test_grams USING (g) WHERE a.doc_id >= {_SDC_EVAL}
+    ),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    ptwin AS (
+        SELECT vec_id + {_SDC_EVAL} AS vec_id,
+               list_transform(generate_series(1, len(e)),
+                   i -> e[i] + ((i - 1) % 7 - 3) * 0.002) AS pe
+        FROM base WHERE vec_id < {_DCO_SEM_PLANT}
+    ),
+    train_emb AS (
+        SELECT b.vec_id, COALESCE(p.pe, b.e) AS e
+        FROM base b LEFT JOIN ptwin p USING (vec_id)
+        WHERE b.vec_id >= {_SDC_EVAL}
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(e,
+                   x -> CAST(floor(x * {_EDV_SCALE}.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM (SELECT vec_id, e FROM train_emb
+              UNION ALL
+              SELECT vec_id, e FROM base WHERE vec_id < {_SDC_EVAL})
+    ),
+    nq AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                   AS n2
+        FROM qz
+    ),
+    sem AS (
+        SELECT DISTINCT c.vec_id
+        FROM (SELECT * FROM nq WHERE vec_id >= {_SDC_EVAL}) c,
+             (SELECT * FROM nq WHERE vec_id < {_SDC_EVAL}) v
+        WHERE c.n2 > 0 AND v.n2 > 0
+          AND CAST(list_sum(list_transform(
+                  generate_series(1, len(c.q)),
+                  i -> c.q[i] * v.q[i])) AS BIGINT) >= 0
+          AND CAST(list_sum(list_transform(
+                  generate_series(1, len(c.q)),
+                  i -> c.q[i] * v.q[i])) AS BIGINT)
+              * CAST(list_sum(list_transform(
+                  generate_series(1, len(c.q)),
+                  i -> c.q[i] * v.q[i])) AS BIGINT)
+              * {_EDV_DEN} >= {_EDV_NUM} * c.n2 * v.n2
+    )
+    SELECT CAST(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS lexical,
+           CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS semantic,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM train_docs d
+    JOIN train_emb e ON e.vec_id = d.doc_id
+    LEFT JOIN lex l ON l.doc_id = d.doc_id
+    LEFT JOIN sem s ON s.vec_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic decontamination OVERLAP census: the 2×2
+    (flagged-by-5-gram × flagged-by-cosine) count over the train
+    corpus, quantifying how much the two parents —
+    llm_decontaminate's n-gram pass and llm_decontaminate_semantic's
+    embedding pass — actually agree. The published observation this
+    audits: the sets DIVERGE (paraphrased contamination passes the
+    lexical filter, near-verbatim reuse with vocabulary drift can
+    pass the semantic one), so a release pipeline needs both, and
+    this census is the cheap evidence of what each would uniquely
+    catch. Exercises both parent gates every driver window.
+
+    Plants (the parents' convention, documented at _DCO_SEM_PLANT):
+    corpus rows 50..74 take the ±0.002 semantic twin of eval vectors
+    0..24, and rows 50..57 ALSO take the eval doc's text — so the
+    fixture populates all four cells (natural lexical hits exist,
+    natural vectors never reach cosine 0.99; measured max 0.49).
+
+    ALL-INTEGER: the lexical flag is a distinct-5-gram equi-join hit,
+    the semantic flag the parent's exact int64 gate (1e-2 grid,
+    qdot² · 10⁴ ≥ 9801 · |a|² · |b|², zero-norm guarded), flags emit
+    as 0/1 BIGINT (never nullable boolean — comparator dtype seam).
+
+    100 TB shape: both flag tables are contamination-sized and
+    BROADCAST into the census; the eval gram/vector tables are
+    metadata-sized and broadcast into their passes (the corpus never
+    shuffles pre-match on either side); the one corpus-scale exchange
+    is the documents⋈embeddings id join — co-located for free under
+    id-bucketed layout, one co-partitioned equi-join otherwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    ptext = docs.filter(F.col("doc_id") < _DCO_LEX_PLANT).select(
+        (F.col("doc_id") + _SDC_EVAL).alias("doc_id"),
+        F.col("text").alias("pt"),
+    )
+    train_docs = (
+        docs.filter(F.col("doc_id") >= _SDC_EVAL)
+        .join(F.broadcast(ptext), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("pt"), F.col("text")).alias("text")
+        )
+    )
+    eval_docs = docs.filter(F.col("doc_id") < _SDC_EVAL)
+
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ).select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles("toks", 5))).alias("g"),
+        )
+
+    test_grams = grams(eval_docs).select("g").distinct()
+    lex = (
+        grams(train_docs)
+        .join(F.broadcast(test_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("lex_hit", F.lit(1).cast("long"))
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    ptwin = base.filter(F.col("vec_id") < _DCO_SEM_PLANT).select(
+        (F.col("vec_id") + _SDC_EVAL).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: x + (i % F.lit(7) - F.lit(3)) * F.lit(0.002)
+        ).alias("pe"),
+    )
+    train_emb = (
+        base.filter(F.col("vec_id") >= _SDC_EVAL)
+        .join(F.broadcast(ptwin), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("pe"), F.col("e")).alias("e")
+        )
+    )
+
+    def quant(d: DataFrame) -> DataFrame:
+        return d.select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x: F.floor(x * _EDV_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        ).select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.transform(F.col("q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+
+    ev = quant(base.filter(F.col("vec_id") < _SDC_EVAL)).select(
+        F.col("q").alias("eq"), F.col("n2").alias("ne")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("eq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sem = (
+        quant(train_emb)
+        .crossJoin(F.broadcast(ev))
+        .withColumn("qdot", qdot)
+        .filter(
+            (F.col("n2") > 0)
+            & (F.col("ne") > 0)
+            & (F.col("qdot") >= 0)
+            & (
+                F.col("qdot") * F.col("qdot") * _EDV_DEN
+                >= F.lit(_EDV_NUM) * F.col("ne") * F.col("n2")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("sem_hit", F.lit(1).cast("long"))
+    )
+
+    return (
+        train_docs.select("doc_id")
+        .join(
+            train_emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+        )
+        .join(F.broadcast(lex), "doc_id", "left")
+        .join(
+            F.broadcast(sem.withColumnRenamed("vec_id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("lex_hit"), F.lit(0).cast("long")).alias(
+                "lexical"
+            ),
+            F.coalesce(F.col("sem_hit"), F.lit(0).cast("long")).alias(
+                "semantic"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 _ESR_SEED = 4      # seed gram length: any shared run >= 4 starts with one
 _ESR_DF_CAP = 16   # boilerplate guard: drop seeds in > 16 docs
 _ESR_OCC_CAP = 8   # per-(doc, seed) occurrence cap (within-doc repeats)

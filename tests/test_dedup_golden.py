@@ -133,3 +133,60 @@ def test_semantic_decontamination_catches_planted_paraphrases(spark, sf_dir):
         f"embeddings vec_id space grew to {max_real} — "
         "llm_decontaminate_semantic's _SDC_PLANT_BASE must be raised"
     )
+
+
+def test_decontamination_overlap_census_catches_both_plant_kinds(
+    spark, sf_dir
+):
+    """llm_decontamination_overlap plants semantic twins in rows
+    50..74 and lexical eval-text copies in rows 50..57: the census's
+    semantic marginal must cover every non-zero-vector twin, and the
+    both-cell every row that is both-planted (non-zero vector AND an
+    eval doc long enough to have a 5-gram). Totals tile the
+    documents⋈embeddings universe."""
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
+    cells = {
+        (r["lexical"], r["semantic"]): r["n_docs"]
+        for r in QUERIES["llm_decontamination_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    nonzero = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") < 25)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    long_eval = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") < 8)
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .collect()
+    }
+    sem_marginal = cells.get((0, 1), 0) + cells.get((1, 1), 0)
+    assert sem_marginal >= len(nonzero)
+    assert cells.get((1, 1), 0) >= len(nonzero & long_eval)
+    n_universe = (
+        docs.filter(F.col("doc_id") >= 50)
+        .join(
+            emb.filter(F.col("vec_id") >= 50).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        .count()
+    )
+    assert sum(cells.values()) == n_universe

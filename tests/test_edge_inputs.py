@@ -202,6 +202,10 @@ def edge_ddb(edge_sf_dir):
         # round-13: prune step where the edge corpus may seed ZERO
         # multi-char pieces (empty ml table, k = 0, empty rank join)
         "llm_unigram_prune",
+        # round-13: overlap census over edge fixtures where the
+        # universe join may be empty and zero vectors sit on both
+        # sides of the semantic gate (n2/ne > 0 guards)
+        "llm_decontamination_overlap",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

@@ -1173,6 +1173,24 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_decontamination_overlap_broadcasts_both_flag_sets(
+    spark, sf_dir
+):
+    """llm_decontamination_overlap: eval grams/vectors and both
+    contamination-sized flag tables broadcast; the ONE corpus-scale
+    join is documents⋈embeddings on id (≤1 SMJ, co-located for free
+    under id-bucketed layout); the eval-vector match is the
+    deliberate tiny-broadcast BNLJ of the semantic parent; no window,
+    no cartesian."""
+    df = QUERIES["llm_decontamination_overlap"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+    assert plan.count("BroadcastExchange") >= 4
+    assert shuffle_exchange_count(df) <= 6
+
+
 def test_sample_entropy_is_daily_series_bill(spark, sf_dir):
     """ts_sample_entropy: one corpus-scale daily aggregate, then
     per-series array arithmetic — the ts_kpss bill class (≤2
