@@ -101,6 +101,17 @@ OPS = [
     "ts_sample_entropy",
     "ts_matrix_profile",
     "graph_local_bridges",
+    # round-13 batch:
+    # - betweenness_pivots: pivot count is FIXED at 16 (the published
+    #   constant-k sampling), so the bill is k x bounded-frontier —
+    #   10x edges (hub degrees grow 10x) must give ~linear wall,
+    #   NEVER k-scales-with-|V| quadratic (that design was rejected
+    #   at review: an arithmetic |V|/1009 gate would have 100x'd)
+    # - unigram_prune: inherits the viterbi apply's corpus collapse
+    #   (10x wf on the same word keys) + vocab-sized lattice work —
+    #   wall must track the one corpus pass like the EM/apply pair
+    "graph_betweenness_pivots",
+    "llm_unigram_prune",
 ]
 
 

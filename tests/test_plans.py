@@ -1173,6 +1173,26 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_betweenness_pivots_is_frontier_linear(spark, sf_dir):
+    """graph_betweenness_pivots: pivots × bounded-BFS, all equi-keyed
+    joins over checkpointed frontiers/expansions — no cartesian, no
+    BNLJ, no window, no forced broadcast (the |V|-scale rule from
+    local_bridges r12), and the per-(p,v) successor fold is an array
+    aggregate, not a rank."""
+    df = QUERIES["graph_betweenness_pivots"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_node(df, "Window")
+    import inspect
+
+    src = inspect.getsource(QUERIES["graph_betweenness_pivots"])
+    assert "F.broadcast" not in src
+    # post-checkpoint plan: the union of backward levels + one final
+    # v-keyed aggregate
+    assert shuffle_exchange_count(df) <= 4
+
+
 def test_decontamination_overlap_broadcasts_both_flag_sets(
     spark, sf_dir
 ):

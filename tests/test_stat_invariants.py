@@ -4491,6 +4491,106 @@ def test_unigram_prune_python_replay(spark, sf_dir):
     assert sum(v[4] for v in got.values()) == k
 
 
+def test_betweenness_pivots_python_replay(spark, sf_dir):
+    """graph_betweenness_pivots equals a from-scratch Python replay
+    of Brandes' dependency accumulation from the same hash-chosen
+    pivots, truncated at depth 3: sigma and stress must match as
+    EXACT integers; betweenness must match to the 1e-9 emit grid with
+    the replay folding successor terms in the same w-sorted order.
+    Also pins stress(v) = exact count of depth-bounded shortest paths
+    through v (brute-force path enumeration on the sf0.001 graph
+    would be slow — the recursion identity psi(v) = sum(1+psi(w)) IS
+    the definition, so the replay recomputes it independently)."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    MULT, HMOD, K, DEPTH = 2654435761, 1000003, 16, 3
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    adj = defaultdict(set)
+    for r in orders:
+        s = r["o_custkey"]
+        t = (r["o_custkey"] * 7 + r["o_orderkey"] * 3) % 2000
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    pivots = [
+        v
+        for _h, v in sorted(
+            ((v * MULT) % HMOD, v) for v in adj
+        )[:K]
+    ]
+    assert pivots, "fixture must yield at least one pivot"
+
+    n_piv = defaultdict(int)
+    stress = defaultdict(int)
+    deps = defaultdict(list)  # v -> [(p, delta)]
+    for p in pivots:
+        dist = {p: 0}
+        sigma = {p: 1}
+        frontier = [p]
+        order = []
+        for d in range(1, DEPTH + 1):
+            nxt = defaultdict(int)
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        nxt[w] += sigma[v]
+            for w, sg in nxt.items():
+                dist[w], sigma[w] = d, sg
+            frontier = sorted(nxt)
+            order.append(frontier)
+        delta = defaultdict(float)
+        psi = defaultdict(int)
+        for d in range(DEPTH - 1, 0, -1):
+            for v in order[d - 1]:
+                succs = sorted(
+                    w
+                    for w in adj[v]
+                    if dist.get(w, -1) == d + 1
+                )
+                acc = 0.0
+                for w in succs:
+                    acc += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                    psi[v] += 1 + psi[w]
+                delta[v] = acc
+        for lvl in order:
+            for v in lvl:
+                n_piv[v] += 1
+                stress[v] += sigma[v] * psi[v]
+                deps[v].append((p, delta[v]))
+
+    want_btw = {}
+    for v, terms in deps.items():
+        acc = 0.0
+        for _p, dl in sorted(terms):
+            acc += dl
+        import math
+
+        want_btw[v] = math.floor(acc * 1e9 + 0.5) / 1e9
+
+    got = {
+        r["node"]: (r["n_pivots"], r["stress"], r["betweenness"])
+        for r in _rows(spark, sf_dir, "graph_betweenness_pivots")
+    }
+    assert set(got) == set(n_piv)
+    for v in n_piv:
+        assert got[v][0] == n_piv[v], (v, got[v], n_piv[v])
+        assert got[v][1] == stress[v], (v, got[v], stress[v])
+        assert abs(got[v][2] - want_btw[v]) < 2e-9, (
+            v,
+            got[v][2],
+            want_btw[v],
+        )
+    # endpoint exclusion: a pivot only appears via OTHER pivots
+    for p in pivots:
+        assert got.get(p, (0,))[0] <= max(0, len(pivots) - 1)
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
