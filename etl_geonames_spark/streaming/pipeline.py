@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from etl_geonames_spark.functions import qround
 from etl_geonames_spark.session import apply_runtime_confs
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +958,155 @@ def streaming_bloom_maintenance(
         docs.writeStream.foreachBatch(
             lambda batch, batch_id: _bloom_merge_batch(
                 batch, batch_id, state_root
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _semdedup_merge_batch(
+    batch: DataFrame, batch_id: int, state_root: str, cents_path: str,
+    tau: float,
+) -> None:
+    """One micro-batch of continuous semantic (SemDeDup) dedup: the
+    batch's vectors are cell-assigned against the maintained k×d
+    centroid SNAPSHOT (broadcast, map-side — the offline batch
+    k-means refreshes it, streaming only reads it), L2-normalized
+    with the batch path's clamped divisor, then (a) within-batch
+    same-cell pairs with qround(dot) ≥ tau and (b) cross pairs
+    against the ACCUMULATED per-cell unit-vector store. Module-level
+    so the crash-replay tests can re-invoke a batch_id directly: both
+    the store read and the pair emission use the PREDECESSOR snapshot
+    (strictly older than batch_id), so a replayed batch rewrites both
+    outputs from the same base instead of pairing against its own
+    cells."""
+    from etl_geonames_spark.operators.llm import _as_double, kmeans_assign
+
+    spark = batch.sparkSession
+    cents = spark.read.parquet(cents_path)
+    pts = batch.select("vec_id", _as_double("embedding").alias("emb"))
+    # identical normalize arithmetic to semdedup_keep (clamped
+    # divisor: a zero vector dots 0 < tau, never pairs)
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"), F.col("emb"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    cells = (
+        kmeans_assign(pts, cents)
+        .join(pts, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(F.col("emb"), lambda x: x / nrm).alias("u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = cells.select(
+        F.col("vec_id").alias("i"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ua"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("j"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ub"),
+    )
+    within = (
+        a.join(b, "cl")
+        .where(F.col("i") < F.col("j"))
+        .where(qround(dot, 6) >= F.lit(tau))
+        .select(
+            F.col("i").alias("vec_a"), F.col("j").alias("vec_b")
+        )
+    )
+    store = _read_versioned(spark, f"{state_root}/cells", batch_id)
+    if store is not None:
+        s = store.select(
+            F.col("vec_id").alias("j"),
+            F.col("cluster").alias("cl"),
+            F.col("u").alias("ub"),
+        )
+        cross = (
+            a.join(s, "cl")
+            .where(F.col("i") != F.col("j"))
+            .where(qround(dot, 6) >= F.lit(tau))
+            .select(
+                F.least(F.col("i"), F.col("j")).alias("vec_a"),
+                F.greatest(F.col("i"), F.col("j")).alias("vec_b"),
+            )
+        )
+        pairs = within.unionByName(cross)
+    else:
+        pairs = within
+    pairs.distinct().write.mode("overwrite").parquet(
+        f"{state_root}/pairs/v{batch_id:05d}"
+    )
+    new_store = (
+        store.unionByName(cells).distinct()
+        if store is not None
+        else cells
+    )
+    new_store.write.mode("overwrite").parquet(
+        f"{state_root}/cells/v{batch_id:05d}"
+    )
+
+
+def streaming_semdedup_maintenance(
+    emb: DataFrame,
+    cents_path: str,
+    state_root: str,
+    checkpoint: str,
+    tau: float = 0.40,
+) -> None:
+    """Continuous SemDeDup (semantic near-dup) maintenance — the
+    streaming complement of the batch llm_semdedup/llm_dedup_embedding
+    pair, completing the last batch-only dedup family: each arriving
+    micro-batch of (vec_id, embedding) rows is cell-assigned against
+    the maintained k×d centroid snapshot at ``cents_path`` (written
+    by the offline batch k-means — operators.llm.kmeans_centroids —
+    and refreshed on ITS cadence; k-means cells only need stability,
+    not convergence, so a stale snapshot degrades blocking recall
+    gracefully, never correctness of emitted pairs), L2-normalized
+    once, then joined for candidate pairs within its cell only:
+    within-batch and against the accumulated per-cell unit-vector
+    store. Pairs with qround(cos) ≥ tau land in
+    ``<state_root>/pairs/v{batch_id}``; the store snapshots under
+    ``<state_root>/cells/v{batch_id}`` with predecessor-read retry
+    idempotency (the streaming_dedup_maintenance convention).
+
+    Drained ≡ batch: after draining a bounded stream, the union of
+    emitted pairs equals the batch within-cell τ-pair set over the
+    same corpus and snapshot — cell assignment is per-vector
+    deterministic (shared kmeans_assign), so batch boundaries only
+    decide WHICH snapshot version a pair is emitted in (pinned in
+    tests/test_streaming.py, with crash-replay idempotence).
+
+    100 TB shape: the snapshot is k×d (broadcast, map-side assign);
+    each batch shuffles only on cluster for its pair joins; the store
+    grows corpus-sized but is only ever equi-joined per cell — the
+    same Σ|cell|² blocking bill as the batch path, paid
+    incrementally. Store compaction (rewriting cells/v* into a
+    bucketed table) is the llm_dedup_incremental maintenance story."""
+    q = (
+        emb.writeStream.foreachBatch(
+            lambda batch, batch_id: _semdedup_merge_batch(
+                batch, batch_id, state_root, cents_path, tau
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -1156,3 +1156,129 @@ def test_streaming_cdc_chunk_broken_commit_order_is_red(
     )
     broken_occ = broken.agg(F.sum("n_occ")).collect()[0][0]
     assert broken_occ > correct_occ
+
+
+def _semdedup_fixture(spark, sf_dir, tmp_path):
+    """Centroid snapshot (the offline batch refresh) + the expected
+    within-cell tau-pair set over the full fixture, from the SAME
+    shared kmeans_assign/normalize arithmetic the maintenance uses."""
+    from etl_geonames_spark.operators.llm import (
+        _as_double,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from etl_geonames_spark.functions import qround
+    from etl_geonames_spark.sources import load_table
+
+    cents_path = str(tmp_path / "cents")
+    kmeans_centroids(spark, sf_dir, 32, 1).write.parquet(cents_path)
+    cents = spark.read.parquet(cents_path)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("emb"), F.col("emb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    cells = (
+        kmeans_assign(pts, cents)
+        .join(pts, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(F.col("emb"), lambda x: x / nrm).alias("u"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a = cells.select(
+        F.col("vec_id").alias("i"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ua"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("j"),
+        F.col("cluster").alias("cl"),
+        F.col("u").alias("ub"),
+    )
+    want = {
+        (r["i"], r["j"])
+        for r in a.join(b, "cl")
+        .where(F.col("i") < F.col("j"))
+        .where(qround(dot, 6) >= F.lit(0.40))
+        .collect()
+    }
+    return cents_path, emb, want
+
+
+def test_streaming_semdedup_maintenance_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Continuous SemDeDup: the union of per-batch emitted pairs
+    (within-batch + against the per-cell store) == the batch
+    within-cell tau-pair set over the same corpus and centroid
+    snapshot — cell assignment is per-vector deterministic, so wave
+    boundaries must not lose or invent a pair."""
+    import shutil
+
+    from etl_geonames_spark.streaming import (
+        streaming_semdedup_maintenance,
+    )
+
+    cents_path, emb, want = _semdedup_fixture(spark, sf_dir, tmp_path)
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(str(src / "w1"))
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(str(src / "w2"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/w*/")
+    )
+    state = str(tmp_path / "sem_state")
+    streaming_semdedup_maintenance(
+        stream, cents_path, state, str(tmp_path / "sem_ckpt")
+    )
+    pairs = spark.read.parquet(f"{state}/pairs/v*")
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_semdedup_crash_replay_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Crash-mid-batch replay for the semantic dedup maintenance:
+    batch 1 replayed after its pairs/v00001 + cells/v00001 writes but
+    before the checkpoint commit must leave the drained pair union
+    equal to the batch pair set, and the cell store must hold each
+    vector exactly once (the predecessor read prevents the replayed
+    batch from pairing against its own cells)."""
+    from etl_geonames_spark.streaming.pipeline import (
+        _read_versioned,
+        _semdedup_merge_batch,
+    )
+
+    cents_path, emb, want = _semdedup_fixture(spark, sf_dir, tmp_path)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    state = str(tmp_path / "sem_state")
+
+    _semdedup_merge_batch(b0, 0, state, cents_path, 0.40)
+    _semdedup_merge_batch(b1, 1, state, cents_path, 0.40)
+    # crash window replay of batch 1
+    _semdedup_merge_batch(b1, 1, state, cents_path, 0.40)
+
+    pairs = spark.read.parquet(f"{state}/pairs/v*")
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert got == want
+    store = _read_versioned(spark, f"{state}/cells", before=10**6)
+    assert store.count() == emb.count()
