@@ -1903,3 +1903,169 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "betweenness",
         )
     )
+
+
+# k-truss peeling: K=4 (every surviving edge sits in >= K-2 = 2
+# triangles of the surviving subgraph), 2 fixed peel rounds — the
+# graph_kcore_peel convention (fixed-round unrolling keeps the plan
+# differential-checkable; the converged variant is the same body in
+# a driver loop).
+_KTRUSS_K = 4
+
+
+def _truss_round_sql(e: str, i: int) -> str:
+    """One unrolled truss round: canonical-orientation triangle
+    enumeration (each triangle a<b<c once, the graph_triangle_count
+    trick), explode to its 3 edges, count support per edge, keep
+    edges with support >= K-2."""
+    return f"""tri{i} AS (
+        SELECT ea.a AS ta, ea.b AS tb, eb.b AS tc
+        FROM {e} ea
+        JOIN {e} eb ON ea.b = eb.a
+        JOIN {e} ec ON ec.a = ea.a AND ec.b = eb.b
+    ),
+    sup{i} AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT ta AS a, tb AS b FROM tri{i}
+            UNION ALL SELECT tb AS a, tc AS b FROM tri{i}
+            UNION ALL SELECT ta AS a, tc AS b FROM tri{i}
+        ) GROUP BY a, b
+    ),
+    e{i + 1} AS (
+        SELECT x.a, x.b FROM {e} x
+        JOIN sup{i} s ON s.a = x.a AND s.b = x.b
+        WHERE s.sup >= {_KTRUSS_K - 2}
+    )"""
+
+
+@query(
+    "graph_ktruss_peel",
+    oracle=f"""
+    WITH raw AS ({_EDGE_SQL}),
+    e0 AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    {_truss_round_sql("e0", 0)},
+    {_truss_round_sql("e1", 1)},
+    tri2 AS (
+        SELECT ea.a AS ta, ea.b AS tb, eb.b AS tc
+        FROM e2 ea
+        JOIN e2 eb ON ea.b = eb.a
+        JOIN e2 ec ON ec.a = ea.a AND ec.b = eb.b
+    ),
+    sup2 AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT ta AS a, tb AS b FROM tri2
+            UNION ALL SELECT tb AS a, tc AS b FROM tri2
+            UNION ALL SELECT ta AS a, tc AS b FROM tri2
+        ) GROUP BY a, b
+    )
+    SELECT s0.a AS s, s0.b AS t, s0.sup AS support0,
+           CAST(CASE WHEN x.a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_truss,
+           COALESCE(s2.sup, CAST(0 AS BIGINT)) AS support_final
+    FROM sup0 s0
+    LEFT JOIN e2 x ON x.a = s0.a AND x.b = s0.b
+    LEFT JOIN sup2 s2 ON s2.a = s0.a AND s2.b = s0.b
+    """,
+)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeling rounds toward the 4-truss (Cohen 2008): drop edges
+    in fewer than K-2 = 2 triangles, recompute triangle support on
+    the surviving subgraph, drop again — the EDGE-level analogue of
+    graph_kcore_peel's node peeling and the standard
+    community-core extractor one notch stronger than k-core (every
+    k-truss is inside the (k-1)-core but not vice versa). Output: the
+    SUPPORT CENSUS — every canonical edge that closes at least one
+    triangle, its initial support, a 0/1 in-truss flag (survives both
+    K=4 peel rounds), and its support recomputed on the surviving
+    subgraph (the next round's peel input) — so the result is
+    non-degenerate at every fixture scale even where the 4-truss
+    itself is empty (sf0.001 has 4 triangles, none sharing an edge),
+    all-integer.
+
+    Triangle support per round rides the canonical a<b<c orientation
+    (graph_triangle_count's trick — each triangle enumerated once as
+    the wedge (a,b)+(b,c) closed by (a,c), join fan-out bounded by
+    forward degree, never Σdeg²), then one explode-to-3-edges count.
+
+    100 TB shape: per round, two hash equi-joins (wedge + close) +
+    one edge-keyed aggregate + one support filter join — all
+    edge-keyed, no cartesian, no window; each round's survivor set is
+    localCheckpointed (the round reuses it from FOUR subtrees: three
+    triangle sides + the filter join — the ladder-collapse rule;
+    un-pinned, round 2 would re-execute round 1's joins per
+    consumer). Peeling only shrinks the edge set, so later rounds
+    are cheaper; orient by (degree, id) at hub-heavy scale to split
+    fan-out further (the triangle_count note)."""
+    raw = _edges(spark, sf_dir)
+    e = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        e1 = edges.alias("e1")
+        e2 = edges.alias("e2")
+        e3 = edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("ta"),
+                F.col("e1.b").alias("tb"),
+                F.col("e2.b").alias("tc"),
+            )
+        )
+        sides = (
+            tri.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+            .unionAll(
+                tri.select(F.col("tb").alias("a"), F.col("tc").alias("b"))
+            )
+            .unionAll(
+                tri.select(F.col("ta").alias("a"), F.col("tc").alias("b"))
+            )
+        )
+        return sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("sup")
+        )
+
+    sup0 = None
+    for rnd in range(2):
+        sup = support(e)
+        if rnd == 0:
+            sup = sup.localCheckpoint()  # census + round-0 filter
+            sup0 = sup
+        e = (
+            e.join(sup, ["a", "b"])
+            .filter(F.col("sup") >= _KTRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = support(e)
+    return (
+        sup0.withColumnRenamed("sup", "support0")
+        .join(e.withColumn("kept", F.lit(1)), ["a", "b"], "left")
+        .join(final, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("s"),
+            F.col("b").alias("t"),
+            "support0",
+            F.coalesce(F.col("kept"), F.lit(0))
+            .cast("long")
+            .alias("in_truss"),
+            F.coalesce(F.col("sup"), F.lit(0).cast("long")).alias(
+                "support_final"
+            ),
+        )
+    )

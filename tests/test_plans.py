@@ -1173,6 +1173,30 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_ktruss_peel_is_oriented_wedge_joins(spark, sf_dir):
+    """graph_ktruss_peel: every triangle pass is the canonical
+    oriented wedge+close pair of hash equi-joins (forward-degree
+    bounded fan-out, never Σdeg²), each round's survivor set is
+    checkpointed (four consumers), nothing cartesian, no window, no
+    forced broadcast."""
+    df = QUERIES["graph_ktruss_peel"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_node(df, "Window")
+    import inspect
+
+    src = inspect.getsource(QUERIES["graph_ktruss_peel"])
+    assert "F.broadcast" not in src
+    # post-checkpoint plan: the final support pass (wedge join, close
+    # join, 3-side union aggregate) + the 3-table census join — every
+    # exchange is an equi-keyed hash partitioning over edge-sized or
+    # smaller tables; adjudicated in PLANS.md (this is the census max
+    # by COUNT, not by cost — the peel rounds behind the checkpoints
+    # only shrink the data)
+    assert shuffle_exchange_count(df) <= 15
+
+
 def test_betweenness_pivots_is_frontier_linear(spark, sf_dir):
     """graph_betweenness_pivots: pivots × bounded-BFS, all equi-keyed
     joins over checkpointed frontiers/expansions — no cartesian, no

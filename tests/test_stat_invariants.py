@@ -4591,6 +4591,60 @@ def test_betweenness_pivots_python_replay(spark, sf_dir):
         assert got.get(p, (0,))[0] <= max(0, len(pivots) - 1)
 
 
+def test_ktruss_peel_python_replay(spark, sf_dir):
+    """graph_ktruss_peel equals a from-scratch Python replay of the
+    2-round K=4 support peel; also pins the monotonicity invariants
+    support_final <= support0 (peeling only removes triangles) and
+    in_truss = 1 => support0 >= 2 (a survivor passed round 0)."""
+    from collections import Counter
+
+    from etl_geonames_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    edges = set()
+    for r in orders:
+        s = r["o_custkey"]
+        t = (r["o_custkey"] * 7 + r["o_orderkey"] * 3) % 2000
+        if s != t:
+            edges.add((min(s, t), max(s, t)))
+
+    def support(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+        sup = Counter()
+        for a, b in es:
+            for c in adj.get(b, ()):
+                if (a, c) in es:
+                    sup[(a, b)] += 1
+                    sup[(b, c)] += 1
+                    sup[(a, c)] += 1
+        return sup
+
+    sup0 = support(edges)
+    e = {k for k, v in sup0.items() if v >= 2}
+    e = {k for k, v in support(e).items() if v >= 2}
+    supf = support(e)
+
+    got = {
+        (r["s"], r["t"]): (
+            r["support0"],
+            r["in_truss"],
+            r["support_final"],
+        )
+        for r in _rows(spark, sf_dir, "graph_ktruss_peel")
+    }
+    assert set(got) == set(sup0)
+    for k in sup0:
+        want = (sup0[k], int(k in e), supf.get(k, 0) if k in e else 0)
+        assert got[k] == want, (k, got[k], want)
+        assert got[k][2] <= got[k][0]
+        if got[k][1] == 1:
+            assert got[k][0] >= 2
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
