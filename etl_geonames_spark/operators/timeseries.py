@@ -6913,3 +6913,147 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("b"), 6).alias("slope"),
         qround(F.col("l"), 6).alias("ses_level"),
     )
+
+
+# DTW over daily-count series: integer |a-b| local cost, full DP.
+_DTW_INF = 1 << 40
+
+
+@query(
+    "ts_dtw_pairs",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(list_sort(list({{'day': day, 'c': c}})),
+                              _dv -> _dv.c) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    pr AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS va, b.v AS vb, a.n AS na, b.n AS nb
+        FROM arr a JOIN arr b ON a.event_type < b.event_type
+    ),
+    dp AS (
+        SELECT type_a, type_b, na, nb,
+            list_reduce(list_prepend(
+                list_concat([CAST(0 AS BIGINT)],
+                    list_transform(generate_series(1, CAST(nb AS INT)),
+                        _zq -> CAST({_DTW_INF} AS BIGINT))),
+                list_transform(generate_series(1, CAST(na AS INT)),
+                    _rq -> [CAST(_rq AS BIGINT)])),
+              (_ra, _rx) -> list_reduce(list_prepend(
+                  [CAST({_DTW_INF} AS BIGINT)],
+                  list_transform(generate_series(1, CAST(nb AS INT)),
+                      _cq -> [CAST(_cq AS BIGINT)])),
+                (_ca, _cx) -> list_append(_ca,
+                    abs(va[CAST(_rx[1] AS INT)]
+                        - vb[CAST(_cx[1] AS INT)])
+                    + least(_ra[CAST(_cx[1] AS INT) + 1],
+                            _ra[CAST(_cx[1] AS INT)],
+                            _ca[CAST(_cx[1] AS INT)])))) AS row
+        FROM pr
+    )
+    SELECT type_a, type_b,
+           row[CAST(nb AS INT) + 1] AS dtw,
+           na AS n_a, nb AS n_b
+    FROM dp
+    """,
+)
+def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dynamic time warping (Sakoe & Chiba 1978, the classic
+    elastic-alignment distance) between every pair of event types'
+    daily-count series — the shape-similarity complement of
+    ts_rolling_corr's rigid same-day alignment: DTW says "signup lags
+    purchase by a stretchable warp" where correlation only sees
+    misaligned points. Full O(n·m) DP with the standard recurrence
+    D(i,j) = |a_i − b_j| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)).
+
+    ALL-INTEGER: daily counts are int64, the local cost |a−b| and
+    every DP cell stay int64 (boundary = 2^40 sentinel, reachable
+    sums orders of magnitude below it), so the distance is exact on
+    both engines — no float discipline needed anywhere. The DP is a
+    nested fold: outer over rows with the previous DP row as list
+    state, inner building each row left-to-right by always-append
+    (the growing-list-safe form; lambda vars all distinct per the
+    nesting rule). Series enter day-sorted via the shared
+    sort-struct-extract shape (ts_matrix_profile's arr).
+
+    100 TB shape: one corpus-scale daily aggregate (the ts_kpss bill
+    class), then one tiny type×type theta join (k² pairs over
+    metadata-sized arrays) and per-pair O(n·m) in-cell arithmetic —
+    for year-scale minutely series swap in the banded
+    (Sakoe-Chiba-window) variant: same fold, inner range clipped to
+    the band."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = (
+        dc.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"],
+            ).alias("v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        # both theta-join sides read this k-row table; un-pinned, the
+        # corpus-scale daily aggregate re-executes per side
+        .localCheckpoint()
+    )
+    a = arr.select(
+        F.col("event_type").alias("type_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = arr.select(
+        F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pr = a.join(b, F.col("type_a") < F.col("type_b"))
+    inf = F.lit(_DTW_INF).cast("long")
+    init_row = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(
+            F.sequence(F.lit(1), F.col("nb").cast("int")),
+            lambda _x: inf,
+        ),
+    )
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("na").cast("int")),
+        init_row,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), F.col("nb").cast("int")),
+            F.array(inf),
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.abs(
+                        F.element_at(F.col("va"), i.cast("int"))
+                        - F.element_at(F.col("vb"), j.cast("int"))
+                    )
+                    + F.least(
+                        F.element_at(prev, (j + 1).cast("int")),
+                        F.element_at(prev, j.cast("int")),
+                        F.element_at(acc, j.cast("int")),
+                    )
+                ),
+            ),
+        ),
+    )
+    return pr.select(
+        "type_a",
+        "type_b",
+        F.element_at(dp, (F.col("nb") + 1).cast("int")).alias("dtw"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+    )

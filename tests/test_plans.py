@@ -1173,6 +1173,18 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_dtw_pairs_is_daily_series_bill_plus_tiny_theta(spark, sf_dir):
+    """ts_dtw_pairs: one corpus-scale daily aggregate (ts_kpss bill
+    class), then a k²-pair theta join over metadata-sized arrays and
+    in-cell DP folds — no window, no sort-merge, ≤3 exchanges."""
+    df = QUERIES["ts_dtw_pairs"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchange_count(df) <= 3
+
+
 def test_ktruss_peel_is_oriented_wedge_joins(spark, sf_dir):
     """graph_ktruss_peel: every triangle pass is the canonical
     oriented wedge+close pair of hash equi-joins (forward-degree

@@ -4645,6 +4645,59 @@ def test_ktruss_peel_python_replay(spark, sf_dir):
             assert got[k][0] >= 2
 
 
+def test_dtw_pairs_python_replay_and_bounds(spark, sf_dir):
+    """ts_dtw_pairs equals a from-scratch Python DP replay (integer
+    end-to-end, so EXACT); also pins the diagonal upper bound
+    DTW(a,b) ≤ Σ|a_i − b_i| for equal-length series and DTW ≥ 0."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in daily:
+        series[r["event_type"]][r["day"]] = r["count"]
+    vecs = {
+        t: [c for _d, c in sorted(d.items())] for t, d in series.items()
+    }
+
+    def dtw(a, b):
+        INF = 1 << 40
+        prev = [0] + [INF] * len(b)
+        for x in a:
+            cur = [INF]
+            for j, y in enumerate(b, start=1):
+                cur.append(
+                    abs(x - y) + min(prev[j], prev[j - 1], cur[j - 1])
+                )
+            prev = cur
+        return prev[len(b)]
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["dtw"], r["n_a"], r["n_b"])
+        for r in _rows(spark, sf_dir, "ts_dtw_pairs")
+    }
+    types = sorted(vecs)
+    want_pairs = {
+        (ta, tb) for ta in types for tb in types if ta < tb
+    }
+    assert set(got) == want_pairs
+    for ta, tb in want_pairs:
+        a, b = vecs[ta], vecs[tb]
+        d = dtw(a, b)
+        assert got[(ta, tb)] == (d, len(a), len(b))
+        assert d >= 0
+        if len(a) == len(b):
+            assert d <= sum(abs(x - y) for x, y in zip(a, b))
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
