@@ -2069,3 +2069,106 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Deterministic (RNG-free) random-walk corpus: every node starts one
+# walk of _WALK_LEN steps; the transition at step t from node u picks
+# the neighbor minimizing a fixed integer hash of (u, w, t) — a
+# reproducible stand-in for the uniform transition (same role the
+# arithmetic pivot chooser plays in graph_betweenness_pivots).
+_WALK_LEN = 4
+_WALK_HA = 2654435761
+_WALK_HB = 40503
+_WALK_HP = 1000003
+
+
+def _walk_step_sql(prev: str, t: int) -> str:
+    """One unrolled walk step: from each walk's current node, the
+    argmin-hash neighbor (ROW_NUMBER-free: min over the integer hash
+    with (hash, w) tie-break via min of the packed pair)."""
+    return (
+        f"SELECT p.start, p.walk || ',' || CAST(nx.w AS VARCHAR)"
+        f" AS walk, nx.w AS node FROM {prev} p JOIN ("
+        f" SELECT u.s, MIN_BY(u.t, ("
+        f"   (u.s * {_WALK_HA} + u.t * {_WALK_HB} + {t} * 97)"
+        f"   % {_WALK_HP}) * 100000 + u.t) AS w"
+        f" FROM und u GROUP BY u.s"
+        f") nx ON nx.s = p.node"
+    )
+
+
+@query(
+    "graph_deterministic_walks",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    {_UND_SQL},
+    w0 AS (
+        SELECT s AS start, CAST(s AS VARCHAR) AS walk, s AS node
+        FROM (SELECT DISTINCT s FROM und)
+    ),
+    w1 AS ({_walk_step_sql("w0", 1)}),
+    w2 AS ({_walk_step_sql("w1", 2)}),
+    w3 AS ({_walk_step_sql("w2", 3)}),
+    w4 AS ({_walk_step_sql("w3", 4)})
+    SELECT start, walk, node AS end_node
+    FROM w4
+    """,
+)
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNG-free random-walk corpus generation (the DeepWalk/node2vec
+    data step, Perozzi et al. 2014): one 4-step walk per node, where
+    step t from node u moves to the neighbor w minimizing the fixed
+    integer hash (u·2654435761 + w·40503 + t·97) mod 1000003 — a
+    reproducible stand-in for the uniform transition, so the emitted
+    walk corpus (the skip-gram training input for graph embeddings)
+    is bit-identical across engines and reruns. Varying t in the hash
+    de-correlates consecutive steps (without it every visit to u
+    exits the same way and walks collapse to cycles).
+
+    ALL-INTEGER transitions: argmin over int64 hashes with a packed
+    (hash, w) tie-break (hash·1e5 + w — w < 1e5 at every fixture
+    scale; widen the packing at billion-node ids), min_by both
+    engines. The walk serializes as the comma-joined node string —
+    the skip-gram pair generator is one split+posexplode downstream.
+
+    100 TB shape: per step, ONE per-node argmin aggregate over the
+    edge table (map-side combinable) equi-joined to the walk
+    frontier — |V| walks cost L edge-aggregates + L joins, never
+    fan-out (each walk holds exactly one row per step); the argmin
+    table is identical across walks at the same step, which is why
+    it aggregates the EDGE table once rather than hashing per walk
+    row. Frontiers are |V|-sized; at billions of nodes both join
+    sides shuffle on node — no forced broadcast (the local_bridges
+    r12 rule)."""
+    und = _und(spark, sf_dir)
+    cur = (
+        und.select("s")
+        .distinct()
+        .select(
+            F.col("s").alias("start"),
+            F.col("s").cast("string").alias("walk"),
+            F.col("s").alias("node"),
+        )
+    )
+    for t in range(1, _WALK_LEN + 1):
+        h = (
+            F.col("s") * _WALK_HA + F.col("t") * _WALK_HB + F.lit(t * 97)
+        ) % _WALK_HP
+        nx = und.groupBy("s").agg(
+            F.min_by(
+                "t", h * F.lit(100000) + F.col("t")
+            ).alias("w")
+        )
+        cur = (
+            cur.join(nx, cur["node"] == nx["s"])
+            .select(
+                "start",
+                F.concat_ws(",", "walk", F.col("w").cast("string")).alias(
+                    "walk"
+                ),
+                F.col("w").alias("node"),
+            )
+        )
+    return cur.select(
+        "start", "walk", F.col("node").alias("end_node")
+    )

@@ -1173,6 +1173,23 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_deterministic_walks_is_per_step_argmin_joins(spark, sf_dir):
+    """graph_deterministic_walks: per step ONE per-node argmin
+    aggregate over the edge table + one equi-join to the |V|-sized
+    walk frontier — never fan-out, no window, no cartesian, no forced
+    broadcast (both sides are node-scale)."""
+    df = QUERIES["graph_deterministic_walks"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_node(df, "Window")
+    import inspect
+
+    src = inspect.getsource(QUERIES["graph_deterministic_walks"])
+    assert "F.broadcast" not in src
+    assert shuffle_exchange_count(df) <= 12
+
+
 def test_dtw_pairs_is_daily_series_bill_plus_tiny_theta(spark, sf_dir):
     """ts_dtw_pairs: one corpus-scale daily aggregate (ts_kpss bill
     class), then a k²-pair theta join over metadata-sized arrays and

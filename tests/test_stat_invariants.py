@@ -4698,6 +4698,52 @@ def test_dtw_pairs_python_replay_and_bounds(spark, sf_dir):
             assert d <= sum(abs(x - y) for x, y in zip(a, b))
 
 
+def test_deterministic_walks_python_replay(spark, sf_dir):
+    """graph_deterministic_walks equals a from-scratch Python replay
+    of the argmin-hash transition; every step of every walk is a real
+    edge and every node starts exactly one walk."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    HA, HB, HP = 2654435761, 40503, 1000003
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    adj = defaultdict(set)
+    for r in orders:
+        s = r["o_custkey"]
+        t = (r["o_custkey"] * 7 + r["o_orderkey"] * 3) % 2000
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+
+    def nxt(u, t):
+        return min(
+            adj[u],
+            key=lambda w: ((u * HA + w * HB + t * 97) % HP) * 100000 + w,
+        )
+
+    want = {}
+    for v in adj:
+        walk = [v]
+        for t in range(1, 5):
+            walk.append(nxt(walk[-1], t))
+        want[v] = ",".join(str(x) for x in walk)
+
+    got = {
+        r["start"]: (r["walk"], r["end_node"])
+        for r in _rows(spark, sf_dir, "graph_deterministic_walks")
+    }
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert got[v] == (w, int(w.split(",")[-1])), (v, got[v], w)
+        steps = [int(x) for x in w.split(",")]
+        for a, b in zip(steps, steps[1:]):
+            assert b in adj[a]
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
