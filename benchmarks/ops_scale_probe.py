@@ -112,6 +112,15 @@ OPS = [
     #   wall must track the one corpus pass like the EM/apply pair
     "graph_betweenness_pivots",
     "llm_unigram_prune",
+    # - ktruss: shifted src keys, dst mod-2000 hubs grow 10x — the
+    #   oriented wedge bill grows with forward degree (the honest
+    #   triangle-growth direction), peel rounds shrink it
+    # - dtw/walks/overlap: daily agg / per-node argmin / broadcast
+    #   eval passes — all corpus-linear, arrays and pair tables fixed
+    "graph_ktruss_peel",
+    "ts_dtw_pairs",
+    "graph_deterministic_walks",
+    "llm_decontamination_overlap",
 ]
 
 

@@ -49,53 +49,34 @@ _OPERATOR_MODULES = [
 ]
 
 # The differential driver records correctness rows for the FIRST 50
-# queries in ``queries()`` dict order each round. ROUND-12 WINDOW
-# (executes the plan VERDICT r11 item 1 wrote at this spot): round-12
-# additions enter at the very head as they land (steady-state rule),
-# followed by the PLAN-CHANGED-SINCE-LAST-CHECK names (this rule now
-# outranks merely-old, per VERDICT r11 item 8: power_iter/abtt got the
-# 12->2 census collapse in r11 but were last checked r7; rich_club/
-# jonckheere also changed in r12 but were r11-green and their edits
-# are re-verified by the local 490-query differential every run, so
-# they keep their r11 slot to leave >=40 stale re-checks in the
-# window), then ALL remaining
-# names ordered by last-driver-checked round ASCENDING (stable within
-# a round) — the window drains the 98-name r1/r2 backlog from the
-# front. TRADEOFF, recorded: the round grew to 11 additions, so the
-# window carries 39 stale re-checks (37 r1 + power_iter/abtt) and
-# cuts the r1/r2 cohort to 61 — one short of the verdict's ~40/~60
-# targets, because a NEVER-checked new op in the window outranks one
-# more stale re-check (the r9 verdict's never-checked standard).
-# r13 inherits the one-slot difference. CORRECTNESS_r11's 50 names
-# sit at the back. Every rotated-out name stays guarded by
+# queries in ``queries()`` dict order each round. ROUND-13 WINDOW
+# (the recipe, executed again): round-13 additions enter at the very
+# head (never-checked outranks everything), then the one
+# PLAN-CHANGED-since-last-check name (graph_local_bridges — its
+# degree joins were de-broadcast this round per VERDICT r12 item 2;
+# this rule outranks merely-old), then ALL remaining names ordered by
+# last-driver-checked round ASCENDING (stable within a round) — the
+# window carries 6 + 1 + 43 stale re-checks: ALL 11 remaining r1-era
+# names and 32 of the 50 r2-era names, cutting the r1/r2 backlog from
+# 61 to 18 (the r12 verdict's drain plan; the remaining 18 r2 names
+# lead the r14 window and the cohort is then empty). CORRECTNESS_r12's
+# 50 names sit at the back. Every rotated-out name stays guarded by
 # tests/test_oracle_parity.py, which checks ALL queries every run.
-# ROUND-13 PLAN: same recipe — move the CORRECTNESS_r12 names to the
-# back, promote round-13 additions + plan-changed names to the head,
-# keep draining the oldest-checked front.
+# ROUND-14 PLAN: same recipe — move the CORRECTNESS_r13 names to the
+# back, promote round-14 additions + plan-changed names to the head,
+# drain the final 18 r2-era names.
 _DRIVER_PRIORITY = [
-    'llm_decontaminate_semantic', 'llm_unigram_em_round',
-    'llm_renyi_efficiency', 'llm_unigram_viterbi_apply', 'ts_sample_entropy',
-    'graph_local_bridges', 'ts_matrix_profile', 'ts_ses_grid_search',
-    'ts_ediv_changepoint', 'ts_ediv_significance', 'ts_theta_forecast',
-    'llm_embedding_power_iter', 'llm_abtt_transform',
-    'scan_tsv', 'scan_dim', 'filter_whereeq', 'filter_any_of',
-    'filter_extra_uris', 'filter_typed', 'join_admin2',
-    'join_self_parent_fallback', 'join_inner', 'join_left', 'join_semi',
-    'join_anti', 'join_range', 'join_theta', 'join_cross', 'join_asof',
-    'join_skew_salted', 'agg_group', 'agg_global', 'agg_distinct',
-    'agg_count_distinct', 'agg_approx_distinct', 'agg_rollup', 'agg_cube',
-    'agg_median', 'dedup_latest_per_key', 'agg_approx_percentile',
-    'agg_stats', 'agg_collect', 'agg_pivot', 'win_rank', 'win_distribution',
-    'win_lag_lead', 'win_running_sum', 'win_range_frame', 'win_first_last',
-    'sort_orderby', 'sort_limit', 'set_union', 'set_intersect', 'set_except',
-    'sql_tpch_q3', 'sql_tpch_q5', 'sql_tpch_q18', 'sql_tpch_q6',
-    'sql_tpch_q14', 'sql_tpch_q4', 'sql_tpch_q16', 'fn_cast_double',
-    'fn_concat_ws', 'fn_concat', 'fn_replace', 'fn_prefix_match',
-    'fn_array_compact', 'fn_map_lookup', 'fn_math', 'fn_date_trunc',
-    'fn_string_ops', 'fn_regexp', 'fn_null_ops', 'fn_date_extract',
-    'fn_variant_get', 'fn_json_extract', 'llm_dedup_exact',
-    'llm_dedup_minhash', 'llm_dedup_simhash', 'llm_dedup_ngram',
-    'llm_sim_topk', 'llm_ann_lsh', 'llm_dedup_embedding',
+    'llm_unigram_prune', 'llm_decontamination_overlap',
+    'graph_betweenness_pivots', 'graph_ktruss_peel', 'ts_dtw_pairs',
+    'graph_deterministic_walks', 'graph_local_bridges', 'sort_limit',
+    'set_union', 'set_intersect', 'set_except', 'sql_tpch_q3', 'sql_tpch_q5',
+    'sql_tpch_q18', 'sql_tpch_q6', 'sql_tpch_q14', 'sql_tpch_q4',
+    'sql_tpch_q16', 'fn_cast_double', 'fn_concat_ws', 'fn_concat',
+    'fn_replace', 'fn_prefix_match', 'fn_array_compact', 'fn_map_lookup',
+    'fn_math', 'fn_date_trunc', 'fn_string_ops', 'fn_regexp', 'fn_null_ops',
+    'fn_date_extract', 'fn_variant_get', 'fn_json_extract',
+    'llm_dedup_exact', 'llm_dedup_minhash', 'llm_dedup_simhash',
+    'llm_dedup_ngram', 'llm_sim_topk', 'llm_ann_lsh', 'llm_dedup_embedding',
     'llm_dedup_verified', 'llm_dedup_cluster', 'llm_dedup_canonical',
     'llm_sample_stratified', 'llm_pack_sequences', 'llm_tfidf_top_terms',
     'llm_wordcount', 'llm_text_stats', 'llm_lang_dist', 'llm_lang_id',
@@ -224,7 +205,21 @@ _DRIVER_PRIORITY = [
     'stat_ks_two_sample', 'stat_bh_fdr', 'stat_runs_test', 'stat_best_split',
     'stat_conformal_interval', 'dq_outlier_mad', 'stat_wilcoxon_signed',
     'ts_acf', 'ts_pacf', 'ts_cusum_changepoint', 'llm_pack_bins',
-    'llm_metric_kendall',
+    'llm_metric_kendall', 'llm_decontaminate_semantic',
+    'llm_unigram_em_round', 'llm_renyi_efficiency',
+    'llm_unigram_viterbi_apply', 'ts_sample_entropy', 'ts_matrix_profile',
+    'ts_ses_grid_search', 'ts_ediv_changepoint', 'ts_ediv_significance',
+    'ts_theta_forecast', 'llm_embedding_power_iter', 'llm_abtt_transform',
+    'scan_tsv', 'scan_dim', 'filter_whereeq', 'filter_any_of',
+    'filter_extra_uris', 'filter_typed', 'join_admin2',
+    'join_self_parent_fallback', 'join_inner', 'join_left', 'join_semi',
+    'join_anti', 'join_range', 'join_theta', 'join_cross', 'join_asof',
+    'join_skew_salted', 'agg_group', 'agg_global', 'agg_distinct',
+    'agg_count_distinct', 'agg_approx_distinct', 'agg_rollup', 'agg_cube',
+    'agg_median', 'dedup_latest_per_key', 'agg_approx_percentile',
+    'agg_stats', 'agg_collect', 'agg_pivot', 'win_rank', 'win_distribution',
+    'win_lag_lead', 'win_running_sum', 'win_range_frame', 'win_first_last',
+    'sort_orderby',
 ]
 
 
