@@ -2172,3 +2172,178 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         "start", "walk", F.col("node").alias("end_node")
     )
+
+
+# Bow-tie reach bound: 3 set-BFS rounds from the certified core in
+# each direction (the khop convention).
+_BOWTIE_REACH = 3
+
+
+def _bowtie_reach_sql(prev: str, edge_from: str, edge_to: str) -> str:
+    """One unrolled set-frontier reach round along edge_from →
+    edge_to (node-SET semantics: DISTINCT keeps the frontier a set,
+    never path-count — the khop rule)."""
+    return (
+        f"SELECT DISTINCT node FROM ("
+        f"SELECT node FROM {prev} "
+        f"UNION ALL "
+        f"SELECT e.{edge_to} AS node FROM {prev} p "
+        f"JOIN edges e ON e.{edge_from} = p.node)"
+    )
+
+
+@query(
+    "graph_bowtie_census",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    f0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(
+        f"f{i + 1} AS ({_scc_round_sql(f'f{i}', 'src', 'dst')})"
+        for i in range(_SCC_ROUNDS)
+    )},
+    b0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(
+        f"b{i + 1} AS ({_scc_round_sql(f'b{i}', 'dst', 'src')})"
+        for i in range(_SCC_ROUNDS)
+    )},
+    cells AS (
+        SELECT f.node, f.lbl AS fl, b.lbl AS bl
+        FROM f{_SCC_ROUNDS} f JOIN b{_SCC_ROUNDS} b ON f.node = b.node
+    ),
+    core_lbl AS (
+        SELECT fl AS c FROM cells WHERE fl = bl
+        GROUP BY fl ORDER BY COUNT(*) DESC, fl LIMIT 1
+    ),
+    core AS (
+        SELECT node FROM cells, core_lbl
+        WHERE fl = c AND bl = c
+    ),
+    r0 AS (SELECT node FROM core),
+    {",".join(
+        f"r{i + 1} AS ({_bowtie_reach_sql(f'r{i}', 'src', 'dst')})"
+        for i in range(_BOWTIE_REACH)
+    )},
+    q0 AS (SELECT node FROM core),
+    {",".join(
+        f"q{i + 1} AS ({_bowtie_reach_sql(f'q{i}', 'dst', 'src')})"
+        for i in range(_BOWTIE_REACH)
+    )}
+    SELECT CASE
+             WHEN c.node IS NOT NULL THEN 'CORE'
+             WHEN fr.node IS NOT NULL AND bq.node IS NOT NULL
+               THEN 'BOTH'
+             WHEN bq.node IS NOT NULL THEN 'IN'
+             WHEN fr.node IS NOT NULL THEN 'OUT'
+             ELSE 'DISCONNECTED'
+           END AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM nodes n
+    LEFT JOIN core c ON c.node = n.node
+    LEFT JOIN r{_BOWTIE_REACH} fr ON fr.node = n.node
+    LEFT JOIN q{_BOWTIE_REACH} bq ON bq.node = n.node
+    GROUP BY 1
+    """,
+)
+def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie structure census of the directed graph (Broder et al.
+    2000, "Graph structure in the Web" — the canonical first look at
+    any crawl before curation): find the giant certified SCC (the
+    CORE), then classify every node by bounded reachability —
+    IN (reaches the core, not reached), OUT (reached from the core,
+    doesn't reach it), BOTH (reaches AND is reached within the hop
+    bound yet not in the certified core — a bounded-rounds boundary
+    class that exact analysis folds into CORE/TUBES), DISCONNECTED.
+    Crawl curation reads this directly: OUT-heavy = link sinks/spam
+    farms, a thin CORE = fragmented crawl.
+
+    Machinery: the graph_scc_bounded FW-BW min-label rounds (shared
+    _scc_round_sql, 4+4 rounds) certify SCC cells; the core is the
+    LARGEST certified cell (count desc, label asc — orderBy+limit,
+    the TakeOrdered pattern, never a window); IN/OUT are 3
+    set-frontier BFS rounds from the whole core in each direction
+    (node-SET distinct per round — frontier-linear, the khop rule).
+    All-integer/string output: component name + exact count.
+
+    100 TB shape: label and frontier tables are node-sized, the edge
+    table is checkpointed once and every join is hash-partitioned on
+    a node key (the BSP template shared with cc/scc/khop/pagerank);
+    the census is a 5-row aggregate. The core-label selection is a
+    1-row TakeOrdered broadcast into the core filter — metadata, not
+    a node-scale broadcast."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def propagate(edge_from: str, edge_to: str) -> DataFrame:
+        lab = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(_SCC_ROUNDS):
+            m = (
+                e.join(lab, e[edge_from] == lab["node"])
+                .groupBy(e[edge_to].alias("node"))
+                .agg(F.min("lbl").alias("minl"))
+            )
+            lab = (
+                lab.join(m, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("minl"), F.col("lbl")),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+        return lab
+
+    f = propagate("src", "dst")
+    b = propagate("dst", "src")
+    cells = f.withColumnRenamed("lbl", "fl").join(
+        b.withColumnRenamed("lbl", "bl"), "node"
+    )
+    core_lbl = (
+        cells.filter(F.col("fl") == F.col("bl"))
+        .groupBy(F.col("fl").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "c")
+        .limit(1)
+        .select("c")
+    )
+    core = (
+        cells.crossJoin(F.broadcast(core_lbl))
+        .filter((F.col("fl") == F.col("c")) & (F.col("bl") == F.col("c")))
+        .select("node")
+        .localCheckpoint()
+    )
+
+    def reach(edge_from: str, edge_to: str) -> DataFrame:
+        r = core
+        for _ in range(_BOWTIE_REACH):
+            step = r.join(e, r["node"] == e[edge_from]).select(
+                e[edge_to].alias("node")
+            )
+            r = r.unionByName(step).distinct().localCheckpoint()
+        return r
+
+    fr = reach("src", "dst").withColumn("f_hit", F.lit(1))
+    bq = reach("dst", "src").withColumn("b_hit", F.lit(1))
+    comp = F.when(F.col("in_core") == 1, F.lit("CORE")).otherwise(
+        F.when(
+            (F.col("f_hit") == 1) & (F.col("b_hit") == 1), F.lit("BOTH")
+        )
+        .when(F.col("b_hit") == 1, F.lit("IN"))
+        .when(F.col("f_hit") == 1, F.lit("OUT"))
+        .otherwise(F.lit("DISCONNECTED"))
+    )
+    return (
+        nodes.join(core.withColumn("in_core", F.lit(1)), "node", "left")
+        .join(fr, "node", "left")
+        .join(bq, "node", "left")
+        .groupBy(comp.alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

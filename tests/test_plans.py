@@ -1173,6 +1173,19 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_bowtie_census_is_bsp_label_rounds(spark, sf_dir):
+    """graph_bowtie_census: FW-BW label rounds + set-BFS reach rounds
+    behind per-round checkpoints (the cc/scc BSP template); the
+    core-label pick is a 1-row TakeOrdered broadcast (never a
+    window); nothing cartesian-at-scale, census is a 5-row
+    aggregate."""
+    df = QUERIES["graph_bowtie_census"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert shuffle_exchange_count(df) <= 6
+
+
 def test_deterministic_walks_is_per_step_argmin_joins(spark, sf_dir):
     """graph_deterministic_walks: per step ONE per-node argmin
     aggregate over the edge table + one equi-join to the |V|-sized

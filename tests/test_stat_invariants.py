@@ -4744,6 +4744,77 @@ def test_deterministic_walks_python_replay(spark, sf_dir):
             assert b in adj[a]
 
 
+def test_bowtie_census_python_replay(spark, sf_dir):
+    """graph_bowtie_census equals a from-scratch Python replay of the
+    4+4 FW-BW min-label rounds, largest-certified-cell core pick, and
+    3 set-BFS reach rounds; also pins the tiling invariant (census
+    sums to |V|) and CORE ⊆ both reach sets."""
+    from collections import Counter, defaultdict
+
+    from etl_geonames_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    fwd = defaultdict(set)
+    rev = defaultdict(set)
+    nodes = set()
+    for r in orders:
+        s = r["o_custkey"]
+        t = (r["o_custkey"] * 7 + r["o_orderkey"] * 3) % 2000
+        fwd[s].add(t)
+        rev[t].add(s)
+        nodes.add(s)
+        nodes.add(t)
+
+    def labels(adj_in):
+        lab = {v: v for v in nodes}
+        for _ in range(4):
+            nxt = dict(lab)
+            for v in nodes:
+                for u in adj_in.get(v, ()):
+                    if lab[u] < nxt[v]:
+                        nxt[v] = lab[u]
+            lab = nxt
+        return lab
+
+    fl = labels(rev)  # min id that REACHES v: propagate down edges
+    bl = labels(fwd)  # min id v reaches: propagate up edges
+    cert = Counter(
+        fl[v] for v in nodes if fl[v] == bl[v]
+    )
+    c = min(cert, key=lambda k: (-cert[k], k))
+    core = {v for v in nodes if fl[v] == c and bl[v] == c}
+
+    def reach(adj):
+        r = set(core)
+        for _ in range(3):
+            r = r | {w for v in r for w in adj.get(v, ())}
+        return r
+
+    fr, bq = reach(fwd), reach(rev)
+    want = Counter()
+    for v in nodes:
+        if v in core:
+            want["CORE"] += 1
+        elif v in fr and v in bq:
+            want["BOTH"] += 1
+        elif v in bq:
+            want["IN"] += 1
+        elif v in fr:
+            want["OUT"] += 1
+        else:
+            want["DISCONNECTED"] += 1
+
+    got = {
+        r["component"]: r["n_nodes"]
+        for r in _rows(spark, sf_dir, "graph_bowtie_census")
+    }
+    assert got == dict(want), (got, dict(want))
+    assert sum(got.values()) == len(nodes)
+    assert core <= fr and core <= bq
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
