@@ -6570,3 +6570,144 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround((2 * tp).cast("double") / (2 * tp + fp + fn), 6),
         ).alias("f1"),
     )
+
+
+# k-center greedy coreset: K selections, integer squared distances on
+# the shared 1e-2 quantization grid (_EDV_SCALE).
+_KCG_K = 8
+
+
+def _kcg_round_sql(r: int) -> str:
+    """One unrolled greedy round: pick the farthest point (max mind,
+    ties to the smaller vec_id — TakeOrdered), record its distance,
+    tighten every point's min-distance against the new center."""
+    return f"""s{r + 1} AS (
+        SELECT vec_id, q FROM m{r} JOIN qz USING (vec_id)
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    p{r + 1} AS (
+        SELECT CAST({r + 1} AS BIGINT) AS sel_order, s.vec_id,
+               (SELECT mind FROM m{r} WHERE vec_id = s.vec_id)
+                   AS d2_sel
+        FROM s{r + 1} s
+    ),
+    m{r + 1} AS (
+        SELECT m.vec_id,
+               LEAST(m.mind, CAST(list_sum(list_transform(
+                   generate_series(1, len(z.q)),
+                   _kc{r} -> (z.q[_kc{r}] - s.q[_kc{r}])
+                           * (z.q[_kc{r}] - s.q[_kc{r}]))) AS BIGINT))
+                   AS mind
+        FROM m{r} m JOIN qz z USING (vec_id), s{r + 1} s
+    )"""
+
+
+@query(
+    "llm_kcenter_coreset",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_EDV_SCALE}.0
+                                   + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    p1 AS (SELECT CAST(1 AS BIGINT) AS sel_order,
+                  MIN(vec_id) AS vec_id,
+                  CAST(0 AS BIGINT) AS d2_sel FROM qz),
+    s1 AS (SELECT z.vec_id, z.q FROM qz z JOIN p1 ON z.vec_id = p1.vec_id),
+    m1 AS (
+        SELECT z.vec_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(z.q)),
+                   _kc0 -> (z.q[_kc0] - s.q[_kc0])
+                         * (z.q[_kc0] - s.q[_kc0]))) AS BIGINT) AS mind
+        FROM qz z, s1 s
+    ),
+    {",".join(_kcg_round_sql(r) for r in range(1, _KCG_K))}
+    {" UNION ALL ".join(
+        f"SELECT sel_order, vec_id, d2_sel FROM p{r}"
+        for r in range(1, _KCG_K + 1)
+    )}
+    """,
+)
+def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection over the embedding corpus
+    (Gonzalez 1985's 2-approximation; Sener & Savarese 2018's
+    coreset-based data selection): start from the smallest vec_id,
+    then K−1 times pick the point FARTHEST from the selected set and
+    tighten every point's min-distance — the classic
+    diversity-maximizing data-pruning pass (each d2_sel is the
+    covering radius the selection guarantees at that step, a
+    monotonically non-increasing sequence pinned in the replay).
+
+    ALL-INTEGER selection: vectors quantize to the shared 1e-2 grid
+    (the llm_dedup_embedding_verifiable discipline), so every squared
+    distance is exact int64 and the argmax (mind desc, vec_id asc —
+    orderBy+limit TakeOrdered, never a window) is engine-exact with
+    no float anywhere near a decision. Degenerate corpora (all points
+    coincide) deterministically re-pick the smallest id at mind 0 on
+    both engines — documented, not guarded.
+
+    100 TB shape: K map passes over the corpus (one broadcast 1-row
+    center each — d-dim metadata) + K TakeOrdereds; the mind table is
+    checkpointed per round (two consumers: the pick and the tighten).
+    K is the budget knob; the published large-K path batches several
+    centers per pass (same joins, k-row broadcast)."""
+    qz = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                _as_double("embedding"),
+                lambda x: F.floor(x * _EDV_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        )
+        .localCheckpoint()  # consumed per round (tighten joins)
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q"), F.col("sq"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    seed = qz.orderBy("vec_id").limit(1)
+    outs = [
+        seed.select(
+            F.lit(1).cast("long").alias("sel_order"),
+            "vec_id",
+            F.lit(0).cast("long").alias("d2_sel"),
+        )
+    ]
+    mind = (
+        qz.crossJoin(F.broadcast(seed.select(F.col("q").alias("sq"))))
+        .select("vec_id", d2.alias("mind"))
+        .localCheckpoint()
+    )
+    for r in range(2, _KCG_K + 1):
+        pick = mind.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        outs.append(
+            pick.select(
+                F.lit(r).cast("long").alias("sel_order"),
+                "vec_id",
+                F.col("mind").alias("d2_sel"),
+            )
+        )
+        center = qz.join(
+            F.broadcast(pick.select("vec_id")), "vec_id"
+        ).select(F.col("q").alias("sq"))
+        mind = (
+            mind.join(qz, "vec_id")
+            .crossJoin(F.broadcast(center))
+            .select(
+                "vec_id", F.least(F.col("mind"), d2).alias("mind")
+            )
+            .localCheckpoint()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

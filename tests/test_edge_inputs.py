@@ -206,6 +206,10 @@ def edge_ddb(edge_sf_dir):
         # universe join may be empty and zero vectors sit on both
         # sides of the semantic gate (n2/ne > 0 guards)
         "llm_decontamination_overlap",
+        # round-13: k-center greedy where the edge corpus may have
+        # fewer than K points or all-coincident points (deterministic
+        # re-pick of the smallest id at mind 0 — documented)
+        "llm_kcenter_coreset",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

@@ -1173,6 +1173,19 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_kcenter_coreset_is_k_map_passes(spark, sf_dir):
+    """llm_kcenter_coreset: K map passes with 1-row center broadcasts
+    + K TakeOrdereds over the checkpointed mind table — no window, no
+    cartesian-at-scale (the crossJoins are 1-row metadata
+    broadcasts), no corpus self-join."""
+    df = QUERIES["llm_kcenter_coreset"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchange_count(df) <= 4
+
+
 def test_bowtie_census_is_bsp_label_rounds(spark, sf_dir):
     """graph_bowtie_census: FW-BW label rounds + set-BFS reach rounds
     behind per-round checkpoints (the cc/scc BSP template); the

@@ -4815,6 +4815,47 @@ def test_bowtie_census_python_replay(spark, sf_dir):
     assert core <= fr and core <= bq
 
 
+def test_kcenter_coreset_python_replay(spark, sf_dir):
+    """llm_kcenter_coreset equals a from-scratch greedy replay on the
+    quantized grid; pins the covering-radius monotonicity (d2_sel
+    non-increasing after the seed) and the Gonzalez invariant that
+    every selection is a true farthest point at its step."""
+    from etl_geonames_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    q = {
+        r["vec_id"]: [
+            int(__import__("math").floor(float(x) * 100 + 0.5))
+            for x in r["embedding"]
+        ]
+        for r in emb
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(q)
+    sel = [(1, seed, 0)]
+    mind = {v: d2(q[v], q[seed]) for v in q}
+    for r in range(2, 9):
+        pick = min(mind, key=lambda v: (-mind[v], v))
+        sel.append((r, pick, mind[pick]))
+        for v in q:
+            dv = d2(q[v], q[pick])
+            if dv < mind[v]:
+                mind[v] = dv
+
+    got = sorted(
+        (r["sel_order"], r["vec_id"], r["d2_sel"])
+        for r in _rows(spark, sf_dir, "llm_kcenter_coreset")
+    )
+    assert got == sel, (got, sel)
+    radii = [d for _o, _v, d in sel[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
