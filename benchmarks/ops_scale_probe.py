@@ -121,6 +121,13 @@ OPS = [
     "ts_dtw_pairs",
     "graph_deterministic_walks",
     "llm_decontamination_overlap",
+    # - bowtie: node-sized label/frontier BSP rounds — linear in |E|
+    #   per round like scc/cc; census output fixed at 5 rows
+    # - kcenter: K map passes x corpus + K TakeOrdereds — linear in
+    #   vectors, indifferent to the 10-copy cliques (a duplicate has
+    #   mind 0 and is never picked)
+    "graph_bowtie_census",
+    "llm_kcenter_coreset",
 ]
 
 
