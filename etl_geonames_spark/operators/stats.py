@@ -7105,3 +7105,106 @@ def stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quade_f"),
         )
     )
+
+
+@query(
+    "stat_hodges_lehmann",
+    oracle="""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type, list(c) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dc GROUP BY event_type
+    ),
+    w AS (
+        SELECT event_type, n, n * (n + 1) // 2 AS nw,
+            list_sort(flatten(list_transform(
+                generate_series(1, CAST(n AS INT)),
+                _hi -> list_transform(
+                    generate_series(_hi, CAST(n AS INT)),
+                    _hj -> v[_hi] + v[_hj])))) AS ws
+        FROM arr
+    )
+    SELECT event_type,
+           n AS n_days,
+           nw AS n_walsh,
+           ws[CAST((nw + 1) // 2 AS INT)] AS walsh_lo,
+           ws[CAST(nw // 2 + 1 AS INT)] AS walsh_hi,
+           (CAST(ws[CAST((nw + 1) // 2 AS INT)] AS DOUBLE)
+            + CAST(ws[CAST(nw // 2 + 1 AS INT)] AS DOUBLE))
+               / CAST(4 AS DOUBLE) AS hl
+    FROM w
+    """,
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann one-sample location estimator per event type
+    (Hodges & Lehmann 1963): the median of all n(n+1)/2 Walsh
+    averages (x_i + x_j)/2, i ≤ j — the robust location family's
+    missing member next to stat_theil_sen (its regression sibling)
+    and stat_wilcoxon_signed (whose confidence interval it inverts):
+    ~real efficiency of the mean at the normal, 29% breakdown.
+
+    ALL-INTEGER core: daily counts are int64, so every Walsh SUM
+    (x_i + x_j, halving deferred) is exact, the median selection is
+    integer array indexing over the sorted sum list (lower/upper
+    middle emitted as exact integers), and the HL value itself is
+    (lo + hi)/4 — sums of two integers divided by an exact power of
+    two, exactly representable in a double on both engines (the
+    0.25-grid; no qround needed, same class as the theta method's
+    alpha = 0.5). Odd n_walsh makes lo = hi and hl = lo/2.
+
+    100 TB shape: one corpus-scale daily aggregate (the ts_kpss bill
+    class), then per-series O(n²) in-cell Walsh arithmetic over the
+    metadata-sized day arrays; the year-scale escape hatch is the
+    published O(n log n) HL selection (Monahan 1984), which replaces
+    the in-cell sort with a rank-binary-search — same statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = dc.groupBy("event_type").agg(
+        F.collect_list("c").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    n = F.col("n").cast("int")
+    ws = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(i.cast("int"), n),
+                    lambda j: F.element_at(F.col("v"), i.cast("int"))
+                    + F.element_at(F.col("v"), j.cast("int")),
+                ),
+            )
+        )
+    )
+    nw = (F.col("n") * (F.col("n") + 1) / F.lit(2)).cast("long")
+    w = arr.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        nw.alias("nw"),
+        ws.alias("ws"),
+    )
+    lo = F.element_at(
+        F.col("ws"), ((F.col("nw") + 1) / F.lit(2)).cast("int")
+    )
+    hi = F.element_at(
+        F.col("ws"), (F.col("nw") / F.lit(2) + 1).cast("int")
+    )
+    return w.select(
+        "event_type",
+        "n_days",
+        F.col("nw").alias("n_walsh"),
+        lo.alias("walsh_lo"),
+        hi.alias("walsh_hi"),
+        ((lo.cast("double") + hi.cast("double")) / F.lit(4.0)).alias(
+            "hl"
+        ),
+    )

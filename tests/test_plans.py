@@ -1173,6 +1173,17 @@ def test_unigram_prune_stays_vocab_sized_after_the_apply_pass(
     assert shuffle_exchange_count(df) <= 6
 
 
+def test_hodges_lehmann_is_daily_series_bill(spark, sf_dir):
+    """stat_hodges_lehmann: one corpus-scale daily aggregate, then
+    per-series in-cell Walsh arithmetic — ts_kpss bill class (≤2
+    exchanges, no join, no window)."""
+    df = QUERIES["stat_hodges_lehmann"](spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_exchange_count(df) <= 2
+    assert "Join" not in plan
+    assert not has_node(df, "Window")
+
+
 def test_kcenter_coreset_is_k_map_passes(spark, sf_dir):
     """llm_kcenter_coreset: K map passes with 1-row center broadcasts
     + K TakeOrdereds over the checkpointed mind table — no window, no

@@ -4856,6 +4856,51 @@ def test_kcenter_coreset_python_replay(spark, sf_dir):
     assert all(a >= b for a, b in zip(radii, radii[1:]))
 
 
+def test_hodges_lehmann_python_replay_and_bounds(spark, sf_dir):
+    """stat_hodges_lehmann equals a brute-force Python replay of the
+    Walsh-average median; pins min(x) ≤ HL ≤ max(x) and the odd-N
+    identity walsh_lo = walsh_hi."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append(r["count"])
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["n_walsh"],
+            r["walsh_lo"],
+            r["walsh_hi"],
+            r["hl"],
+        )
+        for r in _rows(spark, sf_dir, "stat_hodges_lehmann")
+    }
+    assert set(got) == set(series)
+    for t, xs in series.items():
+        n = len(xs)
+        sums = sorted(
+            xs[i] + xs[j] for i in range(n) for j in range(i, n)
+        )
+        nw = n * (n + 1) // 2
+        lo, hi = sums[(nw + 1) // 2 - 1], sums[nw // 2]
+        hl = (lo + hi) / 4
+        assert got[t] == (n, nw, lo, hi, hl), (t, got[t])
+        assert min(xs) <= hl <= max(xs)
+        if nw % 2 == 1:
+            assert lo == hi
+
+
 def test_sample_entropy_python_replay_and_bounds(spark, sf_dir):
     """ts_sample_entropy: brute-force Python replay from the
     definition (Chebyshev template censuses over the daily series)
