@@ -6318,3 +6318,134 @@ def llm_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("double") / F.col("n_tokens"), 6
         ).alias("kept_frac"),
     )
+
+
+# TextTiling block size (tokens per block).
+_TT_W = 10
+
+
+@query(
+    "llm_texttiling_boundaries",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), _tw -> _tw <> '') AS tk
+        FROM documents
+    ),
+    bl AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(tk) // {_TT_W} AS nb,
+               list_transform(generate_series(0, len(tk) // {_TT_W} - 1),
+                   _tb -> list_distinct(list_transform(
+                       generate_series(1, {_TT_W}),
+                       _tk -> tk[CAST(_tb * {_TT_W} + _tk AS INT)])))
+                   AS blocks
+        FROM t WHERE len(tk) >= 2 * {_TT_W}
+    ),
+    sm AS (
+        SELECT doc_id, n_tokens, nb,
+               list_transform(generate_series(1, CAST(nb - 1 AS INT)),
+                   _tg -> CAST(len(list_filter(blocks[_tg],
+                       _tx -> list_contains(blocks[_tg + 1], _tx)))
+                       AS BIGINT)) AS sims
+        FROM bl
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(nb AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN nb >= 4 THEN len(list_filter(
+                   generate_series(2, CAST(nb - 2 AS INT)),
+                   _tq -> sims[_tq] < sims[_tq - 1]
+                      AND sims[_tq] < sims[_tq + 1]))
+                ELSE 0 END AS BIGINT) AS n_boundaries,
+           COALESCE(array_to_string(CASE WHEN nb >= 4 THEN
+                   list_filter(generate_series(2, CAST(nb - 2 AS INT)),
+                       _tz -> sims[_tz] < sims[_tz - 1]
+                          AND sims[_tz] < sims[_tz + 1])
+                ELSE [] END, ','), '') AS boundary_gaps
+    FROM sm
+    """,
+)
+def llm_texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic-boundary detection (Hearst 1997) — the
+    content-AWARE complement of llm_chunk_documents' fixed-size
+    chunking (the difference between RAG chunks that cut mid-topic
+    and chunks that follow the discourse): tile each document into
+    W=10-token blocks, score each gap by the DISTINCT-token overlap
+    of its adjacent blocks, and place a boundary at every strict
+    local MINIMUM of the gap-similarity series (lexical cohesion dips
+    exactly where the topic shifts — Hearst's depth-score valley,
+    simplified to the strict-valley rule so the decision stays
+    integer).
+
+    ALL-INTEGER decisions: gap similarity is an exact intersection
+    COUNT of distinct token sets (no cosine, no normalization —
+    Hearst's own token-overlap variant), and the valley rule compares
+    raw integer counts, so boundary placement is engine-exact with no
+    float anywhere. Interior-gap guard (nb ≥ 4) uses the CASE +
+    typed-empty-array pattern (Spark's sequence(2, 1) DESCENDS — the
+    _shingles rule); empty boundary lists serialize as '' on both
+    engines (the array_to_string NULL gotcha).
+
+    100 TB shape: pure map — one scan, per-doc bounded array
+    arithmetic (blocks ≤ len/W, gaps ≤ blocks), zero joins, zero
+    shuffles beyond the scan; the block/sim arrays are in-cell. The
+    full Hearst pipeline (depth scores with smoothing, cutoff at
+    mean − σ/2) rides the same sims array — one more in-cell
+    transform when needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split("text", " "), lambda w: w != F.lit("")
+    )
+    t = docs.select("doc_id", toks.alias("tk")).filter(
+        F.size("tk") >= 2 * _TT_W
+    )
+    nb = (F.size("tk") / F.lit(_TT_W)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda b: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_TT_W)),
+                lambda k: F.element_at(
+                    F.col("tk"), (b * _TT_W + k).cast("int")
+                ),
+            )
+        ),
+    )
+    bl = t.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        nb.alias("nb"),
+        blocks.alias("blocks"),
+    )
+    sims = F.transform(
+        F.sequence(F.lit(1), F.col("nb") - 1),
+        lambda g: F.size(
+            F.array_intersect(
+                F.element_at(F.col("blocks"), g.cast("int")),
+                F.element_at(F.col("blocks"), (g + 1).cast("int")),
+            )
+        ).cast("long"),
+    )
+    sm = bl.select("doc_id", "n_tokens", "nb", sims.alias("sims"))
+    valleys = F.when(
+        F.col("nb") >= 4,
+        F.filter(
+            F.sequence(F.lit(2), (F.col("nb") - 2).cast("int")),
+            lambda g: (
+                F.element_at(F.col("sims"), g.cast("int"))
+                < F.element_at(F.col("sims"), (g - 1).cast("int"))
+            )
+            & (
+                F.element_at(F.col("sims"), g.cast("int"))
+                < F.element_at(F.col("sims"), (g + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return sm.select(
+        "doc_id",
+        "n_tokens",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.size(valleys).cast("long").alias("n_boundaries"),
+        F.array_join(valleys, ",").alias("boundary_gaps"),
+    )

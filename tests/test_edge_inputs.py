@@ -210,6 +210,10 @@ def edge_ddb(edge_sf_dir):
         # fewer than K points or all-coincident points (deterministic
         # re-pick of the smallest id at mind 0 — documented)
         "llm_kcenter_coreset",
+        # round-13: TextTiling over short/empty docs (every edge doc
+        # is under 2 blocks — empty output; the nb >= 4 CASE guards
+        # Spark's descending sequence)
+        "llm_texttiling_boundaries",
         "mm_image_histogram",
         "mm_audio_resample",
         "mm_modality_route",

@@ -1390,3 +1390,13 @@ def test_theta_forecast_is_daily_series_bill(spark, sf_dir):
     assert shuffle_exchange_count(df) <= 2
     assert "Join" not in plan
     assert not has_node(df, "Window")
+
+
+def test_texttiling_is_pure_map(spark, sf_dir):
+    """llm_texttiling_boundaries: one scan, per-doc in-cell array
+    arithmetic — zero joins, zero shuffles, no window."""
+    df = QUERIES["llm_texttiling_boundaries"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert not has_node(df, "Window")
+    assert shuffle_exchange_count(df) == 0

@@ -5269,3 +5269,55 @@ def test_theta_forecast_python_replay(spark, sf_dir):
     for (et, h), (f, b, _l) in got.items():
         if (et, h + 1) in got:
             assert abs((got[(et, h + 1)][0] - f) - b / 2) < 2e-6
+
+
+def test_texttiling_python_replay(spark, sf_dir):
+    """llm_texttiling_boundaries equals a from-scratch Python replay
+    of the block/overlap/strict-valley pipeline; pins that every
+    boundary gap index is interior (2 ≤ g ≤ nb−2) and that docs under
+    2 blocks are excluded."""
+    from etl_geonames_spark.sources import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    W = 10
+    want = {}
+    for d, txt in texts.items():
+        tk = [w for w in txt.split(" ") if w != ""]
+        nb = len(tk) // W
+        if len(tk) < 2 * W:
+            continue
+        blocks = [
+            set(tk[b * W : (b + 1) * W]) for b in range(nb)
+        ]
+        sims = [
+            len(blocks[g - 1] & blocks[g]) for g in range(1, nb)
+        ]
+        bnd = [
+            g
+            for g in range(2, nb - 1)
+            if sims[g - 1] < sims[g - 2] and sims[g - 1] < sims[g]
+        ]
+        want[d] = (
+            len(tk),
+            nb,
+            len(bnd),
+            ",".join(str(g) for g in bnd),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_blocks"],
+            r["n_boundaries"],
+            r["boundary_gaps"],
+        )
+        for r in _rows(spark, sf_dir, "llm_texttiling_boundaries")
+    }
+    assert got == want, (len(got), len(want))
+    for d, (_n, nb, _c, gaps) in got.items():
+        for g in gaps.split(","):
+            if g:
+                assert 2 <= int(g) <= nb - 2
