@@ -7057,3 +7057,125 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
     )
+
+
+@query(
+    "ts_abc_xyz",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               date_trunc('month', o_orderdate) AS mon
+        FROM orders
+    ),
+    mo AS (
+        SELECT o_custkey, mon,
+               CAST(SUM(cents) // 100 AS BIGINT) AS d
+        FROM o GROUP BY 1, 2
+    ),
+    cust AS (
+        SELECT m.o_custkey AS custkey, c.c_nationkey AS nation,
+               CAST(SUM(m.d) AS BIGINT) AS s,
+               CAST(SUM(m.d * m.d) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM mo m JOIN customer c ON c.c_custkey = m.o_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT custkey, nation, s, s2, n,
+               SUM(s) OVER (PARTITION BY nation
+                            ORDER BY s DESC, custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(s) OVER (PARTITION BY nation) AS tot
+        FROM cust
+    )
+    SELECT custkey, nation,
+           s AS revenue, n AS n_months,
+           CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                WHEN 20 * cum <= 19 * tot THEN 'B'
+                ELSE 'C' END AS abc,
+           CASE WHEN 4 * (n * s2 - s * s) <= s * s THEN 'X'
+                WHEN n * s2 - s * s <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM rk
+    """,
+)
+def ts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ classification per customer within nation — the
+    classic two-axis inventory/revenue segmentation (ABC = Pareto
+    revenue class by cumulative share, 80/95 cuts; XYZ = demand
+    variability class by coefficient of variation of MONTHLY revenue,
+    0.5/1.0 cuts): the planning primitive that decides which series
+    get careful forecasting (AX) and which get min-max stocking (CZ).
+
+    ALL-INTEGER decisions: prices land on the cents grid via the
+    floor-form qround, monthly revenue floors to whole DOLLARS
+    (defined statistic, identical // both engines — and it keeps
+    n·Σd² far inside int64 where cents² would overflow at ~30
+    orders/customer; at 100 TB rescale to the unit that keeps
+    n·Σx² < 2⁶³, CV is scale-invariant), the Pareto cuts are the
+    cross-multiplied predicates 5·cum ≤ 4·tot / 20·cum ≤ 19·tot and
+    the CV cuts 4·(nΣd²−S²) ≤ S² / (nΣd²−S²) ≤ S² — no float ever
+    crosses an engine, no division at all.
+
+    100 TB shape: one orders-scale monthly aggregate, one
+    customer-keyed aggregate, a broadcast-sized customer⋈nation
+    join, then windows PARTITIONED BY NATION (bounded partitions —
+    never the banned global window; a pathological single-nation
+    skew takes the distributed_ntile decomposition)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    )
+    mo = (
+        o.groupBy("o_custkey", "mon")
+        .agg(
+            F.floor(F.sum("cents") / F.lit(100)).cast("long").alias("d")
+        )
+    )
+    cust = (
+        mo.join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nation"),
+            ),
+            "o_custkey",
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"), "nation")
+        .agg(
+            F.sum("d").cast("long").alias("s"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("s").desc(), "custkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("nation")
+    rk = cust.select(
+        "custkey",
+        "nation",
+        "s",
+        "s2",
+        "n",
+        F.sum("s").over(w).alias("cum"),
+        F.sum("s").over(wt).alias("tot"),
+    )
+    var_n = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return rk.select(
+        "custkey",
+        "nation",
+        F.col("s").alias("revenue"),
+        F.col("n").alias("n_months"),
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), F.lit("A"))
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+        F.when(4 * var_n <= F.col("s") * F.col("s"), F.lit("X"))
+        .when(var_n <= F.col("s") * F.col("s"), F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+    )

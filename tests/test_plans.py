@@ -1400,3 +1400,16 @@ def test_texttiling_is_pure_map(spark, sf_dir):
     assert "Join" not in plan
     assert not has_node(df, "Window")
     assert shuffle_exchange_count(df) == 0
+
+
+def test_abc_xyz_is_nation_partitioned_windows(spark, sf_dir):
+    """ts_abc_xyz: two keyed aggregates, one customer-dim join, then
+    windows PARTITIONED BY NATION (bounded partitions — never the
+    banned global window); no cartesian."""
+    df = QUERIES["ts_abc_xyz"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the window exchange partitions on nation, not empty
+    assert "hashpartitioning(nation" in plan
+    assert shuffle_exchange_count(df) <= 4

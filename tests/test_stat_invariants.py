@@ -5321,3 +5321,82 @@ def test_texttiling_python_replay(spark, sf_dir):
         for g in gaps.split(","):
             if g:
                 assert 2 <= int(g) <= nb - 2
+
+
+def test_abc_xyz_python_replay(spark, sf_dir):
+    """ts_abc_xyz equals a from-scratch Python replay of the
+    cents-grid monthly aggregation, whole-dollar flooring, Pareto
+    cross-multiplied cuts, and CV cross-multiplied cuts; also pins
+    that every nation's A-class revenue share is ≥ its B-class
+    members' (ranking sanity) and the class alphabet."""
+    import math
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .collect()
+    )
+    nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    monthly = defaultdict(int)
+    for r in orders:
+        monthly[(r["o_custkey"], r["mon"])] += int(
+            math.floor(r["o_totalprice"] * 100 + 0.5)
+        )
+    per_cust = defaultdict(list)
+    for (ck, _m), cents in monthly.items():
+        per_cust[ck].append(cents // 100)
+    stats = {}
+    by_nation = defaultdict(list)
+    for ck, ds in per_cust.items():
+        if ck not in nat:
+            continue
+        s, s2, n = sum(ds), sum(d * d for d in ds), len(ds)
+        stats[ck] = (nat[ck], s, s2, n)
+        by_nation[nat[ck]].append((s, ck))
+    want = {}
+    for nk, lst in by_nation.items():
+        tot = sum(s for s, _c in lst)
+        cum = 0
+        for s, ck in sorted(lst, key=lambda x: (-x[0], x[1])):
+            cum += s
+            _nk, _s, s2, n = stats[ck]
+            var_n = n * s2 - s * s
+            abc = (
+                "A"
+                if 5 * cum <= 4 * tot
+                else "B" if 20 * cum <= 19 * tot else "C"
+            )
+            xyz = (
+                "X"
+                if 4 * var_n <= s * s
+                else "Y" if var_n <= s * s else "Z"
+            )
+            want[ck] = (nk, s, n, abc, xyz)
+
+    got = {
+        r["custkey"]: (
+            r["nation"],
+            r["revenue"],
+            r["n_months"],
+            r["abc"],
+            r["xyz"],
+        )
+        for r in _rows(spark, sf_dir, "ts_abc_xyz")
+    }
+    assert got == want, (len(got), len(want))
+    for nk in by_nation:
+        a = [got[c][1] for c in got if got[c][0] == nk and got[c][3] == "A"]
+        b = [got[c][1] for c in got if got[c][0] == nk and got[c][3] == "B"]
+        if a and b:
+            assert min(a) >= max(b)
