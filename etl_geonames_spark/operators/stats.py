@@ -7208,3 +7208,185 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl"
         ),
     )
+
+
+def _mpol_med_sql(src: str, key: str | None, val: str = "v") -> str:
+    """Exact grid median of ``val`` per ``key`` (or globally when key
+    is None): average of the two middle order statistics by integer
+    list indexing — the stat_hodges_lehmann selection, never an
+    engine median() (whose interpolation rule differs)."""
+    k = f"{key}, " if key else ""
+    g = f"GROUP BY {key}" if key else ""
+    sel = f"{key} AS k, " if key else ""
+    return (
+        f"SELECT {sel}"
+        f"(ws[CAST((n + 1) // 2 AS INT)]"
+        f" + ws[CAST(n // 2 + 1 AS INT)]) / 2.0 AS m "
+        f"FROM (SELECT {k}list_sort(list({val})) AS ws, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {src} {g})"
+    )
+
+
+@query(
+    "stat_median_polish",
+    oracle=f"""
+    WITH z0 AS (
+        SELECT event_type AS t, date_trunc('day', ts) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rm1 AS ({_mpol_med_sql("z0", "t")}),
+    z1 AS (SELECT z.t, z.d, z.v - r.m AS v
+           FROM z0 z JOIN rm1 r ON r.k = z.t),
+    re1 AS (SELECT k AS t, m AS e FROM rm1),
+    ce0 AS (SELECT DISTINCT d, CAST(0 AS DOUBLE) AS e FROM z0),
+    dc1 AS ({_mpol_med_sql("ce0", None, "e")}),
+    ce0b AS (SELECT d, e - (SELECT m FROM dc1) AS e FROM ce0),
+    cm1 AS ({_mpol_med_sql("z1", "d")}),
+    z2 AS (SELECT z.t, z.d, z.v - c.m AS v
+           FROM z1 z JOIN cm1 c ON c.k = z.d),
+    ce1 AS (SELECT ce0b.d, ce0b.e + c.m AS e
+            FROM ce0b JOIN cm1 c ON c.k = ce0b.d),
+    dr1 AS ({_mpol_med_sql("re1", None, "e")}),
+    re2 AS (SELECT t, e - (SELECT m FROM dr1) AS e FROM re1),
+    rm2 AS ({_mpol_med_sql("z2", "t")}),
+    z3 AS (SELECT z.t, z.d, z.v - r.m AS v
+           FROM z2 z JOIN rm2 r ON r.k = z.t),
+    re3 AS (SELECT re2.t, re2.e + r.m AS e
+            FROM re2 JOIN rm2 r ON r.k = re2.t),
+    dc2 AS ({_mpol_med_sql("ce1", None, "e")}),
+    ce2 AS (SELECT d, e - (SELECT m FROM dc2) AS e FROM ce1),
+    cm2 AS ({_mpol_med_sql("z3", "d")}),
+    z4 AS (SELECT z.t, z.d, z.v - c.m AS v
+           FROM z3 z JOIN cm2 c ON c.k = z.d),
+    ce3 AS (SELECT ce2.d, ce2.e + c.m AS e
+            FROM ce2 JOIN cm2 c ON c.k = ce2.d),
+    dr2 AS ({_mpol_med_sql("re3", None, "e")}),
+    re4 AS (SELECT t, e - (SELECT m FROM dr2) AS e FROM re3)
+    SELECT z4.t AS event_type, z4.d AS day,
+           z4.v AS residual,
+           re4.e AS row_effect,
+           ce3.e AS col_effect,
+           (SELECT m FROM dc1) + (SELECT m FROM dr1)
+             + (SELECT m FROM dc2) + (SELECT m FROM dr2) AS overall
+    FROM z4 JOIN re4 ON re4.t = z4.t JOIN ce3 ON ce3.d = z4.d
+    """,
+)
+def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the event_type × day count table
+    (Tukey 1977; exactly R stats::medpolish's sweep order, 2
+    iterations): alternately subtract row and column medians,
+    absorbing the median of the opposite effect vector into the
+    overall term — the ROBUST two-way decomposition x = overall +
+    row_effect + col_effect + residual (the rank-one median analogue
+    of two-way ANOVA; large |residual| = cell-level anomaly that
+    neither a day effect nor a type effect explains — the outlier
+    screen that mean-based decompositions smear).
+
+    Cross-engine EXACT with no rounding grid: counts are integers,
+    every median is the average of the two middle order statistics
+    by INTEGER list indexing (the stat_hodges_lehmann selection —
+    never an engine median(), whose even-n interpolation rule is the
+    engine's own), so all intermediate values live on the exact
+    2^-k binary grid and every subtraction is exact IEEE. The
+    decomposition identity count = overall + re + ce + residual is
+    pinned exactly in the replay test.
+
+    100 TB shape: one corpus-scale daily aggregate, then 4 grid-wide
+    sweeps — each a grid-keyed median aggregate (row/col-sized) +
+    one broadcast-sized effect join + a 1-row scalar absorb; the
+    grid (types × days) is metadata, checkpointed per half-step so
+    the final plan stays shallow (the ladder-collapse rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    z = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .localCheckpoint()
+    )
+
+    def med_expr(n, ws):
+        lo = F.element_at(ws, ((n + 1) / F.lit(2)).cast("int"))
+        hi = F.element_at(ws, (n / F.lit(2) + 1).cast("int"))
+        return (lo + hi) / F.lit(2.0)
+
+    def gmed(df, key, val="v"):
+        a = df.groupBy(key).agg(
+            F.sort_array(F.collect_list(val)).alias("ws"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return a.select(
+            F.col(key).alias("k"), med_expr(F.col("n"), F.col("ws")).alias("m")
+        )
+
+    def smed(df, val="e"):
+        a = df.agg(
+            F.sort_array(F.collect_list(val)).alias("ws"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return a.select(med_expr(F.col("n"), F.col("ws")).alias("m"))
+
+    re_ = None
+    ce = z.select("d").distinct().select(
+        "d", F.lit(0.0).alias("e")
+    )
+    overall = F.lit(0.0)
+    scalars = []
+    for _ in range(2):
+        rm = gmed(z, "t")
+        z = (
+            z.join(F.broadcast(rm), z["t"] == rm["k"])
+            .select("t", "d", (F.col("v") - F.col("m")).alias("v"))
+            .localCheckpoint()
+        )
+        re_ = (
+            rm.select(F.col("k").alias("t"), F.col("m").alias("e"))
+            if re_ is None
+            else re_.join(F.broadcast(rm), re_["t"] == rm["k"]).select(
+                "t", (F.col("e") + F.col("m")).alias("e")
+            )
+        ).localCheckpoint()
+        dc = smed(ce).localCheckpoint()
+        scalars.append(dc)
+        ce = ce.crossJoin(F.broadcast(dc)).select(
+            "d", (F.col("e") - F.col("m")).alias("e")
+        )
+        cm = gmed(z, "d")
+        z = (
+            z.join(F.broadcast(cm), z["d"] == cm["k"])
+            .select("t", "d", (F.col("v") - F.col("m")).alias("v"))
+            .localCheckpoint()
+        )
+        ce = ce.join(F.broadcast(cm), ce["d"] == cm["k"]).select(
+            "d", (F.col("e") + F.col("m")).alias("e")
+        ).localCheckpoint()
+        dr = smed(re_).localCheckpoint()
+        scalars.append(dr)
+        re_ = re_.crossJoin(F.broadcast(dr)).select(
+            "t", (F.col("e") - F.col("m")).alias("e")
+        )
+    ov = scalars[0]
+    for s in scalars[1:]:
+        ov = ov.crossJoin(s.withColumnRenamed("m", "m2")).select(
+            (F.col("m") + F.col("m2")).alias("m")
+        )
+    return (
+        z.join(
+            F.broadcast(re_.withColumnRenamed("e", "row_effect")), "t"
+        )
+        .join(
+            F.broadcast(ce.withColumnRenamed("e", "col_effect")), "d"
+        )
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("d").alias("day"),
+            F.col("v").alias("residual"),
+            "row_effect",
+            "col_effect",
+            F.col("m").alias("overall"),
+        )
+    )

@@ -56,16 +56,17 @@ _OPERATOR_MODULES = [
 # degree joins were de-broadcast this round per VERDICT r12 item 2;
 # this rule outranks merely-old), then ALL remaining names ordered by
 # last-driver-checked round ASCENDING (stable within a round) — the
-# window carries 10 + 1 + 39 stale re-checks: ALL 11 remaining r1-era
-# names and 28 of the 50 r2-era names, cutting the r1/r2 backlog from
-# 61 to 22 (the r12 verdict's drain plan; the remaining 18 r2 names
+# window carries 12 + 1 + 37 stale re-checks: ALL 11 remaining r1-era
+# names and 26 of the 50 r2-era names, cutting the r1/r2 backlog from
+# 61 to 24 (the r12 verdict's drain plan; the remaining 18 r2 names
 # lead the r14 window and the cohort is then empty). CORRECTNESS_r12's
 # 50 names sit at the back. Every rotated-out name stays guarded by
 # tests/test_oracle_parity.py, which checks ALL queries every run.
 # ROUND-14 PLAN: same recipe — move the CORRECTNESS_r13 names to the
 # back, promote round-14 additions + plan-changed names to the head,
-# drain the final 22 r2-era names.
+# drain the final 24 r2-era names.
 _DRIVER_PRIORITY = [
+    'ts_abc_xyz', 'stat_median_polish',
     'llm_texttiling_boundaries', 'stat_hodges_lehmann',
     'graph_bowtie_census', 'llm_kcenter_coreset',
     'llm_unigram_prune', 'llm_decontamination_overlap',

@@ -1413,3 +1413,15 @@ def test_abc_xyz_is_nation_partitioned_windows(spark, sf_dir):
     # the window exchange partitions on nation, not empty
     assert "hashpartitioning(nation" in plan
     assert shuffle_exchange_count(df) <= 4
+
+
+def test_median_polish_is_grid_sweeps(spark, sf_dir):
+    """stat_median_polish: one corpus-scale daily aggregate, then
+    grid-sized median sweeps behind per-half-step checkpoints with
+    broadcast effect joins — no global window, no cartesian-at-scale
+    (crossJoins are 1-row scalar absorbs)."""
+    df = QUERIES["stat_median_polish"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert not has_node(df, "Window")
+    assert shuffle_exchange_count(df) <= 4

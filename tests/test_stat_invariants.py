@@ -5400,3 +5400,73 @@ def test_abc_xyz_python_replay(spark, sf_dir):
         b = [got[c][1] for c in got if got[c][0] == nk and got[c][3] == "B"]
         if a and b:
             assert min(a) >= max(b)
+
+
+def test_median_polish_python_replay_and_identity(spark, sf_dir):
+    """stat_median_polish equals R-medpolish(2 iterations) replayed
+    in Python, and the decomposition identity holds EXACTLY:
+    count = overall + row_effect + col_effect + residual for every
+    cell (all values on the exact 2^-k binary grid, so == not
+    approx)."""
+    from collections import defaultdict
+
+    from etl_geonames_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    x = {(r["event_type"], r["day"]): float(r["count"]) for r in daily}
+    ts = sorted({t for t, _d in x})
+    ds = sorted({d for _t, d in x})
+
+    def med(vals):
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1] + s[n // 2]) / 2
+
+    z = dict(x)
+    re = {t: 0.0 for t in ts}
+    ce = {d: 0.0 for d in ds}
+    ov = 0.0
+    for _ in range(2):
+        for t in ts:
+            m = med([z[(t, d)] for d in ds if (t, d) in z])
+            for d in ds:
+                if (t, d) in z:
+                    z[(t, d)] -= m
+            re[t] += m
+        dm = med(list(ce.values()))
+        for d in ds:
+            ce[d] -= dm
+        ov += dm
+        for d in ds:
+            m = med([z[(t, d)] for t in ts if (t, d) in z])
+            for t in ts:
+                if (t, d) in z:
+                    z[(t, d)] -= m
+            ce[d] += m
+        dm = med(list(re.values()))
+        for t in ts:
+            re[t] -= dm
+        ov += dm
+
+    got = {
+        (r["event_type"], r["day"]): (
+            r["residual"],
+            r["row_effect"],
+            r["col_effect"],
+            r["overall"],
+        )
+        for r in _rows(spark, sf_dir, "stat_median_polish")
+    }
+    assert set(got) == set(x)
+    for k, (res, rf, cf, o) in got.items():
+        t, d = k
+        assert res == z[k], (k, res, z[k])
+        assert rf == re[t] and cf == ce[d] and o == ov
+        assert o + rf + cf + res == x[k]  # exact identity
