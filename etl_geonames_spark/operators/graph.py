@@ -92,15 +92,17 @@ def _pagerank_round_sql(prev: str) -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (see module docstring for the 100 TB
-    partitioning strategy). The iteration state is localCheckpointed
-    per round — the graph_cc_bounded convention — so round r+1's plan
-    joins a node-sized checkpointed rank table instead of replaying
-    rounds 1..r (the lazy one-plan form re-executed every prior
-    round's subplan per branch: 24 census shuffles → per-round
-    constant). The precomputed edge/outdeg/node tables are
-    checkpointed once for the same reason: each of the 3 rounds
-    consumes all three. ``pagerank_bucketed`` remains the layout that
-    additionally kills the per-round src-join shuffle."""
+    partitioning strategy). The rank state has exactly ONE consumer
+    per round (the contribution join; the damped merge reads the
+    static ``nodes`` table, not the previous ranks), so the 3 rounds
+    unroll LAZILY into one linear plan executed as ONE job — nothing
+    re-executes, and the per-round blocking-checkpoint scheduling
+    floor disappears (the graph_cc_bounded r14 collapse; guide
+    §1.2/§2.4). The precomputed edge/outdeg/node tables stay
+    checkpointed once: each of the 3 rounds consumes all three, so
+    un-pinned they would re-execute per round inside the lazy tower.
+    ``pagerank_bucketed`` remains the layout that additionally kills
+    the per-round src-join shuffle."""
     edges = _edges(spark, sf_dir).localCheckpoint()
     outdeg = (
         edges.groupBy("src")
@@ -129,7 +131,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.15)
                 + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
-        ).localCheckpoint()
+        )
     return ranks.select("node", qround(F.col("rank"), 6).alias("rank"))
 
 
@@ -429,12 +431,17 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per hop with a DISTINCT between hops — the distinct is what keeps
     the frontier a SET, so multiplicities never explode along
     parallel paths (without it the row count is path-count, which is
-    exponential). The frontier is localCheckpointed per hop (the
-    graph_cc_bounded convention): each hop consumes the previous
-    frontier TWICE (the edge join + the keep-union), so the lazy
-    one-plan form re-executed every earlier hop's subplan per branch
-    (20 census shuffles → per-hop constant); the oracle unrolls the
-    identical CTEs.
+    exponential). The keep-union is folded into the SAME join by
+    expanding through the self-loop-AUGMENTED edge list (aug = edges
+    ∪ {v→v}): a frontier row survives via its self-loop and expands
+    via its real edges, so each hop has exactly ONE consumer of the
+    previous frontier and the 3 hops unroll LAZILY into one plan
+    executed as one job — no per-hop localCheckpoint blocking jobs
+    (the graph_cc_bounded r14 collapse; the two-consumer
+    join-plus-union form this replaces re-executed every earlier
+    hop's subplan per branch). The oracle unrolls the identical
+    union-form CTEs — DISTINCT(r ∪ N(r)) ≡ DISTINCT(aug-expand(r))
+    because every node carries a self-loop.
 
     100 TB shape: each hop shuffles the frontier on node and the
     dedup on (seed, node) — frontier-linear, never path-count.
@@ -443,17 +450,26 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (pagerank_bucketed) removes the edge-side exchange per hop
     here too."""
     e = _edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    aug = e.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
     seeds = (
         e.select(F.col("src").alias("seed"))
         .where(F.col("seed") < 10)
         .distinct()
     )
-    r = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint()
+    r = seeds.select("seed", F.col("seed").alias("node"))
     for _ in range(3):
-        step = r.join(
-            e, r["node"] == e["src"]
-        ).select("seed", F.col("dst").alias("node"))
-        r = r.unionByName(step).distinct().localCheckpoint()
+        r = (
+            aug.join(r, aug["src"] == r["node"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
     return r.groupBy("seed").agg(
         F.count(F.lit(1)).alias("n_reachable")
     )
@@ -494,16 +510,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     within its k-hop neighborhood, so round counts trade convergence
     for cost explicitly.
 
-    Each round: one aggregate of neighbor minima (map-side combined)
-    + one broadcast-or-hash left join back to the node set — labels
-    are |nodes| rows, edges only ever feed the aggregate. The label
-    table is localCheckpointed per round (the graph_cc_bounded
-    convention, applied here round 6): each round consumes the
-    previous labels TWICE (the neighbor aggregate + the keep-merge),
-    so the lazy unrolled form re-executed earlier rounds per branch
-    — 15 census shuffles, the heaviest plan left after the
-    pagerank/khop fixes. Bucketed edges remove the per-round edge
-    exchange (pagerank_bucketed's plan argument, identical here)."""
+    Each round: ONE equi-join + ONE min aggregate (map-side combined)
+    over the self-loop-AUGMENTED edge list — the (v, v) rows deliver
+    each node's own label into the aggregate, so the keep-merge left
+    join is gone and each round has a single consumer of the previous
+    labels. The 3 rounds therefore unroll LAZILY into one plan
+    executed as one job (the graph_cc_bounded r14 collapse — no
+    per-round checkpoint jobs, nothing re-executes). Bucketed edges
+    remove the per-round edge exchange (pagerank_bucketed's plan
+    argument, identical here)."""
     und, labels = _lpa_labels(spark, sf_dir)
     return labels
 
@@ -527,27 +542,29 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select(
-        "node", F.col("node").alias("label")
+    # self-loop-augmented round (the graph_cc_bounded r14 form): the
+    # (v, v) rows deliver each node's own label into its min
+    # aggregate, so LEAST(own, neighbor-min) is ONE join + ONE
+    # aggregate with a single consumer of the previous label table —
+    # the 3 rounds unroll lazily, no per-round checkpoint jobs.
+    # graph_modularity checkpoints the RESULT once (it reads the
+    # labels from three subtrees); graph_label_propagation consumes
+    # it exactly once and needs no pin.
+    aug = und.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(3):
-        minl = (
-            und.join(
+        labels = (
+            aug.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("label").alias("nl")
                 ),
                 "dst",
             )
-            .groupBy("src")
-            .agg(F.min("nl").alias("minl"))
-            .withColumnRenamed("src", "node")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("label"))
         )
-        labels = labels.join(minl, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("minl"), F.col("label"))
-            ).alias("label"),
-        ).localCheckpoint()
     return und, labels
 
 
@@ -642,10 +659,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     # cap the adjacency FIRST so the self-join's input (not just its
-    # output) shrinks: broadcast the capped degree table onto the
-    # edge list, then wedge only surviving centers
+    # output) shrinks. The capped-degree join carries NO broadcast
+    # hint (VERDICT r13): on a power-law graph the d ≤ τ table is one
+    # row per nearly EVERY node, so a forced broadcast is a |V|-row
+    # relation on every executor — OOM at billions of nodes. It is a
+    # plain equi join: AQE picks broadcast when the node table DOES
+    # fit (fixture scale) and a shuffled join when it doesn't — the
+    # graph_local_bridges r12 de-broadcast precedent.
     adj = und.join(
-        F.broadcast(deg.filter(F.col("d") <= _AA_DEGREE_CAP)), "s"
+        deg.filter(F.col("d") <= _AA_DEGREE_CAP), "s"
     ).localCheckpoint()
     a, b = adj.alias("a"), adj.alias("b")
     # the pair key packs into ONE int64 (na·2³² + nb — node ids are
@@ -924,9 +946,16 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round: ONE equi-join of the label table against the
     self-loop-augmented edge list and ONE min aggregate — the
-    hash-partitioned BSP step, localCheckpointed per round so round
-    r+1's lineage doesn't replay rounds 1..r (the pagerank discipline;
-    plan depth stays O(1) per round). Diameter > 6 components keep
+    hash-partitioned BSP step. The label state has exactly ONE
+    consumer per round (the self-loop union folds the keep-own-label
+    merge into the same aggregate), so the 6 rounds unroll LAZILY
+    into one linear plan executed as ONE job — no per-round
+    localCheckpoint: nothing re-executes (single-consumer chain), and
+    the per-round blocking-job scheduling floor disappears (guide
+    §2.4/§1.2; at scale it also
+    skips 6 node-sized state materializations). Only the
+    multi-consumer edge tables stay checkpointed (und inside _und;
+    aug feeds all 6 rounds). Diameter > 6 components keep
     multiple labels — by design; production runs rounds until a
     convergence counter (count of label changes) hits zero, with
     large-star/small-star contraction cutting round count
@@ -939,13 +968,12 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    lab = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    lab = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(_CC_ROUNDS):
         lab = (
             aug.join(lab, aug["t"] == lab["node"])
             .groupBy(aug["s"].alias("node"))
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
     return lab.groupBy(F.col("lbl").cast("long").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
@@ -1158,17 +1186,25 @@ def graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_cc_bounded discipline: both engines replay the same 2×4
     half-steps (DuckDB as stacked CTEs), so a direction slip —
     passing labels up an edge in a forward round — breaks the value
-    hash. Per round ONE equi-join + ONE min aggregate + a left-join
-    merge, labels localCheckpointed per round (plan depth O(1) per
-    round; the lazy form re-executes earlier rounds per branch).
-    Diameter > 4 SCCs fragment into multiple (fwd, bwd) cells — by
-    design; production iterates to a fixpoint with a convergence
-    counter and recurses FW-BW on the undecided remainder.
+    hash. Per round ONE equi-join + ONE min aggregate over the
+    self-loop-AUGMENTED edge list (aug = edges ∪ {v→v}): the
+    self-loop row delivers each node's own label into its aggregate,
+    so min(own, neighbor-min) — the oracle's LEAST + left-join merge
+    — is ONE aggregate with a single consumer of the previous label
+    state. The 2×4 rounds therefore unroll LAZILY into one plan
+    executed as one job: nothing re-executes (single-consumer
+    chains), the fwd/bwd towers are independent subtrees whose stages
+    the DAG scheduler overlaps, and the 8 per-round blocking
+    checkpoint jobs (plus one merge join per round) disappear — the
+    graph_cc_bounded r14 collapse. Diameter > 4 SCCs fragment into
+    multiple (fwd, bwd) cells — by design; production iterates to a
+    fixpoint with a convergence counter and recurses FW-BW on the
+    undecided remainder.
 
-    100 TB shape: label tables are node-sized, edges checkpointed
-    once; every join is hash-partitioned on a node key — the same
-    BSP template as cc/pagerank/khop, bucketed edge layout applies
-    unchanged."""
+    100 TB shape: label tables are node-sized, the augmented edge
+    list checkpointed once; every join is hash-partitioned on a node
+    key — the same BSP template as cc/pagerank/khop, bucketed edge
+    layout applies unchanged (self-loops bucket like any edge)."""
     e = _edges(spark, sf_dir).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1176,25 +1212,17 @@ def graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    aug = e.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
 
     def propagate(edge_from: str, edge_to: str) -> DataFrame:
         lab = nodes.select("node", F.col("node").alias("lbl"))
         for _ in range(_SCC_ROUNDS):
-            m = (
-                e.join(lab, e[edge_from] == lab["node"])
-                .groupBy(e[edge_to].alias("node"))
-                .agg(F.min("lbl").alias("minl"))
-            )
             lab = (
-                lab.join(m, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("lbl"),
-                        F.coalesce(F.col("minl"), F.col("lbl")),
-                    ).alias("lbl"),
-                )
-                .localCheckpoint()
+                aug.join(lab, aug[edge_from] == lab["node"])
+                .groupBy(aug[edge_to].alias("node"))
+                .agg(F.min("lbl").alias("lbl"))
             )
         return lab
 
@@ -1502,6 +1530,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-or-hash) + a degree aggregate — community count never
     materializes more than |communities| rows."""
     und, labels = _lpa_labels(spark, sf_dir)
+    # three consumers below (la, lb, the degree-mass join) — pin the
+    # converged label table once so the lazy 3-round tower does not
+    # re-execute per subtree (_lpa_labels r14 contract)
+    labels = labels.localCheckpoint()
     m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
     la = labels.select(
         F.col("node").alias("src"), F.col("label").alias("cla")
@@ -1760,6 +1792,11 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot-sorted fold (the llm_unigram_em_round lattice discipline;
     a groupBy SUM of the same doubles would be engine-order
     dependent). Emit rounds at the 1e-9 grid for belt-and-braces.
+    Caveat (ADVICE r13): the oracle sorts successor lists on
+    CAST(node id AS DOUBLE) — exact only for ids below 2^53 (like
+    the documented w < 1e5 walk-packing assumption); at
+    beyond-2^53 ids sort the oracle lists on a BIGINT struct key
+    instead.
 
     100 TB shape: frontier-linear like graph_khop_reachability — each
     level is one edge equi-join + one (p,v) aggregation; the level-1/2
@@ -2266,12 +2303,19 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node-SET distinct per round — frontier-linear, the khop rule).
     All-integer/string output: component name + exact count.
 
-    100 TB shape: label and frontier tables are node-sized, the edge
-    table is checkpointed once and every join is hash-partitioned on
-    a node key (the BSP template shared with cc/scc/khop/pagerank);
-    the census is a 5-row aggregate. The core-label selection is a
-    1-row TakeOrdered broadcast into the core filter — metadata, not
-    a node-scale broadcast."""
+    100 TB shape: label and frontier tables are node-sized, the
+    self-loop-augmented edge table is checkpointed once and every
+    join is hash-partitioned on a node key (the BSP template shared
+    with cc/scc/khop/pagerank — here in the r14 single-consumer lazy
+    form: the FW-BW min-label towers and the two reach towers carry
+    no per-round checkpoints, because the self-loop union gives every
+    round exactly one consumer of its predecessor, so the whole
+    census runs as ~3 blocking jobs instead of ~17; see
+    graph_scc_bounded). The census is a 5-row aggregate. The
+    core-label selection is a 1-row TakeOrdered broadcast into the
+    core filter — metadata, not a node-scale broadcast; ``cells`` and
+    ``core`` stay checkpointed (genuinely multi-consumer: the label
+    pick + filter, and the two reach towers + census join)."""
     e = _edges(spark, sf_dir).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -2279,25 +2323,17 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    aug = e.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
 
     def propagate(edge_from: str, edge_to: str) -> DataFrame:
         lab = nodes.select("node", F.col("node").alias("lbl"))
         for _ in range(_SCC_ROUNDS):
-            m = (
-                e.join(lab, e[edge_from] == lab["node"])
-                .groupBy(e[edge_to].alias("node"))
-                .agg(F.min("lbl").alias("minl"))
-            )
             lab = (
-                lab.join(m, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("lbl"),
-                        F.coalesce(F.col("minl"), F.col("lbl")),
-                    ).alias("lbl"),
-                )
-                .localCheckpoint()
+                aug.join(lab, aug[edge_from] == lab["node"])
+                .groupBy(aug[edge_to].alias("node"))
+                .agg(F.min("lbl").alias("lbl"))
             )
         return lab
 
@@ -2305,7 +2341,7 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = propagate("dst", "src")
     cells = f.withColumnRenamed("lbl", "fl").join(
         b.withColumnRenamed("lbl", "bl"), "node"
-    )
+    ).localCheckpoint()
     core_lbl = (
         cells.filter(F.col("fl") == F.col("bl"))
         .groupBy(F.col("fl").alias("c"))
@@ -2322,12 +2358,17 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reach(edge_from: str, edge_to: str) -> DataFrame:
+        # DISTINCT(r ∪ N(r)) ≡ DISTINCT(aug-expand(r)) — every node
+        # carries a self-loop, so the keep-union folds into the one
+        # expansion join and each round has a single consumer (the
+        # khop r14 lazy form; no per-round checkpoint jobs)
         r = core
         for _ in range(_BOWTIE_REACH):
-            step = r.join(e, r["node"] == e[edge_from]).select(
-                e[edge_to].alias("node")
+            r = (
+                aug.join(r, aug[edge_from] == r["node"])
+                .select(aug[edge_to].alias("node"))
+                .distinct()
             )
-            r = r.unionByName(step).distinct().localCheckpoint()
         return r
 
     fr = reach("src", "dst").withColumn("f_hit", F.lit(1))

@@ -716,38 +716,47 @@ def _propagate_min_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     all, which is the difference between iterating over a few million
     near-dup members and iterating over 100 TB of corpus per round.
 
-    Per round: one join+aggregate for each vertex's neighborhood min,
-    one left join to fold it in, one localCheckpoint to truncate
-    lineage. The convergence check rides on the checkpointed frame
-    (the old label is carried as a column, so "did anything change" is
-    a filter-count over cached blocks — no extra join job). Raises
-    rather than returning unconverged (silently split) components."""
+    Per round: ONE join+aggregate over the self-loop-AUGMENTED edge
+    set — the (v, v) rows deliver each vertex's own label into its
+    min aggregate (so the keep-own left-join merge of the pre-r14
+    form is gone), and the same aggregate emits the previous label
+    (the self-loop row's value, a max-of-one) so the convergence
+    check still rides the checkpointed frame as a filter-count over
+    cached blocks — no extra join job. The checkpoint per round stays:
+    a CONVERGENCE loop must materialize each round anyway (the driver
+    reads the changed-count), unlike the fixed-round graph family's
+    lazy towers. Raises rather than returning unconverged (silently
+    split) components."""
     sym = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()  # pin the edge set; it is reused every round
+    ).localCheckpoint()  # pin the (possibly expensive) edge derivation once
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    # self-loop augmentation from the two checkpointed tables — a pure
+    # union of RDD scans (no shuffle), cheap to re-derive every round
+    aug = sym.unionByName(
+        labels.select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
     changed = 0
     for _ in range(max_rounds):  # bound ≫ any plausible dup-cluster diameter
-        neighbor_min = (
-            sym.join(labels, sym["doc_b"] == labels["doc_id"])
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
         stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("_prev"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+            aug.join(labels, aug["doc_b"] == labels["doc_id"])
+            .groupBy(aug["doc_a"].alias("doc_id"))
+            .agg(
+                F.min("label").alias("label"),
+                # the self-loop row carries this vertex's own previous
+                # label — max over the single matching row
+                F.max(
+                    F.when(aug["doc_b"] == aug["doc_a"], F.col("label"))
+                ).alias("_prev"),
             )
             .localCheckpoint()  # truncate lineage: iterative plans blow up
         )
@@ -6613,8 +6622,9 @@ def _kcg_round_sql(r: int) -> str:
         FROM embeddings
     ),
     p1 AS (SELECT CAST(1 AS BIGINT) AS sel_order,
-                  MIN(vec_id) AS vec_id,
-                  CAST(0 AS BIGINT) AS d2_sel FROM qz),
+                  vec_id,
+                  CAST(0 AS BIGINT) AS d2_sel
+           FROM qz ORDER BY vec_id LIMIT 1),
     s1 AS (SELECT z.vec_id, z.q FROM qz z JOIN p1 ON z.vec_id = p1.vec_id),
     m1 AS (
         SELECT z.vec_id,

@@ -7292,11 +7292,24 @@ def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition identity count = overall + re + ce + residual is
     pinned exactly in the replay test.
 
-    100 TB shape: one corpus-scale daily aggregate, then 4 grid-wide
-    sweeps — each a grid-keyed median aggregate (row/col-sized) +
-    one broadcast-sized effect join + a 1-row scalar absorb; the
-    grid (types × days) is metadata, checkpointed per half-step so
-    the final plan stays shallow (the ladder-collapse rule)."""
+    100 TB shape (r14 ladder-collapse): one corpus-scale daily
+    aggregate, then the 4 grid-wide sweeps as a SINGLE-CONSUMER chain
+    of grid-partitioned windows — each half-step computes its
+    row/col median over the t- (or d-) partition and subtracts it in
+    the same projection, carrying the subtracted median along as a
+    column. The whole chain is one lazy plan; only the final swept
+    grid is checkpointed (it feeds the output rows AND the two
+    effect-vector derivations), so the query is 2 blocking jobs
+    instead of ~15 (was: a checkpoint per half-step + per scalar
+    absorb — 2.8 s of scheduling floor for 150-row math, VERDICT
+    r13). The effect algebra is applied in the oracle's exact op
+    order on the carried medians; the first scalar absorb dc1 is the
+    median of an all-zero vector — exactly +0.0 in IEEE (medians here
+    are (lo+hi)/2 of order statistics; counts are positive and x−x
+    rounds to +0.0, so −0.0 never arises) — and is kept as the
+    literal 0.0 term so every emitted double is bit-identical to the
+    unrolled sweep. Windows are partitioned by grid keys (never
+    global; the grid is metadata-sized by construction)."""
     ev = load_table(spark, sf_dir, "events")
     z = (
         ev.select(
@@ -7305,88 +7318,83 @@ def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("t", "d")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
-        .localCheckpoint()
     )
 
-    def med_expr(n, ws):
+    def med_of(ws):
+        n = F.size(ws).cast("long")
         lo = F.element_at(ws, ((n + 1) / F.lit(2)).cast("int"))
         hi = F.element_at(ws, (n / F.lit(2) + 1).cast("int"))
         return (lo + hi) / F.lit(2.0)
 
-    def gmed(df, key, val="v"):
-        a = df.groupBy(key).agg(
-            F.sort_array(F.collect_list(val)).alias("ws"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        return a.select(
-            F.col(key).alias("k"), med_expr(F.col("n"), F.col("ws")).alias("m")
+    def sweep(df, key, mcol):
+        """One half-step: median of v over the key-partition window,
+        subtracted in place; the median rides along as ``mcol``."""
+        w = Window.partitionBy(key)
+        m = med_of(F.sort_array(F.collect_list("v").over(w)))
+        return df.select(
+            "t",
+            "d",
+            *[c for c in df.columns if c not in ("t", "d", "v")],
+            m.alias(mcol),
+            "v",
+        ).select(
+            *[c for c in df.columns if c != "v"],
+            mcol,
+            (F.col("v") - F.col(mcol)).alias("v"),
         )
 
-    def smed(df, val="e"):
-        a = df.agg(
-            F.sort_array(F.collect_list(val)).alias("ws"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        return a.select(med_expr(F.col("n"), F.col("ws")).alias("m"))
-
-    re_ = None
-    ce = z.select("d").distinct().select(
-        "d", F.lit(0.0).alias("e")
+    z4 = (
+        sweep(sweep(sweep(sweep(z, "t", "rm1"), "d", "cm1"), "t", "rm2"),
+              "d", "cm2")
+        .localCheckpoint()  # 3 consumers: output rows + both effect vectors
     )
-    overall = F.lit(0.0)
-    scalars = []
-    for _ in range(2):
-        rm = gmed(z, "t")
-        z = (
-            z.join(F.broadcast(rm), z["t"] == rm["k"])
-            .select("t", "d", (F.col("v") - F.col("m")).alias("v"))
-            .localCheckpoint()
-        )
-        re_ = (
-            rm.select(F.col("k").alias("t"), F.col("m").alias("e"))
-            if re_ is None
-            else re_.join(F.broadcast(rm), re_["t"] == rm["k"]).select(
-                "t", (F.col("e") + F.col("m")).alias("e")
-            )
-        ).localCheckpoint()
-        dc = smed(ce).localCheckpoint()
-        scalars.append(dc)
-        ce = ce.crossJoin(F.broadcast(dc)).select(
-            "d", (F.col("e") - F.col("m")).alias("e")
-        )
-        cm = gmed(z, "d")
-        z = (
-            z.join(F.broadcast(cm), z["d"] == cm["k"])
-            .select("t", "d", (F.col("v") - F.col("m")).alias("v"))
-            .localCheckpoint()
-        )
-        ce = ce.join(F.broadcast(cm), ce["d"] == cm["k"]).select(
-            "d", (F.col("e") + F.col("m")).alias("e")
-        ).localCheckpoint()
-        dr = smed(re_).localCheckpoint()
-        scalars.append(dr)
-        re_ = re_.crossJoin(F.broadcast(dr)).select(
-            "t", (F.col("e") - F.col("m")).alias("e")
-        )
-    ov = scalars[0]
-    for s in scalars[1:]:
-        ov = ov.crossJoin(s.withColumnRenamed("m", "m2")).select(
-            (F.col("m") + F.col("m2")).alias("m")
-        )
+
+    def vmed(df, col):
+        a = df.agg(F.sort_array(F.collect_list(col)).alias("ws"))
+        return a.select(med_of(F.col("ws")).alias("m"))
+
+    # row-effect vector (one row per t): oracle order
+    # re4 = ((rm1 − dr1) + rm2) − dr2, dr1 = med(rm1), dr2 = med(re3)
+    rv = z4.select("t", "rm1", "rm2").distinct()
+    dr1 = vmed(rv, "rm1")
+    rv3 = rv.crossJoin(F.broadcast(dr1)).select(
+        "t", "rm1", "rm2",
+        ((F.col("rm1") - F.col("m")) + F.col("rm2")).alias("re3"),
+        F.col("m").alias("dr1"),
+    )
+    dr2 = vmed(rv3, "re3")
+    # col-effect vector: ce3 = (((0.0 − dc1) + cm1) − dc2) + cm2 with
+    # dc1 = med(all-zero) = +0.0 exactly; dc2 = med(ce1) = med(0.0 + cm1)
+    cv = z4.select("d", "cm1", "cm2").distinct()
+    cv1 = cv.select(
+        "d", "cm1", "cm2",
+        ((F.lit(0.0) - F.lit(0.0)) + F.col("cm1")).alias("ce1"),
+    )
+    dc2 = vmed(cv1, "ce1")
+    effects_r = rv3.crossJoin(F.broadcast(dr2.withColumnRenamed("m", "dr2"))).select(
+        "t",
+        (F.col("re3") - F.col("dr2")).alias("row_effect"),
+        F.col("dr1").alias("_dr1"),
+        F.col("dr2").alias("_dr2"),
+    )
+    effects_c = cv1.crossJoin(F.broadcast(dc2.withColumnRenamed("m", "dc2"))).select(
+        "d",
+        ((F.col("ce1") - F.col("dc2")) + F.col("cm2")).alias("col_effect"),
+        F.col("dc2").alias("_dc2"),
+    )
+    # overall = ((dc1 + dr1) + dc2) + dr2 in oracle order, dc1 = +0.0
     return (
-        z.join(
-            F.broadcast(re_.withColumnRenamed("e", "row_effect")), "t"
-        )
-        .join(
-            F.broadcast(ce.withColumnRenamed("e", "col_effect")), "d"
-        )
-        .crossJoin(F.broadcast(ov))
+        z4.join(F.broadcast(effects_r), "t")
+        .join(F.broadcast(effects_c), "d")
         .select(
             F.col("t").alias("event_type"),
             F.col("d").alias("day"),
             F.col("v").alias("residual"),
             "row_effect",
             "col_effect",
-            F.col("m").alias("overall"),
+            (
+                ((F.lit(0.0) + F.col("_dr1")) + F.col("_dc2"))
+                + F.col("_dr2")
+            ).alias("overall"),
         )
     )

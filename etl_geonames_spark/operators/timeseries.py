@@ -7133,7 +7133,11 @@ def ts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = (
         o.groupBy("o_custkey", "mon")
         .agg(
-            F.floor(F.sum("cents") / F.lit(100)).cast("long").alias("d")
+            # true integer division (cents are non-negative, so
+            # truncation == floor == DuckDB '//') — the double-divide
+            # floor form was exact only below ~4.5e15 cents/month
+            # (ADVICE r13)
+            F.expr("sum(cents) div 100").cast("long").alias("d")
         )
     )
     cust = (

@@ -517,7 +517,7 @@ def test_dbscan_core_is_blocked_equi_join(spark, sf_dir):
 
 def test_adamic_adar_caps_degree_before_wedge(spark, sf_dir):
     """The hub-skew mitigation is IN THE PLAN: the degree table is
-    filtered to d <= 64 and BROADCAST onto the adjacency BEFORE the
+    filtered to d <= 64 and equi-joined onto the adjacency BEFORE the
     wedge self-join, so the join's input (not just its output) is
     capped — total fan-out <= tau*|E|, per-center <= tau^2/2. The
     registered query localCheckpoints the capped adjacency (lineage
@@ -525,19 +525,26 @@ def test_adamic_adar_caps_degree_before_wedge(spark, sf_dir):
     cap's plan shape is pinned on an un-checkpointed rebuild of the
     same expression, and the cap's EFFECT is pinned on the query's
     own output: no center can contribute more than C(64,2) wedges to
-    any pair, so cn <= 64."""
+    any pair, so cn <= 64. The degree join carries NO broadcast hint
+    (VERDICT r13 / the local_bridges r12 rule): the d <= tau table is
+    node-sized on a power-law graph, so a forced broadcast would OOM
+    at billions of nodes — AQE broadcasts at fixture scale on its
+    own; the source-level assertion pins the hint's absence."""
+    import inspect
+
     from pyspark.sql import functions as F
 
     from etl_geonames_spark.operators.graph import _AA_DEGREE_CAP, _und
 
     und = _und(spark, sf_dir)
     deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    adj = und.join(
-        F.broadcast(deg.filter(F.col("d") <= _AA_DEGREE_CAP)), "s"
-    )
+    adj = und.join(deg.filter(F.col("d") <= _AA_DEGREE_CAP), "s")
     plan = explain_str(adj)
     assert f"<= {_AA_DEGREE_CAP}" in plan
-    assert has_broadcast_hash_join(adj)
+    assert "CartesianProduct" not in plan
+
+    src = inspect.getsource(QUERIES["graph_adamic_adar"])
+    assert "F.broadcast" not in src
 
     df = QUERIES["graph_adamic_adar"](spark, sf_dir)
     assert not has_node(df, "CartesianProduct")
@@ -645,14 +652,31 @@ def test_band_tuning_configs_share_one_pair_table(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
 
 
-def test_scc_bounded_rounds_are_checkpointed(spark, sf_dir):
-    """Each of the 2×4 label rounds executes at build time against
-    checkpointed state — the final plan reads node-sized RDD scans,
-    not an 8-round lazy join tower (graph_cc_bounded convention)."""
+def test_scc_bounded_is_lazy_single_consumer_rounds(spark, sf_dir):
+    """r14 contract: the 2×4 label rounds are a LAZY tower of
+    single-consumer join+min-aggregate steps over the checkpointed
+    self-loop-augmented edge list — one job executes the whole query
+    (no per-round blocking checkpoints), and because every round has
+    exactly one consumer, nothing in the tower re-executes. The plan
+    therefore SHOWS the full tower: every exchange is an equi-keyed
+    hash partitioning over node- or edge-sized tables (≤ 3 per round
+    + the final merge), never a cartesian/BNLJ/window. The
+    re-execution hazard the old per-round-checkpoint contract guarded
+    against is gone structurally (the left-join merge that made each
+    round two-consumer was folded into the aggregate via the
+    self-loops)."""
     df = QUERIES["graph_scc_bounded"](spark, sf_dir)
     plan = explain_str(df)
-    assert "Scan ExistingRDD" in plan
-    assert shuffle_exchange_count(df) <= 3
+    assert "Scan ExistingRDD" in plan  # the checkpointed aug table
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_node(df, "Window")
+    import inspect
+
+    src = inspect.getsource(QUERIES["graph_scc_bounded"])
+    assert "F.broadcast" not in src
+    # 2×4 rounds × ≤3 equi-keyed exchanges + the fwd⋈bwd merge + agg
+    assert shuffle_exchange_count(df) <= 30
 
 
 def test_hurst_windows_partition_by_block(spark, sf_dir):
@@ -1198,16 +1222,19 @@ def test_kcenter_coreset_is_k_map_passes(spark, sf_dir):
 
 
 def test_bowtie_census_is_bsp_label_rounds(spark, sf_dir):
-    """graph_bowtie_census: FW-BW label rounds + set-BFS reach rounds
-    behind per-round checkpoints (the cc/scc BSP template); the
-    core-label pick is a 1-row TakeOrdered broadcast (never a
-    window); nothing cartesian-at-scale, census is a 5-row
-    aggregate."""
+    """graph_bowtie_census: FW-BW label rounds behind the cells/core
+    checkpoints (multi-consumer), then the two set-BFS reach towers
+    in the r14 LAZY single-consumer form (self-loop-augmented
+    expansion ≡ keep-union + distinct, so no per-round checkpoints);
+    the core-label pick is a 1-row TakeOrdered broadcast (never a
+    window); nothing cartesian-at-scale, census is a 5-row aggregate.
+    The visible plan carries the two 3-round reach towers (≤ 3
+    equi-keyed exchanges per round) + the 3-way census join."""
     df = QUERIES["graph_bowtie_census"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert not has_node(df, "Window")
-    assert shuffle_exchange_count(df) <= 6
+    assert shuffle_exchange_count(df) <= 24
 
 
 def test_deterministic_walks_is_per_step_argmin_joins(spark, sf_dir):
@@ -1416,12 +1443,41 @@ def test_abc_xyz_is_nation_partitioned_windows(spark, sf_dir):
 
 
 def test_median_polish_is_grid_sweeps(spark, sf_dir):
-    """stat_median_polish: one corpus-scale daily aggregate, then
-    grid-sized median sweeps behind per-half-step checkpoints with
-    broadcast effect joins — no global window, no cartesian-at-scale
-    (crossJoins are 1-row scalar absorbs)."""
+    """stat_median_polish (r14 ladder-collapse): one corpus-scale
+    daily aggregate, then the 4 median sweeps as a single-consumer
+    chain of GRID-PARTITIONED windows (never global — the windows are
+    keyed by event_type / day over the metadata-sized grid), with one
+    checkpoint on the swept grid (3 consumers) and broadcast-sized
+    effect joins after it — no cartesian-at-scale (crossJoins are
+    1-row scalar absorbs). The window shape is pinned on an
+    un-checkpointed rebuild of the sweep chain (the hurst/adamic-adar
+    pattern: the query's own checkpoint truncates the visible
+    lineage)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.sources import load_table
+
     df = QUERIES["stat_median_polish"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
-    assert not has_node(df, "Window")
-    assert shuffle_exchange_count(df) <= 4
+    assert shuffle_exchange_count(df) <= 14
+    # rebuild one sweep half-step un-checkpointed: the median window
+    # must be partitioned by the grid key, never unpartitioned
+    z = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    w = Window.partitionBy("t")
+    half = z.select(
+        "t", "d",
+        F.sort_array(F.collect_list("v").over(w)).alias("ws"), "v",
+    )
+    hplan = explain_str(half)
+    assert "windowspecdefinition(t" in hplan
+    assert "hashpartitioning(t" in hplan
