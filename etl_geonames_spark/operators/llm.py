@@ -230,7 +230,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(*[chunk("simhash", i) for i in range(4)])
         ).alias("chunk_idx", "chunk_val"),
-    )
+        # both sides of the candidate self-join consume this table and
+        # exchange reuse does NOT fire across the differing join roles
+        # (r14 plan audit: the tokenize→shingle→sign-sum signature
+        # build executed TWICE) — pin it once; 4·|docs| rows
+    ).localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -1400,6 +1404,12 @@ def _kmeans_cells(
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        # n×k crossJoin(broadcast) + min_by re-aggregate. r14 A/B'd a
+        # single-broadcast-row argmin FOLD against this (same
+        # arithmetic, no n×k materialization): interleaved sf0.1
+        # timings were a wash at both k=4 and k=32 (the map-side
+        # partial min_by collapses the fan-out before any exchange),
+        # so the simpler documented shape stays.
         d2 = F.aggregate(
             F.zip_with(
                 F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
@@ -2906,7 +2916,10 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[chunk(i) for i in range(4)])).alias(
             "chunk_idx", "chunk_val"
         ),
-    )
+        # pin once: both self-join roles consume this and the
+        # 64-conditional-sum signature aggregate otherwise runs twice
+        # (r14 plan audit — exchange reuse does not fire here)
+    ).localCheckpoint()
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -3262,22 +3275,31 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     give the exact length; this form needs only the repo's standard
     blocked machinery.
 
-    Scale shape: per length one distinct (doc, gram) table, a
-    boilerplate guard dropping grams in > 16 docs (_LSG_DF_CAP; caps
-    any gram's pair bill at C(16,2) AND removes template
-    text that isn't dup signal — same discipline as
-    llm_boilerplate_ngrams), then a gram equi-join — the shuffle
-    carries gram groups, never corpus². The final longest-length pick
-    is a per-pair window over the ≤ 3 length rows of that pair.
+    Scale shape (r14): ONE length-tagged distinct (doc, l, gram)
+    table — the three probed lengths share a single shingle explode
+    pass instead of re-running the tokenize+shingle build once per
+    length per consumer (the pre-r14 form executed the explode 4×
+    per length = 12 length-units; exchange reuse never fired across
+    the df-census/join roles — r14 plan audit). The boilerplate
+    df-cap is a gram-partitioned window COUNT (bounded by a gram's
+    doc frequency, never global), which keeps the survivor table a
+    SINGLE-CONSUMER chain: one explode + one shuffle, pinned once
+    (corpus-sized localCheckpoint, the same trade the ``toks`` pin
+    already makes — production would persist it to disk-backed
+    storage) for the two pair-join roles. The cap drops (l, gram)s in
+    > 16 docs (_LSG_DF_CAP; caps any gram's pair bill at C(16,2) AND
+    removes template text that isn't dup signal — same discipline as
+    llm_boilerplate_ngrams); the pair meet is one (l, gram)
+    equi-join — the shuffle carries gram groups, never corpus². The
+    final longest-length pick is a per-pair window over the ≤ 3
+    length rows of that pair.
     """
-    from functools import reduce
-
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         # ONE fixture file → one input partition; the shingle explode
         # is the compute-bound stage, so spread it BEFORE the
         # checkpoint (hash layout can't alter the all-integer
-        # results). Measured ~3.9 s → ~2.2 s warm at sf0.1.
+        # results).
         spread(docs, "doc_id")
         .select(
             "doc_id",
@@ -3285,35 +3307,47 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("text", " "), lambda w: w != F.lit("")
             ).alias("toks"),
         )
-        # consumed by one gram table per probed length
         .localCheckpoint()
     )
-    per_l = []
-    for L in _LSG_LENGTHS:
-        gd = toks.select(
-            "doc_id",
-            F.explode(F.array_distinct(_shingles("toks", L))).alias("g"),
+    def _tag(L):
+        # closure factory, NOT a default-arg lambda — HOF lambdas
+        # count default args as parameters (NUM_ARGS_MISMATCH)
+        return lambda g: F.struct(
+            F.lit(L).cast("long").alias("l"), g.alias("g")
         )
-        ok = (
-            gd.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= _LSG_DF_CAP)
-            .select("g")
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(F.array_distinct(_shingles("toks", L)), _tag(L))
+                for L in _LSG_LENGTHS
+            ]
         )
-        gd = gd.join(ok, "g")
-        a = gd.select(F.col("doc_id").alias("doc_a"), "g")
-        b = gd.select(F.col("doc_id").alias("doc_b"), "g")
-        per_l.append(
-            a.join(b, "g")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-            .select(
-                "doc_a", "doc_b",
-                F.lit(L).cast("long").alias("l"), "n_shared",
-            )
+    )
+    gd = toks.select(
+        "doc_id", F.explode(tagged).alias("lg")
+    ).select("doc_id", F.col("lg.l").alias("l"), F.col("lg.g").alias("g"))
+    # df census as a gram-partitioned window COUNT (bounded by any
+    # gram's doc frequency, never global) — single-consumer chain, so
+    # the survivor table is ONE explode + ONE shuffle, pinned once for
+    # the two pair-join roles
+    surv = (
+        gd.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("l", "g")),
         )
-    u = reduce(lambda x, y: x.unionAll(y), per_l)
+        .filter(F.col("df") <= _LSG_DF_CAP)
+        .select("doc_id", "l", "g")
+        .localCheckpoint()
+    )
+    a = surv.select(F.col("doc_id").alias("doc_a"), "l", "g")
+    b = surv.select(F.col("doc_id").alias("doc_b"), "l", "g")
+    u = (
+        a.join(b, ["l", "g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "l")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
     w = Window.partitionBy("doc_a", "doc_b").orderBy(F.col("l").desc())
     return (
         u.withColumn("rn", F.row_number().over(w))

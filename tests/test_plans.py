@@ -572,9 +572,11 @@ def test_band_stats_never_materializes_pairs(spark, sf_dir):
 
 def test_longest_shared_gram_is_blocked_equi_join(spark, sf_dir):
     """The exact-substring probe's pair generation must meet by gram
-    equi-key (hash/broadcast join) with the df-cap join upstream —
-    never a nested-loop over doc pairs; and the final longest-length
-    pick partitions its window by the pair, not globally."""
+    equi-key (hash/broadcast join) with the df cap applied upstream
+    (r14: a gram-partitioned window count on the single tagged gram
+    table) — never a nested-loop over doc pairs; and the final
+    longest-length pick partitions its window by the pair, not
+    globally."""
     df = QUERIES["llm_longest_shared_gram"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
