@@ -128,6 +128,23 @@ OPS = [
     #   mind 0 and is never picked)
     "graph_bowtie_census",
     "llm_kcenter_coreset",
+    # round-14 (VERDICT r13 item 3 — the four r13 ops that shipped
+    # without a recorded probe):
+    # - hodges_lehmann: per-group pairwise Walsh averages over
+    #   metadata-sized per-lang value vectors — daily/document volume
+    #   grows 10x but the vectors are value-domain bounded, so wall
+    #   must track the corpus aggregate (near-flat beyond the scan)
+    # - texttiling: pure map over documents (valley rule inside each
+    #   doc) — linear in docs, zero shuffles
+    # - abc_xyz: one monthly per-customer aggregate (10x customers =>
+    #   ~linear) + nation-partitioned windows over customer rows
+    # - median_polish: corpus daily aggregate + metadata-grid window
+    #   sweeps (r14 single-consumer chain) — 10x denser days, same
+    #   grid, wall tracks the one corpus aggregate
+    "stat_hodges_lehmann",
+    "llm_texttiling_boundaries",
+    "ts_abc_xyz",
+    "stat_median_polish",
 ]
 
 
@@ -156,6 +173,16 @@ def main() -> None:
             rep = rep.union(p)
         rep.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
         counts[table] = spark.read.parquet(f"{tmp}/{table}.parquet").count()
+    # non-shifted tables copy verbatim so ops that read dims
+    # (ts_abc_xyz's nation join) resolve against the probe dir
+    from etl_geonames_spark.sources.tables import TABLE_NAMES
+
+    for table in TABLE_NAMES:
+        if table in SHIFTS:
+            continue
+        load_table(spark, SRC_SF, table).write.mode("overwrite").parquet(
+            f"{tmp}/{table}.parquet"
+        )
     print(f"# replicated: {counts}", file=sys.stderr)
 
     timings: dict[str, dict] = {}

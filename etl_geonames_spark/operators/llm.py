@@ -597,7 +597,12 @@ def embedding_near_dup_pairs(
     discipline as minhash dedup — the bucket equi-join never
     materializes non-candidate pairs. Recall/precision pinned on a
     planted corpus in tests/test_dedup_recall.py."""
-    bucketed = emb.withColumn("bucket", _hyperplane_sign_bucket("emb"))
+    # pinned once: both self-join roles consume this, and the
+    # 8-hyperplane sign projection (plus whatever the caller unioned
+    # in) would otherwise execute twice (r14 plan audit)
+    bucketed = emb.withColumn(
+        "bucket", _hyperplane_sign_bucket("emb")
+    ).localCheckpoint()
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
@@ -680,6 +685,10 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grams"),
         )
         .withColumn("n_grams", F.size("grams"))
+        # both pair-side lookups (doc_a, doc_b) consume this — pinned
+        # once or the tokenize+shingle+hash build runs twice (r14 plan
+        # audit: 8 parquet scans → 4)
+        .localCheckpoint()
     )
     a = grams.select(
         F.col("doc_id").alias("doc_a"),
@@ -4864,6 +4873,10 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds.withColumn("occ", F.row_number().over(w_occ))
         .filter(F.col("occ") <= _ESR_OCC_CAP)
         .drop("occ")
+        # three consumers (df census + both pair roles) — pinned once
+        # or the seed explode re-executes per consumer (r14 plan
+        # audit: 8 Generate nodes → 1 execution)
+        .localCheckpoint()
     )
     okg = (
         capped.select("g", "doc_id")
