@@ -141,6 +141,38 @@ def main() -> None:
     # first noop-sink write resolves the datasource (once per session)
     spark.range(10).write.format("noop").mode("overwrite").save()
 
+    # BOX-CALIBRATION PROBE (VERDICT r14 item 4 / r15 item 6): the
+    # round-over-round totals have been dominated by ±50–70% box-state
+    # drift (r14: the 8-core cold total beat the 32-core cold total).
+    # This times a PINNED, never-optimized synthetic workload — a
+    # fixed-size range → hash-keyed sum/count aggregate, independent
+    # of the registry, the fixtures, and every optimization target —
+    # solo, right after warm-up, 3 runs. Cross-round total comparisons
+    # can then divide out the box: probe ratio ≈ box-speed ratio.
+    # Additions-only: no existing field changes meaning. Documented in
+    # BASELINE.md ("Box-calibration probe").
+    def _calibration_run() -> float:
+        spark.sparkContext.setJobDescription("box-calibration probe")
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .groupBy((F.col("id") % 100003).alias("k"))
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = round(time.perf_counter() - t0, 4)
+        spark.sparkContext.setJobDescription(None)
+        return dt
+
+    _calibration_run()  # discarded warm-up (JIT for this exact plan)
+    calibration = {
+        "workload": "range20M_mod100003_sum_count_noop",
+        "runs": [_calibration_run() for _ in range(3)],
+    }
+    calibration["sec"] = min(calibration["runs"])
+
     # Two passes: pass 1 warms (JVM C2-compiles the codegen'd scan/agg
     # loops, parquet column decoders, Python worker pool — tiny warmups
     # above can't reach these: count(*) never even decodes columns);
@@ -319,6 +351,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "adjudications": adjudications,
                 "adjudication_skipped": adjudication_skipped,
+                "calibration": calibration,
                 "sf": sf,
             },
             indent=1,
@@ -365,6 +398,7 @@ def main() -> None:
         json.dumps(
             {
                 "queries": ascending,
+                "calibration": calibration,
                 "cold_value": cold_total,
                 "n_queries": len(timings),
                 "census_plans": census_n,
@@ -398,6 +432,7 @@ def main() -> None:
                 "median": round(
                     sorted(timings.values())[len(timings) // 2], 4
                 ),
+                "calib_sec": calibration["sec"],
                 "cold_value": cold_total,
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",

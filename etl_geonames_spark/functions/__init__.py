@@ -17,6 +17,8 @@ averages, scores and similarities.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,6 +33,40 @@ def sql_qround(expr: str, digits: int = 6) -> str:
     """The DuckDB-side mirror of :func:`qround` (same op order)."""
     s = float(10**digits)
     return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
+
+
+def pin(df):
+    """Multi-consumer pin: truncate lineage so a table consumed by
+    several downstream branches (self-join roles, census + pair
+    joins, per-round BSP state) is COMPUTED ONCE instead of once per
+    consumer — exchange reuse never fires across differing join
+    roles (r14 plan audit), so without a pin the whole upstream
+    subplan re-executes per branch.
+
+    LAZY form (``localCheckpoint(eager=False)``), the r15 default:
+    the RDD is persisted and the plan truncated immediately, but
+    materialization happens inside the FIRST consuming job —
+    BlockInfoManager's per-block write lock dedupes the sibling-stage
+    race, so concurrent consumers still compute each partition once.
+    The eager form pays a separate BLOCKING job per pin (~0.15–0.35 s
+    scheduling floor at fixture scale — the r14 regression on
+    llm_exact_shared_run / llm_dedup_embedding / llm_dedup_cluster);
+    lazy keeps the dedup and drops that job. A/B'd per site in
+    OPTIMIZATION_r15.md; ``SPARK_GRAFT_PIN`` ∈ {lazy, eager, none}
+    exists ONLY for those interleaved in-session probes (default
+    lazy — the driver never sets it).
+
+    Same non-replicated executor-local storage caveat as eager
+    localCheckpoint: at 100 TB production would persist to
+    disk-backed replicated storage (ADVICE r14); the lifecycle
+    (within-query, dropped by the bench between queries) is
+    unchanged."""
+    mode = os.environ.get("SPARK_GRAFT_PIN", "lazy")
+    if mode == "eager":
+        return df.localCheckpoint()
+    if mode == "none":
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def spread(df, *cols):

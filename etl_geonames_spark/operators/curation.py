@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, spread, sql_qround
+from etl_geonames_spark.functions import pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -983,7 +983,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         wne.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
     return (
@@ -1119,7 +1119,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     total = vocab.agg(F.sum("c").cast("bigint").alias("total_tokens"))
     top = (
@@ -1433,7 +1433,7 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         wne.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
     scored = (
@@ -1441,7 +1441,7 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.avg(F.log(F.col("c") / F.col("total"))).alias("lp"))
-        .localCheckpoint()
+        .transform(pin)
     )
     b = distributed_ntile(
         scored, [F.col("lp"), F.col("doc_id")], 3, "tercile"
@@ -1652,7 +1652,7 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.split("text", " ").alias("toks"))
         .select("source", F.explode(_shingles("toks", 8)).alias("gram"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     a = g.alias("a")
     b = g.alias("b")
@@ -1803,7 +1803,7 @@ def llm_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     key = [F.col("n").desc(), F.col("word")]
     cum = distributed_rank_cumsum(wc, key, "n")
@@ -2060,11 +2060,11 @@ def _irls_fit(spark: SparkSession, sf_dir: str):
             F.lit(_FH_DIMS).cast("int").alias("dim"),
             F.lit(1).cast("bigint").alias("n"),
         )
-    ).localCheckpoint()
+    ).transform(pin)
     passes = _gopher_cols()[4]
     y = docs.select(
         "doc_id", passes.cast("long").alias("y")
-    ).localCheckpoint()
+    ).transform(pin)
     r1 = (
         fx.join(y, "doc_id")
         .groupBy("dim")
@@ -2314,7 +2314,7 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     bi = bi_all.where(F.col("n") >= 5)
     uni = (
@@ -2922,13 +2922,13 @@ def llm_metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    ).localCheckpoint()
+    ).transform(pin)
     rx = distributed_rank(m.select("doc_id", "x"), ["x", "doc_id"]).select(
         "doc_id", F.col("_grn").cast("long").alias("rx")
-    ).localCheckpoint()
+    ).transform(pin)
     ry = distributed_rank(m.select("doc_id", "y"), ["y", "doc_id"]).select(
         "doc_id", F.col("_grn").cast("long").alias("ry")
-    ).localCheckpoint()
+    ).transform(pin)
     s = (
         rx.join(ry, "doc_id")
         .agg(
@@ -3303,7 +3303,7 @@ def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("w", "(?s)(.)", sep + "$1" + sep).alias("s"),
             "wf",
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     rows = []
     cur = words
@@ -3326,7 +3326,7 @@ def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = (
             pairs.orderBy(F.col("n").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint()  # 1 row; two consumers (merge + report)
+            .transform(pin)  # 1 row; two consumers (merge + report)
         )
         merged = (
             cur.crossJoin(F.broadcast(sel))
@@ -3343,7 +3343,7 @@ def llm_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 "wf",
             )
-            .localCheckpoint()
+            .transform(pin)
         )
         tot = merged.agg(
             F.sum(F.col("wf") * F.size(_bpe_syms(F.col("s"))))
@@ -3439,7 +3439,7 @@ def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wf"))
-        .localCheckpoint()
+        .transform(pin)
     )
 
 
@@ -3484,7 +3484,7 @@ def _unigram_vocab(words: DataFrame) -> DataFrame:
         .orderBy(F.col("c").desc(), "s")
         .limit(_UNI_TOPK)
     )
-    return singles.unionByName(multis).localCheckpoint()
+    return singles.unionByName(multis).transform(pin)
 
 
 def _unigram_edges(words: DataFrame) -> DataFrame:
@@ -4200,7 +4200,7 @@ def llm_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("wgt") - F.col("alt_score"))
             ).alias("loss"),
         )
-        .localCheckpoint()  # three consumers: rank both sides + count
+        .transform(pin)  # three consumers: rank both sides + count
     )
     np_ = ml.agg(
         (F.count(F.lit(1)) / F.lit(_UNI_PRUNE_DIV))
@@ -4327,7 +4327,7 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-        .localCheckpoint()
+        .transform(pin)
     )
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
@@ -4490,7 +4490,7 @@ def llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "total",
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     # running survivor count WITHOUT a global window (the plan sweep
     # bans unpartitioned windows regardless of input size): the
@@ -4746,7 +4746,16 @@ def llm_longest_self_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(1, size(tk) - {lv} + 1),"
             f" i -> array_join(slice(tk, i, {lv}), ' '))"
         )
-        return f"(size({g}) > size(array_distinct({g})))"
+        # r15: bind the gram array ONCE via a 1-element transform —
+        # HOFs are interpreted (no codegen subexpression elimination),
+        # so the textual size(g) > size(array_distinct(g)) form built
+        # every probed length's gram array TWICE; `_g` halves the
+        # O(n·l) string builds. `_g` cannot collide with the inner `i`
+        # or any outer probe var (the `_ci` helper-inlining rule).
+        return (
+            f"transform(array({g}),"
+            f" _g -> (size(_g) > size(array_distinct(_g))))[0]"
+        )
 
     m = f"least(size(tk) - 1, {_LSR_MAX_L})"
     scan_hi = (
@@ -5517,7 +5526,7 @@ def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     vocab = counts.groupBy("word").agg(F.sum("n").cast("long").alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("total"))
@@ -5949,7 +5958,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("nb"))
-        .localCheckpoint()
+        .transform(pin)
     )
     # ONE conditional aggregate produces raw AND target bucket counts
     # (a separate target groupBy + left join re-shuffled db and joined
@@ -5966,7 +5975,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # 512-row table with two consumers (tot and lam): without the
         # checkpoint the bucket aggregate over db executes twice
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = bs.agg(
         F.sum("cr").cast("long").alias("rr"),
@@ -6290,7 +6299,7 @@ def llm_df_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
         # feeds the doc total, the df aggregate, and the tagging join
-        .localCheckpoint()
+        .transform(pin)
     )
     nd = wne.agg(
         F.countDistinct("doc_id").cast("long").alias("n")

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import pin, qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1076,7 +1076,7 @@ def geo_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d2"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     mn = a.groupBy("c_custkey").agg(F.min("d2").alias("d2"))
     return (
@@ -1164,7 +1164,7 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ilon",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("n"),
-    ).localCheckpoint()
+    ).transform(pin)
     a, b = rk.alias("a"), rk.alias("b")
     d2 = (F.col("b.ilat") - F.col("a.ilat")) * (
         F.col("b.ilat") - F.col("a.ilat")
@@ -1459,7 +1459,7 @@ def geo_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slon div {_KDE_CELL}").alias("cb"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_in_cell"))
-        .localCheckpoint()
+        .transform(pin)
     )
     total = cells.agg(F.sum("n_in_cell").cast("long").alias("total"))
     offsets = F.expr(

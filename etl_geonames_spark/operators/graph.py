@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, spread, sql_qround
+from etl_geonames_spark.functions import pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -103,17 +103,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-pinned they would re-execute per round inside the lazy tower.
     ``pagerank_bucketed`` remains the layout that additionally kills
     the per-round src-join shuffle."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    edges = _edges(spark, sf_dir).transform(pin)
     outdeg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+        .transform(pin)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(_N_ITER):
@@ -366,7 +366,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplan runs once, not per consumer (the graph_cc_bounded
     convention; adjudicated as the real cause of this query's slow
     2× wall creep, BASELINE.md round 6)."""
-    e = _edges(spark, sf_dir).localCheckpoint()
+    e = _edges(spark, sf_dir).transform(pin)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     ea = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -449,7 +449,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the llm.py connected-components recipe; edge-bucketed
     layout (pagerank_bucketed) removes the edge-side exchange per hop
     here too."""
-    e = _edges(spark, sf_dir).localCheckpoint()
+    e = _edges(spark, sf_dir).transform(pin)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -457,7 +457,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = e.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
     seeds = (
         e.select(F.col("src").alias("seed"))
         .where(F.col("seed") < 10)
@@ -539,7 +539,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
     # self-loop-augmented round (the graph_cc_bounded r14 form): the
@@ -552,7 +552,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     # it exactly once and needs no pin.
     aug = und.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(3):
         labels = (
@@ -596,7 +596,7 @@ def _und(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.unionAll(rev)
         .filter(F.col("s") != F.col("t"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
 
 
@@ -668,7 +668,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_local_bridges r12 de-broadcast precedent.
     adj = und.join(
         deg.filter(F.col("d") <= _AA_DEGREE_CAP), "s"
-    ).localCheckpoint()
+    ).transform(pin)
     a, b = adj.alias("a"), adj.alias("b")
     # the pair key packs into ONE int64 (na·2³² + nb — node ids are
     # int32-ranged) for the wedge aggregate: single-long hashing
@@ -966,7 +966,7 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.unionAll(
             nodes.select(F.col("node").alias("s"), F.col("node").alias("t"))
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     lab = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(_CC_ROUNDS):
@@ -1087,7 +1087,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer growth audit: scores after 2 rounds are bounded by
     |E|·max-degree² — ≲ 10¹² even at a 10⁹-edge graph with 10³ max
     degree after the skew cap."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    edges = _edges(spark, sf_dir).transform(pin)
     a1 = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("a")
     )
@@ -1100,7 +1100,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(h1, edges["src"] == h1["hnode"])
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("h").cast("long").alias("a"))
-        .localCheckpoint()  # consumed by h2 AND the authority top-k
+        .transform(pin)  # consumed by h2 AND the authority top-k
     )
     h2 = (
         edges.join(a2, edges["dst"] == a2["node"])
@@ -1205,16 +1205,16 @@ def graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     list checkpointed once; every join is hash-partitioned on a node
     key — the same BSP template as cc/pagerank/khop, bucketed edge
     layout applies unchanged (self-loops bucket like any edge)."""
-    e = _edges(spark, sf_dir).localCheckpoint()
+    e = _edges(spark, sf_dir).transform(pin)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     aug = e.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
 
     def propagate(edge_from: str, edge_to: str) -> DataFrame:
         lab = nodes.select("node", F.col("node").alias("lbl"))
@@ -1310,7 +1310,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seed, node) min-aggregate — ring-linear, never path-count (the
     min-agg is the set-dedup); the edge-bucketed layout
     (pagerank_bucketed) removes the edge-side exchange here too."""
-    e = _edges(spark, sf_dir).localCheckpoint()
+    e = _edges(spark, sf_dir).transform(pin)
     seeds = (
         e.select(F.col("src").alias("seed"))
         .where(F.col("seed") < 10)
@@ -1318,7 +1318,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
+    ).transform(pin)
     for h in (1, 2, 3):
         step = (
             d.filter(F.col("dist") == h - 1)
@@ -1330,7 +1330,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(step)
             .groupBy("seed", "node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint()
+            .transform(pin)
         )
     score = F.when(F.col("dist") == 1, 6).when(F.col("dist") == 2, 3).when(
         F.col("dist") == 3, 2
@@ -1533,7 +1533,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers below (la, lb, the degree-mass join) — pin the
     # converged label table once so the lazy 3-round tower does not
     # re-execute per subtree (_lpa_labels r14 contract)
-    labels = labels.localCheckpoint()
+    labels = labels.transform(pin)
     m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
     la = labels.select(
         F.col("node").alias("src"), F.col("label").alias("cla")
@@ -1651,7 +1651,7 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(da, F.col("s") == F.col("ds_key"))
         .join(db, F.col("t") == F.col("dt_key"))
         .select("s", "t", "deg_s", "deg_t")
-        .localCheckpoint()  # two consumers: probe build + anti-join
+        .transform(pin)  # two consumers: probe build + anti-join
     )
     # degree-ORIENTED probing (the standard triangle orientation):
     # enumerate neighbors of the LOWER-degree endpoint only, so the
@@ -1825,7 +1825,7 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("p"),
         F.col("s").alias("v"),
         F.lit(1).cast("long").alias("sig"),
-    ).localCheckpoint()
+    ).transform(pin)
     levels = [f0]
     vis = f0.select("p", "v")
     # nbrs is a plain rename of the checkpointed und — no extra copy;
@@ -1847,14 +1847,14 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
             # next frontier's aggregation + the backward successor
             # join) — checkpoint so the frontier⋈edges bill is paid
             # once; the pivot-level expansion has one consumer
-            exp = exp.localCheckpoint()
+            exp = exp.transform(pin)
         exps.append(exp)
         nxt = (
             exp.groupBy("p", "w")
             .agg(F.sum("sig").cast("long").alias("sig"))
             .withColumnRenamed("w", "v")
             .join(vis, ["p", "v"], "left_anti")
-            .localCheckpoint()
+            .transform(pin)
         )
         levels.append(nxt)
         # vis stays un-checkpointed: its lineage is a shallow union
@@ -1909,7 +1909,7 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("delta", F.lit(0.0)).alias("delta"),
                 F.coalesce("psi", F.lit(0).cast("long")).alias("psi"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
         outs.append(b)
 
@@ -2044,7 +2044,7 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
 
     def support(edges: DataFrame) -> DataFrame:
@@ -2081,13 +2081,13 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnd in range(2):
         sup = support(e)
         if rnd == 0:
-            sup = sup.localCheckpoint()  # census + round-0 filter
+            sup = sup.transform(pin)  # census + round-0 filter
             sup0 = sup
         e = (
             e.join(sup, ["a", "b"])
             .filter(F.col("sup") >= _KTRUSS_K - 2)
             .select("a", "b")
-            .localCheckpoint()
+            .transform(pin)
         )
     final = support(e)
     return (
@@ -2316,16 +2316,16 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     core filter — metadata, not a node-scale broadcast; ``cells`` and
     ``core`` stay checkpointed (genuinely multi-consumer: the label
     pick + filter, and the two reach towers + census join)."""
-    e = _edges(spark, sf_dir).localCheckpoint()
+    e = _edges(spark, sf_dir).transform(pin)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     aug = e.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
 
     def propagate(edge_from: str, edge_to: str) -> DataFrame:
         lab = nodes.select("node", F.col("node").alias("lbl"))
@@ -2341,7 +2341,7 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = propagate("dst", "src")
     cells = f.withColumnRenamed("lbl", "fl").join(
         b.withColumnRenamed("lbl", "bl"), "node"
-    ).localCheckpoint()
+    ).transform(pin)
     core_lbl = (
         cells.filter(F.col("fl") == F.col("bl"))
         .groupBy(F.col("fl").alias("c"))
@@ -2354,7 +2354,7 @@ def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.crossJoin(F.broadcast(core_lbl))
         .filter((F.col("fl") == F.col("c")) & (F.col("bl") == F.col("c")))
         .select("node")
-        .localCheckpoint()
+        .transform(pin)
     )
 
     def reach(edge_from: str, edge_to: str) -> DataFrame:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_geonames_spark.functions import qround, spread, sql_qround
+from etl_geonames_spark.functions import pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -234,7 +234,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchange reuse does NOT fire across the differing join roles
         # (r14 plan audit: the tokenize→shingle→sign-sum signature
         # build executed TWICE) — pin it once; 4·|docs| rows
-    ).localCheckpoint()
+    ).transform(pin)
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -602,7 +602,7 @@ def embedding_near_dup_pairs(
     # in) would otherwise execute twice (r14 plan audit)
     bucketed = emb.withColumn(
         "bucket", _hyperplane_sign_bucket("emb")
-    ).localCheckpoint()
+    ).transform(pin)
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
@@ -688,7 +688,7 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both pair-side lookups (doc_a, doc_b) consume this — pinned
         # once or the tokenize+shingle+hash build runs twice (r14 plan
         # audit: 8 parquet scans → 4)
-        .localCheckpoint()
+        .transform(pin)
     )
     a = grams.select(
         F.col("doc_id").alias("doc_a"),
@@ -744,12 +744,12 @@ def _propagate_min_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()  # pin the (possibly expensive) edge derivation once
+    ).transform(pin)  # pin the (possibly expensive) edge derivation once
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(pin)
     )
     # self-loop augmentation from the two checkpointed tables — a pure
     # union of RDD scans (no shuffle), cheap to re-derive every round
@@ -771,7 +771,7 @@ def _propagate_min_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
                     F.when(aug["doc_b"] == aug["doc_a"], F.col("label"))
                 ).alias("_prev"),
             )
-            .localCheckpoint()  # truncate lineage: iterative plans blow up
+            .transform(pin)  # truncate lineage: iterative plans blow up
         )
         changed = stepped.filter(F.col("label") != F.col("_prev")).count()
         labels = stepped.select("doc_id", "label")
@@ -1322,6 +1322,39 @@ def _km_update_sql(asg: str) -> str:
     )
 
 
+def _centroid_update(joined: DataFrame) -> DataFrame:
+    """(cluster, emb, …) → (cluster, cent): the k-means centroid
+    update as 64 per-dim aggregate expressions — ONE cluster-keyed
+    exchange with map-side partials and no Generate node (r15, guide
+    §2.3/§2.4; the pre-r15 form posexploded to n×64 rows through a
+    (cluster, pos) exchange and re-assembled with a second exchange +
+    collect_list/array_sort). Identical math to the _km_update_sql
+    oracle CTE: avg over the identical per-(cluster, dim) value
+    multiset, qround'd on the same 1e-6 grid (accumulation order was
+    already partial-agg dependent before — absorbed by the grid, the
+    documented centroid rule).
+
+    try_element_at + array_compact reproduce posexplode semantics on
+    SHORT arrays (the 4-dim edge fixtures): a dim beyond an array's
+    length contributes NULL, avg skips NULLs, and a dim beyond EVERY
+    member's length is all-NULL → compacted away. NULLs are strictly
+    trailing (arrays are prefix-shaped), so compaction cannot reorder
+    dims. _KMEANS_DIM = 64 is the engine-wide dim contract — the
+    oracle's generate_series(1, 64) hardcodes the same cap."""
+    return joined.groupBy("cluster").agg(
+        F.array_compact(
+            F.array(
+                *[
+                    qround(
+                        F.avg(F.try_element_at("emb", F.lit(i + 1))), 6
+                    )
+                    for i in range(_KMEANS_DIM)
+                ]
+            )
+        ).alias("cent")
+    )
+
+
 def kmeans_assign(pts: DataFrame, c: DataFrame) -> DataFrame:
     """Argmin cell assignment of a (vec_id, emb) frame against a
     broadcast (cluster, cent) table — (vec_id, cluster) out. Shared
@@ -1372,19 +1405,7 @@ def kmeans_centroids(
         F.col("emb").alias("cent"),
     )
     for _ in range(rounds):
-        per_dim = (
-            kmeans_assign(pts, c)
-            .join(pts, "vec_id")
-            .select("cluster", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(qround(F.avg("val"), 6).alias("m"))
-        )
-        c = per_dim.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cent")
-        )
+        c = _centroid_update(kmeans_assign(pts, c).join(pts, "vec_id"))
     return c
 
 
@@ -1437,18 +1458,7 @@ def _kmeans_cells(
         )
 
     def update(a: DataFrame) -> DataFrame:
-        per_dim = (
-            a.join(pts, "vec_id")
-            .select("cluster", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(qround(F.avg("val"), 6).alias("m"))
-        )
-        return per_dim.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cent")
-        )
+        return _centroid_update(a.join(pts, "vec_id"))
 
     c = cents
     for _ in range(rounds):
@@ -2002,7 +2012,7 @@ def semdedup_keep(
         # without truncation the kmeans subplan re-executes three
         # times (measured ~2/3 of query wall). |vectors| rows —
         # cheap to pin, same recipe as the CC loop (llm_dedup_cluster).
-        .localCheckpoint()
+        .transform(pin)
     )
     a = cells.select(
         F.col("vec_id").alias("i"),
@@ -2165,16 +2175,26 @@ def llm_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SemDeDup plan + one keyed aggregate + one broadcast join."""
     keep = semdedup_keep(
         spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU
-    ).localCheckpoint()
-    per_dim = (
-        keep.select("cluster", F.posexplode("u").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(qround(F.avg("val"), 6).alias("m"))
-    )
-    proto = per_dim.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s["m"],
+    ).transform(pin)
+    # r15 (guide §2.3/§2.4, VERDICT r14 item 5): the prototype pass
+    # was a 64-way posexplode (n×64 rows through TWO exchanges —
+    # (cluster,pos) avg then a cluster-keyed collect_list/array_sort
+    # re-assembly). The same per-dim means as 64 column aggregates
+    # fold map-side into ONE cluster-keyed exchange with no Generate
+    # node; identical math (avg over the identical value multiset per
+    # (cluster, dim), qround'd on the same 1e-6 grid — accumulation
+    # order was already partial-agg dependent before, absorbed by the
+    # grid per the _km_update_sql centroid rule).
+    proto = keep.groupBy("cluster").agg(
+        F.array_compact(
+            F.array(
+                *[
+                    qround(
+                        F.avg(F.try_element_at("u", F.lit(i + 1))), 6
+                    )
+                    for i in range(_KMEANS_DIM)
+                ]
+            )
         ).alias("pd")
     )
     sc = keep.join(F.broadcast(proto), "cluster").select(
@@ -2248,19 +2268,7 @@ def _arrow_cells(
         for r in pts.filter(F.col("vec_id") < k).collect()
     ]
     a0 = assign_with(init)
-    c1 = (
-        a0.join(pts, "vec_id")
-        .select("cluster", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(qround(F.avg("val"), 6).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cent")
-        )
-    )
+    c1 = _centroid_update(a0.join(pts, "vec_id"))
     cents = [
         (int(r["cluster"]), list(r["cent"])) for r in c1.collect()
     ]
@@ -2319,7 +2327,7 @@ def _top_direction(spark: SparkSession, sf_dir: str):
             # scan is as cheap as the checkpoint job) — the halved
             # scan count is the 100 TB payoff, the census is the
             # local evidence.
-            .localCheckpoint()
+            .transform(pin)
         )
         n = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
         v = (
@@ -2645,7 +2653,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = grams.select(
         "doc_id", poly_hash(F.col("gram")).alias("ph")
-    ).localCheckpoint()
+    ).transform(pin)
     perms8 = F.array(
         *[
             F.struct(
@@ -2667,7 +2675,7 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "i")
         .agg(F.min("v").alias("m"))
-        .localCheckpoint()
+        .transform(pin)
     )
     bands = _poly_minhash_bands_from_hashes(h)
     a, b = bands.alias("a"), bands.alias("b")
@@ -2928,7 +2936,7 @@ def llm_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin once: both self-join roles consume this and the
         # 64-conditional-sum signature aggregate otherwise runs twice
         # (r14 plan audit — exchange reuse does not fire here)
-    ).localCheckpoint()
+    ).transform(pin)
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -3316,7 +3324,7 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("text", " "), lambda w: w != F.lit("")
             ).alias("toks"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     def _tag(L):
         # closure factory, NOT a default-arg lambda — HOF lambdas
@@ -3347,7 +3355,7 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= _LSG_DF_CAP)
         .select("doc_id", "l", "g")
-        .localCheckpoint()
+        .transform(pin)
     )
     a = surv.select(F.col("doc_id").alias("doc_a"), "l", "g")
     b = surv.select(F.col("doc_id").alias("doc_b"), "l", "g")
@@ -3885,24 +3893,12 @@ def llm_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the llm_semdedup lesson; |vectors| rows, cheap).
     asg = _kmeans_cells(
         spark, sf_dir, _KMEANS_K, _KMEANS_ROUNDS
-    ).localCheckpoint()
+    ).transform(pin)
     pts = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     # c3 = update(a2): mirror of _km_update_sql (qround'd per-dim means)
-    c3 = (
-        asg.join(pts, "vec_id")
-        .select("cluster", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(qround(F.avg("val"), 6).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda st: st["m"],
-            ).alias("cent")
-        )
-    )
+    c3 = _centroid_update(asg.join(pts, "vec_id"))
     d2 = F.aggregate(
         F.zip_with(
             F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)
@@ -4299,7 +4295,7 @@ def llm_dedup_embedding_verifiable(spark: SparkSession, sf_dir: str) -> DataFram
     )
     bk = q.select(
         "vec_id", "q", bucket.alias("bucket"), nrm2.alias("nrm2")
-    ).localCheckpoint()
+    ).transform(pin)
     a = bk.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("qa"),
@@ -4854,7 +4850,7 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("text", " "), lambda w: w != F.lit("")
             ).alias("tk"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     seeds = tk.select(
         "doc_id",
@@ -4876,7 +4872,7 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (df census + both pair roles) — pinned once
         # or the seed explode re-executes per consumer (r14 plan
         # audit: 8 Generate nodes → 1 execution)
-        .localCheckpoint()
+        .transform(pin)
     )
     okg = (
         capped.select("g", "doc_id")
@@ -5167,7 +5163,7 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         llm_minhash_jaccard_est(spark, sf_dir)
         .select("n_match")
-        .localCheckpoint()
+        .transform(pin)
     )
     out = None
     for b, r in _MBT_CONFIGS:
@@ -5824,6 +5820,12 @@ def substring_census(
         .select("doc_id", F.explode(grams).alias("p"))
         .select("doc_id", "p.l", "p.g1", "p.g2")
         .distinct()
+        # r15: both pair-join roles consume this table, and the
+        # O(Σ n²) all-lengths gram explode + distinct is the query's
+        # dominant cost — without a pin it executes TWICE (exchange
+        # reuse never fires across join roles; the lsg/esr rule).
+        # Lazy pin: computed once inside the pair-join job.
+        .transform(pin)
     )
     a = g.select(
         F.col("doc_id").alias("doc_a"), "l", "g1", "g2"
@@ -6005,7 +6007,7 @@ def llm_lcs_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rk_prefix(F.col("wh2"), _SC_B2, _SC_P2).alias("h2"),
             _rk_powers(F.col("wh2"), _SC_B2, _SC_P2).alias("pw2"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
 
     def gram(hcol, pwcol, p, s, l):
@@ -6038,7 +6040,7 @@ def llm_lcs_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both sides of the seed self-join read this table — without
         # the checkpoint the explode+distinct subplan executes twice
         # (the multi-consumer rule)
-        .localCheckpoint()
+        .transform(pin)
     )
     cand = (
         gl.select(F.col("doc_id").alias("doc_a"), "g1", "g2")
@@ -6390,7 +6392,7 @@ def llm_source_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         docs.groupBy(F.col("source"), _quality_q6_col().alias("q"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     grid = (
         cells.select("source").distinct()
@@ -6546,7 +6548,7 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = (
         _poly_gram_hashes(spread(docs, "doc_id"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     sizes = hs.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
@@ -6571,7 +6573,7 @@ def llm_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join: without the checkpoint each side re-executes the
     # whole signature build (the r10 ladder-collapse rule —
     # checkpoint grid-sized machinery output with >1 consumer)
-    bands = _poly_minhash_bands_from_hashes(hs).localCheckpoint()
+    bands = _poly_minhash_bands_from_hashes(hs).transform(pin)
     ba = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -6722,7 +6724,7 @@ def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("q"),
         )
-        .localCheckpoint()  # consumed per round (tighten joins)
+        .transform(pin)  # consumed per round (tighten joins)
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -6742,7 +6744,7 @@ def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     mind = (
         qz.crossJoin(F.broadcast(seed.select(F.col("q").alias("sq"))))
         .select("vec_id", d2.alias("mind"))
-        .localCheckpoint()
+        .transform(pin)
     )
     for r in range(2, _KCG_K + 1):
         pick = mind.orderBy(F.col("mind").desc(), "vec_id").limit(1)
@@ -6762,7 +6764,7 @@ def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id", F.least(F.col("mind"), d2).alias("mind")
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     out = outs[0]
     for o in outs[1:]:

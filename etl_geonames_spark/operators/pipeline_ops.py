@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import pin, qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1141,8 +1141,8 @@ def maintenance_cluster_metric(
     files = assigned.groupBy("layout", "fid").agg(
         F.min("mo").cast("long").alias("mo_lo"),
         F.max("mo").cast("long").alias("mo_hi"),
-    ).localCheckpoint()
-    months = li.select("mo").distinct().localCheckpoint()
+    ).transform(pin)
+    months = li.select("mo").distinct().transform(pin)
     scan = (
         files.join(
             F.broadcast(months),
@@ -1350,7 +1350,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     span = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).localCheckpoint()
+    ).transform(pin)
     tagged = ev.crossJoin(F.broadcast(span)).select(
         "value",
         F.when(
@@ -1392,7 +1392,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("period") == 1, 1)).cast("long").alias(
             "n_cur"
         ),
-    ).localCheckpoint()
+    ).transform(pin)
     tot = cells.agg(
         F.sum("n_ref").cast("long").alias("tr"),
         F.sum("n_cur").cast("long").alias("tc"),
@@ -1416,7 +1416,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
             qround((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     ptot = terms.agg(qround(F.sum("psi_term"), 6).alias("psi_total"))
     return terms.crossJoin(F.broadcast(ptot)).select(

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_geonames_spark.functions import qround
+from etl_geonames_spark.functions import pin, qround
 from etl_geonames_spark.functions import sql_qround as qround_sql
 from etl_geonames_spark.geonames.pipeline import filters_predicate
 from etl_geonames_spark.registry import query
@@ -2538,7 +2538,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     keys = part.filter(F.col("p_size") == 1).select("p_partkey")
-    sig = bloom_signature(keys, "p_partkey").localCheckpoint(
+    sig = pin(
+        bloom_signature(keys, "p_partkey")
         # ≤ 32 rows, probed by 4 join branches
     )
     probe = li.select("l_partkey")

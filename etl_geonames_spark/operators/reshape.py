@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, spread, sql_qround
+from etl_geonames_spark.functions import pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -588,14 +588,14 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             poly_hash(F.col("text")).alias("h"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     w = Window.partitionBy("grp").orderBy("h")
     sk = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_SET_K)
         .select("grp", "h")
-        .localCheckpoint()
+        .transform(pin)
     )
     # aggregate-form per-side stats: an aggregate over an EMPTY
     # filtered sketch still yields its one row (count 0 →
@@ -689,7 +689,7 @@ def hh_certificate(c: DataFrame) -> DataFrame:
     wr = Window.partitionBy("shard").orderBy(
         F.col("cnt").desc(), F.col("word")
     )
-    r = c.withColumn("rnk", F.row_number().over(wr)).localCheckpoint()
+    r = c.withColumn("rnk", F.row_number().over(wr)).transform(pin)
     kept = r.filter(F.col("rnk") <= _HH_K).select("shard", "word", "cnt")
     bound = r.groupBy("shard").agg(
         F.coalesce(
@@ -826,7 +826,7 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dots = cells.groupBy("i").agg(
         F.sum(F.col("n") * F.col("n")).cast("long").alias("dot_f2")
-    ).localCheckpoint()
+    ).transform(pin)
     est = dots.agg(F.min("dot_f2").cast("long").alias("est_f2"))
     exact = (
         load_table(spark, sf_dir, "lineitem")

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_geonames_spark.functions import (
+    pin,
     qround,
     spread,
     sql_norm_cdf,
@@ -199,14 +200,14 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the cumsum machinery consumes pv three ways (local rows,
         # per-partition totals, grand totals): checkpoint so the
         # documents scan + aggregate runs once, not per branch
-        .localCheckpoint()
+        .transform(pin)
     )
     # cumulative table checkpointed (the r10 ladder-collapse sweep):
     # value-grid-sized, so the cumsum bookkeeping executes once and
     # the censused plan is scan + one aggregate
     c = distributed_cumsum_multi(
         pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
-    ).localCheckpoint()
+    ).transform(pin)
     gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     # same NULL-not-throw contract as stat_mann_whitney's AUC
     return (
@@ -289,7 +290,7 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # langs×sources rows feeding FOUR consumers (terms + both
         # margins + total) — pin once or each re-runs the corpus
         # scan + aggregate (the ts_acf recipe)
-        .localCheckpoint()
+        .transform(pin)
     )
     rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -891,7 +892,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = (
         distributed_rank(s, ["doc_id"])
         .select("above", F.col("_grn").cast("long").alias("t"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a, b = idx.alias("a"), idx.alias("b")
     chg = (
@@ -1003,7 +1004,7 @@ def stat_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # value-distinct grid, consumed by the cumsum's local/totals
         # branches — tiny, pin it
-        .localCheckpoint()
+        .transform(pin)
     )
     cum = distributed_cumsum_multi(
         pv, ["v"], ["c", "ac"], ["nl", "al"], ["n", "aa"]
@@ -1027,7 +1028,7 @@ def stat_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |distinct values| rows consumed by TWO branches (the max
         # and the argmax filter) — without the pin each branch
         # re-executes the whole cumsum subplan
-        .localCheckpoint()
+        .transform(pin)
     )
     mx = f.agg(F.max("fv").alias("fmax"))
     base = (
@@ -1149,7 +1150,7 @@ def stat_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("c"))
         # grid-sized; feeds the cumsum machinery AND the n_cal
         # re-aggregate (the agg_theil_index anchor rule)
-        .localCheckpoint()
+        .transform(pin)
     )
     cum = distributed_cumsum(cells, ["r"], "c", "cum")
     n_cal = cells.agg(F.sum("c").cast("long").alias("n_cal"))
@@ -1236,7 +1237,7 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         # langs×sources rows, FIVE consumers (mi terms, both margins,
         # total, entropies' reuse of the margins) — pin once so the
         # corpus scans exactly once (the ts_acf recipe)
-        .localCheckpoint()
+        .transform(pin)
     )
     rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
@@ -1338,7 +1339,7 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         # ≤ 9 rows feeding the total AND the final select — pin once
         # so the corpus scans exactly once (the ts_acf recipe)
-        .localCheckpoint()
+        .transform(pin)
     )
     t = d.agg(F.sum("n").cast("long").alias("total"))
     exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
@@ -1662,7 +1663,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # group-count rows, THREE consumers (terms join, between,
         # global re-aggregate) — pin once (the ts_acf recipe)
-        .localCheckpoint()
+        .transform(pin)
     )
     t = g.agg(
         F.sum("ng").cast("long").alias("n"), F.sum("sg").alias("s")
@@ -1796,7 +1797,7 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cn"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     rc = distributed_cumsum_multi(cells, ["ad"], ["c"], ["cum"], ["nt"])
     mr = (F.col("cum") - F.col("c")).cast("double") + (
@@ -1807,7 +1808,7 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the censused plan is scan + one aggregate
     mids = rc.select(
         "cp", "cn", F.col("nt").alias("n"), mr.alias("mr")
-    ).localCheckpoint()
+    ).transform(pin)
     # empty-corpus contract (all pairs tied): the oracle's COUNT(*)
     # over zero rows is 0 with NULL sums — coalesce n only
     s = mids.agg(
@@ -1882,7 +1883,7 @@ def _midrank_tables(spark, sf_dir):
     ties = rk.groupBy("x").agg(
         ((F.min("rn") + F.max("rn")) / 2.0).alias("mr"),
         F.count(F.lit(1)).cast("long").alias("t"),
-    ).localCheckpoint()
+    ).transform(pin)
     g = (
         rk.join(F.broadcast(ties.select("x", "mr")), "x")
         .groupBy("source")
@@ -1890,7 +1891,7 @@ def _midrank_tables(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("ng"),
             F.sum("mr").alias("rg"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     tt = ties.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
@@ -2031,7 +2032,7 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum("x").cast("long").alias("sg"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("qg"),
-    ).localCheckpoint()
+    ).transform(pin)
     tot = g.agg(
         F.sum("ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -2207,7 +2208,7 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a, b = dc.alias("a"), dc.alias("b")
     sgn = F.when(F.col("b.c") > F.col("a.c"), 1).when(
@@ -2311,7 +2312,7 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     days = dc.select("day").distinct()
     items = dc.select("event_type").distinct()
@@ -2321,7 +2322,7 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("x")
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     per_item = dense.groupBy("event_type").agg(
         F.sum("x").cast("long").alias("s"),
@@ -2434,7 +2435,7 @@ def stat_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("y"),
-    ).localCheckpoint()
+    ).transform(pin)
     tx = distributed_rank(docs, ["x", "doc_id"]).select(
         "doc_id", "y", F.col("_grn").cast("long").alias("t")
     )
@@ -2452,7 +2453,7 @@ def stat_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "t", "r", (F.col("n") - F.col("mn") + 1).alias("l"), "n"
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     a, b = rr.alias("a"), rr.alias("b")
     num = a.join(b, F.col("b.t") == F.col("a.t") + 1).agg(
@@ -2809,7 +2810,7 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(wr)
             + (F.count(F.lit(1)).over(wt) - 1) / F.lit(2.0)
         ).alias("r"),
-    ).localCheckpoint()
+    ).transform(pin)
     dims = ranked.agg(
         F.countDistinct("day").cast("long").alias("n"),
         F.countDistinct("event_type").cast("long").alias("k"),
@@ -2955,7 +2956,7 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, F.col("v"))).cast("long").alias("s2"),
         F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
         F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n2"),
-    ).localCheckpoint()
+    ).transform(pin)
     perms = docs.select(
         "doc_id",
         "v",
@@ -3212,7 +3213,7 @@ def stat_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
-    ).localCheckpoint()
+    ).transform(pin)
     withdev = m.crossJoin(F.broadcast(s)).select(
         "doc_id",
         "x",
@@ -3319,7 +3320,7 @@ def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prev_type").isNotNull())
     c = seq.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint()
+    ).transform(pin)
     t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
     g = c.agg(F.sum("n").cast("long").alias("grand"))
     term = F.when(F.col("n") == F.col("tot"), F.lit(0.0)).otherwise(
@@ -4122,7 +4123,7 @@ def dq_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
             )
             .limit(1)
-            .localCheckpoint()
+            .transform(pin)
         )
         n, ssum, q = F.col("n"), F.col("s"), F.col("q")
         # EXACT int64 variance numerator AND stat_grubbs' exact
@@ -4391,7 +4392,7 @@ def dq_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = _as_double("embedding")
     v = emb.select(
         "vec_id", F.sqrt(_dot(ed, ed)).alias("nrm")
-    ).localCheckpoint()
+    ).transform(pin)
     med = v.agg(F.median("nrm").alias("med"))
     dev = v.crossJoin(F.broadcast(med)).select(
         "nrm", F.abs(F.col("nrm") - F.col("med")).alias("dv"), "med"
@@ -4539,7 +4540,7 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(tk)).cast("long").alias("m1"),
             F.size(tk).cast("long").alias("m2"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     long = t.select(
         "doc_id",
@@ -4560,7 +4561,7 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "t3", F.col("c") * F.col("c") * F.col("c") - F.col("c")
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     rc = distributed_cumsum_multi(
         cells, ["rid", "v"], ["c", "t3"], ["cs", "t3s"], ["n3", "sum_t3"]
@@ -4586,7 +4587,7 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mr"),
         n_col.alias("n"),
         F.col("sum_t3").cast("long").alias("sum_t3"),
-    ).localCheckpoint()
+    ).transform(pin)
     # n and sum_t3 are constant columns riding the broadcast — max()
     # carries them through the aggregates so no separate moment
     # subplan executes (the moods_median multi-consumer rule)
@@ -5171,7 +5172,7 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = (
         x.groupBy("lang", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     pv = lv.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
     pool = pv.agg(
@@ -5367,12 +5368,12 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the cumsum machinery consumes pv three ways (local rows,
         # per-partition totals, grand totals): checkpoint so the
         # documents scan + aggregate runs once (the ks convention)
-        .localCheckpoint()
+        .transform(pin)
     )
     # cumulative table checkpointed (the r10 ladder-collapse sweep)
     rc = distributed_cumsum_multi(
         pv, ["v"], ["c1", "c2"], ["cum1", "cum2"], ["n1", "n2"]
-    ).localCheckpoint()
+    ).transform(pin)
     gap = (
         F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
     ).cast("double")
@@ -5499,7 +5500,7 @@ def stat_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvc = (
         x.groupBy("lang", "arm", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     pv = lvc.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
     pool = pv.agg(
@@ -5669,7 +5670,7 @@ def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_chars").cast("long").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     mom = pv.agg(
         F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
@@ -5680,7 +5681,7 @@ def stat_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative table checkpointed (the r10 ladder-collapse sweep)
     cc = distributed_cumsum_multi(
         pv, ["v"], ["c"], ["cum"], ["n"]
-    ).localCheckpoint()
+    ).transform(pin)
     nd = F.col("n").cast("double")
     disc = nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv")
     z = cc.crossJoin(F.broadcast(mom)).select(
@@ -5817,7 +5818,7 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("n_chars").cast("long").alias("v"))
         .groupBy("lang", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     gpool = lvc.groupBy("lang").agg(
         F.array_sort(F.collect_list(F.struct("v", "c"))).alias("vl"),
@@ -5857,7 +5858,7 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "d")
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     pooled = dcell.groupBy("d").agg(F.sum("c").cast("long").alias("cd"))
     rc = distributed_cumsum_multi(pooled, ["d"], ["cd"], ["cum"], ["nn"])
@@ -5870,7 +5871,7 @@ def stat_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cd",
         F.col("nn").alias("n"),
         norm_ppf(p).alias("a"),
-    ).localCheckpoint()
+    ).transform(pin)
     glob = sa.agg(
         F.max("n").alias("n"),
         F.sum(F.col("cd") * F.col("a")).alias("s1"),
@@ -6008,7 +6009,7 @@ def stat_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_chars").cast("long").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     mom = pv.agg(
         F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
@@ -6019,7 +6020,7 @@ def stat_shapiro_francia(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative table checkpointed (the r10 ladder-collapse sweep)
     cc = distributed_cumsum_multi(
         pv, ["v"], ["c"], ["cum"], ["n"]
-    ).localCheckpoint()
+    ).transform(pin)
 
     def blom(j):
         return norm_ppf(
@@ -6158,7 +6159,7 @@ def stat_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("c1"),
             F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = pv.agg(
         F.sum("c1").cast("long").alias("n1"),
@@ -6281,7 +6282,7 @@ def stat_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # values are ENGINE-LOCAL grouping keys whose partitions agree
         # — season must never be emitted or cross-engine-compared
         .withColumn("season", F.dayofweek("day"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a, b = dc.alias("a"), dc.alias("b")
     sgn = (
@@ -6433,7 +6434,7 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     grid = (
         cells.select("g").distinct()
@@ -6594,7 +6595,7 @@ def _two_group_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     grid = (
         spark.range(2)
@@ -6628,7 +6629,7 @@ def _two_group_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             _of(1, "b").alias("b1"),
         )
         # V rows; every consumer runs ≥2 passes over it
-        .localCheckpoint()
+        .transform(pin)
     )
 
 
@@ -7029,7 +7030,7 @@ def stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.date_trunc("day", "ts").alias("day"), "event_type")
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     days = dc.select("day").distinct()
     types = dc.select("event_type").distinct()
@@ -7041,7 +7042,7 @@ def stat_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     wr = Window.partitionBy("day").orderBy("c")
     wt = Window.partitionBy("day", "c")
@@ -7346,7 +7347,7 @@ def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     z4 = (
         sweep(sweep(sweep(sweep(z, "t", "rm1"), "d", "cm1"), "t", "rm2"),
               "d", "cm2")
-        .localCheckpoint()  # 3 consumers: output rows + both effect vectors
+        .transform(pin)  # 3 consumers: output rows + both effect vectors
     )
 
     def vmed(df, col):

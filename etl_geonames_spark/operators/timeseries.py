@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import qround, sql_qround
+from etl_geonames_spark.functions import pin, qround, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1544,7 +1544,7 @@ def _acf_tables(spark: SparkSession, sf_dir: str):
         # |hours| rows; pinned because THREE branches (moment table +
         # both sides of the lag join) would otherwise re-run the
         # events scan + aggregate each
-        .localCheckpoint()
+        .transform(pin)
     )
     idx = (
         distributed_rank(hc, ["h"])
@@ -1555,7 +1555,7 @@ def _acf_tables(spark: SparkSession, sf_dir: str):
         # broadcast), tripling the per-query shuffle bill — the r4
         # census showed 19 plan-shuffles in each of ts_acf / ts_pacf /
         # stat_ljung_box from exactly this re-execution
-        .localCheckpoint()
+        .transform(pin)
     )
     s = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1781,7 +1781,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    rc = distributed_rank_cumsum(hc.localCheckpoint(), ["h"], "c")
+    rc = distributed_rank_cumsum(hc.transform(pin), ["h"], "c")
     # deviation table checkpointed (the kendall_w/wilcoxon r10
     # precedent): hour-grid-sized, so the rank_cumsum bookkeeping
     # executes once and the censused plan is scan + one argmax
@@ -1793,7 +1793,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_total_n") * F.col("_gcs")
             - F.col("_grn") * F.col("_total_s")
         ).alias("d"),
-    ).localCheckpoint()
+    ).transform(pin)
     best = dev.agg(
         F.max("n").alias("n"),
         F.max("sn").alias("sn"),
@@ -2526,7 +2526,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     bounds = hc.groupBy("event_type").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
@@ -2606,7 +2606,7 @@ def _daily_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xi").cast("long").alias("x"),
             F.sum("yi").cast("long").alias("y"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
 
 
@@ -2805,7 +2805,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") % 7).alias("dow"),
             (7 * F.col("c") - F.col("sum7")).alias("detr7"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     seas = full7.groupBy("event_type", "dow").agg(
         F.sum("detr7").cast("long").alias("s_detr"),
@@ -2952,7 +2952,7 @@ def ts_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket_days")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     total = hist.agg(F.sum("n").cast("long").alias("total"))
     cum = distributed_cumsum(hist, ["bucket_days"], "n", "cum_n")
@@ -3045,7 +3045,7 @@ def ts_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # one fold per candidate period + globals
+        .transform(pin)  # one fold per candidate period + globals
     )
     g = hc.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3230,12 +3230,12 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     idx = (
         distributed_rank(hc, ["h"])
         .select("c", F.col("_grn").cast("long").alias("t"))
-        .localCheckpoint()
+        .transform(pin)
     )
     pts = None
     for m in _HURST_MS:
@@ -3257,7 +3257,7 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_rs"),
         )
         pts = p if pts is None else pts.unionAll(p)
-    pts = pts.localCheckpoint()
+    pts = pts.transform(pin)
     # the 4 regression terms are pre-quantized to the 1e-9 grid before
     # summing (x = ln(8/16/32/64) are constants, y is already on the
     # 1e-6 grid): Spark's partial-aggregation order over the 4-row
@@ -3483,7 +3483,7 @@ def ts_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a = iv.select(
         "user_id",
@@ -3581,7 +3581,7 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a = hc.select(F.col("h"), F.col("c").alias("c0"))
     b = hc.select((F.col("h") - 1).alias("h"), F.col("c").alias("c1"))
@@ -3595,7 +3595,7 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = tri.groupBy("pattern").agg(
         F.count(F.lit(1)).cast("long").alias("n_triples")
-    ).localCheckpoint()
+    ).transform(pin)
     tot = pc.agg(F.sum("n_triples").cast("long").alias("n"))
     # each -p ln p term is pre-quantized to the 1e-9 grid before the
     # sum (the ts_hurst_rs float-order discipline): Spark's partial-agg
@@ -3716,7 +3716,7 @@ def ts_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") == _SPC_N)
         .drop("cnt")
-        .localCheckpoint()
+        .transform(pin)
     )
     lim = sub.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_subgroups"),
@@ -4751,7 +4751,7 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a = dc.select(
         F.col("event_type").alias("cause"),
@@ -4988,7 +4988,7 @@ def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     a_side = dc.select(
         F.col("event_type").alias("y_type"),
@@ -7007,7 +7007,7 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # both theta-join sides read this k-row table; un-pinned, the
         # corpus-scale daily aggregate re-executes per side
-        .localCheckpoint()
+        .transform(pin)
     )
     a = arr.select(
         F.col("event_type").alias("type_a"),

@@ -8,6 +8,7 @@ pytest before the driver sees them.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -32,6 +33,44 @@ def ddb(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
+
+
+# r15 (VERDICT r14 item 1): the suite outgrew the driver's verify
+# window (~31 min, cut at 84%), and most of it was THIS file run
+# serially — 504 latency-bound tiny Spark jobs, each waiting out its
+# own scheduling floor on an idle local[4]. Spark happily runs
+# several jobs at once (optimization guide §2.6): precompute every
+# query's Spark-side result through a small driver thread pool so
+# the next query's tasks back-fill the current one's tail. Each
+# test's ASSERTIONS are unchanged — the fixture only moves the
+# toPandas() calls; a query that throws has its exception captured
+# and re-raised inside its own test, so failure attribution is
+# identical. Temp-view races cannot corrupt results: the only
+# names created at build time are query-unique or idempotent
+# identical definitions (sql_queries re-registers the same fixture
+# views), and catalog ops are thread-safe.
+_PAR_THREADS = int(os.environ.get("SPARK_GRAFT_TEST_THREADS", "6"))
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            pdf = QUERIES[name](spark, sf_dir).toPandas()
+            again_len = None
+            if name not in ORACLES:
+                again_len = len(QUERIES[name](spark, sf_dir).toPandas())
+            return name, (pdf, again_len, None)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in the test
+            return name, (None, None, exc)
+
+    out = {}
+    with ThreadPoolExecutor(max_workers=_PAR_THREADS) as pool:
+        for name, res in pool.map(run, sorted(QUERIES)):
+            out[name] = res
+    return out
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -71,14 +110,14 @@ def _values_equal(a, b) -> bool:
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query(name, spark, sf_dir, ddb):
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_pd = sdf.toPandas()
+def test_query(name, spark_results, ddb):
+    spark_pd, again_len, exc = spark_results[name]
+    if exc is not None:
+        raise exc
     if name not in ORACLES:
         # rows-only check (mirrors the driver's weaker gate):
         # deterministic row count across two runs
-        again = QUERIES[name](spark, sf_dir).toPandas()
-        assert len(spark_pd) == len(again), f"{name}: non-deterministic row count"
+        assert len(spark_pd) == again_len, f"{name}: non-deterministic row count"
         return
     duck_pd = ddb.sql(ORACLES[name]).df()
     assert len(spark_pd) == len(duck_pd), (

@@ -21,6 +21,28 @@ from etl_geonames_spark.plans import (
 QUERIES = entry_mod.queries()
 
 
+def calls_broadcast(fn) -> bool:
+    """True iff the function's CODE contains an F.broadcast(...) /
+    broadcast(...) call — an AST walk over Call nodes, so a docstring
+    or comment that merely *mentions* F.broadcast can never trip the
+    de-broadcast contracts (ADVICE r14: the raw `"F.broadcast" not in
+    inspect.getsource(...)` form failed spuriously on prose)."""
+    import ast
+    import inspect
+    import textwrap
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+            return True
+        if isinstance(f, ast.Name) and f.id == "broadcast":
+            return True
+    return False
+
+
 def test_pit_pipeline_is_shuffle_free(spark, sf_dir):
     """The flagship reference dataflow: scan → filter/project → two
     broadcast joins. Zero shuffle exchanges at any fact size."""
@@ -283,6 +305,10 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert not has_node(df, "CartesianProduct")
+    # r15: the centroid update is 64 per-dim aggregate expressions in
+    # ONE cluster-keyed exchange — the n×64 posexplode Generate (and
+    # its (cluster, pos) exchange + collect_list re-assembly) is gone
+    assert "Generate" not in plan
 
 
 def test_shuffle_order_is_map_only(spark, sf_dir):
@@ -543,8 +569,7 @@ def test_adamic_adar_caps_degree_before_wedge(spark, sf_dir):
     assert f"<= {_AA_DEGREE_CAP}" in plan
     assert "CartesianProduct" not in plan
 
-    src = inspect.getsource(QUERIES["graph_adamic_adar"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_adamic_adar"])
 
     df = QUERIES["graph_adamic_adar"](spark, sf_dir)
     assert not has_node(df, "CartesianProduct")
@@ -707,10 +732,7 @@ def test_scc_bounded_is_lazy_single_consumer_rounds(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_node(df, "Window")
-    import inspect
-
-    src = inspect.getsource(QUERIES["graph_scc_bounded"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_scc_bounded"])
     # 2×4 rounds × ≤3 equi-keyed exchanges + the fwd⋈bwd merge + agg
     assert shuffle_exchange_count(df) <= 30
 
@@ -1030,6 +1052,9 @@ def test_d4_diversify_broadcasts_prototypes_and_keys_windows(spark, sf_dir):
     # hashpartitioning on cluster feeds it
     assert "hashpartitioning(cluster" in plan
     assert not has_node(df, "CartesianProduct")
+    # r15 (VERDICT r14 item 5): the prototype pass is 64 per-dim
+    # aggregates in one cluster-keyed exchange — no 64-way posexplode
+    assert "Generate" not in plan
 
 
 def test_quality_classifier_broadcasts_weights_keyed_aggs_only(spark, sf_dir):
@@ -1283,10 +1308,7 @@ def test_deterministic_walks_is_per_step_argmin_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_node(df, "Window")
-    import inspect
-
-    src = inspect.getsource(QUERIES["graph_deterministic_walks"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_deterministic_walks"])
     assert shuffle_exchange_count(df) <= 12
 
 
@@ -1313,10 +1335,7 @@ def test_ktruss_peel_is_oriented_wedge_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_node(df, "Window")
-    import inspect
-
-    src = inspect.getsource(QUERIES["graph_ktruss_peel"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_ktruss_peel"])
     # post-checkpoint plan: the final support pass (wedge join, close
     # join, 3-side union aggregate) + the 3-table census join — every
     # exchange is an equi-keyed hash partitioning over edge-sized or
@@ -1337,10 +1356,7 @@ def test_betweenness_pivots_is_frontier_linear(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_node(df, "Window")
-    import inspect
-
-    src = inspect.getsource(QUERIES["graph_betweenness_pivots"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_betweenness_pivots"])
     # post-checkpoint plan: the union of backward levels + one final
     # v-keyed aggregate
     assert shuffle_exchange_count(df) <= 4
@@ -1397,10 +1413,7 @@ def test_local_bridges_is_wedge_join_plus_anti(spark, sf_dir):
     # the de-pin is asserted at source: no forced broadcast anywhere
     # in this op (the pagerank-style nodes-fit broadcast is a
     # DOCUMENTED assumption; this op deliberately makes none)
-    import inspect
-
-    src = inspect.getsource(QUERIES["graph_local_bridges"])
-    assert "F.broadcast" not in src
+    assert not calls_broadcast(QUERIES["graph_local_bridges"])
 
 
 def test_matrix_profile_is_daily_series_bill(spark, sf_dir):
