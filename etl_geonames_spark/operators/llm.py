@@ -3299,11 +3299,12 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per length = 12 length-units; exchange reuse never fired across
     the df-census/join roles — r14 plan audit). The boilerplate
     df-cap is a gram-partitioned window COUNT (bounded by a gram's
-    doc frequency, never global), which keeps the survivor table a
-    SINGLE-CONSUMER chain: one explode + one shuffle, pinned once
-    (corpus-sized localCheckpoint, the same trade the ``toks`` pin
-    already makes — production would persist it to disk-backed
-    storage) for the two pair-join roles. The cap drops (l, gram)s in
+    doc frequency, never global), so the survivor build is a single
+    explode + shuffle chain per pair-join role — UNPINNED since r15
+    (measured: re-running the chain per role beats checkpointing the
+    corpus-sized string-gram table; at 100 TB persist it to
+    disk-backed columnar storage between stages instead, ADVICE
+    r14). The cap drops (l, gram)s in
     > 16 docs (_LSG_DF_CAP; caps any gram's pair bill at C(16,2) AND
     removes template text that isn't dup signal — same discipline as
     llm_boilerplate_ngrams); the pair meet is one (l, gram)
@@ -3314,9 +3315,10 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         # ONE fixture file → one input partition; the shingle explode
-        # is the compute-bound stage, so spread it BEFORE the
-        # checkpoint (hash layout can't alter the all-integer
-        # results).
+        # is the compute-bound stage, so spread it first (hash layout
+        # can't alter the all-integer results). Single consumer since
+        # the r14 tagged-explode rewrite (gd is the only reader) — no
+        # pin needed.
         spread(docs, "doc_id")
         .select(
             "doc_id",
@@ -3324,7 +3326,6 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("text", " "), lambda w: w != F.lit("")
             ).alias("toks"),
         )
-        .transform(pin)
     )
     def _tag(L):
         # closure factory, NOT a default-arg lambda — HOF lambdas
@@ -3355,7 +3356,15 @@ def llm_longest_shared_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= _LSG_DF_CAP)
         .select("doc_id", "l", "g")
-        .transform(pin)
+        # UNPINNED by measurement (r15 pin A/B, min-of-6 interleaved:
+        # none 1.32 / lazy 1.94 / eager 2.21 s): both pair-join roles
+        # re-run the explode+window, but serializing the corpus-sized
+        # string-gram table into checkpoint storage costs MORE than
+        # the second pass — the pin threshold is bytes-vs-recompute,
+        # and wide string payloads sit on the recompute side. The
+        # 100 TB form Lee et al.-style runs persist this table to
+        # disk-backed columnar storage between stages (ADVICE r14);
+        # that is a storage-format decision, not a localCheckpoint.
     )
     a = surv.select(F.col("doc_id").alias("doc_a"), "l", "g")
     b = surv.select(F.col("doc_id").alias("doc_b"), "l", "g")
@@ -4869,10 +4878,14 @@ def llm_exact_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds.withColumn("occ", F.row_number().over(w_occ))
         .filter(F.col("occ") <= _ESR_OCC_CAP)
         .drop("occ")
-        # three consumers (df census + both pair roles) — pinned once
-        # or the seed explode re-executes per consumer (r14 plan
-        # audit: 8 Generate nodes → 1 execution)
-        .transform(pin)
+        # UNPINNED by measurement (r15 pin A/B, min-of-6 interleaved:
+        # all-unpinned 1.53 / lazy pins 1.64 / eager pins 1.69 s —
+        # the r14 eager pin was the driver-measured regression): the
+        # three consumers re-run the seed explode + occ window, but
+        # checkpointing the string-gram seed table costs more than
+        # the repeats — the lsg bytes-vs-recompute call. The narrow
+        # token-array table `tk` (the wide payload the extension
+        # joins ship) keeps its pin above.
     )
     okg = (
         capped.select("g", "doc_id")
@@ -5820,12 +5833,12 @@ def substring_census(
         .select("doc_id", F.explode(grams).alias("p"))
         .select("doc_id", "p.l", "p.g1", "p.g2")
         .distinct()
-        # r15: both pair-join roles consume this table, and the
-        # O(Σ n²) all-lengths gram explode + distinct is the query's
-        # dominant cost — without a pin it executes TWICE (exchange
-        # reuse never fires across join roles; the lsg/esr rule).
-        # Lazy pin: computed once inside the pair-join job.
-        .transform(pin)
+        # UNPINNED by measurement (r15 pin A/B: none 1.11 / lazy 1.26
+        # / eager 1.40 s): both pair-join roles re-run the explode +
+        # distinct, but the census is slice-bounded (doc_id < 200) by
+        # contract, so the double pass is cheaper than checkpointing
+        # the gram table at every slice width the contract allows —
+        # same bytes-vs-recompute call as llm_longest_shared_gram.
     )
     a = g.select(
         F.col("doc_id").alias("doc_a"), "l", "g1", "g2"

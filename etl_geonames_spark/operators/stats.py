@@ -7347,7 +7347,13 @@ def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     z4 = (
         sweep(sweep(sweep(sweep(z, "t", "rm1"), "d", "cm1"), "t", "rm2"),
               "d", "cm2")
-        .transform(pin)  # 3 consumers: output rows + both effect vectors
+        # 3 consumers: output rows + both effect vectors. EAGER by
+        # measurement (r15 pin A/B, min-of-6 interleaved: eager 1.13 /
+        # lazy 1.26 / none 1.69 s): the three consumers race the
+        # window-chain blocks under the lazy form, and the grid is
+        # tiny — the one blocking job is cheaper than the block-lock
+        # contention it removes.
+        .localCheckpoint()
     )
 
     def vmed(df, col):

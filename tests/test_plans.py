@@ -660,11 +660,11 @@ def test_exact_shared_run_is_blocked_equi_join(spark, sf_dir):
     join is an equi-join on the gram key, the extension joins are
     equi-joins on doc_id, and the occurrence-cap window partitions by
     (doc_id, gram) — never a global window or a cartesian product.
-    r14: the capped seed table is localCheckpointed (3 consumers —
-    the df census + both pair roles), so the occ-cap window shape is
-    pinned on an UN-checkpointed rebuild of the seed stage (the
-    hurst/adamic-adar pattern); the pair-join equi key stays visible
-    in the query's own plan."""
+    r15: the seed table is UNPINNED (the r15 pin A/B measured the
+    checkpoint costing more than the per-consumer re-run — see the
+    query's comment), so the occ-cap window shape is additionally
+    pinned here on a standalone rebuild of the seed stage; the
+    pair-join equi key stays visible in the query's own plan."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
