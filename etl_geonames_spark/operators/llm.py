@@ -159,7 +159,13 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # call, so the spread propagates to the family
         spread(load_table(spark, sf_dir, "documents"), "doc_id")
     )
-    bands = minhash_bands(sigs)
+    # both self-join roles consume the band table and exchange reuse
+    # does not fire across the roles (r15 probe: 4 parquet scans, 4
+    # Generates, 0 ReusedExchange — the tokenize+shingle+16-perm
+    # signature build executed TWICE); the pin is 4 rows/doc of
+    # (band_idx, band_hash) longs — narrow, unlike the lsg/esr
+    # string-gram tables where the A/B said re-run instead
+    bands = minhash_bands(sigs).transform(pin)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

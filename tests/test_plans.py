@@ -734,7 +734,10 @@ def test_scc_bounded_is_lazy_single_consumer_rounds(spark, sf_dir):
     assert not has_node(df, "Window")
     assert not calls_broadcast(QUERIES["graph_scc_bounded"])
     # 2×4 rounds × ≤3 equi-keyed exchanges + the fwd⋈bwd merge + agg
-    assert shuffle_exchange_count(df) <= 30
+    # = 26 (ADVICE r14: bound tightened to the derivation; measured 9
+    # at the local[4]/AQE test shape, so an accidental extra exchange
+    # per round trips this long before the derived ceiling)
+    assert shuffle_exchange_count(df) <= 26
 
 
 def test_hurst_windows_partition_by_block(spark, sf_dir):
@@ -1295,7 +1298,10 @@ def test_bowtie_census_is_bsp_label_rounds(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert not has_node(df, "Window")
-    assert shuffle_exchange_count(df) <= 24
+    # two 3-round reach towers × ≤3 equi-keyed exchanges + the census
+    # join/aggregate = 22 (ADVICE r14 tightening; measured 9 at the
+    # test shape)
+    assert shuffle_exchange_count(df) <= 22
 
 
 def test_deterministic_walks_is_per_step_argmin_joins(spark, sf_dir):
