@@ -35,6 +35,31 @@ def sql_qround(expr: str, digits: int = 6) -> str:
     return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
 
 
+_CTE_HEAD = None  # compiled lazily below (re imported at module top)
+
+
+def materialize_ctes(sql: str) -> str:
+    """DuckDB oracle helper: rewrite every CTE ``name AS (`` to
+    ``name AS MATERIALIZED (``. DuckDB (1.0) INLINES non-recursive
+    CTEs, so an unrolled iterative oracle whose round references its
+    predecessor twice re-executes the whole prefix 2^rounds times —
+    the exact multi-consumer trap the engine side pins with
+    localCheckpoint, in the oracle's engine (measured r15:
+    graph_bowtie_census 151 s → 0.08 s at sf0.001, byte-identical
+    output). Pure execution hint: MATERIALIZED cannot change results.
+    The pattern ``name AS (`` only occurs at CTE definitions (column
+    aliases are ``expr AS name``; derived tables alias AFTER the
+    parenthesis), so the rewrite is syntax-safe; each converted
+    oracle is still value-verified against Spark by the differential
+    suite."""
+    import re
+
+    global _CTE_HEAD
+    if _CTE_HEAD is None:
+        _CTE_HEAD = re.compile(r"\b([a-z_][a-z_0-9]*) AS \(")
+    return _CTE_HEAD.sub(r"\1 AS MATERIALIZED (", sql)
+
+
 def pin(df):
     """Multi-consumer pin: truncate lineage so a table consumed by
     several downstream branches (self-join roles, census + pair

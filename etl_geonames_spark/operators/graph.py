@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_geonames_spark.functions import pin, qround, spread, sql_qround
+from etl_geonames_spark.functions import materialize_ctes, pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -1735,7 +1735,7 @@ def _btw_backward_sql(flev: str, bnext: str, sc: str, bw: str) -> str:
 
 @query(
     "graph_betweenness_pivots",
-    oracle=f"""
+    oracle=materialize_ctes(f"""
     WITH edges AS ({_EDGE_SQL}),
     {_UND_SQL},
     piv AS (SELECT s AS p FROM (SELECT DISTINCT s FROM und)
@@ -1765,7 +1765,7 @@ def _btw_backward_sql(flev: str, bnext: str, sc: str, bw: str) -> str:
                "[CAST(p AS DOUBLE), delta])), _fe -> _fe[2])), "
                "(_fa, _fx) -> _fa + _fx)", 9)} AS betweenness
     FROM av GROUP BY v
-    """,
+    """),
 )
 def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-sampled bounded-depth betweenness centrality (Brandes
@@ -1977,7 +1977,7 @@ def _truss_round_sql(e: str, i: int) -> str:
 
 @query(
     "graph_ktruss_peel",
-    oracle=f"""
+    oracle=materialize_ctes(f"""
     WITH raw AS ({_EDGE_SQL}),
     e0 AS (
         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -2005,7 +2005,7 @@ def _truss_round_sql(e: str, i: int) -> str:
     FROM sup0 s0
     LEFT JOIN e2 x ON x.a = s0.a AND x.b = s0.b
     LEFT JOIN sup2 s2 ON s2.a = s0.a AND s2.b = s0.b
-    """,
+    """),
 )
 def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two peeling rounds toward the 4-truss (Cohen 2008): drop edges
@@ -2231,7 +2231,7 @@ def _bowtie_reach_sql(prev: str, edge_from: str, edge_to: str) -> str:
 
 @query(
     "graph_bowtie_census",
-    oracle=f"""
+    oracle=materialize_ctes(f"""
     WITH edges AS ({_EDGE_SQL}),
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
@@ -2281,7 +2281,7 @@ def _bowtie_reach_sql(prev: str, edge_from: str, edge_to: str) -> str:
     LEFT JOIN r{_BOWTIE_REACH} fr ON fr.node = n.node
     LEFT JOIN q{_BOWTIE_REACH} bq ON bq.node = n.node
     GROUP BY 1
-    """,
+    """),
 )
 def graph_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bow-tie structure census of the directed graph (Broder et al.

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_geonames_spark.functions import pin, qround, spread, sql_qround
+from etl_geonames_spark.functions import materialize_ctes, pin, qround, spread, sql_qround
 from etl_geonames_spark.registry import query
 from etl_geonames_spark.sources import load_table
 
@@ -2081,9 +2081,9 @@ _SEMDEDUP_KEEP_SQL = f"""
 
 @query(
     "llm_semdedup",
-    oracle=_SEMDEDUP_KEEP_SQL + """
+    oracle=materialize_ctes(_SEMDEDUP_KEEP_SQL + """
     SELECT vec_id, cluster FROM keep
-    """,
+    """),
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by embedding —
@@ -2120,7 +2120,7 @@ _D4_DROP_DEN = 4
 
 @query(
     "llm_d4_diversify",
-    oracle=_SEMDEDUP_KEEP_SQL + f"""
+    oracle=materialize_ctes(_SEMDEDUP_KEEP_SQL + f"""
     , proto AS (
         SELECT cluster,
                list(FLOOR(m * 1000000.0 + 0.5) / 1000000.0
@@ -2147,7 +2147,7 @@ _D4_DROP_DEN = 4
     )
     SELECT vec_id, cluster, proto
     FROM rk WHERE {_D4_DROP_DEN} * r > {_D4_DROP_NUM} * nc
-    """,
+    """),
 )
 def llm_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 diversification (Tirumala et al. 2023, arXiv:2308.12284):
@@ -6681,7 +6681,7 @@ def _kcg_round_sql(r: int) -> str:
 
 @query(
     "llm_kcenter_coreset",
-    oracle=f"""
+    oracle=materialize_ctes(f"""
     WITH qz AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -6707,7 +6707,7 @@ def _kcg_round_sql(r: int) -> str:
         f"SELECT sel_order, vec_id, d2_sel FROM p{r}"
         for r in range(1, _KCG_K + 1)
     )}
-    """,
+    """),
 )
 def llm_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-center greedy coreset selection over the embedding corpus

@@ -167,7 +167,21 @@ def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_no_registered_query_has_global_window(spark, sf_dir):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry_dfs(spark, sf_dir):
+    """EVERY registered query built once — shared by the two
+    whole-registry plan sweeps below, so each query pays Python
+    construction + Catalyst analysis ONCE instead of once per sweep
+    (r15: the two sweeps were the suite's #1/#2 wall at ~3 min each;
+    the QueryExecution's plans are cached on the DataFrame, so the
+    second sweep's walks are free)."""
+    return {name: fn(spark, sf_dir) for name, fn in QUERIES.items()}
+
+
+def test_no_registered_query_has_global_window(registry_dfs):
     """Sweep EVERY registered query's optimized plan: no Window node
     may have an empty partitionSpec — an un-partitioned window funnels
     the whole input through one task, the single worst scale trap
@@ -177,8 +191,8 @@ def test_no_registered_query_has_global_window(spark, sf_dir):
     from etl_geonames_spark.plans import global_windows
 
     offenders = {}
-    for name, fn in QUERIES.items():
-        bad = global_windows(fn(spark, sf_dir))
+    for name, df in registry_dfs.items():
+        bad = global_windows(df)
         # the ONE permitted global window: win_ntile's cumulative offset
         # over per-partition counts — its input is one row per partition
         # (metadata-sized at any fact scale), visible in the spec's
@@ -418,16 +432,16 @@ def test_curate_pipeline_is_one_codegen_stage(spark, sf_dir):
     assert wholestage_codegen_count(df) >= 1
 
 
-def test_no_registered_query_plans_cartesian(spark, sf_dir):
+def test_no_registered_query_plans_cartesian(registry_dfs):
     """Sweep EVERY registered query's plan: no CartesianProduct node —
     an unconstrained cross product is quadratic at any scale. The one
     allowed entry is join_cross itself (two 5-row dims, registered
     precisely to demonstrate the operator)."""
     offenders = []
-    for name, fn in QUERIES.items():
+    for name, df in registry_dfs.items():
         if name == "join_cross":
             continue
-        if has_node(fn(spark, sf_dir), "CartesianProduct"):
+        if has_node(df, "CartesianProduct"):
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
 
